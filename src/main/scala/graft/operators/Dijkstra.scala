@@ -1,0 +1,201 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One edge of a tile-local pedestrian graph (directed; symmetrized upstream). */
+case class TileEdge(tile: String, u: Int, v: Int, w: Double)
+
+/** One Dijkstra seed: a POI snapped to a node (SURVEY §2.8 G1 sources). */
+case class TileSource(tile: String, category: String, node_idx: Int, poi_id: Long)
+
+/** One row of the long-form reach table (SURVEY §1.1): nearest-POI distance
+  * per (tile, category, node). Only FINITE rows are materialized — the
+  * reference's full-N inf vectors (precompute_poi_reach.py:210-219) are a
+  * dense storage artifact; relationally, "unreachable" is the absence of a
+  * row, recovered at query time with a left join + coalesce(inf, -1). */
+case class ReachRow(tile: String, category: String, node_idx: Int,
+                    dist_m: Double, time_s: Double, poi_id: Long)
+
+/** One step of a shortest path (reference test_path.py:312-333). */
+case class PathStep(tile: String, seq: Int, node_idx: Int, step_m: Double, poi_id: Long, category: String)
+
+/** Bounded multi-source Dijkstra (SURVEY §2.8 G1) as a per-tile typed kernel.
+  *
+  * Behavior matches reference precompute_poi_reach.py:86-125: seeds at
+  * dist 0, strict-improvement relaxation, prune `nd ≤ limit`, binary heap.
+  * One deliberate determinism upgrade: ties (equal distance via different
+  * POIs, incl. two POIs snapped to one node) resolve to the SMALLEST poi_id
+  * — the reference keeps whichever source entered the heap first (input row
+  * order), which is not reproducible under distribution. Lexicographic
+  * (dist, poi_id) keys keep Dijkstra's invariants (edge relaxation adds
+  * (w, 0), which is monotone in the lex order).
+  *
+  * Scale design: distribution is by spatial tiling — the reference's own
+  * model (10×10 km tiles + 2 km buffer ≥ 2× the 1000 m limit, so tile-local
+  * routing is exact for in-tile owner nodes; grid_creation.py:235-236).
+  * Each (tile) group builds a transient CSR and runs all its categories
+  * locally; tiles are independent, so the operator scales linearly with
+  * executor count and shuffles each edge exactly once. A tile of ~10⁶ nodes
+  * uses ~30 MB of primitive arrays — comfortably executor-local.
+  */
+object Dijkstra {
+
+  /** Local CSR built per tile group. Node ids are compacted to 0..n-1. */
+  private[operators] final class LocalGraph(edges: Array[TileEdge], extraNodes: Array[Int]) {
+    val nodeOf = new mutable.HashMap[Int, Int]() // external node_idx -> local
+    private def intern(x: Int): Int = nodeOf.getOrElseUpdate(x, nodeOf.size)
+    edges.foreach { e => intern(e.u); intern(e.v) }
+    extraNodes.foreach(intern)
+    val n: Int = nodeOf.size
+    val ext = new Array[Int](n) // local -> external
+    nodeOf.foreach { case (e, l) => ext(l) = e }
+
+    val indptr = new Array[Int](n + 1)
+    edges.foreach(e => indptr(nodeOf(e.u) + 1) += 1)
+    (1 to n).foreach(i => indptr(i) += indptr(i - 1))
+    val indices = new Array[Int](edges.length)
+    val weights = new Array[Double](edges.length)
+    locally {
+      val fill = java.util.Arrays.copyOf(indptr, n)
+      edges.foreach { e =>
+        val u = nodeOf(e.u); val p = fill(u); fill(u) = p + 1
+        indices(p) = nodeOf(e.v); weights(p) = e.w
+      }
+    }
+  }
+
+  /** Core kernel: returns (dist, winningPoi, prev) arrays over local ids;
+    * dist=+inf / poi=-1 / prev=-1 where unreached. */
+  private[operators] def multiSourceDijkstra(
+      g: LocalGraph, seeds: Seq[(Int, Long)], limitM: Double)
+      : (Array[Double], Array[Long], Array[Int]) = {
+    val dist = Array.fill(g.n)(Double.PositiveInfinity)
+    val poi = Array.fill(g.n)(-1L)
+    val prev = Array.fill(g.n)(-1)
+    // heap ordered by (dist, poi_id, node) — lexicographic Dijkstra
+    val heap = new java.util.PriorityQueue[(Double, Long, Int)](
+      math.max(seeds.size, 16),
+      (a: (Double, Long, Int), b: (Double, Long, Int)) => {
+        val c = java.lang.Double.compare(a._1, b._1)
+        if (c != 0) c else {
+          val p = java.lang.Long.compare(a._2, b._2)
+          if (p != 0) p else Integer.compare(a._3, b._3)
+        }
+      })
+    seeds.foreach { case (extNode, poiId) =>
+      g.nodeOf.get(extNode).foreach { u =>
+        if (dist(u) > 0.0 || (dist(u) == 0.0 && poiId < poi(u))) {
+          dist(u) = 0.0; poi(u) = poiId
+          heap.add((0.0, poiId, u))
+        }
+      }
+    }
+    while (!heap.isEmpty) {
+      val (d, p, u) = heap.poll()
+      if (d == dist(u) && p == poi(u)) { // not superseded
+        var i = g.indptr(u)
+        while (i < g.indptr(u + 1)) {
+          val v = g.indices(i)
+          val nd = d + g.weights(i)
+          if (nd <= limitM && (nd < dist(v) || (nd == dist(v) && p < poi(v)))) {
+            dist(v) = nd; poi(v) = p; prev(v) = u
+            heap.add((nd, p, v))
+          }
+          i += 1
+        }
+      }
+    }
+    (dist, poi, prev)
+  }
+
+  /** Distributed reach computation: `edges(tile,u,v,w)` cogrouped with
+    * `sources(tile,category,node_idx,poi_id)` per tile; one Dijkstra per
+    * (tile, category); emits finite reach rows.
+    *
+    * Sources with node_idx outside the tile's node set are ignored (the
+    * reference's 0≤idx<N sanity filter, precompute_poi_reach.py:177-179,
+    * generalizes to membership here). */
+  def reach(edges: Dataset[TileEdge], sources: Dataset[TileSource],
+            limitM: Double, speedMps: Double = 1.111): Dataset[ReachRow] = {
+    implicit val encS = org.apache.spark.sql.Encoders.STRING
+    implicit val enc = org.apache.spark.sql.Encoders.product[ReachRow]
+    edges.groupByKey(_.tile).cogroup(sources.groupByKey(_.tile)) {
+      (tile, es, ss) =>
+        val edgeArr = es.toArray
+        val srcArr = ss.toArray
+        if (edgeArr.isEmpty || srcArr.isEmpty) Iterator.empty
+        else {
+          val g = new LocalGraph(edgeArr, srcArr.map(_.node_idx))
+          srcArr.groupBy(_.category).iterator.flatMap { case (cat, catSrcs) =>
+            val seeds = catSrcs.map(s => (s.node_idx, s.poi_id)).toSeq
+            val (dist, poi, _) = multiSourceDijkstra(g, seeds, limitM)
+            (0 until g.n).iterator.filter(i => !dist(i).isInfinite).map { i =>
+              ReachRow(tile, cat, g.ext(i), dist(i), dist(i) / speedMps, poi(i))
+            }
+          }
+        }
+    }
+  }
+
+  /** Per-category reach summary (SURVEY A3; reference
+    * precompute_poi_reach.py:204-208). Median over finite distances only
+    * (the reach table already holds only finite rows). */
+  def reachSummary(reach: DataFrame, sources: DataFrame, limitM: Double): DataFrame = {
+    val nSrc = sources.groupBy("category").agg(count(lit(1)).as("n_sources"))
+    reach.groupBy("category").agg(
+        count(lit(1)).as("n_within"),
+        median(col("dist_m")).as("median_dist_m"),
+        median(col("time_s")).as("median_time_s"))
+      .join(nSrc, Seq("category"), "right")
+      .na.fill(0, Seq("n_within"))
+      .select(col("category"), col("n_sources"), col("n_within"),
+        col("median_dist_m"), col("median_time_s"), lit(limitM).as("limit_m"))
+  }
+
+  /** Shortest path with backtrack (SURVEY G3; reference test_path.py:270-310):
+    * per tile, Dijkstra from the given category's POIs, then follow `prev`
+    * from each requested target node back to its winning source. Emits hops
+    * source→target ordered by seq, with per-step edge weight (step_m=0 at the
+    * source). Cumulative distance is a window sum downstream (W3). */
+  def shortestPaths(edges: Dataset[TileEdge], sources: Dataset[TileSource],
+                    targets: Seq[(String, Int)], // (tile, node_idx) — point queries, small
+                    limitM: Double): Dataset[PathStep] = {
+    implicit val encS = org.apache.spark.sql.Encoders.STRING
+    implicit val enc = org.apache.spark.sql.Encoders.product[PathStep]
+    val spark = edges.sparkSession
+    val tgtB = spark.sparkContext.broadcast(
+      targets.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toArray })
+    edges.groupByKey(_.tile).cogroup(sources.groupByKey(_.tile)) {
+      (tile, es, ss) =>
+        val targetNodes = tgtB.value.getOrElse(tile, Array.empty[Int])
+        val edgeArr = es.toArray
+        val srcArr = ss.toArray
+        if (edgeArr.isEmpty || srcArr.isEmpty || targetNodes.isEmpty) Iterator.empty
+        else {
+          val g = new LocalGraph(edgeArr, srcArr.map(_.node_idx) ++ targetNodes)
+          srcArr.groupBy(_.category).iterator.flatMap { case (cat, catSrcs) =>
+            val seeds = catSrcs.map(s => (s.node_idx, s.poi_id)).toSeq
+            val (dist, poi, prev) = multiSourceDijkstra(g, seeds, limitM)
+            targetNodes.iterator.flatMap { t =>
+              val lt = g.nodeOf(t)
+              if (dist(lt).isInfinite) Iterator.empty
+              else {
+                // backtrack target -> source, then reverse
+                var path = List.empty[Int]
+                var cur = lt
+                while (cur != -1) { path = cur :: path; cur = prev(cur) }
+                val arr = path.toArray
+                arr.iterator.zipWithIndex.map { case (node, seq) =>
+                  val step = if (seq == 0) 0.0 else dist(node) - dist(arr(seq - 1))
+                  PathStep(tile, seq, g.ext(node), step, poi(lt), cat)
+                }
+              }
+            }
+          }
+        }
+    }
+  }
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GeoFunctions._
+
+/** Relational graph-construction operators (SURVEY.md §2.2/§2.3/§2.4/§2.6:
+  * P1-P4, J1, U1, A1-A2, W1-W2, J7, G2's relational pre-steps).
+  *
+  * Everything here is a `DataFrame => DataFrame` built from Spark built-ins
+  * only, so Catalyst gets full pushdown/pruning/codegen. The physical CSR of
+  * the reference (graph_construction.py:123-162) is NOT a stored format here —
+  * the relational `edges(u,v,w)` table is canonical, and CSR arrays are built
+  * transiently inside the Dijkstra kernel per partition.
+  */
+object GraphOps {
+
+  /** Walkable highway values always kept (reference graph_construction.py:56-59). */
+  val AlwaysWalkable: Seq[String] = Seq(
+    "footway", "path", "pedestrian", "steps", "platform", "crossing",
+    "living_street", "cycleway", "track", "residential", "unclassified", "service")
+
+  /** Big roads kept only with sidewalk/foot access (reference graph_construction.py:60). */
+  val BigRoads: Seq[String] = Seq(
+    "primary", "primary_link", "secondary", "secondary_link", "tertiary", "tertiary_link")
+
+  val SidewalkOk: Seq[String] = Seq("yes", "both", "left", "right")
+  val FootOk: Seq[String] = Seq("yes", "designated", "permissive")
+  val FastRoads: Seq[String] = Seq("motorway", "motorway_link", "trunk", "trunk_link")
+
+  /** P1: add normalized `*_n` tag columns (lower(trim), null→"") for the five
+    * walkability tags; missing columns materialize as "" (reference
+    * graph_construction.py:49-56). */
+  def normalizeTags(edges: DataFrame): DataFrame = {
+    val tagCols = Seq("highway", "foot", "sidewalk", "motorroad", "oneway")
+    tagCols.foldLeft(edges) { (df, c) =>
+      val src = if (df.columns.contains(c)) normTag(col(c)) else lit("")
+      df.withColumn(c + "_n", src)
+    }
+  }
+
+  /** P2: the walkability truth table (reference graph_construction.py:56-72):
+    * keep iff (highway ∈ always ∨ (highway ∈ big ∧ (sidewalk ok ∨ foot ok)))
+    * ∧ ¬(highway ∈ fast ∨ motorroad=yes). Pure `isin` composition — fully
+    * codegen'd and pushdown-friendly. */
+  def walkablePredicate: Column = {
+    val hasSidewalk = col("sidewalk_n").isin(SidewalkOk: _*)
+    val hasFootOk = col("foot_n").isin(FootOk: _*)
+    val isFast = col("highway_n").isin(FastRoads: _*) || (col("motorroad_n") === "yes")
+    (col("highway_n").isin(AlwaysWalkable: _*) ||
+      (col("highway_n").isin(BigRoads: _*) && (hasSidewalk || hasFootOk))) && !isFast
+  }
+
+  def cleanWalkableEdges(edges: DataFrame): DataFrame =
+    normalizeTags(edges).filter(walkablePredicate)
+
+  /** W1/J1 part 1: assign dense node indices 0..N-1 by ascending id
+    * (reference graph_construction.py:241-243: array position after sort).
+    *
+    * Scale note: the global `row_number` over a single ordering is a
+    * single-partition window — fine for per-tile node sets (≤10⁶ rows, the
+    * reference's own tiling bound). For a whole-planet table use
+    * `zipWithIndex`-style per-tile indexing instead: indices only need to be
+    * unique within a tile because the Dijkstra kernel is tile-local. */
+  def indexNodes(nodes: DataFrame, idCol: String = "osm_node_id"): DataFrame =
+    nodes.withColumn("node_idx",
+      (row_number().over(Window.orderBy(col(idCol))) - 1).cast("int"))
+
+  /** J1: re-key edge endpoints from external ids to node indices via two
+    * broadcast equi-joins; unmatched endpoints are dropped (reference
+    * graph_construction.py:250-255 `dropna`). `nodeIdx` must have columns
+    * (idCol, node_idx). */
+  def rekeyEdges(edges: DataFrame, nodeIdx: DataFrame,
+                 idCol: String = "osm_node_id"): DataFrame = {
+    val dim = nodeIdx.select(col(idCol), col("node_idx"))
+    edges
+      .join(broadcast(dim.withColumnRenamed(idCol, "u_id").withColumnRenamed("node_idx", "u_idx")),
+        col("u") === col("u_id"), "inner")
+      .join(broadcast(dim.withColumnRenamed(idCol, "v_id").withColumnRenamed("node_idx", "v_idx")),
+        col("v") === col("v_id"), "inner")
+      .drop("u", "v", "u_id", "v_id")
+      .withColumnRenamed("u_idx", "u")
+      .withColumnRenamed("v_idx", "v")
+  }
+
+  /** P3: drop edges with failed-snap endpoints (reference graph_construction.py:124). */
+  def validEndpoints(edges: DataFrame): DataFrame =
+    edges.filter(col("u") >= 0 && col("v") >= 0)
+
+  /** U1 + P4 + A1: symmetrize (undirected as doubled directed), drop
+    * self-loops, dedup parallel edges keeping min weight (reference
+    * graph_construction.py:128-148). One shuffle on (u,v); partial aggregation
+    * (map-side combine) comes free from the hash aggregate. */
+  def symmetrizeDedup(edges: DataFrame): DataFrame = {
+    val fwd = edges.select(col("u"), col("v"), col("w"))
+    val rev = edges.select(col("v").as("u"), col("u").as("v"), col("w"))
+    fwd.union(rev)
+      .filter(col("u") =!= col("v"))
+      .groupBy("u", "v")
+      .agg(min("w").as("w"))
+  }
+
+  /** A2: out-degree per node (CSR indptr is its cumsum, built only inside the
+    * kernel; reference graph_construction.py:153-156). */
+  def outDegrees(edges: DataFrame): DataFrame =
+    edges.groupBy(col("u").as("node_idx")).agg(count(lit(1)).as("degree"))
+
+  /** A4: degree statistics QA (reference validate_csr.py:12-17). `nNodes` is
+    * the full node count (nodes with zero out-degree don't appear in edges). */
+  def degreeStats(edges: DataFrame, nNodes: Long): DataFrame =
+    outDegrees(edges).agg(
+      avg("degree").as("mean_degree_present"),
+      max("degree").as("max_degree"),
+      (lit(nNodes) - count(lit(1))).as("zero_degree_nodes"))
+
+  /** J7: edge reciprocity QA — fraction of (u,v) with (v,u) present; ≈1.0
+    * after symmetrization (reference validate_csr.py:21-29). */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val rev = edges.select(col("v").as("u"), col("u").as("v"))
+    val total = edges.count().toDouble
+    edges.join(rev, Seq("u", "v"), "left_semi")
+      .agg((count(lit(1)) / lit(total)).as("reciprocity"))
+  }
+
+  /** A5: weight-sanity QA — weight/haversine ratio median, p90, outliers
+    * (reference validate_dist.py:16-21). Expects u/v lon/lat columns
+    * (lon_u, lat_u, lon_v, lat_v) and w. */
+  def weightSanity(edgesWithCoords: DataFrame): DataFrame = {
+    val ratio = col("w") /
+      haversineM(col("lon_u"), col("lat_u"), col("lon_v"), col("lat_v"))
+    edgesWithCoords.select(ratio.as("ratio")).agg(
+      median(col("ratio")).as("median_ratio"),
+      percentile_approx(col("ratio"), lit(0.9), lit(10000)).as("p90_ratio"),
+      count(when(col("ratio") > 2.0, 1)).as("outliers_gt2"))
+  }
+}
