@@ -32,15 +32,19 @@ object Derive {
   private def parquet(spark: SparkSession, dir: String, t: String): DataFrame =
     spark.read.parquet(s"$dir/$t.parquet")
 
-  /** nodes(node_idx, osm_node_id, lon, lat) from `customer`. */
-  def nodes(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** nodes(node_idx, osm_node_id, lon, lat) from `customer`.
+    *
+    * `c_custkey` is dense 0..N-1 in the driver's testdata, so the node index
+    * is pure arithmetic — no global-window `row_number` (the round-1
+    * scale-killer: a single-partition WindowExec every graph query funneled
+    * through). `osm_node_id` is deliberately sparse (10k+7) so the J1 rekey
+    * join (GraphOps.rekeyEdges) is non-trivial to exercise. */
+  def nodes(spark: SparkSession, dir: String): DataFrame =
     parquet(spark, dir, "customer").select(
-      (row_number().over(Window.orderBy("c_custkey")) - 1).cast("int").as("node_idx"),
-      col("c_custkey").as("osm_node_id"),
+      col("c_custkey").cast("int").as("node_idx"),
+      (col("c_custkey") * 10 + 7).as("osm_node_id"),
       (lit(18.4) + (col("c_custkey") % 97) * lit(2e-3)).as("lon"),
       (lit(54.3) + ((col("c_custkey") * 13) % 89) * lit(2e-3)).as("lat"))
-  }
 
   /** Directed forward edges (u < v) of the grid graph with integer-valued
     * weights w ∈ [250, 350]: ≤4 hops fit the 1000 m reach limit, keeping the
@@ -82,8 +86,8 @@ object Derive {
   object Sql {
     val nodes: String =
       """nodes AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY c_custkey) - 1 AS INT) AS node_idx,
-        |         c_custkey AS osm_node_id,
+        |  SELECT CAST(c_custkey AS INT) AS node_idx,
+        |         c_custkey * 10 + 7 AS osm_node_id,
         |         18.4 + (c_custkey % 97) * 2e-3 AS lon,
         |         54.3 + ((c_custkey * 13) % 89) * 2e-3 AS lat
         |  FROM customer)""".stripMargin

@@ -115,9 +115,12 @@ object Dijkstra {
     * `sources(tile,category,node_idx,poi_id)` per tile; one Dijkstra per
     * (tile, category); emits finite reach rows.
     *
-    * Sources with node_idx outside the tile's node set are ignored (the
-    * reference's 0≤idx<N sanity filter, precompute_poi_reach.py:177-179,
-    * generalizes to membership here). */
+    * ALL sources are seeded, including nodes absent from the tile's edge set
+    * (LocalGraph interns them): an isolated/zero-degree source emits its own
+    * dist-0 reach row — matching the reference, whose in-range zero-degree
+    * sources also get dist 0 (precompute_poi_reach.py:95-98; its 0≤idx<N
+    * filter at :177-179 only drops out-of-range indices). Pre-filter sources
+    * upstream if membership semantics are wanted. */
   def reach(edges: Dataset[TileEdge], sources: Dataset[TileSource],
             limitM: Double, speedMps: Double = 1.111): Dataset[ReachRow] = {
     implicit val encS = org.apache.spark.sql.Encoders.STRING

@@ -60,13 +60,22 @@ object GraphOps {
     * (reference graph_construction.py:241-243: array position after sort).
     *
     * Scale note: the global `row_number` over a single ordering is a
-    * single-partition window — fine for per-tile node sets (≤10⁶ rows, the
-    * reference's own tiling bound). For a whole-planet table use
-    * `zipWithIndex`-style per-tile indexing instead: indices only need to be
-    * unique within a tile because the Dijkstra kernel is tile-local. */
+    * single-partition window — acceptable ONLY for one tile's node set
+    * (≤10⁶ rows, the reference's own tiling bound). For anything larger use
+    * [[indexNodesPerTile]]: indices only need tile-local uniqueness because
+    * the Dijkstra kernel is tile-local. */
   def indexNodes(nodes: DataFrame, idCol: String = "osm_node_id"): DataFrame =
     nodes.withColumn("node_idx",
       (row_number().over(Window.orderBy(col(idCol))) - 1).cast("int"))
+
+  /** W1 at scale: dense per-tile node indices 0..n_t-1. The window partitions
+    * by `grid_id`, so each tile sorts independently — one shuffle on grid_id,
+    * every core busy, no single-partition WindowExec. Cross-tile joins must
+    * key on (grid_id, node_idx). */
+  def indexNodesPerTile(nodes: DataFrame, idCol: String = "osm_node_id",
+                        tileCol: String = "grid_id"): DataFrame =
+    nodes.withColumn("node_idx",
+      (row_number().over(Window.partitionBy(col(tileCol)).orderBy(col(idCol))) - 1).cast("int"))
 
   /** J1: re-key edge endpoints from external ids to node indices via two
     * broadcast equi-joins; unmatched endpoints are dropped (reference
@@ -118,10 +127,13 @@ object GraphOps {
   /** J7: edge reciprocity QA — fraction of (u,v) with (v,u) present; ≈1.0
     * after symmetrization (reference validate_csr.py:21-29). */
   def reciprocity(edges: DataFrame): DataFrame = {
+    // Single pass, no eager driver-side count(): left-join a match flag
+    // against the (deduped) reversed edge set and aggregate both counts in
+    // one job. rev is distinct so parallel edges can't fan the join out.
     val rev = edges.select(col("v").as("u"), col("u").as("v"))
-    val total = edges.count().toDouble
-    edges.join(rev, Seq("u", "v"), "left_semi")
-      .agg((count(lit(1)) / lit(total)).as("reciprocity"))
+      .distinct().withColumn("rec", lit(1))
+    edges.join(rev, Seq("u", "v"), "left")
+      .agg((count(col("rec")) / count(lit(1))).cast("double").as("reciprocity"))
   }
 
   /** A5: weight-sanity QA — weight/haversine ratio median, p90, outliers
