@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic derivation of the engine's geospatial domain tables
@@ -82,8 +82,94 @@ object Derive {
         (col("node_lat") + (col("p_partkey") % 5 - 2) * lit(1e-4)).as("lat"))
   }
 
+  /** Messy OSM-ish tag values — mixed case, padding, nulls — to exercise the
+    * P1 tag-normalization path (reference graph_construction.py:34-35). */
+  val HighwayVals: Seq[String] = Seq(
+    "footway", " Path ", "PEDESTRIAN", "primary", "motorway", "residential",
+    null, "secondary", "trunk", "steps", "service", "cycleway", "track",
+    "tertiary", "living_street", "unclassified", "crossing")
+  val FootVals: Seq[String] = Seq("yes", null, "no", "designated", "permissive")
+  val SidewalkVals: Seq[String] = Seq(null, "both", "no", "left", "right", "yes")
+  val MotorroadVals: Seq[String] = Seq(null, "yes", "no")
+  val OnewayVals: Seq[String] = Seq("yes", null)
+
+  private def pick(vals: Seq[String], key: Column): Column =
+    element_at(array(vals.map(v => lit(v).cast("string")): _*),
+      (key % vals.size + 1).cast("int"))
+
+  /** ways(way_id, highway, foot, sidewalk, motorroad, oneway) from `orders` —
+    * a raw OSM way-tags table with dirty values for P1/P2. */
+  def ways(spark: SparkSession, dir: String): DataFrame =
+    parquet(spark, dir, "orders").select(
+      col("o_orderkey").as("way_id"),
+      pick(HighwayVals, col("o_orderkey")).as("highway"),
+      pick(FootVals, col("o_orderkey")).as("foot"),
+      pick(SidewalkVals, col("o_orderkey")).as("sidewalk"),
+      pick(MotorroadVals, col("o_orderkey")).as("motorroad"),
+      pick(OnewayVals, col("o_orderkey")).as("oneway"))
+
+  /** messy(p_partkey, id_str, NODE_IDX, name) from `part` — dirty ingest rows
+    * for the P9-P13 coercion pipeline: nullable string ids, non-numeric
+    * node indices, an UPPERCASE column for case-insensitive resolution. */
+  def messy(spark: SparkSession, dir: String): DataFrame =
+    parquet(spark, dir, "part").select(
+      col("p_partkey"),
+      when(col("p_partkey") % 7 === 0, lit(null))
+        .otherwise((col("p_partkey") * 3).cast("string")).as("id_str"),
+      when(col("p_partkey") % 11 === 0, lit("n/a"))
+        .otherwise((col("p_partkey") % 50).cast("string")).as("NODE_IDX"),
+      col("p_name").as("name"))
+
   /** SQL CTE mirrors of the above, composable into oracle queries. */
   object Sql {
+
+    /** Degrees→radians exactly as java.lang.Math.toRadians (x/180*π) — NOT
+      * DuckDB's radians(), whose multiplication order may differ in the last
+      * ulp. Parity with Spark's `radians` expression (which calls toRadians). */
+    def rad(x: String): String = s"($x / 180.0 * pi())"
+
+    /** Haversine mirror of GeoFunctions.haversineM: explicit squares (no
+      * pow), same operation order. `r2` is 2·R precomputed. */
+    def havM(lon1: String, lat1: String, lon2: String, lat2: String,
+             r2: String = "12742000.0"): String = {
+      val dLat = s"(${rad(lat2)} - ${rad(lat1)})"
+      val dLon = s"(${rad(lon2)} - ${rad(lon1)})"
+      val a = s"(sin($dLat/2)*sin($dLat/2) + cos(${rad(lat1)})*cos(${rad(lat2)})*sin($dLon/2)*sin($dLon/2))"
+      s"($r2 * asin(sqrt($a)))"
+    }
+
+    /** Mirror of GeoFunctions.haversineWeightM (R=6371008.8, a clamped,
+      * exact-zero → 0.01 m). */
+    def havWeightM(lon1: String, lat1: String, lon2: String, lat2: String): String = {
+      val dLat = s"(${rad(lat2)} - ${rad(lat1)})"
+      val dLon = s"(${rad(lon2)} - ${rad(lon1)})"
+      val a = s"greatest(0.0, least(1.0, sin($dLat/2)*sin($dLat/2) + cos(${rad(lat1)})*cos(${rad(lat2)})*sin($dLon/2)*sin($dLon/2)))"
+      val d = s"(12742017.6 * asin(sqrt($a)))"
+      s"(CASE WHEN $d = 0.0 THEN 0.01 ELSE $d END)"
+    }
+
+    private def sqlList(vals: Seq[String]): String =
+      vals.map(v => if (v == null) "NULL" else s"'$v'").mkString("[", ", ", "]")
+
+    val ways: String =
+      s"""ways AS (
+         |  SELECT o_orderkey AS way_id,
+         |         (${sqlList(HighwayVals)})[CAST(o_orderkey % ${HighwayVals.size} AS INT) + 1] AS highway,
+         |         (${sqlList(FootVals)})[CAST(o_orderkey % ${FootVals.size} AS INT) + 1] AS foot,
+         |         (${sqlList(SidewalkVals)})[CAST(o_orderkey % ${SidewalkVals.size} AS INT) + 1] AS sidewalk,
+         |         (${sqlList(MotorroadVals)})[CAST(o_orderkey % ${MotorroadVals.size} AS INT) + 1] AS motorroad,
+         |         (${sqlList(OnewayVals)})[CAST(o_orderkey % ${OnewayVals.size} AS INT) + 1] AS oneway
+         |  FROM orders)""".stripMargin
+
+    val messy: String =
+      """messy AS (
+        |  SELECT p_partkey,
+        |         CASE WHEN p_partkey % 7 = 0 THEN NULL
+        |              ELSE CAST(p_partkey * 3 AS VARCHAR) END AS id_str,
+        |         CASE WHEN p_partkey % 11 = 0 THEN 'n/a'
+        |              ELSE CAST(p_partkey % 50 AS VARCHAR) END AS node_idx,
+        |         p_name AS name
+        |  FROM part)""".stripMargin
     val nodes: String =
       """nodes AS (
         |  SELECT CAST(c_custkey AS INT) AS node_idx,

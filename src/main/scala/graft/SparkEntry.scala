@@ -107,6 +107,145 @@ object SparkEntry {
         .orderBy("nationkey")
     }),
 
+    // J1: broadcast rekey of external osm ids -> dense node indices;
+    // a dangling endpoint (-5) is dropped like the reference's dropna.
+    "q09_rekey" -> ((s, dir) => {
+      val n = Derive.nodes(s, dir)
+      val raw = Derive.edges(n)
+        .select((col("u") * 10 + 7).as("u"), (col("v") * 10 + 7).as("v"), col("w"))
+        .union(s.range(1).select(lit(-5L).as("u"), lit(7L).as("v"), lit(1.0).as("w")))
+      GraphOps.rekeyEdges(raw, n)
+        .select("u", "v", "w").orderBy("u", "v")
+    }),
+
+    // P1+P2: tag normalization + the walkability truth table over dirty tags.
+    "q10_walkability" -> ((s, dir) => {
+      GraphOps.cleanWalkableEdges(Derive.ways(s, dir))
+        .select("way_id", "highway_n", "foot_n", "sidewalk_n")
+        .orderBy("way_id")
+    }),
+
+    // J7: reciprocity QA on a partially-symmetrized edge set.
+    "q11_reciprocity" -> ((s, dir) => {
+      val e = Derive.edges(Derive.nodes(s, dir))
+      val dirPlus = e.union(
+        e.filter(col("u") % 3 === 0)
+          .select(col("v").as("u"), col("u").as("v"), col("w")))
+      GraphOps.reciprocity(dirPlus)
+    }),
+
+    // A4: degree statistics QA (mean over ALL nodes incl zero-degree).
+    "q12_degree_stats" -> ((s, dir) => {
+      val n = Derive.nodes(s, dir)
+      GraphOps.degreeStats(GraphOps.symmetrizeDedup(Derive.edges(n)), n)
+    }),
+
+    // A5+F1: weight/haversine sanity ratios with rank-based percentiles.
+    "q13_weight_sanity" -> ((s, dir) => {
+      val n = Derive.nodes(s, dir)
+      val ec = Derive.edges(n)
+        .join(n.select(col("node_idx").as("u"), col("lon").as("lon_u"), col("lat").as("lat_u")), Seq("u"))
+        .join(n.select(col("node_idx").as("v"), col("lon").as("lon_v"), col("lat").as("lat_v")), Seq("v"))
+      GraphOps.weightSanity(ec)
+    }),
+
+    // F1 (three radii) + F3 + P14: scalar geo functions over consecutive
+    // node pairs; rounded — libm trig may drift 1 ulp vs the JVM.
+    "q14_geo_distances" -> ((s, dir) => {
+      import graft.functions.GeoFunctions._
+      val n = Derive.nodes(s, dir)
+      val b = n.select((col("node_idx") - 1).as("node_idx"),
+        col("lon").as("lon2"), col("lat").as("lat2"))
+      n.join(b, Seq("node_idx"))
+        .select(
+          col("node_idx"),
+          round(haversineM(col("lon"), col("lat"), col("lon2"), col("lat2")), 6).as("hav_query_m"),
+          round(haversineWeightM(col("lon"), col("lat"), col("lon2"), col("lat2")), 6).as("hav_graph_m"),
+          round(haversineGridKm(col("lon"), col("lat"), col("lon2"), col("lat2")), 9).as("hav_grid_km"),
+          haversineWeightM(col("lon"), col("lat"), col("lon"), col("lat")).as("zero_w"),
+          round(kmPerDegLon(col("lat")), 9).as("km_per_deg_lon"),
+          round(bboxFromPointRadius(col("lon"), col("lat"), lit(500.0)).getField("minlon"), 9).as("bb_minlon"),
+          round(bboxFromPointRadius(col("lon"), col("lat"), lit(500.0)).getField("maxlat"), 9).as("bb_maxlat"))
+        .orderBy("node_idx")
+    }),
+
+    // F7+F2+F6+F10: Web-Mercator, equirectangular d², ×1e7 quantization, grid_id.
+    "q15_mercator" -> ((s, dir) => {
+      import graft.functions.GeoFunctions._
+      Derive.nodes(s, dir)
+        .select(
+          col("node_idx"),
+          round(mercatorX(col("lon")), 4).as("merc_x"),
+          round(mercatorY(col("lat")), 4).as("merc_y"),
+          round(equirectDist2(col("lon"), col("lat"), lit(18.5), lit(54.35)), 12).as("eq_d2"),
+          quantizeE7(col("lon")).as("lon_e7"),
+          quantizeE7(col("lat")).as("lat_e7"),
+          gridId(floor(col("node_idx") / 40).cast("int"), (col("node_idx") % 40).cast("int")).as("grid_id"))
+        .orderBy("node_idx")
+    }),
+
+    // F4: sanitize_key over dirty strings (specials, leading junk, >60 chars).
+    "q16_sanitize" -> ((s, dir) => {
+      import graft.functions.GeoFunctions._
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          sanitizeKey(col("p_brand")).as("k_brand"),
+          sanitizeKey(concat(lit("##"), col("p_type"))).as("k_type"),
+          sanitizeKey(repeat(col("p_name"), 8)).as("k_long"))
+        .orderBy("p_partkey")
+    }),
+
+    // A3+G1: per-category reach summary over all 20 categories.
+    "q17_reach_summary" -> ((s, dir) => {
+      import s.implicits._
+      val n = Derive.nodes(s, dir)
+      val sym = GraphOps.symmetrizeDedup(Derive.edges(n))
+        .select(lit("t0").as("tile"), col("u"), col("v"), col("w")).as[TileEdge]
+      val pois = Derive.pois(s, dir)
+      val srcs = pois
+        .select(lit("t0").as("tile"), col("category"), col("node_idx"), col("poi_id"))
+        .as[TileSource]
+      Dijkstra.reachSummary(Dijkstra.reach(sym, srcs, 1000.0).toDF(), pois, 1000.0)
+        .orderBy("category")
+    }),
+
+    // G3+W3: canonical shortest-path backtrack + running cumulative distance.
+    "q18_path" -> ((s, dir) => {
+      import s.implicits._
+      val n = Derive.nodes(s, dir)
+      val sym = GraphOps.symmetrizeDedup(Derive.edges(n))
+        .select(lit("t0").as("tile"), col("u"), col("v"), col("w")).as[TileEdge]
+      val srcs = Derive.pois(s, dir)
+        .filter(col("category") === "supermarket")
+        .select(lit("t0").as("tile"), col("category"), col("node_idx"), col("poi_id"))
+        .as[TileSource]
+      // far-reachable nodes (3-4 hops) plus never-reachable ones (dropped)
+      val targets = Seq(1372, 298, 632, 938, 98, 57, 444, 1400).map("t0" -> _)
+      val w = Window.partitionBy("target_idx").orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Dijkstra.shortestPaths(sym, srcs, targets, 1000.0)
+        .withColumn("cum_m", sum("step_m").over(w))
+        .select("target_idx", "seq", "node_idx", "step_m", "cum_m", "poi_id", "category")
+        .orderBy("target_idx", "seq")
+    }),
+
+    // P9+P10+P11+P13: dirty-ingest coercion — case-insensitive resolution,
+    // try_cast with -1 sentinel, negative synthetic-id fallback, final casts.
+    "q19_coercion" -> ((s, dir) => {
+      val w = Window.partitionBy(expr("try_cast(id_str AS BIGINT)").isNull)
+        .orderBy("p_partkey")
+      Derive.messy(s, dir)
+        .withColumn("parsed", expr("try_cast(id_str AS BIGINT)"))
+        .select(
+          col("p_partkey"),
+          when(col("parsed").isNull, -row_number().over(w))
+            .otherwise(col("parsed")).cast("long").as("poi_id"),
+          coalesce(expr("try_cast(node_idx AS INT)"), lit(-1)).as("node_idx"),
+          col("name"))
+        .orderBy("p_partkey")
+    }),
+
     // W1/G5-analog: the derived node table itself (row_number indexing + grid math).
     "q20_nodes" -> ((s, dir) => {
       Derive.nodes(s, dir).orderBy("node_idx")
@@ -203,6 +342,189 @@ object SparkEntry {
         |  SELECT c_nationkey AS nationkey FROM customer
         |  UNION ALL SELECT s_nationkey FROM supplier)
         |ORDER BY nationkey""".stripMargin,
+
+    "q09_rekey" ->
+      s"""WITH ${Derive.Sql.nodes},
+         |${Derive.Sql.edges},
+         |raw AS (SELECT u*10+7 AS u, v*10+7 AS v, w FROM edges
+         |        UNION ALL SELECT -5, 7, 1.0)
+         |SELECT nu.node_idx AS u, nv.node_idx AS v, r.w
+         |FROM raw r
+         |JOIN nodes nu ON r.u = nu.osm_node_id
+         |JOIN nodes nv ON r.v = nv.osm_node_id
+         |ORDER BY u, v""".stripMargin,
+
+    "q10_walkability" ->
+      s"""WITH ${Derive.Sql.ways},
+         |norm AS (SELECT way_id,
+         |  lower(trim(coalesce(highway,''))) AS highway_n,
+         |  lower(trim(coalesce(foot,''))) AS foot_n,
+         |  lower(trim(coalesce(sidewalk,''))) AS sidewalk_n,
+         |  lower(trim(coalesce(motorroad,''))) AS motorroad_n
+         |  FROM ways)
+         |SELECT way_id, highway_n, foot_n, sidewalk_n FROM norm
+         |WHERE (highway_n IN ('footway','path','pedestrian','steps','platform','crossing','living_street','cycleway','track','residential','unclassified','service')
+         |   OR (highway_n IN ('primary','primary_link','secondary','secondary_link','tertiary','tertiary_link')
+         |       AND (sidewalk_n IN ('yes','both','left','right') OR foot_n IN ('yes','designated','permissive'))))
+         |  AND NOT (highway_n IN ('motorway','motorway_link','trunk','trunk_link') OR motorroad_n = 'yes')
+         |ORDER BY way_id""".stripMargin,
+
+    "q11_reciprocity" ->
+      s"""WITH ${Derive.Sql.nodes},
+         |${Derive.Sql.edges},
+         |dp AS (SELECT u, v, w FROM edges
+         |       UNION ALL SELECT v, u, w FROM edges WHERE u % 3 = 0),
+         |rev AS (SELECT DISTINCT v AS u, u AS v FROM dp)
+         |SELECT CAST(count(r.u) AS DOUBLE) / count(*) AS reciprocity
+         |FROM dp e LEFT JOIN rev r ON e.u = r.u AND e.v = r.v""".stripMargin,
+
+    "q12_degree_stats" ->
+      s"""WITH ${Derive.Sql.nodes},
+         |${Derive.Sql.edges},
+         |${Derive.Sql.symEdges},
+         |deg AS (SELECT n.node_idx, coalesce(d.degree, 0) AS degree
+         |        FROM nodes n LEFT JOIN (
+         |          SELECT u AS node_idx, count(*) AS degree FROM sym GROUP BY u) d
+         |        USING (node_idx))
+         |SELECT avg(degree) AS mean_degree, max(degree) AS max_degree,
+         |       count(CASE WHEN degree = 0 THEN 1 END) AS zero_degree_nodes
+         |FROM deg""".stripMargin,
+
+    "q13_weight_sanity" ->
+      s"""WITH ${Derive.Sql.nodes},
+         |${Derive.Sql.edges},
+         |ec AS (SELECT round(e.w / ${Derive.Sql.havM("nu.lon", "nu.lat", "nv.lon", "nv.lat")}, 6) AS ratio
+         |       FROM edges e
+         |       JOIN nodes nu ON nu.node_idx = e.u
+         |       JOIN nodes nv ON nv.node_idx = e.v),
+         |cd AS (SELECT ratio, cume_dist() OVER (ORDER BY ratio) AS cd FROM ec)
+         |SELECT min(CASE WHEN cd >= 0.5 THEN ratio END) AS p50_ratio,
+         |       min(CASE WHEN cd >= 0.9 THEN ratio END) AS p90_ratio,
+         |       count(CASE WHEN ratio > 2.0 THEN 1 END) AS outliers_gt2
+         |FROM cd""".stripMargin,
+
+    "q14_geo_distances" -> {
+      val r = Derive.Sql.rad _
+      val dLat = s"(${r("n2.lat")} - ${r("n.lat")})"
+      val dLon = s"(${r("n2.lon")} - ${r("n.lon")})"
+      val aGrid = s"(sin($dLat/2)*sin($dLat/2) + cos(${r("n.lat")})*cos(${r("n2.lat")})*sin($dLon/2)*sin($dLon/2))"
+      s"""WITH ${Derive.Sql.nodes}
+         |SELECT n.node_idx,
+         |  round(${Derive.Sql.havM("n.lon", "n.lat", "n2.lon", "n2.lat")}, 6) AS hav_query_m,
+         |  round(${Derive.Sql.havWeightM("n.lon", "n.lat", "n2.lon", "n2.lat")}, 6) AS hav_graph_m,
+         |  round(2 * 6371.0088 * asin(least(1.0, sqrt($aGrid))), 9) AS hav_grid_km,
+         |  CAST(0.01 AS DOUBLE) AS zero_w,
+         |  round(111.32 * cos(${r("n.lat")}), 9) AS km_per_deg_lon,
+         |  round(n.lon - (500.0 / 6371000.0 * (180.0 / pi())) / cos(${r("n.lat")}), 9) AS bb_minlon,
+         |  round(n.lat + 500.0 / 6371000.0 * (180.0 / pi()), 9) AS bb_maxlat
+         |FROM nodes n JOIN nodes n2 ON n2.node_idx = n.node_idx + 1
+         |ORDER BY n.node_idx""".stripMargin
+    },
+
+    "q15_mercator" -> {
+      val r = Derive.Sql.rad _
+      s"""WITH ${Derive.Sql.nodes}
+         |SELECT node_idx,
+         |  round(6378137.0 * ${r("lon")}, 4) AS merc_x,
+         |  round(6378137.0 * ln(tan(pi()/4 + ${r("lat")}/2)), 4) AS merc_y,
+         |  round((${r("18.5")} - ${r("lon")}) * cos(${r("lat")}) * ((${r("18.5")} - ${r("lon")}) * cos(${r("lat")}))
+         |        + (${r("54.35")} - ${r("lat")}) * (${r("54.35")} - ${r("lat")}), 12) AS eq_d2,
+         |  CAST(trunc(lon * 1e7) AS INT) AS lon_e7,
+         |  CAST(trunc(lat * 1e7) AS INT) AS lat_e7,
+         |  concat('r', CAST(CAST(floor(node_idx / 40) AS INT) AS VARCHAR), '_c',
+         |         CAST(CAST(node_idx % 40 AS INT) AS VARCHAR)) AS grid_id
+         |FROM nodes ORDER BY node_idx""".stripMargin
+    },
+
+    "q16_sanitize" -> {
+      def san(e: String): String = {
+        val s0 = s"lower(CAST($e AS VARCHAR))"
+        val s1 = s"regexp_replace($s0, '[^a-z0-9._-]+', '_', 'g')"
+        val s2 = s"regexp_replace($s1, '_+', '_', 'g')"
+        val s3 = s"regexp_replace($s2, '^_|_$$', '', 'g')"
+        s"substring(CASE WHEN $s3 = '' THEN 'cat' ELSE $s3 END, 1, 60)"
+      }
+      s"""SELECT p_partkey,
+         |  ${san("p_brand")} AS k_brand,
+         |  ${san("concat('##', p_type)")} AS k_type,
+         |  ${san("repeat(p_name, 8)")} AS k_long
+         |FROM part ORDER BY p_partkey""".stripMargin
+    },
+
+    "q17_reach_summary" ->
+      s"""WITH RECURSIVE ${Derive.Sql.prelude},
+         |seeds AS (SELECT category, node_idx AS node, min(poi_id) AS poi
+         |          FROM pois GROUP BY category, node_idx),
+         |walk(category, node, poi, dist) AS (
+         |  SELECT category, node, poi, CAST(0 AS DOUBLE) FROM seeds
+         |  UNION
+         |  SELECT w.category, s.v, w.poi, w.dist + s.w
+         |  FROM walk w JOIN sym s ON s.u = w.node
+         |  WHERE w.dist + s.w <= 1000),
+         |best AS (SELECT category, node, min(dist) AS dist_m
+         |         FROM walk GROUP BY category, node),
+         |nsrc AS (SELECT category, count(*) AS n_sources FROM pois GROUP BY category)
+         |SELECT b.category, n.n_sources, count(*) AS n_within,
+         |       median(b.dist_m) AS median_dist_m,
+         |       median(b.dist_m) / 1.111 AS median_time_s,
+         |       1000.0 AS limit_m
+         |FROM best b JOIN nsrc n USING (category)
+         |GROUP BY b.category, n.n_sources
+         |ORDER BY category""".stripMargin,
+
+    "q18_path" ->
+      s"""WITH RECURSIVE ${Derive.Sql.prelude},
+         |seeds AS (SELECT node_idx AS node, min(poi_id) AS poi
+         |          FROM pois WHERE category = 'supermarket' GROUP BY node_idx),
+         |walk(node, poi, dist) AS (
+         |  SELECT node, poi, CAST(0 AS DOUBLE) FROM seeds
+         |  UNION
+         |  SELECT s.v, w.poi, w.dist + s.w FROM walk w JOIN sym s ON s.u = w.node
+         |  WHERE w.dist + s.w <= 1000),
+         |best AS (SELECT node, min(dist) AS dist_m FROM walk GROUP BY node),
+         |reach AS (SELECT b.node, b.dist_m, min(w.poi) AS poi
+         |          FROM best b JOIN walk w ON w.node = b.node AND w.dist = b.dist_m
+         |          GROUP BY b.node, b.dist_m),
+         |prv AS (SELECT v, u FROM (
+         |    SELECT s.v, ru.node AS u,
+         |           row_number() OVER (PARTITION BY s.v ORDER BY ru.dist_m, ru.node) AS rn
+         |    FROM sym s
+         |    JOIN reach ru ON ru.node = s.u
+         |    JOIN reach rv ON rv.node = s.v
+         |    WHERE ru.dist_m + s.w = rv.dist_m AND ru.poi = rv.poi) WHERE rn = 1),
+         |back(target, node, back_k) AS (
+         |  SELECT node, node, 0 FROM reach WHERE node IN (1372, 298, 632, 938, 98, 57, 444, 1400)
+         |  UNION ALL
+         |  SELECT b.target, p.u, b.back_k + 1 FROM back b JOIN prv p ON p.v = b.node),
+         |pl AS (SELECT target, max(back_k) AS plen FROM back GROUP BY target),
+         |steps AS (
+         |  SELECT b.target AS target_idx, pl.plen - b.back_k AS seq, b.node AS node_idx,
+         |         CASE WHEN b.back_k = pl.plen THEN 0.0
+         |              ELSE r.dist_m - rp.dist_m END AS step_m,
+         |         rt.poi AS poi_id
+         |  FROM back b
+         |  JOIN pl ON pl.target = b.target
+         |  JOIN reach r ON r.node = b.node
+         |  JOIN reach rt ON rt.node = b.target
+         |  LEFT JOIN prv p ON p.v = b.node AND b.back_k < pl.plen
+         |  LEFT JOIN reach rp ON rp.node = p.u)
+         |SELECT target_idx, seq, node_idx, step_m,
+         |       sum(step_m) OVER (PARTITION BY target_idx ORDER BY seq
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_m,
+         |       poi_id, 'supermarket' AS category
+         |FROM steps ORDER BY target_idx, seq""".stripMargin,
+
+    "q19_coercion" ->
+      s"""WITH ${Derive.Sql.messy},
+         |parsed AS (SELECT p_partkey, TRY_CAST(id_str AS BIGINT) AS parsed,
+         |                  node_idx, name FROM messy)
+         |SELECT p_partkey,
+         |       CAST(CASE WHEN parsed IS NULL
+         |            THEN -(row_number() OVER (PARTITION BY parsed IS NULL ORDER BY p_partkey))
+         |            ELSE parsed END AS BIGINT) AS poi_id,
+         |       coalesce(TRY_CAST(node_idx AS INT), -1) AS node_idx,
+         |       name
+         |FROM parsed ORDER BY p_partkey""".stripMargin,
 
     "q20_nodes" ->
       s"""WITH ${Derive.Sql.nodes}

@@ -24,10 +24,14 @@ object GeoFunctions {
   private def rad(c: Column): Column = radians(c)
 
   /** Haversine "a" term: sin²(Δφ/2) + cosφ1·cosφ2·sin²(Δλ/2). */
+  private def sq(c: Column): Column = c * c
+
   private def haversineA(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
+    // explicit x*x, not pow(x,2): IEEE multiply is bit-identical across
+    // engines, libm pow() is not — required for DuckDB-oracle hash parity
     val dLat = rad(lat2) - rad(lat1)
     val dLon = rad(lon2) - rad(lon1)
-    pow(sin(dLat / 2), 2) + cos(rad(lat1)) * cos(rad(lat2)) * pow(sin(dLon / 2), 2)
+    sq(sin(dLat / 2)) + cos(rad(lat1)) * cos(rad(lat2)) * sq(sin(dLon / 2))
   }
 
   /** Great-circle distance in meters, plain formula (query/snap call-sites;
@@ -73,7 +77,7 @@ object GeoFunctions {
   /** Planar Euclidean distance in Web-Mercator meters (snap-QA distance,
     * reference snap_poi_to_nodes.py:183-187 is planar 3857, not haversine). */
   def mercatorDistM(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column =
-    sqrt(pow(mercatorX(lon2) - mercatorX(lon1), 2) + pow(mercatorY(lat2) - mercatorY(lat1), 2))
+    sqrt(sq(mercatorX(lon2) - mercatorX(lon1)) + sq(mercatorY(lat2) - mercatorY(lat1)))
 
   /** km per degree of longitude at given latitude (reference grid_creation.py:15). */
   def kmPerDegLon(latDeg: Column): Column = lit(111.32) * cos(rad(latDeg))

@@ -19,8 +19,10 @@ case class TileSource(tile: String, category: String, node_idx: Int, poi_id: Lon
 case class ReachRow(tile: String, category: String, node_idx: Int,
                     dist_m: Double, time_s: Double, poi_id: Long)
 
-/** One step of a shortest path (reference test_path.py:312-333). */
-case class PathStep(tile: String, seq: Int, node_idx: Int, step_m: Double, poi_id: Long, category: String)
+/** One step of a shortest path (reference test_path.py:312-333).
+  * `target_idx` keys the path: one row per (target, seq). */
+case class PathStep(tile: String, target_idx: Int, seq: Int, node_idx: Int,
+                    step_m: Double, poi_id: Long, category: String)
 
 /** Bounded multi-source Dijkstra (SURVEY §2.8 G1) as a per-tile typed kernel.
   *
@@ -145,24 +147,40 @@ object Dijkstra {
 
   /** Per-category reach summary (SURVEY A3; reference
     * precompute_poi_reach.py:204-208). Median over finite distances only
-    * (the reach table already holds only finite rows). */
-  def reachSummary(reach: DataFrame, sources: DataFrame, limitM: Double): DataFrame = {
+    * (the reach table already holds only finite rows).
+    *
+    * median_time_s is median_dist_m / speed, not median(time_s): time is the
+    * pointwise monotone map dist/speed, so the two agree mathematically, and
+    * deriving it from the distance median keeps the arithmetic bit-identical
+    * across engines (median interpolation over irrational time values is not). */
+  def reachSummary(reach: DataFrame, sources: DataFrame, limitM: Double,
+                   speedMps: Double = 1.111): DataFrame = {
     val nSrc = sources.groupBy("category").agg(count(lit(1)).as("n_sources"))
     reach.groupBy("category").agg(
         count(lit(1)).as("n_within"),
-        median(col("dist_m")).as("median_dist_m"),
-        median(col("time_s")).as("median_time_s"))
+        median(col("dist_m")).as("median_dist_m"))
       .join(nSrc, Seq("category"), "right")
       .na.fill(0, Seq("n_within"))
       .select(col("category"), col("n_sources"), col("n_within"),
-        col("median_dist_m"), col("median_time_s"), lit(limitM).as("limit_m"))
+        col("median_dist_m"), (col("median_dist_m") / lit(speedMps)).as("median_time_s"),
+        lit(limitM).as("limit_m"))
   }
 
   /** Shortest path with backtrack (SURVEY G3; reference test_path.py:270-310):
-    * per tile, Dijkstra from the given category's POIs, then follow `prev`
-    * from each requested target node back to its winning source. Emits hops
+    * per tile, Dijkstra from the given category's POIs, then backtrack from
+    * each requested target node to its winning source. Emits hops
     * source→target ordered by seq, with per-step edge weight (step_m=0 at the
-    * source). Cumulative distance is a window sum downstream (W3). */
+    * source). Cumulative distance is a window sum downstream (W3).
+    *
+    * Backtrack is CANONICAL rather than heap-order-dependent: the
+    * predecessor of v is the u minimizing (dist(u), node_idx(u)) among
+    * in-edges with dist(u) + w(u,v) == dist(v) and poi(u) == poi(v). The
+    * reference keeps whichever `prev` the heap wrote last (test_path.py:
+    * 291-297), which depends on input order; the canonical rule picks the
+    * same shortest path deterministically and is expressible in SQL for the
+    * oracle. Exact `==` on distances is sound when weights are exact in
+    * binary (our integer-valued test weights); real float weights would want
+    * an epsilon here. */
   def shortestPaths(edges: Dataset[TileEdge], sources: Dataset[TileSource],
                     targets: Seq[(String, Int)], // (tile, node_idx) — point queries, small
                     limitM: Double): Dataset[PathStep] = {
@@ -179,21 +197,51 @@ object Dijkstra {
         if (edgeArr.isEmpty || srcArr.isEmpty || targetNodes.isEmpty) Iterator.empty
         else {
           val g = new LocalGraph(edgeArr, srcArr.map(_.node_idx) ++ targetNodes)
+          // reverse CSR (in-edges) for canonical backtrack, built once per tile
+          val rIndptr = new Array[Int](g.n + 1)
+          edgeArr.foreach(e => rIndptr(g.nodeOf(e.v) + 1) += 1)
+          (1 to g.n).foreach(i => rIndptr(i) += rIndptr(i - 1))
+          val rIndices = new Array[Int](edgeArr.length)
+          val rWeights = new Array[Double](edgeArr.length)
+          locally {
+            val fill = java.util.Arrays.copyOf(rIndptr, g.n)
+            edgeArr.foreach { e =>
+              val v = g.nodeOf(e.v); val p = fill(v); fill(v) = p + 1
+              rIndices(p) = g.nodeOf(e.u); rWeights(p) = e.w
+            }
+          }
           srcArr.groupBy(_.category).iterator.flatMap { case (cat, catSrcs) =>
             val seeds = catSrcs.map(s => (s.node_idx, s.poi_id)).toSeq
-            val (dist, poi, prev) = multiSourceDijkstra(g, seeds, limitM)
+            val (dist, poi, _) = multiSourceDijkstra(g, seeds, limitM)
+            def canonPrev(v: Int): Int = {
+              var best = -1; var bd = Double.PositiveInfinity; var bext = Int.MaxValue
+              var i = rIndptr(v)
+              while (i < rIndptr(v + 1)) {
+                val u = rIndices(i)
+                if (dist(u) + rWeights(i) == dist(v) && poi(u) == poi(v) &&
+                    (dist(u) < bd || (dist(u) == bd && g.ext(u) < bext))) {
+                  best = u; bd = dist(u); bext = g.ext(u)
+                }
+                i += 1
+              }
+              best
+            }
             targetNodes.iterator.flatMap { t =>
               val lt = g.nodeOf(t)
               if (dist(lt).isInfinite) Iterator.empty
               else {
-                // backtrack target -> source, then reverse
-                var path = List.empty[Int]
+                var path = List(lt)
                 var cur = lt
-                while (cur != -1) { path = cur :: path; cur = prev(cur) }
+                var stuck = false // unreachable in practice: finite dist ⇒ a qualifying in-edge exists
+                while (!stuck && dist(cur) != 0.0) {
+                  val p = canonPrev(cur)
+                  if (p == -1) stuck = true
+                  else { path = p :: path; cur = p }
+                }
                 val arr = path.toArray
                 arr.iterator.zipWithIndex.map { case (node, seq) =>
                   val step = if (seq == 0) 0.0 else dist(node) - dist(arr(seq - 1))
-                  PathStep(tile, seq, g.ext(node), step, poi(lt), cat)
+                  PathStep(tile, t, seq, g.ext(node), step, poi(lt), cat)
                 }
               }
             }

@@ -116,13 +116,17 @@ object GraphOps {
   def outDegrees(edges: DataFrame): DataFrame =
     edges.groupBy(col("u").as("node_idx")).agg(count(lit(1)).as("degree"))
 
-  /** A4: degree statistics QA (reference validate_csr.py:12-17). `nNodes` is
-    * the full node count (nodes with zero out-degree don't appear in edges). */
-  def degreeStats(edges: DataFrame, nNodes: Long): DataFrame =
-    outDegrees(edges).agg(
-      avg("degree").as("mean_degree_present"),
-      max("degree").as("max_degree"),
-      (lit(nNodes) - count(lit(1))).as("zero_degree_nodes"))
+  /** A4: degree statistics QA (reference validate_csr.py:12-17). The mean is
+    * over ALL nodes (zero-degree included, like `np.diff(indptr).mean()`), so
+    * the node table joins in distributed — no driver-side count. */
+  def degreeStats(edges: DataFrame, nodes: DataFrame): DataFrame =
+    nodes.select("node_idx")
+      .join(outDegrees(edges), Seq("node_idx"), "left")
+      .withColumn("degree", coalesce(col("degree"), lit(0L)))
+      .agg(
+        avg("degree").as("mean_degree"),
+        max("degree").as("max_degree"),
+        count(when(col("degree") === 0, 1)).as("zero_degree_nodes"))
 
   /** J7: edge reciprocity QA — fraction of (u,v) with (v,u) present; ≈1.0
     * after symmetrization (reference validate_csr.py:21-29). */
@@ -136,15 +140,25 @@ object GraphOps {
       .agg((count(col("rec")) / count(lit(1))).cast("double").as("reciprocity"))
   }
 
-  /** A5: weight-sanity QA — weight/haversine ratio median, p90, outliers
+  /** A5: weight-sanity QA — weight/haversine ratio p50, p90, outliers
     * (reference validate_dist.py:16-21). Expects u/v lon/lat columns
-    * (lon_u, lat_u, lon_v, lat_v) and w. */
+    * (lon_u, lat_u, lon_v, lat_v) and w.
+    *
+    * Percentiles are rank-based (smallest value whose cumulative fraction
+    * ≥ p), not interpolated: interpolation formulas differ across engines in
+    * the last ulp, which would break oracle hash parity. The ratio is rounded
+    * to 6 decimals for the same reason (libm asin drifts 1 ulp vs JVM).
+    * QA-only operator: the global cume_dist window is a deliberate
+    * single-pass-over-small-aggregate, not a hot-path pattern. */
   def weightSanity(edgesWithCoords: DataFrame): DataFrame = {
-    val ratio = col("w") /
-      haversineM(col("lon_u"), col("lat_u"), col("lon_v"), col("lat_v"))
-    edgesWithCoords.select(ratio.as("ratio")).agg(
-      median(col("ratio")).as("median_ratio"),
-      percentile_approx(col("ratio"), lit(0.9), lit(10000)).as("p90_ratio"),
-      count(when(col("ratio") > 2.0, 1)).as("outliers_gt2"))
+    val ratio = round(col("w") /
+      haversineM(col("lon_u"), col("lat_u"), col("lon_v"), col("lat_v")), 6)
+    val w = Window.orderBy("ratio")
+    edgesWithCoords.select(ratio.as("ratio"))
+      .withColumn("cd", cume_dist().over(w))
+      .agg(
+        min(when(col("cd") >= 0.5, col("ratio"))).as("p50_ratio"),
+        min(when(col("cd") >= 0.9, col("ratio"))).as("p90_ratio"),
+        count(when(col("ratio") > 2.0, 1)).as("outliers_gt2"))
   }
 }
