@@ -120,6 +120,27 @@ object Derive {
         .otherwise((col("p_partkey") % 50).cast("string")).as("NODE_IDX"),
       col("p_name").as("name"))
 
+  /** (key,value) tag vocabulary for the synthetic OSM-elements table: the 26
+    * TAG_MAP pairs plus 4 noise pairs that no category matches. */
+  val ElementTags: Seq[(String, String)] =
+    operators.PoiExtract.TagMap.map { case (_, k, v) => (k, v) } ++
+      Seq(("shop", "shoes"), ("amenity", "fuel"), ("highway", "primary"), ("landuse", "grass"))
+
+  /** elements(elem_id, key, value, name, lon, lat) from `part` — a raw
+    * OSM-elements table (one tag pair per element) for S2/S3/U2. */
+  def elements(spark: SparkSession, dir: String): DataFrame = {
+    val keys = ElementTags.map(_._1)
+    val vals = ElementTags.map(_._2)
+    val idx = (col("p_partkey") % ElementTags.size + 1).cast("int")
+    parquet(spark, dir, "part").select(
+      col("p_partkey").as("elem_id"),
+      element_at(array(keys.map(lit): _*), idx).as("key"),
+      element_at(array(vals.map(lit): _*), idx).as("value"),
+      when(col("p_partkey") % 5 === 0, lit(null)).otherwise(col("p_name")).as("name"),
+      (lit(18.4) + (col("p_partkey") * 31 % 970) * lit(2e-4)).as("lon"),
+      (lit(54.3) + (col("p_partkey") * 17 % 890) * lit(2e-4)).as("lat"))
+  }
+
   /** SQL CTE mirrors of the above, composable into oracle queries. */
   object Sql {
 
@@ -160,6 +181,27 @@ object Derive {
          |         (${sqlList(MotorroadVals)})[CAST(o_orderkey % ${MotorroadVals.size} AS INT) + 1] AS motorroad,
          |         (${sqlList(OnewayVals)})[CAST(o_orderkey % ${OnewayVals.size} AS INT) + 1] AS oneway
          |  FROM orders)""".stripMargin
+
+    val elements: String = {
+      val keys = ElementTags.map(t => s"'${t._1}'").mkString("[", ", ", "]")
+      val vals = ElementTags.map(t => s"'${t._2}'").mkString("[", ", ", "]")
+      val n = ElementTags.size
+      s"""elements AS (
+         |  SELECT p_partkey AS elem_id,
+         |         ($keys)[CAST(p_partkey % $n AS INT) + 1] AS key,
+         |         ($vals)[CAST(p_partkey % $n AS INT) + 1] AS value,
+         |         CASE WHEN p_partkey % 5 = 0 THEN NULL ELSE p_name END AS name,
+         |         18.4 + (p_partkey * 31 % 970) * 2e-4 AS lon,
+         |         54.3 + (p_partkey * 17 % 890) * 2e-4 AS lat
+         |  FROM part)""".stripMargin
+    }
+
+    /** VALUES-list mirror of PoiExtract.TagMap. */
+    val tagDim: String = {
+      val rows = operators.PoiExtract.TagMap
+        .map { case (c, k, v) => s"('$c', '$k', '$v')" }.mkString(", ")
+      s"tagdim(category, key, value) AS (VALUES $rows)"
+    }
 
     val messy: String =
       """messy AS (

@@ -266,6 +266,21 @@ object SparkEntry {
         .orderBy("node_idx")
     }),
 
+    // J2-J4: bucketed NN spatial snap join; oracle is a brute-force argmin.
+    "q23_snap" -> ((s, dir) => {
+      val n = Derive.nodes(s, dir)
+      val p = Derive.pois(s, dir).select("poi_id", "lon", "lat")
+      SnapJoin.nearestNode(p, n, "poi_id", maxSnapM = 300.0, quantize = 2)
+        .orderBy("poi_id")
+    }),
+
+    // S2/S3/U2: TAG_MAP-driven POI extraction (per-category filter + union).
+    "q24_poi_extract" -> ((s, dir) => {
+      PoiExtract.extractUnion(PoiExtract.tagPreFilter(Derive.elements(s, dir)))
+        .select("elem_id", "category", "key", "value", "name", "lon", "lat")
+        .orderBy("elem_id", "category")
+    }),
+
     // G1+J5: bounded multi-source Dijkstra reach, one tile, one category.
     // Ties resolve to min poi_id (deterministic lexicographic kernel).
     "q26_dijkstra_reach" -> ((s, dir) => {
@@ -542,6 +557,32 @@ object SparkEntry {
          |${Derive.Sql.edges},
          |${Derive.Sql.symEdges}
          |SELECT u AS node_idx, count(*) AS degree FROM sym GROUP BY u ORDER BY node_idx""".stripMargin,
+
+    "q23_snap" -> {
+      val r = Derive.Sql.rad _
+      def mx(lon: String) = s"(6378137.0 * ${r(lon)})"
+      def my(lat: String) = s"(6378137.0 * ln(tan(pi()/4 + ${r(lat)}/2)))"
+      s"""WITH ${Derive.Sql.nodes},
+         |${Derive.Sql.pois},
+         |pm AS (SELECT poi_id, round(${mx("lon")}, 2) AS px, round(${my("lat")}, 2) AS py FROM pois),
+         |nm AS (SELECT node_idx, round(${mx("lon")}, 2) AS nx, round(${my("lat")}, 2) AS ny FROM nodes),
+         |cand AS (SELECT p.poi_id, n.node_idx,
+         |                sqrt((p.px-n.nx)*(p.px-n.nx) + (p.py-n.ny)*(p.py-n.ny)) AS d
+         |         FROM pm p CROSS JOIN nm n),
+         |best AS (SELECT poi_id, node_idx, d,
+         |                row_number() OVER (PARTITION BY poi_id ORDER BY d, node_idx) AS rn
+         |         FROM cand WHERE d <= 300.0)
+         |SELECT p.poi_id, coalesce(b.node_idx, -1) AS node_idx, b.d AS dist_to_node_m
+         |FROM pois p LEFT JOIN best b ON b.poi_id = p.poi_id AND b.rn = 1
+         |ORDER BY p.poi_id""".stripMargin
+    },
+
+    "q24_poi_extract" ->
+      s"""WITH ${Derive.Sql.elements},
+         |${Derive.Sql.tagDim}
+         |SELECT e.elem_id, t.category, e.key, e.value, e.name, e.lon, e.lat
+         |FROM elements e JOIN tagdim t ON e.key = t.key AND e.value = t.value
+         |ORDER BY e.elem_id, t.category""".stripMargin,
 
     "q26_dijkstra_reach" ->
       s"""WITH RECURSIVE $P,
