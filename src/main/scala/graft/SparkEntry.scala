@@ -281,6 +281,51 @@ object SparkEntry {
         .orderBy("elem_id", "category")
     }),
 
+    // G5/F11: the tile-lattice generator (spark.range + column math).
+    "q25_grid" -> ((s, dir) => {
+      Grid.tiles(s, TestLattice).orderBy("row", "col")
+    }),
+
+    // §4 buffer replication: closed-form buffered tile assignment — the
+    // oracle cross-checks it with an explicit containment join.
+    "q28_assign_tiles" -> ((s, dir) => {
+      Grid.assignBuffered(Derive.elements(s, dir).select("elem_id", "lon", "lat"), TestLattice)
+        .select("elem_id", "grid_id")
+        .orderBy("elem_id", "grid_id")
+    }),
+
+    // G1 multi-tile: same reach as q26 but cut into row-stripe tiles with
+    // 4-row buffers (2x the 1000 m / >=250 m-per-edge hop radius) and an
+    // owner-tile filter — proves tile-local routing equals the global
+    // oracle while running >1 cogroup task.
+    "q27_multi_tile_reach" -> ((s, dir) => {
+      import s.implicits._
+      val n = Derive.nodes(s, dir)
+      val sym = GraphOps.symmetrizeDedup(Derive.edges(n))
+      def rowOf(c: org.apache.spark.sql.Column) = floor(c / Derive.GridW)
+      val rU = rowOf(col("u")); val rV = rowOf(col("v"))
+      val rmin = least(rU, rV); val rmax = greatest(rU, rV)
+      val eT = sym.withColumn("tid", explode(sequence(
+          greatest(ceil((rmax - 13) / 10.0), lit(0L)).cast("int"),
+          floor((rmin + 4) / 10.0).cast("int"))))
+        .select(concat(lit("t"), col("tid")).as("tile"), col("u"), col("v"), col("w"))
+        .as[TileEdge]
+      val r = rowOf(col("node_idx"))
+      val sT = Derive.pois(s, dir)
+        .filter(col("category") === "supermarket")
+        .withColumn("tid", explode(sequence(
+          greatest(ceil((r - 13) / 10.0), lit(0L)).cast("int"),
+          floor((r + 4) / 10.0).cast("int"))))
+        .select(concat(lit("t"), col("tid")).as("tile"), col("category"),
+          col("node_idx"), col("poi_id"))
+        .as[TileSource]
+      Dijkstra.reach(eT, sT, limitM = 1000.0)
+        .filter(col("tile") ===
+          concat(lit("t"), floor(col("node_idx") / (Derive.GridW * 10)).cast("int")))
+        .select(col("node_idx"), col("dist_m"), col("time_s"), col("poi_id"))
+        .orderBy("node_idx")
+    }),
+
     // G1+J5: bounded multi-source Dijkstra reach, one tile, one category.
     // Ties resolve to min poi_id (deterministic lexicographic kernel).
     "q26_dijkstra_reach" -> ((s, dir) => {
@@ -301,6 +346,57 @@ object SparkEntry {
   // -------------------------------------------------------------- oracle SQL
 
   private val P = Derive.Sql.prelude
+
+  /** Tricity-ish lattice used by q25/q28. */
+  val TestLattice: Grid.Lattice = Grid.Lattice(18.30, 54.25, 18.80, 54.65, 10.0, 2.0)
+
+  /** SQL mirror of Grid.tiles: the lattice constants are embedded as literal
+    * doubles (Double.toString round-trips exactly), so both engines run
+    * identical IEEE arithmetic — no trig at SQL time. */
+  private def tilesSql(l: Grid.Lattice): String = {
+    def d(x: Double): String = s"CAST($x AS DOUBLE)"
+    s"""g AS (
+       |  SELECT CAST(ri AS INT) AS row, CAST(ci AS INT) AS col
+       |  FROM generate_series(0, ${l.nRows - 1}) t1(ri)
+       |  CROSS JOIN generate_series(0, ${l.nCols - 1}) t2(ci)),
+       |tcenter AS (
+       |  SELECT row, col,
+       |         ${d(l.firstCenterLon)} - col * ${d(l.dlonTile)} AS c_lon,
+       |         ${d(l.firstCenterLat)} - row * ${d(l.dlatTile)} AS c_lat
+       |  FROM g),
+       |tbox AS (
+       |  SELECT row, col, c_lon, c_lat,
+       |         c_lon - ${d(l.halfLon)} AS t_minlon, c_lat - ${d(l.halfLat)} AS t_minlat,
+       |         c_lon + ${d(l.halfLon)} AS t_maxlon, c_lat + ${d(l.halfLat)} AS t_maxlat
+       |  FROM tcenter),
+       |tiles AS (
+       |  SELECT concat('r', CAST(row AS VARCHAR), '_c', CAST(col AS VARCHAR)) AS grid_id,
+       |         row, col, c_lon, c_lat, t_minlon, t_minlat, t_maxlon, t_maxlat,
+       |         t_minlon - ${d(l.dlonBuf)} AS b_minlon, t_minlat - ${d(l.dlatBuf)} AS b_minlat,
+       |         t_maxlon + ${d(l.dlonBuf)} AS b_maxlon, t_maxlat + ${d(l.dlatBuf)} AS b_maxlat
+       |  FROM tbox
+       |  WHERE NOT (t_maxlon <= ${d(l.minlon)} OR t_minlon >= ${d(l.maxlon)})
+       |    AND NOT (t_maxlat <= ${d(l.minlat)} OR t_minlat >= ${d(l.maxlat)}))""".stripMargin
+  }
+
+  /** Shared by q26 (single tile) and q27 (multi-tile + owner dedup): the
+    * tiling must not change results, so both hash against the same global
+    * recursive-CTE Dijkstra. */
+  private val dijkstraReachSql: String =
+    s"""WITH RECURSIVE $P,
+       |walk(node, poi, dist) AS (
+       |  SELECT node_idx, min(poi_id), CAST(0 AS DOUBLE)
+       |  FROM pois WHERE category = 'supermarket' GROUP BY node_idx
+       |  UNION
+       |  SELECT s.v, w.poi, w.dist + s.w
+       |  FROM walk w JOIN sym s ON s.u = w.node
+       |  WHERE w.dist + s.w <= 1000),
+       |best AS (SELECT node, min(dist) AS dist_m FROM walk GROUP BY node)
+       |SELECT b.node AS node_idx, b.dist_m, b.dist_m / 1.111 AS time_s,
+       |       min(w.poi) AS poi_id
+       |FROM best b JOIN walk w ON w.node = b.node AND w.dist = b.dist_m
+       |GROUP BY b.node, b.dist_m
+       |ORDER BY node_idx""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -584,20 +680,21 @@ object SparkEntry {
          |FROM elements e JOIN tagdim t ON e.key = t.key AND e.value = t.value
          |ORDER BY e.elem_id, t.category""".stripMargin,
 
-    "q26_dijkstra_reach" ->
-      s"""WITH RECURSIVE $P,
-         |walk(node, poi, dist) AS (
-         |  SELECT node_idx, min(poi_id), CAST(0 AS DOUBLE)
-         |  FROM pois WHERE category = 'supermarket' GROUP BY node_idx
-         |  UNION
-         |  SELECT s.v, w.poi, w.dist + s.w
-         |  FROM walk w JOIN sym s ON s.u = w.node
-         |  WHERE w.dist + s.w <= 1000),
-         |best AS (SELECT node, min(dist) AS dist_m FROM walk GROUP BY node)
-         |SELECT b.node AS node_idx, b.dist_m, b.dist_m / 1.111 AS time_s,
-         |       min(w.poi) AS poi_id
-         |FROM best b JOIN walk w ON w.node = b.node AND w.dist = b.dist_m
-         |GROUP BY b.node, b.dist_m
-         |ORDER BY node_idx""".stripMargin
+    "q25_grid" ->
+      s"""WITH ${tilesSql(TestLattice)}
+         |SELECT * FROM tiles ORDER BY row, col""".stripMargin,
+
+    "q28_assign_tiles" ->
+      s"""WITH ${Derive.Sql.elements},
+         |${tilesSql(TestLattice)}
+         |SELECT e.elem_id, t.grid_id
+         |FROM elements e JOIN tiles t
+         |  ON e.lon >= t.b_minlon AND e.lon <= t.b_maxlon
+         | AND e.lat >= t.b_minlat AND e.lat <= t.b_maxlat
+         |ORDER BY e.elem_id, t.grid_id""".stripMargin,
+
+    "q26_dijkstra_reach" -> dijkstraReachSql,
+
+    "q27_multi_tile_reach" -> dijkstraReachSql
   )
 }
