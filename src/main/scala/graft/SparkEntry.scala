@@ -281,6 +281,109 @@ object SparkEntry {
         .orderBy("elem_id", "category")
     }),
 
+    // -------- LLM-data-pipeline operators over documents/embeddings --------
+
+    // Exact dedup: md5(text) grouping with keep-min-id; corpus gets exact
+    // copies of doc_id<50 planted so the collapse path is exercised.
+    "q30_exact_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = d.union(
+        d.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      corpus
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("text_hash")
+    }),
+
+    // MinHash-LSH near-dup: banded signatures -> bucket join -> exact
+    // Jaccard verify. Finds the driver's 25 planted near-dup pairs.
+    "q31_minhash_lsh" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val cand = TextOps.minhashCandidates(d, "doc_id")
+      TextOps.jaccardVerify(cand, d, "doc_id", threshold = 0.5)
+        .orderBy("id1", "id2")
+    }),
+
+    // SimHash near-dup: 32-bit shingle simhash, 4x8-bit pigeonhole blocks.
+    "q32_simhash" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val terms = d.select(col("doc_id"),
+        explode(TextOps.shingles(col("text"))).as("term"))
+      TextOps.simhashPairs(TextOps.simhash32(terms, "doc_id"), "doc_id", 3)
+        .orderBy("id1", "id2")
+    }),
+
+    // Corpus statistics by (lang, source) — explicit sum/count (not avg())
+    // so the division is the same IEEE op in both engines.
+    "q33_text_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          (sum("n_chars") / count(lit(1))).as("avg_chars"),
+          sum(size(TextOps.words(col("text")))).as("sum_tokens"),
+          max("n_chars").as("max_chars"),
+          min("n_chars").as("min_chars"))
+        .orderBy("lang", "source")
+    }),
+
+    // Language-ID heuristic: marker-token scores, argmax, confusion counts.
+    "q34_langid" -> ((s, dir) => {
+      TextOps.langId(t(s, dir, "documents"))
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")
+    }),
+
+    // Quality metrics: token/length/stopword/uniqueness ratios per doc.
+    "q35_quality" -> ((s, dir) => {
+      TextOps.qualityMetrics(t(s, dir, "documents"))
+        .select("doc_id", "n_tokens", "mean_token_len", "stop_ratio", "uniq_ratio")
+        .orderBy("doc_id")
+    }),
+
+    // Token counting: whitespace, subword-run (BPE-ish), chars/4 estimate.
+    "q36_tokens" -> ((s, dir) => {
+      TextOps.tokenCounts(t(s, dir, "documents"))
+        .select("doc_id", "tok_ws", "tok_sub", "tok_est4")
+        .orderBy("doc_id")
+    }),
+
+    // Min-k md5 fingerprint (winnowing-style document sketch).
+    "q37_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // Brute-force cosine top-k over quantized-integer vectors (baseline).
+    "q40_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.bruteTopK(e, e.filter(col("vec_id") < 5), 3)
+        .orderBy("qid", "rank")
+    }),
+
+    // IVF-bucketed ANN: nearest-centroid clusters, probe 2 buckets.
+    "q41_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.ivfTopK(e,
+        e.filter(col("vec_id") % 100 === 0),
+        e.filter(col("vec_id") < 5), k = 3, nprobe = 2)
+        .orderBy("qid", "rank")
+    }),
+
+    // Random-hyperplane LSH near-dup join over embeddings (+20 exact copies).
+    "q42_embed_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.select("vec_id", "embedding").union(
+        e.filter(col("vec_id") < 20)
+          .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      SimilarityOps.lshNearDup(corpus, e.filter(col("vec_id").between(50, 57)), 0.99)
+        .orderBy("id1", "id2")
+    }),
+
     // G5/F11: the tile-lattice generator (spark.range + column math).
     "q25_grid" -> ((s, dir) => {
       Grid.tiles(s, TestLattice).orderBy("row", "col")
@@ -377,6 +480,31 @@ object SparkEntry {
        |  FROM tbox
        |  WHERE NOT (t_maxlon <= ${d(l.minlon)} OR t_minlon >= ${d(l.maxlon)})
        |    AND NOT (t_maxlat <= ${d(l.minlat)} OR t_minlat >= ${d(l.maxlat)}))""".stripMargin
+  }
+
+  /** SQL fragments mirroring TextOps/SimilarityOps exactly (md5 hashing and
+    * quantized-integer vector math are engine-portable by construction). */
+  private object LlmSql {
+    /** Distinct 3-gram shingle sets per doc (mirror of TextOps.shingles). */
+    val docShingles: String =
+      """sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(0, len(w) - 3),
+        |           i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') w FROM documents)
+        |  WHERE len(w) >= 3)""".stripMargin
+
+    /** Quantized vector (mirror of SimilarityOps.quantize). */
+    def qvec(e: String): String =
+      s"list_transform($e, x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT))"
+
+    /** Exact integer dot product (mirror of SimilarityOps.dotQ). */
+    def dot(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])) AS BIGINT)"
+
+    /** Cosine (mirror of SimilarityOps.cosQ). */
+    def cos(a: String, b: String): String =
+      s"(CAST(${dot(a, b)} AS DOUBLE) / (sqrt(CAST(${dot(a, a)} AS DOUBLE)) * sqrt(CAST(${dot(b, b)} AS DOUBLE))))"
   }
 
   /** Shared by q26 (single tile) and q27 (multi-tile + owner dedup): the
@@ -679,6 +807,155 @@ object SparkEntry {
          |SELECT e.elem_id, t.category, e.key, e.value, e.name, e.lon, e.lat
          |FROM elements e JOIN tagdim t ON e.key = t.key AND e.value = t.value
          |ORDER BY e.elem_id, t.category""".stripMargin,
+
+    "q30_exact_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id < 50)
+        |SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM corpus GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
+
+    "q31_minhash_lsh" -> {
+      val sigElems = (0 until 12)
+        .map(i => s"list_min(list_transform(sh, s -> md5(concat('$i','|',s))))")
+        .mkString(", ")
+      val bandRows = (0 until 6)
+        .map(b => s"SELECT doc_id, $b AS band, md5(concat(sig[${2 * b + 1}], sig[${2 * b + 2}])) AS bkey FROM sig")
+        .mkString("\nUNION ALL ")
+      s"""WITH ${LlmSql.docShingles},
+         |sig AS (SELECT doc_id, [$sigElems] sig FROM sh),
+         |bands AS ($bandRows),
+         |cand AS (SELECT DISTINCT a.doc_id id1, b.doc_id id2
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT id1, id2,
+         |       len(list_intersect(s1.sh, s2.sh)) / len(list_distinct(list_concat(s1.sh, s2.sh))) AS jaccard
+         |FROM cand JOIN sh s1 ON s1.doc_id = id1 JOIN sh s2 ON s2.doc_id = id2
+         |WHERE len(list_intersect(s1.sh, s2.sh)) / len(list_distinct(list_concat(s1.sh, s2.sh))) >= 0.5
+         |ORDER BY id1, id2""".stripMargin
+    },
+
+    "q32_simhash" -> {
+      val sums = (0 until 32)
+        .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) s$j")
+        .mkString(", ")
+      val bitsum = (0 until 32)
+        .map(j => s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+        .mkString(" + ")
+      val blockRows = (0 until 4)
+        .map(b => s"SELECT doc_id, simhash, $b AS blk, (simhash >> ${8 * b}) & 255 AS bval FROM sim")
+        .mkString("\nUNION ALL ")
+      s"""WITH ${LlmSql.docShingles},
+         |terms AS (SELECT doc_id, unnest(sh) term FROM sh),
+         |h AS (SELECT doc_id, CAST(concat('0x', substring(md5(term), 1, 8)) AS BIGINT) h FROM terms),
+         |sm AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+         |sim AS (SELECT doc_id, $bitsum AS simhash FROM sm),
+         |blocks AS ($blockRows),
+         |cand AS (SELECT DISTINCT a.doc_id id1, b.doc_id id2, a.simhash h1, b.simhash h2
+         |         FROM blocks a JOIN blocks b
+         |           ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id)
+         |SELECT id1, id2, bit_count(xor(h1, h2)) AS hamming
+         |FROM cand WHERE bit_count(xor(h1, h2)) <= 3
+         |ORDER BY id1, id2""".stripMargin
+    },
+
+    "q33_text_stats" ->
+      """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |       sum(n_chars) / count(*) AS avg_chars,
+        |       sum(len(string_split(text, ' '))) AS sum_tokens,
+        |       max(n_chars) AS max_chars, min(n_chars) AS min_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q34_langid" -> {
+      val scores = TextOps.LangMarkers.map { case (l, ms) =>
+        val list = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+        s"len(list_filter(string_split(text, ' '), t -> list_contains($list, t))) AS score_$l"
+      }.mkString(",\n       ")
+      val m = TextOps.LangMarkers.map { case (l, _) => s"score_$l" }.mkString("greatest(", ", ", ")")
+      val pred = TextOps.LangMarkers.map { case (l, _) => s"WHEN score_$l = m THEN '$l'" }.mkString(" ")
+      s"""WITH scored AS (
+         |  SELECT lang,
+         |       $scores
+         |  FROM documents),
+         |p AS (SELECT lang, CASE $pred END AS pred_lang
+         |      FROM (SELECT lang, score_de, score_en, score_es, score_fr, score_zh, $m AS m FROM scored))
+         |SELECT lang, pred_lang, count(*) AS n FROM p
+         |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
+    },
+
+    "q35_quality" ->
+      """SELECT doc_id, len(w) AS n_tokens,
+        |       (length(text) - (len(w) - 1)) / len(w) AS mean_token_len,
+        |       len(list_filter(w, t -> list_contains(['a', 'the'], t))) / len(w) AS stop_ratio,
+        |       len(list_distinct(w)) / len(w) AS uniq_ratio
+        |FROM (SELECT doc_id, text, string_split(text, ' ') w FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q36_tokens" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS tok_ws,
+        |       len(regexp_extract_all(text, '[aeiou]+')) +
+        |       len(regexp_extract_all(text, '[b-df-hj-np-tv-z]+')) AS tok_sub,
+        |       CAST(ceil(length(text) / 4) AS INT) AS tok_est4
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q37_fingerprint" ->
+      s"""WITH ${LlmSql.docShingles}
+         |SELECT doc_id, array_to_string(list_sort(list_transform(sh, s -> md5(s)))[1:4], ',') AS fp
+         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "q40_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, ${LlmSql.qvec("embedding")} AS qq
+         |           FROM embeddings WHERE vec_id < 5),
+         |v AS (SELECT vec_id, ${LlmSql.qvec("embedding")} AS qv FROM embeddings),
+         |c AS (SELECT qid, vec_id, ${LlmSql.cos("qq", "qv")} AS cos
+         |      FROM q CROSS JOIN v WHERE qid <> vec_id),
+         |r AS (SELECT qid, vec_id, cos,
+         |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |      FROM c)
+         |SELECT qid, rank, vec_id, cos FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "q41_ann_ivf" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, ${LlmSql.qvec("embedding")} AS cv
+         |               FROM embeddings WHERE vec_id % 100 = 0),
+         |v AS (SELECT vec_id, ${LlmSql.qvec("embedding")} AS qv FROM embeddings),
+         |assigned AS (
+         |  SELECT cid, vec_id, qv FROM (
+         |    SELECT c.cid, v.vec_id, v.qv,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${LlmSql.cos("v.qv", "c.cv")} DESC, c.cid) AS crn
+         |    FROM v CROSS JOIN cents c) WHERE crn = 1),
+         |q AS (SELECT vec_id AS qid, ${LlmSql.qvec("embedding")} AS qq
+         |      FROM embeddings WHERE vec_id < 5),
+         |probes AS (
+         |  SELECT qid, qq, cid FROM (
+         |    SELECT q.qid, q.qq, c.cid,
+         |           row_number() OVER (PARTITION BY q.qid
+         |             ORDER BY ${LlmSql.cos("q.qq", "c.cv")} DESC, c.cid) AS prn
+         |    FROM q CROSS JOIN cents c) WHERE prn <= 2),
+         |r AS (SELECT qid, vec_id, cos,
+         |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |      FROM (SELECT p.qid, a.vec_id, ${LlmSql.cos("p.qq", "a.qv")} AS cos
+         |            FROM probes p JOIN assigned a ON a.cid = p.cid
+         |            WHERE p.qid <> a.vec_id))
+         |SELECT qid, rank, vec_id, cos FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "q42_embed_neardup" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 20),
+         |planes AS (SELECT vec_id AS pid, ${LlmSql.qvec("embedding")} AS pv
+         |           FROM embeddings WHERE vec_id BETWEEN 50 AND 57),
+         |cv AS (SELECT vec_id, ${LlmSql.qvec("embedding")} AS qv FROM corpus),
+         |bits AS (SELECT c.vec_id, p.pid,
+         |                CASE WHEN ${LlmSql.dot("c.qv", "p.pv")} > 0 THEN 1 ELSE 0 END AS bit,
+         |                c.qv
+         |         FROM cv c CROSS JOIN planes p),
+         |sigs AS (SELECT vec_id, string_agg(CAST(bit AS VARCHAR), '' ORDER BY pid) AS bucket,
+         |                first(qv) AS qv
+         |         FROM bits GROUP BY vec_id),
+         |pairs AS (SELECT a.vec_id id1, b.vec_id id2, ${LlmSql.cos("a.qv", "b.qv")} AS cos
+         |          FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT id1, id2, cos FROM pairs WHERE cos >= 0.99 ORDER BY id1, id2""".stripMargin,
 
     "q25_grid" ->
       s"""WITH ${tilesSql(TestLattice)}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (builder brief: brute-force
+  * cosine top-k baseline + a bucketed scale path; near-dup join).
+  *
+  * All vector math runs over QUANTIZED integers: components are mapped to
+  * round(x·1e7) longs, so dot products and squared norms are exact 64-bit
+  * integers (64 dims × (3e6)² ≈ 6e14 ≪ 2⁶³) and the only floating-point
+  * steps are sqrt + divide — IEEE-exact and therefore identical in every
+  * engine. That buys (a) bit-reproducible results distributed or not, and
+  * (b) a DuckDB-checkable oracle. The ~1e-7 relative quantization error is
+  * far below any retrieval-relevant signal.
+  */
+object SimilarityOps {
+
+  /** Quantize float components to round(x·1e7) longs. */
+  def quantize(emb: Column): Column =
+    transform(emb, x => round(x.cast("double") * 1e7).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Cosine similarity of two quantized vectors (double; deterministic). */
+  def cosQ(a: Column, b: Column): Column =
+    dotQ(a, b).cast("double") /
+      (sqrt(dotQ(a, a).cast("double")) * sqrt(dotQ(b, b).cast("double")))
+
+  /** Brute-force cosine top-k: the CORRECTNESS baseline. Broadcasts the
+    * (small) query set against the full vector table — one pass, no shuffle
+    * of the big side, then a per-query top-k window. Fine for few queries;
+    * for query sets at scale use [[ivfTopK]]. */
+  def bruteTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val v = vectors.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val q = queries.select(col("vec_id").as("qid"), quantize(col("embedding")).as("qq"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    v.join(broadcast(q), col("qid") =!= col("vec_id"))
+      .withColumn("cos", cosQ(col("qq"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "cos")
+  }
+
+  /** IVF-style bucketed ANN: assign every vector to its nearest centroid
+    * (broadcast centroids — one map-side pass), probe only the `nprobe`
+    * nearest centroid buckets per query. At scale the cluster assignment is
+    * the partitioning key: probing touches nprobe/nlist of the data instead
+    * of all of it. Recall is approximate by design; the oracle replicates
+    * the algorithm, not exact search. */
+  def ivfTopK(vectors: DataFrame, centroids: DataFrame, queries: DataFrame,
+              k: Int, nprobe: Int = 2): DataFrame = {
+    val cents = broadcast(centroids.select(col("vec_id").as("cid"), quantize(col("embedding")).as("cv")))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    val assigned = vectors
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .crossJoin(cents)
+      .withColumn("ccos", cosQ(col("qv"), col("cv")))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("cid"), col("vec_id"), col("qv"))
+    val wProbe = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cid"))
+    val probes = queries
+      .select(col("vec_id").as("qid"), quantize(col("embedding")).as("qq"))
+      .crossJoin(cents)
+      .withColumn("ccos", cosQ(col("qq"), col("cv")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("qid"), col("qq"), col("cid"))
+    val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    probes.join(assigned, Seq("cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("cos", cosQ(col("qq"), col("qv")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "cos")
+  }
+
+  /** Embedding near-duplicate pairs via random-hyperplane LSH: sign bit per
+    * (broadcast) hyperplane → bucket key → bucket-join (NO all-pairs) →
+    * exact cosine verify ≥ threshold. Vectors with cosine 1.0 always share
+    * a bucket; high-cosine pairs shard out with probability (1-θ/π)^planes. */
+  def lshNearDup(vectors: DataFrame, hyperplanes: DataFrame,
+                 threshold: Double): DataFrame = {
+    val planes = broadcast(hyperplanes
+      .select(col("vec_id").as("pid"), quantize(col("embedding")).as("pv")))
+    val sigs = vectors
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .crossJoin(planes)
+      .withColumn("bit", when(dotQ(col("qv"), col("pv")) > 0, lit(1)).otherwise(lit(0)))
+      .groupBy("vec_id")
+      // bucket key = the sign bits concatenated in plane order (string key:
+      // no arithmetic, order pinned by sort_array over (pid, bit))
+      .agg(
+        concat_ws("", transform(
+          sort_array(collect_list(struct(col("pid"), col("bit")))),
+          s => s.getField("bit").cast("string"))).as("bucket"),
+        first(col("qv")).as("qv"))
+    sigs.alias("a").join(sigs.alias("b"), Seq("bucket"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosQ(col("a.qv"), col("b.qv")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"), col("cos"))
+  }
+}
