@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("walkability truth table (reference graph_construction.py:49-72)") {
+    val ways = Seq[(String, String, String, String, Boolean)](
+      // (highway, foot, sidewalk, motorroad) -> expected keep
+      ("footway", null, null, null, true),          // always-walkable
+      (" Footway ", null, null, null, true),        // normalization
+      ("primary", null, null, null, false),         // big road, no access
+      ("primary", "yes", null, null, true),         // big road + foot
+      ("primary", null, "left", null, true),        // big road + sidewalk
+      ("primary", "no", "no", null, false),
+      ("motorway", "yes", "both", null, false),     // fast road wins
+      ("residential", null, null, "yes", false),    // motorroad kills
+      ("trunk", null, null, null, false),
+      (null, null, null, null, false))
+      .zipWithIndex
+      .map { case ((h, f, s, m, e), i) => (i, h, f, s, m, e) }
+      .toDF("id", "highway", "foot", "sidewalk", "motorroad", "expected")
+    val kept = GraphOps.cleanWalkableEdges(ways).select("id").as[Int].collect().toSet
+    val expected = ways.filter(col("expected")).select("id").as[Int].collect().toSet
+    assert(kept == expected)
+  }
+
+  test("symmetrizeDedup: doubles the edge set, drops loops, keeps min weight") {
+    val e = Seq((0, 1, 5.0), (1, 0, 9.0), (0, 1, 7.0), (2, 2, 1.0), (1, 2, 3.0))
+      .toDF("u", "v", "w")
+    val sym = GraphOps.symmetrizeDedup(e)
+      .as[(Int, Int, Double)].collect().toSet
+    assert(sym == Set((0, 1, 5.0), (1, 0, 5.0), (1, 2, 3.0), (2, 1, 3.0)))
+  }
+
+  test("reciprocity is 1.0 after symmetrization (property, seeded random)") {
+    val rnd = new scala.util.Random(11)
+    val raw = Seq.fill(300)((rnd.nextInt(40), rnd.nextInt(40), rnd.between(1.0, 9.0)))
+      .toDF("u", "v", "w")
+    val sym = GraphOps.symmetrizeDedup(raw)
+    val rec = GraphOps.reciprocity(sym).as[Double].head()
+    assert(rec == 1.0)
+    // and strictly below 1.0 for a one-directional edge set
+    val directed = Seq((0, 1, 1.0), (1, 2, 1.0)).toDF("u", "v", "w")
+    assert(GraphOps.reciprocity(directed).as[Double].head() == 0.0)
+  }
+
+  test("rekeyEdges maps via dimension and drops dangling endpoints") {
+    val nodes = Seq((100L, 0), (200L, 1), (300L, 2)).toDF("osm_node_id", "node_idx")
+    val edges = Seq((100L, 200L, 1.0), (200L, 300L, 2.0), (100L, 999L, 3.0))
+      .toDF("u", "v", "w")
+    val got = GraphOps.rekeyEdges(edges, nodes)
+      .select("u", "v", "w").as[(Int, Int, Double)].collect().toSet
+    assert(got == Set((0, 1, 1.0), (1, 2, 2.0)))
+  }
+
+  test("degreeStats counts zero-degree nodes and means over ALL nodes") {
+    val nodes = Seq(0, 1, 2, 3).toDF("node_idx")
+    val edges = Seq((0, 1, 1.0), (0, 2, 1.0), (1, 2, 1.0)).toDF("u", "v", "w")
+    val r = GraphOps.degreeStats(edges, nodes).head
+    assert(r.getDouble(0) == 0.75) // (2+1+0+0)/4
+    assert(r.getLong(1) == 2L)
+    assert(r.getLong(2) == 2L) // nodes 2 and 3 have out-degree 0
+  }
+
+  test("indexNodesPerTile: dense 0..n-1 per tile, ordered by id") {
+    val nodes = Seq(("a", 30L), ("a", 10L), ("a", 20L), ("b", 5L), ("b", 1L))
+      .toDF("grid_id", "osm_node_id")
+    val got = GraphOps.indexNodesPerTile(nodes)
+      .select("grid_id", "osm_node_id", "node_idx")
+      .as[(String, Long, Int)].collect().toSet
+    assert(got == Set(("a", 10L, 0), ("a", 20L, 1), ("a", 30L, 2), ("b", 1L, 0), ("b", 5L, 1)))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class GridSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val lattice = Grid.Lattice(18.30, 54.25, 18.80, 54.65, 10.0, 2.0)
+
+  test("tiles: lattice covers the bbox, ids well-formed, buffers 2km wider") {
+    val ts = Grid.tiles(spark, lattice).collect()
+    assert(ts.nonEmpty)
+    ts.foreach { r =>
+      val gid = r.getAs[String]("grid_id")
+      assert(gid == s"r${r.getAs[Int]("row")}_c${r.getAs[Int]("col")}")
+      assert(r.getAs[Double]("b_minlon") < r.getAs[Double]("t_minlon"))
+      assert(r.getAs[Double]("b_maxlat") > r.getAs[Double]("t_maxlat"))
+      // tile overlaps the bbox (the reference's continue-filter)
+      assert(r.getAs[Double]("t_maxlon") > lattice.minlon)
+      assert(r.getAs[Double]("t_minlon") < lattice.maxlon)
+    }
+    // every bbox point is inside exactly one tile (owner uniqueness):
+    val rnd = new scala.util.Random(3)
+    val pts = Seq.fill(100)((
+      rnd.between(lattice.minlon + 1e-6, lattice.maxlon - 1e-6),
+      rnd.between(lattice.minlat + 1e-6, lattice.maxlat - 1e-6)))
+    pts.foreach { case (lon, lat) =>
+      val owners = ts.filter(r =>
+        lon >= r.getAs[Double]("t_minlon") && lon < r.getAs[Double]("t_maxlon") &&
+          lat >= r.getAs[Double]("t_minlat") && lat < r.getAs[Double]("t_maxlat"))
+      assert(owners.length == 1, s"($lon,$lat) owned by ${owners.length} tiles")
+    }
+  }
+
+  test("assignBuffered matches a brute-force containment join") {
+    val rnd = new scala.util.Random(9)
+    val pts = Seq.fill(200)((rnd.nextLong().abs,
+      rnd.between(lattice.minlon - 0.05, lattice.maxlon + 0.05),
+      rnd.between(lattice.minlat - 0.05, lattice.maxlat + 0.05)))
+      .toDF("id", "lon", "lat")
+    val got = Grid.assignBuffered(pts, lattice)
+      .select("id", "grid_id").as[(Long, String)].collect().toSet
+    val tiles = Grid.tiles(spark, lattice).collect()
+    val expected = (for {
+      r <- pts.as[(Long, Double, Double)].collect()
+      t <- tiles
+      if r._2 >= t.getAs[Double]("b_minlon") && r._2 <= t.getAs[Double]("b_maxlon") &&
+        r._3 >= t.getAs[Double]("b_minlat") && r._3 <= t.getAs[Double]("b_maxlat")
+    } yield (r._1, t.getAs[String]("grid_id"))).toSet
+    assert(got == expected)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different words entirely here now friends"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "short one"))
+    .toDF("doc_id", "text")
+
+  test("shingles: n-gram count, distinctness, short-doc guard") {
+    val sh = docs.select(col("doc_id"), TextOps.shingles(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L).size == 7) // 9 words -> 7 trigrams, all distinct here
+    assert(sh(1L).head == "the quick brown")
+    assert(sh(5L).isEmpty) // 2 words < n
+    assert(sh(3L).size == 5)
+  }
+
+  test("minhash: identical docs get identical signatures; sigs have k elems") {
+    val sig = docs.select(col("doc_id"),
+        TextOps.minhashSignature(TextOps.shingles(col("text")), k = 12).as("sig"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sig(1L) == sig(4L))
+    assert(sig(1L).size == 12)
+    assert(sig(1L) != sig(3L))
+  }
+
+  test("LSH candidates + jaccard verify find near and exact dups, not strangers") {
+    val cand = TextOps.minhashCandidates(docs, "doc_id")
+    val ver = TextOps.jaccardVerify(cand, docs, "doc_id", threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(ver.contains((1L, 4L))) // exact dup always caught
+    assert(ver.contains((1L, 2L)) && ver.contains((2L, 4L))) // 6/8 shared trigrams = 0.75
+    assert(!ver.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("jaccard bounds: 1.0 for identical docs, 0.0 for disjoint docs") {
+    val pairs = Seq((1L, 4L), (1L, 3L)).toDF("id1", "id2")
+    val all = TextOps.jaccardVerify(pairs, docs, "doc_id", threshold = -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(all((1L, 4L)) == 1.0)
+    assert(all((1L, 3L)) == 0.0)
+  }
+
+  test("simhash: identical docs collide; block join finds hd<=3 pairs") {
+    val terms = docs.select(col("doc_id"), explode(TextOps.shingles(col("text"))).as("term"))
+    val sim = TextOps.simhash32(terms, "doc_id")
+    val byId = sim.as[(Long, Long)].collect().toMap
+    assert(byId(1L) == byId(4L))
+    assert(byId.values.forall(h => h >= 0 && h <= 0xFFFFFFFFL))
+    val pairs = TextOps.simhashPairs(sim, "doc_id", maxHamming = 3)
+      .select("id1", "id2", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0))
+  }
+
+  test("langId: marker counting and lexicographic tie-break") {
+    val d = Seq(
+      (1L, "customer hash big row row"), // de markers
+      (2L, "order window table group"), // en markers
+      (3L, "xxx yyy zzz")) // no markers: all scores 0 -> tie -> 'de'
+      .toDF("doc_id", "text")
+    val got = TextOps.langId(d).select("doc_id", "pred_lang")
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "de" && got(2L) == "en" && got(3L) == "de")
+  }
+
+  test("quality metrics: exact ratios") {
+    val d = Seq((1L, "a a the fox")).toDF("doc_id", "text")
+    val r = TextOps.qualityMetrics(d)
+      .select("n_tokens", "mean_token_len", "stop_ratio", "uniq_ratio").head
+    assert(r.getInt(0) == 4)
+    assert(r.getDouble(1) == (11 - 3) / 4.0)
+    assert(r.getDouble(2) == 3 / 4.0)
+    assert(r.getDouble(3) == 3 / 4.0)
+  }
+
+  test("token counts: ws, subword runs, chars/4") {
+    val d = Seq((1L, "tree stone")).toDF("doc_id", "text")
+    val r = TextOps.tokenCounts(d).select("tok_ws", "tok_sub", "tok_est4").head
+    assert(r.getInt(0) == 2)
+    // tree: [tr][ee]; stone: [st][o][n][e] -> vowel runs: ee,o,e =3; consonant runs: tr,st,n =3
+    assert(r.getInt(1) == 6)
+    assert(r.getInt(2) == 3) // ceil(10/4)
+  }
+
+  test("fingerprint: deterministic, k md5s, equal for exact dups") {
+    val fps = docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(fps(1L) == fps(4L))
+    assert(fps(1L).split(",").length == 4)
+    assert(fps(1L).split(",").forall(_.matches("[0-9a-f]{32}")))
+    assert(fps(1L) != fps(3L))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-$name").resolve("out").toString
+
+  private lazy val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, null, -1.0))
+    .toDF("id", "tag", "x")
+
+  test("CSV round-trip (S10)") {
+    val p = tmp("csv")
+    Sinks.writeCsv(df, p)
+    val schema = StructType(Seq(StructField("id", LongType), StructField("tag", StringType),
+      StructField("x", DoubleType)))
+    val back = Sinks.readCsv(spark, p, schema)
+    assert(back.as[(Long, Option[String], Double)].collect().toSet ==
+      df.as[(Long, Option[String], Double)].collect().toSet)
+  }
+
+  test("JSON round-trip (S11)") {
+    val p = tmp("json")
+    Sinks.writeJson(df, p)
+    val back = Sinks.readJson(spark, p, df.schema)
+    assert(back.as[(Long, Option[String], Double)].collect().toSet ==
+      df.as[(Long, Option[String], Double)].collect().toSet)
+  }
+
+  test("text id list round-trip preserves first-seen order, skips junk (S12/U3)") {
+    val p = Files.createTempDirectory("graft-ids").resolve("ids").toString
+    // write a messy file by hand: comments, commas, dupes, blanks
+    val raw = Seq("r0_c1, r0_c2", "# comment", "", "r0_c2", "  r1_c0  ", "r0_c1")
+    raw.toDF("value").coalesce(1).write.text(p)
+    val got = Sinks.readIdLines(spark, p).as[String].collect().toSeq
+    assert(got == Seq("r0_c1", "r0_c2", "r1_c0"))
+  }
+
+  test("JDBC round-trip against in-memory Derby (S16)") {
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    Sinks.writeJdbc(df, url, "reach_summary")
+    val back = Sinks.readJdbc(spark, url, "reach_summary")
+    assert(back.as[(Long, Option[String], Double)].collect().toSet ==
+      df.as[(Long, Option[String], Double)].collect().toSet)
+  }
+}
