@@ -299,9 +299,9 @@ object SparkEntry {
     // MinHash-LSH near-dup: banded signatures -> bucket join -> exact
     // Jaccard verify. Finds the driver's 25 planted near-dup pairs.
     "q31_minhash_lsh" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val cand = TextOps.minhashCandidates(d, "doc_id")
-      TextOps.jaccardVerify(cand, d, "doc_id", threshold = 0.5)
+      val sh = TextOps.shingleTable(t(s, dir, "documents"), "doc_id").cache()
+      val cand = TextOps.minhashCandidates(sh, "doc_id")
+      TextOps.jaccardVerify(cand, sh, "doc_id", threshold = 0.5)
         .orderBy("id1", "id2")
     }),
 
@@ -636,11 +636,18 @@ object SparkEntry {
          |       FROM edges e
          |       JOIN nodes nu ON nu.node_idx = e.u
          |       JOIN nodes nv ON nv.node_idx = e.v),
-         |cd AS (SELECT ratio, cume_dist() OVER (ORDER BY ratio) AS cd FROM ec)
-         |SELECT min(CASE WHEN cd >= 0.5 THEN ratio END) AS p50_ratio,
-         |       min(CASE WHEN cd >= 0.9 THEN ratio END) AS p90_ratio,
-         |       count(CASE WHEN ratio > 2.0 THEN 1 END) AS outliers_gt2
-         |FROM cd""".stripMargin,
+         |br AS (SELECT ratio, CAST(count(*) AS BIGINT) AS cnt FROM ec GROUP BY ratio),
+         |cum AS (SELECT ratio, cnt,
+         |               CAST(sum(cnt) OVER (ORDER BY ratio
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |        FROM br),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+         |               CAST(coalesce(sum(CASE WHEN ratio > 2.0 THEN cnt END), 0) AS BIGINT) AS outs
+         |        FROM br)
+         |SELECT min(CASE WHEN cum >= total * 0.5 THEN ratio END) AS p50_ratio,
+         |       min(CASE WHEN cum >= total * 0.9 THEN ratio END) AS p90_ratio,
+         |       max(outs) AS outliers_gt2
+         |FROM cum CROSS JOIN tot""".stripMargin,
 
     "q14_geo_distances" -> {
       val r = Derive.Sql.rad _
@@ -816,14 +823,16 @@ object SparkEntry {
         |FROM corpus GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
 
     "q31_minhash_lsh" -> {
+      val p = TextOps.MinhashP
       val sigElems = (0 until 12)
-        .map(i => s"list_min(list_transform(sh, s -> md5(concat('$i','|',s))))")
+        .map(i => s"list_min(list_transform(hs, h -> (h * ${TextOps.hashA(i)} + ${TextOps.hashB(i)}) % $p))")
         .mkString(", ")
       val bandRows = (0 until 6)
-        .map(b => s"SELECT doc_id, $b AS band, md5(concat(sig[${2 * b + 1}], sig[${2 * b + 2}])) AS bkey FROM sig")
+        .map(b => s"SELECT doc_id, $b AS band, md5(concat(CAST(sig[${2 * b + 1}] AS VARCHAR), ',', CAST(sig[${2 * b + 2}] AS VARCHAR))) AS bkey FROM sig")
         .mkString("\nUNION ALL ")
       s"""WITH ${LlmSql.docShingles},
-         |sig AS (SELECT doc_id, [$sigElems] sig FROM sh),
+         |hs AS (SELECT doc_id, list_transform(sh, s -> CAST(concat('0x', substring(md5(s), 1, 8)) AS BIGINT) % $p) hs FROM sh),
+         |sig AS (SELECT doc_id, [$sigElems] sig FROM hs),
          |bands AS ($bandRows),
          |cand AS (SELECT DISTINCT a.doc_id id1, b.doc_id id2
          |         FROM bands a JOIN bands b

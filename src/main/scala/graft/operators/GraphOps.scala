@@ -144,21 +144,35 @@ object GraphOps {
     * (reference validate_dist.py:16-21). Expects u/v lon/lat columns
     * (lon_u, lat_u, lon_v, lat_v) and w.
     *
-    * Percentiles are rank-based (smallest value whose cumulative fraction
-    * ≥ p), not interpolated: interpolation formulas differ across engines in
-    * the last ulp, which would break oracle hash parity. The ratio is rounded
-    * to 6 decimals for the same reason (libm asin drifts 1 ulp vs JVM).
-    * QA-only operator: the global cume_dist window is a deliberate
-    * single-pass-over-small-aggregate, not a hot-path pattern. */
+    * Percentiles are rank-based (smallest value whose cumulative count
+    * ≥ p·total), not interpolated: interpolation formulas differ across
+    * engines in the last ulp, which would break oracle hash parity. The
+    * ratio is rounded to 6 decimals for the same reason (libm asin drifts
+    * 1 ulp vs JVM). The cumsum window is global BY NATURE of an exact
+    * global percentile — it runs after a distributed count-by-value
+    * reduction, and this is a one-row QA aggregate, not a hot-path
+    * operator; at 100 TB the right tool is percentile_approx (distributed
+    * sketch, codegen'd), kept out of this rank form only for oracle
+    * bit-parity. */
   def weightSanity(edgesWithCoords: DataFrame): DataFrame = {
     val ratio = round(col("w") /
       haversineM(col("lon_u"), col("lat_u"), col("lon_v"), col("lat_v")), 6)
-    val w = Window.orderBy("ratio")
-    edgesWithCoords.select(ratio.as("ratio"))
-      .withColumn("cd", cume_dist().over(w))
+    // Reduce-then-window: aggregate counts per distinct (rounded) ratio with
+    // a distributed shuffle FIRST; the unavoidable global cumsum window then
+    // runs over |distinct ratios| rows, not |edges| — the single-partition
+    // step is bounded by the value-domain, not the data volume.
+    val byRatio = edgesWithCoords.select(ratio.as("ratio"))
+      .groupBy("ratio").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy("ratio")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byRatio.withColumn("cum", sum("cnt").over(wCum))
+    val totals = byRatio.agg(
+      sum("cnt").as("total"),
+      coalesce(sum(when(col("ratio") > 2.0, col("cnt"))), lit(0L)).as("outs"))
+    cum.crossJoin(broadcast(totals))
       .agg(
-        min(when(col("cd") >= 0.5, col("ratio"))).as("p50_ratio"),
-        min(when(col("cd") >= 0.9, col("ratio"))).as("p90_ratio"),
-        count(when(col("ratio") > 2.0, 1)).as("outliers_gt2"))
+        min(when(col("cum") >= col("total") * 0.5, col("ratio"))).as("p50_ratio"),
+        min(when(col("cum") >= col("total") * 0.9, col("ratio"))).as("p90_ratio"),
+        max(col("outs")).as("outliers_gt2"))
   }
 }

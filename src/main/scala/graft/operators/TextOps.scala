@@ -35,13 +35,31 @@ object TextOps {
         .otherwise(array().cast("array<string>")))
   }
 
-  /** MinHash signature: k independent permutations simulated as
-    * min(md5(i ‖ '|' ‖ shingle)) over the shingle set — string min over a
-    * cryptographic hash is engine-portable and collision-free in practice.
-    * Returns array<string> of length k. */
-  def minhashSignature(shingleCol: Column, k: Int = 12): Column =
+  /** Mersenne prime 2³¹−1: the MinHash permutation modulus. Hash values and
+    * multipliers stay below 2³¹, so a·h + b < 2⁶² — no 64-bit overflow in
+    * any engine. */
+  val MinhashP: Long = 2147483647L
+
+  /** Fixed permutation coefficients (seeded once; embedded as literals in
+    * the SQL oracle mirrors too). */
+  val (hashA, hashB): (IndexedSeq[Long], IndexedSeq[Long]) = {
+    val rnd = new scala.util.Random(7)
+    (IndexedSeq.fill(32)(1L + rnd.nextLong(MinhashP - 1)),
+      IndexedSeq.fill(32)(rnd.nextLong(MinhashP)))
+  }
+
+  /** One md5 pass per shingle → 31-bit base hash. The k permutations are
+    * then pure arithmetic ((a·h+b) mod P) — hashing each shingle k times
+    * was the dominant cost of the signature (k× md5 work for no recall). */
+  def shingleHashes(shingleCol: Column): Column =
+    transform(shingleCol,
+      s => conv(substring(md5(s), 1, 8), 16, 10).cast("long") % MinhashP)
+
+  /** MinHash signature over pre-hashed shingles: sig[i] = min (a_i·h + b_i)
+    * mod P. Returns array<long> of length k. */
+  def minhashSignature(hashesCol: Column, k: Int = 12): Column =
     array((0 until k).map { i =>
-      array_min(transform(shingleCol, s => md5(concat(lit(i.toString), lit("|"), s))))
+      array_min(transform(hashesCol, h => (h * hashA(i) + hashB(i)) % MinhashP))
     }: _*)
 
   /** LSH banding: fold the signature into `bands` bands of `rows` values and
@@ -51,17 +69,31 @@ object TextOps {
   def lshBands(sig: Column, bands: Int = 6, rows: Int = 2): Column =
     array((0 until bands).map { b =>
       val parts = (0 until rows).map(r => element_at(sig, b * rows + r + 1))
-      struct(lit(b).as("band"), md5(concat(parts: _*)).as("bkey"))
+      struct(lit(b).as("band"), md5(concat_ws(",", parts: _*)).as("bkey"))
     }: _*)
+
+  /** The (id, shingle-set) table feeding both candidate generation and
+    * verification. Compute it ONCE per pipeline and `.cache()` it when both
+    * stages run — shingling is the dominant scan cost and recomputing it
+    * per consumer triples the work. */
+  def shingleTable(docs: DataFrame, idCol: String, n: Int = 3): DataFrame =
+    docs.select(col(idCol), shingles(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0) // no shingles -> no signature (null mins)
 
   /** Candidate pairs from banded signatures: explode bands, self-join on
     * (band, bkey), `id1 < id2`, distinct. ONE shuffle on the band key; no
-    * all-pairs. `docs` must have (idCol, text). */
-  def minhashCandidates(docs: DataFrame, idCol: String,
-                        n: Int = 3, k: Int = 12, bands: Int = 6): DataFrame = {
-    val banded = docs
-      .select(col(idCol), lshBands(minhashSignature(shingles(col("text"), n), k), bands, k / bands).as("bs"))
-      .select(col(idCol), explode(col("bs")).as("b"))
+    * all-pairs. `shingleDf` from [[shingleTable]]. */
+  def minhashCandidates(shingleDf: DataFrame, idCol: String,
+                        k: Int = 12, bands: Int = 6): DataFrame = {
+    // Stage hashes → signature → bands through separate projections:
+    // nesting the expressions would inline the k-hash signature tree into
+    // every band element (k × bands recomputations of the shingle set —
+    // measured 76 s vs 3 s at sf0.1). Each select materializes its column
+    // once per row; higher-order exprs see bound attributes, not subtrees.
+    val banded = shingleDf
+      .select(col(idCol), shingleHashes(col("sh")).as("hs"))
+      .select(col(idCol), minhashSignature(col("hs"), k).as("sig"))
+      .select(col(idCol), explode(lshBands(col("sig"), bands, k / bands)).as("b"))
       .select(col(idCol), col("b.band").as("band"), col("b.bkey").as("bkey"))
     banded.alias("a")
       .join(banded.alias("b"), Seq("band", "bkey"))
@@ -71,17 +103,15 @@ object TextOps {
   }
 
   /** Exact shingle-set Jaccard for candidate pairs: |A∩B| / |A∪B|. */
-  def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
-                    n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = docs.select(col(idCol), shingles(col("text"), n).as("sh"))
+  def jaccardVerify(pairs: DataFrame, shingleDf: DataFrame, idCol: String,
+                    threshold: Double = 0.5): DataFrame =
     pairs
-      .join(sh.select(col(idCol).as("id1"), col("sh").as("sh1")), Seq("id1"))
-      .join(sh.select(col(idCol).as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .join(shingleDf.select(col(idCol).as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(shingleDf.select(col(idCol).as("id2"), col("sh").as("sh2")), Seq("id2"))
       .withColumn("jaccard",
         size(array_intersect(col("sh1"), col("sh2"))) / size(array_union(col("sh1"), col("sh2"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
-  }
 
   /** 32-bit integer hash of a token: first 8 hex digits of md5, parsed —
     * portable across engines (`conv` here, 0x-cast in SQL). */

@@ -25,17 +25,20 @@ class TextOpsSpec extends SparkSpec {
   }
 
   test("minhash: identical docs get identical signatures; sigs have k elems") {
-    val sig = docs.select(col("doc_id"),
-        TextOps.minhashSignature(TextOps.shingles(col("text")), k = 12).as("sig"))
-      .as[(Long, Seq[String])].collect().toMap
+    val sig = docs.filter(col("doc_id") =!= 5) // doc 5 has no shingles
+      .select(col("doc_id"),
+        TextOps.minhashSignature(TextOps.shingleHashes(TextOps.shingles(col("text"))), k = 12).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
     assert(sig(1L) == sig(4L))
     assert(sig(1L).size == 12)
     assert(sig(1L) != sig(3L))
+    assert(sig.values.flatten.forall(h => h >= 0 && h < TextOps.MinhashP))
   }
 
   test("LSH candidates + jaccard verify find near and exact dups, not strangers") {
-    val cand = TextOps.minhashCandidates(docs, "doc_id")
-    val ver = TextOps.jaccardVerify(cand, docs, "doc_id", threshold = 0.5)
+    val sh = TextOps.shingleTable(docs, "doc_id")
+    val cand = TextOps.minhashCandidates(sh, "doc_id")
+    val ver = TextOps.jaccardVerify(cand, sh, "doc_id", threshold = 0.5)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(ver.contains((1L, 4L))) // exact dup always caught
     assert(ver.contains((1L, 2L)) && ver.contains((2L, 4L))) // 6/8 shared trigrams = 0.75
@@ -44,7 +47,7 @@ class TextOpsSpec extends SparkSpec {
 
   test("jaccard bounds: 1.0 for identical docs, 0.0 for disjoint docs") {
     val pairs = Seq((1L, 4L), (1L, 3L)).toDF("id1", "id2")
-    val all = TextOps.jaccardVerify(pairs, docs, "doc_id", threshold = -1.0)
+    val all = TextOps.jaccardVerify(pairs, TextOps.shingleTable(docs, "doc_id"), "doc_id", threshold = -1.0)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(all((1L, 4L)) == 1.0)
     assert(all((1L, 3L)) == 0.0)
