@@ -141,6 +141,16 @@ object Derive {
       (lit(54.3) + (col("p_partkey") * 17 % 890) * lit(2e-4)).as("lat"))
   }
 
+  /** wayMembers(way_id, node_id, lon, lat) from `orders` — 4-node ways
+    * spread over a wide area so a bbox crop splits many ways (S4
+    * complete_ways semantics). */
+  def wayMembers(spark: SparkSession, dir: String): DataFrame =
+    parquet(spark, dir, "orders").select(
+      floor(col("o_orderkey") / 4).cast("long").as("way_id"),
+      col("o_orderkey").as("node_id"),
+      (lit(18.0) + (col("o_orderkey") * 13 % 1000) * lit(1e-3)).as("lon"),
+      (lit(54.0) + (col("o_orderkey") * 29 % 800) * lit(1e-3)).as("lat"))
+
   /** SQL CTE mirrors of the above, composable into oracle queries. */
   object Sql {
 
@@ -202,6 +212,14 @@ object Derive {
         .map { case (c, k, v) => s"('$c', '$k', '$v')" }.mkString(", ")
       s"tagdim(category, key, value) AS (VALUES $rows)"
     }
+
+    val wayMembers: String =
+      """way_members AS (
+        |  SELECT CAST(floor(o_orderkey / 4) AS BIGINT) AS way_id,
+        |         o_orderkey AS node_id,
+        |         18.0 + (o_orderkey * 13 % 1000) * 1e-3 AS lon,
+        |         54.0 + (o_orderkey * 29 % 800) * 1e-3 AS lat
+        |  FROM orders)""".stripMargin
 
     val messy: String =
       """messy AS (

@@ -281,6 +281,57 @@ object SparkEntry {
         .orderBy("elem_id", "category")
     }),
 
+    // J4+P7+W4+W6+U4: the user-facing point query (reference entry point C):
+    // equirect-argmin snap + haversine refine + cutoff, reach lookup,
+    // radius filter, distance sort.
+    "q38_point_query" -> ((s, dir) => {
+      import s.implicits._
+      val n = Derive.nodes(s, dir)
+      val sym = GraphOps.symmetrizeDedup(Derive.edges(n))
+        .select(lit("t0").as("tile"), col("u"), col("v"), col("w")).as[TileEdge]
+      val srcs = Derive.pois(s, dir)
+        .select(lit("t0").as("tile"), col("category"), col("node_idx"), col("poi_id"))
+        .as[TileSource]
+      val reach = Dijkstra.reach(sym, srcs, limitM = 1000.0).toDF()
+      val qp = n.filter(col("node_idx") % 300 === 7)
+        .select(col("node_idx").cast("long").as("query_id"),
+          (col("lon") + 1.1e-4).as("lon"), (col("lat") - 0.9e-4).as("lat"))
+      val snapped = QueryLayer.snapPoints(qp, n, maxSnapM = 300.0)
+      QueryLayer.pointQuery(snapped, reach, radiusM = 800.0)
+        .orderBy("query_id", "category", "dist_m", "poi_id")
+    }),
+
+    // A7: the reference's accuracy-metric semantics (metrics.csv rule:
+    // pass ⇔ |map − algo| ≤ 20 m + per-location offset).
+    "q39_accuracy" -> ((s, dir) => {
+      import s.implicits._
+      val n = Derive.nodes(s, dir)
+      val sym = GraphOps.symmetrizeDedup(Derive.edges(n))
+        .select(lit("t0").as("tile"), col("u"), col("v"), col("w")).as[TileEdge]
+      val srcs = Derive.pois(s, dir).filter(col("category") === "supermarket")
+        .select(lit("t0").as("tile"), col("category"), col("node_idx"), col("poi_id"))
+        .as[TileSource]
+      val validation = Dijkstra.reach(sym, srcs, limitM = 1000.0).toDF()
+        .select(col("node_idx"),
+          (col("dist_m") + (col("node_idx") % 61) - 30).as("map_m"),
+          col("dist_m").as("algo_m"),
+          (col("node_idx") % 7).cast("double").as("offset_m"))
+      QueryLayer.accuracy(validation, toleranceM = 20.0)
+    }),
+
+    // S4: bbox crop with complete-ways semantics (osmium extract analog).
+    "q43_bbox_crop" -> ((s, dir) => {
+      QueryLayer.cropCompleteWays(Derive.wayMembers(s, dir), 18.2, 54.2, 18.6, 54.5)
+        .select("way_id", "node_id", "lon", "lat")
+        .orderBy("way_id", "node_id")
+    }),
+
+    // S5/A6: element counts by type (osmium count analog).
+    "q44_counts_by_type" -> ((s, dir) => {
+      QueryLayer.countsByType(Derive.elements(s, dir))
+        .orderBy("type")
+    }),
+
     // -------- LLM-data-pipeline operators over documents/embeddings --------
 
     // Exact dedup: md5(text) grouping with keep-min-id; corpus gets exact
@@ -814,6 +865,72 @@ object SparkEntry {
          |SELECT e.elem_id, t.category, e.key, e.value, e.name, e.lon, e.lat
          |FROM elements e JOIN tagdim t ON e.key = t.key AND e.value = t.value
          |ORDER BY e.elem_id, t.category""".stripMargin,
+
+    "q38_point_query" -> {
+      val r = Derive.Sql.rad _
+      val d2 = s"((${r("n.lon")} - ${r("q.q_lon")}) * cos(${r("q.q_lat")}) * ((${r("n.lon")} - ${r("q.q_lon")}) * cos(${r("q.q_lat")})) + (${r("n.lat")} - ${r("q.q_lat")}) * (${r("n.lat")} - ${r("q.q_lat")}))"
+      s"""WITH RECURSIVE $P,
+         |seeds AS (SELECT category, node_idx AS node, min(poi_id) AS poi
+         |          FROM pois GROUP BY category, node_idx),
+         |walk(category, node, poi, dist) AS (
+         |  SELECT category, node, poi, CAST(0 AS DOUBLE) FROM seeds
+         |  UNION
+         |  SELECT w.category, s.v, w.poi, w.dist + s.w
+         |  FROM walk w JOIN sym s ON s.u = w.node
+         |  WHERE w.dist + s.w <= 1000),
+         |best AS (SELECT category, node, min(dist) AS dist_m
+         |         FROM walk GROUP BY category, node),
+         |reach AS (SELECT b.category, b.node, b.dist_m, min(w.poi) AS poi_id
+         |          FROM best b JOIN walk w
+         |            ON w.category = b.category AND w.node = b.node AND w.dist = b.dist_m
+         |          GROUP BY b.category, b.node, b.dist_m),
+         |qp AS (SELECT CAST(node_idx AS BIGINT) AS query_id,
+         |              lon + 1.1e-4 AS q_lon, lat - 0.9e-4 AS q_lat
+         |       FROM nodes WHERE node_idx % 300 = 7),
+         |snap AS (SELECT query_id, node_idx, n_lon, n_lat, q_lon, q_lat FROM (
+         |    SELECT q.query_id, n.node_idx, n.lon AS n_lon, n.lat AS n_lat,
+         |           q.q_lon, q.q_lat,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY $d2, n.node_idx) AS rn
+         |    FROM qp q CROSS JOIN nodes n) WHERE rn = 1),
+         |snapped AS (SELECT query_id,
+         |                   CASE WHEN ${Derive.Sql.havM("q_lon", "q_lat", "n_lon", "n_lat")} > 300.0
+         |                        THEN -1 ELSE node_idx END AS node_idx
+         |            FROM snap)
+         |SELECT s.query_id, r.category, r.dist_m, r.dist_m / 1.111 AS time_s, r.poi_id
+         |FROM snapped s JOIN reach r ON r.node = s.node_idx
+         |WHERE s.node_idx >= 0 AND r.dist_m <= 800.0
+         |ORDER BY s.query_id, r.category, r.dist_m, r.poi_id""".stripMargin
+    },
+
+    "q39_accuracy" ->
+      s"""WITH RECURSIVE $P,
+         |walk(node, dist) AS (
+         |  SELECT node_idx, CAST(0 AS DOUBLE)
+         |  FROM pois WHERE category = 'supermarket' GROUP BY node_idx
+         |  UNION
+         |  SELECT s.v, w.dist + s.w FROM walk w JOIN sym s ON s.u = w.node
+         |  WHERE w.dist + s.w <= 1000),
+         |best AS (SELECT node, min(dist) AS dist_m FROM walk GROUP BY node),
+         |val AS (SELECT node, dist_m + (node % 61) - 30 AS map_m, dist_m AS algo_m,
+         |               CAST(node % 7 AS DOUBLE) AS offset_m
+         |        FROM best),
+         |p AS (SELECT CASE WHEN abs(map_m - algo_m) <= 20.0 + offset_m THEN 1 ELSE 0 END AS passed
+         |      FROM val)
+         |SELECT sum(passed) / count(*) AS accuracy, count(*) AS n_cases FROM p""".stripMargin,
+
+    "q43_bbox_crop" ->
+      s"""WITH ${Derive.Sql.wayMembers},
+         |keep AS (SELECT DISTINCT way_id FROM way_members
+         |         WHERE lon BETWEEN 18.2 AND 18.6 AND lat BETWEEN 54.2 AND 54.5)
+         |SELECT w.way_id, w.node_id, w.lon, w.lat
+         |FROM way_members w JOIN keep USING (way_id)
+         |ORDER BY way_id, node_id""".stripMargin,
+
+    "q44_counts_by_type" ->
+      s"""WITH ${Derive.Sql.elements}
+         |SELECT key AS type, count(*) AS n FROM elements
+         |GROUP BY key ORDER BY type""".stripMargin,
 
     "q30_exact_dedup" ->
       """WITH corpus AS (
