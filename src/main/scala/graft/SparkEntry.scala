@@ -332,6 +332,21 @@ object SparkEntry {
         .orderBy("type")
     }),
 
+    // G1(b): Pregel-style whole-graph reach — same semantics as the
+    // per-tile kernel (shared oracle with q26), different execution
+    // geometry: iterative distributed frontier relaxation, for graphs
+    // where one tile exceeds executor memory.
+    "q45_reach_pregel" -> ((s, dir) => {
+      val n = Derive.nodes(s, dir)
+      val sym = GraphOps.symmetrizeDedup(Derive.edges(n))
+      val srcs = Derive.pois(s, dir)
+        .filter(col("category") === "supermarket")
+        .select(col("category"), col("node_idx"), col("poi_id"))
+      Dijkstra.reachIterative(sym, srcs, limitM = 1000.0)
+        .select("node_idx", "dist_m", "time_s", "poi_id")
+        .orderBy("node_idx")
+    }),
+
     // -------- LLM-data-pipeline operators over documents/embeddings --------
 
     // Exact dedup: md5(text) grouping with keep-min-id; corpus gets exact
@@ -1098,6 +1113,8 @@ object SparkEntry {
 
     "q26_dijkstra_reach" -> dijkstraReachSql,
 
-    "q27_multi_tile_reach" -> dijkstraReachSql
+    "q27_multi_tile_reach" -> dijkstraReachSql,
+
+    "q45_reach_pregel" -> dijkstraReachSql
   )
 }

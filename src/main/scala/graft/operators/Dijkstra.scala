@@ -145,6 +145,60 @@ object Dijkstra {
     }
   }
 
+  /** G1(b): Pregel-style whole-graph reach — iterative DataFrame frontier
+    * relaxation for graphs too large for ANY single executor (the per-tile
+    * kernel's limit is one tile in memory; this one's is cluster storage).
+    *
+    * Each round: join the improved frontier with the edge table, take the
+    * lexicographic (dist, poi) minimum per (category, node), keep strictly
+    * improved rows as the next frontier; stop when no row improves. The
+    * driver only steers iteration (an isEmpty per round); all data stays
+    * distributed, lineage is cut per round with localCheckpoint. Round
+    * count is bounded by limitM / min-edge-weight (bounded-radius reach,
+    * like the kernel's heap prune — same results, different execution
+    * geometry). Equality with the kernel is asserted in DijkstraSpec and by
+    * the shared q26 oracle.
+    */
+  def reachIterative(edges: DataFrame, sources: DataFrame,
+                     limitM: Double, speedMps: Double = 1.111,
+                     maxIter: Int = 100): DataFrame = {
+    val seeds = sources
+      .groupBy(col("category"), col("node_idx").as("node"))
+      .agg(min("poi_id").as("poi"))
+      .select(col("category"), col("node"), lit(0.0).as("dist"), col("poi"))
+      .localCheckpoint()
+    val e = edges.select(col("u"), col("v"), col("w"))
+    var best = seeds
+    var frontier = seeds
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val relaxed = frontier.join(e, frontier("node") === e("u"))
+        .select(col("category"), col("v").as("node"),
+          (col("dist") + col("w")).as("dist"), col("poi"))
+        .filter(col("dist") <= limitM)
+      val candidates = best.union(relaxed)
+        .groupBy("category", "node")
+        .agg(min(struct(col("dist"), col("poi"))).as("b"))
+        .select(col("category"), col("node"),
+          col("b.dist").as("dist"), col("b.poi").as("poi"))
+        .localCheckpoint()
+      val prev = best.select(col("category"), col("node"),
+        col("dist").as("p_dist"), col("poi").as("p_poi"))
+      frontier = candidates.join(prev, Seq("category", "node"), "left")
+        .filter(col("p_dist").isNull ||
+          struct(col("dist"), col("poi")) < struct(col("p_dist"), col("p_poi")))
+        .select("category", "node", "dist", "poi")
+        .localCheckpoint()
+      converged = frontier.isEmpty
+      best = candidates
+      iter += 1
+    }
+    best.select(col("category"), col("node").as("node_idx"),
+      col("dist").as("dist_m"), (col("dist") / lit(speedMps)).as("time_s"),
+      col("poi").as("poi_id"))
+  }
+
   /** Per-category reach summary (SURVEY A3; reference
     * precompute_poi_reach.py:204-208). Median over finite distances only
     * (the reach table already holds only finite rows).

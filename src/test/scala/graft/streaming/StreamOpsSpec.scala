@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  private val batch1 = Seq(
+    Event(1, ts(1), 10, "click", 1.0),
+    Event(2, ts(2), 10, "click", 2.0),
+    Event(3, ts(11), 11, "view", 3.0),
+    Event(4, ts(12), 10, "click", 4.0))
+
+  test("windowedCounts (complete mode) equals the batch twin") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.windowedCounts(mem.toDF())
+      .writeStream.format("memory").queryName("wc_complete")
+      .outputMode("complete").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("wc_complete")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      val batch = StreamOps.windowedCountsBatch(batch1.toDF())
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(streamed == batch)
+      assert(batch.map(_._1).size == 2) // two 10-minute windows
+    } finally q.stop()
+  }
+
+  test("windowedCounts (append mode): watermark finalizes old windows") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.windowedCounts(mem.toDF())
+      .writeStream.format("memory").queryName("wc_append")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      // nothing final yet: watermark (max ts - 20 min) is before window ends
+      assert(spark.table("wc_append").count() == 0)
+      mem.addData(Event(99, ts(59), 12, "late-driver", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc_append")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      // watermark now 00:39 -> both 00:00 and 00:10 windows are closed
+      assert(rows == Set(
+        (ts(0), "click", 2L, 3.0),
+        (ts(10), "view", 1L, 3.0),
+        (ts(10), "click", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("userRunningTotals accumulates state across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.userRunningTotals(mem.toDS())
+      .writeStream.format("memory").queryName("totals")
+      .outputMode("update").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(Event(5, ts(20), 10, "click", 10.0))
+      q.processAllAvailable()
+      val last = spark.table("totals").as[UserTotal].collect()
+        .groupBy(_.user_id).map { case (u, rows) => u -> rows.maxBy(_.n_events) }
+      assert(last(10L) == UserTotal(10L, 4L, 17.0))
+      assert(last(11L) == UserTotal(11L, 1L, 3.0))
+    } finally q.stop()
+  }
+
+  test("dedupStream drops repeated event ids across batches") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(Event(1, ts(3), 10, "click", 1.0), Event(6, ts(4), 12, "view", 6.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id").as[Long].collect().toSeq.sorted
+      assert(ids == Seq(1L, 2L, 3L, 4L, 6L))
+    } finally q.stop()
+  }
+}
