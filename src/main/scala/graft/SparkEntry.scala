@@ -455,6 +455,12 @@ object SparkEntry {
       Grid.tiles(s, TestLattice).orderBy("row", "col")
     }),
 
+    // W7: head-limit after a total order (the reference's default-4-tiles
+    // selection, extract_map_from_json.py:46).
+    "q46_head_limit" -> ((s, dir) => {
+      Grid.tiles(s, TestLattice).orderBy("row", "col").limit(4)
+    }),
+
     // §4 buffer replication: closed-form buffered tile assignment — the
     // oracle cross-checks it with an explicit containment join.
     "q28_assign_tiles" -> ((s, dir) => {
@@ -1101,6 +1107,10 @@ object SparkEntry {
     "q25_grid" ->
       s"""WITH ${tilesSql(TestLattice)}
          |SELECT * FROM tiles ORDER BY row, col""".stripMargin,
+
+    "q46_head_limit" ->
+      s"""WITH ${tilesSql(TestLattice)}
+         |SELECT * FROM tiles ORDER BY row, col LIMIT 4""".stripMargin,
 
     "q28_assign_tiles" ->
       s"""WITH ${Derive.Sql.elements},

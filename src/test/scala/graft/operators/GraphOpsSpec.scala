@@ -66,6 +66,12 @@ class GraphOpsSpec extends SparkSpec {
     assert(r.getLong(2) == 2L) // nodes 2 and 3 have out-degree 0
   }
 
+  test("validEndpoints drops failed-snap (-1) endpoints") {
+    val e = Seq((0, 1, 1.0), (-1, 2, 1.0), (3, -1, 1.0)).toDF("u", "v", "w")
+    assert(GraphOps.validEndpoints(e).as[(Int, Int, Double)].collect().toSeq ==
+      Seq((0, 1, 1.0)))
+  }
+
   test("indexNodesPerTile: dense 0..n-1 per tile, ordered by id") {
     val nodes = Seq(("a", 30L), ("a", 10L), ("a", 20L), ("b", 5L), ("b", 1L))
       .toDF("grid_id", "osm_node_id")
