@@ -21,8 +21,17 @@ object SimilarityOps {
   def quantize(emb: Column): Column =
     transform(emb, x => round(x.cast("double") * 1e7).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors, via the native
+    * codegen'd [[graft.expressions.DotQ]] expression (registered by
+    * GraftExtensions — every session in this engine has it). The
+    * higher-order equivalent [[dotQHof]] computes the same value ~3× slower
+    * (interpreted lambdas + an intermediate array per row). */
   def dotQ(a: Column, b: Column): Column =
+    call_function("graft_dot_q", a, b)
+
+  /** Reference implementation of [[dotQ]] in pure built-ins; kept for
+    * equivalence testing and for sessions without GraftExtensions. */
+  def dotQHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
   /** Cosine similarity of two quantized vectors (double; deterministic). */
