@@ -450,6 +450,29 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // The composed training-data pipeline: exact dedup (keep min id) →
+    // MinHash-LSH near-dup drop (keep the smaller id of each verified
+    // pair) → quality gate. One pass over documents + one LSH bucket join;
+    // survivors are what a pretraining corpus would keep.
+    "q47_corpus_clean" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val exactKeep = docs
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val sh = TextOps.shingleTable(docs, "doc_id").cache()
+      val nearDrop = TextOps.jaccardVerify(
+          TextOps.minhashCandidates(sh, "doc_id"), sh, "doc_id", threshold = 0.5)
+        .select(col("id2").as("doc_id")).distinct()
+      val quality = TextOps.qualityMetrics(docs)
+        .filter(col("n_tokens") >= 20 && col("uniq_ratio") >= 0.2)
+        .select("doc_id")
+      exactKeep
+        .join(nearDrop, Seq("doc_id"), "left_anti")
+        .join(quality, Seq("doc_id"), "left_semi")
+        .orderBy("doc_id")
+    }),
+
     // G5/F11: the tile-lattice generator (spark.range + column math).
     "q25_grid" -> ((s, dir) => {
       Grid.tiles(s, TestLattice).orderBy("row", "col")
@@ -952,6 +975,36 @@ object SparkEntry {
       s"""WITH ${Derive.Sql.elements}
          |SELECT key AS type, count(*) AS n FROM elements
          |GROUP BY key ORDER BY type""".stripMargin,
+
+    "q47_corpus_clean" -> {
+      val p = TextOps.MinhashP
+      val sigElems = (0 until 12)
+        .map(i => s"list_min(list_transform(hs, h -> (h * ${TextOps.hashA(i)} + ${TextOps.hashB(i)}) % $p))")
+        .mkString(", ")
+      val bandRows = (0 until 6)
+        .map(b => s"SELECT doc_id, $b AS band, md5(concat(CAST(sig[${2 * b + 1}] AS VARCHAR), ',', CAST(sig[${2 * b + 2}] AS VARCHAR))) AS bkey FROM sig")
+        .mkString("\nUNION ALL ")
+      s"""WITH ${LlmSql.docShingles},
+         |hs AS (SELECT doc_id, list_transform(sh, s -> CAST(concat('0x', substring(md5(s), 1, 8)) AS BIGINT) % $p) hs FROM sh),
+         |sig AS (SELECT doc_id, [$sigElems] sig FROM hs),
+         |bands AS ($bandRows),
+         |cand AS (SELECT DISTINCT a.doc_id id1, b.doc_id id2
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |near_drop AS (SELECT DISTINCT id2 AS doc_id
+         |  FROM cand JOIN sh s1 ON s1.doc_id = id1 JOIN sh s2 ON s2.doc_id = id2
+         |  WHERE len(list_intersect(s1.sh, s2.sh)) / len(list_distinct(list_concat(s1.sh, s2.sh))) >= 0.5),
+         |exact_keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |quality AS (SELECT doc_id FROM (
+         |    SELECT doc_id, len(w) AS n_tokens,
+         |           len(list_distinct(w)) / len(w) AS uniq_ratio
+         |    FROM (SELECT doc_id, string_split(text, ' ') w FROM documents))
+         |  WHERE n_tokens >= 20 AND uniq_ratio >= 0.2)
+         |SELECT e.doc_id FROM exact_keep e
+         |WHERE e.doc_id NOT IN (SELECT doc_id FROM near_drop)
+         |  AND e.doc_id IN (SELECT doc_id FROM quality)
+         |ORDER BY e.doc_id""".stripMargin
+    },
 
     "q30_exact_dedup" ->
       """WITH corpus AS (
