@@ -27,7 +27,11 @@ object Bench {
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
     val qs = results.map { case (k, v, err) =>
-      "\"" + k + "\":" + (if (err.isDefined) "-1" else f"$v%.3f")
+      // Locale.ROOT: the default locale could print a comma decimal
+      // separator and corrupt the JSON line
+      "\"" + k + "\":" +
+        (if (err.isDefined) "-1"
+         else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)))
     }.mkString("{", ",", "}")
     val errors = results.collect { case (k, _, Some(e)) => s""""$k"""" }.mkString("[", ",", "]")
     val total = results.collect { case (_, v, None) => v }.sum

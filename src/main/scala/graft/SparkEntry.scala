@@ -417,9 +417,12 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // Min-k md5 fingerprint (winnowing-style document sketch).
+    // Min-k md5 fingerprint (winnowing-style document sketch). Docs too
+    // short to shingle are excluded — matching the oracle's len(w)>=3
+    // filter (a <3-token doc has no fingerprint, not an empty one).
     "q37_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
+        .filter(size(TextOps.words(col("text"))) >= 3)
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
     }),

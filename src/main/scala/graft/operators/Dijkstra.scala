@@ -194,6 +194,12 @@ object Dijkstra {
       best = candidates
       iter += 1
     }
+    // A silently truncated fixpoint is indistinguishable from a converged
+    // one — fail loudly instead (hit only when limitM/min-edge-weight
+    // exceeds maxIter rounds).
+    require(converged,
+      s"reachIterative did not converge within $maxIter rounds; raise maxIter " +
+        "(rounds needed ≈ limitM / min edge weight)")
     best.select(col("category"), col("node").as("node_idx"),
       col("dist").as("dist_m"), (col("dist") / lit(speedMps)).as("time_s"),
       col("poi").as("poi_id"))
@@ -250,6 +256,11 @@ object Dijkstra {
         val srcArr = ss.toArray
         if (edgeArr.isEmpty || srcArr.isEmpty || targetNodes.isEmpty) Iterator.empty
         else {
+          // zero-weight edges would let the canonical-predecessor rule cycle
+          // on equal-dist plateaus (the engine's haversineWeightM floors
+          // weights at 0.01 m; reject anything else loudly)
+          require(edgeArr.forall(_.w > 0.0),
+            s"shortestPaths requires strictly positive edge weights (tile $tile)")
           val g = new LocalGraph(edgeArr, srcArr.map(_.node_idx) ++ targetNodes)
           // reverse CSR (in-edges) for canonical backtrack, built once per tile
           val rIndptr = new Array[Int](g.n + 1)

@@ -76,6 +76,7 @@ object MultimodalOps {
   def sampleFrames(df: DataFrame, nFrames: Int,
                    decoder: MediaDecoder = StubDecoder,
                    featureDim: Int = 8): DataFrame = {
+    require(nFrames > 0, s"nFrames must be positive, got $nFrames")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("asset_id").cast("long"), col("payload"))

@@ -55,20 +55,24 @@ object QueryLayer {
   /** P8: distance-window node filter with k-nearest fallback — keep nodes
     * within `radiusM` of the center; if NONE qualify, fall back to the k
     * nearest (reference test_path.py:337-343). One aggregation pass decides
-    * which branch applies — no driver round-trip. */
+    * which branch applies — no driver round-trip, and the global ranking
+    * window sits BEHIND an `n_in === 0` filter, so in the common (non-empty
+    * radius) case it sorts zero rows instead of the whole node table. */
   def nodesNear(nodes: DataFrame, lon: Double, lat: Double,
                 radiusM: Double, fallbackK: Int = 200): DataFrame = {
     val d = haversineM(lit(lon), lit(lat), col("lon"), col("lat"))
     val withD = nodes.withColumn("center_dist_m", d)
-    val anyIn = withD.agg(
-      coalesce(sum(when(col("center_dist_m") <= radiusM, 1L)), lit(0L)).as("n_in"))
+    val anyIn = broadcast(withD.agg(
+      coalesce(sum(when(col("center_dist_m") <= radiusM, 1L)), lit(0L)).as("n_in")))
+    val inRadius = withD.crossJoin(anyIn)
+      .filter(col("n_in") > 0 && col("center_dist_m") <= radiusM)
     val w = Window.orderBy(col("center_dist_m"), col("node_idx"))
-    withD.crossJoin(broadcast(anyIn))
+    val fallback = withD.crossJoin(anyIn)
+      .filter(col("n_in") === 0) // empty unless the radius found nothing
       .withColumn("rnk", row_number().over(w))
-      .filter(
-        (col("n_in") > 0 && col("center_dist_m") <= radiusM) ||
-          (col("n_in") === 0 && col("rnk") <= fallbackK))
-      .drop("n_in", "rnk")
+      .filter(col("rnk") <= fallbackK)
+      .drop("rnk")
+    inRadius.unionByName(fallback).drop("n_in")
   }
 
   /** S4: bbox crop — the osmium-extract analog. `completeWays` keeps every

@@ -46,8 +46,13 @@ object Sinks {
 
   /** Tolerant id-list reader (reference extract_map_from_json.py:18-38):
     * splits lines on commas, trims, drops blanks and '#' comments, dedups
-    * keeping FIRST-SEEN order (order recovered via the file position, not a
-    * global sort). */
+    * keeping FIRST-SEEN order.
+    *
+    * First-seen order is well-defined for a SINGLE text file (the
+    * reference's shape): `monotonically_increasing_id` follows Spark's
+    * split packing, so across a multi-file directory "first" follows
+    * partition order, not any particular file order — which is itself
+    * undefined for a directory. Feed one file when order matters. */
   def readIdLines(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.text(path)
       .withColumn("line", monotonically_increasing_id())

@@ -38,23 +38,42 @@ object StreamOps {
 
   /** Arbitrary-state streaming: per-user running totals via
     * mapGroupsWithState — the engine's custom-state surface (session
-    * aggregates, dedup-within-horizon, etc. all take this shape). State is
-    * one small case class per key; with processing-time timeout the state
-    * self-expires and memory stays bounded by the active-key set. */
-  def userRunningTotals(events: Dataset[Event]): Dataset[UserTotal] = {
+    * aggregates, dedup-within-horizon, etc. all take this shape).
+    *
+    * With `idleTimeout = Some(d)` (the production setting) state
+    * SELF-EXPIRES via processing-time timeout: an idle key emits its final
+    * total and releases its slot, so memory is bounded by the
+    * recently-active key set. Note the trade: registered timeouts keep the
+    * micro-batch engine scheduling wake-up batches, so the query never
+    * fully idles (`processAllAvailable` won't settle — which is why tests
+    * and bounded-key workloads use `None` = no timeout, where state is
+    * bounded by the total key set instead). */
+  def userRunningTotals(events: Dataset[Event],
+                        idleTimeout: Option[String] = Some("30 minutes")): Dataset[UserTotal] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+      .mapGroupsWithState(timeoutConf) {
         (userId: Long, rows: Iterator[Event], state: GroupState[UserTotal]) =>
-          val prev = state.getOption.getOrElse(UserTotal(userId, 0L, 0.0))
-          val batch = rows.toSeq
-          val next = UserTotal(userId,
-            prev.n_events + batch.size,
-            prev.total_value + batch.map(e => math.round(e.value * 100).toDouble / 100).sum)
-          state.update(next)
-          next
+          if (state.hasTimedOut) {
+            // idle key: emit the final total and release the state
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(UserTotal(userId, 0L, 0.0))
+            val batch = rows.toSeq
+            val next = UserTotal(userId,
+              prev.n_events + batch.size,
+              prev.total_value + batch.map(e => math.round(e.value * 100).toDouble / 100).sum)
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            next
+          }
       }
   }
 

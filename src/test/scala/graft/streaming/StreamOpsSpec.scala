@@ -61,7 +61,9 @@ class StreamOpsSpec extends SparkSpec {
   test("userRunningTotals accumulates state across micro-batches") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[Event]
-    val q = StreamOps.userRunningTotals(mem.toDS())
+    // idleTimeout=None: with a timeout registered the engine schedules
+    // wake-up batches forever and processAllAvailable never settles
+    val q = StreamOps.userRunningTotals(mem.toDS(), idleTimeout = None)
       .writeStream.format("memory").queryName("totals")
       .outputMode("update").start()
     try {
