@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Sinks
+
+/** End-to-end pipeline demo — the reference's full batch chain (SURVEY §3),
+  * run as ONE Spark job graph instead of five file-chained scripts:
+  *
+  *   elements → tag extraction → NN snap → graph build (walkability +
+  *   symmetrize/dedup) → per-tile multi-source Dijkstra reach → summary →
+  *   JDBC persistence (the stage the reference promised but never built) →
+  *   a point query against the materialized reach.
+  *
+  * Usage: `sbt "runMain graft.Pipeline [sfDir]"`. Prints one line per
+  * stage with row counts; exits nonzero if any stage yields zero rows.
+  */
+object Pipeline {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.get("graft-pipeline")
+    import spark.implicits._
+
+    def stage(name: String, n: Long): Long = { println(f"[pipeline] $name%-28s rows=$n"); n }
+
+    // 1. ingest + POI extraction (S2/S3/U2)
+    val elements = Derive.elements(spark, dir)
+    val pois0 = PoiExtract.extractJoin(PoiExtract.tagPreFilter(elements))
+    stage("poi_extract", pois0.count())
+
+    // 2. NN snap onto the node set (J2/J3)
+    val nodes = Derive.nodes(spark, dir).cache()
+    val snapped = SnapJoin.nearestNode(
+        pois0.select(col("elem_id").as("poi_id"), col("lon"), col("lat")),
+        nodes, "poi_id")
+      .filter(col("node_idx") >= 0)
+      .join(pois0.select(col("elem_id").as("poi_id"), col("category")), Seq("poi_id"))
+    stage("poi_snap", snapped.count())
+
+    // 3. graph build: walkability-filtered ways exercise P1/P2; the routing
+    //    graph itself comes from the derived edge table (U1/P4/A1)
+    val walkable = GraphOps.cleanWalkableEdges(Derive.ways(spark, dir))
+    stage("walkable_ways", walkable.count())
+    val sym = GraphOps.symmetrizeDedup(Derive.edges(nodes))
+    stage("graph_edges", sym.count())
+
+    // 4. per-tile bounded multi-source Dijkstra (G1) over all categories
+    val edgesT = sym.select(lit("t0").as("tile"), col("u"), col("v"), col("w")).as[TileEdge]
+    val srcsT = snapped
+      .select(lit("t0").as("tile"), col("category"), col("node_idx"), col("poi_id"))
+      .as[TileSource]
+    val reach = Dijkstra.reach(edgesT, srcsT, limitM = 1000.0).toDF().cache()
+    stage("reach", reach.count())
+    val summary = Dijkstra.reachSummary(
+      reach, snapped.select("category", "poi_id"), limitM = 1000.0)
+    stage("reach_summary", summary.count())
+
+    // 5. persistence: the reference's promised-but-missing DB stage (S16)
+    val url = "jdbc:derby:memory:pipelinedb;create=true"
+    Sinks.writeJdbc(reach, url, "reach")
+    Sinks.writeJdbc(summary, url, "reach_summary")
+    val persisted = stage("jdbc_roundtrip", Sinks.readJdbc(spark, url, "reach").count())
+
+    // 6. point query against the materialized reach (entry point C)
+    val qp = nodes.limit(1)
+      .select(lit(0L).as("query_id"), (col("lon") + 1e-4).as("lon"), col("lat"))
+    val answer = QueryLayer.pointQuery(
+      QueryLayer.snapPoints(qp, nodes), Sinks.readJdbc(spark, url, "reach"), radiusM = 1000.0)
+    val n = stage("point_query", answer.count())
+    answer.orderBy("dist_m").show(5, truncate = false)
+
+    val ok = Seq(pois0.count(), snapped.count(), persisted, n).forall(_ > 0)
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}
