@@ -78,6 +78,25 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream (readStream) produces the same windows as batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    batch1.toDF().coalesce(1).write.mode("overwrite").json(s"$dir/in")
+    val stream = spark.readStream
+      .schema(batch1.toDF().schema)
+      .json(s"$dir/in")
+    val q = StreamOps.windowedCounts(stream)
+      .writeStream.format("memory").queryName("wc_file")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("wc_file")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      val batch = StreamOps.windowedCountsBatch(batch1.toDF())
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("dedupStream drops repeated event ids across batches") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[Event]

@@ -21,6 +21,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm_cell(v):
+    # Normalize numeric types before the repr-based row sort: DuckDB can
+    # return Decimal where Spark wrote float/int, and mixed types would
+    # sort differently per side, misaligning equal multisets (round-1
+    # ADVICE.md finding).
+    import decimal
+    if isinstance(v, decimal.Decimal):
+        return float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
