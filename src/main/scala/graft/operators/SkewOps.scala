@@ -25,7 +25,7 @@ object SkewOps {
                  saltFactor: Int): DataFrame = {
     require(saltFactor > 0)
     val largeSalted = large.withColumn("__salt",
-      pmod(hash(large.columns.map(col): _*), lit(saltFactor)))
+      pmod(hash(large.columns.toIndexedSeq.map(col): _*), lit(saltFactor)))
     val smallReplicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     largeSalted.join(smallReplicated, Seq(key, "__salt")).drop("__salt")
