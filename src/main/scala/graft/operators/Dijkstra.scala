@@ -69,42 +69,88 @@ object Dijkstra {
     }
   }
 
+  /** Primitive binary heap over (dist, node) — two parallel arrays, zero
+    * boxing (the round-1 verdict's named kernel cost: ~3 boxes per tuple
+    * push in java.util.PriorityQueue). Lexicographic (dist, node) order
+    * keeps pops deterministic. */
+  private final class DistHeap(initCap: Int) {
+    private var ds = new Array[Double](math.max(initCap, 16))
+    private var ns = new Array[Int](ds.length)
+    private var n = 0
+    def isEmpty: Boolean = n == 0
+    def topDist: Double = ds(0)
+    def topNode: Int = ns(0)
+    private def lt(i: Int, j: Int): Boolean =
+      ds(i) < ds(j) || (ds(i) == ds(j) && ns(i) < ns(j))
+    private def swap(i: Int, j: Int): Unit = {
+      val d = ds(i); ds(i) = ds(j); ds(j) = d
+      val m = ns(i); ns(i) = ns(j); ns(j) = m
+    }
+    def push(d: Double, node: Int): Unit = {
+      if (n == ds.length) {
+        ds = java.util.Arrays.copyOf(ds, n * 2)
+        ns = java.util.Arrays.copyOf(ns, n * 2)
+      }
+      ds(n) = d; ns(n) = node; n += 1
+      var i = n - 1
+      while (i > 0 && lt(i, (i - 1) / 2)) { swap(i, (i - 1) / 2); i = (i - 1) / 2 }
+    }
+    def pop(): Unit = {
+      n -= 1; swap(0, n)
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1; val r = l + 1
+        var m = i
+        if (l < n && lt(l, m)) m = l
+        if (r < n && lt(r, m)) m = r
+        if (m == i) done = true else { swap(i, m); i = m }
+      }
+    }
+  }
+
   /** Core kernel: returns (dist, winningPoi, prev) arrays over local ids;
-    * dist=+inf / poi=-1 / prev=-1 where unreached. */
+    * dist=+inf / poi=-1 / prev=-1 where unreached.
+    *
+    * Heap entries carry only (dist, node): with strictly positive weights,
+    * a node's poi label can only improve via a STRICTLY closer predecessor
+    * (an equal-dist relaxation would need dist(u) + w == dist(u'), w > 0 ⇒
+    * dist(u) < dist(u')), so by the time a node pops, its (dist, poi) is
+    * final — the poi need not participate in heap ordering, and equal-dist
+    * poi updates never re-push. Requires w > 0 (enforced by [[reach]] /
+    * [[shortestPaths]]; the engine's weights floor at 0.01 m). */
   private[operators] def multiSourceDijkstra(
       g: LocalGraph, seeds: Seq[(Int, Long)], limitM: Double)
       : (Array[Double], Array[Long], Array[Int]) = {
     val dist = Array.fill(g.n)(Double.PositiveInfinity)
     val poi = Array.fill(g.n)(-1L)
     val prev = Array.fill(g.n)(-1)
-    // heap ordered by (dist, poi_id, node) — lexicographic Dijkstra
-    val heap = new java.util.PriorityQueue[(Double, Long, Int)](
-      math.max(seeds.size, 16),
-      (a: (Double, Long, Int), b: (Double, Long, Int)) => {
-        val c = java.lang.Double.compare(a._1, b._1)
-        if (c != 0) c else {
-          val p = java.lang.Long.compare(a._2, b._2)
-          if (p != 0) p else Integer.compare(a._3, b._3)
-        }
-      })
+    val settled = new Array[Boolean](g.n)
+    val heap = new DistHeap(seeds.size)
     seeds.foreach { case (extNode, poiId) =>
       g.nodeOf.get(extNode).foreach { u =>
-        if (dist(u) > 0.0 || (dist(u) == 0.0 && poiId < poi(u))) {
-          dist(u) = 0.0; poi(u) = poiId
-          heap.add((0.0, poiId, u))
-        }
+        if (dist(u) > 0.0) { dist(u) = 0.0; poi(u) = poiId }
+        else if (poiId < poi(u)) poi(u) = poiId
       }
     }
+    (0 until g.n).foreach(u => if (dist(u) == 0.0) heap.push(0.0, u))
     while (!heap.isEmpty) {
-      val (d, p, u) = heap.poll()
-      if (d == dist(u) && p == poi(u)) { // not superseded
+      val d = heap.topDist; val u = heap.topNode
+      heap.pop()
+      if (!settled(u) && d == dist(u)) {
+        settled(u) = true
+        val p = poi(u)
         var i = g.indptr(u)
         while (i < g.indptr(u + 1)) {
           val v = g.indices(i)
           val nd = d + g.weights(i)
-          if (nd <= limitM && (nd < dist(v) || (nd == dist(v) && p < poi(v)))) {
-            dist(v) = nd; poi(v) = p; prev(v) = u
-            heap.add((nd, p, v))
+          if (nd <= limitM) {
+            if (nd < dist(v)) {
+              dist(v) = nd; poi(v) = p; prev(v) = u
+              heap.push(nd, v)
+            } else if (nd == dist(v) && p < poi(v)) {
+              poi(v) = p; prev(v) = u // same dist: already queued, no re-push
+            }
           }
           i += 1
         }
@@ -133,6 +179,10 @@ object Dijkstra {
         val srcArr = ss.toArray
         if (edgeArr.isEmpty || srcArr.isEmpty) Iterator.empty
         else {
+          // dist-ordered heap relies on strictly positive weights (see
+          // multiSourceDijkstra); the engine's weights floor at 0.01 m
+          require(edgeArr.forall(_.w > 0.0),
+            s"reach requires strictly positive edge weights (tile $tile)")
           val g = new LocalGraph(edgeArr, srcArr.map(_.node_idx))
           srcArr.groupBy(_.category).iterator.flatMap { case (cat, catSrcs) =>
             val seeds = catSrcs.map(s => (s.node_idx, s.poi_id)).toSeq
