@@ -46,6 +46,14 @@ class SnapJoinSpec extends SparkSpec {
     assert(got.values.exists(_._1 == -1), "test cloud should contain unsnappable points")
   }
 
+  test("snap is idempotent: a node's own coordinates snap to itself at dist 0") {
+    val selfPoints = nodes.select(
+      col("node_idx").cast("long").as("pid"), col("lon"), col("lat"))
+    val got = SnapJoin.nearestNode(selfPoints, nodes, "pid")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(got.forall { case (pid, nidx, d) => nidx == pid.toInt && d == 0.0 })
+  }
+
   test("quantize mode keeps ties deterministic and within a cm of raw") {
     val a = SnapJoin.nearestNode(points, nodes, "pid", 300.0, quantize = 2)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
