@@ -117,7 +117,8 @@ object Dijkstra {
     * (an equal-dist relaxation would need dist(u) + w == dist(u'), w > 0 ⇒
     * dist(u) < dist(u')), so by the time a node pops, its (dist, poi) is
     * final — the poi need not participate in heap ordering, and equal-dist
-    * poi updates never re-push. Requires w > 0 (enforced by [[reach]] /
+    * poi updates never re-push. Requires w ≥ ulp(limitM) so that d + w > d
+    * holds in floating point for every in-limit d (enforced by [[reach]] /
     * [[shortestPaths]]; the engine's weights floor at 0.01 m). */
   private[operators] def multiSourceDijkstra(
       g: LocalGraph, seeds: Seq[(Int, Long)], limitM: Double)
@@ -179,10 +180,14 @@ object Dijkstra {
         val srcArr = ss.toArray
         if (edgeArr.isEmpty || srcArr.isEmpty) Iterator.empty
         else {
-          // dist-ordered heap relies on strictly positive weights (see
-          // multiSourceDijkstra); the engine's weights floor at 0.01 m
-          require(edgeArr.forall(_.w > 0.0),
-            s"reach requires strictly positive edge weights (tile $tile)")
+          // The dist-ordered heap needs d + w > d for every reachable d:
+          // a sub-ulp positive weight would let an equal-dist relaxation
+          // reach an already-settled node. ulp(limitM) bounds the ulp of
+          // any in-limit distance; the engine's 0.01 m floor clears it by
+          // many orders of magnitude.
+          val minW = math.ulp(limitM)
+          require(edgeArr.forall(_.w >= minW),
+            s"reach requires edge weights >= ulp(limitM)=$minW (tile $tile)")
           val g = new LocalGraph(edgeArr, srcArr.map(_.node_idx))
           srcArr.groupBy(_.category).iterator.flatMap { case (cat, catSrcs) =>
             val seeds = catSrcs.map(s => (s.node_idx, s.poi_id)).toSeq
@@ -306,11 +311,11 @@ object Dijkstra {
         val srcArr = ss.toArray
         if (edgeArr.isEmpty || srcArr.isEmpty || targetNodes.isEmpty) Iterator.empty
         else {
-          // zero-weight edges would let the canonical-predecessor rule cycle
-          // on equal-dist plateaus (the engine's haversineWeightM floors
-          // weights at 0.01 m; reject anything else loudly)
-          require(edgeArr.forall(_.w > 0.0),
-            s"shortestPaths requires strictly positive edge weights (tile $tile)")
+          // zero- or sub-ulp-weight edges would let the canonical-predecessor
+          // rule cycle on equal-dist plateaus (the engine's haversineWeightM
+          // floors weights at 0.01 m; reject anything else loudly)
+          require(edgeArr.forall(_.w >= math.ulp(limitM)),
+            s"shortestPaths requires edge weights >= ulp(limitM) (tile $tile)")
           val g = new LocalGraph(edgeArr, srcArr.map(_.node_idx) ++ targetNodes)
           // reverse CSR (in-edges) for canonical backtrack, built once per tile
           val rIndptr = new Array[Int](g.n + 1)

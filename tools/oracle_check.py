@@ -27,7 +27,11 @@ def norm_cell(v):
     # ADVICE.md finding).
     import decimal
     if isinstance(v, decimal.Decimal):
-        return float(v)
+        # float only when exactly representable — otherwise keep the exact
+        # Decimal (as repr) so a real drift beyond double precision still
+        # FAILS the exact-equality gate instead of aliasing to the same float
+        f = float(v)
+        return f if decimal.Decimal(f) == v else str(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
