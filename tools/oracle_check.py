@@ -74,6 +74,22 @@ def main():
             print(f"[ERR ] {name}: {e}")
             n_bad += 1
             continue
+        # Type audit: DuckDB widens sum(BIGINT) to HUGEINT, which the
+        # DRIVER's hasher renders differently from Spark's long even when
+        # values are equal (round-2 q33 red row) — our norm_cell would mask
+        # it, so treat any HUGEINT/DECIMAL oracle output column as BAD and
+        # demand an explicit CAST in the oracle SQL instead.
+        try:
+            wide = [(c, str(t)) for c, t in
+                    zip(con.sql(sql).columns, con.sql(sql).types)
+                    if str(t) in ("HUGEINT", "UHUGEINT")]
+        except Exception:
+            wide = []
+        if wide:
+            print(f"[BAD ] {name}: oracle returns driver-hash-unsafe types {wide}"
+                  f" — CAST to BIGINT/DOUBLE in the oracle SQL")
+            n_bad += 1
+            continue
         g, gc = canon(got_rows, got_cols)
         e, ec = canon(exp_rows, exp_cols)
         if gc != ec:
