@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators._
+import graft.sources.{Sinks, ValidatedSource}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -544,6 +545,95 @@ object SparkEntry {
       Dijkstra.reach(sym, srcs, limitM = 1000.0)
         .select(col("node_idx"), col("dist_m"), col("time_s"), col("poi_id"))
         .orderBy("node_idx")
+    }),
+
+    // ---- round-trip gate queries: the sinks/sources that round 2 covered
+    // only by ScalaTest. Each writes a deterministic projection of a source
+    // table through the sink, reads it back through the paired source, and
+    // hashes against the oracle's direct view of the same data — a lossy or
+    // misnamed round-trip breaks the hash.
+
+    // S10: CSV sink + schema-pinned CSV source (ints + quoted strings).
+    "q48_csv_roundtrip" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_rt/q48_csv"
+      val src = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      Sinks.writeCsv(src, path)
+      Sinks.readCsv(s, path, src.schema).orderBy("n_nationkey")
+    }),
+
+    // S11: JSON sink/source — doubles survive textually (Jackson writes the
+    // shortest repr that parses back to the same IEEE value).
+    "q49_json_roundtrip" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_rt/q49_json"
+      val src = t(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      Sinks.writeJson(src, path)
+      Sinks.readJson(s, path, src.schema).orderBy("s_suppkey")
+    }),
+
+    // S12+U3: text-lines sink + tolerant id-list reader; the duplicate-heavy
+    // nationkey column exercises the first-seen dedup (the gate compare is
+    // order-insensitive, so the oracle checks the distinct SET).
+    "q50_text_roundtrip" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_rt/q50_text"
+      Sinks.writeTextLines(t(s, dir, "customer"), "c_nationkey", path)
+      Sinks.readIdLines(s, path).orderBy("id")
+    }),
+
+    // S16: JDBC sink/source against in-memory Derby (the driver Spark ships;
+    // the DB stage the reference promises but never implements).
+    "q51_jdbc_roundtrip" -> ((s, dir) => {
+      val url = "jdbc:derby:memory:graftq51;create=true"
+      val src = t(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      Sinks.writeJdbc(src, url, "supplier_rt")
+      Sinks.readJdbc(s, url, "supplier_rt").orderBy("s_suppkey")
+    }),
+
+    // S7: the full validated read — extension sniff, case-insensitive header
+    // resolution (Poi_Id/CATEGORY/Node_Idx/LAT), numeric coercion with the
+    // -1 sentinel for 'n/a' — over a messy CSV fixture derived
+    // deterministically from `part` (so DuckDB can mirror the expectation).
+    "q52_validated_source" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_rt/q52_pois.csv.d"
+      t(s, dir, "part").select(
+          col("p_partkey").as("Poi_Id"),
+          concat(lit("cat"), (col("p_partkey") % 5).cast("string")).as("CATEGORY"),
+          when(col("p_partkey") % 11 === 0, lit("n/a"))
+            .otherwise((col("p_partkey") % 1500).cast("string")).as("Node_Idx"),
+          (lit(18.4) + (col("p_partkey") % 97) * lit(2e-3)).as("lon"),
+          (lit(54.3) + ((col("p_partkey") * 13) % 89) * lit(2e-3)).as("LAT"))
+        .write.mode("overwrite").option("header", "true").csv(path)
+      ValidatedSource.readPois(s, path).orderBy("poi_id")
+    }),
+
+    // P3: valid-endpoint filter over edges with injected dangling (-1/-9)
+    // endpoints — the reference's dropna-after-rekey guard.
+    "q53_valid_endpoints" -> ((s, dir) => {
+      val withBad = Derive.edges(Derive.nodes(s, dir)).select(
+        when(col("u") % 53 === 0, lit(-1)).otherwise(col("u")).as("u"),
+        when(col("v") % 71 === 0, lit(-9)).otherwise(col("v")).as("v"),
+        col("w"))
+      GraphOps.validEndpoints(withBad).orderBy("u", "v")
+    }),
+
+    // P8: distance-window node filter, BOTH branches in one result — a
+    // center that hits (radius branch) and a far center whose empty radius
+    // falls back to the k nearest (knn branch).
+    "q54_nodes_near" -> ((s, dir) => {
+      val n = Derive.nodes(s, dir)
+      val hit = QueryLayer.nodesNear(n, 18.45, 54.35, 500.0)
+        .withColumn("branch", lit("radius"))
+      val miss = QueryLayer.nodesNear(n, 18.0, 54.0, 100.0, fallbackK = 7)
+        .withColumn("branch", lit("knn"))
+      // mm quantization for the GATE only: the knn branch's ~42 km
+      // distances diverge from DuckDB in the last ulps of asin/cos (libm
+      // vs libm); the operator itself stays full-precision.
+      hit.unionByName(miss)
+        .select(col("branch"), col("node_idx"),
+          round(col("center_dist_m"), 3).as("center_dist_mm3"))
+        .orderBy("branch", "node_idx")
     })
   )
 
@@ -1192,6 +1282,66 @@ object SparkEntry {
 
     "q27_multi_tile_reach" -> dijkstraReachSql,
 
-    "q45_reach_pregel" -> dijkstraReachSql
+    "q45_reach_pregel" -> dijkstraReachSql,
+
+    // ---- round-trip sinks/sources: the oracle sees the SOURCE table
+    // directly; any loss or rename in the write→read-back path breaks the
+    // hash against it.
+
+    "q48_csv_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q49_json_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "q50_text_roundtrip" ->
+      """SELECT DISTINCT CAST(c_nationkey AS VARCHAR) AS id
+        |FROM customer ORDER BY id""".stripMargin,
+
+    "q51_jdbc_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    // Mirrors the q52 fixture generator AND the validated-read contract:
+    // same lon/lat arithmetic (proven IEEE-identical in the nodes prelude),
+    // 'n/a' → -1 sentinel, final int cast.
+    "q52_validated_source" ->
+      """SELECT p_partkey AS poi_id,
+        |       'cat' || CAST(p_partkey % 5 AS VARCHAR) AS category,
+        |       CAST(CASE WHEN p_partkey % 11 = 0 THEN -1
+        |                 ELSE p_partkey % 1500 END AS INT) AS node_idx,
+        |       18.4 + (p_partkey % 97) * 2e-3 AS lon,
+        |       54.3 + ((p_partkey * 13) % 89) * 2e-3 AS lat
+        |FROM part ORDER BY poi_id""".stripMargin,
+
+    "q53_valid_endpoints" ->
+      s"""WITH ${Derive.Sql.nodes},
+         |${Derive.Sql.edges},
+         |bad AS (
+         |  SELECT CASE WHEN u % 53 = 0 THEN -1 ELSE u END AS u,
+         |         CASE WHEN v % 71 = 0 THEN -9 ELSE v END AS v, w
+         |  FROM edges)
+         |SELECT u, v, w FROM bad WHERE u >= 0 AND v >= 0
+         |ORDER BY u, v""".stripMargin,
+
+    "q54_nodes_near" -> {
+      val dHit = Derive.Sql.havM("CAST(18.45 AS DOUBLE)", "CAST(54.35 AS DOUBLE)", "lon", "lat")
+      val dMiss = Derive.Sql.havM("CAST(18.0 AS DOUBLE)", "CAST(54.0 AS DOUBLE)", "lon", "lat")
+      s"""WITH ${Derive.Sql.nodes},
+         |dh AS (SELECT node_idx, $dHit AS center_dist_m FROM nodes),
+         |dm AS (SELECT node_idx, $dMiss AS center_dist_m FROM nodes),
+         |rad AS (SELECT 'radius' AS branch, node_idx, center_dist_m
+         |        FROM dh WHERE center_dist_m <= 500.0),
+         |knn AS (SELECT 'knn' AS branch, node_idx, center_dist_m
+         |        FROM dm
+         |        WHERE (SELECT count(*) FROM dm WHERE center_dist_m <= 100.0) = 0
+         |        QUALIFY row_number() OVER (ORDER BY center_dist_m, node_idx) <= 7)
+         |SELECT branch, node_idx, round(center_dist_m, 3) AS center_dist_mm3 FROM rad
+         |UNION ALL
+         |SELECT branch, node_idx, round(center_dist_m, 3) AS center_dist_mm3 FROM knn
+         |ORDER BY branch, node_idx""".stripMargin
+    }
   )
 }
