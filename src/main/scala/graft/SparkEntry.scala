@@ -372,13 +372,15 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
-    // SimHash near-dup: 32-bit shingle simhash, 4x8-bit pigeonhole blocks.
-    // Shingles come from the staged shingleTable (bound words attribute),
-    // not the inline form — see TextOps.shinglesFromWords.
+    // SimHash near-dup: 64-bit shingle simhash, 4x16-bit pigeonhole blocks
+    // (4x65,536 buckets — the 32-bit/8-bit form capped at 1,024 buckets,
+    // a quadratic within-bucket ceiling at corpus scale). Shingles come
+    // from the staged shingleTable (bound words attribute), not the inline
+    // form — see TextOps.shinglesFromWords.
     "q32_simhash" -> ((s, dir) => {
       val terms = TextOps.shingleTable(t(s, dir, "documents"), "doc_id")
         .select(col("doc_id"), explode(col("sh")).as("term"))
-      TextOps.simhashPairs(TextOps.simhash32(terms, "doc_id"), "doc_id", 3)
+      TextOps.simhashPairs(TextOps.simhash64(terms, "doc_id"), "doc_id", 3)
         .orderBy("id1", "id2")
     }),
 
@@ -1131,27 +1133,39 @@ object SparkEntry {
          |ORDER BY id1, id2""".stripMargin
     },
 
+    // 64-bit simhash mirrored as 4x16-bit int blocks (see TextOps.simhash64:
+    // a packed 64-bit value would go negative at bit 63 and signed-shift
+    // semantics diverge across engines; int blocks stay positive).
     "q32_simhash" -> {
-      val sums = (0 until 32)
-        .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) s$j")
-        .mkString(", ")
-      val bitsum = (0 until 32)
-        .map(j => s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
-        .mkString(" + ")
+      val sums = (0 until 64).map { j =>
+        val half = if (j < 32) "hlo" else "hhi"
+        s"sum(CASE WHEN ($half >> ${j % 32}) & 1 = 1 THEN 1 ELSE -1 END) s$j"
+      }.mkString(", ")
+      val blockVals = (0 until 4).map { b =>
+        (0 until 16)
+          .map(j => s"CASE WHEN s${16 * b + j} > 0 THEN ${1 << j} ELSE 0 END")
+          .mkString("CAST(", " + ", s" AS INTEGER) AS b$b")
+      }.mkString(", ")
       val blockRows = (0 until 4)
-        .map(b => s"SELECT doc_id, simhash, $b AS blk, (simhash >> ${8 * b}) & 255 AS bval FROM sim")
+        .map(b => s"SELECT doc_id, b0, b1, b2, b3, $b AS blk, b$b AS bval FROM sim")
         .mkString("\nUNION ALL ")
+      val ham = (0 until 4).map(b => s"bit_count(xor(xb$b, yb$b))").mkString(" + ")
       s"""WITH ${LlmSql.docShingles},
          |terms AS (SELECT doc_id, unnest(sh) term FROM sh),
-         |h AS (SELECT doc_id, CAST(concat('0x', substring(md5(term), 1, 8)) AS BIGINT) h FROM terms),
+         |h AS (SELECT doc_id,
+         |             CAST(concat('0x', substring(md5(term), 1, 8)) AS BIGINT) hlo,
+         |             CAST(concat('0x', substring(md5(term), 9, 8)) AS BIGINT) hhi
+         |      FROM terms),
          |sm AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
-         |sim AS (SELECT doc_id, $bitsum AS simhash FROM sm),
+         |sim AS (SELECT doc_id, $blockVals FROM sm),
          |blocks AS ($blockRows),
-         |cand AS (SELECT DISTINCT a.doc_id id1, b.doc_id id2, a.simhash h1, b.simhash h2
+         |cand AS (SELECT DISTINCT a.doc_id id1, b.doc_id id2,
+         |                a.b0 xb0, a.b1 xb1, a.b2 xb2, a.b3 xb3,
+         |                b.b0 yb0, b.b1 yb1, b.b2 yb2, b.b3 yb3
          |         FROM blocks a JOIN blocks b
          |           ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id)
-         |SELECT id1, id2, bit_count(xor(h1, h2)) AS hamming
-         |FROM cand WHERE bit_count(xor(h1, h2)) <= 3
+         |SELECT id1, id2, CAST($ham AS INTEGER) AS hamming
+         |FROM cand WHERE $ham <= 3
          |ORDER BY id1, id2""".stripMargin
     },
 

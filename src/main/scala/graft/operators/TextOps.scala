@@ -135,40 +135,68 @@ object TextOps {
   def wordHash32(word: Column): Column =
     conv(substring(md5(word), 1, 8), 16, 10).cast("long")
 
-  /** 32-bit SimHash from exploded (id, term) rows: per bit j, sum ±1 by the
-    * j-th bit of each term hash; simhash bit j = 1 iff the sum is positive.
-    * Terms should be SHINGLES for near-dup detection — unigrams over a
-    * small shared vocabulary make every document's profile similar and the
-    * hashes collapse (measured: 725 spurious hd≤3 pairs with unigrams vs 20
-    * true ones with 3-gram shingles on the test corpus).
-    * Input: df with (idCol, "term"); output: (idCol, simhash:long). */
-  def simhash32(termsDf: DataFrame, idCol: String): DataFrame = {
-    val h = wordHash32(col("term"))
-    val sums = (0 until 32).map { j =>
-      sum(when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$j")
-    }
-    termsDf.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
-      .select(col(idCol),
-        (0 until 32).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+  /** 64-bit SimHash from exploded (id, term) rows: per bit j, sum ±1 by the
+    * j-th bit of each 64-bit term hash; simhash bit j = 1 iff the sum is
+    * positive. Terms should be SHINGLES for near-dup detection — unigrams
+    * over a small shared vocabulary make every document's profile similar
+    * and the hashes collapse (measured: 725 spurious hd≤3 pairs with
+    * unigrams vs 20 true ones with 3-gram shingles on the test corpus).
+    *
+    * The hash is materialized as FOUR 16-bit block columns b0..b3 (bits
+    * 0-15, 16-31, 32-47, 48-63), not one packed long: bit 63 of a packed
+    * value flips the sign of a signed 64-bit integer and `>>` semantics on
+    * negatives differ across engines, while int blocks keep every value
+    * positive and the block join engine-portable. The blocks ARE the
+    * pigeonhole join keys, so nothing downstream wants the packed form.
+    *
+    * Why 64/16 and not the classic 32/8: 8-bit blocks give 4×256 = 1,024
+    * buckets total — at corpus scale every bucket holds ~n/1024 docs and
+    * the within-bucket verify join goes quadratic. 16-bit blocks give
+    * 4×65,536 buckets, a 256× smaller per-bucket population, and the wider
+    * hash halves the false-collision rate per bit budget.
+    *
+    * The term hash takes bits 0..31 from md5 hex chars 1-8 and bits 32..63
+    * from chars 9-16 (two independent 32-bit halves — portable: both
+    * engines parse 8 hex chars into a non-negative int64 exactly).
+    * Input: df with (idCol, "term"); output: (idCol, b0..b3:int). */
+  def simhash64(termsDf: DataFrame, idCol: String): DataFrame = {
+    val hashed = termsDf.select(col(idCol),
+      conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long").as("hlo"),
+      conv(substring(md5(col("term")), 9, 8), 16, 10).cast("long").as("hhi"))
+    def bit(j: Int): Column =
+      shiftright(if (j < 32) col("hlo") else col("hhi"), j % 32).bitwiseAND(lit(1L))
+    val sums = (0 until 64).map(j => sum(when(bit(j) === 1L, 1).otherwise(-1)).as(s"s$j"))
+    hashed.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+      .select(col(idCol) +: (0 until 4).map { b =>
+        (0 until 16).map(j => when(col(s"s${16 * b + j}") > 0, lit(1 << j)).otherwise(lit(0)))
+          .reduce(_ + _).cast("int").as(s"b$b")
+      }: _*)
   }
 
-  /** SimHash near-dup candidates by the pigeonhole block trick: any two
-    * 32-bit hashes within Hamming distance 3 agree on ≥1 of 4 8-bit blocks,
-    * so bucket-join per block (no all-pairs), then verify the exact Hamming
-    * distance. Output: (id1, id2, hamming ≤ maxHamming). */
+  /** SimHash near-dup candidates by the pigeonhole block trick: two hashes
+    * within Hamming distance 3 differ in ≤3 of 4 blocks, so they AGREE on
+    * ≥1 block — bucket-join per (block index, block value), no all-pairs,
+    * then verify the exact Hamming distance as the sum of per-block
+    * `bit_count(xor)`. Input: [[simhash64]] output; result:
+    * (id1, id2, hamming ≤ maxHamming). */
   def simhashPairs(sim: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
-    val blocks = sim.select(col(idCol), col("simhash"),
-        explode(array((0 until 4).map { b =>
-          struct(lit(b).as("blk"), shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("bval"))
-        }: _*)).as("b"))
-      .select(col(idCol), col("simhash"), col("b.blk").as("blk"), col("b.bval").as("bval"))
+    val bcols = (0 until 4).map(b => s"b$b")
+    val blocks = sim.select(
+        col(idCol) +: bcols.map(col) :+
+          explode(array((0 until 4).map { b =>
+            struct(lit(b).as("blk"), col(s"b$b").as("bval"))
+          }: _*)).as("e"): _*)
+      .select(col(idCol) +: bcols.map(col) :+
+        col("e.blk").as("blk") :+ col("e.bval").as("bval"): _*)
     blocks.alias("a").join(blocks.alias("b"), Seq("blk", "bval"))
       .filter(col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"),
-        col("a.simhash").as("h1"), col("b.simhash").as("h2"))
+      .select(Seq(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2")) ++
+        bcols.map(c => col(s"a.$c").as(s"x$c")) ++
+        bcols.map(c => col(s"b.$c").as(s"y$c")): _*)
       .distinct()
-      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .withColumn("hamming",
+        bcols.map(c => bit_count(col(s"x$c").bitwiseXOR(col(s"y$c"))))
+          .reduce(_ + _).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("id1", "id2", "hamming")
   }

@@ -53,15 +53,22 @@ class TextOpsSpec extends SparkSpec {
     assert(all((1L, 3L)) == 0.0)
   }
 
-  test("simhash: identical docs collide; block join finds hd<=3 pairs") {
+  test("simhash64: identical docs collide; blocks 16-bit; join finds hd<=3 pairs") {
     val terms = docs.select(col("doc_id"), explode(TextOps.shingles(col("text"))).as("term"))
-    val sim = TextOps.simhash32(terms, "doc_id")
-    val byId = sim.as[(Long, Long)].collect().toMap
-    assert(byId(1L) == byId(4L))
-    assert(byId.values.forall(h => h >= 0 && h <= 0xFFFFFFFFL))
+    val sim = TextOps.simhash64(terms, "doc_id")
+    val byId = sim.as[(Long, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(byId(1L) == byId(4L)) // exact dups -> identical 64-bit hash
+    assert(byId.values.forall { case (b0, b1, b2, b3) =>
+      Seq(b0, b1, b2, b3).forall(b => b >= 0 && b <= 0xFFFF) }) // 16-bit blocks
+    // the four blocks are genuinely independent halves of one 64-bit hash:
+    // distinct docs should not share all four blocks
+    assert(byId(1L) != byId(3L))
     val pairs = TextOps.simhashPairs(sim, "doc_id", maxHamming = 3)
       .select("id1", "id2", "hamming").as[(Long, Long, Int)].collect()
     assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0))
+    // stranger doc 3 must not appear within hd<=3 of anything
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
   test("langId: marker counting and lexicographic tie-break") {
