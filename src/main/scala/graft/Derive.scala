@@ -46,6 +46,22 @@ object Derive {
       (lit(18.4) + (col("c_custkey") % 97) * lit(2e-3)).as("lon"),
       (lit(54.3) + ((col("c_custkey") * 13) % 89) * lit(2e-3)).as("lat"))
 
+  /** Geo-consistent node layout for the spatial-tiling path: node i sits at
+    * lattice cell (row = i/GridW, col = i%GridW) with 2e-3° spacing, so
+    * grid-graph neighbors are ~130-223 m apart geographically — the
+    * street-network premise (edge geo-length ≪ tile buffer) that makes
+    * tile-local routing exact. Real OSM input satisfies it by construction
+    * (an edge IS a street segment); [[nodes]] deliberately scatters
+    * positions to stress the snap join, which breaks it, so the Pipeline's
+    * tiling demo uses this table. Same node_idx set as [[nodes]], so
+    * [[edges]] and all graph operators are unchanged. */
+  def geoNodes(spark: SparkSession, dir: String): DataFrame =
+    parquet(spark, dir, "customer").select(
+      col("c_custkey").cast("int").as("node_idx"),
+      (col("c_custkey") * 10 + 7).as("osm_node_id"),
+      (lit(18.4) + (col("c_custkey") % GridW) * lit(2e-3)).as("lon"),
+      (lit(54.3) + floor(col("c_custkey") / GridW) * lit(2e-3)).as("lat"))
+
   /** Directed forward edges (u < v) of the grid graph with integer-valued
     * weights w ∈ [250, 350]: ≤4 hops fit the 1000 m reach limit, keeping the
     * recursive-CTE oracle tractable while exercising real multi-hop routing. */

@@ -107,4 +107,25 @@ object Grid {
         lat >= tMinLat - lit(l.dlatBuf) && lat <= tMaxLat + lit(l.dlatBuf))
       .withColumn("grid_id", gridId(col("row"), col("col")))
   }
+
+  /** Owner-tile assignment — the dedup counterpart of [[assignBuffered]]'s
+    * replication: exactly ONE (row, col, grid_id) per point, the tile whose
+    * center is nearest (closed-form inversion of the lattice equation, no
+    * join, no explode). For interior points nearest-center IS tile-bbox
+    * containment (tiles are center±half with spacing = width); points on a
+    * shared tile edge tie-break to the lower index via floor(x+0.5), which
+    * is deterministic and always one of the tiles [[assignBuffered]]
+    * replicated the point into. Results computed per buffered tile are
+    * made globally exact by keeping only each node's owner-tile row
+    * (SURVEY §4; reference grid_creation.py:235-236 buffer convention). */
+  def assignOwner(points: DataFrame, l: Lattice,
+                  lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+    import graft.functions.GeoFunctions.gridId
+    def clamp(c: Column, max: Int): Column =
+      least(greatest(c, lit(0)), lit(max - 1)).cast("int")
+    val ci = clamp(floor((lit(l.firstCenterLon) - col(lonCol)) / lit(l.dlonTile) + 0.5), l.nCols)
+    val ri = clamp(floor((lit(l.firstCenterLat) - col(latCol)) / lit(l.dlatTile) + 0.5), l.nRows)
+    points.withColumn("row", ri).withColumn("col", ci)
+      .withColumn("grid_id", gridId(col("row"), col("col")))
+  }
 }
