@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Wkt
 import graft.operators._
 import graft.sources.{Sinks, ValidatedSource}
 
@@ -636,6 +637,38 @@ object SparkEntry {
         .select(col("branch"), col("node_idx"),
           round(col("center_dist_m"), 3).as("center_dist_mm3"))
         .orderBy("branch", "node_idx")
+    }),
+
+    // P12: WKT geometry → centroid normalization (shapely semantics:
+    // point itself / length-weighted line / shoelace polygon; unsupported
+    // type → null) over a part-derived WKT fixture with integer
+    // coordinates, so every shoelace sum is exact and the one division per
+    // coordinate is the same IEEE op in both engines. The oracle does NOT
+    // reparse strings — it recomputes centroids straight from the integer
+    // arithmetic, an independent check of the whole parse+math path.
+    "q55_wkt_centroid" -> ((s, dir) => {
+      val p = col("p_partkey")
+      def istr(c: org.apache.spark.sql.Column) = c.cast("int").cast("string")
+      def xy(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        concat(istr(x), lit(" "), istr(y))
+      val a = p % 100; val b = (p * 7) % 100
+      val cc = p % 5 + 1; val dd = (p * 3) % 7 + 1
+      val m = p % 4
+      val wkt = when(m === 0, concat(lit("POINT ("), xy(a, b), lit(")")))
+        .when(m === 1, concat(lit("LINESTRING ("), xy(a, b), lit(", "),
+          xy(a + cc, b + dd), lit(", "), xy(a + cc + 3, b), lit(")")))
+        .when(m === 2, concat(lit("POLYGON (("), xy(a, b), lit(", "),
+          xy(a + cc, b), lit(", "), xy(a, b + dd), lit(", "), xy(a, b), lit("))")))
+        .otherwise(concat(lit("GEOM ("), xy(a, b), lit(")")))
+      t(s, dir, "part").select(p.as("elem_id"), wkt.as("wkt"))
+        .select(col("elem_id"),
+          Wkt.geomType(col("wkt")).as("typ"),
+          Wkt.points(col("wkt")).as("pts"))
+        .select(col("elem_id"), col("typ"),
+          Wkt.centroid(col("typ"), col("pts")).as("c"))
+        .select(col("elem_id"), col("typ"),
+          col("c.x").as("cx"), col("c.y").as("cy"))
+        .orderBy("elem_id")
     })
   )
 
@@ -1339,6 +1372,50 @@ object SparkEntry {
          |  FROM edges)
          |SELECT u, v, w FROM bad WHERE u >= 0 AND v >= 0
          |ORDER BY u, v""".stripMargin,
+
+    // Mirrors the q55 fixture's integer arithmetic and computes centroids
+    // DIRECTLY from it (no string re-parse) — an independent oracle for the
+    // whole Wkt parse+centroid path. Parity: coordinates are exact integer
+    // doubles, so shoelace sums are exact in any order; the linestring has
+    // exactly 2 segments, so its double sums are order-safe by IEEE
+    // commutativity; each final division is one identical IEEE op.
+    "q55_wkt_centroid" -> {
+      def seg(expr: String) = s"list_transform(range(1, len(pt)), i -> $expr)"
+      val dx = "(pt[i+1].x - pt[i].x)"; val dy = "(pt[i+1].y - pt[i].y)"
+      val len = s"sqrt($dx*$dx + $dy*$dy)"
+      val cross = "(pt[i].x*pt[i+1].y - pt[i+1].x*pt[i].y)"
+      s"""WITH base AS (
+         |  SELECT p_partkey AS elem_id, CAST(p_partkey % 4 AS INT) AS m,
+         |         CAST(p_partkey % 100 AS DOUBLE) AS a,
+         |         CAST((p_partkey*7) % 100 AS DOUBLE) AS b,
+         |         CAST(p_partkey % 5 + 1 AS DOUBLE) AS c,
+         |         CAST((p_partkey*3) % 7 + 1 AS DOUBLE) AS d
+         |  FROM part),
+         |pts AS (
+         |  SELECT elem_id, m, a, b, CASE m
+         |    WHEN 0 THEN [{'x': a, 'y': b}]
+         |    WHEN 1 THEN [{'x': a, 'y': b}, {'x': a+c, 'y': b+d}, {'x': a+c+3, 'y': b}]
+         |    WHEN 2 THEN [{'x': a, 'y': b}, {'x': a+c, 'y': b}, {'x': a, 'y': b+d}, {'x': a, 'y': b}]
+         |    ELSE [{'x': a, 'y': b}] END AS pt
+         |  FROM base),
+         |agg AS (
+         |  SELECT elem_id, m, a, b,
+         |         list_sum(${seg(s"(pt[i].x + pt[i+1].x)/2 * $len")}) AS lsx,
+         |         list_sum(${seg(s"(pt[i].y + pt[i+1].y)/2 * $len")}) AS lsy,
+         |         list_sum(${seg(len)}) AS sl,
+         |         list_sum(${seg(s"(pt[i].x + pt[i+1].x) * $cross")}) AS psx,
+         |         list_sum(${seg(s"(pt[i].y + pt[i+1].y) * $cross")}) AS psy,
+         |         list_sum(${seg(cross)}) AS psa
+         |  FROM pts)
+         |SELECT elem_id,
+         |       CASE m WHEN 0 THEN 'POINT' WHEN 1 THEN 'LINESTRING'
+         |              WHEN 2 THEN 'POLYGON' ELSE 'GEOM' END AS typ,
+         |       CASE m WHEN 0 THEN a WHEN 1 THEN lsx/sl
+         |              WHEN 2 THEN psx/(psa*3) END AS cx,
+         |       CASE m WHEN 0 THEN b WHEN 1 THEN lsy/sl
+         |              WHEN 2 THEN psy/(psa*3) END AS cy
+         |FROM agg ORDER BY elem_id""".stripMargin
+    },
 
     "q54_nodes_near" -> {
       val dHit = Derive.Sql.havM("CAST(18.45 AS DOUBLE)", "CAST(54.35 AS DOUBLE)", "lon", "lat")
