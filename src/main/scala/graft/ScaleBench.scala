@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-proof harness: materializes a k× copy of an sf directory and times
+  * the headline scale-sensitive queries on BOTH the source and the scaled
+  * data, printing per-query seconds and the scaling ratio — converting the
+  * "would this hold at 10×?" design arguments into measurements when no
+  * larger driver-side sf exists.
+  *
+  * Scaling is union-of-key-offset copies, preserving the invariants the
+  * engine derives from (SURVEY §1.1 / Derive.scala):
+  *  - dense synthetic keys stay dense (customer/part keys offset by
+  *    copy × count, so arithmetic node ids keep working);
+  *  - foreign keys follow their parents (orders.o_custkey, lineitem's
+  *    order/part keys), so join fan-outs stay uniform instead of skewing
+  *    every reference onto the first copy;
+  *  - dimension tables (region/nation/supplier) are NOT replicated — their
+  *    key domains are closed and replication would corrupt joins;
+  *  - document text is rewritten per copy with an injective token prefix:
+  *    Jaccard similarity is invariant under token renaming, so each copy's
+  *    planted near-dup pairs survive, but copies do NOT pair with each
+  *    other — near-dup work scales linearly instead of blowing up
+  *    quadratically on artificial cross-copy duplicates.
+  *
+  * Usage: `sbt "runMain graft.ScaleBench [srcDir] [k] [outDir]"`
+  * (defaults /root/testdata/sf0.1, 10, /tmp/graft_scale). Prints one JSON
+  * line: {"metric":"scale","k":10,"queries":{q:{"base":s,"scaled":s}},...}.
+  */
+object ScaleBench {
+
+  /** The scale-sensitive headline subset (round-2 verdict item 8): scans,
+    * broadcast joins, the snap bucket join, the per-tile and Pregel reach,
+    * LSH dedup, fingerprinting, ANN brute scan. */
+  val ScaleQueries: Seq[String] = Seq(
+    "q01_pricing_summary", "q03_revenue_by_nation", "q21_sym_dedup",
+    "q23_snap", "q26_dijkstra_reach", "q27_multi_tile_reach",
+    "q31_minhash_lsh", "q37_fingerprint", "q40_cosine_topk",
+    "q45_reach_pregel")
+
+  def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
+    def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    val nCust = read("customer").count()
+    val nPart = read("part").count()
+    val nOrd = read("orders").count()
+    val nDoc = read("documents").count()
+    val nVec = read("embeddings").count()
+
+    def copies(t: String)(f: (DataFrame, Int) => DataFrame): Unit =
+      write((0 until k).map(i => f(read(t), i)).reduce(_ unionByName _), t)
+
+    copies("customer")((d, i) => d.withColumn("c_custkey", col("c_custkey") + lit(i * nCust)))
+    copies("part")((d, i) => d.withColumn("p_partkey", col("p_partkey") + lit(i * nPart)))
+    copies("orders")((d, i) => d
+      .withColumn("o_orderkey", col("o_orderkey") + lit(i * nOrd))
+      .withColumn("o_custkey", col("o_custkey") + lit(i * nCust)))
+    copies("lineitem")((d, i) => d
+      .withColumn("l_orderkey", col("l_orderkey") + lit(i * nOrd))
+      .withColumn("l_partkey", col("l_partkey") + lit(i * nPart)))
+    copies("documents")((d, i) => d
+      .withColumn("doc_id", col("doc_id") + lit(i * nDoc))
+      .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"c$i" + "$1")))
+    copies("embeddings")((d, i) => d.withColumn("vec_id", col("vec_id") + lit(i * nVec)))
+    Seq("region", "nation", "supplier", "events").foreach(t => write(read(t), t))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = args.lift(1).map(_.toInt).getOrElse(10)
+    val out = args.lift(2).getOrElse("/tmp/graft_scale")
+    val spark = GraftSession.get("graft-scalebench")
+    spark.range(1).count() // session warmup outside any timing
+
+    val t0 = System.nanoTime()
+    materialize(spark, src, out, k)
+    val tMat = (System.nanoTime() - t0) / 1e9
+
+    def time(dir: String, name: String): Either[String, Double] = {
+      val s = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - s) / 1e9)
+      } catch {
+        case e: Throwable => Left(e.toString.takeWhile(_ != '\n').take(160))
+      }
+    }
+
+    val rows = ScaleQueries.map { q => (q, time(src, q), time(out, q)) }
+    def fmt(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val qs = rows.map { case (q, b, s) =>
+      val base = b.fold(_ => "-1", fmt)
+      val scaled = s.fold(_ => "-1", fmt)
+      val ratio = (b, s) match {
+        case (Right(bb), Right(ss)) if bb > 0 => fmt(ss / bb)
+        case _ => "-1"
+      }
+      s""""$q":{"base":$base,"scaled":$scaled,"ratio":$ratio}"""
+    }.mkString("{", ",", "}")
+    val errors = rows.collect {
+      case (q, Left(_), _) => s""""$q""""
+      case (q, _, Left(_)) => s""""$q""""
+    }.distinct.mkString("[", ",", "]")
+    println(s"""{"metric":"scale","k":$k,"materialize_sec":${fmt(tMat)},"queries":$qs,"errors":$errors,"src":"$src"}""")
+    rows.foreach { case (q, b, s) =>
+      b.left.foreach(e => System.err.println(s"[scale] $q base FAILED: $e"))
+      s.left.foreach(e => System.err.println(s"[scale] $q scaled FAILED: $e"))
+    }
+    spark.stop()
+    if (rows.exists(r => r._2.isLeft || r._3.isLeft)) sys.exit(1)
+  }
+}
