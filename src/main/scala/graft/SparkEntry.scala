@@ -669,6 +669,53 @@ object SparkEntry {
         .select(col("elem_id"), col("typ"),
           col("c.x").as("cx"), col("c.y").as("cy"))
         .orderBy("elem_id")
+    }),
+
+    // Gopher-style repetition quality metrics; repetitive suffixes planted
+    // on doc_id%10==0 so the dup-2gram path fires on real rows. All ratios
+    // are exact integer divisions (engine-identical IEEE ops).
+    "q56_repetition" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" spam spam spam spam")))
+          .otherwise(col("text")).as("text"))
+      CorpusOps.repetitionStats(docs).orderBy("doc_id")
+    }),
+
+    // Deterministic stratified sampling (mixture weighting): md5-bucket
+    // thresholds per source, map-side only — reproducible across engines,
+    // runs, and partitionings.
+    "q57_stratified_sample" -> ((s, dir) => {
+      val rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.125)
+      CorpusOps.sampleByHash(t(s, dir, "documents"), rates)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
+    // PII scrubbing over planted emails/phones/card numbers; result keyed
+    // by md5 of the scrubbed text so the gate checks every replacement
+    // byte without hauling full text through the compare.
+    "q58_pii_scrub" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0, concat(lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" call +1 555 123 4567")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, lit(" card 4111111111111111")).otherwise(lit("")))
+          .as("text"))
+      CorpusOps.scrubPii(corpus)
+        .select(col("doc_id"), col("n_pii"), md5(col("text")).as("scrubbed_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-domain frequency cap (anti-SEO-farm gate): partitioned window,
+    // deterministic doc_id tie-break.
+    "q59_domain_cap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("d"), (col("doc_id") % 37).cast("string")).as("domain"))
+      CorpusOps.capPerDomain(docs, cap = 8)
+        .orderBy("domain", "doc_id")
     })
   )
 
@@ -1416,6 +1463,68 @@ object SparkEntry {
          |              WHEN 2 THEN psy/(psa*3) END AS cy
          |FROM agg ORDER BY elem_id""".stripMargin
     },
+
+    // DuckDB `/` on integers yields DOUBLE (like Spark's int/int column
+    // division); both sides divide the same exact integers, so the ratios
+    // are bit-identical. len() is cast to INTEGER to match Spark's size().
+    "q56_repetition" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 10 = 0
+        |    THEN text || ' spam spam spam spam' ELSE text END AS text
+        |  FROM documents),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        |g AS (SELECT doc_id, CAST(len(w) AS INTEGER) AS n_words,
+        |             list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS g2
+        |      FROM w),
+        |gm AS (SELECT doc_id, n_words, CAST(len(g2) AS INTEGER) AS n_2grams,
+        |              CAST(len(g2) - len(list_distinct(g2)) AS INTEGER) AS n_dup_2grams
+        |       FROM g),
+        |tok AS (SELECT doc_id, unnest(w) AS tok FROM w),
+        |tc AS (SELECT doc_id, tok, count(*) AS n FROM tok GROUP BY 1, 2),
+        |ts AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS top_tok_n FROM tc GROUP BY 1)
+        |SELECT doc_id, n_words, n_2grams, n_dup_2grams,
+        |       CASE WHEN n_2grams > 0 THEN n_dup_2grams / n_2grams
+        |            ELSE 0.0 END AS dup_2gram_ratio,
+        |       CASE WHEN n_words > 0 THEN coalesce(top_tok_n, 0) / n_words
+        |            ELSE 0.0 END AS top_tok_share
+        |FROM gm JOIN ts USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q57_stratified_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST(concat('0x', substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 <
+        |      CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+        |                  WHEN 'src2' THEN 2500 WHEN 'src3' THEN 1250 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin,
+
+    // Shares CorpusOps' literal PII patterns (no escapes, Java/RE2-common
+    // subset); DuckDB regexp_replace needs the 'g' flag to match Spark's
+    // replace-all default.
+    "q58_pii_scrub" -> {
+      val (e, p, c) = (CorpusOps.EmailPat, CorpusOps.PhonePat, CorpusOps.CardPat)
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0 THEN ' call +1 555 123 4567' ELSE '' END ||
+         |    CASE WHEN doc_id % 13 = 0 THEN ' card 4111111111111111' ELSE '' END AS text
+         |  FROM documents),
+         |scrub AS (
+         |  SELECT doc_id,
+         |         CAST(len(regexp_extract_all(text, '$e')) +
+         |              len(regexp_extract_all(text, '$p')) +
+         |              len(regexp_extract_all(text, '$c')) AS INTEGER) AS n_pii,
+         |         regexp_replace(regexp_replace(regexp_replace(text,
+         |           '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g'), '$c', '<NUMBER>', 'g') AS text
+         |  FROM corpus)
+         |SELECT doc_id, n_pii, md5(text) AS scrubbed_md5
+         |FROM scrub ORDER BY doc_id""".stripMargin
+    },
+
+    "q59_domain_cap" ->
+      """WITH d AS (SELECT doc_id, 'd' || CAST(doc_id % 37 AS VARCHAR) AS domain FROM documents),
+        |r AS (SELECT doc_id, domain,
+        |             row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+        |      FROM d)
+        |SELECT doc_id, domain FROM r WHERE rn <= 8 ORDER BY domain, doc_id""".stripMargin,
 
     "q54_nodes_near" -> {
       val dHit = Derive.Sql.havM("CAST(18.45 AS DOUBLE)", "CAST(54.35 AS DOUBLE)", "lon", "lat")

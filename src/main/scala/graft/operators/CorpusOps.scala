@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for the training-data pipeline, beyond the
+  * dedup/similarity family in [[TextOps]]: repetition-based quality gates,
+  * reproducible stratified sampling, PII scrubbing, and per-domain caps —
+  * the remaining standard stages of a pretraining data build.
+  *
+  * Same design rules as TextOps: `org.apache.spark.sql.functions` only (no
+  * UDFs), md5 for anything hashed (engine-portable, oracle-checkable),
+  * exact integer ratios for every score, and no operation whose cost grows
+  * faster than the corpus (every groupBy keys on document or (document,
+  * token) — shuffle-friendly at 100 TB).
+  */
+object CorpusOps {
+
+  /** Gopher-style repetition metrics per document: the fraction of word
+    * 2-grams that are repeats (1 − distinct/total) and the share of the
+    * most frequent token. High values mark boilerplate/spam for the
+    * quality gate. Exact integer ratios; short docs (<2 words) get
+    * zero-filled metrics, matching "nothing to repeat".
+    *
+    * Shape: the 2-gram ratio is per-row array math (no shuffle); the
+    * top-token share is explode → count per (doc, token) → max per doc —
+    * two partial-aggregated shuffles on (doc, token)/(doc), the
+    * word-count pattern that scales linearly. */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val grams = docs
+      .select(col(idCol), col(textCol), TextOps.words(col(textCol)).as("w"))
+      .select(col(idCol), col(textCol), col("w"),
+        when(size(col("w")) >= 2,
+          transform(sequence(lit(1), size(col("w")) - 1),
+            i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
+          .otherwise(array().cast("array<string>")).as("g2"))
+      .select(col(idCol), col(textCol),
+        size(col("w")).as("n_words"),
+        size(col("g2")).as("n_2grams"),
+        (size(col("g2")) - size(array_distinct(col("g2")))).as("n_dup_2grams"))
+    val topShare = docs
+      .select(col(idCol), explode(TextOps.words(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("n"))
+      .groupBy(col(idCol)).agg(max(col("n")).as("top_tok_n"))
+    grams.join(topShare, Seq(idCol), "left")
+      .select(col(idCol),
+        col("n_words"), col("n_2grams"), col("n_dup_2grams"),
+        when(col("n_2grams") > 0, col("n_dup_2grams") / col("n_2grams"))
+          .otherwise(lit(0.0)).as("dup_2gram_ratio"),
+        when(col("n_words") > 0, coalesce(col("top_tok_n"), lit(0L)) / col("n_words"))
+          .otherwise(lit(0.0)).as("top_tok_share"))
+  }
+
+  /** Deterministic stratified sampling — the mixture-weighting primitive:
+    * keep a row iff md5(source ∥ ':' ∥ id) mod 10⁴ < rate(source)·10⁴.
+    * Reproducible across engines/runs/partitionings (no RNG state), per-
+    * stratum rates, and a pure map-side filter — the only way to sample
+    * 100 TB without a shuffle. Unlisted strata default to rate 0. */
+  def sampleByHash(docs: DataFrame, rates: Map[String, Double],
+                   strataCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    val bucket = conv(substring(md5(
+      concat(col(strataCol), lit(":"), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 10000
+    val threshold = rates.foldLeft(lit(0.0)) { case (rest, (s, r)) =>
+      when(col(strataCol) === s, lit((r * 10000).toInt)).otherwise(rest)
+    }
+    docs.filter(bucket < threshold)
+  }
+
+  /** PII scrubbing: replace e-mail addresses, phone-shaped digit runs, and
+    * 13-19-digit card-shaped runs with typed placeholder tokens, appending
+    * a per-row replacement count for audit. Patterns stay in the regex
+    * subset Java and RE2 agree on (character classes, bounded repeats — no
+    * backrefs/lookaround), so the same scrub is expressible in any engine.
+    * Per-row regex work: linear scan, no shuffle. */
+  /** The PII patterns, shared with the SQL oracle mirror (single source of
+    * truth; no `\\`-escape sequences so the strings embed verbatim in
+    * single-quoted SQL literals). */
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val PhonePat = "[+]?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}"
+  val CardPat = "[0-9]{13,19}"
+
+  def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    def countMatches(c: Column, pat: String): Column =
+      size(regexp_extract_all(c, lit(pat), lit(0)))
+    val nPii = countMatches(col(textCol), EmailPat) +
+      countMatches(col(textCol), PhonePat) + countMatches(col(textCol), CardPat)
+    docs
+      .withColumn("n_pii", nPii.cast("int"))
+      .withColumn(textCol,
+        regexp_replace(regexp_replace(regexp_replace(col(textCol),
+          EmailPat, "<EMAIL>"), PhonePat, "<PHONE>"), CardPat, "<NUMBER>"))
+  }
+
+  /** Per-domain frequency cap — the anti-SEO-farm gate: keep at most
+    * `cap` documents per domain, preferring by `orderCol` ascending with
+    * the id as a deterministic tie-break. Partitioned window (one shuffle
+    * on domain); domains far above the cap are exactly the skewed keys AQE
+    * splits, and the rank is per-domain so no global sort exists. */
+  def capPerDomain(docs: DataFrame, cap: Int, domainCol: String = "domain",
+                   orderCol: String = "doc_id", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(domainCol)).orderBy(col(orderCol), col(idCol))
+    docs.withColumn("domain_rank", row_number().over(w))
+      .filter(col("domain_rank") <= cap)
+      .drop("domain_rank")
+  }
+}

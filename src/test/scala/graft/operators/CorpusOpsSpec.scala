@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetitionStats: exact dup-2gram ratio and top-token share") {
+    val d = Seq(
+      (1L, "a b a b a"), // 2grams: [a b, b a, a b, b a] -> 2 dups of 4
+      (2L, "all words here differ now"), // no repeats
+      (3L, "x")) // too short for 2-grams
+      .toDF("doc_id", "text")
+    val r = CorpusOps.repetitionStats(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getInt(2) == 4 && r(1L).getInt(3) == 2)
+    assert(r(1L).getDouble(4) == 0.5) // dup_2gram_ratio
+    assert(r(1L).getDouble(5) == 3.0 / 5) // 'a' appears 3 of 5
+    assert(r(2L).getInt(3) == 0 && r(2L).getDouble(4) == 0.0)
+    assert(r(2L).getDouble(5) == 1.0 / 5)
+    assert(r(3L).getInt(2) == 0 && r(3L).getDouble(4) == 0.0)
+    assert(r(3L).getDouble(5) == 1.0) // single token is 1/1
+  }
+
+  test("sampleByHash: deterministic, stratified, extreme rates exact") {
+    val d = (0L until 400L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val rates = Map("src0" -> 1.0, "src1" -> 0.0, "src2" -> 0.5)
+    val kept = CorpusOps.sampleByHash(d, rates).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.count(_._2 == "src0") == 100) // rate 1.0 keeps all
+    assert(!kept.exists(_._2 == "src1")) // rate 0.0 drops all
+    assert(!kept.exists(_._2 == "src3")) // unlisted stratum defaults to 0
+    val n2 = kept.count(_._2 == "src2")
+    assert(n2 > 20 && n2 < 80, s"src2 kept $n2 of 100 at rate 0.5")
+    // reproducible: second run identical
+    val again = CorpusOps.sampleByHash(d, rates).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.toSet == again.toSet)
+  }
+
+  test("scrubPii: emails, phones, card numbers replaced and counted") {
+    val d = Seq(
+      (1L, "mail me at jane.doe+x@example.co.uk today"),
+      (2L, "call +1 555 123 4567 or write a@b.io"),
+      (3L, "card 4111111111111111 exp 12/26"),
+      (4L, "nothing sensitive here"))
+      .toDF("doc_id", "text")
+    val r = CorpusOps.scrubPii(d).collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getInt(2))).toMap
+    assert(r(1L)._1 == "mail me at <EMAIL> today" && r(1L)._2 == 1)
+    assert(r(2L)._1 == "call <PHONE> or write <EMAIL>" && r(2L)._2 == 2)
+    assert(r(3L)._1 == "card <NUMBER> exp 12/26" && r(3L)._2 == 1)
+    assert(r(4L)._1 == "nothing sensitive here" && r(4L)._2 == 0)
+  }
+
+  test("capPerDomain: keeps at most cap docs per domain, deterministic order") {
+    val d = (0L until 30L).map(i => (i, s"d${i % 3}")).toDF("doc_id", "domain")
+    val kept = CorpusOps.capPerDomain(d, cap = 4)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(kept.length == 12)
+    // lowest doc_ids win per domain
+    assert(kept.filter(_._1 == "d0").map(_._2).sorted.sameElements(Seq(0L, 3L, 6L, 9L)))
+    assert(kept.filter(_._1 == "d2").map(_._2).sorted.sameElements(Seq(2L, 5L, 8L, 11L)))
+  }
+}
