@@ -66,7 +66,12 @@ object Wkt {
 
     // LINESTRING: length-weighted mean of segment midpoints. Left fold in
     // array order (Spark `aggregate`); the SQL mirror may sum in any order
-    // for ≤2 segments because IEEE + is commutative.
+    // for ≤2 segments because IEEE + is commutative. The division happens
+    // in aggregate's FINISH lambda, where the accumulator is a bound
+    // variable: referencing the fold via getField would re-embed (and,
+    // HOFs being CodegenFallback, re-EVALUATE) the whole aggregate once
+    // per field access — the same subtree-inlining trap as
+    // TextOps.shinglesFromWords, just per-field instead of per-element.
     val segs = transform(sequence(lit(1), size(pts) - 1), i => {
       val p = element_at(pts, i); val q = element_at(pts, i + 1)
       val dx = q.getField("x") - p.getField("x")
@@ -77,17 +82,22 @@ object Wkt {
         len.as("sl"))
     })
     val zero = struct(lit(0.0).as("sx"), lit(0.0).as("sy"), lit(0.0).as("sl"))
-    val tot = aggregate(segs, zero, (a, s) => struct(
+    val merge = (a: Column, s: Column) => struct(
       (a.getField("sx") + s.getField("sx")).as("sx"),
       (a.getField("sy") + s.getField("sy")).as("sy"),
-      (a.getField("sl") + s.getField("sl")).as("sl")))
-    val lineC = when(size(pts) >= 2 && tot.getField("sl") > 0.0,
-      struct((tot.getField("sx") / tot.getField("sl")).as("x"),
-        (tot.getField("sy") / tot.getField("sl")).as("y")))
+      (a.getField("sl") + s.getField("sl")).as("sl"))
+    val nullC = lit(null).cast("struct<x:double,y:double>")
+    val lineC = when(size(pts) >= 2,
+      aggregate(segs, zero, merge, acc =>
+        when(acc.getField("sl") > 0.0,
+          struct((acc.getField("sx") / acc.getField("sl")).as("x"),
+            (acc.getField("sy") / acc.getField("sl")).as("y")))
+          .otherwise(nullC)))
 
     // POLYGON: shoelace area centroid over the closed outer ring
     // (cx = Σ(x_i+x_{i+1})·cross_i / (3·Σcross_i)); sign-independent, so
-    // ring orientation doesn't matter. Zero signed area → null.
+    // ring orientation doesn't matter. Zero signed area → null. Same
+    // finish-lambda staging as the linestring fold.
     val crosses = transform(sequence(lit(1), size(pts) - 1), i => {
       val p = element_at(pts, i); val q = element_at(pts, i + 1)
       val cross = p.getField("x") * q.getField("y") - q.getField("x") * p.getField("y")
@@ -96,14 +106,17 @@ object Wkt {
         cross.as("sa"))
     })
     val zeroA = struct(lit(0.0).as("sx"), lit(0.0).as("sy"), lit(0.0).as("sa"))
-    val ptot = aggregate(crosses, zeroA, (a, s) => struct(
+    val mergeA = (a: Column, s: Column) => struct(
       (a.getField("sx") + s.getField("sx")).as("sx"),
       (a.getField("sy") + s.getField("sy")).as("sy"),
-      (a.getField("sa") + s.getField("sa")).as("sa")))
+      (a.getField("sa") + s.getField("sa")).as("sa"))
     val closed = element_at(pts, 1) === element_at(pts, size(pts))
-    val polyC = when(size(pts) >= 4 && closed && ptot.getField("sa") =!= 0.0,
-      struct((ptot.getField("sx") / (ptot.getField("sa") * 3)).as("x"),
-        (ptot.getField("sy") / (ptot.getField("sa") * 3)).as("y")))
+    val polyC = when(size(pts) >= 4 && closed,
+      aggregate(crosses, zeroA, mergeA, acc =>
+        when(acc.getField("sa") =!= 0.0,
+          struct((acc.getField("sx") / (acc.getField("sa") * 3)).as("x"),
+            (acc.getField("sy") / (acc.getField("sa") * 3)).as("y")))
+          .otherwise(nullC)))
 
     when(bad, lit(null).cast("struct<x:double,y:double>"))
       .when(typ === "POINT" && size(pts) === 1, pt(element_at(pts, 1)))
