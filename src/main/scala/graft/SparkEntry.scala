@@ -986,7 +986,7 @@ object SparkEntry {
          |SELECT b.category, n.n_sources, count(*) AS n_within,
          |       median(b.dist_m) AS median_dist_m,
          |       median(b.dist_m) / 1.111 AS median_time_s,
-         |       1000.0 AS limit_m
+         |       CAST(1000.0 AS DOUBLE) AS limit_m
          |FROM best b JOIN nsrc n USING (category)
          |GROUP BY b.category, n.n_sources
          |ORDER BY category""".stripMargin,
@@ -1507,16 +1507,16 @@ object SparkEntry {
          |    CASE WHEN doc_id % 11 = 0 THEN ' call +1 555 123 4567' ELSE '' END ||
          |    CASE WHEN doc_id % 13 = 0 THEN ' card 4111111111111111' ELSE '' END AS text
          |  FROM documents),
-         |scrub AS (
-         |  SELECT doc_id,
-         |         CAST(len(regexp_extract_all(text, '$e')) +
-         |              len(regexp_extract_all(text, '$p')) +
-         |              len(regexp_extract_all(text, '$c')) AS INTEGER) AS n_pii,
-         |         regexp_replace(regexp_replace(regexp_replace(text,
-         |           '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g'), '$c', '<NUMBER>', 'g') AS text
-         |  FROM corpus)
-         |SELECT doc_id, n_pii, md5(text) AS scrubbed_md5
-         |FROM scrub ORDER BY doc_id""".stripMargin
+         |s1 AS (SELECT doc_id, text,
+         |              regexp_replace(text, '$e', '<EMAIL>', 'g') AS t1 FROM corpus),
+         |s2 AS (SELECT doc_id, text, t1,
+         |              regexp_replace(t1, '$p', '<PHONE>', 'g') AS t2 FROM s1)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(text, '$e')) +
+         |            len(regexp_extract_all(t1, '$p')) +
+         |            len(regexp_extract_all(t2, '$c')) AS INTEGER) AS n_pii,
+         |       md5(regexp_replace(t2, '$c', '<NUMBER>', 'g')) AS scrubbed_md5
+         |FROM s2 ORDER BY doc_id""".stripMargin
     },
 
     "q59_domain_cap" ->

@@ -65,6 +65,7 @@ object StreamPipeline {
         org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))) - 1)
       .withColumn("chunk", (col("rk") * chunks / n).cast("int"))
       .drop("rk")
+      .cache() // 9 consumers below; uncached, each would redo the global sort
     val dups = ranked.orderBy("event_id").limit(10)
     (0 until chunks).foreach { i =>
       ranked.filter(col("chunk") === i).drop("chunk")

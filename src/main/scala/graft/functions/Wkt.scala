@@ -43,10 +43,12 @@ object Wkt {
     when(length(inner) > 0,
       transform(split(inner, ","), s => {
         val parts = split(trim(s), "\\s+")
-        // try_cast, not cast: ANSI mode (Spark 4 default) throws on
-        // malformed numerics; the contract here is null-and-drop
-        struct(element_at(parts, 1).try_cast("double").as("x"),
-          element_at(parts, 2).try_cast("double").as("y"))
+        // try_element_at + try_cast, not element_at/cast: ANSI mode
+        // (Spark 4 default) throws on a missing index ("POINT (3)", a
+        // trailing comma) or a malformed numeric; the contract here is
+        // null-and-drop
+        struct(try_element_at(parts, lit(1)).try_cast("double").as("x"),
+          try_element_at(parts, lit(2)).try_cast("double").as("y"))
       }))
   }
 

@@ -62,8 +62,11 @@ object CorpusOps {
     val bucket = conv(substring(md5(
       concat(col(strataCol), lit(":"), col(idCol).cast("string"))), 1, 8), 16, 10)
       .cast("long") % 10000
+    // .round, not .toInt: truncation would bias any rate whose double
+    // form sits fractionally below the bucket count (0.29 * 10000 =
+    // 2899.999…95 → 2899 buckets = a silent 28.99% stratum)
     val threshold = rates.foldLeft(lit(0.0)) { case (rest, (s, r)) =>
-      when(col(strataCol) === s, lit((r * 10000).toInt)).otherwise(rest)
+      when(col(strataCol) === s, lit(math.round(r * 10000).toInt)).otherwise(rest)
     }
     docs.filter(bucket < threshold)
   }
@@ -84,13 +87,19 @@ object CorpusOps {
   def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
     def countMatches(c: Column, pat: String): Column =
       size(regexp_extract_all(c, lit(pat), lit(0)))
+    // Count and replace SEQUENTIALLY (emails, then phones on the
+    // email-scrubbed text, then cards): counting all three patterns on the
+    // raw text would double-count overlaps (a phone- or card-shaped local
+    // part inside an email address), making the audit count disagree with
+    // the replacements actually performed.
+    val afterEmail = regexp_replace(col(textCol), EmailPat, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, PhonePat, "<PHONE>")
+    val afterCard = regexp_replace(afterPhone, CardPat, "<NUMBER>")
     val nPii = countMatches(col(textCol), EmailPat) +
-      countMatches(col(textCol), PhonePat) + countMatches(col(textCol), CardPat)
+      countMatches(afterEmail, PhonePat) + countMatches(afterPhone, CardPat)
     docs
       .withColumn("n_pii", nPii.cast("int"))
-      .withColumn(textCol,
-        regexp_replace(regexp_replace(regexp_replace(col(textCol),
-          EmailPat, "<EMAIL>"), PhonePat, "<PHONE>"), CardPat, "<NUMBER>"))
+      .withColumn(textCol, afterCard)
   }
 
   /** Per-domain frequency cap — the anti-SEO-farm gate: keep at most

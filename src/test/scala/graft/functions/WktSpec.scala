@@ -58,8 +58,48 @@ class WktSpec extends SparkSpec {
       4L -> "MULTIPOLYGON (((0 0, 1 0, 0 1, 0 0)))", // unsupported type
       5L -> "POINT (a b)", // non-numeric
       6L -> "complete garbage",
-      7L -> "POINT ()")
-    (1L to 7L).foreach(i => assert(c(i).isEmpty, s"id $i should be null"))
+      7L -> "POINT ()",
+      8L -> "POINT (3)", // one-token coordinate (ANSI element_at trap)
+      9L -> "LINESTRING (0 0, 2 0,)") // trailing comma -> empty coordinate
+    (1L to 9L).foreach(i => assert(c(i).isEmpty, s"id $i should be null"))
+  }
+
+  test("property: random integer triangles match the closed-form centroid") {
+    val rnd = new scala.util.Random(41)
+    val cases = Seq.fill(60)((rnd.between(-50, 50), rnd.between(-50, 50),
+      rnd.between(1, 9), rnd.between(1, 9)))
+    val c = centroids(cases.zipWithIndex.map { case ((a, b, w, h), i) =>
+      i.toLong -> s"POLYGON (($a $b, ${a + w} $b, $a ${b + h}, $a $b))"
+    }: _*)
+    // a triangle's area centroid is its vertex mean: (a + w/3, b + h/3)
+    cases.zipWithIndex.foreach { case ((a, b, w, h), i) =>
+      val Some((x, y)) = c(i.toLong)
+      assert(math.abs(x - (a + w / 3.0)) < 1e-9, s"case $i x")
+      assert(math.abs(y - (b + h / 3.0)) < 1e-9, s"case $i y")
+    }
+  }
+
+  test("property: random linestrings match a reference fold") {
+    val rnd = new scala.util.Random(42)
+    val cases = Seq.fill(60) {
+      val n = rnd.between(2, 7)
+      // distinct consecutive points so no zero-length segments
+      Iterator.iterate((rnd.between(-40, 40), rnd.between(-40, 40))) { case (x, y) =>
+        (x + rnd.between(1, 10), y + rnd.between(-9, 10))
+      }.take(n).toSeq
+    }
+    val c = centroids(cases.zipWithIndex.map { case (ps, i) =>
+      i.toLong -> ps.map { case (x, y) => s"$x $y" }.mkString("LINESTRING (", ", ", ")")
+    }: _*)
+    cases.zipWithIndex.foreach { case (ps, i) =>
+      var sx = 0.0; var sy = 0.0; var sl = 0.0
+      ps.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+        val len = math.sqrt((x2 - x1).toDouble * (x2 - x1) + (y2 - y1).toDouble * (y2 - y1))
+        sx += (x1 + x2) / 2.0 * len; sy += (y1 + y2) / 2.0 * len; sl += len
+      }
+      val Some((x, y)) = c(i.toLong)
+      assert(math.abs(x - sx / sl) < 1e-9 && math.abs(y - sy / sl) < 1e-9, s"case $i")
+    }
   }
 
   test("staged two-stage form equals the convenience form") {

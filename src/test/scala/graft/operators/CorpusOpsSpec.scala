@@ -38,6 +38,11 @@ class CorpusOpsSpec extends SparkSpec {
     val again = CorpusOps.sampleByHash(d, rates).collect()
       .map(r => (r.getLong(0), r.getString(1)))
     assert(kept.toSet == again.toSet)
+    // monotone in the rate (same hash, higher threshold), including a rate
+    // whose double form is fractionally below its bucket count (0.29)
+    val low = CorpusOps.sampleByHash(d, Map("src2" -> 0.29)).collect().map(_.getLong(0)).toSet
+    val high = CorpusOps.sampleByHash(d, Map("src2" -> 0.5)).collect().map(_.getLong(0)).toSet
+    assert(low.subsetOf(high))
   }
 
   test("scrubPii: emails, phones, card numbers replaced and counted") {
@@ -45,7 +50,8 @@ class CorpusOpsSpec extends SparkSpec {
       (1L, "mail me at jane.doe+x@example.co.uk today"),
       (2L, "call +1 555 123 4567 or write a@b.io"),
       (3L, "card 4111111111111111 exp 12/26"),
-      (4L, "nothing sensitive here"))
+      (4L, "nothing sensitive here"),
+      (5L, "write 123-456-7890@example.com now")) // phone-shaped local part
       .toDF("doc_id", "text")
     val r = CorpusOps.scrubPii(d).collect()
       .map(x => x.getLong(0) -> (x.getString(1), x.getInt(2))).toMap
@@ -53,6 +59,9 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r(2L)._1 == "call <PHONE> or write <EMAIL>" && r(2L)._2 == 2)
     assert(r(3L)._1 == "card <NUMBER> exp 12/26" && r(3L)._2 == 1)
     assert(r(4L)._1 == "nothing sensitive here" && r(4L)._2 == 0)
+    // overlap: the email swallows the phone-shaped local part; sequential
+    // counting keeps the audit equal to replacements performed (1, not 2)
+    assert(r(5L)._1 == "write <EMAIL> now" && r(5L)._2 == 1)
   }
 
   test("capPerDomain: keeps at most cap docs per domain, deterministic order") {

@@ -49,4 +49,33 @@ class GridSpec extends SparkSpec {
     } yield (r._1, t.getAs[String]("grid_id"))).toSet
     assert(got == expected)
   }
+
+  test("assignOwner: one row per point, tile-bbox containment, subset of buffered") {
+    val rnd = new scala.util.Random(17)
+    val pts = Seq.fill(300)((rnd.nextLong().abs,
+      rnd.between(lattice.minlon + 1e-9, lattice.maxlon - 1e-9),
+      rnd.between(lattice.minlat + 1e-9, lattice.maxlat - 1e-9)))
+      .toDF("id", "lon", "lat")
+    val owner = Grid.assignOwner(pts, lattice)
+      .select("id", "grid_id", "lon", "lat").collect()
+    assert(owner.length == 300) // exactly one owner per point, no explode
+    val tiles = Grid.tiles(spark, lattice).collect()
+      .map(r => r.getAs[String]("grid_id") -> r).toMap
+    owner.foreach { r =>
+      val t = tiles(r.getAs[String]("grid_id"))
+      val lon = r.getAs[Double]("lon"); val lat = r.getAs[Double]("lat")
+      // nearest-center IS containment for in-bbox points (spacing = width)
+      assert(lon >= t.getAs[Double]("t_minlon") - 1e-12 &&
+        lon <= t.getAs[Double]("t_maxlon") + 1e-12)
+      assert(lat >= t.getAs[Double]("t_minlat") - 1e-12 &&
+        lat <= t.getAs[Double]("t_maxlat") + 1e-12)
+    }
+    // the owner row is always one of the buffered-replication rows, so
+    // owner-filtering buffered results can never lose a node
+    val buffered = Grid.assignBuffered(pts, lattice)
+      .select("id", "grid_id").as[(Long, String)].collect().toSet
+    owner.foreach { r =>
+      assert(buffered.contains((r.getAs[Long]("id"), r.getAs[String]("grid_id"))))
+    }
+  }
 }

@@ -82,7 +82,8 @@ def main():
         try:
             wide = [(c, str(t)) for c, t in
                     zip(con.sql(sql).columns, con.sql(sql).types)
-                    if str(t) in ("HUGEINT", "UHUGEINT")]
+                    if str(t) in ("HUGEINT", "UHUGEINT")
+                    or str(t).startswith("DECIMAL")]
         except Exception:
             wide = []
         if wide:
