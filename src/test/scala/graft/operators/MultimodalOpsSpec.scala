@@ -31,4 +31,54 @@ class MultimodalOpsSpec extends SparkSpec {
     val frames = got.map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(frames == (for (a <- 1L to 4L; f <- 0 until 3) yield (a, f)).toSet)
   }
+
+  test("PpmDecoder: real header parse, real pixel luma features") {
+    import MultimodalOps.PpmDecoder
+    val img = MultimodalOps.gradientPpm(8, 6, seed = 0)
+    assert(PpmDecoder.format(img) == "ppm")
+    assert(PpmDecoder.dims(img) == (8, 6))
+    // comment + extra whitespace in the header parse
+    val commented = ("P6\n# a comment\n 8  6\n255\n".getBytes("US-ASCII") ++
+      img.drop("P6\n8 6\n255\n".length))
+    assert(PpmDecoder.dims(commented) == (8, 6))
+    // hand-checked luma: uniform white image -> every band 1.0
+    val white = {
+      val head = "P6\n4 4\n255\n".getBytes("US-ASCII")
+      head ++ Array.fill(4 * 4 * 3)(0xFF.toByte)
+    }
+    assert(PpmDecoder.features(white, 4).forall(f => math.abs(f - 1.0f) < 1e-6))
+    // gradient: green channel grows with y, so band luma strictly increases
+    val bands = PpmDecoder.features(img, 3)
+    assert(bands(0) < bands(1) && bands(1) < bands(2), bands.toSeq.toString)
+    // non-P6 payloads fall back to the stub
+    assert(PpmDecoder.format("RIFFxxxxWAVE".getBytes("UTF-8")) == "wav")
+  }
+
+  test("PpmDecoder.resize: nearest-neighbor on real pixels") {
+    import MultimodalOps.PpmDecoder
+    val img = MultimodalOps.gradientPpm(8, 8, seed = 3)
+    val half = PpmDecoder.resize(img, 4, 4)
+    assert(PpmDecoder.dims(half) == (4, 4))
+    // corner pixel (0,0) is preserved exactly by nearest-neighbor
+    val (origOff, halfOff) = ("P6\n8 8\n255\n".length, "P6\n4 4\n255\n".length)
+    assert(img(origOff) == half(halfOff) && img(origOff + 1) == half(halfOff + 1))
+    // upscale back: still a valid image with the requested dims
+    assert(PpmDecoder.dims(PpmDecoder.resize(half, 16, 2)) == (16, 2))
+  }
+
+  test("extractFeatures + resizeImages run the REAL decoder end-to-end on P6 rows") {
+    val mixed = Seq(
+      (10L, MultimodalOps.gradientPpm(6, 4, seed = 1)),
+      (11L, MultimodalOps.gradientPpm(3, 3, seed = 2)),
+      (12L, "RIFFxxxxWAVE".getBytes("UTF-8"))) // stub fallback row
+      .toDF("asset_id", "payload")
+    val feats = MultimodalOps.extractFeatures(mixed, MultimodalOps.PpmDecoder)
+      .collect().map(m => m.asset_id -> m).toMap
+    assert(feats(10L).format == "ppm" && feats(10L).width == 6 && feats(10L).height == 4)
+    assert(feats(11L).format == "ppm" && feats(12L).format == "wav")
+    val resized = MultimodalOps.resizeImages(mixed, 2, 2).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(MultimodalOps.PpmDecoder.dims(resized(10L)) == (2, 2))
+    assert(resized(12L).sameElements("RIFFxxxxWAVE".getBytes("UTF-8"))) // pass-through
+  }
 }
