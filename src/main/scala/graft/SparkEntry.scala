@@ -716,6 +716,16 @@ object SparkEntry {
           concat(lit("d"), (col("doc_id") % 37).cast("string")).as("domain"))
       CorpusOps.capPerDomain(docs, cap = 8)
         .orderBy("domain", "doc_id")
+    }),
+
+    // Distributed Lloyd k-means (IVF centroid training): k=4, 2 fixed
+    // iterations, exact-integer assignment, requantized means. Long-form
+    // output (scalar cells only); the oracle unrolls both rounds.
+    "q60_kmeans" -> ((s, dir) => {
+      SimilarityOps.kmeansCentroids(t(s, dir, "embeddings"), k = 4, iters = 2, dim = 64)
+        .select(col("cid"), col("n"), posexplode(col("cv")))
+        .toDF("cid", "n", "pos", "cval")
+        .orderBy("cid", "pos")
     })
   )
 
@@ -1525,6 +1535,50 @@ object SparkEntry {
         |             row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
         |      FROM d)
         |SELECT doc_id, domain FROM r WHERE rn <= 8 ORDER BY domain, doc_id""".stripMargin,
+
+    // Mirrors kmeansCentroids with both Lloyd rounds unrolled as CTEs.
+    // Distances use the direct Σ(a−c)² form (the Spark side's
+    // |a|²−2a·c+|c|² is the same exact integer); means divide an exact
+    // HUGEINT-widened sum by count → DOUBLE (sums ≈1e10 ≪ 2⁵³, so the
+    // division input is exact), then round half-away-from-zero like Spark.
+    "q60_kmeans" -> {
+      val (k, dim) = (4, 64)
+      def assign(cPrev: String, a: String) =
+        s"""$a AS (
+           |  SELECT vec_id, qv, cid FROM (
+           |    SELECT vec_id, qv, cid,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |    FROM (
+           |      SELECT v.vec_id, v.qv, c.cid,
+           |             list_sum(list_transform(range(1, ${dim + 1}),
+           |               i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))) AS dist
+           |      FROM qv v CROSS JOIN $cPrev c))
+           |  WHERE rn = 1)""".stripMargin
+      def update(aPrev: String, cPrev: String, c: String) =
+        s"""${c}_long AS (
+           |  SELECT cid, pos, CAST(round(sum(val) / count(*)) AS BIGINT) AS cval
+           |  FROM (SELECT cid, unnest(qv) AS val, generate_subscripts(qv, 1) AS pos
+           |        FROM $aPrev)
+           |  GROUP BY cid, pos),
+           |$c AS (
+           |  SELECT p.cid, coalesce(l.cv, p.cv) AS cv
+           |  FROM $cPrev p LEFT JOIN
+           |       (SELECT cid, list(cval ORDER BY pos) AS cv FROM ${c}_long GROUP BY cid) l
+           |    ON l.cid = p.cid)""".stripMargin
+      s"""WITH qv AS (SELECT vec_id, ${LlmSql.qvec("embedding")} AS qv FROM embeddings),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, qv AS cv
+         |       FROM (SELECT vec_id, qv FROM qv ORDER BY vec_id LIMIT $k)),
+         |${assign("c0", "a1")},
+         |${update("a1", "c0", "c1")},
+         |${assign("c1", "a2")},
+         |${update("a2", "c1", "c2")},
+         |sizes AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM a2 GROUP BY cid)
+         |SELECT c.cid, CAST(coalesce(s.n, 0) AS BIGINT) AS n,
+         |       CAST(c.pos - 1 AS INT) AS pos, c.cval
+         |FROM (SELECT cid, unnest(cv) AS cval, generate_subscripts(cv, 1) AS pos FROM c2) c
+         |LEFT JOIN sizes s ON s.cid = c.cid
+         |ORDER BY c.cid, c.pos""".stripMargin
+    },
 
     "q54_nodes_near" -> {
       val dHit = Derive.Sql.havM("CAST(18.45 AS DOUBLE)", "CAST(54.35 AS DOUBLE)", "lon", "lat")

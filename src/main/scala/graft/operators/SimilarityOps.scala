@@ -88,6 +88,63 @@ object SimilarityOps {
       .select("qid", "rank", "vec_id", "cos")
   }
 
+  /** Distributed Lloyd k-means over quantized vectors — the centroid
+    * TRAINING step for [[ivfTopK]], which otherwise buckets on whatever
+    * vectors the caller sampled. Deterministic and engine-mirrorable by
+    * construction:
+    *  - init: the k smallest vec_ids' vectors (a data-independent rule);
+    *  - assignment: argmin exact-integer squared L2 (|a|² − 2a·c + |c|²,
+    *    three native dotQ calls — all 64-bit-exact on quantized input),
+    *    ties to the smaller cluster id;
+    *  - update: per-dimension mean RE-QUANTIZED with round() (identical
+    *    half-away-from-zero in Spark and DuckDB; dim sums ≈1e10 ≪ 2⁵³
+    *    stay exact through the one double division);
+    *  - an empty cluster keeps its previous centroid (size 0).
+    *
+    * Scale shape: assignment is a broadcast cross join (centroids are k×dim
+    * longs) + a per-vector argmin window; the update is one partial-
+    * aggregated shuffle on cid with dim sum columns — the classic
+    * map-side-combine k-means, linear per iteration. Centroids collect to
+    * the driver between rounds (they are the broadcast side anyway), so
+    * lineage stays flat across iterations.
+    *
+    * Returns (cid, n, cv: array<long>) for all k clusters, n = final
+    * assignment size. */
+  def kmeansCentroids(vectors: DataFrame, k: Int, iters: Int, dim: Int): DataFrame = {
+    require(k > 0 && iters > 0 && dim > 0, s"bad kmeans params k=$k iters=$iters dim=$dim")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val qv = vectors
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("na", dotQ(col("qv"), col("qv")))
+      .cache()
+    var cents: IndexedSeq[(Int, Seq[Long])] = qv.orderBy("vec_id").limit(k)
+      .select("qv").as[Seq[Long]].collect().toIndexedSeq
+      .zipWithIndex.map { case (v, i) => (i, v) }
+    var sizes: Map[Int, Long] = Map.empty
+    (1 to iters).foreach { _ =>
+      val cdf = broadcast(cents.toDF("cid", "cv")
+        .withColumn("nc", dotQ(col("cv"), col("cv"))))
+      val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+      val assigned = qv.crossJoin(cdf)
+        .withColumn("dist",
+          col("na") - lit(2L) * dotQ(col("qv"), col("cv")) + col("nc"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("cid", "qv")
+      val updated = assigned.groupBy("cid")
+        .agg(count(lit(1)).as("n"),
+          array((1 to dim).map(i =>
+            round(sum(element_at(col("qv"), i)) / count(lit(1))).cast("long")): _*).as("cv"))
+        .as[(Int, Long, Seq[Long])].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      sizes = cents.map { case (cid, _) => cid -> updated.get(cid).map(_._1).getOrElse(0L) }.toMap
+      cents = cents.map { case (cid, prev) => (cid, updated.get(cid).map(_._2).getOrElse(prev)) }
+    }
+    qv.unpersist()
+    cents.map { case (cid, cv) => (cid, sizes(cid), cv) }.toDF("cid", "n", "cv")
+  }
+
   /** Embedding near-duplicate pairs via random-hyperplane LSH: sign bit per
     * (broadcast) hyperplane → bucket key → bucket-join (NO all-pairs) →
     * exact cosine verify ≥ threshold. Vectors with cosine 1.0 always share

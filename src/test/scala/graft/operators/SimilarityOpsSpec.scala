@@ -70,4 +70,55 @@ class SimilarityOpsSpec extends SparkSpec {
     // random gaussian pairs essentially never reach cos 0.99
     assert(got.size == 5)
   }
+
+  test("kmeansCentroids: separates planted clusters; centroids near true centers") {
+    // 4 tight clusters around axis-aligned centers ±0.9 in dims 0/1
+    val centers = Seq(Seq(0.9f, 0.9f), Seq(0.9f, -0.9f), Seq(-0.9f, 0.9f), Seq(-0.9f, -0.9f))
+    val rnd = new scala.util.Random(11)
+    val dim = 8
+    val data = (0 until 80).map { i =>
+      val c = centers(i % 4)
+      val v = Seq.tabulate(dim)(d =>
+        (if (d < 2) c(d) else 0.0f) + (rnd.nextGaussian() / 50).toFloat)
+      (i.toLong, v)
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val got = SimilarityOps.kmeansCentroids(df, k = 4, iters = 3, dim = dim)
+      .as[(Int, Long, Seq[Long])].collect().sortBy(_._1)
+    assert(got.length == 4)
+    assert(got.map(_._2).sum == 80) // every vector assigned exactly once
+    assert(got.forall(_._2 == 20)) // balanced planted clusters recovered
+    // each true center matched by exactly one learned centroid (≤0.1 away
+    // in the two signal dims, quantized scale 1e7)
+    val learned = got.map(_._3.take(2).map(_.toDouble / 1e7))
+    centers.foreach { c =>
+      val hits = learned.count(l =>
+        math.abs(l(0) - c(0)) < 0.1 && math.abs(l(1) - c(1)) < 0.1)
+      assert(hits == 1, s"center $c matched $hits learned centroids")
+    }
+  }
+
+  test("ivfTopK over kmeans-trained centroids matches bruteTopK on clustered data") {
+    val centers = Seq(Seq(0.9f, 0.9f), Seq(0.9f, -0.9f), Seq(-0.9f, 0.9f), Seq(-0.9f, -0.9f))
+    val rnd = new scala.util.Random(12)
+    val dim = 8
+    val data = (0 until 60).map { i =>
+      val c = centers(i % 4)
+      val v = Seq.tabulate(dim)(d =>
+        (if (d < 2) c(d) else 0.0f) + (rnd.nextGaussian() / 50).toFloat)
+      (i.toLong, v)
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val trained = SimilarityOps.kmeansCentroids(df, k = 4, iters = 3, dim = dim)
+      .select(col("cid").cast("long").as("vec_id"),
+        transform(col("cv"), x => x.cast("double") / 1e7).as("embedding"))
+    val queries = df.filter(col("vec_id") < 3)
+    val ivf = SimilarityOps.ivfTopK(df, trained, queries, k = 3, nprobe = 1)
+      .select("qid", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    val brute = SimilarityOps.bruteTopK(df, queries, k = 3)
+      .select("qid", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    // with tight clusters, a query's true top-3 live in its own cluster,
+    // so probing ONE trained bucket already reproduces exact search
+    assert(ivf == brute)
+  }
 }
