@@ -65,8 +65,9 @@ object ScaleBench {
       .withColumn("doc_id", col("doc_id") + lit(i * nDoc))
       .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"c$i" + "$1"))
       // text-derived columns must follow the rewrite or the scaled table
-      // is internally inconsistent for any n_chars consumer
-      .withColumn("n_chars", length(col("text"))))
+      // is internally inconsistent for any n_chars consumer; cast keeps
+      // the source's BIGINT type (length() alone would narrow to INT)
+      .withColumn("n_chars", length(col("text")).cast("long")))
     copies("embeddings")((d, i) => d.withColumn("vec_id", col("vec_id") + lit(i * nVec)))
     Seq("region", "nation", "supplier", "events").foreach(t => write(read(t), t))
   }

@@ -84,7 +84,16 @@ object MultimodalOps {
         vals(v) = x; v += 1
       }
       i += 1 // exactly one whitespace byte separates maxval from pixels
-      require(b.length >= i + vals(0) * vals(1) * 3, "truncated PPM pixel data")
+      require(vals(0) > 0 && vals(1) > 0, s"bad PPM dims ${vals(0)}x${vals(1)}")
+      // 1..255 only: maxval>255 means 2-byte samples (unsupported here —
+      // decoding them as 1-byte would silently produce garbage), maxval=0
+      // is malformed and would make luma 0/0
+      require(vals(2) >= 1 && vals(2) <= 255, s"unsupported PPM maxval ${vals(2)}")
+      // long arithmetic: w*h*3 in Int wraps for adversarial headers
+      // (65536x65536 -> 0), which would pass the check and then read
+      // garbage in-bounds
+      require(b.length.toLong >= i.toLong + 3L * vals(0) * vals(1),
+        "truncated PPM pixel data")
       (vals(0), vals(1), vals(2), i)
     }
 

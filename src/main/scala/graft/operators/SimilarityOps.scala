@@ -104,45 +104,51 @@ object SimilarityOps {
     * Scale shape: assignment is a broadcast cross join (centroids are k×dim
     * longs) + a per-vector argmin window; the update is one partial-
     * aggregated shuffle on cid with dim sum columns — the classic
-    * map-side-combine k-means, linear per iteration. Centroids collect to
-    * the driver between rounds (they are the broadcast side anyway), so
-    * lineage stays flat across iterations.
+    * map-side-combine k-means, linear per iteration.
+    *
+    * Fully LAZY: iterations compose DataFrames (no driver collect, no
+    * cache), preserving the engine-wide contract that building a query
+    * runs nothing — schema inspection and explain stay free, and there is
+    * no cached state to leak on failure. The trade is one quantize scan of
+    * the input per round (cheap, columnar) and a plan that nests `iters`
+    * rounds; for many-round production training, checkpoint every few
+    * rounds or materialize centroids explicitly at the call site.
     *
     * Returns (cid, n, cv: array<long>) for all k clusters, n = final
-    * assignment size. */
+    * assignment size (0 for a cluster that kept its previous centroid). */
   def kmeansCentroids(vectors: DataFrame, k: Int, iters: Int, dim: Int): DataFrame = {
     require(k > 0 && iters > 0 && dim > 0, s"bad kmeans params k=$k iters=$iters dim=$dim")
-    val spark = vectors.sparkSession
-    import spark.implicits._
     val qv = vectors
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("na", dotQ(col("qv"), col("qv")))
-      .cache()
-    var cents: IndexedSeq[(Int, Seq[Long])] = qv.orderBy("vec_id").limit(k)
-      .select("qv").as[Seq[Long]].collect().toIndexedSeq
-      .zipWithIndex.map { case (v, i) => (i, v) }
-    var sizes: Map[Int, Long] = Map.empty
-    (1 to iters).foreach { _ =>
-      val cdf = broadcast(cents.toDF("cid", "cv")
-        .withColumn("nc", dotQ(col("cv"), col("cv"))))
+    val c0 = qv.orderBy("vec_id").limit(k)
+      .select((row_number().over(Window.orderBy("vec_id")) - 1).as("cid"),
+        col("qv").as("cv"))
+    def assign(cents: DataFrame): DataFrame = {
+      val cdf = broadcast(cents.withColumn("nc", dotQ(col("cv"), col("cv"))))
       val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
-      val assigned = qv.crossJoin(cdf)
+      qv.crossJoin(cdf)
         .withColumn("dist",
           col("na") - lit(2L) * dotQ(col("qv"), col("cv")) + col("nc"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select("cid", "qv")
-      val updated = assigned.groupBy("cid")
-        .agg(count(lit(1)).as("n"),
-          array((1 to dim).map(i =>
-            round(sum(element_at(col("qv"), i)) / count(lit(1))).cast("long")): _*).as("cv"))
-        .as[(Int, Long, Seq[Long])].collect()
-        .map(r => r._1 -> (r._2, r._3)).toMap
-      sizes = cents.map { case (cid, _) => cid -> updated.get(cid).map(_._1).getOrElse(0L) }.toMap
-      cents = cents.map { case (cid, prev) => (cid, updated.get(cid).map(_._2).getOrElse(prev)) }
     }
-    qv.unpersist()
-    cents.map { case (cid, cv) => (cid, sizes(cid), cv) }.toDF("cid", "n", "cv")
+    def update(cents: DataFrame, assigned: DataFrame): DataFrame = {
+      val upd = assigned.groupBy("cid")
+        .agg(array((1 to dim).map(i =>
+          round(sum(element_at(col("qv"), i)) / count(lit(1))).cast("long")): _*).as("ucv"))
+      cents.select("cid", "cv").join(upd, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("ucv"), col("cv")).as("cv")) // empty keeps previous
+    }
+    val (cents, lastAssigned) = (1 to iters).foldLeft((c0, Option.empty[DataFrame])) {
+      case ((c, _), _) =>
+        val a = assign(c)
+        (update(c, a), Some(a))
+    }
+    val sizes = lastAssigned.get.groupBy("cid").agg(count(lit(1)).as("n"))
+    cents.join(sizes, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("n"), lit(0L)).as("n"), col("cv"))
   }
 
   /** Embedding near-duplicate pairs via random-hyperplane LSH: sign bit per

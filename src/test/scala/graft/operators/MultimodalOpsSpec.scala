@@ -54,6 +54,23 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(PpmDecoder.format("RIFFxxxxWAVE".getBytes("UTF-8")) == "wav")
   }
 
+  test("PpmDecoder fails loudly on adversarial or unsupported headers") {
+    import MultimodalOps.PpmDecoder
+    // 65536x65536: w*h*3 wraps to 0 in Int — must still be rejected
+    val overflow = "P6\n65536 65536\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)
+    intercept[IllegalArgumentException](PpmDecoder.dims(overflow))
+    // 16-bit samples (maxval > 255) are not supported: decoding them as
+    // 1-byte would silently produce garbage luma
+    val deep = "P6\n2 2\n65535\n".getBytes("US-ASCII") ++ Array.fill(24)(0.toByte)
+    intercept[IllegalArgumentException](PpmDecoder.dims(deep))
+    // maxval 0 would make luma 0/0
+    val zero = "P6\n2 2\n0\n".getBytes("US-ASCII") ++ Array.fill(12)(0.toByte)
+    intercept[IllegalArgumentException](PpmDecoder.dims(zero))
+    // truncated pixel data
+    val short = "P6\n4 4\n255\n".getBytes("US-ASCII") ++ Array.fill(10)(7.toByte)
+    intercept[IllegalArgumentException](PpmDecoder.dims(short))
+  }
+
   test("PpmDecoder.resize: nearest-neighbor on real pixels") {
     import MultimodalOps.PpmDecoder
     val img = MultimodalOps.gradientPpm(8, 8, seed = 3)
