@@ -653,12 +653,14 @@ object SparkEntry {
         concat(istr(x), lit(" "), istr(y))
       val a = p % 100; val b = (p * 7) % 100
       val cc = p % 5 + 1; val dd = (p * 3) % 7 + 1
-      val m = p % 4
+      val m = p % 5
       val wkt = when(m === 0, concat(lit("POINT ("), xy(a, b), lit(")")))
         .when(m === 1, concat(lit("LINESTRING ("), xy(a, b), lit(", "),
           xy(a + cc, b + dd), lit(", "), xy(a + cc + 3, b), lit(")")))
         .when(m === 2, concat(lit("POLYGON (("), xy(a, b), lit(", "),
           xy(a + cc, b), lit(", "), xy(a, b + dd), lit(", "), xy(a, b), lit("))")))
+        .when(m === 3, concat(lit("MULTIPOINT (("), xy(a, b), lit("), ("),
+          xy(a + cc, b + dd), lit("))")))
         .otherwise(concat(lit("GEOM ("), xy(a, b), lit(")")))
       t(s, dir, "part").select(p.as("elem_id"), wkt.as("wkt"))
         .select(col("elem_id"),
@@ -1442,7 +1444,7 @@ object SparkEntry {
       val len = s"sqrt($dx*$dx + $dy*$dy)"
       val cross = "(pt[i].x*pt[i+1].y - pt[i+1].x*pt[i].y)"
       s"""WITH base AS (
-         |  SELECT p_partkey AS elem_id, CAST(p_partkey % 4 AS INT) AS m,
+         |  SELECT p_partkey AS elem_id, CAST(p_partkey % 5 AS INT) AS m,
          |         CAST(p_partkey % 100 AS DOUBLE) AS a,
          |         CAST((p_partkey*7) % 100 AS DOUBLE) AS b,
          |         CAST(p_partkey % 5 + 1 AS DOUBLE) AS c,
@@ -1453,6 +1455,7 @@ object SparkEntry {
          |    WHEN 0 THEN [{'x': a, 'y': b}]
          |    WHEN 1 THEN [{'x': a, 'y': b}, {'x': a+c, 'y': b+d}, {'x': a+c+3, 'y': b}]
          |    WHEN 2 THEN [{'x': a, 'y': b}, {'x': a+c, 'y': b}, {'x': a, 'y': b+d}, {'x': a, 'y': b}]
+         |    WHEN 3 THEN [{'x': a, 'y': b}, {'x': a+c, 'y': b+d}]
          |    ELSE [{'x': a, 'y': b}] END AS pt
          |  FROM base),
          |agg AS (
@@ -1462,15 +1465,18 @@ object SparkEntry {
          |         list_sum(${seg(len)}) AS sl,
          |         list_sum(${seg(s"(pt[i].x + pt[i+1].x) * $cross")}) AS psx,
          |         list_sum(${seg(s"(pt[i].y + pt[i+1].y) * $cross")}) AS psy,
-         |         list_sum(${seg(cross)}) AS psa
+         |         list_sum(${seg(cross)}) AS psa,
+         |         list_sum(list_transform(pt, p -> p.x)) / len(pt) AS mx,
+         |         list_sum(list_transform(pt, p -> p.y)) / len(pt) AS my
          |  FROM pts)
          |SELECT elem_id,
          |       CASE m WHEN 0 THEN 'POINT' WHEN 1 THEN 'LINESTRING'
-         |              WHEN 2 THEN 'POLYGON' ELSE 'GEOM' END AS typ,
+         |              WHEN 2 THEN 'POLYGON' WHEN 3 THEN 'MULTIPOINT'
+         |              ELSE 'GEOM' END AS typ,
          |       CASE m WHEN 0 THEN a WHEN 1 THEN lsx/sl
-         |              WHEN 2 THEN psx/(psa*3) END AS cx,
+         |              WHEN 2 THEN psx/(psa*3) WHEN 3 THEN mx END AS cx,
          |       CASE m WHEN 0 THEN b WHEN 1 THEN lsy/sl
-         |              WHEN 2 THEN psy/(psa*3) END AS cy
+         |              WHEN 2 THEN psy/(psa*3) WHEN 3 THEN my END AS cy
          |FROM agg ORDER BY elem_id""".stripMargin
     },
 

@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   * The engine's data model has no geometry column type (SURVEY §1.1): the
   * OSM converter is contracted to emit point coordinates. This module closes
   * the last-mile gap for users ingesting raw WKT anyway — the day-one case
-  * of a POI that is a building polygon, not a point. It covers exactly the
+  * of a POI that is a building polygon, not a point. It covers the
   * geometry types the reference's POI ingest sees after pyrosm extraction
-  * (POINT / LINESTRING / POLYGON outer ring), with shapely's centroid
-  * semantics: the point itself, the segment-length-weighted mean of segment
-  * midpoints, and the shoelace area centroid respectively. Anything else —
+  * (POINT / MULTIPOINT / LINESTRING / POLYGON outer ring), with shapely's
+  * centroid semantics: the point itself, the arithmetic mean of member
+  * points, the segment-length-weighted mean of segment midpoints, and the
+  * shoelace area centroid respectively. Anything else —
   * unparseable text, unsupported types, degenerate geometry (zero length /
   * zero area) — yields null, mirroring `safe_centroid`'s None-and-drop
   * (snap_poi_to_nodes.py:57-60, 73-78).
@@ -39,6 +40,11 @@ object Wkt {
   def points(wkt: Column): Column = {
     val inner = when(geomType(wkt) === "POLYGON",
         regexp_extract(wkt, "\\(\\s*\\(([^()]*)\\)", 1))
+      // MULTIPOINT allows per-point parens — "((1 2), (3 4))" and
+      // "(1 2, 3 4)" are both legal; take the whole outer group and strip
+      // the inner parens, the comma split below handles the rest
+      .when(geomType(wkt) === "MULTIPOINT",
+        regexp_replace(regexp_extract(wkt, "\\((.+)\\)", 1), "[()]", ""))
       .otherwise(regexp_extract(wkt, "\\(\\s*([^()]*?)\\s*\\)", 1))
     when(length(inner) > 0,
       transform(split(inner, ","), s => {
@@ -120,8 +126,20 @@ object Wkt {
             (acc.getField("sy") / (acc.getField("sa") * 3)).as("y")))
           .otherwise(nullC)))
 
+    // MULTIPOINT: shapely's centroid of a point collection is the plain
+    // arithmetic mean — integer-coordinate sums are exact, so the single
+    // division per axis is engine-identical
+    val multiC = when(size(pts) >= 1,
+      aggregate(pts,
+        struct(lit(0.0).as("sx"), lit(0.0).as("sy")),
+        (a, p) => struct((a.getField("sx") + p.getField("x")).as("sx"),
+          (a.getField("sy") + p.getField("y")).as("sy")),
+        acc => struct((acc.getField("sx") / size(pts)).as("x"),
+          (acc.getField("sy") / size(pts)).as("y"))))
+
     when(bad, lit(null).cast("struct<x:double,y:double>"))
       .when(typ === "POINT" && size(pts) === 1, pt(element_at(pts, 1)))
+      .when(typ === "MULTIPOINT", multiC)
       .when(typ === "LINESTRING", lineC)
       .when(typ === "POLYGON", polyC)
       .otherwise(lit(null).cast("struct<x:double,y:double>"))

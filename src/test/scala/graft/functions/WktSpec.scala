@@ -22,6 +22,18 @@ class WktSpec extends SparkSpec {
     assert(c(2L).contains((-1.5, 2.25)))
   }
 
+  test("MULTIPOINT: arithmetic mean; both paren syntaxes accepted") {
+    val c = centroids(
+      1L -> "MULTIPOINT ((1 2), (3 5))",
+      2L -> "MULTIPOINT (1 2, 3 5)",
+      3L -> "MULTIPOINT (4 4)",
+      4L -> "MULTIPOINT ()")
+    assert(c(1L).contains((2.0, 3.5)))
+    assert(c(2L).contains((2.0, 3.5)))
+    assert(c(3L).contains((4.0, 4.0)))
+    assert(c(4L).isEmpty)
+  }
+
   test("LINESTRING: length-weighted midpoint mean (shapely semantics)") {
     // segments (0,0)-(2,0) len 2 mid (1,0); (2,0)-(2,2) len 2 mid (2,1)
     // -> centroid ((1*2+2*2)/4, (0*2+1*2)/4) = (1.5, 0.5)
