@@ -104,8 +104,38 @@ object StreamPipeline {
       .option("checkpointLocation", s"$work/ckpt3")
       .outputMode("update").start()
 
-    Seq(q1, q2, q3).foreach(_.processAllAvailable())
-    Seq(q1, q2, q3).foreach(_.stop())
+    // -- 4. streaming corpus intake over the documents table (the LLM-side
+    // twin: content-hash dedup + quality gate), staged as 4 doc_id-ordered
+    // chunks with the 10 smallest doc_ids duplicated inside their chunk
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val dIn = s"$work/docs_in"
+    val nd = docs.count()
+    val dChunks = 4
+    val dRanked = docs
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))) - 1)
+      .withColumn("chunk", (col("rk") * dChunks / nd).cast("int"))
+      .drop("rk")
+      .cache()
+    val dDups = dRanked.orderBy("doc_id").limit(10)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("chunk"))
+    (0 until dChunks).foreach { i =>
+      dRanked.filter(col("chunk") === i).drop("chunk")
+        .unionByName(dDups.filter(col("chunk") === i).drop("chunk"))
+        .coalesce(1).write.mode("append").parquet(dIn)
+    }
+    val dStaged = spark.read.parquet(dIn)
+    val docStream = spark.readStream.schema(dStaged.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dIn)
+    val cleanOut = s"$work/clean"
+    val q4 = StreamOps.cleanDocStream(docStream).writeStream
+      .format("parquet").option("path", cleanOut)
+      .option("checkpointLocation", s"$work/ckpt4")
+      .outputMode("append").start()
+
+    Seq(q1, q2, q3, q4).foreach(_.processAllAvailable())
+    Seq(q1, q2, q3, q4).foreach(_.stop())
 
     // checks, each as exceptAll in both directions
     val dedupStreamed = spark.read.parquet(dedupOut)
@@ -131,6 +161,16 @@ object StreamPipeline {
 
     // the LAST update per user is the one with max n_events (cumulative,
     // strictly increasing per update); max_by keeps its cents total
+    // WHICH row survives content dedup is arbitrary on both sides (same
+    // micro-batch / same partition scan), so the contract is the surviving
+    // text_hash SET — unique after dedup, and the quality gate decides
+    // identically for identical texts
+    val cleanStreamed = spark.read.parquet(cleanOut).select("text_hash")
+    val cleanBatch = StreamOps.cleanDocStream(dStaged).select("text_hash")
+    val d4 = cleanStreamed.exceptAll(cleanBatch)
+      .unionAll(cleanBatch.exceptAll(cleanStreamed)).count()
+    check("doc clean == batch", d4, cleanStreamed.count())
+
     val lastTotals = spark.table("user_totals")
       .groupBy("user_id").agg(max("n_events").as("n_events"),
         max_by(round(col("total_value") * 100), col("n_events")).as("cents"))

@@ -84,6 +84,24 @@ object StreamOps {
     events.withWatermark("ts", "20 minutes")
       .dropDuplicates("event_id")
 
+  /** Streaming corpus intake — the streaming twin of the batch
+    * corpus-clean pipeline's first two stages (exact dedup + quality
+    * gate): drop any document whose md5(text) was already seen, then gate
+    * on a minimum whitespace-token count. Works identically on a bounded
+    * DataFrame (the batch twin — same function, `read` instead of
+    * `readStream`).
+    *
+    * No watermark on the dedup: a content duplicate can arrive arbitrarily
+    * late, so the seen-hash state is inherently unbounded — production
+    * bounds it with a TTL'd state store or an upstream bloom pre-filter,
+    * both of which trade recall for memory explicitly rather than
+    * silently. */
+  def cleanDocStream(docs: DataFrame, minTokens: Int = 20): DataFrame =
+    docs
+      .withColumn("text_hash", md5(col("text")))
+      .dropDuplicates("text_hash")
+      .filter(size(split(col("text"), " ")) >= minTokens)
+
   /** The batch twin of [[windowedCounts]] for A/B semantics tests: same
     * plan over a bounded DataFrame. */
   def windowedCountsBatch(events: DataFrame): DataFrame =

@@ -112,4 +112,22 @@ class StreamOpsSpec extends SparkSpec {
       assert(ids == Seq(1L, 2L, 3L, 4L, 6L))
     } finally q.stop()
   }
+
+  test("cleanDocStream: content dedup across batches + token quality gate") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val long1 = "w " * 24 + "tail" // 25 tokens: passes the gate
+    val q = StreamOps.cleanDocStream(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("doc_clean")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, long1), (2L, "too short"))
+      q.processAllAvailable()
+      // a later-batch content duplicate of doc 1 must NOT re-emit
+      mem.addData((3L, long1), (4L, "x " * 30 + "y"))
+      q.processAllAvailable()
+      val got = spark.table("doc_clean").select("doc_id").as[Long].collect().toSeq.sorted
+      assert(got == Seq(1L, 4L), s"got $got")
+    } finally q.stop()
+  }
 }
