@@ -728,6 +728,18 @@ object SparkEntry {
         .select(col("cid"), col("n"), posexplode(col("cv")))
         .toDF("cid", "n", "pos", "cval")
         .orderBy("cid", "pos")
+    }),
+
+    // The streaming corpus-intake operator on bounded input (batch twin of
+    // StreamPipeline stage 4). WHICH row survives content dedup is
+    // engine-arbitrary, so the oracle-checkable contract is the surviving
+    // (text_hash, n_tokens) set — unique after dedup and identical for
+    // identical texts.
+    "q61_doc_intake" -> ((s, dir) => {
+      graft.streaming.StreamOps.cleanDocStream(t(s, dir, "documents"))
+        .select(col("text_hash"),
+          size(TextOps.words(col("text"))).as("n_tokens"))
+        .orderBy("text_hash")
     })
   )
 
@@ -1585,6 +1597,13 @@ object SparkEntry {
          |LEFT JOIN sizes s ON s.cid = c.cid
          |ORDER BY c.cid, c.pos""".stripMargin
     },
+
+    "q61_doc_intake" ->
+      """SELECT DISTINCT md5(text) AS text_hash,
+        |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+        |FROM documents
+        |WHERE len(string_split(text, ' ')) >= 20
+        |ORDER BY text_hash""".stripMargin,
 
     "q54_nodes_near" -> {
       val dHit = Derive.Sql.havM("CAST(18.45 AS DOUBLE)", "CAST(54.35 AS DOUBLE)", "lon", "lat")
