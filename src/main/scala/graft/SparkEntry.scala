@@ -640,8 +640,9 @@ object SparkEntry {
     }),
 
     // P12: WKT geometry → centroid normalization (shapely semantics:
-    // point itself / length-weighted line / shoelace polygon; unsupported
-    // type → null) over a part-derived WKT fixture with integer
+    // point itself / multipoint arithmetic mean / length-weighted line /
+    // shoelace polygon; unsupported type → null) over a part-derived WKT
+    // fixture with integer
     // coordinates, so every shoelace sum is exact and the one division per
     // coordinate is the same IEEE op in both engines. The oracle does NOT
     // reparse strings — it recomputes centroids straight from the integer

@@ -56,22 +56,32 @@ object StreamPipeline {
       .select(col("event_id"),
         expr("timestamp_micros(ts div 1000)").as("ts"),
         col("user_id"), col("event_type"), col("value"))
-    val n = events.count()
-    val chunks = 8
-    // rank by (ts, event_id), chunk = rank*chunks/n. The global window is
+    // Chunked staging shared by both domains: rank by orderCols, chunk =
+    // rank*n/total, plant `plantDups(firstTen)` copies INSIDE their own
+    // chunk, write one file per chunk in order. The global rank window is
     // staging-only code (simulating ordered log arrival at demo scale).
-    val ranked = events
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))) - 1)
-      .withColumn("chunk", (col("rk") * chunks / n).cast("int"))
-      .drop("rk")
-      .cache() // 9 consumers below; uncached, each would redo the global sort
-    val dups = ranked.orderBy("event_id").limit(10)
-    (0 until chunks).foreach { i =>
-      ranked.filter(col("chunk") === i).drop("chunk")
-        .unionByName(dups.filter(col("chunk") === i).drop("chunk"))
-        .coalesce(1).write.mode("append").parquet(in)
+    def stageChunks(df: org.apache.spark.sql.DataFrame, orderCols: Seq[String],
+                    nChunks: Int, path: String,
+                    plantDups: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+        : Unit = {
+      val total = df.count()
+      val ranked = df
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(orderCols.map(col): _*)) - 1)
+        .withColumn("chunk", (col("rk") * nChunks / total).cast("int"))
+        .drop("rk")
+        .cache() // 2×nChunks consumers below; uncached, each redoes the sort
+      val dups = plantDups(ranked.orderBy(orderCols.last).limit(10))
+      (0 until nChunks).foreach { i =>
+        ranked.filter(col("chunk") === i).drop("chunk")
+          .unionByName(dups.filter(col("chunk") === i).drop("chunk"))
+          .coalesce(1).write.mode("append").parquet(path)
+      }
+      ranked.unpersist()
     }
+
+    stageChunks(events, Seq("ts", "event_id"), 8, in, identity)
     events.agg(max("ts").as("maxts"))
       .select(lit(-1L).as("event_id"),
         (col("maxts") + expr("INTERVAL 24 HOURS")).as("ts"),
@@ -110,21 +120,8 @@ object StreamPipeline {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text")
     val dIn = s"$work/docs_in"
-    val nd = docs.count()
-    val dChunks = 4
-    val dRanked = docs
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))) - 1)
-      .withColumn("chunk", (col("rk") * dChunks / nd).cast("int"))
-      .drop("rk")
-      .cache()
-    val dDups = dRanked.orderBy("doc_id").limit(10)
-      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("chunk"))
-    (0 until dChunks).foreach { i =>
-      dRanked.filter(col("chunk") === i).drop("chunk")
-        .unionByName(dDups.filter(col("chunk") === i).drop("chunk"))
-        .coalesce(1).write.mode("append").parquet(dIn)
-    }
+    stageChunks(docs, Seq("doc_id"), 4, dIn,
+      d => d.select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("chunk")))
     val dStaged = spark.read.parquet(dIn)
     val docStream = spark.readStream.schema(dStaged.schema)
       .option("maxFilesPerTrigger", 1).parquet(dIn)
@@ -161,16 +158,6 @@ object StreamPipeline {
 
     // the LAST update per user is the one with max n_events (cumulative,
     // strictly increasing per update); max_by keeps its cents total
-    // WHICH row survives content dedup is arbitrary on both sides (same
-    // micro-batch / same partition scan), so the contract is the surviving
-    // text_hash SET — unique after dedup, and the quality gate decides
-    // identically for identical texts
-    val cleanStreamed = spark.read.parquet(cleanOut).select("text_hash")
-    val cleanBatch = StreamOps.cleanDocStream(dStaged).select("text_hash")
-    val d4 = cleanStreamed.exceptAll(cleanBatch)
-      .unionAll(cleanBatch.exceptAll(cleanStreamed)).count()
-    check("doc clean == batch", d4, cleanStreamed.count())
-
     val lastTotals = spark.table("user_totals")
       .groupBy("user_id").agg(max("n_events").as("n_events"),
         max_by(round(col("total_value") * 100), col("n_events")).as("cents"))
@@ -180,6 +167,16 @@ object StreamPipeline {
     val d3 = lastTotals.exceptAll(batchTotals)
       .unionAll(batchTotals.exceptAll(lastTotals)).count()
     check("running totals == batch", d3, lastTotals.count())
+
+    // WHICH row survives content dedup is arbitrary on both sides (same
+    // micro-batch / same partition scan), so the contract is the surviving
+    // text_hash SET — unique after dedup, and the quality gate decides
+    // identically for identical texts
+    val cleanStreamed = spark.read.parquet(cleanOut).select("text_hash")
+    val cleanBatch = StreamOps.cleanDocStream(dStaged).select("text_hash")
+    val d4 = cleanStreamed.exceptAll(cleanBatch)
+      .unionAll(cleanBatch.exceptAll(cleanStreamed)).count()
+    check("doc clean == batch", d4, cleanStreamed.count())
 
     spark.stop()
     if (failed) sys.exit(1)

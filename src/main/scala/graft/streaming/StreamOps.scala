@@ -87,9 +87,10 @@ object StreamOps {
   /** Streaming corpus intake — the streaming twin of the batch
     * corpus-clean pipeline's first two stages (exact dedup + quality
     * gate): drop any document whose md5(text) was already seen, then gate
-    * on a minimum whitespace-token count. Works identically on a bounded
-    * DataFrame (the batch twin — same function, `read` instead of
-    * `readStream`).
+    * on a minimum space-separated token count (TextOps.words — the single
+    * tokenizer definition the oracle mirrors as string_split(text, ' ')).
+    * Works identically on a bounded DataFrame (the batch twin — same
+    * function, `read` instead of `readStream`).
     *
     * No watermark on the dedup: a content duplicate can arrive arbitrarily
     * late, so the seen-hash state is inherently unbounded — production
@@ -100,7 +101,7 @@ object StreamOps {
     docs
       .withColumn("text_hash", md5(col("text")))
       .dropDuplicates("text_hash")
-      .filter(size(split(col("text"), " ")) >= minTokens)
+      .filter(size(graft.operators.TextOps.words(col("text"))) >= minTokens)
 
   /** The batch twin of [[windowedCounts]] for A/B semantics tests: same
     * plan over a bounded DataFrame. */
