@@ -741,6 +741,18 @@ object SparkEntry {
         .select(col("text_hash"),
           size(TextOps.words(col("text"))).as("n_tokens"))
         .orderBy("text_hash")
+    }),
+
+    // Benchmark decontamination (the eval-leak gate): every 5th document
+    // plays the benchmark; corpus docs sharing any distinct 8-gram shingle
+    // with it are flagged with their overlap count. Near-dups of benchmark
+    // docs light up here — exactly the leak class the stage exists for.
+    "q62_decontaminate" -> ((s, dir) => {
+      val all = t(s, dir, "documents")
+      CorpusOps.contaminated(
+          all.filter(col("doc_id") % 5 =!= 0),
+          all.filter(col("doc_id") % 5 === 0), n = 8)
+        .orderBy("doc_id")
     })
   )
 
@@ -1605,6 +1617,22 @@ object SparkEntry {
         |FROM documents
         |WHERE len(string_split(text, ' ')) >= 20
         |ORDER BY text_hash""".stripMargin,
+
+    // 8-gram mirror of TextOps.shinglesFromWords (distinct, len>=n guard,
+    // w[i+1:i+8] is DuckDB's inclusive 8-element slice of Spark's
+    // slice(w, i+1, 8)).
+    "q62_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |              list_distinct(list_transform(generate_series(0, len(w) - 8),
+        |                i -> array_to_string(w[i+1:i+8], ' '))) AS sh
+        |       FROM w WHERE len(w) >= 8),
+        |ds AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 5 <> 0),
+        |bs AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 5 = 0)
+        |SELECT ds.doc_id, count(DISTINCT ds.s) AS n_overlap
+        |FROM ds JOIN bs ON ds.s = bs.s
+        |GROUP BY ds.doc_id
+        |ORDER BY ds.doc_id""".stripMargin,
 
     "q54_nodes_near" -> {
       val dHit = Derive.Sql.havM("CAST(18.45 AS DOUBLE)", "CAST(54.35 AS DOUBLE)", "lon", "lat")

@@ -102,6 +102,32 @@ object CorpusOps {
       .withColumn(textCol, afterCard)
   }
 
+  /** Benchmark decontamination — the eval-leak gate: find corpus documents
+    * sharing at least `minOverlap` distinct word `n`-gram shingles with any
+    * benchmark document. An 8-gram collision is already near-certain
+    * contamination (the standard n-gram decontamination rule), so no
+    * similarity index is needed: candidates come from an equi-join on the
+    * shingle STRING itself — one shuffle on the shingle, the benchmark
+    * side is tiny relative to the corpus (broadcastable), and nothing is
+    * all-pairs. Returns (idCol, n_overlap) for contaminated docs;
+    * [[decontaminate]] anti-joins them away. */
+  def contaminated(docs: DataFrame, benchmark: DataFrame, idCol: String = "doc_id",
+                   n: Int = 8, minOverlap: Int = 1): DataFrame = {
+    val ds = TextOps.shingleTable(docs, idCol, n)
+      .select(col(idCol), explode(col("sh")).as("s"))
+    val bs = TextOps.shingleTable(benchmark, idCol, n)
+      .select(explode(col("sh")).as("s")).distinct()
+    ds.join(bs, Seq("s"))
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("s")).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
+  /** Corpus minus [[contaminated]] documents (left anti join). */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, idCol: String = "doc_id",
+                    n: Int = 8, minOverlap: Int = 1): DataFrame =
+    docs.join(contaminated(docs, benchmark, idCol, n, minOverlap), Seq(idCol), "left_anti")
+
   /** Per-domain frequency cap — the anti-SEO-farm gate: keep at most
     * `cap` documents per domain, preferring by `orderCol` ascending with
     * the id as a deterministic tie-break. Partitioned window (one shuffle

@@ -64,6 +64,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r(5L)._1 == "write <EMAIL> now" && r(5L)._2 == 1)
   }
 
+  test("decontamination: n-gram collision flags leaks, spares clean docs") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      // embeds an 8-gram of the benchmark -> contaminated
+      (1L, "prefix words the quick brown fox jumps over the lazy dog and more"),
+      // shares tokens but no 8-gram run -> clean
+      (2L, "the quick brown cat sleeps under the lazy dog tonight again"),
+      (3L, "completely unrelated text with eight plus words in it here"))
+      .toDF("doc_id", "text")
+    val bad = CorpusOps.contaminated(docs, bench, n = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bad.keySet == Set(1L))
+    // shares "the quick...the lazy" and "quick...lazy dog"; the third
+    // benchmark 8-gram needs "tonight", which doc 1 lacks
+    assert(bad(1L) == 2)
+    val kept = CorpusOps.decontaminate(docs, bench, n = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+  }
+
   test("capPerDomain: keeps at most cap docs per domain, deterministic order") {
     val d = (0L until 30L).map(i => (i, s"d${i % 3}")).toDF("doc_id", "domain")
     val kept = CorpusOps.capPerDomain(d, cap = 4)
