@@ -32,12 +32,15 @@ object ScaleBench {
 
   /** The scale-sensitive headline subset (round-2 verdict item 8): scans,
     * broadcast joins, the snap bucket join, the per-tile and Pregel reach,
-    * LSH dedup, fingerprinting, ANN brute scan. */
+    * LSH dedup, fingerprinting, ANN brute scan — plus the curation family
+    * (repetition explode-aggregation, PII regex scan, k-means training,
+    * decontamination shingle join). */
   val ScaleQueries: Seq[String] = Seq(
     "q01_pricing_summary", "q03_revenue_by_nation", "q21_sym_dedup",
     "q23_snap", "q26_dijkstra_reach", "q27_multi_tile_reach",
     "q31_minhash_lsh", "q37_fingerprint", "q40_cosine_topk",
-    "q45_reach_pregel")
+    "q45_reach_pregel", "q56_repetition", "q58_pii_scrub",
+    "q60_kmeans", "q62_decontaminate")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
