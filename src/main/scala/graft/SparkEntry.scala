@@ -753,6 +753,16 @@ object SparkEntry {
           all.filter(col("doc_id") % 5 =!= 0),
           all.filter(col("doc_id") % 5 === 0), n = 8)
         .orderBy("doc_id")
+    }),
+
+    // Token-window chunking (training-segment packing): 32-token windows,
+    // stride 16, tail kept. Chunk text travels as md5 so the gate hashes
+    // every byte without hauling full text through the compare.
+    "q63_chunking" -> ((s, dir) => {
+      CorpusOps.chunkTokens(t(s, dir, "documents"), size = 32, stride = 16)
+        .select(col("doc_id"), col("chunk_idx"),
+          md5(col("chunk_text")).as("chunk_md5"), col("n_tokens"))
+        .orderBy("doc_id", "chunk_idx")
     })
   )
 
@@ -1633,6 +1643,16 @@ object SparkEntry {
         |FROM ds JOIN bs ON ds.s = bs.s
         |GROUP BY ds.doc_id
         |ORDER BY ds.doc_id""".stripMargin,
+
+    // w[s+1 : least(s+32, len)] is DuckDB's inclusive slice of Spark's
+    // slice(w, s+1, 32) (tail-shortened identically); chunk_idx = s/16.
+    "q63_chunking" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, w, unnest(range(0, len(w), 16)) AS s FROM w)
+        |SELECT doc_id, CAST(s / 16 AS INT) AS chunk_idx,
+        |       md5(array_to_string(w[s+1 : least(s+32, len(w))], ' ')) AS chunk_md5,
+        |       CAST(least(s+32, len(w)) - s AS INT) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q54_nodes_near" -> {
       val dHit = Derive.Sql.havM("CAST(18.45 AS DOUBLE)", "CAST(54.35 AS DOUBLE)", "lon", "lat")

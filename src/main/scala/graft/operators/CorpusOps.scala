@@ -102,6 +102,29 @@ object CorpusOps {
       .withColumn(textCol, afterCard)
   }
 
+  /** Fixed-size token-window chunking with overlap — the packing step that
+    * turns cleaned documents into training-ready segments. Window starts
+    * at every `stride` tokens while inside the document; the final window
+    * keeps the (shorter) tail. `stride` < `size` gives overlapping windows
+    * for context continuity. Pure per-row array work (one posexplode, no
+    * shuffle); chunk_idx = start/stride is deterministic.
+    *
+    * Output: (idCol, chunk_idx, chunk_text, n_tokens). */
+  def chunkTokens(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", size: Int = 128, stride: Int = 64): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    docs
+      .select(col(idCol), TextOps.words(col(textCol)).as("w"))
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), org.apache.spark.sql.functions.size(col("w")) - 1, lit(stride)),
+        s => struct(
+          concat_ws(" ", slice(col("w"), s + 1, lit(size))).as("t"),
+          org.apache.spark.sql.functions.size(slice(col("w"), s + 1, lit(size))).as("n")))))
+      .select(col(idCol), col("pos").as("chunk_idx"),
+        col("col.t").as("chunk_text"), col("col.n").as("n_tokens"))
+  }
+
   /** Benchmark decontamination — the eval-leak gate: find corpus documents
     * sharing at least `minOverlap` distinct word `n`-gram shingles with any
     * benchmark document. An 8-gram collision is already near-certain

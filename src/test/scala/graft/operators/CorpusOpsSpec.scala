@@ -64,6 +64,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r(5L)._1 == "write <EMAIL> now" && r(5L)._2 == 1)
   }
 
+  test("chunkTokens: window starts, overlap, tail chunk, exact counts") {
+    val d = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b")) // shorter than one window
+      .toDF("doc_id", "text")
+    val got = CorpusOps.chunkTokens(d, size = 4, stride = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getInt(3))).toMap
+    // starts 0,2,4,6,8 -> five windows, last is the 2-token tail
+    assert(got.keySet.filter(_._1 == 1L).map(_._2) == Set(0, 1, 2, 3, 4))
+    assert(got((1L, 0)) == ("t1 t2 t3 t4", 4))
+    assert(got((1L, 1)) == ("t3 t4 t5 t6", 4)) // stride-2 overlap
+    assert(got((1L, 4)) == ("t9 t10", 2)) // tail keeps remaining tokens
+    assert(got((2L, 0)) == ("a b", 2)) // short doc -> one tail-only window
+    assert(!got.contains((2L, 1)))
+  }
+
   test("decontamination: n-gram collision flags leaks, spares clean docs") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
       .toDF("doc_id", "text")
