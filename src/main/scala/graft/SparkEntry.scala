@@ -1639,20 +1639,25 @@ object SparkEntry {
         |       FROM w WHERE len(w) >= 8),
         |ds AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 5 <> 0),
         |bs AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 5 = 0)
-        |SELECT ds.doc_id, count(DISTINCT ds.s) AS n_overlap
+        |SELECT ds.doc_id, count(*) AS n_overlap
         |FROM ds JOIN bs ON ds.s = bs.s
         |GROUP BY ds.doc_id
         |ORDER BY ds.doc_id""".stripMargin,
 
     // w[s+1 : least(s+32, len)] is DuckDB's inclusive slice of Spark's
-    // slice(w, s+1, 32) (tail-shortened identically); chunk_idx = s/16.
+    // slice(w, s+1, 32) (tail-shortened identically); chunk_idx = s/16
+    // (only trailing starts are dropped, so it stays contiguous). The
+    // WHERE mirrors the suffix-duplicate start filter (s=0 or the
+    // previous window, ending at s+32-16, didn't reach the end).
     "q63_chunking" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |c AS (SELECT doc_id, w, unnest(range(0, len(w), 16)) AS s FROM w)
         |SELECT doc_id, CAST(s / 16 AS INT) AS chunk_idx,
         |       md5(array_to_string(w[s+1 : least(s+32, len(w))], ' ')) AS chunk_md5,
         |       CAST(least(s+32, len(w)) - s AS INT) AS n_tokens
-        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+        |FROM c
+        |WHERE s = 0 OR s + 16 < len(w)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q54_nodes_near" -> {
       val dHit = Derive.Sql.havM("CAST(18.45 AS DOUBLE)", "CAST(54.35 AS DOUBLE)", "lon", "lat")

@@ -104,25 +104,35 @@ object CorpusOps {
 
   /** Fixed-size token-window chunking with overlap — the packing step that
     * turns cleaned documents into training-ready segments. Window starts
-    * at every `stride` tokens while inside the document; the final window
-    * keeps the (shorter) tail. `stride` < `size` gives overlapping windows
-    * for context continuity. Pure per-row array work (one posexplode, no
-    * shuffle); chunk_idx = start/stride is deterministic.
+    * every `stride` tokens; the final window keeps the (shorter) tail, but
+    * a start whose PREVIOUS window already reached the end is dropped —
+    * such a window is a strict suffix of its predecessor and would
+    * double-weight document tails in the packed data. Only trailing starts
+    * can be dropped, so chunk_idx = start/stride stays contiguous.
+    * `stride` < `size` gives overlapping windows for context continuity.
+    * Pure per-row array work (one posexplode, no shuffle).
     *
     * Output: (idCol, chunk_idx, chunk_text, n_tokens). */
   def chunkTokens(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text", size: Int = 128, stride: Int = 64): DataFrame = {
     require(size > 0 && stride > 0 && stride <= size,
       s"need 0 < stride <= size, got size=$size stride=$stride")
+    val n = org.apache.spark.sql.functions.size(col("w"))
     docs
       .select(col(idCol), TextOps.words(col(textCol)).as("w"))
       .select(col(idCol), posexplode(transform(
-        sequence(lit(0), org.apache.spark.sql.functions.size(col("w")) - 1, lit(stride)),
+        filter(
+          sequence(lit(0), n - 1, lit(stride)),
+          // keep s iff its previous window (ending at s - stride + size)
+          // did not already cover the whole document
+          s => s === 0 || s + lit(size - stride) < n),
         s => struct(
           concat_ws(" ", slice(col("w"), s + 1, lit(size))).as("t"),
-          org.apache.spark.sql.functions.size(slice(col("w"), s + 1, lit(size))).as("n")))))
+          // pure arithmetic — a second slice just to count would double
+          // the per-window array-copy work (the measured HOF pitfall)
+          least(lit(size), n - s).as("n")))))
       .select(col(idCol), col("pos").as("chunk_idx"),
-        col("col.t").as("chunk_text"), col("col.n").as("n_tokens"))
+        col("col.t").as("chunk_text"), col("col.n").cast("int").as("n_tokens"))
   }
 
   /** Benchmark decontamination — the eval-leak gate: find corpus documents
@@ -135,21 +145,27 @@ object CorpusOps {
     * all-pairs. Returns (idCol, n_overlap) for contaminated docs;
     * [[decontaminate]] anti-joins them away. */
   def contaminated(docs: DataFrame, benchmark: DataFrame, idCol: String = "doc_id",
-                   n: Int = 8, minOverlap: Int = 1): DataFrame = {
-    val ds = TextOps.shingleTable(docs, idCol, n)
+                   textCol: String = "text", n: Int = 8, minOverlap: Int = 1): DataFrame = {
+    val ds = TextOps.shingleTable(docs, idCol, n, textCol)
       .select(col(idCol), explode(col("sh")).as("s"))
-    val bs = TextOps.shingleTable(benchmark, idCol, n)
+    val bs = TextOps.shingleTable(benchmark, idCol, n, textCol)
       .select(explode(col("sh")).as("s")).distinct()
     ds.join(bs, Seq("s"))
       .groupBy(col(idCol))
-      .agg(count_distinct(col("s")).as("n_overlap"))
+      // plain count, not count_distinct: per-doc shingles are already
+      // distinct (shinglesFromWords) and the benchmark side is distinct(),
+      // so (doc, s) pairs are unique — a distinct aggregate would pay a
+      // per-group dedup pass on the stage's largest intermediate for
+      // nothing
+      .agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
   }
 
   /** Corpus minus [[contaminated]] documents (left anti join). */
   def decontaminate(docs: DataFrame, benchmark: DataFrame, idCol: String = "doc_id",
-                    n: Int = 8, minOverlap: Int = 1): DataFrame =
-    docs.join(contaminated(docs, benchmark, idCol, n, minOverlap), Seq(idCol), "left_anti")
+                    textCol: String = "text", n: Int = 8, minOverlap: Int = 1): DataFrame =
+    docs.join(contaminated(docs, benchmark, idCol, textCol, n, minOverlap),
+      Seq(idCol), "left_anti")
 
   /** Per-domain frequency cap — the anti-SEO-farm gate: keep at most
     * `cap` documents per domain, preferring by `orderCol` ascending with

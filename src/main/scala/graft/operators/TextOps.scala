@@ -88,8 +88,9 @@ object TextOps {
     * verification. Compute it ONCE per pipeline and `.cache()` it when both
     * stages run — shingling is the dominant scan cost and recomputing it
     * per consumer triples the work. */
-  def shingleTable(docs: DataFrame, idCol: String, n: Int = 3): DataFrame =
-    docs.select(col(idCol), words(col("text")).as("w"))
+  def shingleTable(docs: DataFrame, idCol: String, n: Int = 3,
+                   textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), words(col(textCol)).as("w"))
       // separate select: the lambda in shinglesFromWords must see the bound
       // attribute `w`, not the split() subtree (see its scaladoc; Catalyst's
       // CollapseProject keeps the boundary because `w` is non-cheap and

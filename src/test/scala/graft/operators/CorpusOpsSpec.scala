@@ -70,13 +70,20 @@ class CorpusOpsSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val got = CorpusOps.chunkTokens(d, size = 4, stride = 2).collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getInt(3))).toMap
-    // starts 0,2,4,6,8 -> five windows, last is the 2-token tail
-    assert(got.keySet.filter(_._1 == 1L).map(_._2) == Set(0, 1, 2, 3, 4))
+    // starts 0,2,4,6 -> four windows; start 8 is dropped because window 6
+    // already reached the end ("t9 t10" would be a pure suffix duplicate)
+    assert(got.keySet.filter(_._1 == 1L).map(_._2) == Set(0, 1, 2, 3))
     assert(got((1L, 0)) == ("t1 t2 t3 t4", 4))
     assert(got((1L, 1)) == ("t3 t4 t5 t6", 4)) // stride-2 overlap
-    assert(got((1L, 4)) == ("t9 t10", 2)) // tail keeps remaining tokens
+    assert(got((1L, 3)) == ("t7 t8 t9 t10", 4)) // last window reaches the end
     assert(got((2L, 0)) == ("a b", 2)) // short doc -> one tail-only window
     assert(!got.contains((2L, 1)))
+    // an 11-token doc DOES need a genuine tail window (adds token 11)
+    val tail = CorpusOps.chunkTokens(
+        Seq((3L, (1 to 11).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text"),
+        size = 4, stride = 2).collect()
+      .map(r => r.getInt(1) -> (r.getString(2), r.getInt(3))).toMap
+    assert(tail(4) == ("t9 t10 t11", 3))
   }
 
   test("decontamination: n-gram collision flags leaks, spares clean docs") {
