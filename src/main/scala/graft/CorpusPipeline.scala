@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CorpusOps, TextOps}
+import graft.streaming.StreamOps
+
+/** End-to-end training-corpus build — the LLM-side analog of [[Pipeline]]:
+  * every curation stage the engine ships, chained as ONE Spark job graph in
+  * the order a production data build runs them:
+  *
+  *   intake (content dedup + token gate) → benchmark decontamination
+  *   (8-gram collision) → MinHash-LSH near-dup drop (keep the smaller id
+  *   of each verified pair) → repetition quality gate → per-domain cap →
+  *   deterministic stratified mixture sampling → token-window chunking.
+  *
+  * Every operator here is individually oracle-checked (q30/q31, q56-q63);
+  * this main demonstrates they COMPOSE — each stage consumes the previous
+  * stage's survivors, and the chunker emits the final training segments.
+  * The one cache is the shingle table, shared by the LSH candidate and
+  * verify stages per TextOps.shingleTable's contract.
+  *
+  * Usage: `sbt "runMain graft.CorpusPipeline [sfDir]"`. Prints one line
+  * per stage with surviving row counts; exits nonzero if any stage ends
+  * empty or any stage GROWS (each is a filter — growth means a join
+  * fanned out, which would silently duplicate training data).
+  */
+object CorpusPipeline {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.get("graft-corpus-pipeline")
+
+    val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def stage(name: String, n: Long): Long = {
+      println(f"[corpus] $name%-22s rows=$n"); counts(name) = n; n
+    }
+
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "source")
+    val benchmark = all.filter(col("doc_id") % 5 === 0) // stand-in eval set
+    val corpus = all.filter(col("doc_id") % 5 =!= 0)
+    stage("corpus_in", corpus.count())
+
+    // 1. intake: content dedup + minimum token count (streaming twin of
+    // this exact function runs in StreamPipeline stage 4)
+    val intake = StreamOps.cleanDocStream(corpus).drop("text_hash")
+    stage("intake", intake.count())
+
+    // 2. benchmark decontamination (8-gram collision, q62 machinery)
+    val decon = CorpusOps.decontaminate(intake, benchmark, n = 8)
+    stage("decontaminated", decon.count())
+
+    // 3. MinHash-LSH near-dup drop: keep the smaller id of each verified
+    // pair (q31/q47 machinery; shingle table cached once for both stages)
+    val sh = TextOps.shingleTable(decon, "doc_id").cache()
+    val nearDrop = TextOps.jaccardVerify(
+        TextOps.minhashCandidates(sh, "doc_id"), sh, "doc_id", threshold = 0.5)
+      .select(col("id2").as("doc_id")).distinct()
+    val deduped = decon.join(nearDrop, Seq("doc_id"), "left_anti")
+    stage("near_dedup", deduped.count())
+
+    // 4. repetition quality gate (q56 machinery): drop boilerplate/spam
+    val rep = CorpusOps.repetitionStats(deduped)
+      .filter(col("dup_2gram_ratio") <= 0.5 && col("top_tok_share") <= 0.5)
+      .select("doc_id")
+    val quality = deduped.join(rep, Seq("doc_id"), "left_semi")
+    stage("quality", quality.count())
+
+    // 5. per-domain frequency cap (q59 machinery; synthetic domain key)
+    val capped = CorpusOps.capPerDomain(
+        quality.withColumn("domain", concat(lit("d"), (col("doc_id") % 37).cast("string"))),
+        cap = 8)
+      .drop("domain")
+    stage("domain_capped", capped.count())
+
+    // 6. deterministic stratified mixture sampling (q57 machinery)
+    val rates = Map("src0" -> 1.0, "src1" -> 1.0, "src2" -> 1.0, "src3" -> 1.0,
+      "src4" -> 0.5, "src5" -> 0.5, "src6" -> 0.5, "src7" -> 0.5)
+      .withDefaultValue(0.25)
+    val allSources = capped.select("source").distinct()
+      .collect().map(_.getString(0)) // tiny: one row per stratum
+    val sampled = CorpusOps.sampleByHash(capped,
+      allSources.map(s => s -> rates(s)).toMap)
+    stage("sampled", sampled.count())
+
+    // 7. token-window chunking: the final training segments (q63 machinery)
+    val chunks = CorpusOps.chunkTokens(sampled, size = 32, stride = 16)
+    val nChunks = chunks.count()
+    println(f"[corpus] chunks                 rows=$nChunks")
+    chunks.orderBy("doc_id", "chunk_idx").show(3, truncate = 60)
+
+    // contract: every stage is a FILTER over the previous one — growth
+    // means some join fanned out and duplicated training data
+    val order = counts.toSeq
+    val grew = order.sliding(2).collect {
+      case Seq((a, na), (b, nb)) if nb > na => s"$a($na) -> $b($nb)"
+    }.toSeq
+    val empty = counts.collect { case (k, 0) => k } ++
+      (if (nChunks == 0) Seq("chunks") else Nil)
+    if (grew.nonEmpty) println(s"[corpus] STAGE GREW: ${grew.mkString("; ")}")
+    if (empty.nonEmpty) println(s"[corpus] EMPTY stages: ${empty.mkString(", ")}")
+    spark.stop()
+    if (grew.nonEmpty || empty.nonEmpty) sys.exit(1)
+  }
+}
