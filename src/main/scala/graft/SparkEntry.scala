@@ -380,7 +380,10 @@ object SparkEntry {
     // form — see TextOps.shinglesFromWords.
     "q32_simhash" -> ((s, dir) => {
       val terms = TextOps.shingleTable(t(s, dir, "documents"), "doc_id")
-        .select(col("doc_id"), explode(col("sh")).as("term"))
+        // explode_outer: identical on the guaranteed-non-empty shingle
+        // arrays, but avoids the inferred size-filter that would push a
+        // second full shingle evaluation into the scan (see CorpusOps)
+        .select(col("doc_id"), explode_outer(col("sh")).as("term"))
       TextOps.simhashPairs(TextOps.simhash64(terms, "doc_id"), "doc_id", 3)
         .orderBy("id1", "id2")
     }),

@@ -40,7 +40,9 @@ object CorpusOps {
         size(col("g2")).as("n_2grams"),
         (size(col("g2")) - size(array_distinct(col("g2")))).as("n_dup_2grams"))
     val topShare = docs
-      .select(col(idCol), explode(TextOps.words(col(textCol))).as("tok"))
+      // explode_outer: words() is never empty, and plain explode's
+      // inferred size-filter would re-evaluate the split in the scan
+      .select(col(idCol), explode_outer(TextOps.words(col(textCol))).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("n"))
       .groupBy(col(idCol)).agg(max(col("n")).as("top_tok_n"))
     grams.join(topShare, Seq(idCol), "left")
@@ -146,10 +148,15 @@ object CorpusOps {
     * [[decontaminate]] anti-joins them away. */
   def contaminated(docs: DataFrame, benchmark: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", n: Int = 8, minOverlap: Int = 1): DataFrame = {
+    // explode_outer, not explode: shingleTable guarantees non-empty
+    // arrays (identical output), but plain explode makes
+    // InferFiltersFromGenerate add a size(sh)>0 predicate that pushdown
+    // re-embeds as a SECOND full shingle evaluation inside the scan
+    // filter (observed in the q62 physical plan)
     val ds = TextOps.shingleTable(docs, idCol, n, textCol)
-      .select(col(idCol), explode(col("sh")).as("s"))
+      .select(col(idCol), explode_outer(col("sh")).as("s"))
     val bs = TextOps.shingleTable(benchmark, idCol, n, textCol)
-      .select(explode(col("sh")).as("s")).distinct()
+      .select(explode_outer(col("sh")).as("s")).distinct()
     ds.join(bs, Seq("s"))
       .groupBy(col(idCol))
       // plain count, not count_distinct: per-doc shingles are already

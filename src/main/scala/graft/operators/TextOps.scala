@@ -91,12 +91,20 @@ object TextOps {
   def shingleTable(docs: DataFrame, idCol: String, n: Int = 3,
                    textCol: String = "text"): DataFrame =
     docs.select(col(idCol), words(col(textCol)).as("w"))
+      // no-shingles ⇔ fewer than n words (n-or-more words always yield ≥1
+      // distinct n-gram). Filtering on the CHEAP size(w) predicate here —
+      // instead of size(sh) > 0 after the shingle projection — matters:
+      // the optimizer pushes the filter below the projection, and a
+      // size(sh) predicate re-embeds the ENTIRE shingle subtree into the
+      // pushed Filter, evaluating shingling twice per row (observed in
+      // the q62 physical plan; Filter and Project don't share
+      // subexpressions even inside one codegen stage)
+      .filter(size(col("w")) >= n)
       // separate select: the lambda in shinglesFromWords must see the bound
       // attribute `w`, not the split() subtree (see its scaladoc; Catalyst's
       // CollapseProject keeps the boundary because `w` is non-cheap and
       // referenced multiple times)
       .select(col(idCol), shinglesFromWords(col("w"), n).as("sh"))
-      .filter(size(col("sh")) > 0) // no shingles -> no signature (null mins)
 
   /** Candidate pairs from banded signatures: explode bands, self-join on
     * (band, bkey), `id1 < id2`, distinct. ONE shuffle on the band key; no
