@@ -3,7 +3,6 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.operators.{CorpusOps, TextOps}
-import graft.streaming.StreamOps
 
 /** End-to-end training-corpus build — the LLM-side analog of [[Pipeline]]:
   * every curation stage the engine ships, chained as ONE Spark job graph in
@@ -17,8 +16,8 @@ import graft.streaming.StreamOps
   * Every operator here is individually oracle-checked (q30/q31, q56-q63);
   * this main demonstrates they COMPOSE — each stage consumes the previous
   * stage's survivors, and the chunker emits the final training segments.
-  * The one cache is the shingle table, shared by the LSH candidate and
-  * verify stages per TextOps.shingleTable's contract.
+  * Stage frames are cached so each stage computes exactly once, and the
+  * dedup survivor rule is the deterministic min-doc_id (see stage 1).
   *
   * Usage: `sbt "runMain graft.CorpusPipeline [sfDir]"`. Prints one line
   * per stage with surviving row counts; exits nonzero if any stage ends
@@ -41,36 +40,50 @@ object CorpusPipeline {
     val corpus = all.filter(col("doc_id") % 5 =!= 0)
     stage("corpus_in", corpus.count())
 
-    // 1. intake: content dedup + minimum token count (streaming twin of
-    // this exact function runs in StreamPipeline stage 4)
-    val intake = StreamOps.cleanDocStream(corpus).drop("text_hash")
+    // Every stage frame is cache()d before its count: each count is an
+    // action, and uncached lineage would (a) recompute all earlier stages
+    // per action — O(stages²) work — and (b) replay any nondeterministic
+    // choice per action, so two actions could disagree about WHICH row
+    // survived and trip the monotonicity contract below on phantoms.
+    def cached(df: org.apache.spark.sql.DataFrame) = df.cache()
+
+    // 1. intake: content dedup + minimum token count. DETERMINISTIC
+    // min-doc_id survivor (q30/q47's rule), not dropDuplicates: batch
+    // replays pick an arbitrary survivor per duplicate group, and every
+    // later stage keys on the surviving doc_id (domain, sample bucket,
+    // near-dup ids), so arbitrariness would cascade. The streaming twin
+    // (StreamPipeline stage 4) keeps first-ARRIVAL instead — a real
+    // ordering, just one batch replays don't have.
+    val exactKeep = corpus
+      .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val intake = cached(corpus
+      .join(exactKeep, Seq("doc_id"), "left_semi")
+      .filter(size(TextOps.words(col("text"))) >= 20))
     stage("intake", intake.count())
 
     // 2. benchmark decontamination (8-gram collision, q62 machinery)
-    val decon = CorpusOps.decontaminate(intake, benchmark, n = 8)
+    val decon = cached(CorpusOps.decontaminate(intake, benchmark, n = 8))
     stage("decontaminated", decon.count())
 
-    // 3. MinHash-LSH near-dup drop: keep the smaller id of each verified
-    // pair (q31/q47 machinery; shingle table cached once for both stages)
-    val sh = TextOps.shingleTable(decon, "doc_id").cache()
-    val nearDrop = TextOps.jaccardVerify(
-        TextOps.minhashCandidates(sh, "doc_id"), sh, "doc_id", threshold = 0.5)
-      .select(col("id2").as("doc_id")).distinct()
-    val deduped = decon.join(nearDrop, Seq("doc_id"), "left_anti")
+    // 3. MinHash-LSH near-dup drop — the q47 policy via the shared helper
+    // (keep the smallest id of each verified pair)
+    val deduped = cached(decon.join(
+      TextOps.nearDupDropIds(decon, "doc_id"), Seq("doc_id"), "left_anti"))
     stage("near_dedup", deduped.count())
 
     // 4. repetition quality gate (q56 machinery): drop boilerplate/spam
     val rep = CorpusOps.repetitionStats(deduped)
       .filter(col("dup_2gram_ratio") <= 0.5 && col("top_tok_share") <= 0.5)
       .select("doc_id")
-    val quality = deduped.join(rep, Seq("doc_id"), "left_semi")
+    val quality = cached(deduped.join(rep, Seq("doc_id"), "left_semi"))
     stage("quality", quality.count())
 
     // 5. per-domain frequency cap (q59 machinery; synthetic domain key)
-    val capped = CorpusOps.capPerDomain(
+    val capped = cached(CorpusOps.capPerDomain(
         quality.withColumn("domain", concat(lit("d"), (col("doc_id") % 37).cast("string"))),
         cap = 8)
-      .drop("domain")
+      .drop("domain"))
     stage("domain_capped", capped.count())
 
     // 6. deterministic stratified mixture sampling (q57 machinery)
@@ -79,8 +92,8 @@ object CorpusPipeline {
       .withDefaultValue(0.25)
     val allSources = capped.select("source").distinct()
       .collect().map(_.getString(0)) // tiny: one row per stratum
-    val sampled = CorpusOps.sampleByHash(capped,
-      allSources.map(s => s -> rates(s)).toMap)
+    val sampled = cached(CorpusOps.sampleByHash(capped,
+      allSources.map(s => s -> rates(s)).toMap))
     stage("sampled", sampled.count())
 
     // 7. token-window chunking: the final training segments (q63 machinery)

@@ -428,7 +428,8 @@ object SparkEntry {
     // Min-k md5 fingerprint (winnowing-style document sketch). Docs too
     // short to shingle are excluded — shingleTable's size(sh)>0 filter is
     // exactly the oracle's len(w)>=3 (a <3-token doc has no shingles, so no
-    // fingerprint, not an empty one). Staged shingles: the inline
+    // fingerprint, not an empty one): shingleTable's size(w) >= 3 gate IS
+    // the oracle's len(w) >= 3. Staged shingles: the inline
     // fingerprint(text) form re-ran split() per shingle (O(tokens²), 13 s
     // at sf0.1 — the round-2 verdict's slowest query).
     "q37_fingerprint" -> ((s, dir) => {
@@ -473,10 +474,7 @@ object SparkEntry {
         .groupBy(md5(col("text")).as("h"))
         .agg(min("doc_id").as("doc_id"))
         .select("doc_id")
-      val sh = TextOps.shingleTable(docs, "doc_id").cache()
-      val nearDrop = TextOps.jaccardVerify(
-          TextOps.minhashCandidates(sh, "doc_id"), sh, "doc_id", threshold = 0.5)
-        .select(col("id2").as("doc_id")).distinct()
+      val nearDrop = TextOps.nearDupDropIds(docs, "doc_id", threshold = 0.5)
       val quality = TextOps.qualityMetrics(docs)
         .filter(col("n_tokens") >= 20 && col("uniq_ratio") >= 0.2)
         .select("doc_id")

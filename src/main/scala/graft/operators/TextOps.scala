@@ -128,6 +128,18 @@ object TextOps {
       .distinct()
   }
 
+  /** The ids MinHash-LSH near-dup removal drops: for every verified pair
+    * (id1 < id2), the LARGER id — so each near-dup group keeps its
+    * smallest member. Computes [[shingleTable]] once (cached) for both the
+    * candidate and verify stages. Shared by the q47 oracle query and the
+    * CorpusPipeline so the drop policy has exactly one definition. */
+  def nearDupDropIds(docs: DataFrame, idCol: String,
+                     threshold: Double = 0.5): DataFrame = {
+    val sh = shingleTable(docs, idCol).cache()
+    jaccardVerify(minhashCandidates(sh, idCol), sh, idCol, threshold)
+      .select(col("id2").as(idCol)).distinct()
+  }
+
   /** Exact shingle-set Jaccard for candidate pairs: |A∩B| / |A∪B|. */
   def jaccardVerify(pairs: DataFrame, shingleDf: DataFrame, idCol: String,
                     threshold: Double = 0.5): DataFrame =
