@@ -86,6 +86,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(tail(4) == ("t9 t10 t11", 3))
   }
 
+  test("chunkTokens property: full coverage, no subset chunks, exact counts") {
+    val rnd = new scala.util.Random(23)
+    val docs = (0 until 40).map { i =>
+      val n = rnd.between(1, 41)
+      (i.toLong, (1 to n).map(t => s"w$t").mkString(" "))
+    }
+    val lens = docs.map { case (id, t) => id -> t.split(" ").length }.toMap
+    val (size, stride) = (5, 3)
+    val chunks = CorpusOps.chunkTokens(docs.toDF("doc_id", "text"),
+        size = size, stride = stride).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(3)))
+      .groupBy(_._1)
+    docs.foreach { case (id, _) =>
+      val n = lens(id)
+      val cs = chunks(id).sortBy(_._2)
+      // contiguous chunk ids from 0
+      assert(cs.map(_._2).toSeq == cs.indices.toSeq, s"doc $id ids")
+      val ranges = cs.map { case (_, idx, nt) => (idx * stride, idx * stride + nt) }
+      // exact window length
+      ranges.foreach { case (s, e) =>
+        assert(e - s == math.min(size, n - s), s"doc $id window $s") }
+      // full coverage of [0, n)
+      assert(ranges.map(_._2).max == n && ranges.map(_._1).min == 0, s"doc $id cover")
+      // no window is contained in another (the suffix-dup rule, generalized)
+      for (a <- ranges; b <- ranges if a != b)
+        assert(!(a._1 >= b._1 && a._2 <= b._2), s"doc $id $a subset of $b")
+    }
+  }
+
   test("decontamination: n-gram collision flags leaks, spares clean docs") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
       .toDF("doc_id", "text")
