@@ -66,7 +66,11 @@ object ScaleBench {
       .withColumn("l_partkey", col("l_partkey") + lit(i * nPart)))
     copies("documents")((d, i) => d
       .withColumn("doc_id", col("doc_id") + lit(i * nDoc))
-      .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"c$i" + "$1"))
+      // "c${i}_" with a separator, not "c$i": an unseparated prefix is not
+      // injective across copies once k > 10 (copy 1 + token "0x" would
+      // collide with copy 10 + token "x"), which would silently create the
+      // cross-copy near-dups this rewrite exists to prevent
+      .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"c${i}_" + "$1"))
       // text-derived columns must follow the rewrite or the scaled table
       // is internally inconsistent for any n_chars consumer; cast keeps
       // the source's BIGINT type (length() alone would narrow to INT)

@@ -23,6 +23,14 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Unique-per-invocation fixture location for the q48-q52 round-trip
+    * queries: concurrent gate runs on one machine must not race on a
+    * shared /tmp path (or Derby in-memory DB name). The UUID goes in the
+    * PARENT directory so the leaf keeps its name — the validated source
+    * sniffs the extension off it. */
+  private def rtPath(tag: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_rt/${java.util.UUID.randomUUID().toString.take(8)}/$tag"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -556,10 +564,16 @@ object SparkEntry {
     // table through the sink, reads it back through the paired source, and
     // hashes against the oracle's direct view of the same data — a lossy or
     // misnamed round-trip breaks the hash.
+    //
+    // These five lambdas are the ONE documented exception to the engine's
+    // "building a query runs nothing" contract: the operator under test IS
+    // the write→read-back pair, so the fixture write happens at
+    // construction. Fixture paths and the Derby DB name are unique per
+    // invocation (rtPath) so concurrent runs cannot race.
 
     // S10: CSV sink + schema-pinned CSV source (ints + quoted strings).
     "q48_csv_roundtrip" -> ((s, dir) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_rt/q48_csv"
+      val path = rtPath("q48_csv")
       val src = t(s, dir, "nation")
         .select("n_nationkey", "n_name", "n_regionkey")
       Sinks.writeCsv(src, path)
@@ -569,7 +583,7 @@ object SparkEntry {
     // S11: JSON sink/source — doubles survive textually (Jackson writes the
     // shortest repr that parses back to the same IEEE value).
     "q49_json_roundtrip" -> ((s, dir) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_rt/q49_json"
+      val path = rtPath("q49_json")
       val src = t(s, dir, "supplier")
         .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
       Sinks.writeJson(src, path)
@@ -580,7 +594,7 @@ object SparkEntry {
     // nationkey column exercises the first-seen dedup (the gate compare is
     // order-insensitive, so the oracle checks the distinct SET).
     "q50_text_roundtrip" -> ((s, dir) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_rt/q50_text"
+      val path = rtPath("q50_text")
       Sinks.writeTextLines(t(s, dir, "customer"), "c_nationkey", path)
       Sinks.readIdLines(s, path).orderBy("id")
     }),
@@ -588,7 +602,7 @@ object SparkEntry {
     // S16: JDBC sink/source against in-memory Derby (the driver Spark ships;
     // the DB stage the reference promises but never implements).
     "q51_jdbc_roundtrip" -> ((s, dir) => {
-      val url = "jdbc:derby:memory:graftq51;create=true"
+      val url = s"jdbc:derby:memory:graftq51_${java.util.UUID.randomUUID().toString.take(8)};create=true"
       val src = t(s, dir, "supplier")
         .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
       Sinks.writeJdbc(src, url, "supplier_rt")
@@ -600,7 +614,7 @@ object SparkEntry {
     // -1 sentinel for 'n/a' — over a messy CSV fixture derived
     // deterministically from `part` (so DuckDB can mirror the expectation).
     "q52_validated_source" -> ((s, dir) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_rt/q52_pois.csv.d"
+      val path = rtPath("q52_pois.csv.d")
       t(s, dir, "part").select(
           col("p_partkey").as("Poi_Id"),
           concat(lit("cat"), (col("p_partkey") % 5).cast("string")).as("CATEGORY"),

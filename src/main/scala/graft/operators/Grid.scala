@@ -113,9 +113,10 @@ object Grid {
     * center is nearest (closed-form inversion of the lattice equation, no
     * join, no explode). For interior points nearest-center IS tile-bbox
     * containment (tiles are center±half with spacing = width); points on a
-    * shared tile edge tie-break to the lower index via floor(x+0.5), which
-    * is deterministic and always one of the tiles [[assignBuffered]]
-    * replicated the point into. Results computed per buffered tile are
+    * shared tile edge tie-break to the HIGHER index — the lower-coordinate
+    * tile, since index grows as coordinates fall: x = (firstCenter−coord)/d
+    * lands on k+0.5 and floor(x+0.5) = k+1 — which is deterministic and
+    * always one of the tiles [[assignBuffered]] replicated the point into. Results computed per buffered tile are
     * made globally exact by keeping only each node's owner-tile row
     * (SURVEY §4; reference grid_creation.py:235-236 buffer convention). */
   def assignOwner(points: DataFrame, l: Lattice,

@@ -83,7 +83,12 @@ object MultimodalOps {
         while (i < b.length && b(i) >= '0' && b(i) <= '9') { x = x * 10 + (b(i) - '0'); i += 1 }
         vals(v) = x; v += 1
       }
-      i += 1 // exactly one whitespace byte separates maxval from pixels
+      // exactly one whitespace byte separates maxval from pixels — verify
+      // it IS whitespace: silently consuming a stray byte here would shift
+      // the pixel frame and decode garbage without an error
+      require(i < b.length && b(i).toChar.isWhitespace,
+        s"bad PPM pixel-data separator at $i")
+      i += 1
       require(vals(0) > 0 && vals(1) > 0, s"bad PPM dims ${vals(0)}x${vals(1)}")
       // 1..255 only: maxval>255 means 2-byte samples (unsupported here —
       // decoding them as 1-byte would silently produce garbage), maxval=0

@@ -69,6 +69,10 @@ class MultimodalOpsSpec extends SparkSpec {
     // truncated pixel data
     val short = "P6\n4 4\n255\n".getBytes("US-ASCII") ++ Array.fill(10)(7.toByte)
     intercept[IllegalArgumentException](PpmDecoder.dims(short))
+    // non-whitespace byte where the single maxval/pixel separator belongs:
+    // silently consuming it would shift the pixel frame
+    val badSep = "P6\n2 2\n255X".getBytes("US-ASCII") ++ Array.fill(12)(0.toByte)
+    intercept[IllegalArgumentException](PpmDecoder.dims(badSep))
   }
 
   test("PpmDecoder.resize: nearest-neighbor on real pixels") {
