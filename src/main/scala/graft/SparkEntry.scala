@@ -778,6 +778,93 @@ object SparkEntry {
         .select(col("doc_id"), col("chunk_idx"),
           md5(col("chunk_text")).as("chunk_md5"), col("n_tokens"))
         .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // ------------------------------------------------- event-stream ops
+    // (EventOps scaladoc: Spark reads the nanos parquet ts as a long;
+    // `ts div 1000` == DuckDB's µs-truncated read — all comparisons are
+    // integer-micros end to end.)
+
+    // Distributed as-of join: attribute each purchase to the LATEST
+    // preceding view by the same user (inclusive ties). The Spark side is
+    // the union-window single-shuffle shape; the oracle is DuckDB's
+    // native ASOF LEFT JOIN — two different algorithms, one answer.
+    "q64_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        col("event_id").as("id"), EventOps.tsUs("ts").as("ts_us"),
+        col("event_type"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase").drop("event_type")
+      val views = ev.filter(col("event_type") === "view").drop("event_type")
+      EventOps.asofJoin(purchases, views, "user_id", Seq("value"))
+        .select(col("user_id"), col("id").as("event_id"), col("ts_us"),
+          round(col("value") * 100).cast("long").as("purchase_cents"),
+          col("asof_id").as("view_id"), col("asof_ts_us").as("view_ts_us"),
+          round(col("asof_value") * 100).cast("long").as("view_cents"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Gap-based sessionization (30-min inactivity gap) + per-session
+    // rollup; lag/cumsum windows share one shuffle + sort.
+    "q65_sessionize" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        col("event_id").as("id"), EventOps.tsUs("ts").as("ts_us"),
+        col("value"))
+      EventOps.sessionize(ev, "user_id", gapUs = 30L * 60 * 1000000)
+        .orderBy("user_id", "session_idx")
+    }),
+
+    // Tumbling-window rollup through Spark's streaming-compatible
+    // window() (epoch-aligned hourly buckets == date_trunc in UTC).
+    "q66_time_rollup" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        EventOps.tsUs("ts").as("ts_us"), col("event_type"), col("value"))
+      EventOps.tumblingRollup(ev, "1 hour")
+        .orderBy("bucket_us", "event_type")
+    }),
+
+    // Rolling trailing-24h per-user aggregate via a RANGE window frame on
+    // integer micros (peers included identically in both engines).
+    "q67_rolling_window" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        col("event_id").as("id"), EventOps.tsUs("ts").as("ts_us"),
+        col("value"))
+      EventOps.rollingAgg(ev, "user_id", windowUs = 24L * 3600 * 1000000)
+        .withColumnRenamed("id", "event_id")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // JSON property extraction (get_json_object ≡ json_extract_string)
+    // feeding a grouped rollup.
+    "q68_json_props" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+          col("value"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+        .orderBy("k_bucket")
+    }),
+
+    // Ordered-funnel conversion: first signup → first strictly-later
+    // purchase per user, with time-to-convert.
+    "q69_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        EventOps.tsUs("ts").as("ts_us"), col("event_type"))
+      EventOps.funnel(ev, "user_id", "signup", "purchase")
+        .orderBy("user_id")
+    }),
+
+    // SemDeDup-style semantic dedup: k-means clusters (the q60 trainer) →
+    // within-cluster exact-cosine prune, keep-min policy. Same planted
+    // +10000 copies as q42 — every copy must be dropped, every original
+    // must survive.
+    "q70_semdedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.select("vec_id", "embedding").union(
+        e.filter(col("vec_id") < 20)
+          .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      SimilarityOps.semDedup(corpus, k = 4, iters = 2, dim = 64, threshold = 0.99)
+        .orderBy("vec_id")
     })
   )
 
@@ -840,6 +927,51 @@ object SparkEntry {
     /** Cosine (mirror of SimilarityOps.cosQ). */
     def cos(a: String, b: String): String =
       s"(CAST(${dot(a, b)} AS DOUBLE) / (sqrt(CAST(${dot(a, a)} AS DOUBLE)) * sqrt(CAST(${dot(b, b)} AS DOUBLE))))"
+  }
+
+  /** SQL mirror of SimilarityOps.kmeansCentroids / assignToCentroids over a
+    * `qv(vec_id, qv)` CTE; shared by q60 (training output) and q70
+    * (SemDeDup, which chains a final assignment onto the trained c2). */
+  private object KmeansSql {
+    /** Exact-integer-L2 argmin assignment of qv against centroid CTE
+      * `cPrev(cid, cv)` (Σ(a−c)² ≡ Spark's |a|²−2a·c+|c|² in exact
+      * 64-bit integers), ties to the smaller cid. */
+    def assign(cPrev: String, a: String, dim: Int): String =
+      s"""$a AS (
+         |  SELECT vec_id, qv, cid FROM (
+         |    SELECT vec_id, qv, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM (
+         |      SELECT v.vec_id, v.qv, c.cid,
+         |             list_sum(list_transform(range(1, ${dim + 1}),
+         |               i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))) AS dist
+         |      FROM qv v CROSS JOIN $cPrev c))
+         |  WHERE rn = 1)""".stripMargin
+
+    /** Per-dimension requantized-mean centroid update; an empty cluster
+      * keeps its previous centroid. */
+    def update(aPrev: String, cPrev: String, c: String): String =
+      s"""${c}_long AS (
+         |  SELECT cid, pos, CAST(round(sum(val) / count(*)) AS BIGINT) AS cval
+         |  FROM (SELECT cid, unnest(qv) AS val, generate_subscripts(qv, 1) AS pos
+         |        FROM $aPrev)
+         |  GROUP BY cid, pos),
+         |$c AS (
+         |  SELECT p.cid, coalesce(l.cv, p.cv) AS cv
+         |  FROM $cPrev p LEFT JOIN
+         |       (SELECT cid, list(cval ORDER BY pos) AS cv FROM ${c}_long GROUP BY cid) l
+         |    ON l.cid = p.cid)""".stripMargin
+
+    /** c0 (k smallest vec_ids) → assign a1 → update c1 → assign a2 →
+      * update c2: the fixed two-iteration Lloyd chain both gate queries
+      * pin. */
+    def twoRounds(k: Int, dim: Int): String =
+      s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, qv AS cv
+         |       FROM (SELECT vec_id, qv FROM qv ORDER BY vec_id LIMIT $k)),
+         |${assign("c0", "a1", dim)},
+         |${update("a1", "c0", "c1")},
+         |${assign("c1", "a2", dim)},
+         |${update("a2", "c1", "c2")}""".stripMargin
   }
 
   /** Shared by q26 (single tile) and q27 (multi-tile + owner dedup): the
@@ -1597,44 +1729,15 @@ object SparkEntry {
     // |a|²−2a·c+|c|² is the same exact integer); means divide an exact
     // HUGEINT-widened sum by count → DOUBLE (sums ≈1e10 ≪ 2⁵³, so the
     // division input is exact), then round half-away-from-zero like Spark.
-    "q60_kmeans" -> {
-      val (k, dim) = (4, 64)
-      def assign(cPrev: String, a: String) =
-        s"""$a AS (
-           |  SELECT vec_id, qv, cid FROM (
-           |    SELECT vec_id, qv, cid,
-           |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-           |    FROM (
-           |      SELECT v.vec_id, v.qv, c.cid,
-           |             list_sum(list_transform(range(1, ${dim + 1}),
-           |               i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))) AS dist
-           |      FROM qv v CROSS JOIN $cPrev c))
-           |  WHERE rn = 1)""".stripMargin
-      def update(aPrev: String, cPrev: String, c: String) =
-        s"""${c}_long AS (
-           |  SELECT cid, pos, CAST(round(sum(val) / count(*)) AS BIGINT) AS cval
-           |  FROM (SELECT cid, unnest(qv) AS val, generate_subscripts(qv, 1) AS pos
-           |        FROM $aPrev)
-           |  GROUP BY cid, pos),
-           |$c AS (
-           |  SELECT p.cid, coalesce(l.cv, p.cv) AS cv
-           |  FROM $cPrev p LEFT JOIN
-           |       (SELECT cid, list(cval ORDER BY pos) AS cv FROM ${c}_long GROUP BY cid) l
-           |    ON l.cid = p.cid)""".stripMargin
+    "q60_kmeans" ->
       s"""WITH qv AS (SELECT vec_id, ${LlmSql.qvec("embedding")} AS qv FROM embeddings),
-         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, qv AS cv
-         |       FROM (SELECT vec_id, qv FROM qv ORDER BY vec_id LIMIT $k)),
-         |${assign("c0", "a1")},
-         |${update("a1", "c0", "c1")},
-         |${assign("c1", "a2")},
-         |${update("a2", "c1", "c2")},
+         |${KmeansSql.twoRounds(k = 4, dim = 64)},
          |sizes AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM a2 GROUP BY cid)
          |SELECT c.cid, CAST(coalesce(s.n, 0) AS BIGINT) AS n,
          |       CAST(c.pos - 1 AS INT) AS pos, c.cval
          |FROM (SELECT cid, unnest(cv) AS cval, generate_subscripts(cv, 1) AS pos FROM c2) c
          |LEFT JOIN sizes s ON s.cid = c.cid
-         |ORDER BY c.cid, c.pos""".stripMargin
-    },
+         |ORDER BY c.cid, c.pos""".stripMargin,
 
     "q61_doc_intake" ->
       """SELECT DISTINCT md5(text) AS text_hash,
@@ -1677,19 +1780,124 @@ object SparkEntry {
     "q54_nodes_near" -> {
       val dHit = Derive.Sql.havM("CAST(18.45 AS DOUBLE)", "CAST(54.35 AS DOUBLE)", "lon", "lat")
       val dMiss = Derive.Sql.havM("CAST(18.0 AS DOUBLE)", "CAST(54.0 AS DOUBLE)", "lon", "lat")
+      // Full BOTH-branch mirror of nodesNear for each query point (in-radius
+      // if any node qualifies, else the k nearest) — which branch fires
+      // depends on node density, i.e. on the scale factor, so the oracle
+      // must decide it from the data exactly like the operator does.
+      def near(cte: String, label: String, r: String, k: Int) =
+        s"""(SELECT '$label' AS branch, node_idx, center_dist_m FROM $cte
+           | WHERE (SELECT count(*) FROM $cte WHERE center_dist_m <= $r) > 0
+           |   AND center_dist_m <= $r)
+           |UNION ALL
+           |(SELECT '$label' AS branch, node_idx, center_dist_m FROM $cte
+           | WHERE (SELECT count(*) FROM $cte WHERE center_dist_m <= $r) = 0
+           | QUALIFY row_number() OVER (ORDER BY center_dist_m, node_idx) <= $k)""".stripMargin
       s"""WITH ${Derive.Sql.nodes},
          |dh AS (SELECT node_idx, $dHit AS center_dist_m FROM nodes),
-         |dm AS (SELECT node_idx, $dMiss AS center_dist_m FROM nodes),
-         |rad AS (SELECT 'radius' AS branch, node_idx, center_dist_m
-         |        FROM dh WHERE center_dist_m <= 500.0),
-         |knn AS (SELECT 'knn' AS branch, node_idx, center_dist_m
-         |        FROM dm
-         |        WHERE (SELECT count(*) FROM dm WHERE center_dist_m <= 100.0) = 0
-         |        QUALIFY row_number() OVER (ORDER BY center_dist_m, node_idx) <= 7)
-         |SELECT branch, node_idx, round(center_dist_m, 3) AS center_dist_mm3 FROM rad
+         |dm AS (SELECT node_idx, $dMiss AS center_dist_m FROM nodes)
+         |SELECT branch, node_idx, round(center_dist_m, 3) AS center_dist_mm3 FROM (
+         |${near("dh", "radius", "500.0", 200)}
          |UNION ALL
-         |SELECT branch, node_idx, round(center_dist_m, 3) AS center_dist_mm3 FROM knn
+         |${near("dm", "knn", "100.0", 7)})
          |ORDER BY branch, node_idx""".stripMargin
-    }
+    },
+
+    // --------------------------------------------- event-stream oracles
+    // epoch_us(ts) == Spark's `ts div 1000` on the nanos-long read (both
+    // floor; all harness timestamps positive). DuckDB widens SUM to
+    // HUGEINT, so every aggregate is CAST back to BIGINT for the gate.
+
+    // Native DuckDB ASOF LEFT JOIN vs the Spark union-window shape; the
+    // right side is pre-deduped to max-id per (user, ts) exactly like the
+    // operator, so ties are deterministic in both engines.
+    "q64_asof_join" ->
+      """WITH ev AS (SELECT user_id, event_id AS id, epoch_us(ts) AS ts_us,
+        |                  event_type, value FROM events),
+        |p AS (SELECT user_id, id, ts_us, value FROM ev WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, id, ts_us, value FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY user_id, ts_us
+        |                                     ORDER BY id DESC) AS rn
+        |        FROM ev WHERE event_type = 'view')
+        |      WHERE rn = 1)
+        |SELECT p.user_id, p.id AS event_id, p.ts_us,
+        |       CAST(round(p.value * 100) AS BIGINT) AS purchase_cents,
+        |       v.id AS view_id, v.ts_us AS view_ts_us,
+        |       CAST(round(v.value * 100) AS BIGINT) AS view_cents
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.ts_us >= v.ts_us
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q65_sessionize" ->
+      """WITH ev AS (SELECT user_id, event_id AS id, epoch_us(ts) AS ts_us,
+        |                  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |g AS (SELECT user_id, id, ts_us, cents,
+        |        CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id
+        |               ORDER BY ts_us, id) <= 1800000000 THEN 0 ELSE 1 END AS new_sess
+        |      FROM ev),
+        |s AS (SELECT user_id, ts_us, cents,
+        |        CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |      FROM g)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |       min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |       max(ts_us) - min(ts_us) AS duration_us,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+
+    "q66_time_rollup" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q67_rolling_window" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |                  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT user_id, event_id, ts_us,
+        |       CAST(count(*) OVER w AS BIGINT) AS n_trail,
+        |       CAST(sum(cents) OVER w AS BIGINT) AS sum_cents_trail
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q68_json_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q69_funnel" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |entry AS (SELECT user_id, min(ts_us) AS entry_us
+        |          FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+        |ex AS (SELECT e.user_id, e.entry_us,
+        |              min(CASE WHEN p.ts_us > e.entry_us THEN p.ts_us END) AS exit_us
+        |       FROM entry e LEFT JOIN ev p
+        |         ON p.user_id = e.user_id AND p.event_type = 'purchase'
+        |       GROUP BY e.user_id, e.entry_us)
+        |SELECT user_id, entry_us, exit_us,
+        |       CASE WHEN exit_us IS NOT NULL THEN 1 ELSE 0 END AS converted,
+        |       exit_us - entry_us AS ttc_us
+        |FROM ex ORDER BY user_id""".stripMargin,
+
+    // SemDeDup: the q60 two-round Lloyd chain over the q42 planted-copy
+    // corpus, a final c2 assignment, within-cluster cosine pairs >= 0.99,
+    // keep-min survivors.
+    "q70_semdedup" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 20),
+         |qv AS (SELECT vec_id, ${LlmSql.qvec("embedding")} AS qv FROM corpus),
+         |${KmeansSql.twoRounds(k = 4, dim = 64)},
+         |${KmeansSql.assign("c2", "a3", 64)},
+         |pairs AS (
+         |  SELECT b.vec_id AS dropped_id
+         |  FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE ${LlmSql.cos("a.qv", "b.qv")} >= 0.99)
+         |SELECT a.vec_id, a.cid FROM a3 a
+         |WHERE NOT EXISTS (SELECT 1 FROM pairs d WHERE d.dropped_id = a.vec_id)
+         |ORDER BY a.vec_id""".stripMargin
   )
 }

@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream relational operators over the harness `events` table
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * Timestamp convention: the harness parquet stores TIMESTAMP(NANOS);
+  * GraftSession reads it as a BIGINT of epoch NANOSECONDS
+  * (`spark.sql.legacy.parquet.nanosAsLong`), while DuckDB's reader
+  * truncates the same column to microsecond TIMESTAMP. The engine-portable
+  * meeting point is epoch MICROSECONDS: Spark `ts div 1000` equals DuckDB
+  * `epoch_us(ts)` exactly (both floor; all harness timestamps are
+  * positive). Every operator here therefore works in `ts_us` longs —
+  * integer arithmetic end to end, no IEEE or timezone drift.
+  *
+  * Monetary sums use the engine-wide integer-cents discipline
+  * (`round(value*100)` summed as longs): float addition is
+  * order-dependent, so a distributed sum of raw doubles would not be
+  * reproducible across partitionings, let alone engines.
+  *
+  * Scale shape (all five operators): ONE hash shuffle on the partition
+  * key (user_id), then sorted-window passes within each partition. No
+  * range-condition joins (Spark plans those as broadcast-nested-loop or
+  * cartesian), no per-key collect, no driver loop. At 100 TB the only
+  * concern is per-user row counts — windows stream within a partition, so
+  * skewed users cost time, not memory; a hot-key salting pass (SkewOps)
+  * composes in front if one user dominates.
+  */
+object EventOps {
+
+  /** Epoch-micros column from the nanos-long `ts` column (exact integer
+    * `div` — `ts / 1000` through doubles would round at 1.7e18 magnitudes,
+    * where the double ulp is 256 ns). Takes the column NAME because the
+    * DSL has no integer-division operator. */
+  def tsUs(tsCol: String): Column = expr(s"($tsCol) div 1000")
+
+  private def cents(value: Column): Column = round(value * 100).cast("long")
+
+  /** Distributed as-of join (point-in-time lookup / attribution): for each
+    * left row, attach the LATEST right row with `right.ts_us <= left.ts_us`
+    * within the same `key` — e.g. "which view preceded this purchase".
+    * Inclusive on equal timestamps, like DuckDB/kdb ASOF.
+    *
+    * Implementation is the union-window shape, the scalable form of as-of:
+    * tag right rows side=0 and left rows side=1, union, ONE shuffle on the
+    * key, sort each partition by (ts_us, side, id), and carry the most
+    * recent right payload forward with last(ignoreNulls) over an
+    * unbounded-preceding window. A naive `left JOIN right ON key AND rts <=
+    * lts` + argmax would be a range join that explodes quadratically per
+    * key; this form is a single sort-merge pass. Right rows that share
+    * (key, ts_us) are first reduced to the max-id row so the carried match
+    * is deterministic in every engine.
+    *
+    * Left rows with no preceding right row keep NULL match columns (the
+    * as-of LEFT join contract).
+    *
+    * @param left     rows to annotate; must carry `key`, `id`, `ts_us`
+    * @param right    rows to look up;  must carry `key`, `id`, `ts_us`
+    * @param payload  right columns (besides id/ts) to carry, e.g. value
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               payload: Seq[String]): DataFrame = {
+    // Deterministic right side: one row per (key, ts_us) — the max id wins.
+    val wDedup = Window.partitionBy(key, "ts_us").orderBy(col("id").desc)
+    val r = right
+      .withColumn("rn", row_number().over(wDedup)).filter(col("rn") === 1)
+      .select(Seq(col(key), lit(0).as("side"), col("id"), col("ts_us")) ++
+        payload.map(col): _*)
+    val lCols = left.columns.toSeq
+    val l = left.withColumn("side", lit(1))
+    // Union with aligned schemas: right contributes match-source columns,
+    // left contributes its own; each side NULL-pads the other's.
+    val matchCols = Seq("id", "ts_us") ++ payload
+    val rAligned = r.select(
+      Seq(col(key), col("side")) ++
+        lCols.filterNot(c => c == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        matchCols.map(c => col(c).as(s"m_$c")): _*)
+    val lAligned = l.select(
+      Seq(col(key), col("side")) ++
+        lCols.filterNot(c => c == key).map(col) ++
+        matchCols.map(c => lit(null).cast(rAligned.schema(s"m_$c").dataType).as(s"m_$c")): _*)
+    val w = Window.partitionBy(key)
+      .orderBy(col("_ord_ts"), col("side"), col("_ord_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rAligned.union(lAligned)
+      // union output binds by position; re-derive the sort keys from
+      // whichever side populated them
+      .withColumn("_ord_ts", coalesce(col("ts_us"), col("m_ts_us")))
+      .withColumn("_ord_id", coalesce(col("id"), col("m_id")))
+      .select(Seq(col("*")) ++
+        matchCols.map(c => last(col(s"m_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
+    carried.filter(col("side") === 1)
+      .select(Seq(col(key)) ++ lCols.filterNot(_ == key).map(col) ++
+        matchCols.map(c => col(s"asof_$c")): _*)
+  }
+
+  /** Gap-based sessionization: a new session starts when the gap to the
+    * previous event of the same key exceeds `gapUs`. Two window passes over
+    * the SAME (key, ts, id) sort order — Spark evaluates both in one
+    * shuffle + one sort — then a per-session aggregate.
+    *
+    * Returns one row per session: (key, session_idx, n_events, start_us,
+    * end_us, duration_us, sum_cents).
+    */
+  def sessionize(events: DataFrame, key: String, gapUs: Long): DataFrame = {
+    val wOrd = Window.partitionBy(key).orderBy(col("ts_us"), col("id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("new_sess",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(wOrd) <= gapUs, lit(0))
+          .otherwise(lit(1))) // first row per key: lag NULL → comparison NULL → 1
+      .withColumn("session_idx", sum(col("new_sess")).over(wRun))
+      .groupBy(col(key), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"),
+        sum(cents(col("value"))).as("sum_cents"))
+  }
+
+  /** Tumbling-window rollup via Spark's streaming-compatible `window()`
+    * function (epoch-aligned buckets, identical batch or streaming):
+    * per (bucket, event_type) counts + integer-cents sums. The bucket is
+    * surfaced as `bucket_us` (epoch micros of the window start) — the
+    * cross-engine-stable scalar form of the window struct.
+    *
+    * Purely map-side until the final aggregate: one shuffle on
+    * (bucket, event_type) with partial aggregation — the minimal plan for
+    * a rollup at any scale.
+    */
+  def tumblingRollup(events: DataFrame, width: String): DataFrame =
+    events
+      .withColumn("win", window(timestamp_micros(col("ts_us")), width))
+      .groupBy(unix_micros(col("win.start")).as("bucket_us"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
+
+  /** Rolling time-window aggregate: for every event, the count and
+    * integer-cents sum of the same key's events in the trailing
+    * `windowUs` (inclusive frame [ts_us - windowUs, ts_us] — RANGE frames
+    * include ordering-value peers identically in Spark and DuckDB).
+    * One shuffle + one sort per key; the range frame slides in O(n).
+    */
+  def rollingAgg(events: DataFrame, key: String, windowUs: Long): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col("ts_us"))
+      .rangeBetween(-windowUs, Window.currentRow)
+    events.select(
+      col(key), col("id"), col("ts_us"),
+      count(lit(1)).over(w).as("n_trail"),
+      sum(cents(col("value"))).over(w).as("sum_cents_trail"))
+  }
+
+  /** Ordered-funnel conversion: per key, the first `fromType` event and the
+    * first `toType` event STRICTLY after it; converted keys carry the
+    * time-to-convert. Two conditional-min aggregates — the first pass finds
+    * the funnel entry, the second (one self-aggregate over the same
+    * shuffle key, merged by join) finds the earliest qualifying exit.
+    * No window, no per-key ordering needed: min() is enough because
+    * "first" is a total order on ts_us (ties broken upstream by µs
+    * truncation being injective on the ns source — and the aggregate is
+    * min-deterministic regardless).
+    */
+  def funnel(events: DataFrame, key: String,
+             fromType: String, toType: String): DataFrame = {
+    val entry = events.filter(col("event_type") === fromType)
+      .groupBy(col(key)).agg(min(col("ts_us")).as("entry_us"))
+    val exit = events.filter(col("event_type") === toType)
+      .select(col(key), col("ts_us"))
+    entry.join(exit, Seq(key), "left")
+      .groupBy(col(key), col("entry_us"))
+      .agg(min(when(col("ts_us") > col("entry_us"), col("ts_us"))).as("exit_us"))
+      .select(col(key), col("entry_us"), col("exit_us"),
+        when(col("exit_us").isNotNull, lit(1)).otherwise(lit(0)).as("converted"),
+        (col("exit_us") - col("entry_us")).as("ttc_us"))
+  }
+}

@@ -151,6 +151,58 @@ object SimilarityOps {
       .select(col("cid"), coalesce(col("n"), lit(0L)).as("n"), col("cv"))
   }
 
+  /** Assign every vector to its exact-integer-L2 nearest centroid (the
+    * k-means assignment rule: argmin |a|² − 2a·c + |c|², ties to the
+    * smaller cluster id). Broadcast centroids + per-vector argmin window —
+    * one map-side pass over the big table.
+    * Input cents: (cid, cv quantized); output (cid, vec_id, qv). */
+  def assignToCentroids(vectors: DataFrame, cents: DataFrame): DataFrame = {
+    val cdf = broadcast(cents.select(col("cid"), col("cv"))
+      .withColumn("nc", dotQ(col("cv"), col("cv"))))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+    vectors
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("na", dotQ(col("qv"), col("qv")))
+      .crossJoin(cdf)
+      .withColumn("dist",
+        col("na") - lit(2L) * dotQ(col("qv"), col("cv")) + col("nc"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("cid", "vec_id", "qv")
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, SemDeDup:
+    * cluster embeddings, then prune near-duplicates WITHIN each cluster —
+    * the cluster structure turns a corpus-quadratic pairwise scan into
+    * k independent bucket-local ones).
+    *
+    *  1. train centroids with [[kmeansCentroids]] (deterministic Lloyd);
+    *  2. assign every vector to its nearest centroid ([[assignToCentroids]]);
+    *  3. self-join within cluster only (the shuffle key IS cid), exact
+    *     quantized cosine per pair;
+    *  4. drop policy = the engine-wide near-dup rule: for every pair with
+    *     cos ≥ threshold, the larger vec_id is dropped (keep-min —
+    *     identical to the LSH/corpus-clean stages, so pipelines can swap
+    *     dedupers without changing survivors' identity semantics).
+    *
+    * Scale: step 3 is quadratic per CLUSTER, not per corpus — with k
+    * clusters of n/k docs it is n²/k comparisons, and k grows with the
+    * corpus (SemDeDup used 50k clusters for LAION-scale); clusters are
+    * also independent partitions, so the join parallelizes on cid.
+    *
+    * Returns the SURVIVORS: (vec_id, cid), one row per kept vector. */
+  def semDedup(vectors: DataFrame, k: Int, iters: Int, dim: Int,
+               threshold: Double): DataFrame = {
+    val cents = kmeansCentroids(vectors, k, iters, dim).select("cid", "cv")
+    val assigned = assignToCentroids(vectors, cents)
+    val dropped = assigned.alias("a").join(assigned.alias("b"), Seq("cid"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .filter(cosQ(col("a.qv"), col("b.qv")) >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assigned.select("vec_id", "cid")
+      .join(dropped, Seq("vec_id"), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs via random-hyperplane LSH: sign bit per
     * (broadcast) hyperplane → bucket key → bucket-join (NO all-pairs) →
     * exact cosine verify ≥ threshold. Vectors with cosine 1.0 always share

@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (user_id, id, ts_us, value) with seeded collisions: several events per
+  // user share a timestamp so the deterministic tie rules are exercised.
+  private lazy val evSeq: Seq[(Long, Long, Long, Double)] = {
+    val rnd = new scala.util.Random(7)
+    (0L until 400L).map { i =>
+      (rnd.nextInt(5).toLong, i, rnd.nextInt(1000).toLong * 1000L, rnd.nextInt(500) / 100.0)
+    }
+  }
+  private lazy val ev = evSeq.toDF("user_id", "id", "ts_us", "value")
+
+  test("asofJoin matches a brute-force per-key scan (random data with ts ties)") {
+    val left = ev.filter(col("id") % 3 === 0)
+    val right = ev.filter(col("id") % 3 === 1)
+    val rightSeq = evSeq.filter(_._2 % 3 == 1)
+    val got = EventOps.asofJoin(left, right, "user_id", Seq("value"))
+      .select("user_id", "id", "asof_id")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    val want = evSeq.filter(_._2 % 3 == 0).map { case (u, id, ts, _) =>
+      // latest right at ts_r <= ts; ties on ts broken by max id (the
+      // operator's per-(key,ts) max-id dedup + (ts, id) carry order)
+      val cands = rightSeq.filter(r => r._1 == u && r._3 <= ts)
+      val best = if (cands.isEmpty) None
+                 else Some(cands.maxBy(r => (r._3, r._2))._2)
+      (u, id, best)
+    }.toSet
+    assert(got == want)
+  }
+
+  test("asofJoin is inclusive on equal timestamps and NULL before any match") {
+    val left = Seq((1L, 10L, 1000L, 1.0), (1L, 11L, 500L, 1.0)).toDF("user_id", "id", "ts_us", "value")
+    val right = Seq((1L, 20L, 1000L, 2.0), (1L, 21L, 900L, 3.0)).toDF("user_id", "id", "ts_us", "value")
+    val got = EventOps.asofJoin(left, right, "user_id", Seq("value"))
+      .select("id", "asof_id").as[(Long, Option[Long])].collect().toMap
+    assert(got(10L).contains(20L)) // equal ts matches (inclusive)
+    assert(got(11L).isEmpty)       // nothing at or before 500
+  }
+
+  test("sessionize splits on gap > threshold and aggregates exactly") {
+    // one user, gaps: 10, 100(split), 10, 200(split) → sessions of 2, 2, 1
+    val e = Seq((1L, 0L, 0L, 1.00), (1L, 1L, 10L, 2.00), (1L, 2L, 110L, 0.25),
+      (1L, 3L, 120L, 0.25), (1L, 4L, 320L, 4.00))
+      .toDF("user_id", "id", "ts_us", "value")
+    val got = EventOps.sessionize(e, "user_id", gapUs = 50L)
+      .select("session_idx", "n_events", "start_us", "end_us", "duration_us", "sum_cents")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 2L, 0L, 10L, 10L, 300L),
+      (2L, 2L, 110L, 120L, 10L, 50L),
+      (3L, 1L, 320L, 320L, 0L, 400L)))
+  }
+
+  test("sessionize counts every input event exactly once") {
+    val total = EventOps.sessionize(ev, "user_id", gapUs = 5000L)
+      .agg(sum("n_events")).as[Long].head()
+    assert(total == 400L)
+  }
+
+  test("tumblingRollup buckets are epoch-aligned floors") {
+    val e = Seq((0L, "a", 1.0), (3599999999L, "a", 2.0), (3600000000L, "a", 4.0))
+      .toDF("ts_us", "event_type", "value")
+    val got = EventOps.tumblingRollup(e, "1 hour")
+      .select("bucket_us", "n", "sum_cents")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((0L, 2L, 300L), (3600000000L, 1L, 400L)))
+  }
+
+  test("rollingAgg matches a brute-force trailing-window scan") {
+    val W = 100000L
+    val got = EventOps.rollingAgg(ev, "user_id", windowUs = W)
+      .select("id", "n_trail", "sum_cents_trail")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = evSeq.map { case (u, id, ts, _) =>
+      val inWin = evSeq.filter(r => r._1 == u && r._3 >= ts - W && r._3 <= ts)
+      (id, inWin.size.toLong, inWin.map(r => math.round(r._4 * 100)).sum)
+    }.toSet
+    assert(got == want)
+  }
+
+  test("funnel requires the exit STRICTLY after the entry") {
+    val e = Seq(
+      (1L, 100L, "signup"), (1L, 100L, "purchase"), // same instant: no conversion
+      (2L, 100L, "signup"), (2L, 101L, "purchase"), // converts, ttc 1
+      (3L, 100L, "purchase"), (3L, 200L, "signup"), // purchase precedes signup only
+      (4L, 100L, "signup")) // never converts
+      .toDF("user_id", "ts_us", "event_type")
+    val got = EventOps.funnel(e, "user_id", "signup", "purchase")
+      .select("user_id", "converted", "ttc_us")
+      .as[(Long, Int, Option[Long])].collect()
+      .map { case (k, v, t) => k -> (v, t) }.toMap
+    assert(got(1L) == ((0, None)))       // same-instant purchase doesn't count
+    assert(got(2L) == ((1, Some(1L))))
+    assert(got(3L) == ((0, None)))       // purchase strictly before signup
+    assert(got(4L) == ((0, None)))       // no purchase at all
+    assert(!got.contains(5L))            // no entry event → no row
+  }
+}

@@ -121,4 +121,47 @@ class SimilarityOpsSpec extends SparkSpec {
     // so probing ONE trained bucket already reproduces exact search
     assert(ivf == brute)
   }
+
+  test("semDedup drops planted copies (keep-min), keeps everything else") {
+    val centers = Seq(Seq(0.9f, 0.9f), Seq(-0.9f, -0.9f))
+    val rnd = new scala.util.Random(23)
+    val dim = 8
+    val base = (0 until 40).map { i =>
+      val c = centers(i % 2)
+      val v = Seq.tabulate(dim)(d =>
+        (if (d < 2) c(d) else 0.0f) + (rnd.nextGaussian() / 10).toFloat)
+      (i.toLong, v)
+    }
+    // plant exact copies of vectors 0..4 under ids 100..104
+    val corpus = (base ++ base.take(5).map { case (id, v) => (id + 100L, v) })
+      .toDF("vec_id", "embedding")
+    val survivors = SimilarityOps.semDedup(corpus, k = 2, iters = 3, dim = dim, threshold = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    assert((100L to 104L).forall(!survivors.contains(_)), "every copy dropped")
+    assert((0L until 40L).forall(survivors.contains), "every original kept (keep-min)")
+  }
+
+  test("semDedup survivors + within-cluster near-dup pairs partition the corpus") {
+    // sanity on random data at a modest threshold: survivors are unique,
+    // and no surviving pair in the SAME cluster is >= threshold
+    val rnd = new scala.util.Random(31)
+    val dim = 6
+    val corpus = (0 until 50).map { i =>
+      (i.toLong, Seq.fill(dim)((rnd.nextGaussian() / 3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val thr = 0.95
+    val kept = SimilarityOps.semDedup(corpus, k = 3, iters = 2, dim = dim, threshold = thr)
+    val keptIds = kept.select("vec_id").as[Long].collect()
+    assert(keptIds.length == keptIds.distinct.length)
+    val pairsLeft = kept.alias("a").join(kept.alias("b"), Seq("cid"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .join(corpus.select(col("vec_id").as("a_id"), col("embedding").as("ea")),
+        col("a.vec_id") === col("a_id"))
+      .join(corpus.select(col("vec_id").as("b_id"), col("embedding").as("eb")),
+        col("b.vec_id") === col("b_id"))
+      .filter(SimilarityOps.cosQ(SimilarityOps.quantize(col("ea")),
+        SimilarityOps.quantize(col("eb"))) >= thr)
+      .count()
+    assert(pairsLeft == 0, "no near-dup pair survives within a cluster")
+  }
 }
