@@ -20,11 +20,23 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").schema
       catch { case _: Throwable => }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-        catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(160)) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+    // Local perf-iteration aids (unset in driver runs): SPARK_GRAFT_ONLY
+    // restricts to a comma-separated query subset; SPARK_GRAFT_REPS>1 runs
+    // each query that many times (first rep warms codegen, LAST rep is the
+    // recorded time — warm-vs-warm comparisons only).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(1)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
+      var last = (0.0, Option.empty[String])
+      for (_ <- 1 to reps) {
+        val t0 = System.nanoTime()
+        val err = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+          catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(160)) }
+        last = ((System.nanoTime() - t0) / 1e9, err)
+      }
+      (name, last._1, last._2)
     }
     val qs = results.map { case (k, v, err) =>
       // Locale.ROOT: the default locale could print a comma decimal

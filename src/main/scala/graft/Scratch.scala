@@ -1,0 +1,37 @@
+package graft
+
+/** Throwaway profiling main (not part of the engine). */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.get("graft-scratch")
+    spark.range(1).count()
+    val name = args.headOption.getOrElse("q70_semdedup")
+    val fn = SparkEntry.queries(name)
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    var jobLog = List.empty[(Int, Long, Int)]
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.put(js.jobId, System.nanoTime())
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val t0 = jobs.getOrDefault(je.jobId, 0L)
+        jobLog = (je.jobId, (System.nanoTime() - t0) / 1000000, 0) :: jobLog
+      }
+    })
+    for (rep <- 1 to 3) {
+      spark.catalog.clearCache() // honest single-shot: no cross-rep cache reuse
+      val t0 = System.nanoTime()
+      val df = fn(spark, sfDir)
+      val t1 = System.nanoTime()
+      df.queryExecution.executedPlan // forces analysis + optimization + planning
+      val t2 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val t3 = System.nanoTime()
+      println(f"[scratch] $name rep$rep build=${(t1 - t0) / 1e9}%.3f plan=${(t2 - t1) / 1e9}%.3f exec=${(t3 - t2) / 1e9}%.3f")
+      Thread.sleep(200)
+      println(s"[scratch] rep$rep jobs=${jobLog.size} ms=${jobLog.map(_._2).sum} top=${jobLog.sortBy(-_._2).take(8).map(j => s"j${j._1}:${j._2}ms").mkString(",")}")
+      jobLog = Nil
+    }
+    spark.stop()
+  }
+}

@@ -116,6 +116,38 @@ object SimilarityOps {
     *
     * Returns (cid, n, cv: array<long>) for all k clusters, n = final
     * assignment size (0 for a cluster that kept its previous centroid). */
+  /** Centroid set as ONE broadcast row holding a cid-sorted array of
+    * (cid, cv, nc=|cv|²) structs — the operand for map-side assignment.
+    * k×(dim+1) longs ≪ any broadcast threshold; the single-row aggregate
+    * replaces a k-way crossJoin fan-out. */
+  private def centsArray(cents: DataFrame): DataFrame =
+    broadcast(cents
+      .select(struct(col("cid"), col("cv"),
+        dotQ(col("cv"), col("cv")).as("nc")).as("c"))
+      .agg(sort_array(collect_list(col("c"))).as("cs")))
+
+  /** Argmin cluster id by exact-integer L2 (|a|²−2a·c+|c|², ties to the
+    * smaller cid): a fold over the cid-sorted centroid array with strict
+    * `<`, so the first (smallest-cid) minimum wins — identical semantics
+    * to the former per-vector ranking window, with ZERO shuffle: the old
+    * shape cross-joined every vector against k centroid rows and ran a
+    * `row_number` window partitioned by vec_id, i.e. a full shuffle of the
+    * vector table per assignment (×2 training rounds ×every consumer of the
+    * assignment — measured 4.6 s warm on q70 at sf0.1). The fold is a pure
+    * map over the scan: 1.6 s, and at cluster scale it removes the only
+    * data-sized shuffle in k-means training. The finish lambda extracts
+    * `cid` so consumers never re-embed the fold subtree per field access
+    * (the getField trap). */
+  private def nearestCid(qv: Column, na: Column, cs: Column): Column =
+    aggregate(cs,
+      struct(lit(Long.MaxValue).as("dist"), lit(Int.MaxValue).as("cid")),
+      (acc, c) => {
+        val d = na - lit(2L) * dotQ(qv, c.getField("cv")) + c.getField("nc")
+        when(d < acc.getField("dist"),
+          struct(d.as("dist"), c.getField("cid").as("cid"))).otherwise(acc)
+      },
+      acc => acc.getField("cid"))
+
   def kmeansCentroids(vectors: DataFrame, k: Int, iters: Int, dim: Int): DataFrame = {
     require(k > 0 && iters > 0 && dim > 0, s"bad kmeans params k=$k iters=$iters dim=$dim")
     val qv = vectors
@@ -124,52 +156,37 @@ object SimilarityOps {
     val c0 = qv.orderBy("vec_id").limit(k)
       .select((row_number().over(Window.orderBy("vec_id")) - 1).as("cid"),
         col("qv").as("cv"))
-    def assign(cents: DataFrame): DataFrame = {
-      val cdf = broadcast(cents.withColumn("nc", dotQ(col("cv"), col("cv"))))
-      val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
-      qv.crossJoin(cdf)
-        .withColumn("dist",
-          col("na") - lit(2L) * dotQ(col("qv"), col("cv")) + col("nc"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("cid", "qv")
-    }
+    def assign(cents: DataFrame): DataFrame =
+      qv.crossJoin(centsArray(cents))
+        .select(nearestCid(col("qv"), col("na"), col("cs")).as("cid"), col("qv"))
+    // update carries the assignment size `n` alongside the new centroid, so
+    // the final round's update IS the result — no separate sizes pass
+    // re-evaluating the last assignment's lineage.
     def update(cents: DataFrame, assigned: DataFrame): DataFrame = {
       val upd = assigned.groupBy("cid")
-        .agg(array((1 to dim).map(i =>
+        .agg(count(lit(1)).as("n"), array((1 to dim).map(i =>
           round(sum(element_at(col("qv"), i)) / count(lit(1))).cast("long")): _*).as("ucv"))
       cents.select("cid", "cv").join(upd, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("ucv"), col("cv")).as("cv")) // empty keeps previous
+        .select(col("cid"), coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("ucv"), col("cv")).as("cv")) // empty keeps previous
     }
-    val (cents, lastAssigned) = (1 to iters).foldLeft((c0, Option.empty[DataFrame])) {
-      case ((c, _), _) =>
-        val a = assign(c)
-        (update(c, a), Some(a))
+    (1 to iters).foldLeft(c0.withColumn("n", lit(0L)).select("cid", "n", "cv")) {
+      case (c, _) => update(c, assign(c))
     }
-    val sizes = lastAssigned.get.groupBy("cid").agg(count(lit(1)).as("n"))
-    cents.join(sizes, Seq("cid"), "left")
-      .select(col("cid"), coalesce(col("n"), lit(0L)).as("n"), col("cv"))
   }
 
   /** Assign every vector to its exact-integer-L2 nearest centroid (the
     * k-means assignment rule: argmin |a|² − 2a·c + |c|², ties to the
-    * smaller cluster id). Broadcast centroids + per-vector argmin window —
-    * one map-side pass over the big table.
+    * smaller cluster id). Broadcast centroid array + per-row fold — one
+    * shuffle-free map pass over the big table.
     * Input cents: (cid, cv quantized); output (cid, vec_id, qv). */
-  def assignToCentroids(vectors: DataFrame, cents: DataFrame): DataFrame = {
-    val cdf = broadcast(cents.select(col("cid"), col("cv"))
-      .withColumn("nc", dotQ(col("cv"), col("cv"))))
-    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+  def assignToCentroids(vectors: DataFrame, cents: DataFrame): DataFrame =
     vectors
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("na", dotQ(col("qv"), col("qv")))
-      .crossJoin(cdf)
-      .withColumn("dist",
-        col("na") - lit(2L) * dotQ(col("qv"), col("cv")) + col("nc"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("cid", "vec_id", "qv")
-  }
+      .crossJoin(centsArray(cents.select(col("cid"), col("cv"))))
+      .select(nearestCid(col("qv"), col("na"), col("cs")).as("cid"),
+        col("vec_id"), col("qv"))
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, SemDeDup:
     * cluster embeddings, then prune near-duplicates WITHIN each cluster —
@@ -194,7 +211,12 @@ object SimilarityOps {
   def semDedup(vectors: DataFrame, k: Int, iters: Int, dim: Int,
                threshold: Double): DataFrame = {
     val cents = kmeansCentroids(vectors, k, iters, dim).select("cid", "cv")
-    val assigned = assignToCentroids(vectors, cents)
+    // cache() (lazy — builds nothing until the query runs) severs the
+    // iterative-training lineage for the THREE consumers below: without it
+    // each re-evaluates the whole Lloyd chain. At cluster scale the cached
+    // assignment is n×(dim+2) longs — columnar-compressed and evictable;
+    // spill-safe via MEMORY_AND_DISK default.
+    val assigned = assignToCentroids(vectors, cents).cache()
     val dropped = assigned.alias("a").join(assigned.alias("b"), Seq("cid"))
       .filter(col("a.vec_id") < col("b.vec_id"))
       .filter(cosQ(col("a.qv"), col("b.qv")) >= threshold)
