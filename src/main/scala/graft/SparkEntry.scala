@@ -865,7 +865,36 @@ object SparkEntry {
           .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
       SimilarityOps.semDedup(corpus, k = 4, iters = 2, dim = 64, threshold = 0.99)
         .orderBy("vec_id")
-    })
+    }),
+
+    // Connected components over the verified MinHash near-dup pairs:
+    // cluster-level dedup canonicalization — component = smallest doc id
+    // reachable through near-dup edges (vs the pairwise keep-min rule,
+    // which can keep several docs of one transitive group).
+    "q71_components" -> ((s, dir) => {
+      val sh = TextOps.shingleTable(t(s, dir, "documents"), "doc_id").cache()
+      val pairs = TextOps.jaccardVerify(
+        TextOps.minhashCandidates(sh, "doc_id"), sh, "doc_id", threshold = 0.5)
+      GraphOps.connectedComponents(pairs.select("id1", "id2"))
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
+
+    // EXACT all-pairs n-gram Jaccard (no LSH): inverted shingle index +
+    // size-ratio prune. Ground truth for the q31 approximate chain.
+    "q72_jaccard_allpairs" -> ((s, dir) =>
+      TextOps.jaccardAllPairs(
+          TextOps.shingleTable(t(s, dir, "documents"), "doc_id"), "doc_id",
+          threshold = 0.5)
+        .orderBy("id1", "id2")),
+
+    // Deterministic training-order shuffle + balanced sharding (the final
+    // corpus-build stage): seeded md5 order, shard = hash mod N, per-shard
+    // positions.
+    "q73_shuffle_shard" -> ((s, dir) =>
+      CorpusOps.shuffleShard(t(s, dir, "documents"), "doc_id",
+          seed = "graft-r5", nShards = 8)
+        .orderBy("shard", "pos"))
   )
 
   // -------------------------------------------------------------- oracle SQL
@@ -927,6 +956,26 @@ object SparkEntry {
     /** Cosine (mirror of SimilarityOps.cosQ). */
     def cos(a: String, b: String): String =
       s"(CAST(${dot(a, b)} AS DOUBLE) / (sqrt(CAST(${dot(a, a)} AS DOUBLE)) * sqrt(CAST(${dot(b, b)} AS DOUBLE))))"
+  }
+
+  /** CTE chain doc shingles → minhash signatures → LSH bands → candidate
+    * pairs `cand(id1, id2)` — the DuckDB mirror of TextOps.minhashCandidates,
+    * shared by q31 (jaccard-verified pairs) and q71 (components over them). */
+  private lazy val minhashCandSql: String = {
+    val p = TextOps.MinhashP
+    val sigElems = (0 until 12)
+      .map(i => s"list_min(list_transform(hs, h -> (h * ${TextOps.hashA(i)} + ${TextOps.hashB(i)}) % $p))")
+      .mkString(", ")
+    val bandRows = (0 until 6)
+      .map(b => s"SELECT doc_id, $b AS band, md5(concat(CAST(sig[${2 * b + 1}] AS VARCHAR), ',', CAST(sig[${2 * b + 2}] AS VARCHAR))) AS bkey FROM sig")
+      .mkString("\nUNION ALL ")
+    s"""${LlmSql.docShingles},
+       |hs AS (SELECT doc_id, list_transform(sh, s -> CAST(concat('0x', substring(md5(s), 1, 8)) AS BIGINT) % $p) hs FROM sh),
+       |sig AS (SELECT doc_id, [$sigElems] sig FROM hs),
+       |bands AS ($bandRows),
+       |cand AS (SELECT DISTINCT a.doc_id id1, b.doc_id id2
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
   }
 
   /** SQL mirror of SimilarityOps.kmeansCentroids / assignToCentroids over a
@@ -1385,27 +1434,13 @@ object SparkEntry {
         |SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM corpus GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
 
-    "q31_minhash_lsh" -> {
-      val p = TextOps.MinhashP
-      val sigElems = (0 until 12)
-        .map(i => s"list_min(list_transform(hs, h -> (h * ${TextOps.hashA(i)} + ${TextOps.hashB(i)}) % $p))")
-        .mkString(", ")
-      val bandRows = (0 until 6)
-        .map(b => s"SELECT doc_id, $b AS band, md5(concat(CAST(sig[${2 * b + 1}] AS VARCHAR), ',', CAST(sig[${2 * b + 2}] AS VARCHAR))) AS bkey FROM sig")
-        .mkString("\nUNION ALL ")
-      s"""WITH ${LlmSql.docShingles},
-         |hs AS (SELECT doc_id, list_transform(sh, s -> CAST(concat('0x', substring(md5(s), 1, 8)) AS BIGINT) % $p) hs FROM sh),
-         |sig AS (SELECT doc_id, [$sigElems] sig FROM hs),
-         |bands AS ($bandRows),
-         |cand AS (SELECT DISTINCT a.doc_id id1, b.doc_id id2
-         |         FROM bands a JOIN bands b
-         |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+    "q31_minhash_lsh" ->
+      s"""WITH $minhashCandSql
          |SELECT id1, id2,
          |       len(list_intersect(s1.sh, s2.sh)) / len(list_distinct(list_concat(s1.sh, s2.sh))) AS jaccard
          |FROM cand JOIN sh s1 ON s1.doc_id = id1 JOIN sh s2 ON s2.doc_id = id2
          |WHERE len(list_intersect(s1.sh, s2.sh)) / len(list_distinct(list_concat(s1.sh, s2.sh))) >= 0.5
-         |ORDER BY id1, id2""".stripMargin
-    },
+         |ORDER BY id1, id2""".stripMargin,
 
     // 64-bit simhash mirrored as 4x16-bit int blocks (see TextOps.simhash64:
     // a packed 64-bit value would go negative at bit 63 and signed-shift
@@ -1898,6 +1933,45 @@ object SparkEntry {
          |  WHERE ${LlmSql.cos("a.qv", "b.qv")} >= 0.99)
          |SELECT a.vec_id, a.cid FROM a3 a
          |WHERE NOT EXISTS (SELECT 1 FROM pairs d WHERE d.dropped_id = a.vec_id)
-         |ORDER BY a.vec_id""".stripMargin
+         |ORDER BY a.vec_id""".stripMargin,
+
+    // Min-label-propagation fixpoint mirrored as a transitive-closure
+    // recursive CTE: component(v) = min id reachable from v.
+    "q71_components" ->
+      s"""WITH RECURSIVE $minhashCandSql,
+         |vp AS (
+         |  SELECT id1, id2
+         |  FROM cand JOIN sh s1 ON s1.doc_id = id1 JOIN sh s2 ON s2.doc_id = id2
+         |  WHERE len(list_intersect(s1.sh, s2.sh)) / len(list_distinct(list_concat(s1.sh, s2.sh))) >= 0.5),
+         |sym AS (SELECT id1 AS a, id2 AS b FROM vp UNION SELECT id2, id1 FROM vp),
+         |reach(a, b) AS (
+         |  SELECT a, a FROM sym GROUP BY a
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b)
+         |SELECT a AS doc_id, min(b) AS component
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    "q72_jaccard_allpairs" ->
+      s"""WITH ${LlmSql.docShingles},
+         |idx AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM sh),
+         |agg AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.sz AS s1, b.sz AS s2,
+         |         count(*) AS inter
+         |  FROM idx a JOIN idx b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |   AND least(a.sz, b.sz) >= 0.5 * greatest(a.sz, b.sz)
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT id1, id2, inter / (s1 + s2 - inter) AS jaccard
+         |FROM agg WHERE inter / (s1 + s2 - inter) >= 0.5
+         |ORDER BY id1, id2""".stripMargin,
+
+    "q73_shuffle_shard" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |         CAST(concat('0x', substring(md5(concat('graft-r5:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+         |  FROM documents)
+         |SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard,
+         |       CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+         |FROM h ORDER BY shard, pos""".stripMargin
   )
 }

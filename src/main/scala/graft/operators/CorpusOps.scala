@@ -187,4 +187,30 @@ object CorpusOps {
       .filter(col("domain_rank") <= cap)
       .drop("domain_rank")
   }
+
+  /** Deterministic training-order shuffle + balanced sharding: the final
+    * stage of a corpus build, where documents must be (a) decorrelated
+    * from their source/crawl order and (b) split into N equal-ish shards,
+    * reproducibly — rerunning the pipeline must yield byte-identical
+    * shards, so `rand()` is out.
+    *
+    * Every doc gets a 60-bit seeded hash (15 hex digits of
+    * md5(seed:id) — positive, engine-portable); shard = hash mod
+    * nShards, position within the shard = rank by (hash, id). One
+    * shuffle on the shard key with per-shard windows — no global sort,
+    * and shards stay balanced for any nShards ≪ corpus because the hash
+    * is uniform. Emits (id, shard, pos). */
+  def shuffleShard(docs: DataFrame, idCol: String = "doc_id",
+                   seed: String = "graft", nShards: Int = 8): DataFrame = {
+    require(nShards > 0, s"bad nShards=$nShards")
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(
+      concat(lit(seed), lit(":"), col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy("shard").orderBy("h", idCol)
+    docs.select(col(idCol), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(nShards)).cast("int"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
 }

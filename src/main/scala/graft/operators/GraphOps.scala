@@ -175,4 +175,65 @@ object GraphOps {
         min(when(col("cum") >= col("total") * 0.9, col("ratio"))).as("p90_ratio"),
         max(col("outs")).as("outliers_gt2"))
   }
+
+  /** Connected components over an undirected pair list by iterative
+    * min-label propagation: every node starts labeled with itself; each
+    * round a node takes the minimum of its own and its neighbors' labels;
+    * at the fixpoint label(v) = min node id reachable from v — the
+    * canonical component representative.
+    *
+    * The consumer this exists for is CLUSTER-level near-duplicate
+    * deduplication: pairwise keep-min (drop id2 of every verified pair,
+    * [[graft.operators.TextOps.nearDupDropIds]]) can keep zero or several
+    * docs of one transitive near-dup group (e.g. pairs (a,c),(b,c) keep
+    * both a and b), while keep-one-per-component keeps EXACTLY the
+    * smallest member of each group — the SemDeDup/MinHash-cluster policy
+    * large-corpus pipelines usually want.
+    *
+    * Scale shape: each round is one join of the (symmetrized,
+    * checkpointed) edge list against the label table on the neighbor key +
+    * one min-aggregation — both shuffle on node id, the natural
+    * partitioning. Rounds needed = component diameter (tiny for near-dup
+    * clusters, which are quasi-cliques; the worst case is a path graph).
+    * For billion-edge general graphs prefer the O(log n)-round
+    * large-star/small-star variant; plain propagation is the right
+    * trade for dedup graphs, whose diameter is small by construction.
+    * Lineage is cut per round with localCheckpoint, convergence is an
+    * isEmpty on the strictly-improved label set — same driver-steering
+    * pattern as [[graft.operators.Dijkstra.reachIterative]].
+    *
+    * Input: two node-id columns of any orderable type (same type both
+    * sides). Output: (id, component), one row per distinct node appearing
+    * in `pairs`; singletons never appear (a node with no pairs is its own
+    * component by definition — join survivors back against the corpus). */
+  def connectedComponents(pairs: DataFrame, srcCol: String = "id1",
+                          dstCol: String = "id2", maxIter: Int = 50): DataFrame = {
+    val sym = pairs.select(col(srcCol).as("id"), col(dstCol).as("nbr"))
+      .union(pairs.select(col(dstCol).as("id"), col(srcCol).as("nbr")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNbr = sym.join(labels.select(col("id").as("nbr"),
+          col("label")), Seq("nbr"))
+        .select(col("id"), col("label"))
+      val next = labels.union(viaNbr)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      val improved = next.join(
+          labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .filter(col("label") < col("old"))
+      converged = improved.isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge within $maxIter rounds " +
+        "(rounds needed = max component diameter)")
+    labels.select(col("id"), col("label").as("component"))
+  }
 }

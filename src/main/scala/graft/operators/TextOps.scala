@@ -140,6 +140,40 @@ object TextOps {
       .select(col("id2").as(idCol)).distinct()
   }
 
+  /** EXACT all-pairs n-gram Jaccard near-dup join — no LSH approximation —
+    * via an inverted shingle index: explode (id, sz, shingle), self-join on
+    * the shingle, count shared shingles per pair, |A∩B| / (|A|+|B|−|A∩B|).
+    * The join enumerates only pairs sharing ≥1 shingle (never all-pairs),
+    * shuffling on the shingle key; the size-ratio prune
+    * min(|A|,|B|) ≥ τ·max(|A|,|B|) — necessary for J ≥ τ since
+    * J ≤ min/max — drops incompatible pairs BEFORE the pair aggregation.
+    * At corpus scale the next step is PPJoin-style prefix filtering (index
+    * only each doc's |A|−⌈τ|A|⌉+1 globally-rarest shingles — same exact
+    * result, a fraction of the index); the full index keeps the oracle SQL
+    * a line-for-line mirror. Complements [[minhashCandidates]] (approximate
+    * candidates, misses pairs whose bands never collide): this one is the
+    * ground-truth variant for thresholds where exactness matters more than
+    * the band-collision savings. `shingleDf` from [[shingleTable]]. */
+  def jaccardAllPairs(shingleDf: DataFrame, idCol: String,
+                      threshold: Double = 0.5): DataFrame = {
+    val index = shingleDf
+      .select(col(idCol), size(col("sh")).as("sz"), col("sh"))
+      // explode_outer: identical on the guaranteed-non-empty shingle
+      // arrays, but avoids the inferred size-filter re-evaluating the
+      // upstream projection inside the scan (see shingleTable)
+      .select(col(idCol), col("sz"), explode_outer(col("sh")).as("shingle"))
+    val inter = index.alias("a").join(index.alias("b"), Seq("shingle"))
+      .filter(col(s"a.$idCol") < col(s"b.$idCol") &&
+        least(col("a.sz"), col("b.sz")) >= lit(threshold) * greatest(col("a.sz"), col("b.sz")))
+      .groupBy(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"),
+        col("a.sz").as("s1"), col("b.sz").as("s2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .withColumn("jaccard", col("inter") / (col("s1") + col("s2") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
   /** Exact shingle-set Jaccard for candidate pairs: |A∩B| / |A∪B|. */
   def jaccardVerify(pairs: DataFrame, shingleDf: DataFrame, idCol: String,
                     threshold: Double = 0.5): DataFrame =

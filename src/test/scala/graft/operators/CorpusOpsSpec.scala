@@ -136,6 +136,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept == Set(2L, 3L))
   }
 
+  test("shuffleShard: deterministic, balanced-ish, dense per-shard positions") {
+    val d = (0L until 200L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val a = CorpusOps.shuffleShard(d, nShards = 4)
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    val b = CorpusOps.shuffleShard(d, nShards = 4)
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(a.sameElements(b)) // reproducible
+    assert(a.map(_._1).toSet == (0L until 200L).toSet) // every doc exactly once
+    val byShard = a.groupBy(_._2)
+    assert(byShard.keySet.subsetOf(Set(0, 1, 2, 3)))
+    byShard.values.foreach { rows => // positions dense 0..n_s-1
+      assert(rows.map(_._3).sorted.sameElements(rows.indices.map(_.toLong)))
+    }
+    // a different seed produces a different order (not a fixed permutation)
+    val c = CorpusOps.shuffleShard(d, seed = "other", nShards = 4)
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(!a.sameElements(c))
+  }
+
   test("capPerDomain: keeps at most cap docs per domain, deterministic order") {
     val d = (0L until 30L).map(i => (i, s"d${i % 3}")).toDF("doc_id", "domain")
     val kept = CorpusOps.capPerDomain(d, cap = 4)

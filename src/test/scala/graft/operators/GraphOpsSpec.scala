@@ -80,4 +80,39 @@ class GraphOpsSpec extends SparkSpec {
       .as[(String, Long, Int)].collect().toSet
     assert(got == Set(("a", 10L, 0), ("a", 20L, 1), ("a", 30L, 2), ("b", 1L, 0), ("b", 5L, 1)))
   }
+
+  /** Driver-side union-find: the independent reference for components. */
+  private def bruteComponents(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(x => x -> find(x)).toMap
+  }
+
+  test("connectedComponents matches union-find on seeded random graphs") {
+    val rnd = new scala.util.Random(20260812)
+    for (_ <- 1 to 3) {
+      val n = 40
+      val pairs = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val got = GraphOps.connectedComponents(pairs.toDF("id1", "id2"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == bruteComponents(pairs))
+    }
+  }
+
+  test("connectedComponents joins a chain into one component (path graph)") {
+    // worst-case diameter: 0-1-2-...-19 as a path, listed high-to-low so
+    // labels must propagate the long way
+    val pairs = (1 until 20).map(i => (i.toLong, (i - 1).toLong)).reverse
+    val got = GraphOps.connectedComponents(pairs.toDF("id1", "id2"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L until 20L).map(_ -> 0L).toMap)
+  }
 }

@@ -101,6 +101,37 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getInt(2) == 3) // ceil(10/4)
   }
 
+  test("jaccardAllPairs equals brute-force all-pairs Jaccard") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val d = (0L until 25L).map { i =>
+      (i, Seq.fill(6 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = d.toDF("doc_id", "text")
+    val sh = TextOps.shingleTable(df, "doc_id")
+    val got = TextOps.jaccardAllPairs(sh, "doc_id", threshold = 0.3)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    // brute force over the same shingle sets
+    val sets = sh.as[(Long, Seq[String])].collect().map { case (id, s) => id -> s.toSet }.toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      j = inter.toDouble / (sets(a) | sets(b)).size if j >= 0.3
+    } yield (a, b) -> j).toMap
+    assert(got == want)
+  }
+
+  test("jaccardAllPairs is a superset of the LSH-verified pairs (exactness)") {
+    val sh = TextOps.shingleTable(docs, "doc_id").cache()
+    val lsh = TextOps.jaccardVerify(
+        TextOps.minhashCandidates(sh, "doc_id"), sh, "doc_id", 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val exact = TextOps.jaccardAllPairs(sh, "doc_id", 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+  }
+
   test("fingerprint: deterministic, k md5s, equal for exact dups") {
     val fps = docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
       .as[(Long, String)].collect().toMap
