@@ -131,8 +131,16 @@ object StreamPipeline {
       .option("checkpointLocation", s"$work/ckpt4")
       .outputMode("append").start()
 
-    Seq(q1, q2, q3, q4).foreach(_.processAllAvailable())
-    Seq(q1, q2, q3, q4).foreach(_.stop())
+    // -- 5. session windows (append: a session emits once the watermark
+    // passes its end + gap; the sentinel flushes the final sessions)
+    val sessOut = s"$work/sess"
+    val q5 = StreamOps.sessionizeStream(stream, gap = "5 minutes").writeStream
+      .format("parquet").option("path", sessOut)
+      .option("checkpointLocation", s"$work/ckpt5")
+      .outputMode("append").start()
+
+    Seq(q1, q2, q3, q4, q5).foreach(_.processAllAvailable())
+    Seq(q1, q2, q3, q4, q5).foreach(_.stop())
 
     // checks, each as exceptAll in both directions
     val dedupStreamed = spark.read.parquet(dedupOut)
@@ -177,6 +185,15 @@ object StreamPipeline {
     val d4 = cleanStreamed.exceptAll(cleanBatch)
       .unionAll(cleanBatch.exceptAll(cleanStreamed)).count()
     check("doc clean == batch", d4, cleanStreamed.count())
+
+    // batch twin = the same session_window plan on the bounded staged
+    // frame, sentinel session excluded (it never closes upstream)
+    val sessStreamed = spark.read.parquet(sessOut)
+    val sessBatch = StreamOps.sessionizeStream(staged, gap = "5 minutes")
+      .filter(col("user_id") =!= -1L)
+    val d5 = sessStreamed.exceptAll(sessBatch)
+      .unionAll(sessBatch.exceptAll(sessStreamed)).count()
+    check("sessions == batch", d5, sessStreamed.count())
 
     spark.stop()
     if (failed) sys.exit(1)

@@ -103,6 +103,35 @@ object StreamOps {
       .dropDuplicates("text_hash")
       .filter(size(graft.operators.TextOps.words(col("text"))) >= minTokens)
 
+  /** Streaming gap-based sessionization via the built-in `session_window`
+    * (merge-on-overlap session state, watermark-closed): per (user_id,
+    * session) event counts, bounds, and integer-cents value sums — the
+    * streaming twin of [[graft.operators.EventOps.sessionize]].
+    *
+    * Boundary semantics: `session_window(gap)` MERGES two events when
+    * their timestamp difference is strictly < gap; the batch operator
+    * merges on difference <= gapUs. The twin equivalence is therefore
+    * session_window(gap) == sessionize(gap − 1 µs) — asserted in
+    * StreamOpsSpec; at-the-boundary gaps are the only divergence, and
+    * real gap thresholds are coarse (minutes) while event timestamps are
+    * µs, so the distinction is theoretical but pinned by the spec rather
+    * than left to luck.
+    *
+    * Works identically on a bounded DataFrame (the batch-equivalence
+    * path); on a stream, Append output emits each session once its
+    * watermark passes session end + gap. */
+  def sessionizeStream(events: DataFrame, gap: String,
+                       watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .select(col("user_id"), col("session_window.start").as("window_start"),
+        col("n_events"), col("first_ts"), col("last_ts"), col("sum_cents"))
+
   /** The batch twin of [[windowedCounts]] for A/B semantics tests: same
     * plan over a bounded DataFrame. */
   def windowedCountsBatch(events: DataFrame): DataFrame =

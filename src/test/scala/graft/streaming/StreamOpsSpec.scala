@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, unix_micros}
 
 import graft.SparkSpec
 
@@ -129,5 +130,51 @@ class StreamOpsSpec extends SparkSpec {
       val got = spark.table("doc_clean").select("doc_id").as[Long].collect().toSeq.sorted
       assert(got == Seq(1L, 4L), s"got $got")
     } finally q.stop()
+  }
+
+  test("sessionizeStream (append): watermark closes sessions; late events respected") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // user 10: events at min 1,2 then min 12 → 5-minute gap splits into
+    // two sessions; user 11 has one singleton session
+    val q = StreamOps.sessionizeStream(mem.toDF(), gap = "5 minutes",
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      // advance the watermark far past every session end + gap
+      mem.addData(Event(99, ts(59), 12, "sentinel", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess")
+        .select("user_id", "n_events", "first_ts", "last_ts", "sum_cents")
+        .as[(Long, Long, Timestamp, Timestamp, Long)].collect().toSet
+      assert(got.contains((10L, 2L, ts(1), ts(2), 300L))) // 1.0+2.0 → 300 cents
+      assert(got.contains((10L, 1L, ts(12), ts(12), 400L)))
+      assert(got.contains((11L, 1L, ts(11), ts(11), 300L)))
+    } finally q.stop()
+  }
+
+  test("sessionizeStream on a bounded frame equals EventOps.sessionize(gap − 1µs)") {
+    // random events over a handful of users; the strict-< vs <= boundary
+    // is bridged by the documented gap − 1 µs equivalence
+    val rnd = new scala.util.Random(7)
+    val evs = (1 to 120).map { i =>
+      Event(i.toLong, new Timestamp(1700000000000L + rnd.nextInt(7200) * 1000L),
+        (rnd.nextInt(4) + 1).toLong, "e", rnd.nextInt(100) / 10.0)
+    }
+    val viaSessionWindow = StreamOps.sessionizeStream(evs.toDF(), gap = "10 minutes")
+      .select(col("user_id"), unix_micros(col("first_ts")).as("start_us"),
+        col("n_events"), col("sum_cents"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = graft.operators.EventOps.sessionize(
+        evs.toDF()
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_id").as("id"), col("value")),
+        key = "user_id", gapUs = 10L * 60 * 1000000 - 1)
+      .select(col("user_id"), col("start_us"), col("n_events"), col("sum_cents"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaSessionWindow == batch)
   }
 }
