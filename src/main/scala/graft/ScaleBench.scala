@@ -40,7 +40,13 @@ object ScaleBench {
     "q23_snap", "q26_dijkstra_reach", "q27_multi_tile_reach",
     "q31_minhash_lsh", "q37_fingerprint", "q40_cosine_topk",
     "q45_reach_pregel", "q56_repetition", "q58_pii_scrub",
-    "q60_kmeans", "q62_decontaminate")
+    "q60_kmeans", "q62_decontaminate",
+    // event-stream family (as-of join, gap sessions, funnel) and the
+    // round-5 additions (SemDeDup, components, exact Jaccard, shard
+    // shuffle) — each a distinct shuffle/join geometry
+    "q64_asof_join", "q65_sessionize", "q69_funnel",
+    "q70_semdedup", "q71_components", "q72_jaccard_allpairs",
+    "q73_shuffle_shard")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
@@ -76,7 +82,17 @@ object ScaleBench {
       // the source's BIGINT type (length() alone would narrow to INT)
       .withColumn("n_chars", length(col("text")).cast("long")))
     copies("embeddings")((d, i) => d.withColumn("vec_id", col("vec_id") + lit(i * nVec)))
-    Seq("region", "nation", "supplier", "events").foreach(t => write(read(t), t))
+    // events: offset event ids AND user ids per copy — k independent user
+    // populations over the same time range, so per-user session/as-of/
+    // funnel work scales linearly (offsetting only event_id would multiply
+    // every user's per-key event count by k instead, quadratic-ing the
+    // within-key windows)
+    val nEvt = read("events").count()
+    val nUsr = read("events").agg(max("user_id")).head.getLong(0) + 1
+    copies("events")((d, i) => d
+      .withColumn("event_id", col("event_id") + lit(i * nEvt))
+      .withColumn("user_id", col("user_id") + lit(i * nUsr)))
+    Seq("region", "nation", "supplier").foreach(t => write(read(t), t))
   }
 
   def main(args: Array[String]): Unit = {

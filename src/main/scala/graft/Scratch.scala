@@ -7,7 +7,16 @@ object Scratch {
     val spark = GraftSession.get("graft-scratch")
     spark.range(1).count()
     val name = args.headOption.getOrElse("q70_semdedup")
-    val fn = SparkEntry.queries(name)
+    // one-off probes beyond the gate queries: semdedup_k<K> runs SemDeDup
+    // with K clusters over the dir's embeddings (the q70 gate pins k=4;
+    // production scales k with the corpus — this measures that claim)
+    val fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      if (name.startsWith("semdedup_k")) { (s, dir) =>
+        val k = name.stripPrefix("semdedup_k").toInt
+        graft.operators.SimilarityOps.semDedup(
+          s.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding"),
+          k = k, iters = 2, dim = 64, threshold = 0.99)
+      } else SparkEntry.queries(name)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     var jobLog = List.empty[(Int, Long, Int)]
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {

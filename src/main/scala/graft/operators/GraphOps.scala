@@ -208,8 +208,14 @@ object GraphOps {
     * component by definition — join survivors back against the corpus). */
   def connectedComponents(pairs: DataFrame, srcCol: String = "id1",
                           dstCol: String = "id2", maxIter: Int = 50): DataFrame = {
-    val sym = pairs.select(col(srcCol).as("id"), col(dstCol).as("nbr"))
-      .union(pairs.select(col(dstCol).as("id"), col(srcCol).as("nbr")))
+    // Materialize the pair lineage ONCE before symmetrizing: the two
+    // union branches are separate subplans, so an un-cut `pairs` (e.g. a
+    // whole MinHash-verify chain) would execute twice inside the sym
+    // checkpoint — measured as the dominant cost of q71 at 10× sf0.1.
+    val p = pairs.select(col(srcCol).as("id"), col(dstCol).as("nbr"))
+      .localCheckpoint()
+    val sym = p
+      .union(p.select(col("nbr").as("id"), col("id").as("nbr")))
       .distinct()
       .localCheckpoint()
     var labels = sym.select(col("id")).distinct()
