@@ -64,7 +64,31 @@ object Plans {
     "q63_chunking" ->
       ("Chunking is a single Generate (posexplode) over per-row array math " +
         "— no shuffle at all before the presentation sort; the suffix-" +
-        "duplicate start filter runs inside the same projection."))
+        "duplicate start filter runs inside the same projection."),
+    "q64_asof_join" ->
+      ("The as-of join is a UNION of the two sides + one per-key ordered " +
+        "window (last-value carry-forward over a single hashpartitioning " +
+        "exchange on the key; the right side pre-dedups (key, ts) ties " +
+        "with its own partitioned WindowGroupLimit first) — no range " +
+        "self-join, no per-left-row scan of the right side."),
+    "q65_sessionize" ->
+      ("Gap sessionization: the lag window and the running-sum window " +
+        "share one (user) exchange + one sort; the session aggregate " +
+        "rides the same partitioning — one shuffle end to end."),
+    "q72_jaccard_allpairs" ->
+      ("Exact all-pairs Jaccard: the exploded posting index is an " +
+        "InMemoryRelation feeding both self-join sides; the join keys the " +
+        "shingle (never all-pairs), the size-ratio prune sits in the join " +
+        "condition, and the intersection is a COUNT aggregate — the " +
+        "arrays are never re-touched per pair."),
+    "q73_shuffle_shard" ->
+      ("Deterministic shard shuffle: seeded md5 rank with the window " +
+        "PARTITIONED on the shard key (one hashpartitioning exchange, no " +
+        "global sort, no single-partition WindowExec)."))
+  // q71_components is absent for the same reason as q60 below: the
+  // returned labels frame is a localCheckpoint product, so its explain
+  // shows a scan of checkpointed data, not the per-round join+min shape
+  // (which is q65-like: one exchange per round on the node id).
   // q60_kmeans is deliberately absent: its lazy plan nests every Lloyd
   // round (iters × the assignment+update subtree), so the explain text is
   // enormous while each round's shape — broadcast centroids + dotQ
