@@ -894,7 +894,17 @@ object SparkEntry {
     "q73_shuffle_shard" -> ((s, dir) =>
       CorpusOps.shuffleShard(t(s, dir, "documents"), "doc_id",
           seed = "graft-r5", nShards = 8)
-        .orderBy("shard", "pos"))
+        .orderBy("shard", "pos")),
+
+    // Deterministic integer PageRank (micro-unit ranks, 5 rounds) over the
+    // symmetrized walkable graph — bit-exact distributed by construction
+    // (all-integer mass updates), mirrored as 5 unrolled CTE rounds.
+    "q74_pagerank" -> ((s, dir) => {
+      val sym = GraphOps.symmetrizeDedup(Derive.edges(Derive.nodes(s, dir)))
+      GraphOps.pageRank(sym, iters = 5)
+        .select(col("node"), col("rank").as("rank_micro"))
+        .orderBy("node")
+    })
   )
 
   // -------------------------------------------------------------- oracle SQL
@@ -1972,6 +1982,30 @@ object SparkEntry {
          |  FROM documents)
          |SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard,
          |       CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
-         |FROM h ORDER BY shard, pos""".stripMargin
+         |FROM h ORDER BY shard, pos""".stripMargin,
+
+    // Five unrolled integer-mass PageRank rounds: contrib = rank // deg,
+    // rank' = 150000 + 850·Σcontrib // 1000 — pure BIGINT arithmetic, so
+    // any engine computes the identical result in any summation order.
+    "q74_pagerank" -> {
+      val rounds = (1 to 5).map { r =>
+        s"""c$r AS (SELECT s.v AS node, sum(p.rank // d.deg) AS m
+           |        FROM p${r - 1} p JOIN se s ON s.u = p.node
+           |        JOIN dg d ON d.node = p.node
+           |        GROUP BY s.v),
+           |p$r AS (SELECT n.node,
+           |               CAST(150000 + (850 * coalesce(c.m, 0)) // 1000 AS BIGINT) AS rank
+           |        FROM pn n LEFT JOIN c$r c ON c.node = n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${Derive.Sql.nodes},
+         |${Derive.Sql.edges},
+         |${Derive.Sql.symEdges},
+         |se AS (SELECT DISTINCT u, v FROM sym WHERE u <> v),
+         |pn AS (SELECT u AS node FROM se UNION SELECT v FROM se),
+         |dg AS (SELECT u AS node, count(*) AS deg FROM se GROUP BY u),
+         |p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM pn),
+         |$rounds
+         |SELECT node, rank AS rank_micro FROM p5 ORDER BY node""".stripMargin
+    }
   )
 }

@@ -107,6 +107,39 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  /** Driver-side reference: same integer micro-unit update rule. */
+  private def brutePageRank(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var pr = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => pr(u) / deg(u) }.sum).toMap
+      pr = nodes.map(n => n -> (150000L + 850L * in.getOrElse(n, 0L) / 1000L)).toMap
+    }
+    pr
+  }
+
+  test("pageRank matches the brute-force integer reference on a random digraph") {
+    val rnd = new scala.util.Random(99)
+    val edges = Seq.fill(60)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val got = GraphOps.pageRank(edges.toDF("u", "v"), iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == brutePageRank(edges, 4))
+    // sanity: total mass is bounded by n (damping leaks + dangling loss)
+    assert(got.values.sum <= edges.flatMap(e => Seq(e._1, e._2)).distinct.size * 1000000L)
+  }
+
+  test("pageRank: a sink fed by many sources outranks its feeders") {
+    // star: 0..9 -> 10; node 10 accumulates everyone's mass
+    val edges = (0L until 10L).map(i => (i, 10L))
+    val got = GraphOps.pageRank(edges.toDF("u", "v"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got(10L) > got(0L) * 5)
+    assert((0L until 10L).map(got).toSet.size == 1) // feeders identical
+  }
+
   test("connectedComponents joins a chain into one component (path graph)") {
     // worst-case diameter: 0-1-2-...-19 as a path, listed high-to-low so
     // labels must propagate the long way
