@@ -72,6 +72,29 @@ object CorpusPipeline {
       TextOps.nearDupDropIds(decon, "doc_id"), Seq("doc_id"), "left_anti"))
     stage("near_dedup", deduped.count())
 
+    // 3b. CROSS-CHECK (not a stage): the cluster-level dedup policy
+    // (q71 machinery — keep exactly one doc per connected near-dup
+    // component) must be consistent with the pairwise keep-min rule just
+    // applied: every component's canonical representative (its min id,
+    // never the larger side of any pair) survives the pair rule too, so
+    // the component representatives are a SUBSET of stage-3 survivors.
+    // A violation means the two dedup policies disagree about who
+    // survives — the swap-deduper-without-changing-survivors contract.
+    locally {
+      val sh = TextOps.shingleTable(decon, "doc_id").cache()
+      val pairs = TextOps.jaccardVerify(
+        TextOps.minhashCandidates(sh, "doc_id"), sh, "doc_id", 0.5)
+      val reps = graft.operators.GraphOps
+        .connectedComponents(pairs.select("id1", "id2"))
+        .filter(col("id") === col("component"))
+        .select(col("id").as("doc_id"))
+      val nComps = reps.count()
+      val escaped = reps.join(deduped, Seq("doc_id"), "left_anti").count()
+      println(f"[corpus] component_check       comps=$nComps reps_outside_pair_survivors=$escaped")
+      if (escaped != 0) { counts("component_check_FAILED") = 0 } // trips the empty-stage gate
+      sh.unpersist()
+    }
+
     // 4. repetition quality gate (q56 machinery): drop boilerplate/spam
     val rep = CorpusOps.repetitionStats(deduped)
       .filter(col("dup_2gram_ratio") <= 0.5 && col("top_tok_share") <= 0.5)
