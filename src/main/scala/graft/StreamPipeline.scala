@@ -139,8 +139,19 @@ object StreamPipeline {
       .option("checkpointLocation", s"$work/ckpt5")
       .outputMode("append").start()
 
-    Seq(q1, q2, q3, q4, q5).foreach(_.processAllAvailable())
-    Seq(q1, q2, q3, q4, q5).foreach(_.stop())
+    // -- 6. stream-stream interval join: purchase→view attribution with
+    // watermark-bounded join state on both sides
+    val attrOut = s"$work/attr"
+    val q6 = StreamOps.attributionJoin(
+        stream.filter(col("event_type") === "purchase"),
+        stream.filter(col("event_type") === "view")).writeStream
+      .format("parquet").option("path", attrOut)
+      .option("checkpointLocation", s"$work/ckpt6")
+      .outputMode("append").start()
+
+    val queries = Seq(q1, q2, q3, q4, q5, q6)
+    queries.foreach(_.processAllAvailable())
+    queries.foreach(_.stop())
 
     // checks, each as exceptAll in both directions
     val dedupStreamed = spark.read.parquet(dedupOut)
@@ -194,6 +205,17 @@ object StreamPipeline {
     val d5 = sessStreamed.exceptAll(sessBatch)
       .unionAll(sessBatch.exceptAll(sessStreamed)).count()
     check("sessions == batch", d5, sessStreamed.count())
+
+    // inner interval join: append-mode results are exactly the bounded
+    // join of the same inputs (planted dup rows match identically on both
+    // sides, so multiset equality still holds)
+    val attrStreamed = spark.read.parquet(attrOut)
+    val attrBatch = StreamOps.attributionJoin(
+      staged.filter(col("event_type") === "purchase"),
+      staged.filter(col("event_type") === "view"))
+    val d6 = attrStreamed.exceptAll(attrBatch)
+      .unionAll(attrBatch.exceptAll(attrStreamed)).count()
+    check("attribution == batch", d6, attrStreamed.count())
 
     spark.stop()
     if (failed) sys.exit(1)

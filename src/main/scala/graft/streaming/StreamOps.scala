@@ -132,6 +132,40 @@ object StreamOps {
       .select(col("user_id"), col("session_window.start").as("window_start"),
         col("n_events"), col("first_ts"), col("last_ts"), col("sum_cents"))
 
+  /** Stream-stream interval join — purchase→view attribution: each
+    * purchase joins the views of the same user whose timestamp lies in
+    * [purchase_ts − lookback, purchase_ts]. Both sides are watermarked so
+    * Spark can BOUND the join state: a view older than its watermark +
+    * lookback can never match a future purchase and is evicted; an
+    * unbounded stream-stream join would otherwise buffer both streams
+    * forever. Inner join + time-interval condition is exactly the
+    * supported streaming pattern (range condition drives state cleanup).
+    *
+    * Emits one row per (purchase, matching view) — the relational form;
+    * the as-of "latest view only" reduction is a downstream aggregate
+    * ([[graft.operators.EventOps.asofJoin]] is the batch twin of that
+    * composition). Works identically on bounded frames (the
+    * batch-equivalence path, asserted in StreamOpsSpec). */
+  def attributionJoin(purchases: DataFrame, views: DataFrame,
+                      lookback: String = "15 minutes",
+                      watermark: String = "30 minutes"): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+      .withWatermark("p_ts", watermark)
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    p.join(v,
+      col("user_id") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $lookback"))
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        col("view_id"), col("v_ts"),
+        round(col("purchase_value") * 100).cast("long").as("purchase_cents"))
+  }
+
   /** The batch twin of [[windowedCounts]] for A/B semantics tests: same
     * plan over a bounded DataFrame. */
   def windowedCountsBatch(events: DataFrame): DataFrame =

@@ -156,6 +156,53 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionJoin (stream-stream): joins views in the lookback, drops outside") {
+    implicit val ctx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = StreamOps.attributionJoin(purchases.toDF(), views.toDF(),
+        lookback = "15 minutes")
+      .writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    try {
+      // user 10: views at min 1, 2, 40; purchase at min 12 → views 1,2
+      // are inside the 15-minute lookback, view 40 is in the future
+      views.addData(
+        Event(1, ts(1), 10, "view", 0.0),
+        Event(2, ts(2), 10, "view", 0.0),
+        Event(3, ts(40), 10, "view", 0.0),
+        Event(4, ts(2), 11, "view", 0.0)) // other user: never joins
+      purchases.addData(Event(50, ts(12), 10, "purchase", 9.99))
+      q.processAllAvailable()
+      val got = spark.table("attr")
+        .select("purchase_id", "view_id", "purchase_cents")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((50L, 1L, 999L), (50L, 2L, 999L)))
+    } finally q.stop()
+  }
+
+  test("attributionJoin on bounded frames equals the batch join") {
+    val rnd = new scala.util.Random(11)
+    val evs = (1 to 200).map { i =>
+      Event(i.toLong, new Timestamp(1700000000000L + rnd.nextInt(3600) * 1000L),
+        (rnd.nextInt(5) + 1).toLong,
+        if (rnd.nextBoolean()) "view" else "purchase", rnd.nextInt(50) / 10.0)
+    }
+    val df = evs.toDF()
+    val streamedShape = StreamOps.attributionJoin(
+        df.filter(col("event_type") === "purchase"),
+        df.filter(col("event_type") === "view"), lookback = "10 minutes")
+      .select("purchase_id", "view_id").as[(Long, Long)].collect().toSet
+    // independent brute force
+    val vs = evs.filter(_.event_type == "view")
+    val want = (for {
+      p <- evs.filter(_.event_type == "purchase")
+      v <- vs if v.user_id == p.user_id &&
+        v.ts.getTime <= p.ts.getTime && v.ts.getTime >= p.ts.getTime - 600000L
+    } yield (p.event_id, v.event_id)).toSet
+    assert(streamedShape == want)
+  }
+
   test("sessionizeStream on a bounded frame equals EventOps.sessionize(gap − 1µs)") {
     // random events over a handful of users; the strict-< vs <= boundary
     // is bridged by the documented gap − 1 µs equivalence
