@@ -904,7 +904,20 @@ object SparkEntry {
       GraphOps.pageRank(sym, iters = 5)
         .select(col("node"), col("rank").as("rank_micro"))
         .orderBy("node")
-    })
+    }),
+
+    // Exact global-percentile quality gate: drop the bottom quartile of
+    // the corpus by distinct-token ratio (reduce-then-window percentile —
+    // the value-domain-bounded exact form; production = percentile_approx).
+    "q75_quality_gate" -> ((s, dir) =>
+      CorpusOps.qualityPercentileGate(t(s, dir, "documents"), frac = 0.25)
+        .orderBy("doc_id")),
+
+    // TF-IDF top-3 characteristic terms per document (round-6 idf for
+    // cross-engine ln parity; term-string tie-break).
+    "q76_tfidf" -> ((s, dir) =>
+      TextOps.tfidfTopTerms(t(s, dir, "documents"), k = 3)
+        .orderBy("doc_id", "rank"))
   )
 
   // -------------------------------------------------------------- oracle SQL
@@ -2006,6 +2019,39 @@ object SparkEntry {
          |p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM pn),
          |$rounds
          |SELECT node, rank AS rank_micro FROM p5 ORDER BY node""".stripMargin
-    }
+    },
+
+    "q75_quality_gate" ->
+      """WITH scored AS (
+        |  SELECT doc_id, len(list_distinct(w)) / len(w) AS uniq_ratio
+        |  FROM (SELECT doc_id, string_split(text, ' ') w FROM documents)),
+        |byval AS (SELECT uniq_ratio, count(*) AS cnt FROM scored GROUP BY uniq_ratio),
+        |cum AS (SELECT uniq_ratio,
+        |               sum(cnt) OVER (ORDER BY uniq_ratio
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |        FROM byval),
+        |thr AS (SELECT min(CASE WHEN cum >= 0.25 * (SELECT sum(cnt) FROM byval)
+        |                        THEN uniq_ratio END) AS thr FROM cum)
+        |SELECT s.doc_id, s.uniq_ratio
+        |FROM scored s, thr WHERE s.uniq_ratio >= thr.thr
+        |ORDER BY doc_id""".stripMargin,
+
+    "q76_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+        |idf AS (SELECT term,
+        |               round(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / count(*)), 6) AS idf
+        |        FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT t.doc_id, t.term, t.tf * i.idf AS score
+        |  FROM tf t JOIN idf i ON i.term = t.term),
+        |ranked AS (
+        |  SELECT doc_id, term, score,
+        |         CAST(row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY score DESC, term) AS INT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, score FROM ranked
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
   )
 }

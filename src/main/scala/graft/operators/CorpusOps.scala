@@ -188,6 +188,37 @@ object CorpusOps {
       .drop("domain_rank")
   }
 
+  /** Global-percentile quality gate — "keep the top (1−frac) of the corpus
+    * by lexical diversity": drop every document whose distinct-token ratio
+    * sits below the exact `frac` quantile of the whole corpus.
+    *
+    * The exact global percentile uses the reduce-then-window shape (same
+    * as GraphOps.weightSanity): count documents per DISTINCT score first —
+    * a distributed shuffle — then run the unavoidable global cumsum window
+    * over the |distinct scores| reduced rows, bounded by the value domain
+    * (ratios of small integers), not the corpus. The threshold broadcasts
+    * back over the scored table; no data-sized single-partition step
+    * exists. At 100 TB the approximate path is percentile_approx over the
+    * same score — swap one line; the exact form is the oracle-checkable
+    * contract. */
+  def qualityPercentileGate(docs: DataFrame, frac: Double,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    require(frac > 0 && frac < 1, s"bad frac=$frac")
+    val scored = TextOps.qualityMetrics(docs, textCol)
+      .select(col(idCol), col("uniq_ratio"))
+    val byVal = scored.groupBy("uniq_ratio").agg(count(lit(1)).as("cnt"))
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.orderBy("uniq_ratio")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = byVal.withColumn("cum", sum("cnt").over(wCum))
+      .crossJoin(broadcast(byVal.agg(sum("cnt").as("total"))))
+      .agg(min(when(col("cum") >= col("total") * frac, col("uniq_ratio"))).as("thr"))
+    scored.crossJoin(broadcast(thr))
+      .filter(col("uniq_ratio") >= col("thr"))
+      .select(col(idCol), col("uniq_ratio"))
+  }
+
   /** Deterministic training-order shuffle + balanced sharding: the final
     * stage of a corpus build, where documents must be (a) decorrelated
     * from their source/crawl order and (b) split into N equal-ish shards,

@@ -312,6 +312,34 @@ object TextOps {
       .withColumn("uniq_ratio", size(array_distinct(w)) / col("n_tokens"))
   }
 
+  /** TF-IDF top-k characteristic terms per document — the standard
+    * keyword/topic signal a corpus pipeline attaches before mixing.
+    *
+    * tf = exact term count per (doc, term); idf = round(ln(N/df), 6) —
+    * the 6-decimal round absorbs last-ulp libm ln() differences between
+    * engines (the weightSanity precedent), and tf·idf of identical
+    * operands is then bit-identical everywhere. Ties in the per-doc
+    * ranking break on the term string, so top-k is deterministic.
+    *
+    * Shape: two partial-aggregated shuffles (doc,term) → (term), a
+    * broadcast of the corpus size, and a per-doc ranking window — the
+    * word-count pattern end to end; nothing global, nothing quadratic. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val terms = docs.select(col(idCol), words(col(textCol)).as("w"))
+      .select(col(idCol), explode_outer(col("w")).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * round(log(col("n").cast("double") / col("df")), 6))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("score"))
+  }
+
   /** Token counting: whitespace tokens, a BPE-ish unit count (vowel runs +
     * consonant runs ≈ subword segments), and the chars/4 LLM heuristic. */
   def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
