@@ -917,8 +917,34 @@ object SparkEntry {
     // cross-engine ln parity; term-string tie-break).
     "q76_tfidf" -> ((s, dir) =>
       TextOps.tfidfTopTerms(t(s, dir, "documents"), k = 3)
-        .orderBy("doc_id", "rank"))
+        .orderBy("doc_id", "rank")),
+
+    // CDC latest-wins snapshot: the event feed as a changelog — 'error'
+    // events are tombstones, anything else upserts the user's state
+    // (integer cents). One shuffle + per-key sort (log compaction).
+    "q77_cdc_snapshot" -> ((s, dir) => {
+      EventOps.cdcSnapshot(cdcFeed(s, dir), "user_id", "state_cents")
+        .orderBy("user_id")
+    }),
+
+    // SCD type-2 history over the per-user event-type state: run-collapsed
+    // versioned validity intervals, last version open-ended. Three windows,
+    // one shuffle.
+    "q78_scd2" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        col("event_id").as("id"), EventOps.tsUs("ts").as("ts_us"),
+        col("event_type"))
+      EventOps.scd2(ev, "user_id", "event_type")
+        .orderBy("user_id", "version")
+    })
   )
+
+  /** Shared q77 input: the events table viewed as a CDC feed. */
+  private def cdcFeed(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(col("user_id"),
+      col("event_id").as("id"), EventOps.tsUs("ts").as("ts_us"),
+      when(col("event_type") === "error", lit("d")).otherwise(lit("u")).as("op"),
+      round(col("value") * 100).cast("long").as("state_cents"))
 
   // -------------------------------------------------------------- oracle SQL
 
@@ -2052,6 +2078,39 @@ object SparkEntry {
         |           ORDER BY score DESC, term) AS INT) AS rank
         |  FROM scored)
         |SELECT doc_id, rank, term, score FROM ranked
-        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // Mirrors cdcFeed + cdcSnapshot: latest (ts, id) row per user wins,
+    // tombstoned keys ('error' → op 'd') drop out.
+    "q77_cdc_snapshot" ->
+      """WITH f AS (SELECT user_id, event_id AS id, epoch_us(ts) AS ts_us,
+        |                  CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+        |                  CAST(round(value * 100) AS BIGINT) AS state_cents
+        |           FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                  ORDER BY ts_us DESC, id DESC) AS rn FROM f)
+        |SELECT user_id, id, ts_us, state_cents FROM r
+        |WHERE rn = 1 AND op <> 'd'
+        |ORDER BY user_id""".stripMargin,
+
+    // Mirrors EventOps.scd2: run-collapse on event_type (lag), version =
+    // row_number over surviving changes, interval close = lead.
+    "q78_scd2" ->
+      """WITH ev AS (SELECT user_id, event_id AS id, epoch_us(ts) AS ts_us,
+        |                   event_type FROM events),
+        |c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+        |                  ORDER BY ts_us, id) AS prev_state FROM ev),
+        |k AS (SELECT user_id, id, ts_us, event_type FROM c
+        |      WHERE prev_state IS NULL OR event_type <> prev_state),
+        |v AS (SELECT user_id,
+        |        CAST(row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts_us, id) AS INT) AS version,
+        |        event_type, ts_us AS valid_from_us,
+        |        lead(ts_us) OVER (PARTITION BY user_id
+        |          ORDER BY ts_us, id) AS valid_to_us
+        |      FROM k)
+        |SELECT user_id, version, event_type, valid_from_us, valid_to_us,
+        |       CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin
   )
 }

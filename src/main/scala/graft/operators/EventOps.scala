@@ -153,6 +153,62 @@ object EventOps {
       sum(cents(col("value"))).over(w).as("sum_cents_trail"))
   }
 
+  /** CDC latest-wins snapshot: collapse a change feed (upserts + deletes)
+    * to the current state of every key — the batch form of materializing a
+    * changelog, e.g. rebuilding a user-profile table from its event
+    * history. Rows must carry (key, id, ts_us, op) plus the tracked
+    * `stateCol`; `op` is 'u' (upsert) or 'd' (delete).
+    *
+    * The winner per key is the row with the greatest (ts_us, id) — the id
+    * tie-break makes equal-timestamp feeds deterministic in every engine.
+    * A key whose winning row is a delete is absent from the snapshot (the
+    * tombstone contract).
+    *
+    * ONE shuffle on the key + a per-partition sort (row_number window) —
+    * the same shape as a streaming `mapGroupsWithState` compaction, and at
+    * 100 TB the standard log-compaction plan: no join, no global sort,
+    * partial nothing (every change row is needed until its key's max is
+    * known, so a window — not an aggregate with max_by — keeps the full
+    * winning row without a second self-join pass). */
+  def cdcSnapshot(changes: DataFrame, key: String,
+                  stateCol: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col("ts_us").desc, col("id").desc)
+    changes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "d")
+      .select(col(key), col("id"), col("ts_us"), col(stateCol))
+  }
+
+  /** SCD type-2 history: turn the same change feed into versioned validity
+    * intervals per key — the warehouse "slowly changing dimension" shape
+    * used for point-in-time training snapshots. Consecutive changes that
+    * do NOT alter `stateCol` are collapsed into one version (a re-upsert
+    * of the same value extends the current interval instead of opening a
+    * new one), then each surviving change becomes
+    * [valid_from_us, valid_to_us) with the last version open-ended
+    * (valid_to_us NULL, is_current = 1).
+    *
+    * Three window passes — lag (run-collapse), row_number (version),
+    * lead (interval close) — all over the one (key, ts_us, id) sort
+    * order, so Spark plans a single shuffle + a single per-partition sort.
+    * Interval semantics follow the as-of convention: a state is valid
+    * from its own change-time inclusive to the next change exclusive. */
+  def scd2(changes: DataFrame, key: String, stateCol: String): DataFrame = {
+    val wOrd = Window.partitionBy(key).orderBy(col("ts_us"), col("id"))
+    val changed = changes
+      .withColumn("prev_state", lag(col(stateCol), 1).over(wOrd))
+      // first row per key: lag NULL → keep (NULL-safe inequality; parens
+      // required — unary_! binds tighter than <=>)
+      .filter(!(col(stateCol) <=> col("prev_state")))
+    changed
+      .withColumn("version", row_number().over(wOrd))
+      .withColumn("valid_from_us", col("ts_us"))
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(wOrd))
+      .select(col(key), col("version"), col(stateCol),
+        col("valid_from_us"), col("valid_to_us"),
+        when(col("valid_to_us").isNull, lit(1)).otherwise(lit(0)).as("is_current"))
+  }
+
   /** Ordered-funnel conversion: per key, the first `fromType` event and the
     * first `toType` event STRICTLY after it; converted keys carry the
     * time-to-convert. Two conditional-min aggregates — the first pass finds

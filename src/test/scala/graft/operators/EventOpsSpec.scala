@@ -101,4 +101,49 @@ class EventOpsSpec extends SparkSpec {
     assert(got(4L) == ((0, None)))       // no purchase at all
     assert(!got.contains(5L))            // no entry event → no row
   }
+
+  test("cdcSnapshot keeps the latest (ts, id) row per key and honors tombstones") {
+    val feed = Seq(
+      (1L, 0L, 100L, "u", 10L), (1L, 1L, 200L, "u", 20L),  // latest upsert wins
+      (2L, 2L, 100L, "u", 30L), (2L, 3L, 200L, "d", 0L),   // deleted: absent
+      (3L, 4L, 100L, "d", 0L), (3L, 5L, 200L, "u", 40L),   // re-created after delete
+      (4L, 6L, 100L, "u", 50L), (4L, 7L, 100L, "u", 60L))  // ts tie: max id wins
+      .toDF("user_id", "id", "ts_us", "op", "state")
+    val got = EventOps.cdcSnapshot(feed, "user_id", "state")
+      .select("user_id", "state").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 20L, 3L -> 40L, 4L -> 60L))
+  }
+
+  test("scd2 collapses same-state runs and closes intervals at the next change") {
+    val feed = Seq(
+      (1L, 0L, 100L, "a"), (1L, 1L, 200L, "a"),  // run-collapse: one 'a' version
+      (1L, 2L, 300L, "b"), (1L, 3L, 400L, "a"),  // a → b → a is three versions
+      (2L, 4L, 100L, "x"))
+      .toDF("user_id", "id", "ts_us", "state")
+    val got = EventOps.scd2(feed, "user_id", "state")
+      .select("user_id", "version", "state", "valid_from_us", "valid_to_us", "is_current")
+      .as[(Long, Int, String, Long, Option[Long], Int)].collect().toSet
+    assert(got == Set(
+      (1L, 1, "a", 100L, Some(300L), 0),
+      (1L, 2, "b", 300L, Some(400L), 0),
+      (1L, 3, "a", 400L, None, 1),
+      (2L, 1, "x", 100L, None, 1)))
+  }
+
+  test("scd2 intervals tile each key's timeline: from = previous to, one current row") {
+    val ev = evSeq.map { case (u, id, ts, v) => (u, id, ts, (v * 10).toInt % 3) }
+      .toDF("user_id", "id", "ts_us", "state")
+    val got = EventOps.scd2(ev, "user_id", "state")
+      .select("user_id", "version", "valid_from_us", "valid_to_us")
+      .as[(Long, Int, Long, Option[Long])].collect()
+      .groupBy(_._1).values
+    got.foreach { rows =>
+      val sorted = rows.sortBy(_._2).toList
+      sorted.sliding(2).foreach {
+        case Seq((_, _, _, Some(to)), (_, _, from, _)) => assert(to == from)
+        case _ => ()
+      }
+      assert(sorted.init.forall(_._4.isDefined) && sorted.last._4.isEmpty)
+    }
+  }
 }
