@@ -936,7 +936,55 @@ object SparkEntry {
         col("event_type"))
       EventOps.scd2(ev, "user_id", "event_type")
         .orderBy("user_id", "version")
-    })
+    }),
+
+    // Bigram-LM quality score: corpus-trained conditional bigram
+    // probabilities in integer micro-units, floored per-doc mean — the
+    // deterministic stand-in for perplexity ranking.
+    "q79_bigram_lm" -> ((s, dir) =>
+      TextOps.bigramLmScore(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+
+    // Asymmetric containment near-dup (|A∩B|/|A| ≥ 0.8): catches short
+    // docs absorbed into longer ones, which Jaccard's union denominator
+    // hides. Inverted-index self-join, no all-pairs.
+    "q80_containment" -> ((s, dir) =>
+      TextOps.containmentPairs(
+          TextOps.shingleTable(t(s, dir, "documents"), "doc_id"), "doc_id",
+          threshold = 0.8)
+        .orderBy("id1", "id2")),
+
+    // Bloom-pruned decontamination: broadcast Bloom of benchmark 8-grams
+    // prunes the corpus map-side, exact join verifies — bit-identical to
+    // q62 (same oracle), but the corpus never shuffles at scale.
+    "q81_bloom_decontaminate" -> ((s, dir) => {
+      val all = t(s, dir, "documents")
+      CorpusOps.contaminatedBloom(
+          all.filter(col("doc_id") % 5 =!= 0),
+          all.filter(col("doc_id") % 5 === 0), n = 8)
+        .orderBy("doc_id")
+    }),
+
+    // URL canonicalization dedup over deterministically messy synthetic
+    // fetch URLs (case, default port, tracking params, fragments,
+    // trailing slash).
+    "q82_url_dedup" -> ((s, dir) => {
+      val hosts = array(lit("Example.COM"), lit("example.com:443"), lit("news.site.org"))
+      val tails = array(lit("?utm_source=feed"), lit("/"),
+        lit("?id=7&utm_campaign=x"), lit("#sec2"))
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://"),
+          element_at(hosts, (col("doc_id") % 3).cast("int") + 1),
+          lit("/art/"), (col("doc_id") % 50).cast("string"),
+          element_at(tails, (col("doc_id") % 4).cast("int") + 1)).as("url"))
+      CorpusOps.dedupByUrl(docs).orderBy("canon_url")
+    }),
+
+    // Per-language exact token-length percentile report (rank-based
+    // p50/p90/p99, reduce-then-window).
+    "q83_length_report" -> ((s, dir) =>
+      CorpusOps.lengthReport(t(s, dir, "documents"), "lang")
+        .orderBy("lang"))
   )
 
   /** Shared q77 input: the events table viewed as a CDC feed. */
@@ -947,6 +995,23 @@ object SparkEntry {
       round(col("value") * 100).cast("long").as("state_cents"))
 
   // -------------------------------------------------------------- oracle SQL
+
+  /** Shared by q62 (exact decontamination) and q81 (Bloom-pruned variant):
+    * the Bloom pre-filter is result-invariant by construction (no false
+    * negatives; false positives die in the exact verify join), so both
+    * queries answer to the SAME oracle. */
+  private val decontOracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id,
+      |              list_distinct(list_transform(generate_series(0, len(w) - 8),
+      |                i -> array_to_string(w[i+1:i+8], ' '))) AS sh
+      |       FROM w WHERE len(w) >= 8),
+      |ds AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 5 <> 0),
+      |bs AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 5 = 0)
+      |SELECT ds.doc_id, count(*) AS n_overlap
+      |FROM ds JOIN bs ON ds.s = bs.s
+      |GROUP BY ds.doc_id
+      |ORDER BY ds.doc_id""".stripMargin
 
   private val P = Derive.Sql.prelude
 
@@ -1833,18 +1898,7 @@ object SparkEntry {
     // 8-gram mirror of TextOps.shinglesFromWords (distinct, len>=n guard,
     // w[i+1:i+8] is DuckDB's inclusive 8-element slice of Spark's
     // slice(w, i+1, 8)).
-    "q62_decontaminate" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (SELECT doc_id,
-        |              list_distinct(list_transform(generate_series(0, len(w) - 8),
-        |                i -> array_to_string(w[i+1:i+8], ' '))) AS sh
-        |       FROM w WHERE len(w) >= 8),
-        |ds AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 5 <> 0),
-        |bs AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 5 = 0)
-        |SELECT ds.doc_id, count(*) AS n_overlap
-        |FROM ds JOIN bs ON ds.s = bs.s
-        |GROUP BY ds.doc_id
-        |ORDER BY ds.doc_id""".stripMargin,
+    "q62_decontaminate" -> decontOracle,
 
     // w[s+1 : least(s+32, len)] is DuckDB's inclusive slice of Spark's
     // slice(w, s+1, 32) (tail-shortened identically); chunk_idx = s/16
@@ -2111,6 +2165,89 @@ object SparkEntry {
         |      FROM k)
         |SELECT user_id, version, event_type, valid_from_us, valid_to_us,
         |       CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS is_current
-        |FROM v ORDER BY user_id, version""".stripMargin
+        |FROM v ORDER BY user_id, version""".stripMargin,
+
+    // Mirrors bigramLmScore: c1 = bigram-prefix counts, c2 = bigram
+    // counts, p_micro = (1e6*c2) div c1, score = floored per-doc mean.
+    "q79_bigram_lm" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+        |        i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS bg
+        |      FROM w WHERE len(w) >= 2),
+        |bb AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM b),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bb GROUP BY w1),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bb GROUP BY w1, w2),
+        |sc AS (SELECT bb.doc_id, (1000000 * c2.c2) // c1.c1 AS p_micro
+        |       FROM bb JOIN c2 ON bb.w1 = c2.w1 AND bb.w2 = c2.w2
+        |               JOIN c1 ON bb.w1 = c1.w1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(p_micro) // count(*) AS BIGINT) AS score_micro
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Mirrors containmentPairs: inverted index, count per directed pair,
+    // containment = inter / |A| (exact small-int division).
+    "q80_containment" ->
+      s"""WITH ${LlmSql.docShingles},
+         |idx AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM sh),
+         |agg AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.sz AS s1,
+         |         count(*) AS inter
+         |  FROM idx a JOIN idx b
+         |    ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2, 3)
+         |SELECT id1, id2, inter / s1 AS containment
+         |FROM agg WHERE inter / s1 >= CAST(0.8 AS DOUBLE)
+         |ORDER BY id1, id2""".stripMargin,
+
+    "q81_bloom_decontaminate" -> decontOracle,
+
+    // Mirrors the q82 URL synthesis + CorpusOps.canonicalUrl rule chain
+    // (DuckDB regexp flavor: 'g' flag = Spark's replace-all, \1 = $1).
+    "q82_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         'https://' ||
+        |         (['Example.COM', 'example.com:443', 'news.site.org'])[CAST(doc_id % 3 AS INT) + 1] ||
+        |         '/art/' || CAST(doc_id % 50 AS VARCHAR) ||
+        |         (['?utm_source=feed', '/', '?id=7&utm_campaign=x', '#sec2'])[CAST(doc_id % 4 AS INT) + 1]
+        |           AS url
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS u FROM u),
+        |s2 AS (SELECT doc_id,
+        |         regexp_replace(u, '(?:utm_[a-zA-Z]+|fbclid|gclid|ref)=[^&]*&?', '', 'g') AS u
+        |       FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(u, '[?&]$', '', 'g') AS u FROM s2),
+        |parts AS (
+        |  SELECT doc_id,
+        |         lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://.*', 1)) AS scheme,
+        |         lower(regexp_extract(u, '^[^:]+://([^/?#]+).*', 1)) AS host,
+        |         regexp_extract(u, '^[^:]+://[^/?#]*(.*)', 1) AS rest
+        |  FROM s3),
+        |canon AS (
+        |  SELECT doc_id,
+        |         scheme || '://' || regexp_replace(host, ':(80|443)$', '', 'g') ||
+        |         CASE WHEN regexp_replace(rest, '^(.*[^/])/$', '\1', 'g') IN ('', '/')
+        |              THEN '/' ELSE regexp_replace(rest, '^(.*[^/])/$', '\1', 'g') END
+        |           AS canon_url
+        |  FROM parts)
+        |SELECT canon_url, min(doc_id) AS doc_id, count(*) AS n_variants
+        |FROM canon GROUP BY canon_url ORDER BY canon_url""".stripMargin,
+
+    // Mirrors lengthReport: reduce to distinct (lang, len), partitioned
+    // cumsum, all-integer rank percentile.
+    "q83_length_report" ->
+      """WITH l AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+        |           FROM documents),
+        |b AS (SELECT lang, len, count(*) AS cnt FROM l GROUP BY 1, 2),
+        |c AS (SELECT lang, len, cnt,
+        |        sum(cnt) OVER (PARTITION BY lang ORDER BY len
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        sum(cnt) OVER (PARTITION BY lang) AS n
+        |      FROM b)
+        |SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+        |       min(CASE WHEN cum * 100 >= n * 50 THEN len END) AS p50_tok,
+        |       min(CASE WHEN cum * 100 >= n * 90 THEN len END) AS p90_tok,
+        |       min(CASE WHEN cum * 100 >= n * 99 THEN len END) AS p99_tok
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

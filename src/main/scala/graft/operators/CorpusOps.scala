@@ -244,4 +244,112 @@ object CorpusOps {
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))
       .select(col(idCol), col("shard"), col("pos"))
   }
+
+  /** Canonical URL — the web-dedup join key: two crawls of one page must
+    * collapse even when the fetch URLs differ by case, tracking params,
+    * default ports, fragments, or trailing slashes. Pure column regex
+    * (codegen'd, map-side, engine-portable):
+    *
+    *  1. drop the `#fragment`;
+    *  2. drop tracking query params (`utm_*`, `fbclid`, `gclid`, `ref`);
+    *  3. tidy a dangling `?`/`&` the removal leaves behind;
+    *  4. lowercase scheme and host (path/query stay case-sensitive);
+    *  5. drop an explicit default port (`:80`/`:443`);
+    *  6. drop a trailing slash (empty path prints as `/`).
+    *
+    * Not a full RFC 3986 normalizer (no percent-decoding or param
+    * re-ordering — both engine-portable but rarely worth the ambiguity);
+    * the six rules above are the ones that fire on real crawl data. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val noTrack = regexp_replace(noFrag,
+      "(?:utm_[a-zA-Z]+|fbclid|gclid|ref)=[^&]*&?", "")
+    val tidy = regexp_replace(noTrack, "[?&]$", "")
+    val scheme = lower(regexp_extract(tidy, "^([a-zA-Z][a-zA-Z0-9+.-]*)://.*", 1))
+    val host = lower(regexp_extract(tidy, "^[^:]+://([^/?#]+).*", 1))
+    val rest = regexp_extract(tidy, "^[^:]+://[^/?#]*(.*)", 1)
+    val noPort = regexp_replace(host, ":(80|443)$", "")
+    val restNorm = regexp_replace(rest, "^(.*[^/])/$", "$1")
+    concat(scheme, lit("://"), noPort,
+      when(restNorm === "" || restNorm === "/", lit("/")).otherwise(restNorm))
+  }
+
+  /** URL-level dedup: one row per [[canonicalUrl]] — the kept doc is the
+    * min id (first-crawled wins under monotone ids) and `n_variants`
+    * counts the collapsed fetches. One partial-aggregated shuffle on the
+    * canonical string; at 100 TB this is the cheapest dedup tier, run
+    * BEFORE any content hashing (it needs no text bytes at all). */
+  def dedupByUrl(docs: DataFrame, urlCol: String = "url",
+                 idCol: String = "doc_id"): DataFrame =
+    docs.select(canonicalUrl(col(urlCol)).as("canon_url"), col(idCol))
+      .groupBy("canon_url")
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_variants"))
+
+  /** Per-group EXACT token-length percentile report (p50/p90/p99) — the
+    * corpus-composition dashboard: length distributions per language (or
+    * source) drive chunk-size and mixture decisions, and their drift is
+    * the standard data-quality alarm.
+    *
+    * Exact percentiles via the engine's reduce-then-window discipline:
+    * count docs per DISTINCT (group, length) — partial-aggregated
+    * shuffle — then cumulative-sum over the per-group length domain (a
+    * PARTITIONED window, bounded by distinct lengths per group, not
+    * docs) and pick the smallest length with cum·100 ≥ p·n (all-integer
+    * rank percentile, no interpolation — cross-engine exact). */
+  def lengthReport(docs: DataFrame, groupCol: String = "lang",
+                   textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lens = docs.select(col(groupCol),
+      size(TextOps.words(col(textCol))).cast("long").as("len"))
+    val byLen = lens.groupBy(col(groupCol), col("len"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(groupCol).orderBy("len")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byLen
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(groupCol)))
+      .groupBy(col(groupCol))
+      .agg(max(col("n")).as("n_docs"),
+        min(when(col("cum") * 100 >= col("n") * 50, col("len"))).as("p50_tok"),
+        min(when(col("cum") * 100 >= col("n") * 90, col("len"))).as("p90_tok"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("len"))).as("p99_tok"))
+  }
+
+  /** [[contaminated]] with a BROADCAST BLOOM pre-filter — the 100 TB form
+    * of decontamination. The exact join must eventually run, but at scale
+    * the expensive part is shuffling every corpus n-gram; a Bloom filter
+    * of the benchmark's grams (a few MB of bits for millions of grams vs
+    * gigabytes of strings) prunes the corpus stream MAP-SIDE to the rare
+    * suspects, so the exact verify join only sees a sliver. False
+    * positives are killed by the verify join; Bloom filters have no false
+    * negatives — the result is bit-identical to [[contaminated]] by
+    * construction, which is exactly what the oracle checks. This is the
+    * same plan shape Spark's own InjectRuntimeFilter produces for
+    * selective joins, applied deliberately.
+    *
+    * Building the filter runs one small eager job over the BENCHMARK side
+    * (tiny by the operator's premise — benchmarks are MBs, corpora TBs).
+    * The `mightContain` probe is the one deliberate UDF in the engine:
+    * Spark's BloomFilterMightContain expression is not public API, and a
+    * broadcast bitset probe is cheap enough that codegen exclusion does
+    * not matter on a stream the filter immediately decimates. */
+  def contaminatedBloom(docs: DataFrame, benchmark: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        n: Int = 8, minOverlap: Int = 1,
+                        expectedGrams: Long = 1L << 20,
+                        fpp: Double = 0.03): DataFrame = {
+    val bs = TextOps.shingleTable(benchmark, idCol, n, textCol)
+      .select(explode_outer(col("sh")).as("s")).distinct()
+      .cache() // two consumers: the filter build and the verify join
+    val bloom = bs.stat.bloomFilter("s", expectedGrams, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val might = udf((s: String) => s != null && bc.value.mightContain(s))
+    TextOps.shingleTable(docs, idCol, n, textCol)
+      .select(col(idCol), explode_outer(col("sh")).as("s"))
+      .filter(might(col("s")))
+      .join(bs, Seq("s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
 }

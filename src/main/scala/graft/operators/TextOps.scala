@@ -187,6 +187,45 @@ object TextOps {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT pairs: C(A→B) = |A∩B| / |A| over shingle
+    * sets — the near-dup signal symmetric Jaccard misses: a short
+    * document wholly quoted inside a much longer one has tiny Jaccard
+    * (union is huge) but containment ≈ 1. The standard dedup policy pairs
+    * both: Jaccard for same-size near-dups, containment for
+    * wrapper/boilerplate absorption.
+    *
+    * Same inverted-index shape as [[jaccardAllPairs]] (posting-list
+    * equi-join on the shingle, count co-occurrences, verify per pair) but
+    * WITHOUT the size-ratio prune — a contained doc may be 100× smaller
+    * than its container, which is exactly the case the prune would drop.
+    * The cost guard is instead `minShingles` (ignore docs too short to
+    * make containment meaningful) and, at 100 TB, dropping
+    * stop-shingles: posting lists above a frequency cap contribute
+    * candidates quadratically yet only ever RAISE the denominator-free
+    * intersection — production would frequency-filter the index first
+    * (PPJoin-style); the exact form here is the oracle contract.
+    *
+    * Emits BOTH directions (A in B, B in A) when both clear `threshold`;
+    * `containment` is an exact small-int division, bit-identical in any
+    * engine. */
+  def containmentPairs(shingleDf: DataFrame, idCol: String,
+                       threshold: Double = 0.9, minShingles: Int = 1): DataFrame = {
+    val index = shingleDf
+      .select(col(idCol), size(col("sh")).as("sz"), col("sh"))
+      .filter(col("sz") >= minShingles)
+      .select(col(idCol), col("sz"), explode_outer(col("sh")).as("shingle"))
+      // both sides of the self-join scan the postings (see jaccardAllPairs)
+      .cache()
+    index.alias("a").join(index.alias("b"), Seq("shingle"))
+      .filter(col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"),
+        col("a.sz").as("s1"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment", col("inter") / col("s1"))
+      .filter(col("containment") >= threshold)
+      .select(col("id1"), col("id2"), col("containment"))
+  }
+
   /** Exact shingle-set Jaccard for candidate pairs: |A∩B| / |A∪B|. */
   def jaccardVerify(pairs: DataFrame, shingleDf: DataFrame, idCol: String,
                     threshold: Double = 0.5): DataFrame =
@@ -338,6 +377,49 @@ object TextOps {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(idCol), col("rank"), col("term"), col("score"))
+  }
+
+  /** Bigram language-model quality score — the KenLM-shaped "how natural
+    * is this document under the corpus's own n-gram statistics" signal
+    * used to rank training data (high = typical phrasing, low = gibberish
+    * / boilerplate / wrong-language).
+    *
+    * The model is the corpus itself: c1(w1) counts bigrams starting with
+    * w1, c2(w1,w2) counts the exact bigram, so p(w2|w1) = c2/c1 is a
+    * proper conditional (Σ_w2 c2 = c1). Probabilities live in integer
+    * MICRO-units — p_micro = (10⁶·c2) div c1 — and the per-document score
+    * is the floored mean of its bigram p_micros: all-integer arithmetic,
+    * so the score is bit-identical on any partitioning and any engine
+    * (a log-prob float sum would be order-dependent). Documents under 2
+    * tokens have no bigrams and no row.
+    *
+    * Shape: the word-count pattern twice (partial-aggregated shuffles on
+    * w1 and (w1,w2)) + two equi-joins of the bigram stream against
+    * vocabulary-sized count tables — the exact shape of scoring against
+    * any external n-gram table at 100 TB, where the model side is orders
+    * of magnitude smaller than the corpus and broadcast/bucketed joins
+    * apply. Nothing global, nothing quadratic. */
+  def bigramLmScore(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val w = docs.select(col(idCol), words(col(textCol)).as("w"))
+      .filter(size(col("w")) >= 2)
+    val bg = w.select(col(idCol),
+        // w is a bound attribute (staged projection above) — the lambda
+        // must not capture the split subtree (see shinglesFromWords)
+        explode_outer(transform(sequence(lit(0), size(col("w")) - 2),
+          i => struct(element_at(col("w"), i + 1).as("w1"),
+                      element_at(col("w"), i + 2).as("w2")))).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      // three physical consumers (c1 aggregate, c2 aggregate, the scored
+      // stream) — uncached, the tokenize+explode scan runs three times
+      .cache()
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .select(col(idCol), expr("(1000000 * c2) div c1").as("p_micro"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(p_micro) div count(1)").as("score_micro"))
   }
 
   /** Token counting: whitespace tokens, a BPE-ish unit count (vowel runs +

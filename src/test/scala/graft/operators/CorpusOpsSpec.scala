@@ -164,4 +164,78 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept.filter(_._1 == "d0").map(_._2).sorted.sameElements(Seq(0L, 3L, 6L, 9L)))
     assert(kept.filter(_._1 == "d2").map(_._2).sorted.sameElements(Seq(2L, 5L, 8L, 11L)))
   }
+
+  test("canonicalUrl applies each normalization rule and composes them") {
+    val cases = Seq(
+      "https://Example.COM/Path"            -> "https://example.com/Path",
+      "HTTPS://a.b/x"                       -> "https://a.b/x",
+      "https://a.b:443/x"                   -> "https://a.b/x",
+      "http://a.b:80/x"                     -> "http://a.b/x",
+      "https://a.b:8080/x"                  -> "https://a.b:8080/x", // non-default kept
+      "https://a.b/x#frag"                  -> "https://a.b/x",
+      "https://a.b/x/"                      -> "https://a.b/x",
+      "https://a.b"                         -> "https://a.b/",
+      "https://a.b/"                        -> "https://a.b/",
+      "https://a.b/x?utm_source=f"          -> "https://a.b/x",
+      "https://a.b/x?utm_source=f&id=3"     -> "https://a.b/x?id=3",
+      "https://a.b/x?id=3&utm_campaign=c"   -> "https://a.b/x?id=3",
+      "https://a.b/x?id=3&fbclid=z&gclid=q" -> "https://a.b/x?id=3",
+      "https://a.b/x?ID=3"                  -> "https://a.b/x?ID=3", // query case kept
+      "https://A.B:443/x/?utm_medium=m#f"   -> "https://a.b/x")
+    val got = cases.map(_._1).toDF("url")
+      .select(CorpusOps.canonicalUrl(col("url"))).as[String].collect()
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"canonicalUrl($in) = $g, want $want")
+    }
+  }
+
+  test("dedupByUrl keeps the min id per canonical URL and counts variants") {
+    val d = Seq(
+      (5L, "https://A.com/x?utm_source=f"),
+      (3L, "https://a.com/x/"),
+      (9L, "https://a.com/x#top"),
+      (7L, "https://a.com/y"))
+      .toDF("doc_id", "url")
+    val got = CorpusOps.dedupByUrl(d)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("https://a.com/x", 3L, 3L), ("https://a.com/y", 7L, 1L)))
+  }
+
+  test("lengthReport matches brute-force rank percentiles per group") {
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 300).map { i =>
+      val g = s"g${i % 3}"
+      (g, Seq.fill(1 + rnd.nextInt(40))("w").mkString(" "))
+    }
+    val got = CorpusOps.lengthReport(docs.toDF("lang", "text"), "lang")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    def brute(lens: Seq[Int], p: Int): Long = {
+      val sorted = lens.sorted
+      // smallest value whose cumulative count*100 >= p*n
+      sorted(math.ceil(p * sorted.size / 100.0).toInt - 1).toLong
+    }
+    docs.groupBy(_._1).foreach { case (g, rows) =>
+      val lens = rows.map(_._2.split(" ").length)
+      val (_, n, p50, p90, p99) = got(g)
+      assert(n == lens.size)
+      assert(p50 == brute(lens, 50) && p90 == brute(lens, 90) && p99 == brute(lens, 99))
+    }
+  }
+
+  test("contaminatedBloom returns exactly the exact-join contamination result") {
+    val docs = (0L until 60L).map { i =>
+      // every 7th doc quotes the shared benchmark sentence verbatim
+      val base = (0 until 12).map(j => s"w${(i * 31 + j * 7) % 97}").mkString(" ")
+      val text = if (i % 7 == 0) base + " the bench mark sentence appears here in full today ok" else base
+      (i, text)
+    }.toDF("doc_id", "text")
+    val bench = Seq((1000L, "the bench mark sentence appears here in full today ok yes"))
+      .toDF("doc_id", "text")
+    val exact = CorpusOps.contaminated(docs, bench, n = 8)
+      .as[(Long, Long)].collect().toSet
+    val bloom = CorpusOps.contaminatedBloom(docs, bench, n = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty && bloom == exact)
+  }
 }

@@ -132,6 +132,46 @@ class TextOpsSpec extends SparkSpec {
     assert(lsh.subsetOf(exact))
   }
 
+  test("containmentPairs matches brute-force |A∩B|/|A| and is asymmetric") {
+    val corpus = docs.union(Seq(
+      // 6 wholly contains 1's text inside a longer page: containment(1→6)
+      // = 1 while Jaccard(1,6) is well under the 0.5 near-dup bar
+      (6L, "page header junk the quick brown fox jumps over the lazy dog more trailing boilerplate text here"))
+      .toDF("doc_id", "text"))
+    val got = TextOps.containmentPairs(
+        TextOps.shingleTable(corpus, "doc_id"), "doc_id", threshold = 0.9)
+      .select("id1", "id2", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+    val sets = corpus.select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+      .map { case (k, v) => k -> v.toSet }.filter(_._2.nonEmpty)
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a != b
+      c = (sets(a) & sets(b)).size.toDouble / sets(a).size if c >= 0.9
+    } yield (a, b, c)).toSet
+    assert(got == want)
+    assert(got.contains((1L, 6L, 1.0)))    // short doc inside long page
+    assert(!got.exists(p => p._1 == 6L && p._2 == 1L)) // container not contained
+  }
+
+  test("bigramLmScore matches hand-computed conditional bigram probabilities") {
+    val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "x"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bigramLmScore(corpus)
+      .select("doc_id", "n_bigrams", "score_micro")
+      .as[(Long, Long, Long)].collect().toSet
+    // bigrams: (a,b)×2, (a,c)×1 → c1(a)=3; p(b|a)=666666µ, p(c|a)=333333µ
+    assert(got == Set((1L, 1L, 666666L), (2L, 1L, 666666L), (3L, 1L, 333333L)))
+    // "x" has no bigram → no row (the <2-token contract)
+  }
+
+  test("bigramLmScore probabilities are proper: per-prefix micro-probs sum to ~1e6") {
+    // Σ_w2 (1e6·c2 div c1) over one prefix ∈ (1e6 − #distinct_w2, 1e6]
+    val sums = TextOps.bigramLmScore(docs) // corpus-level sanity: every score
+      .select("score_micro").as[Long].collect() // is a mean of valid probs
+    assert(sums.forall(s => s >= 0 && s <= 1000000L))
+  }
+
   test("fingerprint: deterministic, k md5s, equal for exact dups") {
     val fps = docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
       .as[(Long, String)].collect().toMap
