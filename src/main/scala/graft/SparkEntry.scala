@@ -984,7 +984,26 @@ object SparkEntry {
     // p50/p90/p99, reduce-then-window).
     "q83_length_report" -> ((s, dir) =>
       CorpusOps.lengthReport(t(s, dir, "documents"), "lang")
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // DSv2 source end to end: write a customer slice as CSV, read it back
+    // through graft.sources.v2.GraftCsv with a filter the SCAN evaluates
+    // (pushed, not post-scan) and a pruned projection — result must equal
+    // the oracle's view of the original table.
+    "q84_dsv2_scan" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val path = rtPath("q84_dsv2")
+      val src = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      Sinks.writeCsv(src.repartition(4), path)
+      s.read.schema(StructType(Seq(
+          StructField("c_custkey", LongType), StructField("c_name", StringType),
+          StructField("c_nationkey", LongType), StructField("c_acctbal", DoubleType))))
+        .format("graft.sources.v2.GraftCsv").load(path)
+        .filter(col("c_nationkey") < 5 && col("c_acctbal") >= 0.0)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    })
   )
 
   /** Shared q77 input: the events table viewed as a CDC feed. */
@@ -2248,6 +2267,13 @@ object SparkEntry {
         |       min(CASE WHEN cum * 100 >= n * 50 THEN len END) AS p50_tok,
         |       min(CASE WHEN cum * 100 >= n * 90 THEN len END) AS p90_tok,
         |       min(CASE WHEN cum * 100 >= n * 99 THEN len END) AS p99_tok
-        |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // The DSv2 round-trip reads back what was written from `customer`, so
+    // the oracle is the original table under the same filter/projection.
+    "q84_dsv2_scan" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_nationkey < 5 AND c_acctbal >= 0
+        |ORDER BY c_custkey""".stripMargin
   )
 }
