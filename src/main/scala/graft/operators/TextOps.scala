@@ -216,14 +216,22 @@ object TextOps {
       .select(col(idCol), col("sz"), explode_outer(col("sh")).as("shingle"))
       // both sides of the self-join scan the postings (see jaccardAllPairs)
       .cache()
-    index.alias("a").join(index.alias("b"), Seq("shingle"))
-      .filter(col(s"a.$idCol") =!= col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"),
-        col("a.sz").as("s1"))
+    // Count each unordered pair ONCE (a < b halves the join output and the
+    // aggregate's intermediate), then emit both directions from the
+    // counted row — containment is asymmetric only in its denominator.
+    val pairs = index.alias("a").join(index.alias("b"), Seq("shingle"))
+      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("ida"), col(s"b.$idCol").as("idb"),
+        col("a.sz").as("sa"), col("b.sz").as("sb"))
       .agg(count(lit(1)).as("inter"))
-      .withColumn("containment", col("inter") / col("s1"))
+    pairs
+      .select(explode(array(
+          struct(col("ida").as("id1"), col("idb").as("id2"),
+            (col("inter") / col("sa")).as("containment")),
+          struct(col("idb").as("id1"), col("ida").as("id2"),
+            (col("inter") / col("sb")).as("containment")))).as("p"))
+      .select(col("p.id1"), col("p.id2"), col("p.containment"))
       .filter(col("containment") >= threshold)
-      .select(col("id1"), col("id2"), col("containment"))
   }
 
   /** Exact shingle-set Jaccard for candidate pairs: |A∩B| / |A∪B|. */
