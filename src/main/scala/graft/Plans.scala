@@ -84,7 +84,32 @@ object Plans {
     "q73_shuffle_shard" ->
       ("Deterministic shard shuffle: seeded md5 rank with the window " +
         "PARTITIONED on the shard key (one hashpartitioning exchange, no " +
-        "global sort, no single-partition WindowExec)."))
+        "global sort, no single-partition WindowExec)."),
+    "q77_cdc_snapshot" ->
+      ("CDC compaction: ONE hashpartitioning exchange on the key + one " +
+        "per-partition sort feeding a WindowGroupLimit (rn=1 is pushed " +
+        "into a per-key top-1 — rows beyond the winner are dropped " +
+        "before the full window runs); no join, no global sort."),
+    "q80_containment" ->
+      ("Containment: the cached posting index feeds both self-join " +
+        "sides; each unordered pair is counted ONCE (a<b in the join " +
+        "condition) and the directed rows are fanned out AFTER the " +
+        "aggregate by a 2-element Generate — the explode sits above the " +
+        "count, so the heavy aggregate sees half the rows."),
+    "q81_bloom_decontaminate" ->
+      ("Bloom decontamination: the corpus side is Scan → Generate → " +
+        "Filter(mightContain UDF) with NO exchange before the filter — " +
+        "the prune is map-side; only the surviving sliver reaches the " +
+        "verify join against the (broadcast) benchmark grams."),
+    "q84_dsv2_scan" ->
+      ("The engine's OWN DataSource V2 scan: BatchScan shows the pruned " +
+        "ReadSchema and the PushedFilters list the scan evaluates " +
+        "per line — pushdown implemented, not just consumed; no Spark-" +
+        "side Filter remains for the pushed predicates."),
+    "q86_pack_offsets" ->
+      ("Packing offsets: the md5 shard exchange + per-shard (pos) sort " +
+        "serve BOTH the position window and the cumulative token sum — " +
+        "one shuffle, two windows, no global ordering anywhere."))
   // q71_components is absent for the same reason as q60 below: the
   // returned labels frame is a localCheckpoint product, so its explain
   // shows a scan of checkpointed data, not the per-round join+min shape

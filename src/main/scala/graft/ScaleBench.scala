@@ -46,7 +46,11 @@ object ScaleBench {
     // shuffle) — each a distinct shuffle/join geometry
     "q64_asof_join", "q65_sessionize", "q69_funnel",
     "q70_semdedup", "q71_components", "q72_jaccard_allpairs",
-    "q73_shuffle_shard")
+    "q73_shuffle_shard",
+    // round-6 additions: CDC/SCD2 windows, bigram-LM count joins, the
+    // containment posting join, Bloom decontamination, packing cumsums
+    "q77_cdc_snapshot", "q78_scd2", "q79_bigram_lm", "q80_containment",
+    "q81_bloom_decontaminate", "q86_pack_offsets")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

@@ -1003,6 +1003,37 @@ object SparkEntry {
         .filter(col("c_nationkey") < 5 && col("c_acctbal") >= 0.0)
         .select("c_custkey", "c_name", "c_acctbal")
         .orderBy("c_custkey")
+    }),
+
+    // Corpus vocabulary: global top-50 tokens by frequency (Zipf view,
+    // TakeOrderedAndProject — no global sort).
+    "q85_vocab_report" -> ((s, dir) =>
+      TextOps.vocabReport(t(s, dir, "documents"), k = 50)
+        .orderBy("rank")),
+
+    // Pretraining concat-and-chunk packing manifest: 64-token sequences
+    // over the deterministic 4-shard shuffle order.
+    "q86_pack_offsets" -> ((s, dir) =>
+      CorpusOps.packOffsets(t(s, dir, "documents"), capacity = 64,
+          seed = "graft-r6", nShards = 4)
+        .orderBy("shard", "start_tok"))
+,
+    // Sketch-based distinct counting with a VERIFIED error bound: exact
+    // per-language distinct-token counts next to HyperLogLog++
+    // (approx_count_distinct, the constant-memory 100 TB path), asserting
+    // the sketch lands within 5%. The HLL estimate itself is
+    // engine-specific, so the oracle pins the exact count and the BOUND
+    // (a boolean both engines can agree on), not the estimate.
+    "q87_distinct_sketch" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("lang"), explode_outer(TextOps.words(col("text"))).as("tok"))
+      toks.groupBy("lang")
+        .agg(countDistinct(col("tok")).as("n_distinct"),
+          approx_count_distinct(col("tok")).as("approx"))
+        .select(col("lang"), col("n_distinct"),
+          (abs(col("approx") - col("n_distinct")) * 100 <= col("n_distinct") * 5)
+            .as("approx_ok"))
+        .orderBy("lang")
     })
   )
 
@@ -2274,6 +2305,45 @@ object SparkEntry {
     "q84_dsv2_scan" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_nationkey < 5 AND c_acctbal >= 0
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q85_vocab_report" ->
+      """WITH tf AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |f AS (SELECT term, count(*) AS freq FROM tf GROUP BY term),
+        |r AS (SELECT term, freq,
+        |        CAST(row_number() OVER (ORDER BY freq DESC, term) AS INT) AS rank
+        |      FROM f)
+        |SELECT rank, term, freq FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
+    // Mirrors packOffsets: q73's md5 shard/pos chain (seed graft-r6, 4
+    // shards) + one per-shard cumsum window; HUGEINT window sums cast
+    // back to BIGINT.
+    "q86_pack_offsets" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substring(md5(concat('graft-r6:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |s AS (SELECT doc_id, CAST(h % 4 AS INTEGER) AS shard,
+        |             CAST(row_number() OVER (PARTITION BY h % 4 ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+        |      FROM h),
+        |t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |      FROM documents),
+        |c AS (SELECT s.doc_id, shard, pos, n_tok,
+        |        CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_tok
+        |      FROM s JOIN t ON s.doc_id = t.doc_id)
+        |SELECT doc_id, shard, end_tok - n_tok AS start_tok, end_tok,
+        |       CAST((end_tok - n_tok) // 64 AS BIGINT) AS first_seq,
+        |       CAST((end_tok - 1) // 64 AS BIGINT) AS last_seq
+        |FROM c ORDER BY shard, start_tok""".stripMargin,
+
+    // The oracle asserts the exact counts and the 5% sketch contract as a
+    // constant-true bound (the HLL estimate is engine-specific).
+    "q87_distinct_sketch" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT lang, count(DISTINCT tok) AS n_distinct, TRUE AS approx_ok
+        |FROM toks GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -245,6 +245,39 @@ object CorpusOps {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Training-sequence packing offsets — the pretraining "concat and
+    * chunk" layout: documents are laid end to end in the deterministic
+    * [[shuffleShard]] order and the stream is cut into fixed `capacity`-
+    * token sequences, documents straddling cuts (the standard packing
+    * that wastes zero pad tokens). This operator computes each document's
+    * placement: its token span [start_tok, end_tok) within its shard and
+    * the first/last sequence indices it lands in — the manifest a
+    * writer needs to emit packed sequences, and the lineage map from any
+    * training sequence back to its source documents.
+    *
+    * Shape: the shard/pos assignment is [[shuffleShard]] (hash shuffle +
+    * per-shard windows); the offsets are ONE more cumulative-sum window
+    * over the same per-shard sort — nothing global, shards are the unit
+    * of parallelism exactly as they are at training time. */
+  def packOffsets(docs: DataFrame, capacity: Int, idCol: String = "doc_id",
+                  seed: String = "graft", nShards: Int = 8,
+                  textCol: String = "text"): DataFrame = {
+    require(capacity > 0, s"bad capacity=$capacity")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol),
+      size(TextOps.words(col(textCol))).cast("long").as("n_tok"))
+    val sharded = shuffleShard(docs, idCol, seed, nShards)
+      .join(toks, Seq(idCol))
+    val w = Window.partitionBy("shard").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sharded
+      .withColumn("end_tok", sum(col("n_tok")).over(w))
+      .withColumn("start_tok", col("end_tok") - col("n_tok"))
+      .select(col(idCol), col("shard"), col("start_tok"), col("end_tok"),
+        expr(s"start_tok div $capacity").as("first_seq"),
+        expr(s"(end_tok - 1) div $capacity").as("last_seq"))
+  }
+
   /** Canonical URL — the web-dedup join key: two crawls of one page must
     * collapse even when the fetch URLs differ by case, tracking params,
     * default ports, fragments, or trailing slashes. Pure column regex

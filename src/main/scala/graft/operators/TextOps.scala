@@ -430,6 +430,26 @@ object TextOps {
         expr("sum(p_micro) div count(1)").as("score_micro"))
   }
 
+  /** Corpus vocabulary report: the global top-k tokens by frequency with a
+    * dense rank — the Zipf-curve / tokenizer-training view of the corpus
+    * (vocab construction starts from exactly this table).
+    *
+    * Scale shape: one partial-aggregated shuffle to (term, freq) — the
+    * word-count reduction — then `orderBy(...).limit(k)`, which Spark
+    * plans as TakeOrderedAndProject: each partition keeps a k-row heap and
+    * the driver merges k·p rows. NO global sort of the vocabulary ever
+    * materializes; the rank window runs over the k survivors only.
+    * Ties break on the term string, so the report is deterministic. */
+  def vocabReport(docs: DataFrame, k: Int = 100,
+                  textCol: String = "text"): DataFrame = {
+    val tf = docs.select(explode_outer(words(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term")).limit(k)
+    tf.withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("term"))))
+      .select(col("rank"), col("term"), col("freq"))
+  }
+
   /** Token counting: whitespace tokens, a BPE-ish unit count (vowel runs +
     * consonant runs ≈ subword segments), and the chars/4 LLM heuristic. */
   def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =

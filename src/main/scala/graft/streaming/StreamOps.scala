@@ -13,6 +13,11 @@ case class Event(event_id: Long, ts: Timestamp, user_id: Long,
 /** Per-user running aggregate emitted by the stateful stream. */
 case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
+/** One CDC change (the [[graft.operators.EventOps.cdcSnapshot]] feed
+  * shape): op 'u' = upsert, 'd' = delete tombstone. */
+case class Change(user_id: Long, id: Long, ts_us: Long, op: String,
+                  state_cents: Long)
+
 /** Structured Streaming operators (BASELINE stretch scope; the reference is
   * batch-only — SURVEY.md §2.9 — so these extend the engine beyond parity:
   * the same event schema, processed incrementally).
@@ -102,6 +107,33 @@ object StreamOps {
       .withColumn("text_hash", md5(col("text")))
       .dropDuplicates("text_hash")
       .filter(size(graft.operators.TextOps.words(col("text"))) >= minTokens)
+
+  /** Streaming CDC compaction — the incremental twin of
+    * [[graft.operators.EventOps.cdcSnapshot]]: per key, keep the change
+    * with the greatest (ts_us, id) as mapGroupsWithState state and emit
+    * it on every update (Update output mode = a changelog of the
+    * snapshot). Tombstones ('d') are CARRIED, not dropped: the emitted
+    * row's op tells the sink to delete, exactly like a compacted log —
+    * the batch twin's final filter (op <> 'd') is the sink's contract,
+    * asserted as twin-equality in StreamOpsSpec.
+    *
+    * Out-of-order safe: a late change with a smaller (ts_us, id) loses
+    * against the stored winner no matter which micro-batch it arrives
+    * in, so the snapshot converges to the batch answer for ANY arrival
+    * order — which is why no watermark is needed for correctness (state
+    * is one row per live key, the same as the snapshot itself). */
+  def cdcSnapshotStream(changes: Dataset[Change]): Dataset[Change] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    changes.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[Change], state: GroupState[Change]) =>
+          val best = (state.getOption.iterator ++ rows)
+            .maxBy(c => (c.ts_us, c.id))
+          state.update(best)
+          best
+      }
+  }
 
   /** Streaming gap-based sessionization via the built-in `session_window`
     * (merge-on-overlap session state, watermark-closed): per (user_id,

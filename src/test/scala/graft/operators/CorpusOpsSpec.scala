@@ -223,6 +223,29 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("packOffsets tiles each shard's token stream exactly (concat-and-chunk)") {
+    val docs = (0L until 80L)
+      .map(i => (i, Seq.fill(1 + (i % 9).toInt)(s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.packOffsets(docs, capacity = 10, nShards = 3)
+      .as[(Long, Int, Long, Long, Long, Long)].collect()
+    assert(got.length == 80)
+    got.groupBy(_._2).values.foreach { rows =>
+      val sorted = rows.sortBy(_._3).toList
+      assert(sorted.head._3 == 0L) // stream starts at offset 0
+      sorted.sliding(2).foreach { // spans tile: next start == prev end
+        case List(a, b) => assert(a._4 == b._3)
+        case _ => ()
+      }
+      sorted.foreach { case (id, _, s, e, f, l) =>
+        assert(e - s == 1 + (id % 9)) // span length == token count
+        assert(f == s / 10 && l == (e - 1) / 10) // sequence indices
+      }
+    }
+    // total tokens conserved across shards
+    assert(got.map(r => r._4 - r._3).sum == (0L until 80L).map(i => 1 + (i % 9)).sum)
+  }
+
   test("contaminatedBloom returns exactly the exact-join contamination result") {
     val docs = (0L until 60L).map { i =>
       // every 7th doc quotes the shared benchmark sentence verbatim

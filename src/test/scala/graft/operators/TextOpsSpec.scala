@@ -172,6 +172,16 @@ class TextOpsSpec extends SparkSpec {
     assert(sums.forall(s => s >= 0 && s <= 1000000L))
   }
 
+  test("vocabReport: global top-k by (freq desc, term), dense ranks") {
+    val got = TextOps.vocabReport(docs, k = 3)
+      .as[(Int, String, Long)].collect().toSeq
+    val freqs = docs.as[(Long, String)].collect()
+      .flatMap(_._2.split(" ")).groupBy(identity).view.mapValues(_.length.toLong)
+    val want = freqs.toSeq.sortBy { case (t, f) => (-f, t) }.take(3)
+      .zipWithIndex.map { case ((t, f), i) => (i + 1, t, f) }
+    assert(got == want)
+  }
+
   test("fingerprint: deterministic, k md5s, equal for exact dups") {
     val fps = docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
       .as[(Long, String)].collect().toMap

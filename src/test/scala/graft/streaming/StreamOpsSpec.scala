@@ -224,4 +224,38 @@ class StreamOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(viaSessionWindow == batch)
   }
+
+  test("cdcSnapshotStream converges to the batch snapshot across out-of-order batches") {
+    implicit val ctx = spark.sqlContext
+    val feed = Seq(
+      Change(1, 0, 100, "u", 10), Change(1, 1, 200, "u", 20),
+      Change(2, 2, 100, "u", 30), Change(2, 3, 200, "d", 0),
+      Change(3, 4, 100, "d", 0), Change(3, 5, 200, "u", 40),
+      Change(4, 6, 100, "u", 50), Change(4, 7, 100, "u", 60))
+    val mem = MemoryStream[Change]
+    val q = StreamOps.cdcSnapshotStream(mem.toDS())
+      .writeStream.format("memory").queryName("cdc_snap")
+      .outputMode("update").start()
+    try {
+      // deliver OUT OF ORDER across micro-batches: late rows must lose
+      val (late, early) = feed.partition(_.ts_us > 100)
+      mem.addData(late: _*)
+      q.processAllAvailable()
+      mem.addData(early: _*)
+      q.processAllAvailable()
+      // sink contract: the converged (max ts_us, id) update per key wins,
+      // tombstones delete. State is monotone in (ts_us, id), so the max
+      // emitted row IS the final state — no reliance on sink row order.
+      val lastPerKey = spark.table("cdc_snap").as[Change].collect()
+        .groupBy(_.user_id)
+        .map { case (_, rows) => rows.maxBy(c => (c.ts_us, c.id)) }.toSeq
+      val streamed = lastPerKey.filter(_.op != "d")
+        .map(c => (c.user_id, c.id, c.ts_us, c.state_cents)).toSet
+      val batch = graft.operators.EventOps.cdcSnapshot(
+          feed.toDF(), "user_id", "state_cents")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.map(_._1) == Set(1L, 3L, 4L)) // 2 tombstoned
+    } finally q.stop()
+  }
 }
