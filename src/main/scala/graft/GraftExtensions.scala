@@ -4,14 +4,15 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.DotQ
+import graft.expressions.{DotQ, RewriteDotProduct}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the engine's native expressions with the session's function
-  * registry, so they are callable from SQL and `call_function` alike.
-  * This is the sanctioned place to grow custom `Rule`s / strategies if a
-  * future operator needs one — so far none does (SURVEY §4: Catalyst + AQE
-  * cover every rewrite the reference hand-codes). */
+  * registry (callable from SQL and `call_function` alike) and the
+  * optimizer rule that rewrites the declarative HOF dot-product idiom
+  * into the native expression ([[graft.expressions.RewriteDotProduct]]),
+  * so users get the codegen'd loop without knowing the engine function
+  * exists. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -21,5 +22,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "graft_dot_q takes exactly 2 arguments")
         DotQ(children.head, children(1))
       }))
+    ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }
