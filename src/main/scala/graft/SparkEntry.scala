@@ -1034,6 +1034,68 @@ object SparkEntry {
           (abs(col("approx") - col("n_distinct")) * 100 <= col("n_distinct") * 5)
             .as("approx_ok"))
         .orderBy("lang")
+    }),
+
+    // Salted equi-join gate: SkewOps.saltedJoin must be RESULT-IDENTICAL
+    // to the plain inner join it replaces (the oracle IS the plain join) —
+    // lineitem×supplier revenue by nation, integer cents.
+    "q88_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_suppkey").as("s_suppkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"))
+      val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      SkewOps.saltedJoin(li, sup, "s_suppkey", saltFactor = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_items"), sum("price_c").as("revenue_c"))
+        .orderBy("s_nationkey")
+    }),
+
+    // Bucket-expansion range join: ship-day points against 25 overlapping
+    // promo windows (half-open day intervals) — an equi-join on the bucket
+    // key instead of the nested-loop Spark would otherwise plan.
+    "q89_range_join" -> ((s, dir) => {
+      val pts = t(s, dir, "lineitem").select(
+        expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE'1995-01-01') AS BIGINT)").as("d"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("qty"))
+      val ivs = s.range(25).select(col("id").cast("int").as("interval_id"),
+        (col("id") * 97L).as("lo_day"), (col("id") * 97L + 150L).as("hi_day"))
+      val hits = RangeJoinOps
+        .bucketRangeJoin(pts, "d", ivs, "lo_day", "hi_day", bucketWidth = 128L)
+        .groupBy("interval_id")
+        .agg(count(lit(1)).as("n_items"), sum("qty").as("sum_qty"))
+      ivs.join(hits, Seq("interval_id"), "left")
+        .select(col("interval_id"), col("lo_day"), col("hi_day"),
+          coalesce(col("n_items"), lit(0L)).as("n_items"),
+          coalesce(col("sum_qty"), lit(0L)).as("sum_qty"))
+        .orderBy("interval_id")
+    }),
+
+    // One-scan column profiler over lineitem's key/flag/date columns.
+    "q90_profile" -> ((s, dir) =>
+      ProfileOps.profile(t(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_returnflag", "l_linestatus", "l_shipdate"))
+        .orderBy("col_name")),
+
+    // MinHash estimator calibration: signature-agreement fraction (k=32)
+    // vs the exact n-gram Jaccard on every exact near-dup pair — the
+    // in-query contract |est − exact| ≤ 0.3 (≈3.4σ at J=0.5, fixed hash
+    // family so deterministic) that justifies the q31 LSH chain.
+    "q91_minhash_estimate" -> ((s, dir) => {
+      val sh = TextOps.shingleTable(t(s, dir, "documents"), "doc_id").cache()
+      val exact = TextOps.jaccardAllPairs(sh, "doc_id", threshold = 0.5)
+      val sigs = sh
+        .select(col("doc_id"), TextOps.shingleHashes(col("sh")).as("hs"))
+        .select(col("doc_id"), TextOps.minhashSignature(col("hs"), k = 32).as("sig"))
+      exact
+        .join(sigs.select(col("doc_id").as("id1"), col("sig").as("sig1")), Seq("id1"))
+        .join(sigs.select(col("doc_id").as("id2"), col("sig").as("sig2")), Seq("id2"))
+        .withColumn("est", aggregate(
+          zip_with(col("sig1"), col("sig2"), (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x) / lit(32.0))
+        .select(col("id1"), col("id2"), col("jaccard"),
+          (abs(col("est") - col("jaccard")) <= 0.3).as("est_ok"))
+        .orderBy("id1", "id2")
     })
   )
 
@@ -2344,6 +2406,69 @@ object SparkEntry {
       """WITH toks AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
         |SELECT lang, count(DISTINCT tok) AS n_distinct, TRUE AS approx_ok
-        |FROM toks GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM toks GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // The salted join must equal the PLAIN join — that equality is the
+    // entire point of the gate row, so the oracle is the unsalted form.
+    "q88_salted_join" ->
+      """SELECT s_nationkey,
+        |       count(*) AS n_items,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    // Plain BETWEEN-style range join (DuckDB handles the inequality join
+    // directly); intervals synthesized identically to the Spark side.
+    "q89_range_join" ->
+      """WITH ivs AS (
+        |  SELECT CAST(i AS INTEGER) AS interval_id,
+        |         CAST(i * 97 AS BIGINT) AS lo_day,
+        |         CAST(i * 97 + 150 AS BIGINT) AS hi_day
+        |  FROM generate_series(0, 24) t(i)),
+        |pts AS (
+        |  SELECT datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS d,
+        |         CAST(round(l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem),
+        |hits AS (
+        |  SELECT interval_id, count(*) AS n, CAST(sum(qty) AS BIGINT) AS sq
+        |  FROM ivs JOIN pts ON d >= lo_day AND d < hi_day
+        |  GROUP BY interval_id)
+        |SELECT interval_id, lo_day, hi_day,
+        |       coalesce(n, 0) AS n_items, coalesce(sq, 0) AS sum_qty
+        |FROM ivs LEFT JOIN hits USING (interval_id)
+        |ORDER BY interval_id""".stripMargin,
+
+    // One UNION ALL branch per profiled column; strings/ints render via
+    // CAST, the timestamp via strftime to match Spark's pinned format.
+    "q90_profile" -> {
+      def branch(c: String, isTs: Boolean): String = {
+        val mn = if (isTs) s"strftime(min($c), '%Y-%m-%d %H:%M:%S')" else s"CAST(min($c) AS VARCHAR)"
+        val mx = if (isTs) s"strftime(max($c), '%Y-%m-%d %H:%M:%S')" else s"CAST(max($c) AS VARCHAR)"
+        s"""SELECT '$c' AS col_name, count($c) AS n_nonnull,
+           |       count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct,
+           |       $mn AS min_val, $mx AS max_val FROM lineitem""".stripMargin
+      }
+      (Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_returnflag", "l_linestatus").map(branch(_, isTs = false)) :+
+        branch("l_shipdate", isTs = true))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
+    // Exact pairs + exact Jaccard re-stated from the q72 oracle; the
+    // estimator bound is engine-side (fixed hash family → deterministic),
+    // asserted as a constant-true column like q87's sketch contract.
+    "q91_minhash_estimate" ->
+      s"""WITH ${LlmSql.docShingles},
+         |idx AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM sh),
+         |agg AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.sz AS s1, b.sz AS s2,
+         |         count(*) AS inter
+         |  FROM idx a JOIN idx b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |   AND least(a.sz, b.sz) >= 0.5 * greatest(a.sz, b.sz)
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT id1, id2, inter / (s1 + s2 - inter) AS jaccard, TRUE AS est_ok
+         |FROM agg WHERE inter / (s1 + s2 - inter) >= 0.5
+         |ORDER BY id1, id2""".stripMargin
   )
 }

@@ -270,6 +270,11 @@ object GraphOps {
                srcCol: String = "u", dstCol: String = "v"): DataFrame = {
     require(iters >= 1, s"bad iters=$iters")
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    // NOT cached on purpose: the fold builds structurally identical
+    // `nodes`/`ed` subtrees into every round, and ReuseExchange dedups
+    // them within the one physical plan — measured: adding .cache() here
+    // grew 20 jobs/1.9 s warm to 37 jobs/3.1 s (cache materialization
+    // jobs + InMemoryRelation scans replacing reused shuffle output)
     val nodes = e.select(col("u").as("node"))
       .union(e.select(col("v").as("node"))).distinct()
     val deg = e.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range (interval) joins without a cartesian product.
+  *
+  * Spark has no native range-join optimization: `points JOIN intervals ON
+  * p >= lo AND p < hi` has no equi-key, so Catalyst plans a
+  * BroadcastNestedLoopJoin (if one side is small) or a full cartesian
+  * product — O(|points|·|intervals|) comparisons either way, which is the
+  * classic 100 TB cliff for event-to-window attribution.
+  *
+  * The standard fix (used by the Databricks range-join hint and
+  * Flink/Trino interval joins alike) is BUCKET EXPANSION: pick a bucket
+  * width W, replicate every interval once per W-aligned bucket it
+  * overlaps, map every point to the single bucket containing it, then
+  * equi-join on the bucket id and re-check the exact predicate as a
+  * residual filter. Each (point, interval) match is produced exactly once
+  * — in the point's bucket — so no dedup is needed. Cost:
+  * O(|intervals|·span/W) replication on the (small) interval side buys a
+  * shuffled hash join keyed on bucket for the big side; W tunes the
+  * replication-vs-selectivity trade (W ≈ median interval length keeps
+  * replication ≲2× while each bucket sees only nearby intervals).
+  */
+object RangeJoinOps {
+
+  /** Join `points` to every interval with `lo <= point < hi` (half-open;
+    * empty intervals match nothing). `pointCol`, `loCol`, `hiCol` must be
+    * integral (long-compatible) columns; output = all columns of both
+    * inputs (names must not collide) for each match.
+    *
+    * Scale: one shuffle of each side on the synthetic bucket key; the
+    * exact predicate runs only within a bucket. No nested-loop, no
+    * cartesian — `.queryExecution` shows a plain equi-join on `__bucket`
+    * (RangeJoinOpsSpec asserts the plan has no BroadcastNestedLoop /
+    * CartesianProduct node). */
+  def bucketRangeJoin(points: DataFrame, pointCol: String,
+                      intervals: DataFrame, loCol: String, hiCol: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bad bucketWidth=$bucketWidth")
+    val pts = points.withColumn("__bucket",
+      floor(col(pointCol) / bucketWidth))
+    val ivs = intervals
+      .filter(col(hiCol) > col(loCol)) // empty interval: no bucket, no match
+      .withColumn("__bucket",
+        explode(sequence(floor(col(loCol) / bucketWidth),
+          floor((col(hiCol) - 1) / bucketWidth))))
+    pts.join(ivs, Seq("__bucket"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__bucket")
+  }
+}

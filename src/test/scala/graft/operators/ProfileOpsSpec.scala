@@ -1,0 +1,37 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ProfileOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, Some("a"), Some(Timestamp.valueOf("2020-01-02 03:04:05"))),
+    (2L, Some("b"), None),
+    (3L, None, Some(Timestamp.valueOf("2021-12-31 23:59:59"))),
+    (3L, Some("a"), Some(Timestamp.valueOf("2020-01-02 03:04:05"))))
+    .toDF("k", "s", "ts")
+
+  test("profile reports count/null/distinct/min/max per column") {
+    val got = ProfileOps.profile(df, Seq("k", "s", "ts"))
+      .orderBy("col_name")
+      .as[(String, Long, Long, Long, String, String)].collect()
+    assert(got sameElements Array(
+      ("k", 4L, 0L, 3L, "1", "3"),
+      ("s", 3L, 1L, 2L, "a", "b"),
+      ("ts", 3L, 1L, 2L, "2020-01-02 03:04:05", "2021-12-31 23:59:59")))
+  }
+
+  test("profiling k columns is ONE scan of the input, not k") {
+    val path = java.nio.file.Files.createTempDirectory("profile").toString + "/t.parquet"
+    df.write.mode("overwrite").parquet(path)
+    val plan = ProfileOps.profile(spark.read.parquet(path), Seq("k", "s", "ts"))
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected exactly one scan, got $scans:\n$plan")
+  }
+}
