@@ -225,6 +225,39 @@ object SimilarityOps {
       .join(dropped, Seq("vec_id"), "left_anti")
   }
 
+  /** Symmetric int8 quantization of an embedding column — the standard
+    * 4×-compression step before shipping vectors to an ANN index or a
+    * GPU: per-vector scale m = max|component|, q8ᵢ = round(xᵢ·127/m)
+    * ∈ [-127, 127].
+    *
+    * All arithmetic stays in the exact integer domain (inputs are the
+    * ×1e7-quantized longs): the rounding is the integer identity
+    * round(p/q) = (2p+q) div 2q for p,q > 0, applied to |value| and
+    * re-signed — bit-identical on every engine, no float division. The
+    * returned `cos8` (cosine between the vector and its int8 form;
+    * scale-invariant, so the dequantization step cancels) is the
+    * reconstruction-quality metric pipelines gate on.
+    *
+    * Each derived column is staged through its own projection — the HOF
+    * lambdas must see bound attributes, not each other's subtrees (the
+    * inlining trap measured at 76 s vs 3 s on the LSH chain). */
+  def int8Quantize(vectors: DataFrame): DataFrame =
+    vectors
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("m", array_max(transform(col("qv"), x => abs(x))))
+      // SQL `div` = exact integer division (the Scala Column `/` would go
+      // through double); sign(x) re-signs the |x|-domain rounding;
+      // greatest(m,1) keeps the all-zero vector (m=0) at q8=0 instead of
+      // a division by zero
+      .withColumn("q8", expr(
+        "transform(qv, x -> CAST(sign(x) AS BIGINT) * " +
+          "((2 * abs(x) * 127 + greatest(m, 1)) div (2 * greatest(m, 1))))"))
+      .select(col("vec_id"), col("m"),
+        aggregate(col("q8"), lit(0L),
+          (acc, x) => acc + when(x =!= 0L, 1L).otherwise(0L)).as("nnz8"),
+        aggregate(col("q8"), lit(0L), (acc, x) => acc + x).as("sum_q8"),
+        cosQ(col("qv"), col("q8")).as("cos8"))
+
   /** Embedding near-duplicate pairs via random-hyperplane LSH: sign bit per
     * (broadcast) hyperplane → bucket key → bucket-join (NO all-pairs) →
     * exact cosine verify ≥ threshold. Vectors with cosine 1.0 always share
