@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{DotQ, RewriteDotProduct}
+import graft.expressions.{DotQ, RewriteDotProduct, TopK}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the engine's native expressions with the session's function
@@ -21,6 +21,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 2, "graft_dot_q takes exactly 2 arguments")
         DotQ(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_top_k"),
+      new ExpressionInfo(classOf[TopK].getCanonicalName, "graft_top_k"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 3, "graft_top_k takes exactly 3 arguments (key, payload, k)")
+        TopK(children.head, children(1), children(2))
       }))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }

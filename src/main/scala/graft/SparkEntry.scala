@@ -1096,7 +1096,91 @@ object SparkEntry {
         .select(col("id1"), col("id2"), col("jaccard"),
           (abs(col("est") - col("jaccard")) <= 0.3).as("est_ok"))
         .orderBy("id1", "id2")
-    })
+    }),
+
+    // Native grouped top-k aggregate (TypedImperativeAggregate): top-3
+    // orders per status by price, WITHOUT a window sort — the map-side
+    // partial reduces each group to ≤3 pairs per partition before the
+    // shuffle (the oracle is the classic window-rank form).
+    "q92_native_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"),
+          col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(call_function("graft_top_k", col("price_c"), col("o_orderkey"), lit(3)).as("top"))
+        .select(col("o_orderstatus"), posexplode(col("top")))
+        .select(col("o_orderstatus"), (col("pos") + 1).cast("long").as("rn"),
+          col("col.key").as("price_c"), col("col.payload").as("o_orderkey"))
+        .orderBy("o_orderstatus", "rn")
+    }),
+
+    // Exact duplicated-span masking (Lee et al. ACL'22 re-expressed
+    // relationally): tokens covered by any 8-gram occurring in ≥2 distinct
+    // docs are masked; per-doc token accounting.
+    "q93_dup_span_mask" -> ((s, dir) =>
+      TextOps.dupSpanMask(t(s, dir, "documents"), "doc_id", n = 8, minDocs = 2)
+        .orderBy("doc_id")),
+
+    // ROLLUP lattice with GROUPING indicators — subtotal + grand-total rows
+    // in one pass (Spark expands grouping sets map-side; still ONE shuffle).
+    "q94_rollup" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("total_c"),
+          grouping("o_orderstatus").cast("long").as("g_status"),
+          grouping("o_orderpriority").cast("long").as("g_prio"))
+        .orderBy(col("g_status"), col("g_prio"),
+          col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    // Pivot (crosstab): value cents by day-of-month × event_type, explicit
+    // value list so the output schema is static (no driver-side distinct
+    // scan — the implicit-values form collects the pivot domain first).
+    "q95_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(
+          // ts is raw epoch NANOS (bigint) on the Spark side; the oracle's
+          // DuckDB reader sees a native timestamp — micros → UTC timestamp
+          dayofmonth(timestamp_micros(EventOps.tsUs("ts"))).cast("long").as("day"),
+          col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("value_c"))
+        .groupBy("day")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(sum("value_c"))
+        .orderBy("day")),
+
+    // Incremental aggregate maintenance: partial aggregates of a base slice
+    // and a late-arriving delta slice are MERGED (sums add, min/max
+    // combine, avg derived from the sums) and must equal the full
+    // recompute — the oracle IS the full recompute. This is the contract
+    // that lets a 100 TB rollup absorb a day's delta without re-reading
+    // 100 TB.
+    "q96_incremental_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        EventOps.tsUs("ts").as("ts_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("value_c"))
+      // 2024-01-25 00:00:00 UTC in epoch micros — the base/delta split point
+      val cutUs = 1706140800000000L
+      def partial(df: DataFrame): DataFrame = df.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("value_c").as("sum_c"),
+          min("value_c").as("min_c"), max("value_c").as("max_c"))
+      partial(ev.filter(col("ts_us") < cutUs))
+        .unionByName(partial(ev.filter(col("ts_us") >= cutUs)))
+        .groupBy("event_type")
+        .agg(sum("n").as("n"), sum("sum_c").as("sum_c"),
+          min("min_c").as("min_c"), max("max_c").as("max_c"))
+        .select(col("event_type"), col("n"), col("sum_c"), col("min_c"),
+          col("max_c"), expr("sum_c div n").as("avg_c"))
+        .orderBy("event_type")
+    }),
+
+    // BPE merge induction (tokenizer training): 4 rounds of most-frequent
+    // adjacent-pair fusion over the corpus vocabulary — the oracle replays
+    // the identical algorithm as 4 unrolled CTE rounds.
+    "q97_bpe_merges" -> ((s, dir) =>
+      Bpe.merges(t(s, dir, "documents"), rounds = 4).orderBy("round"))
   )
 
   /** Shared q77 input: the events table viewed as a CDC feed. */
@@ -2469,6 +2553,110 @@ object SparkEntry {
          |  GROUP BY 1, 2, 3, 4)
          |SELECT id1, id2, inter / (s1 + s2 - inter) AS jaccard, TRUE AS est_ok
          |FROM agg WHERE inter / (s1 + s2 - inter) >= 0.5
-         |ORDER BY id1, id2""".stripMargin
+         |ORDER BY id1, id2""".stripMargin,
+
+    // The window-rank form the native aggregate replaces: same ordering
+    // contract (price desc, orderkey asc tie-break).
+    "q92_native_topk" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |         o_orderkey,
+        |         row_number() OVER (
+        |           PARTITION BY o_orderstatus
+        |           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey
+        |         ) AS rn
+        |  FROM orders)
+        |SELECT o_orderstatus, CAST(rn AS BIGINT) AS rn, price_c, o_orderkey
+        |FROM r WHERE rn <= 3
+        |ORDER BY o_orderstatus, rn""".stripMargin,
+
+    // Positional 8-grams (1-based list slice w[i:i+7] = Spark's
+    // slice(w, i+1, 8) at pos i), duplicated across ≥2 docs, coverage via
+    // a bounded 0..7 position expansion, distinct, count per doc.
+    "q93_dup_span_mask" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS pos, md5(array_to_string(w[i:i+7], ' ')) AS g
+        |      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+        |            FROM w WHERE len(w) >= 8)),
+        |dup AS (SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, pos + j AS p
+        |        FROM g JOIN dup USING (g)
+        |        CROSS JOIN generate_series(0, 7) s(j)),
+        |cnt AS (SELECT doc_id, count(*) AS dup_tokens FROM cov GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(cnt.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |       CAST(len(string_split(d.text, ' ')) - coalesce(cnt.dup_tokens, 0) AS BIGINT) AS kept_tokens
+        |FROM documents d LEFT JOIN cnt USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q94_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c,
+        |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_prio,
+        |         o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    // Conditional-aggregation mirror of the pivot: one CASE branch per
+    // pivot value; a day×type cell with no rows is NULL on both sides.
+    "q95_pivot" -> {
+      val branches = Seq("click", "error", "purchase", "signup", "view").map { v =>
+        s"""CAST(sum(CASE WHEN event_type = '$v'
+           |         THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS "$v"""".stripMargin
+      }
+      s"""SELECT CAST(EXTRACT(day FROM ts) AS BIGINT) AS day,
+         |       ${branches.mkString(",\n       ")}
+         |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+    },
+
+    // The oracle is the FULL recompute — merged partials must equal it.
+    "q96_incremental_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+        |       CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_c,
+        |       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_c,
+        |       CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |            // count(*) AS BIGINT) AS avg_c
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Four unrolled BPE rounds over the corpus vocabulary. Same wrapped
+    // symbol encoding (" a  b "), same greedy left-to-right non-regex
+    // replace, same (w DESC, l, r) argmax tie-break as Bpe.merges.
+    "q97_bpe_merges" -> {
+      def roundCte(i: Int): String = {
+        val prev = s"r${i - 1}"
+        s"""p$i AS (
+           |  SELECT l, r, sum(freq) AS w FROM (
+           |    SELECT freq, s[i] AS l, s[i + 1] AS r FROM (
+           |      SELECT freq, s, unnest(range(1, len(s))) AS i
+           |      FROM (SELECT freq, string_split(trim(repr), '  ') AS s FROM $prev)
+           |      WHERE len(s) >= 2))
+           |  GROUP BY l, r),
+           |m$i AS (SELECT l, r, w FROM p$i ORDER BY w DESC, l, r LIMIT 1),
+           |r$i AS (SELECT freq, replace(repr,
+           |          ' ' || (SELECT l FROM m$i) || '  ' || (SELECT r FROM m$i) || ' ',
+           |          ' ' || (SELECT l FROM m$i) || (SELECT r FROM m$i) || ' ') AS repr
+           |        FROM $prev)""".stripMargin
+      }
+      val rounds = (1 to 4).map(roundCte).mkString(",\n")
+      val selects = (1 to 4).map(i =>
+        s"""SELECT $i AS round, l AS "left", r AS "right", CAST(w AS BIGINT) AS weight FROM m$i""")
+        .mkString("\nUNION ALL ")
+      s"""WITH words AS (
+         |  SELECT w AS word, count(*) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE len(w) > 0 GROUP BY w),
+         |r0 AS (SELECT freq,
+         |  ' ' || array_to_string(list_transform(range(1, len(word) + 1), i -> word[i]), '  ') || ' ' AS repr
+         |  FROM words),
+         |$rounds
+         |SELECT * FROM (
+         |$selects)
+         |ORDER BY round""".stripMargin
+    }
   )
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge induction (tokenizer training) — Sennrich et
+  * al., "Neural Machine Translation of Rare Words with Subword Units",
+  * ACL'16. Each round finds the most frequent adjacent symbol pair across
+  * the corpus (weighted by word frequency) and fuses it into a new symbol.
+  *
+  * Distributed shape: the corpus collapses to the (word, freq) VOCABULARY
+  * first — one aggregation — and every round after that touches only the
+  * vocabulary (tiny relative to the corpus: BPE cost is independent of
+  * corpus size past the first scan, which is what makes it viable at
+  * 100 TB). A round is one explode+aggregate for pair counts plus a 1-row
+  * argmax collected to the driver (the merge decision is inherently
+  * sequential — same driver-steers-tiny-actions shape as the Lloyd rounds
+  * in SimilarityOps.kmeansCentroids).
+  *
+  * Symbol-sequence encoding: each symbol is wrapped in single spaces and
+  * concatenated — `[a,b] → " a  b "`. Adjacent wrapped symbols share no
+  * characters, so the pair (x,y) occurs exactly where the substring
+  * `" x  y "` does, and one non-regex left-to-right `replace` performs the
+  * BPE merge pass EXACTLY (greedy, non-overlapping — "a a a" merges to
+  * "aa a"): symbols never contain spaces, so no false substring matches.
+  * DuckDB's `replace` has identical semantics, which is what makes the
+  * operator oracle-checkable bit-for-bit.
+  */
+object Bpe {
+
+  /** `[a,b] → " a  b "` — see encoding note above. */
+  private def wrap(syms: Column): Column =
+    concat(lit(" "), array_join(syms, "  "), lit(" "))
+
+  /** 1-char symbols of a word (initial BPE state). */
+  private def chars(word: Column): Column =
+    transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
+
+  /** Unwrap back to the symbol array. */
+  private def syms(repr: Column): Column = split(trim(repr), "  ")
+
+  /** The (word, freq) vocabulary of a document corpus. */
+  def vocab(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Run `rounds` BPE merges; returns the merge table
+    * (round, left, right, weight) — the learned tokenizer. Ties broken
+    * deterministically: highest weight, then (left, right) ascending. */
+  def merges(docs: DataFrame, rounds: Int, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(rounds >= 1, s"bad rounds=$rounds")
+    var cur = vocab(docs, textCol)
+      .select(col("freq"), wrap(chars(col("word"))).as("repr"))
+      .cache()
+    val learned = Seq.newBuilder[(Int, String, String, Long)]
+    for (round <- 1 to rounds) {
+      val s = syms(col("repr"))
+      val top = cur
+        .filter(size(s) >= 2)
+        .select(col("freq"), explode(
+          transform(sequence(lit(0), size(s) - 2),
+            i => struct(element_at(s, i + 1).as("l"),
+              element_at(s, i + 2).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("w"))
+        .orderBy(desc("w"), asc("l"), asc("r"))
+        .limit(1)
+        .as[(String, String, Long)]
+        .collect()
+      if (top.nonEmpty) {
+        val (l, r, w) = top.head
+        learned += ((round, l, r, w))
+        val next = cur.select(col("freq"),
+          replace(col("repr"), lit(s" $l  $r "), lit(s" $l$r ")).as("repr"))
+          .cache()
+        next.count()
+        cur.unpersist()
+        cur = next
+      }
+    }
+    cur.unpersist()
+    spark.createDataset(learned.result()).toDF("round", "left", "right", "weight")
+  }
+
+  /** Tokenize words with a learned merge table: replay the merges in
+    * order. Returns (word, tokens array). */
+  def encode(words: DataFrame, mergeTable: Seq[(String, String)],
+             wordCol: String = "word"): DataFrame = {
+    val repr0 = wrap(chars(col(wordCol)))
+    val reprN = mergeTable.foldLeft(repr0) { case (repr, (l, r)) =>
+      replace(repr, lit(s" $l  $r "), lit(s" $l$r "))
+    }
+    words.select(col(wordCol), syms(reprN).as("tokens"))
+  }
+}

@@ -129,6 +129,46 @@ object TextOps {
       .distinct()
   }
 
+  /** Duplicated-span masking (the exact-substring deduplication of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL'22 — their suffix-array dedup re-expressed relationally): a word
+    * n-gram occurring in ≥ `minDocs` DISTINCT documents is a duplicated
+    * span; every token position covered by any duplicated span is masked.
+    * Returns per-document (n_tokens, dup_tokens, kept_tokens).
+    *
+    * Relational shape instead of a suffix array: positional n-grams are a
+    * single generate pass (md5 per gram so the shuffle carries a 32-char
+    * key, not the span text); the duplicated-gram set is the output of one
+    * count-distinct aggregation and is TINY relative to the corpus (only
+    * grams that actually repeat across documents); coverage is an equi-join
+    * back to the positional grams followed by a bounded explode (n
+    * positions per hit) and a distinct. Nothing is ever all-pairs and no
+    * suffix structure is materialized — every stage is a shuffle on a hash
+    * key, which is what survives 100 TB. */
+  def dupSpanMask(docs: DataFrame, idCol: String, n: Int = 8, minDocs: Int = 2,
+                  textCol: String = "text"): DataFrame = {
+    val w = docs.select(col(idCol), words(col(textCol)).as("w"))
+    // positional (NOT distinct) n-grams: coverage needs every occurrence
+    val grams = w.filter(size(col("w")) >= n)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("w")) - n),
+          i => md5(concat_ws(" ", slice(col("w"), i + lit(1), lit(n)))))))
+      .select(col(idCol), col("pos"), col("col").as("g"))
+    val dup = grams.groupBy("g")
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("g")
+    val covered = grams.join(dup, Seq("g"))
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+      .distinct()
+      .groupBy(idCol).agg(count(lit(1)).as("dup_tokens"))
+    docs.select(col(idCol), size(words(col(textCol))).cast("long").as("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (col("n_tokens") - coalesce(col("dup_tokens"), lit(0L))).as("kept_tokens"))
+  }
+
   /** The ids MinHash-LSH near-dup removal drops: for every verified pair
     * (id1 < id2), the LARGER id — so each near-dup group keeps its
     * smallest member. Computes [[shingleTable]] once (cached) for both the

@@ -182,6 +182,37 @@ class TextOpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("dupSpanMask: only tokens under a cross-doc repeated n-gram are masked") {
+    // docs 10/11 share one 4-word span ("p q r s"); doc 12 repeats a span
+    // only WITHIN itself (distinct-doc count 1 → not duplicated); doc 13 is
+    // shorter than n and must still appear with zero masked tokens.
+    val docs4 = Seq(
+      (10L, "a b c p q r s d e"),
+      (11L, "x y p q r s z w v u"),
+      (12L, "m n o t m n o t"),
+      (13L, "k l"))
+      .toDF("doc_id", "text")
+    val got = TextOps.dupSpanMask(docs4, "doc_id", n = 4, minDocs = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (10L, 9L, 4L, 5L),   // exactly "p q r s" covered
+      (11L, 10L, 4L, 6L),
+      (12L, 8L, 0L, 8L),   // within-doc repeat is NOT a cross-doc dup
+      (13L, 2L, 0L, 2L)))  // shorter than n: nothing to mask
+  }
+
+  test("dupSpanMask: overlapping duplicated grams union their coverage") {
+    // "a b c d e" appears in both docs → 4-grams (a b c d) and (b c d e)
+    // both duplicated; coverage is the UNION {0..4} = 5 tokens, not 8.
+    val docs2 = Seq((1L, "a b c d e x"), (2L, "z a b c d e"))
+      .toDF("doc_id", "text")
+    val got = TextOps.dupSpanMask(docs2, "doc_id", n = 4, minDocs = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 6L, 5L, 1L), (2L, 6L, 5L, 1L)))
+  }
+
   test("fingerprint: deterministic, k md5s, equal for exact dups") {
     val fps = docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
       .as[(Long, String)].collect().toMap
