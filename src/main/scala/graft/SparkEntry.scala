@@ -1180,7 +1180,33 @@ object SparkEntry {
     // adjacent-pair fusion over the corpus vocabulary — the oracle replays
     // the identical algorithm as 4 unrolled CTE rounds.
     "q97_bpe_merges" -> ((s, dir) =>
-      Bpe.merges(t(s, dir, "documents"), rounds = 4).orderBy("round"))
+      Bpe.merges(t(s, dir, "documents"), rounds = 4).orderBy("round")),
+
+    // Exact threshold heavy hitters via per-partition Misra-Gries
+    // candidates + broadcast exact recount — shuffle O(partitions ×
+    // capacity), not O(distinct keys). minFreq·capacity ≥ N(sf0.1) keeps
+    // the no-false-negative precondition at every test scale.
+    "q98_heavy_hitters" -> ((s, dir) =>
+      HeavyHitters.thresholdHitters(t(s, dir, "lineitem").select("l_partkey"),
+        "l_partkey", capacity = 16384, minFreq = 45)),
+
+    // Z-order clustered layout: write lineitem Morton-clustered on
+    // (partkey, suppkey), read back through a 2-D box predicate — the
+    // layout prunes row groups on BOTH columns; the result answers to the
+    // plain-filter oracle over the original table.
+    "q99_zorder_scan" -> ((s, dir) => {
+      val path = rtPath("zorder.parquet")
+      ZOrder.writeClustered(
+        t(s, dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity"),
+        "l_partkey", "l_suppkey", path)
+      s.read.parquet(path)
+        .filter(col("l_partkey").between(500, 700) &&
+          col("l_suppkey").between(50, 90))
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("sum_qty"))
+        .orderBy("l_partkey")
+    })
   )
 
   /** Shared q77 input: the events table viewed as a CDC feed. */
@@ -2657,6 +2683,21 @@ object SparkEntry {
          |SELECT * FROM (
          |$selects)
          |ORDER BY round""".stripMargin
-    }
+    },
+
+    // The exact form the sketch must reproduce.
+    "q98_heavy_hitters" ->
+      """SELECT l_partkey, count(*) AS freq FROM lineitem
+        |GROUP BY l_partkey HAVING count(*) >= 45
+        |ORDER BY l_partkey""".stripMargin,
+
+    // The clustered layout must be result-invariant: plain filter + agg
+    // over the ORIGINAL table.
+    "q99_zorder_scan" ->
+      """SELECT l_partkey, count(*) AS n,
+        |       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 500 AND 700 AND l_suppkey BETWEEN 50 AND 90
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin
   )
 }
