@@ -27,6 +27,10 @@ object Scratch {
         jobLog = (je.jobId, (System.nanoTime() - t0) / 1000000, 0) :: jobLog
       }
     })
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
+      println(fn(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode))
+    }
     for (rep <- 1 to 3) {
       spark.catalog.clearCache() // honest single-shot: no cross-rep cache reuse
       val t0 = System.nanoTime()

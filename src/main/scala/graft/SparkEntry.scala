@@ -1083,8 +1083,15 @@ object SparkEntry {
     // family so deterministic) that justifies the q31 LSH chain.
     "q91_minhash_estimate" -> ((s, dir) => {
       val sh = TextOps.shingleTable(t(s, dir, "documents"), "doc_id").cache()
-      val exact = TextOps.jaccardAllPairs(sh, "doc_id", threshold = 0.5)
-      val sigs = sh
+      val exact = TextOps.jaccardAllPairs(sh, "doc_id", threshold = 0.5).cache()
+      // signatures are only consumed for docs that appear in an exact
+      // pair — semi-join BEFORE the k×|shingles| permutation arithmetic
+      // (the near-dup population is a sliver of the corpus: computing
+      // sigs for everyone was the dominant cost of this query, 5.9 s →
+      // 2.6 s at sf0.1)
+      val pairIds = exact.select(col("id1").as("doc_id"))
+        .union(exact.select(col("id2").as("doc_id"))).distinct()
+      val sigs = sh.join(broadcast(pairIds), Seq("doc_id"), "leftsemi")
         .select(col("doc_id"), TextOps.shingleHashes(col("sh")).as("hs"))
         .select(col("doc_id"), TextOps.minhashSignature(col("hs"), k = 32).as("sig"))
       exact

@@ -10,12 +10,24 @@ import org.apache.spark.sql.types.TimestampType
   * over the data.
   *
   * Shape matters at scale: profiling k columns as k separate queries scans
-  * the table k times. A single `agg` with all the measures scans ONCE —
-  * Spark plans the multiple `count(DISTINCT …)` measures as an Expand
-  * (k× row multiplication inside the stage, the standard multi-distinct
-  * plan) feeding one partial/final aggregate pair, so the I/O and shuffle
-  * cost stay those of one pass. The per-column result rows are then
-  * unpivoted driver-free from the single aggregate row.
+  * the table k times. This runs exactly TWO aggregations (and the
+  * per-column result rows are unpivoted driver-free from the joined
+  * 1-row results):
+  *
+  *  1. counts + min/max — a global fold with no grouping key;
+  *  2. the `count(DISTINCT …)` measures — Spark's multi-distinct Expand
+  *     (k× row multiplication) into a partial/final aggregate pair.
+  *
+  * They are deliberately NOT one `agg`: `min`/`max` over a STRING column
+  * have a non-fixed-width aggregation buffer, which disqualifies
+  * HashAggregate, and one aggregate node is all-or-nothing — mixing them
+  * with the distincts demoted the whole Expand plan to SortAggregate,
+  * i.e. a full sort of k×N expanded rows on an (k cols + gid) key
+  * (measured: 12-40 s at sf0.1 with GC-bound variance, vs 1.3 s split;
+  * at 100 TB the expand-sort would spill catastrophically). Split, the
+  * string min/max sit in a keyless fold (SortAggregate without grouping
+  * needs NO Sort node) and the distinct pipeline keeps an all-long
+  * buffer → HashAggregate end to end.
   */
 object ProfileOps {
 
@@ -33,13 +45,14 @@ object ProfileOps {
       case TimestampType => date_format(c, "yyyy-MM-dd HH:mm:ss")
       case _ => c.cast("string")
     }
-    val aggs = cols.flatMap { c =>
+    val basicAggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"${c}__cnt"),
-        countDistinct(col(c)).as(s"${c}__nd"),
         min(col(c)).as(s"${c}__min"),
         max(col(c)).as(s"${c}__max"))
     } :+ count(lit(1)).as("__total")
-    val row = df.agg(aggs.head, aggs.tail: _*)
+    val ndAggs = cols.map(c => countDistinct(col(c)).as(s"${c}__nd"))
+    val row = df.agg(basicAggs.head, basicAggs.tail: _*)
+      .crossJoin(df.agg(ndAggs.head, ndAggs.tail: _*))
     val entries = cols.map { c =>
       struct(lit(c).as("col_name"),
         col(s"${c}__cnt").as("n_nonnull"),

@@ -26,12 +26,19 @@ class ProfileOpsSpec extends SparkSpec {
       ("ts", 3L, 1L, 2L, "2020-01-02 03:04:05", "2021-12-31 23:59:59")))
   }
 
-  test("profiling k columns is ONE scan of the input, not k") {
+  test("profiling k columns is TWO scans (not k) and never a keyed SortAggregate") {
     val path = java.nio.file.Files.createTempDirectory("profile").toString + "/t.parquet"
     df.write.mode("overwrite").parquet(path)
     val plan = ProfileOps.profile(spark.read.parquet(path), Seq("k", "s", "ts"))
       .queryExecution.executedPlan.toString
+    // one scan for counts+min/max, one for the multi-distinct pipeline —
+    // NOT one per profiled column
     val scans = "Scan parquet".r.findAllIn(plan).length
-    assert(scans == 1, s"expected exactly one scan, got $scans:\n$plan")
+    assert(scans == 2, s"expected exactly two scans, got $scans:\n$plan")
+    // the string min/max must not demote the distinct pipeline to the
+    // sort path: every SortAggregate in the plan must be keyless (a
+    // keyed one sorts k×N expanded rows — the measured 12-40 s trap)
+    val keyedSortAgg = "SortAggregate\\(key=\\[[^\\]]".r.findFirstIn(plan)
+    assert(keyedSortAgg.isEmpty, s"keyed SortAggregate in plan:\n$plan")
   }
 }
