@@ -1213,6 +1213,52 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("sum_qty"))
         .orderBy("l_partkey")
+    }),
+
+    // MERGE upsert: snapshot(before cut) merged with the post-cut delta
+    // must equal the snapshot of the WHOLE feed (incremental snapshot
+    // maintenance) — the oracle is q77's full-feed snapshot.
+    "q100_merge_upsert" -> ((s, dir) => {
+      val feed = cdcFeed(s, dir)
+      val cutUs = 1706140800000000L // 2024-01-25 00:00:00 UTC
+      val base = EventOps.cdcSnapshot(
+        feed.filter(col("ts_us") < cutUs), "user_id", "state_cents")
+      EventOps.mergeUpsert(base, feed.filter(col("ts_us") >= cutUs),
+          "user_id", "state_cents")
+        .orderBy("user_id")
+    }),
+
+    // Window-function breadth over one (event_type, ts) ordering: lag,
+    // lead, first_value, ntile, percent_rank, cume_dist share a single
+    // shuffle + per-partition sort.
+    "q101_window_suite" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("ts_us", "id")
+      t(s, dir, "events")
+        .select(col("event_type"), col("event_id").as("id"),
+          EventOps.tsUs("ts").as("ts_us"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("value_c"))
+        .select(col("event_type"), col("id"), col("ts_us"),
+          lag("value_c", 1).over(w).as("prev_c"),
+          lead("value_c", 1).over(w).as("next_c"),
+          first("value_c").over(w).as("first_c"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("event_type", "ts_us", "id")
+    }),
+
+    // Fuzzy catalog dedup: DISTINCT part names (the bounded name domain,
+    // tiny at any corpus size), blocked on the noun, Levenshtein ≤ 3
+    // within blocks — never all-pairs on the raw table.
+    "q102_fuzzy_names" -> ((s, dir) => {
+      val names = t(s, dir, "part").select("p_name").distinct()
+        .select(col("p_name"), split(col("p_name"), " ").getItem(1).as("noun"))
+      names.alias("a").join(names.alias("b"),
+          col("a.noun") === col("b.noun") && col("a.p_name") < col("b.p_name"))
+        .select(col("a.p_name").as("name1"), col("b.p_name").as("name2"),
+          levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("dist"))
+        .filter(col("dist") <= 3)
+        .orderBy("name1", "name2")
     })
   )
 
@@ -2705,6 +2751,46 @@ object SparkEntry {
         |       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem
         |WHERE l_partkey BETWEEN 500 AND 700 AND l_suppkey BETWEEN 50 AND 90
-        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+
+    // Incremental merge must equal the full-feed snapshot — q77's oracle.
+    "q100_merge_upsert" ->
+      """WITH f AS (SELECT user_id, event_id AS id, epoch_us(ts) AS ts_us,
+        |                  CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+        |                  CAST(round(value * 100) AS BIGINT) AS state_cents
+        |           FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                  ORDER BY ts_us DESC, id DESC) AS rn FROM f)
+        |SELECT user_id, id, ts_us, state_cents FROM r
+        |WHERE rn = 1 AND op <> 'd'
+        |ORDER BY user_id""".stripMargin,
+
+    // Identical default frames in both engines (RANGE UNBOUNDED PRECEDING
+    // TO CURRENT ROW for first_value; whole-partition for ntile /
+    // percent_rank / cume_dist); (ts_us, id) makes the order total so the
+    // rational-valued ranks are bit-identical IEEE doubles.
+    "q101_window_suite" ->
+      """WITH ev AS (SELECT event_type, event_id AS id, epoch_us(ts) AS ts_us,
+        |                   CAST(round(value * 100) AS BIGINT) AS value_c
+        |            FROM events)
+        |SELECT event_type, id, ts_us,
+        |       lag(value_c, 1) OVER w AS prev_c,
+        |       lead(value_c, 1) OVER w AS next_c,
+        |       first_value(value_c) OVER w AS first_c,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cume
+        |FROM ev
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, id)
+        |ORDER BY event_type, ts_us, id""".stripMargin,
+
+    "q102_fuzzy_names" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part),
+        |s AS (SELECT p_name, string_split(p_name, ' ')[2] AS noun FROM n)
+        |SELECT a.p_name AS name1, b.p_name AS name2,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM s a JOIN s b ON a.noun = b.noun AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY name1, name2""".stripMargin
   )
 }

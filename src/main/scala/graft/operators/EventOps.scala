@@ -179,6 +179,41 @@ object EventOps {
       .select(col(key), col("id"), col("ts_us"), col(stateCol))
   }
 
+  /** MERGE (upsert + delete) of a change-feed delta into a base snapshot —
+    * the batch form of `MERGE INTO base USING delta`: matched keys take
+    * the delta state (or are deleted on a tombstone), unmatched delta keys
+    * insert, unmatched base keys persist. The delta is first compacted to
+    * one winning row per key — greatest (ts_us, id), KEEPING tombstones,
+    * unlike [[cdcSnapshot]] which drops them — so multi-change deltas
+    * apply atomically.
+    *
+    * Contract (checked by the q100 gate): for a feed split at any cut,
+    * `mergeUpsert(cdcSnapshot(before), after) == cdcSnapshot(whole feed)`
+    * — incremental snapshot maintenance. Upsert rows must carry complete
+    * state (the merge does not patch individual columns).
+    *
+    * Cost: the delta compaction window + ONE shuffle join on the key —
+    * at 100 TB the delta is the small side and the base is the
+    * hash-partitioned table you already own, so the merge is a single
+    * co-partitioned pass. */
+  def mergeUpsert(base: DataFrame, delta: DataFrame, key: String,
+                  stateCol: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col("ts_us").desc, col("id").desc)
+    val compacted = delta
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(key), col("id"), col("ts_us"), col("op"), col(stateCol))
+    base.select(col(key), col("id"), col("ts_us"), col(stateCol)).alias("b")
+      .join(compacted.alias("d"), Seq(key), "full_outer")
+      // matched tombstone deletes; a key with no delta row keeps base
+      // (op is NULL there → the inequality is NULL → coalesce keeps it)
+      .filter(coalesce(col("d.op") =!= "d", lit(true)))
+      .select(col(key),
+        coalesce(col("d.id"), col("b.id")).as("id"),
+        coalesce(col("d.ts_us"), col("b.ts_us")).as("ts_us"),
+        coalesce(col(s"d.$stateCol"), col(s"b.$stateCol")).as(stateCol))
+  }
+
   /** SCD type-2 history: turn the same change feed into versioned validity
     * intervals per key — the warehouse "slowly changing dimension" shape
     * used for point-in-time training snapshots. Consecutive changes that

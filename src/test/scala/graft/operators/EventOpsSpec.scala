@@ -114,6 +114,36 @@ class EventOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 20L, 3L -> 40L, 4L -> 60L))
   }
 
+  test("mergeUpsert: matched update, matched delete, insert, unmatched base kept") {
+    val base = Seq((1L, 0L, 100L, 10L), (2L, 1L, 100L, 20L), (3L, 2L, 100L, 30L))
+      .toDF("user_id", "id", "ts_us", "state")
+    val delta = Seq(
+      (1L, 10L, 200L, "u", 11L),                           // matched update
+      (2L, 11L, 200L, "d", 0L),                            // matched delete
+      (4L, 12L, 200L, "u", 40L),                           // not-matched insert
+      (5L, 13L, 200L, "u", 50L), (5L, 14L, 300L, "d", 0L)) // insert then delete → absent
+      .toDF("user_id", "id", "ts_us", "op", "state")
+    val got = EventOps.mergeUpsert(base, delta, "user_id", "state")
+      .select("user_id", "state").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 11L, 3L -> 30L, 4L -> 40L))
+  }
+
+  test("mergeUpsert: snapshot(before) + delta(after) == snapshot(whole feed), any cut") {
+    val rnd = new scala.util.Random(11)
+    val feed = (0L until 500L).map { i =>
+      (rnd.nextInt(40).toLong, i, rnd.nextInt(100).toLong * 10L,
+        if (rnd.nextInt(5) == 0) "d" else "u", rnd.nextInt(1000).toLong)
+    }.toDF("user_id", "id", "ts_us", "op", "state")
+    val want = EventOps.cdcSnapshot(feed, "user_id", "state")
+      .orderBy("user_id").collect().toSeq
+    for (cut <- Seq(0L, 300L, 990L, 2000L)) {
+      val base = EventOps.cdcSnapshot(feed.filter(col("ts_us") < cut), "user_id", "state")
+      val got = EventOps.mergeUpsert(base, feed.filter(col("ts_us") >= cut), "user_id", "state")
+        .orderBy("user_id").collect().toSeq
+      assert(got == want, s"cut=$cut")
+    }
+  }
+
   test("scd2 collapses same-state runs and closes intervals at the next change") {
     val feed = Seq(
       (1L, 0L, 100L, "a"), (1L, 1L, 200L, "a"),  // run-collapse: one 'a' version
