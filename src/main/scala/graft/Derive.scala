@@ -78,6 +78,19 @@ object Derive {
       .withColumn("w", (lit(250) + (col("u") * 37 + col("v") * 61) % 101).cast("double"))
   }
 
+  /** Lattice edges plus each cell's down-right diagonal — a triangulated
+    * planar graph (2 triangles per full cell; the plain lattice is
+    * triangle-free). Input to the triangle-count operator. */
+  def edgesDiag(nodes: DataFrame): DataFrame = {
+    val idx = nodes.select(col("node_idx"))
+    val a = idx.as("a"); val b = idx.as("b")
+    val diag = a.join(b,
+        col("b.node_idx") === col("a.node_idx") + GridW + 1 &&
+          (col("a.node_idx") + 1) % GridW =!= 0)
+      .select(col("a.node_idx").as("u"), col("b.node_idx").as("v"))
+    edges(nodes).select("u", "v").union(diag)
+  }
+
   /** pois(poi_id, category, node_idx, lon, lat) from `part`, snapped onto
     * pseudo-random nodes; position = node position + a small deterministic
     * offset (exercises the NN-snap join). */
@@ -268,6 +281,20 @@ object Derive {
     val symEdges: String =
       """sym AS (
         |  SELECT u, v, w FROM edges UNION ALL SELECT v AS u, u AS v, w FROM edges)""".stripMargin
+
+    /** Mirror of [[Derive.edgesDiag]]: lattice + down-right diagonals. */
+    val edgesDiag: String =
+      s"""ediag AS (
+         |  SELECT a.node_idx AS u, b.node_idx AS v
+         |  FROM nodes a JOIN nodes b ON b.node_idx = a.node_idx + 1
+         |    AND (a.node_idx + 1) % $GridW <> 0
+         |  UNION ALL
+         |  SELECT a.node_idx, b.node_idx
+         |  FROM nodes a JOIN nodes b ON b.node_idx = a.node_idx + $GridW
+         |  UNION ALL
+         |  SELECT a.node_idx, b.node_idx
+         |  FROM nodes a JOIN nodes b ON b.node_idx = a.node_idx + $GridW + 1
+         |    AND (a.node_idx + 1) % $GridW <> 0)""".stripMargin
 
     val catsArray: String = Cats.map(c => s"'$c'").mkString("[", ", ", "]")
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{DotQ, RewriteDotProduct, TopK}
+import graft.expressions.{DotQ, RewriteDotProduct, RewriteRangeJoin, TopK}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the engine's native expressions with the session's function
@@ -30,5 +30,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TopK(children.head, children(1), children(2))
       }))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
+    ext.injectOptimizerRule(_ => RewriteRangeJoin)
   }
 }

@@ -109,7 +109,19 @@ object Plans {
     "q86_pack_offsets" ->
       ("Packing offsets: the md5 shard exchange + per-shard (pos) sort " +
         "serve BOTH the position window and the cumulative token sum — " +
-        "one shuffle, two windows, no global ordering anywhere."))
+        "one shuffle, two windows, no global ordering anywhere."),
+    "q92_native_topk" ->
+      ("The native graft_top_k aggregate: ObjectHashAggregate partial + " +
+        "final around ONE exchange — at most k pairs per group per " +
+        "partition cross the shuffle, and there is no WindowExec and no " +
+        "sort of the input anywhere in the plan."),
+    "q103_range_join_rule" ->
+      ("RewriteRangeJoin (injected optimizer rule): the user wrote the " +
+        "naive inequality join; the plan shows the rewrite — intervals " +
+        "side Generate explode(sequence(floordiv(lo), floordiv(hi-1))), " +
+        "equi-join on [__bucket_pt]=[__bucket_iv] with the exact range " +
+        "predicate as residual, and NO BroadcastNestedLoopJoin or " +
+        "CartesianProduct node remains."))
   // q71_components is absent for the same reason as q60 below: the
   // returned labels frame is a localCheckpoint product, so its explain
   // shows a scan of checkpointed data, not the per-round join+min shape

@@ -1259,7 +1259,34 @@ object SparkEntry {
           levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("dist"))
         .filter(col("dist") <= 3)
         .orderBy("name1", "name2")
-    })
+    }),
+
+    // The RewriteRangeJoin optimizer rule end-to-end: the join is written
+    // as the NAIVE inequality join (what a user would type; Spark alone
+    // plans a nested loop) and the injected rule turns it into the
+    // bucket-expansion equi-join. Runs in its own newSession() so the
+    // bucket-width conf cannot leak into sibling queries; the session
+    // inherits the GraftExtensions registration.
+    "q103_range_join_rule" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set(graft.expressions.RewriteRangeJoin.WidthConfKey, "128")
+      val pts = s2.read.parquet(s"$dir/lineitem.parquet").select(
+        expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE'1995-01-01') AS BIGINT)").as("d"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("qty"))
+      val ivs = s2.range(25).select(col("id").cast("int").as("interval_id"),
+        (col("id") * 97L).as("lo_day"), (col("id") * 97L + 150L).as("hi_day"))
+      pts.join(ivs, col("d") >= col("lo_day") && col("d") < col("hi_day"))
+        .groupBy("interval_id")
+        .agg(count(lit(1)).as("n_items"), sum("qty").as("sum_qty"))
+        .orderBy("interval_id")
+    }),
+
+    // Per-node triangle counts over the triangulated lattice (the plain
+    // lattice is triangle-free): oriented wedge join, each triangle found
+    // once, fanned out to its corners.
+    "q104_triangles" -> ((s, dir) =>
+      GraphOps.triangleCounts(Derive.edgesDiag(Derive.nodes(s, dir)))
+        .orderBy("node"))
   )
 
   /** Shared q77 input: the events table viewed as a CDC feed. */
@@ -2791,6 +2818,36 @@ object SparkEntry {
         |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
         |FROM s a JOIN s b ON a.noun = b.noun AND a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 3
-        |ORDER BY name1, name2""".stripMargin
+        |ORDER BY name1, name2""".stripMargin,
+
+    // Plain inequality join (DuckDB plans IE-join natively) — the rule's
+    // bucket expansion must be result-identical.
+    "q103_range_join_rule" ->
+      """WITH ivs AS (
+        |  SELECT CAST(i AS INTEGER) AS interval_id,
+        |         CAST(i * 97 AS BIGINT) AS lo_day,
+        |         CAST(i * 97 + 150 AS BIGINT) AS hi_day
+        |  FROM generate_series(0, 24) t(i)),
+        |pts AS (
+        |  SELECT datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS d,
+        |         CAST(round(l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem)
+        |SELECT interval_id, count(*) AS n_items,
+        |       CAST(sum(qty) AS BIGINT) AS sum_qty
+        |FROM ivs JOIN pts ON d >= lo_day AND d < hi_day
+        |GROUP BY interval_id ORDER BY interval_id""".stripMargin,
+
+    // Same oriented-wedge enumeration (edgesDiag is already low→high).
+    "q104_triangles" ->
+      s"""WITH ${Derive.Sql.nodes},
+         |${Derive.Sql.edgesDiag},
+         |tri AS (
+         |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM ediag e1
+         |  JOIN ediag e2 ON e2.u = e1.v
+         |  JOIN ediag e3 ON e3.u = e1.u AND e3.v = e2.v)
+         |SELECT node, count(*) AS n_tri
+         |FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+         |GROUP BY node ORDER BY node""".stripMargin
   )
 }

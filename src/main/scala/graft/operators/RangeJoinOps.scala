@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Range (interval) joins without a cartesian product.
@@ -39,13 +39,16 @@ object RangeJoinOps {
                       intervals: DataFrame, loCol: String, hiCol: String,
                       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bad bucketWidth=$bucketWidth")
-    val pts = points.withColumn("__bucket",
-      floor(col(pointCol) / bucketWidth))
+    // exact integer floor-div — (x - pmod(x, W)) div W — instead of
+    // floor(x / W): double division silently loses precision past 2^53,
+    // and pmod (not %) keeps the floor semantics for negative points
+    def bucket(x: String): Column =
+      expr(s"(($x) - pmod($x, $bucketWidth)) div $bucketWidth")
+    val pts = points.withColumn("__bucket", bucket(pointCol))
     val ivs = intervals
       .filter(col(hiCol) > col(loCol)) // empty interval: no bucket, no match
       .withColumn("__bucket",
-        explode(sequence(floor(col(loCol) / bucketWidth),
-          floor((col(hiCol) - 1) / bucketWidth))))
+        explode(sequence(bucket(loCol), bucket(s"$hiCol - 1"))))
     pts.join(ivs, Seq("__bucket"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bucket")

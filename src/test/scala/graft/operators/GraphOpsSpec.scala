@@ -140,6 +140,22 @@ class GraphOpsSpec extends SparkSpec {
     assert((0L until 10L).map(got).toSet.size == 1) // feeders identical
   }
 
+  test("triangleCounts: K4 with noisy input (dups, reversed edges, self-loop)") {
+    // K4 on {1,2,3,4}: every node sits in C(3,2)=3 triangles. Input is
+    // deliberately messy — a duplicate, reversed orientations, a self-loop
+    // — to prove the least/greatest + distinct normalization.
+    val e = Seq((1L, 2L), (1L, 3L), (4L, 1L), (2L, 3L), (4L, 2L), (3L, 4L),
+      (1L, 2L), (3L, 1L), (2L, 2L)).toDF("u", "v")
+    val got = GraphOps.triangleCounts(e).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: triangle-free graphs yield no rows") {
+    // the 4-cycle and a path have no triangles
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (4L, 5L)).toDF("u", "v")
+    assert(GraphOps.triangleCounts(e).isEmpty)
+  }
+
   test("connectedComponents joins a chain into one component (path graph)") {
     // worst-case diameter: 0-1-2-...-19 as a path, listed high-to-low so
     // labels must propagate the long way
