@@ -50,7 +50,17 @@ object ScaleBench {
     // round-6 additions: CDC/SCD2 windows, bigram-LM count joins, the
     // containment posting join, Bloom decontamination, packing cumsums
     "q77_cdc_snapshot", "q78_scd2", "q79_bigram_lm", "q80_containment",
-    "q81_bloom_decontaminate", "q86_pack_offsets")
+    "q81_bloom_decontaminate", "q86_pack_offsets",
+    // continuing round 6: the native top-k aggregate (map-side bounded
+    // partials), Lee-et-al span masking (positional-gram joins), BPE
+    // (vocabulary-bound rounds — should be ~flat in corpus size), the
+    // MERGE upsert, the rewritten range join, and triangle wedges.
+    // q98_heavy_hitters is deliberately ABSENT: its gate parameters pin
+    // minFreq·capacity ≥ N for sf0.1, and at 10× the runtime
+    // precondition fails LOUDLY by design (a fixed absolute threshold
+    // stops being "heavy" when N grows; production scales minFreq with N)
+    "q92_native_topk", "q93_dup_span_mask", "q97_bpe_merges",
+    "q100_merge_upsert", "q103_range_join_rule", "q104_triangles")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

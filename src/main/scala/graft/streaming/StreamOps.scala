@@ -18,6 +18,9 @@ case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 case class Change(user_id: Long, id: Long, ts_us: Long, op: String,
                   state_cents: Long)
 
+/** Running per-key count (the streaming heavy-hitter state/output). */
+case class KeyCount(k: Long, freq: Long)
+
 /** Structured Streaming operators (BASELINE stretch scope; the reference is
   * batch-only — SURVEY.md §2.9 — so these extend the engine beyond parity:
   * the same event schema, processed incrementally).
@@ -207,6 +210,29 @@ object StreamOps {
         (sum(round(col("value") * 100)) / 100).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
+
+  /** Streaming exact threshold heavy hitters: per-key running counts as
+    * mapGroupsWithState state; a key is emitted (re-emitted on change,
+    * Update mode) once its running count reaches `minFreq`. The streaming
+    * twin of [[graft.operators.HeavyHitters.thresholdHitters]]'s exact
+    * recount — after any prefix of the stream, the ≥ minFreq key set
+    * equals the batch `HAVING count(*) >= minFreq` over that prefix.
+    * State is one long per distinct key; production bounds it with the
+    * same Misra-Gries candidate sketch when the key domain is unbounded
+    * (drop keys whose upper bound falls below the bar). */
+  def heavyHittersStream(keys: Dataset[Long], minFreq: Long): Dataset[KeyCount] = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    keys.groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (k: Long, rows: Iterator[Long], state: GroupState[KeyCount]) =>
+          val n = state.getOption.map(_.freq).getOrElse(0L) + rows.size
+          val next = KeyCount(k, n)
+          state.update(next)
+          next
+      }
+      .filter(_.freq >= minFreq)
+  }
 
   /** Output modes the sinks expect (documented here so callers don't
     * guess): windowed aggs → Append with watermark closes windows;

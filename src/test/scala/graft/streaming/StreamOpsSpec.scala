@@ -258,4 +258,35 @@ class StreamOpsSpec extends SparkSpec {
       assert(streamed.map(_._1) == Set(1L, 3L, 4L)) // 2 tombstoned
     } finally q.stop()
   }
+
+  test("heavyHittersStream converges to the batch HAVING form across batches") {
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(17)
+    // three arrival waves over a skewed key domain; key 1 crosses the bar
+    // only in wave 3, key 2 crosses in wave 2
+    val waves = Seq(
+      Seq.fill(30)(1L) ++ Seq.fill(45)(2L) ++ Seq.fill(20)(rnd.nextLong(50L) + 10L),
+      Seq.fill(10)(1L) ++ Seq.fill(15)(2L) ++ Seq.fill(20)(rnd.nextLong(50L) + 10L),
+      Seq.fill(25)(1L) ++ Seq.fill(20)(rnd.nextLong(50L) + 10L))
+    val mem = MemoryStream[Long]
+    val q = StreamOps.heavyHittersStream(mem.toDS(), minFreq = 50L)
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode("update").start()
+    try {
+      val seen = scala.collection.mutable.Buffer.empty[Seq[Long]]
+      waves.foreach { w =>
+        mem.addData(w: _*)
+        q.processAllAvailable()
+        seen += w
+        // after each prefix: streamed hitters == batch HAVING over prefix
+        val streamed = spark.table("hh_stream").as[KeyCount].collect()
+          .groupBy(_.k).map { case (k, rows) => (k, rows.map(_.freq).max) }
+        val batch = seen.flatten.groupBy(identity).view
+          .mapValues(_.size.toLong).filter(_._2 >= 50L).toMap
+        assert(streamed == batch, s"after ${seen.size} wave(s)")
+      }
+      assert(spark.table("hh_stream").as[KeyCount].collect()
+        .groupBy(_.k).keySet == Set(1L, 2L))
+    } finally q.stop()
+  }
 }
