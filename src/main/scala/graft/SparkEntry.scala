@@ -1287,6 +1287,44 @@ object SparkEntry {
     "q104_triangles" -> ((s, dir) =>
       GraphOps.triangleCounts(Derive.edgesDiag(Derive.nodes(s, dir)))
         .orderBy("node"))
+    ,
+
+    // SQL surface: correlated scalar subquery + NOT EXISTS anti-semantics
+    // (Catalyst decorrelates both into joins — the plan is a join, not a
+    // per-row re-execution).
+    "q105_subqueries" -> ((s, dir) => {
+      Seq("orders", "customer").foreach(n =>
+        t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(
+        """SELECT c_custkey,
+          |       (SELECT count(*) FROM orders o
+          |        WHERE o.o_custkey = c.c_custkey) AS n_orders,
+          |       EXISTS(SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_totalprice > 90000) AS has_big
+          |FROM customer c
+          |WHERE NOT EXISTS (SELECT 1 FROM orders o
+          |                  WHERE o.o_custkey = c.c_custkey
+          |                    AND o.o_orderstatus = 'F')
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // SQL surface: INTERSECT ALL / EXCEPT ALL bag semantics on the
+    // (custkey, priority) projection of two order-status slices.
+    "q106_set_ops" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """WITH f AS (SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'),
+          |     o AS (SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'O')
+          |SELECT 'both' AS side, o_custkey, o_orderpriority, count(*) AS n FROM
+          |  (SELECT * FROM f INTERSECT ALL SELECT * FROM o)
+          |GROUP BY 2, 3
+          |UNION ALL
+          |SELECT 'f_only', o_custkey, o_orderpriority, count(*) FROM
+          |  (SELECT * FROM f EXCEPT ALL SELECT * FROM o)
+          |GROUP BY 2, 3
+          |ORDER BY side, o_custkey, o_orderpriority""".stripMargin)
+    })
   )
 
   /** Shared q77 input: the events table viewed as a CDC feed. */
@@ -2848,6 +2886,31 @@ object SparkEntry {
          |  JOIN ediag e3 ON e3.u = e1.u AND e3.v = e2.v)
          |SELECT node, count(*) AS n_tri
          |FROM (SELECT unnest([a, b, c]) AS node FROM tri)
-         |GROUP BY node ORDER BY node""".stripMargin
+         |GROUP BY node ORDER BY node""".stripMargin,
+
+    "q105_subqueries" ->
+      """SELECT c_custkey,
+        |       (SELECT count(*) FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |       EXISTS(SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 90000) AS has_big
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q106_set_ops" ->
+      """WITH f AS (SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'),
+        |     o AS (SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'O')
+        |SELECT 'both' AS side, o_custkey, o_orderpriority, count(*) AS n FROM
+        |  (SELECT * FROM f INTERSECT ALL SELECT * FROM o)
+        |GROUP BY 2, 3
+        |UNION ALL
+        |SELECT 'f_only', o_custkey, o_orderpriority, count(*) FROM
+        |  (SELECT * FROM f EXCEPT ALL SELECT * FROM o)
+        |GROUP BY 2, 3
+        |ORDER BY side, o_custkey, o_orderpriority""".stripMargin
   )
 }
