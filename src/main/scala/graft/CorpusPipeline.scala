@@ -119,11 +119,36 @@ object CorpusPipeline {
       allSources.map(s => s -> rates(s)).toMap))
     stage("sampled", sampled.count())
 
+    // 6b. CROSS-CHECK (not a stage): duplicated-span accounting (q93
+    // machinery) over the survivors — after exact + near dedup, no doc
+    // should remain MOSTLY duplicated text (>50% of its tokens under a
+    // cross-doc repeated 8-gram). Catches the family of dups the
+    // whole-document policies can't see: concatenations and long shared
+    // boilerplate inside otherwise-distinct docs.
+    locally {
+      val masked = TextOps.dupSpanMask(sampled, "doc_id", n = 8, minDocs = 2)
+        .filter(col("dup_tokens") * 2 > col("n_tokens"))
+      val nMostlyDup = masked.count()
+      println(f"[corpus] span_dup_check        mostly_dup_docs=$nMostlyDup")
+      if (nMostlyDup != 0) { counts("span_dup_check_FAILED") = 0 } // trips the gate
+    }
+
     // 7. token-window chunking: the final training segments (q63 machinery)
     val chunks = CorpusOps.chunkTokens(sampled, size = 32, stride = 16)
     val nChunks = chunks.count()
     println(f"[corpus] chunks                 rows=$nChunks")
     chunks.orderBy("doc_id", "chunk_idx").show(3, truncate = 60)
+
+    // 8. tokenizer induction on the FINAL corpus (q97 machinery): the
+    // merge table a downstream trainer would ship with these chunks. Runs
+    // on the curated text — training a tokenizer on pre-dedup data skews
+    // merges toward boilerplate (the order matters, which is why this is
+    // the last stage).
+    val merges = graft.operators.Bpe.merges(sampled, rounds = 6)
+      .collect().sortBy(_.getInt(0))
+    println(s"[corpus] bpe_merges             " + merges.map(r =>
+      s"${r.getString(1)}+${r.getString(2)}(${r.getLong(3)})").mkString(" "))
+    if (merges.length != 6) { counts("bpe_merges_FAILED") = 0 } // trips the gate
 
     // contract: every stage is a FILTER over the previous one — growth
     // means some join fanned out and duplicated training data

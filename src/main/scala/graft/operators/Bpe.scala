@@ -52,9 +52,14 @@ object Bpe {
     val spark = docs.sparkSession
     import spark.implicits._
     require(rounds >= 1, s"bad rounds=$rounds")
+    // localCheckpoint, not cache: a cache still carries (and re-plans, and
+    // stringifies on every AQE update) the full upstream lineage of `docs`,
+    // which for a deep pipeline input can OOM the driver on plan strings
+    // alone. Checkpointing physically severs the corpus lineage, making the
+    // "rounds touch only the vocabulary" claim true for the planner too.
     var cur = vocab(docs, textCol)
       .select(col("freq"), wrap(chars(col("word"))).as("repr"))
-      .cache()
+      .localCheckpoint()
     val learned = Seq.newBuilder[(Int, String, String, Long)]
     for (round <- 1 to rounds) {
       val s = syms(col("repr"))
