@@ -1324,6 +1324,94 @@ object SparkEntry {
           |  (SELECT * FROM f EXCEPT ALL SELECT * FROM o)
           |GROUP BY 2, 3
           |ORDER BY side, o_custkey, o_orderpriority""".stripMargin)
+    }),
+
+    // CUBE lattice (all 2^k grouping combinations) + GROUPING indicators —
+    // completes the multi-dimensional aggregation family next to q94's
+    // ROLLUP and q95's pivot. One shuffle: Spark expands the grouping sets
+    // map-side, partial-aggregates, and shuffles once on the expanded key.
+    "q107_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_items"),
+          expr("CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)")
+            .as("price_c"),
+          grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"))
+        .orderBy(col("g_flag"), col("g_status"),
+          col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first))
+    ,
+
+    // S6-sibling: ORC sink/source round-trip — write the events slice as
+    // ORC, read it back self-describing (no caller schema), values must
+    // equal the oracle's view of the ORIGINAL parquet table bit-for-bit
+    // (IEEE doubles included: both containers store binary doubles).
+    "q108_orc_roundtrip" -> ((s, dir) => {
+      val path = rtPath("q108_orc")
+      val src = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      Sinks.writeOrc(src, path)
+      Sinks.readOrc(s, path).orderBy("event_id")
+    }),
+
+    // Sketch-based quantiles with a VERIFIED rank bound (q87's discipline
+    // applied to percentile_approx): exact all-integer rank percentiles
+    // per event type next to the KLL-style sketch — the constant-memory
+    // 100 TB path — asserting the sketch value's EXACT rank lands within
+    // 2% of target (the sketch guarantees 1/accuracy = 0.1%). The sketch
+    // estimate itself is engine-specific, so the oracle pins the exact
+    // percentiles and the BOUND, not the estimate.
+    "q109_quantile_sketch" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("value_c"))
+      val byV = ev.groupBy("event_type", "value_c").agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy("event_type").orderBy("value_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = byV
+        .withColumn("cum", sum("cnt").over(wCum))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("event_type")))
+      val exact = cum.groupBy("event_type").agg(
+        max("n").as("n_events"),
+        min(when(col("cum") * 2 >= col("n"), col("value_c"))).as("p50_c"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("value_c"))).as("p90_c"))
+      val approx = ev.groupBy("event_type").agg(
+        percentile_approx(col("value_c"), lit(0.5), lit(1000)).as("a50"),
+        percentile_approx(col("value_c"), lit(0.9), lit(1000)).as("a90"))
+      // exact rank of each sketch value: largest cum at value_c <= estimate
+      val ranks = cum.join(broadcast(approx), "event_type")
+        .groupBy("event_type")
+        .agg(max(col("n")).as("n"),
+          max(when(col("value_c") <= col("a50"), col("cum"))).as("r50"),
+          max(when(col("value_c") <= col("a90"), col("cum"))).as("r90"))
+      exact.join(ranks.select(col("event_type"),
+          (abs(col("r50") * 100 - col("n") * 50) <= col("n") * 2).as("p50_ok"),
+          (abs(col("r90") * 100 - col("n") * 90) <= col("n") * 2).as("p90_ok")),
+        "event_type")
+        .orderBy("event_type")
+    }),
+
+    // Character-entropy quality metric (gibberish / binary-junk detector):
+    // per-doc Shannon entropy in nats over char counts, rounded 5 dp.
+    "q110_char_entropy" -> ((s, dir) =>
+      TextOps.charEntropy(t(s, dir, "documents")).orderBy("doc_id"))
+    ,
+
+    // BM25 retrieval: global top-20 docs for a pinned 3-term query —
+    // integer micro-unit contributions make the per-doc sum order-free.
+    "q111_bm25" -> ((s, dir) =>
+      TextOps.bm25(t(s, dir, "documents"),
+        Seq("spark", "join", "window"), topK = 20))
+    ,
+
+    // 3-core of the deterministically thinned (85%) triangulated lattice:
+    // iterative peeling to fixpoint (9 rounds at sf0.01); the oracle
+    // unrolls 11 rounds — peeling is idempotent past the fixpoint, so the
+    // two spare rounds are no-ops.
+    "q112_kcore" -> ((s, dir) => {
+      val e = Derive.edgesDiag(Derive.nodes(s, dir))
+        .filter((col("u") * 37 + col("v") * 61) % 100 < 85)
+      GraphOps.kCore(e, k = 3).orderBy("node")
     })
   )
 
@@ -2911,6 +2999,105 @@ object SparkEntry {
         |SELECT 'f_only', o_custkey, o_orderpriority, count(*) FROM
         |  (SELECT * FROM f EXCEPT ALL SELECT * FROM o)
         |GROUP BY 2, 3
-        |ORDER BY side, o_custkey, o_orderpriority""".stripMargin
+        |ORDER BY side, o_custkey, o_orderpriority""".stripMargin,
+
+    "q107_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_c,
+        |       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status,
+        |         l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    // Round-trip must reproduce the ORIGINAL table exactly.
+    "q108_orc_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // Exact all-integer rank percentiles; the sketch bound is pinned TRUE
+    // (the estimate itself is engine-specific, the bound is not).
+    "q109_quantile_sketch" ->
+      """WITH ev AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS value_c
+        |            FROM events),
+        |byv AS (SELECT event_type, value_c, count(*) AS cnt FROM ev GROUP BY 1, 2),
+        |cum AS (SELECT event_type, value_c, cnt,
+        |               sum(cnt) OVER (PARTITION BY event_type ORDER BY value_c) AS cum,
+        |               sum(cnt) OVER (PARTITION BY event_type) AS n
+        |        FROM byv)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+        |       CAST(min(CASE WHEN cum * 2 >= n THEN value_c END) AS BIGINT) AS p50_c,
+        |       CAST(min(CASE WHEN cum * 10 >= n * 9 THEN value_c END) AS BIGINT) AS p90_c,
+        |       TRUE AS p50_ok, TRUE AS p90_ok
+        |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Same per-char counting (1-based substr indexing), same H formula
+    // shape: ln(n) − Σc·ln(c)/n, rounded 5 dp.
+    "q110_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, text[i] AS ch
+        |  FROM (SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS i
+        |        FROM documents WHERE len(text) > 0)),
+        |c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, sum(c) AS n_chars, count(*) AS n_distinct_chars,
+        |               sum(c * ln(CAST(c AS DOUBLE))) AS clogc
+        |        FROM c GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |       CAST(n_distinct_chars AS BIGINT) AS n_distinct_chars,
+        |       round(ln(CAST(n_chars AS DOUBLE)) - clogc / n_chars, 5) AS entropy_nat
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // Same constants (k1=1.2, b=0.75, Lucene +1 idf), same one-op-per-step
+    // arithmetic shape, same 6-dp stage rounding and integer micro sum.
+    "q111_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |         unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2, 3),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |stats AS (SELECT count(*) AS n,
+        |                 sum(len(string_split(text, ' '))) AS sum_dl
+        |          FROM documents),
+        |sc AS (SELECT tf.doc_id AS doc_id,
+        |              CAST(round(1000000 * (
+        |                round(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1), 6) *
+        |                round(tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl /
+        |                  round(CAST(s.sum_dl AS DOUBLE) / s.n, 6))), 6))) AS BIGINT) AS contrib
+        |       FROM tf JOIN df d USING (term) CROSS JOIN stats s),
+        |agg AS (SELECT doc_id, count(*) AS n_hit_terms,
+        |               CAST(sum(contrib) AS BIGINT) AS score_micro
+        |        FROM sc GROUP BY doc_id),
+        |top AS (SELECT * FROM agg ORDER BY score_micro DESC, doc_id LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS rank,
+        |       doc_id, score_micro, n_hit_terms
+        |FROM top ORDER BY rank""".stripMargin,
+
+    // 11 unrolled peel rounds (fixpoint at sf0.01 is round 9; peeling is
+    // idempotent after that, so the spare rounds change nothing).
+    "q112_kcore" -> {
+      // MATERIALIZED: each round references its predecessor several times
+      // — default CTE inlining would expand the 11-round chain
+      // exponentially (observed as a file-handle blowup on the base scan).
+      def round(i: Int): String = {
+        val prev = s"e${i - 1}"
+        s"""d$i AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+           |  SELECT u AS node FROM $prev UNION ALL SELECT v AS node FROM $prev)
+           |  GROUP BY node),
+           |e$i AS MATERIALIZED (SELECT u, v FROM $prev
+           |  WHERE u IN (SELECT node FROM d$i WHERE deg >= 3)
+           |    AND v IN (SELECT node FROM d$i WHERE deg >= 3))""".stripMargin
+      }
+      val rounds = (1 to 11).map(round).mkString(",\n")
+      s"""WITH ${Derive.Sql.nodes},
+         |${Derive.Sql.edgesDiag},
+         |e0 AS MATERIALIZED (SELECT u, v FROM ediag WHERE (u * 37 + v * 61) % 100 < 85),
+         |$rounds
+         |SELECT node, count(*) AS deg FROM (
+         |  SELECT u AS node FROM e11 UNION ALL SELECT v AS node FROM e11)
+         |GROUP BY node ORDER BY node""".stripMargin
+    }
   )
 }

@@ -243,6 +243,51 @@ object GraphOps {
     labels.select(col("id"), col("label").as("component"))
   }
 
+  /** k-core decomposition membership: iteratively peel nodes of degree < k
+    * until every survivor has degree ≥ k within the surviving subgraph —
+    * the standard "dense cohesive subgraph" extractor (graph QA: a street
+    * network's 2-core is its loop structure, everything else is dead-end
+    * trees; in link/citation graphs the k-core is the spam-resistant
+    * kernel). Returns (node, deg) of the k-core, deg measured IN the core.
+    *
+    * Input: one row per undirected edge (u < v orientation not required;
+    * rows are taken as given). A peeling round is one partial-aggregated
+    * degree shuffle + two semi-joins of the edge set against the survivor
+    * list (AQE picks broadcast once the survivors shrink below the
+    * threshold — round 1's list is every node, so no forced hint). Rounds
+    * = erosion depth of the graph (how many onion layers the < k fringe
+    * cascades through), checkpointed per round so the plan never deepens.
+    * Production refinement for huge graphs is batched peeling (remove ALL
+    * sub-k nodes each round, which this does) — round count is small for
+    * real topologies; the fixpoint is reached when the edge count stops
+    * changing, and [[require]]d within maxIter. */
+  def kCore(edges: DataFrame, k: Int, srcCol: String = "u",
+            dstCol: String = "v", maxIter: Int = 50): DataFrame = {
+    var e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .localCheckpoint()
+    var nEdges = e.count()
+    var iter = 0
+    var fixed = false
+    while (!fixed && iter < maxIter) {
+      val deg = e.select(col("u").as("node"))
+        .union(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("node")
+      val e2 = e
+        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .select("u", "v")
+        .localCheckpoint()
+      val n2 = e2.count()
+      fixed = n2 == nEdges
+      e = e2; nEdges = n2
+      iter += 1
+    }
+    require(fixed, s"kCore did not reach a fixpoint within $maxIter rounds")
+    e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+  }
+
   /** Deterministic integer PageRank over a directed edge list — node
     * importance for graph QA and link-based corpus quality signals.
     *

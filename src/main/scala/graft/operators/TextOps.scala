@@ -470,6 +470,84 @@ object TextOps {
         expr("sum(p_micro) div count(1)").as("score_micro"))
   }
 
+  /** Per-document character-entropy quality metric: Shannon entropy (nats)
+    * of the character distribution — the standard cheap gibberish/
+    * binary-junk detector (natural prose sits ~2.8-3.3 nats; base64 blobs
+    * and repeated-char padding land far outside). Companion to
+    * [[qualityMetrics]] and [[bigramLmScore]] in the quality family.
+    *
+    * H = ln(n) − (Σ c·ln c)/n over per-char counts c — one explode +
+    * two partial-aggregated shuffles, nothing global. Characters come from
+    * substr indexing over a BOUND text attribute (`split(text, "")` has
+    * engine-specific empty-string edges; substr does not). The entropy is
+    * rounded to 5 dp: every term is a single IEEE op on integer counts, so
+    * cross-engine drift is bounded by summation order (≤ a few ulp),
+    * orders of magnitude inside the rounding grid. */
+  def charEntropy(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val ch = docs.select(col(idCol), col(textCol).as("t"))
+      .filter(length(col("t")) > 0)
+      .select(col(idCol), explode(transform(sequence(lit(1), length(col("t"))),
+        i => col("t").substr(i, lit(1)))).as("ch"))
+    ch.groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum("c").as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("c") * log(col("c"))).as("clogc"))
+      .select(col(idCol), col("n_chars"), col("n_distinct_chars"),
+        round(log(col("n_chars")) - col("clogc") / col("n_chars"), 5)
+          .as("entropy_nat"))
+  }
+
+  /** BM25 keyword retrieval (Robertson/Spärck Jones; the Lucene `+1` idf
+    * form, which keeps idf positive even for terms in most docs): score
+    * every document against a pinned query-term set, return the global
+    * top-k. The missing retrieval sibling of [[tfidfTopTerms]] — tf-idf
+    * ranks terms *within* a doc, BM25 ranks *docs* for a query, with
+    * saturation (k1) and length normalization (b).
+    *
+    * Determinism: idf and the tf-normalization are each rounded to 6 dp
+    * (both engines compute them from integer tf/dl/df/N with structurally
+    * identical single IEEE ops), then the per-term contribution is cast to
+    * integer micro-units, so the per-doc sum is an ORDER-FREE integer sum
+    * — bit-identical on any partitioning and any engine.
+    *
+    * Scale shape: the corpus stream is filtered to query terms BEFORE the
+    * tf aggregation (a map-side `isin` prune — the inverted-index access
+    * an external search engine would do); df and the corpus stats are
+    * tiny broadcasts; the final top-k is TakeOrderedAndProject (per-
+    * partition heaps, no global sort). */
+  def bm25(docs: DataFrame, queryTerms: Seq[String], topK: Int = 20,
+           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "empty query")
+    val toks = docs.select(col(idCol), words(col(textCol)).as("w"))
+      .select(col(idCol), size(col("w")).cast("long").as("dl"),
+        explode(col("w")).as("term"))
+    val tf = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.select(words(col(textCol)).as("w"))
+      .agg(count(lit(1)).as("n"), sum(size(col("w")).cast("long")).as("sum_dl"))
+    val scored = tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl6", expr("round(CAST(sum_dl AS DOUBLE) / n, 6)"))
+      // k1 = 1.2, b = 0.75 are inlined so the arithmetic SHAPE (one op per
+      // step, same constants) is textually mirrorable in the SQL oracle
+      .withColumn("idf6", expr("round(ln((n - df + 0.5) / (df + 0.5) + 1), 6)"))
+      .withColumn("tfn6",
+        expr("round(tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl6)), 6)"))
+      .withColumn("contrib_micro",
+        expr("CAST(round(1000000 * (idf6 * tfn6)) AS BIGINT)"))
+    val perDoc = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit_terms"),
+        sum("contrib_micro").as("score_micro"))
+      .orderBy(col("score_micro").desc, col(idCol)).limit(topK)
+    perDoc.withColumn("rank", row_number().over(
+        Window.orderBy(col("score_micro").desc, col(idCol))))
+      .select(col("rank"), col(idCol), col("score_micro"), col("n_hit_terms"))
+  }
+
   /** Corpus vocabulary report: the global top-k tokens by frequency with a
     * dense rank — the Zipf-curve / tokenizer-training view of the corpus
     * (vocab construction starts from exactly this table).

@@ -67,6 +67,19 @@ object Sinks {
       .select("id")
   }
 
+  // ----------------------------------------------------------------- ORC (S6)
+
+  /** Columnar sibling of the parquet sink (S6): same self-describing
+    * schema, predicate-pushdown and column-pruning story, different
+    * container — the interchange format when the downstream consumer is
+    * Hive/Trino-shaped. Spark's reader recovers types (including IEEE
+    * doubles, bit-exact) without a caller-supplied schema. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   // --------------------------------------------------------------- JDBC (S16)
 
   /** The DB-persistence stage the reference promises but never implements

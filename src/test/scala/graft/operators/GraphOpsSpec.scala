@@ -164,4 +164,24 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == (0L until 20L).map(_ -> 0L).toMap)
   }
+
+  test("kCore: K4 plus a pendant tail — the tail peels, the clique survives") {
+    // K4 on 1..4, tail 4-5-6: 3-core is exactly K4 (every node deg 3)
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val e = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("u", "v")
+    val got = GraphOps.kCore(e, k = 3).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore: a path's 2-core cascades to empty; a lollipop keeps its cycle") {
+    // path 0-..-9: every peel round exposes new degree-1 ends — the
+    // erosion must cascade through 5 rounds and end empty
+    val path = (1 until 10).map(i => ((i - 1).toLong, i.toLong)).toDF("u", "v")
+    assert(GraphOps.kCore(path, k = 2).isEmpty)
+    // cycle 1-2-3-4-1 with tail 4-5-6: 2-core is the cycle
+    val lolli = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (4L, 5L), (5L, 6L))
+      .toDF("u", "v")
+    val got = GraphOps.kCore(lolli, k = 2).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+  }
 }

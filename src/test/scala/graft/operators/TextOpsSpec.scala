@@ -221,4 +221,47 @@ class TextOpsSpec extends SparkSpec {
     assert(fps(1L).split(",").forall(_.matches("[0-9a-f]{32}")))
     assert(fps(1L) != fps(3L))
   }
+
+  test("charEntropy: constant, two-symbol, and uniform strings hit closed forms") {
+    val d = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd"), (4L, "")).toDF("doc_id", "text")
+    val got = TextOps.charEntropy(d)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 1L, 0.0))) // one symbol: zero entropy
+    assert(got(2L)._4 == math.rint(math.log(2) * 1e5) / 1e5) // uniform over 2
+    assert(got(3L)._4 == math.rint(math.log(4) * 1e5) / 1e5) // uniform over 4
+    assert(!got.contains(4L)) // empty text: no distribution, no row
+    // mixed distribution: 3×a 1×b -> ln4 - (3 ln3)/4
+    val m = TextOps.charEntropy(Seq((9L, "aaab")).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Double)].head()
+    assert(m._4 == math.rint((math.log(4) - 3 * math.log(3) / 4) * 1e5) / 1e5)
+  }
+
+  test("bm25: hand-checked score, tf saturation, length normalization, rare-term boost") {
+    val docs = Seq(
+      (1L, "x x x pad pad pad pad pad"),      // tf(x)=3, dl=8
+      (2L, "x pad pad pad pad pad pad pad"),  // tf(x)=1, dl=8
+      (3L, "x pad"),                          // tf(x)=1, dl=2 (short)
+      (4L, "y pad pad pad pad pad pad pad"),  // rare term y
+      (5L, "pad pad pad pad pad pad pad pad"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bm25(docs, Seq("x", "y"), topK = 10)
+      .as[(Int, Long, Long, Long)].collect()
+    val score = got.map(r => r._2 -> r._3).toMap
+    // hand-computed replica of the operator's exact rounding discipline
+    def rnd6(v: Double) = math.rint(v * 1e6) / 1e6
+    def contrib(tf: Long, dl: Long, df: Long, n: Long, avgdl: Double): Long = {
+      val idf6 = rnd6(math.log((n - df + 0.5) / (df + 0.5) + 1))
+      val tfn6 = rnd6(tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+      math.rint(1e6 * (idf6 * tfn6)).toLong
+    }
+    val avgdl = rnd6(34.0 / 5)
+    assert(score(1L) == contrib(3, 8, 3, 5, avgdl))
+    assert(score(4L) == contrib(1, 8, 1, 5, avgdl))
+    assert(!score.contains(5L)) // no query term, no row
+    assert(score(1L) > score(2L)) // more hits beat fewer at equal length
+    assert(score(3L) > score(2L)) // same tf, shorter doc scores higher
+    assert(score(4L) > score(2L)) // rarer term outweighs common at same tf/dl
+    // ranks are dense, ordered by (score desc, doc_id)
+    assert(got.sortBy(_._1).map(_._1).toSeq == (1 to got.length))
+  }
 }

@@ -33,6 +33,18 @@ class SinksSpec extends SparkSpec {
       df.as[(Long, Option[String], Double)].collect().toSet)
   }
 
+  test("ORC round-trip is schema- and value-exact without a caller schema (S6)") {
+    val p = tmp("orc")
+    Sinks.writeOrc(df, p)
+    val back = Sinks.readOrc(spark, p)
+    // self-describing: names+types recovered (nullability relaxes to true
+    // on any file-format read — parquet behaves identically)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.as[(Long, Option[String], Double)].collect().toSet ==
+      df.as[(Long, Option[String], Double)].collect().toSet)
+  }
+
   test("text id list round-trip preserves first-seen order, skips junk (S12/U3)") {
     val p = Files.createTempDirectory("graft-ids").resolve("ids").toString
     // write a messy file by hand: comments, commas, dupes, blanks
