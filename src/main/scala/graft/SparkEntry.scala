@@ -1412,6 +1412,50 @@ object SparkEntry {
       val e = Derive.edgesDiag(Derive.nodes(s, dir))
         .filter((col("u") * 37 + col("v") * 61) % 100 < 85)
       GraphOps.kCore(e, k = 3).orderBy("node")
+    }),
+
+    // PPJoin-style prefix-filtered containment: must be RESULT-IDENTICAL
+    // to the exact posting self-join — q80's oracle verbatim. Candidates
+    // come only from each doc's rarest (1−t)·sz shingles; the exact
+    // array-intersect verify kills false ones.
+    "q113_containment_prefix" -> ((s, dir) =>
+      TextOps.containmentPairsPrefix(
+          TextOps.shingleTable(t(s, dir, "documents"), "doc_id"), "doc_id",
+          thrNum = 4, thrDen = 5)
+        .orderBy("id1", "id2"))
+    ,
+
+    // SQL surface: correlated LATERAL subquery with ORDER BY + LIMIT —
+    // per-nation top-2 customers by balance. Catalyst decorrelates the
+    // lateral into a window-ranked join, not a per-row re-execution.
+    "q114_lateral" -> ((s, dir) => {
+      Seq("nation", "customer").foreach(n =>
+        t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(
+        """SELECT n_name, c.c_custkey, c.c_acctbal
+          |FROM nation, LATERAL (
+          |  SELECT c_custkey, c_acctbal FROM customer
+          |  WHERE c_nationkey = n_nationkey
+          |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+          |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin)
+    }),
+
+    // Interval-overlap join via two-sided bucket expansion: 25 promo
+    // windows × per-order activity spans [d0, d0 + 1 + orderkey%60) —
+    // every overlapping pair exactly once, no nested loop, no distinct.
+    "q115_interval_overlap" -> ((s, dir) => {
+      val promos = s.range(25).select(col("id").cast("int").as("promo_id"),
+        (col("id") * 97L).as("p_lo"), (col("id") * 97L + 150L).as("p_hi"))
+      val spans = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1995-01-01') AS BIGINT)").as("o_lo"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"))
+        .withColumn("o_hi", col("o_lo") + 1 + col("o_orderkey") % 60)
+      RangeJoinOps.bucketIntervalJoin(
+          promos, "p_lo", "p_hi", spans, "o_lo", "o_hi", bucketWidth = 64L)
+        .groupBy("promo_id")
+        .agg(count(lit(1)).as("n_orders"), sum("price_c").as("sum_price_c"))
+        .orderBy("promo_id")
     })
   )
 
@@ -1428,6 +1472,23 @@ object SparkEntry {
     * the Bloom pre-filter is result-invariant by construction (no false
     * negatives; false positives die in the exact verify join), so both
     * queries answer to the SAME oracle. */
+  /** Shared by q80 (exact containment posting self-join) and q113 (prefix-
+    * filtered variant): prefix filtering only prunes CANDIDATES — the
+    * exact per-pair verify recomputes containment from the full shingle
+    * arrays, so both answer to the same oracle. */
+  private lazy val containmentOracle: String =
+    s"""WITH ${LlmSql.docShingles},
+       |idx AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM sh),
+       |agg AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.sz AS s1,
+       |         count(*) AS inter
+       |  FROM idx a JOIN idx b
+       |    ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2, 3)
+       |SELECT id1, id2, inter / s1 AS containment
+       |FROM agg WHERE inter / s1 >= CAST(0.8 AS DOUBLE)
+       |ORDER BY id1, id2""".stripMargin
+
   private val decontOracle: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (SELECT doc_id,
@@ -2614,18 +2675,11 @@ object SparkEntry {
 
     // Mirrors containmentPairs: inverted index, count per directed pair,
     // containment = inter / |A| (exact small-int division).
-    "q80_containment" ->
-      s"""WITH ${LlmSql.docShingles},
-         |idx AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM sh),
-         |agg AS (
-         |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.sz AS s1,
-         |         count(*) AS inter
-         |  FROM idx a JOIN idx b
-         |    ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
-         |  GROUP BY 1, 2, 3)
-         |SELECT id1, id2, inter / s1 AS containment
-         |FROM agg WHERE inter / s1 >= CAST(0.8 AS DOUBLE)
-         |ORDER BY id1, id2""".stripMargin,
+    "q80_containment" -> containmentOracle,
+
+    // Prefix filtering is result-invariant by the pigeonhole argument (the
+    // exact verify kills false candidates) — SAME oracle as q80.
+    "q113_containment_prefix" -> containmentOracle,
 
     "q81_bloom_decontaminate" -> decontOracle,
 
@@ -3098,6 +3152,34 @@ object SparkEntry {
          |SELECT node, count(*) AS deg FROM (
          |  SELECT u AS node FROM e11 UNION ALL SELECT v AS node FROM e11)
          |GROUP BY node ORDER BY node""".stripMargin
-    }
+    },
+
+    // DuckDB plans the correlated lateral natively; same text as Spark.
+    "q114_lateral" ->
+      """SELECT n_name, c.c_custkey, c.c_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
+
+    // Plain inequality overlap join — the bucket expansion must be
+    // result-identical, each pair exactly once.
+    "q115_interval_overlap" ->
+      """WITH promos AS (
+        |  SELECT CAST(i AS INTEGER) AS promo_id,
+        |         CAST(i * 97 AS BIGINT) AS p_lo,
+        |         CAST(i * 97 + 150 AS BIGINT) AS p_hi
+        |  FROM generate_series(0, 24) t(i)),
+        |sp AS (
+        |  SELECT datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS o_lo,
+        |         datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |           + 1 + o_orderkey % 60 AS o_hi,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders)
+        |SELECT promo_id, count(*) AS n_orders,
+        |       CAST(sum(price_c) AS BIGINT) AS sum_price_c
+        |FROM promos JOIN sp ON p_lo < o_hi AND o_lo < p_hi
+        |GROUP BY promo_id ORDER BY promo_id""".stripMargin
   )
 }

@@ -53,4 +53,33 @@ object RangeJoinOps {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bucket")
   }
+
+  /** INTERVAL-OVERLAP join: every pair of half-open intervals with
+    * `aLo < bHi AND bLo < aHi` — the two-sided sibling of
+    * [[bucketRangeJoin]] (event windows × promo windows, session spans ×
+    * outage spans). Same bucket-expansion idea, both sides replicated; an
+    * overlapping pair co-occurs in EVERY bucket their spans share, so the
+    * pair is kept only in the bucket containing the overlap's start,
+    * `max(aLo, bLo)` — exactly-once without a distinct.
+    *
+    * Scale: replication is span/W per row on each side (W ≈ median
+    * interval length keeps it ≲2×), then one shuffled equi-join on the
+    * bucket id; the exact predicate and the owner-bucket check are
+    * bucket-local residuals. No nested-loop, no cartesian, no dedup
+    * shuffle. Column names across `a` and `b` must not collide. */
+  def bucketIntervalJoin(a: DataFrame, aLo: String, aHi: String,
+                         b: DataFrame, bLo: String, bHi: String,
+                         bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bad bucketWidth=$bucketWidth")
+    def bucket(x: String): Column =
+      expr(s"(($x) - pmod($x, $bucketWidth)) div $bucketWidth")
+    val ea = a.filter(col(aHi) > col(aLo))
+      .withColumn("__bucket", explode(sequence(bucket(aLo), bucket(s"$aHi - 1"))))
+    val eb = b.filter(col(bHi) > col(bLo))
+      .withColumn("__bucket", explode(sequence(bucket(bLo), bucket(s"$bHi - 1"))))
+    ea.join(eb, Seq("__bucket"))
+      .filter(col(aLo) < col(bHi) && col(bLo) < col(aHi))
+      .filter(col("__bucket") === bucket(s"greatest($aLo, $bLo)"))
+      .drop("__bucket")
+  }
 }

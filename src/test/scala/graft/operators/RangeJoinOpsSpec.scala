@@ -43,6 +43,30 @@ class RangeJoinOpsSpec extends SparkSpec {
     assert(wrong.count() == 0)
   }
 
+  test("bucketIntervalJoin equals the brute-force overlap join, exactly once") {
+    // second interval set: mixed widths + empty/inverted rows, offset so
+    // overlaps cross bucket boundaries at every tested width
+    val right = (Seq((100, 10L, 10L), (101, 40L, 30L), (102, 0L, 2000L)) ++
+      (103 until 120).map(i => (i, rnd.nextLong(900), rnd.nextLong(900))))
+      .toDF("rid", "rlo", "rhi")
+    for (w <- Seq(1L, 7L, 64L, 4096L)) {
+      val got = RangeJoinOps
+        .bucketIntervalJoin(intervals, "lo", "hi", right, "rlo", "rhi", w)
+        .select("iid", "rid").as[(Int, Int)].collect().sorted
+      // brute force mirrors the operator's contract: an empty or inverted
+      // interval has no points, so it overlaps nothing — the raw strict-
+      // inequality predicate alone would vacuously match it when its
+      // degenerate endpoint sits inside the other interval
+      val want = intervals.filter(col("hi") > col("lo"))
+        .join(right.filter(col("rhi") > col("rlo")),
+          col("lo") < col("rhi") && col("rlo") < col("hi"))
+        .select("iid", "rid").as[(Int, Int)].collect().sorted
+      assert(got.sameElements(want), s"mismatch at bucketWidth=$w")
+      assert(want.nonEmpty && want.length == want.distinct.length)
+      assert(got.length == got.distinct.length, s"dup pair at width=$w")
+    }
+  }
+
   test("the plan is an equi-join on the bucket — no nested loop, no cartesian") {
     val plan = RangeJoinOps.bucketRangeJoin(points, "p", intervals, "lo", "hi", 64L)
       .queryExecution.executedPlan.toString

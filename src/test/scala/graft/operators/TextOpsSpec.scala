@@ -222,6 +222,25 @@ class TextOpsSpec extends SparkSpec {
     assert(fps(1L) != fps(3L))
   }
 
+  test("containmentPairsPrefix == containmentPairs (planted containment + corpus)") {
+    // planted: doc 20 wholly inside doc 21 (containment 1.0 one way, low
+    // the other); plus the shared fixture corpus for variety
+    val planted = Seq(
+      (20L, "alpha beta gamma delta epsilon"),
+      (21L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"))
+      .toDF("doc_id", "text")
+    val corpus = docs.union(planted)
+    val sh = TextOps.shingleTable(corpus, "doc_id")
+    val exact = TextOps.containmentPairs(sh, "doc_id", threshold = 0.8)
+      .as[(Long, Long, Double)].collect().sorted
+    val pref = TextOps.containmentPairsPrefix(sh, "doc_id", thrNum = 4, thrDen = 5)
+      .as[(Long, Long, Double)].collect().sorted
+    assert(pref.sameElements(exact))
+    assert(exact.exists(p => p._1 == 20L && p._2 == 21L && p._3 == 1.0))
+    assert(!exact.exists(p => p._1 == 21L && p._2 == 20L)) // big ⊄ small
+  }
+
   test("charEntropy: constant, two-symbol, and uniform strings hit closed forms") {
     val d = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd"), (4L, "")).toDF("doc_id", "text")
     val got = TextOps.charEntropy(d)
