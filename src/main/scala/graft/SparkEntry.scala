@@ -1456,6 +1456,16 @@ object SparkEntry {
         .groupBy("promo_id")
         .agg(count(lit(1)).as("n_orders"), sum("price_c").as("sum_price_c"))
         .orderBy("promo_id")
+    }),
+
+    // Product-quantization ANN: 4 subspaces × 16 dims, 8-centroid
+    // codebooks (2 Lloyd rounds each, the q60 machinery), ADC top-10 for
+    // 3 queries — codes + integer distance tables, bit-exact.
+    "q116_pq_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.pqTopK(e, e.filter(col("vec_id") < 3), k = 10,
+          m = 4, ksub = 8, iters = 2, dim = 64)
+        .orderBy("qid", "rank")
     })
   )
 
@@ -1588,7 +1598,7 @@ object SparkEntry {
     /** Exact-integer-L2 argmin assignment of qv against centroid CTE
       * `cPrev(cid, cv)` (Σ(a−c)² ≡ Spark's |a|²−2a·c+|c|² in exact
       * 64-bit integers), ties to the smaller cid. */
-    def assign(cPrev: String, a: String, dim: Int): String =
+    def assign(cPrev: String, a: String, dim: Int, src: String = "qv"): String =
       s"""$a AS (
          |  SELECT vec_id, qv, cid FROM (
          |    SELECT vec_id, qv, cid,
@@ -1597,7 +1607,7 @@ object SparkEntry {
          |      SELECT v.vec_id, v.qv, c.cid,
          |             list_sum(list_transform(range(1, ${dim + 1}),
          |               i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))) AS dist
-         |      FROM qv v CROSS JOIN $cPrev c))
+         |      FROM $src v CROSS JOIN $cPrev c))
          |  WHERE rn = 1)""".stripMargin
 
     /** Per-dimension requantized-mean centroid update; an empty cluster
@@ -1617,13 +1627,13 @@ object SparkEntry {
     /** c0 (k smallest vec_ids) → assign a1 → update c1 → assign a2 →
       * update c2: the fixed two-iteration Lloyd chain both gate queries
       * pin. */
-    def twoRounds(k: Int, dim: Int): String =
-      s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, qv AS cv
-         |       FROM (SELECT vec_id, qv FROM qv ORDER BY vec_id LIMIT $k)),
-         |${assign("c0", "a1", dim)},
-         |${update("a1", "c0", "c1")},
-         |${assign("c1", "a2", dim)},
-         |${update("a2", "c1", "c2")}""".stripMargin
+    def twoRounds(k: Int, dim: Int, prefix: String = "", src: String = "qv"): String =
+      s"""${prefix}c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, qv AS cv
+         |       FROM (SELECT vec_id, qv FROM $src ORDER BY vec_id LIMIT $k)),
+         |${assign(s"${prefix}c0", s"${prefix}a1", dim, src)},
+         |${update(s"${prefix}a1", s"${prefix}c0", s"${prefix}c1")},
+         |${assign(s"${prefix}c1", s"${prefix}a2", dim, src)},
+         |${update(s"${prefix}a2", s"${prefix}c1", s"${prefix}c2")}""".stripMargin
   }
 
   /** Shared by q26 (single tile) and q27 (multi-tile + owner dedup): the
@@ -3180,6 +3190,51 @@ object SparkEntry {
         |SELECT promo_id, count(*) AS n_orders,
         |       CAST(sum(price_c) AS BIGINT) AS sum_price_c
         |FROM promos JOIN sp ON p_lo < o_hi AND o_lo < p_hi
-        |GROUP BY promo_id ORDER BY promo_id""".stripMargin
+        |GROUP BY promo_id ORDER BY promo_id""".stripMargin,
+
+    // Four independent 2-round Lloyd chains (one per 16-dim subspace, the
+    // q60 CTE machinery with prefixed names), a final assignment per
+    // subspace for the codes, then ADC: per-query × sub-centroid exact
+    // integer distance table joined to the codes and summed.
+    "q116_pq_ann" -> {
+      val m = 4; val sub = 16; val ksub = 8
+      def qvS(s: Int): String =
+        s"""qv$s AS (SELECT vec_id,
+           |  ${LlmSql.qvec(s"embedding[${s * sub + 1}:${(s + 1) * sub}]")} AS qv
+           |  FROM embeddings)""".stripMargin
+      val qvs = (0 until m).map(qvS).mkString(",\n")
+      val chains = (0 until m)
+        .map(s => KmeansSql.twoRounds(ksub, sub, prefix = s"s$s", src = s"qv$s"))
+        .mkString(",\n")
+      val finals = (0 until m)
+        .map(s => KmeansSql.assign(s"s${s}c2", s"s${s}a3", sub, src = s"qv$s"))
+        .mkString(",\n")
+      val codes = (0 until m)
+        .map(s => s"SELECT vec_id, $s AS s, cid FROM s${s}a3")
+        .mkString("\nUNION ALL ")
+      val dts = (0 until m).map(s =>
+        s"""SELECT q.vec_id AS qid, $s AS s, c.cid,
+           |       list_sum(list_transform(range(1, ${sub + 1}),
+           |         i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS d
+           |FROM qv$s q CROSS JOIN s${s}c2 c WHERE q.vec_id < 3""".stripMargin)
+        .mkString("\nUNION ALL ")
+      s"""WITH $qvs,
+         |$chains,
+         |$finals,
+         |codes AS MATERIALIZED ($codes),
+         |dt AS MATERIALIZED ($dts),
+         |adist AS (
+         |  SELECT dt.qid, codes.vec_id, CAST(sum(dt.d) AS BIGINT) AS adist
+         |  FROM codes JOIN dt ON dt.s = codes.s AND dt.cid = codes.cid
+         |  WHERE dt.qid <> codes.vec_id
+         |  GROUP BY dt.qid, codes.vec_id),
+         |ranked AS (
+         |  SELECT qid, CAST(row_number() OVER (
+         |           PARTITION BY qid ORDER BY adist, vec_id) AS INT) AS rank,
+         |         vec_id, adist
+         |  FROM adist)
+         |SELECT qid, rank, vec_id, adist FROM ranked
+         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+    }
   )
 }

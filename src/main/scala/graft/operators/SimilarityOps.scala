@@ -225,6 +225,80 @@ object SimilarityOps {
       .join(dropped, Seq("vec_id"), "left_anti")
   }
 
+  /** Product-quantization ANN (Jégou, Douze, Schmid: "Product Quantization
+    * for Nearest Neighbor Search", IEEE TPAMI 2011): split each vector into
+    * `m` subspaces, train an independent [[kmeansCentroids]] codebook of
+    * `ksub` centroids per subspace, ENCODE every vector as its m nearest
+    * sub-centroid ids (m bytes-ish instead of dim doubles — the memory
+    * compression that lets a 100 TB corpus's index live in RAM), and
+    * answer queries by ASYMMETRIC DISTANCE (ADC): per query, precompute
+    * the m×ksub table of exact integer |q_s − c_{s,j}|² distances, then a
+    * vector's approximate distance is m table lookups summed — no vector
+    * data touched at query time, just codes.
+    *
+    * Scale shape: training is m small independent Lloyd runs; encoding is
+    * a broadcast-codebook map pass (zero shuffle, like
+    * [[assignToCentroids]]); the query scan is codes ⨯ broadcast distance
+    * tables — a pure map over the code table — followed by the per-query
+    * top-k window. Everything integer-exact on the quantized grid, so the
+    * result (including the ADC distances) is bit-identical in any engine.
+    *
+    * Returns (qid, rank, vec_id, adist): per query the k code-nearest
+    * vectors, ties on adist broken by vec_id. Recall is approximate by
+    * design (codes quantize); the oracle replicates the algorithm. */
+  def pqTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 4, ksub: Int = 8, iters: Int = 2,
+             dim: Int = 64): DataFrame = {
+    require(m > 0 && dim % m == 0, s"bad pq m=$m dim=$dim")
+    val sub = dim / m
+    val subVecs = (0 until m).map { s =>
+      vectors.select(col("vec_id"),
+        slice(col("embedding"), s * sub + 1, sub).as("embedding"))
+    }
+    // cache: each codebook (ksub×sub longs — tiny) has TWO consumers, the
+    // encoder and the ADC tables; uncached, both re-run the whole Lloyd
+    // training chain (the semDedup lineage-severing rule)
+    val books = subVecs.zipWithIndex.map { case (sv, s) =>
+      kmeansCentroids(sv, ksub, iters, sub)
+        .select(lit(s).as("s"), col("cid"), col("cv"))
+        .cache()
+    }
+    // codes: one row per vector, array of m sub-centroid ids (s-ordered)
+    val codes = subVecs.zipWithIndex.map { case (sv, s) =>
+        assignToCentroids(sv, books(s).select("cid", "cv"))
+          .select(col("vec_id"), lit(s).as("s"), col("cid"))
+      }
+      .reduce(_ union _)
+      .groupBy("vec_id")
+      .agg(transform(sort_array(collect_list(struct(col("s"), col("cid")))),
+        p => p.getField("cid")).as("codes"))
+    // per-query ADC tables: dt[s+1][j+1] = |q_s − c_{s,j}|², exact ints
+    val qsub = (0 until m).map { s =>
+      queries.select(col("vec_id").as("qid"), lit(s).as("s"),
+        quantize(slice(col("embedding"), s * sub + 1, sub)).as("qq"))
+    }
+    val dte = qsub.reduce(_ union _)
+      .join(books.reduce(_ union _), Seq("s"))
+      .withColumn("d",
+        dotQ(col("qq"), col("qq")) - lit(2L) * dotQ(col("qq"), col("cv")) +
+          dotQ(col("cv"), col("cv")))
+    val dt = dte.groupBy("qid", "s")
+      .agg(transform(sort_array(collect_list(struct(col("cid"), col("d")))),
+        p => p.getField("d")).as("ds"))
+      .groupBy("qid")
+      .agg(transform(sort_array(collect_list(struct(col("s"), col("ds")))),
+        p => p.getField("ds")).as("dt"))
+    val wTop = Window.partitionBy("qid").orderBy(col("adist").asc, col("vec_id"))
+    codes.crossJoin(broadcast(dt))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("adist", expr(
+        s"aggregate(sequence(0, ${m - 1}), 0L, (acc, s) -> " +
+          "acc + element_at(element_at(dt, s + 1), CAST(element_at(codes, s + 1) AS INT) + 1))"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "adist")
+  }
+
   /** Symmetric int8 quantization of an embedding column — the standard
     * 4×-compression step before shipping vectors to an ANN index or a
     * GPU: per-vector scale m = max|component|, q8ᵢ = round(xᵢ·127/m)

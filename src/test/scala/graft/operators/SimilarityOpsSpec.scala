@@ -164,4 +164,32 @@ class SimilarityOpsSpec extends SparkSpec {
       .count()
     assert(pairsLeft == 0, "no near-dup pair survives within a cluster")
   }
+
+  test("pqTopK: a planted duplicate ranks first; clustered recall matches brute force") {
+    val centers = Seq(Seq(0.9f, 0.9f), Seq(0.9f, -0.9f), Seq(-0.9f, 0.9f), Seq(-0.9f, -0.9f))
+    val rnd = new scala.util.Random(13)
+    val dim = 8
+    val base = (0 until 60).map { i =>
+      val c = centers(i % 4)
+      val v = Seq.tabulate(dim)(d =>
+        (if (d < 2) c(d) else 0.0f) + (rnd.nextGaussian() / 50).toFloat)
+      (i.toLong, v)
+    }
+    val dup = (99L, base.head._2) // exact copy of vec 0
+    val df = (base :+ dup).toDF("vec_id", "embedding")
+    val got = SimilarityOps.pqTopK(df, df.filter(col("vec_id") === 0), k = 5,
+        m = 4, ksub = 4, iters = 2, dim = dim)
+      .select("qid", "rank", "vec_id", "adist")
+      .as[(Long, Int, Long, Long)].collect().sortBy(_._2)
+    // the exact copy shares every sub-code with the query, so its ADC
+    // distance is the minimum possible (other same-code vectors may tie —
+    // ADC can't see within-cell differences; ties break by vec_id)
+    val minDist = got.map(_._4).min
+    assert(got.find(_._3 == 99L).exists(_._4 == minDist), got.toSeq.toString)
+    // all top-5 come from the query's own planted cluster (i % 4 == 0)
+    assert(got.forall(r => r._3 == 99L || r._3 % 4 == 0), got.toSeq.toString)
+    // adists are non-decreasing with rank and non-negative
+    assert(got.map(_._4).toSeq == got.map(_._4).sorted.toSeq)
+    assert(got.forall(_._4 >= 0))
+  }
 }
