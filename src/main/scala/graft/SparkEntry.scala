@@ -1466,7 +1466,33 @@ object SparkEntry {
       SimilarityOps.pqTopK(e, e.filter(col("vec_id") < 3), k = 10,
           m = 4, ksub = 8, iters = 2, dim = 64)
         .orderBy("qid", "rank")
-    })
+    }),
+
+    // Weekly cohort retention over the events stream — all-integer epoch
+    // week math, cohort = week of first activity per user.
+    "q117_cohort_retention" -> ((s, dir) =>
+      EventOps.cohortRetention(t(s, dir, "events"))
+        .orderBy("cohort_wk", "wk_offset"))
+    ,
+
+    // Schema evolution: two parquet file generations under one table path
+    // (v=1 lacks n_regionkey), read back with mergeSchema + partition
+    // discovery — missing columns null-fill, the data-lake contract.
+    "q118_schema_evolution" -> ((s, dir) => {
+      val path = rtPath("q118_se")
+      t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        .write.mode("overwrite").parquet(s"$path/v=1")
+      t(s, dir, "nation").select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .write.mode("overwrite").parquet(s"$path/v=2")
+      s.read.option("mergeSchema", "true").parquet(path)
+        .orderBy("v", "n_nationkey")
+    }),
+
+    // Exact-integer z-score outliers: |x−μ| > 2σ with all denominators
+    // cleared — no float mean, no sqrt, no rounding-boundary hazard.
+    "q119_zscore_outliers" -> ((s, dir) =>
+      EventOps.zscoreOutliers(t(s, dir, "events"))
+        .orderBy("event_id"))
   )
 
   /** Shared q77 input: the events table viewed as a CDC feed. */
@@ -3235,6 +3261,40 @@ object SparkEntry {
          |  FROM adist)
          |SELECT qid, rank, vec_id, adist FROM ranked
          |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
-    }
+    },
+
+    "q117_cohort_retention" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk
+        |            FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id)
+        |SELECT cohort_wk, wk - cohort_wk AS wk_offset,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM ev JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // The merged view IS the oracle: generation 1 rows null-fill the
+    // column generation 2 added.
+    "q118_schema_evolution" ->
+      """SELECT n_nationkey, n_name, CAST(NULL AS BIGINT) AS n_regionkey,
+        |       CAST(1 AS INT) AS v
+        |FROM nation
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey, CAST(2 AS INT) AS v
+        |FROM nation
+        |ORDER BY v, n_nationkey""".stripMargin,
+
+    // Same cleared-denominator integer predicate (DuckDB's HUGEINT sums
+    // only widen it; values are identical).
+    "q119_zscore_outliers" ->
+      """WITH ev AS (SELECT event_id, event_type,
+        |                   CAST(round(value * 100) AS BIGINT) AS value_c
+        |            FROM events),
+        |st AS (SELECT event_type, count(*) AS n, sum(value_c) AS s,
+        |              sum(value_c * value_c) AS ss
+        |       FROM ev GROUP BY event_type)
+        |SELECT event_id, event_type, value_c
+        |FROM ev JOIN st USING (event_type)
+        |WHERE (n * value_c - s) * (n * value_c - s) > 4 * (n * ss - s * s)
+        |ORDER BY event_id""".stripMargin
   )
 }

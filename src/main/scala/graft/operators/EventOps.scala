@@ -267,4 +267,52 @@ object EventOps {
         when(col("exit_us").isNotNull, lit(1)).otherwise(lit(0)).as("converted"),
         (col("exit_us") - col("entry_us")).as("ttc_us"))
   }
+
+  /** Weekly cohort-retention matrix — the standard product-analytics view:
+    * users are grouped by the epoch week of their FIRST event (the
+    * cohort), and each cell (cohort_wk, wk_offset) counts the distinct
+    * cohort members active `wk_offset` weeks later. All-integer epoch math
+    * (µs div week-µs), so cells are bit-identical in any engine.
+    *
+    * Scale shape: the cohort table is one partial-aggregated shuffle to
+    * |users| rows (≪ events — broadcast/bucket-join at scale), then one
+    * count-distinct aggregation over (cohort, offset); nothing global,
+    * nothing quadratic. */
+  def cohortRetention(events: DataFrame, key: String = "user_id",
+                      tsCol: String = "ts"): DataFrame = {
+    val ev = events.select(col(key), tsUs(tsCol).as("ts_us"))
+      .select(col(key), expr("ts_us div 604800000000").as("wk"))
+    val cohorts = ev.groupBy(col(key)).agg(min("wk").as("cohort_wk"))
+    ev.join(cohorts, Seq(key))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"))
+      .agg(countDistinct(col(key)).as("n_users"))
+  }
+
+  /** Per-group z-score outliers in PURE 64-bit integer arithmetic: flag
+    * rows with |x − μ| > `sigmas`·σ by clearing the denominators —
+    *
+    *   (n·x − Σx)² > sigmas² · (n·Σx² − (Σx)²)
+    *
+    * (both sides = n⁴·the real quantities). No float mean, no sqrt, no
+    * boundary-rounding hazard: the predicate is exact, so the flagged set
+    * is bit-identical on any partitioning and any engine — the property
+    * that makes an outlier gate auditable in a data pipeline.
+    *
+    * Overflow envelope: needs n·max|x_cents| < 2⁶³ᐟ² ≈ 3·10⁹ and
+    * n·Σx² < 2⁶³ (fine to ~10⁵ rows/group at 10⁵-cent values). Past
+    * that, run the same predicate over DECIMAL(38) or mean-centered
+    * values; the plan shape (one stats aggregate + a broadcast join back)
+    * is unchanged. */
+  def zscoreOutliers(events: DataFrame, groupCol: String = "event_type",
+                     valueCol: String = "value", sigmas: Int = 2): DataFrame = {
+    val ev = events.select(col("event_id"), col(groupCol),
+      cents(col(valueCol)).as("value_c"))
+    val stats = ev.groupBy(col(groupCol)).agg(count(lit(1)).as("n"),
+      sum("value_c").as("s"), sum(col("value_c") * col("value_c")).as("ss"))
+    val dev = col("n") * col("value_c") - col("s")
+    ev.join(stats, Seq(groupCol))
+      .filter(dev * dev > lit(sigmas.toLong * sigmas) *
+        (col("n") * col("ss") - col("s") * col("s")))
+      .select(col("event_id"), col(groupCol), col("value_c"))
+  }
 }

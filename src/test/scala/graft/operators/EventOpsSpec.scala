@@ -176,4 +176,30 @@ class EventOpsSpec extends SparkSpec {
       assert(sorted.init.forall(_._4.isDefined) && sorted.last._4.isEmpty)
     }
   }
+
+  test("cohortRetention reproduces a hand-built weekly matrix") {
+    val WK = 604800000000L // µs per week
+    val rows = Seq( // user 1: weeks 0,1,3; user 2: weeks 1,1,2; user 3: week 0
+      (1L, 0L * WK + 5L), (1L, 1L * WK + 6L), (1L, 3L * WK + 7L),
+      (2L, 1L * WK + 1L), (2L, 1L * WK + 2L), (2L, 2L * WK + 3L),
+      (3L, 0L * WK + 9L))
+    // ts is the harness convention: TIMESTAMP(NANOS) parquet surfaced as a
+    // nanos LONG (nanosAsLong), so tsUs = ts div 1000
+    val df = rows.toDF("user_id", "us")
+      .select(col("user_id"), (col("us") * 1000L).as("ts"))
+    val got = EventOps.cohortRetention(df)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (0L, 0L, 2L), (0L, 1L, 1L), (0L, 3L, 1L), // cohort week 0: users 1,3
+      (1L, 0L, 1L), (1L, 1L, 1L)))              // cohort week 1: user 2
+  }
+
+  test("zscoreOutliers flags the planted spike only; a constant group flags nothing") {
+    val normal = (0 until 20).map(i => (i.toLong, "a", 1.0))
+    val spike = Seq((99L, "a", 100.0))
+    val const = (100 until 110).map(i => (i.toLong, "b", 5.0)) // σ = 0
+    val df = (normal ++ spike ++ const).toDF("event_id", "event_type", "value")
+    val got = EventOps.zscoreOutliers(df).as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((99L, "a", 10000L)))
+  }
 }
