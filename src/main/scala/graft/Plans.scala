@@ -121,7 +121,23 @@ object Plans {
         "side Generate explode(sequence(floordiv(lo), floordiv(hi-1))), " +
         "equi-join on [__bucket_pt]=[__bucket_iv] with the exact range " +
         "predicate as residual, and NO BroadcastNestedLoopJoin or " +
-        "CartesianProduct node remains."))
+        "CartesianProduct node remains."),
+    "q111_bm25" ->
+      ("BM25 retrieval: the corpus stream is pruned to query terms by a " +
+        "pushed `term IN (...)` filter BEFORE the tf aggregate; df and the " +
+        "corpus stats arrive as BroadcastHashJoins; the global top-20 is " +
+        "TakeOrderedAndProject — no global sort of the scored docs."),
+    "q115_interval_overlap" ->
+      ("Two-sided bucket expansion: BOTH interval sides carry a Generate " +
+        "explode(sequence(...)) over their bucket span, the join is an " +
+        "equi-join on __bucket with the exact overlap predicate plus the " +
+        "owner-bucket (greatest(lo_a,lo_b)) check as residuals — no " +
+        "nested loop, no cartesian, no distinct for dedup."))
+  // q116_pq_ann is absent for the q60 reason: its lazy plan nests four
+  // 2-round Lloyd trainings, so the explain text is enormous while the
+  // interesting query-time shape — codes ⨯ 3-row broadcast distance
+  // tables, adist = m array lookups, per-query window top-k — adds no
+  // plan geometry beyond q40/q41's sections.
   // q71_components is absent for the same reason as q60 below: the
   // returned labels frame is a localCheckpoint product, so its explain
   // shows a scan of checkpointed data, not the per-round join+min shape

@@ -60,7 +60,17 @@ object ScaleBench {
     // precondition fails LOUDLY by design (a fixed absolute threshold
     // stops being "heavy" when N grows; production scales minFreq with N)
     "q92_native_topk", "q93_dup_span_mask", "q97_bpe_merges",
-    "q100_merge_upsert", "q103_range_join_rule", "q104_triangles")
+    "q100_merge_upsert", "q103_range_join_rule", "q104_triangles",
+    // later round-6 additions: BM25 retrieval (filtered tf + broadcast
+    // stats), k-core peeling (degree shuffles × erosion rounds),
+    // prefix-filtered containment (the q80 contrast pair — measures the
+    // PPJoin prune's scaling win on the same oracle answer), PQ ANN
+    // (4 Lloyd trainings + code/ADC map passes), char entropy (explode +
+    // two partial aggs), interval-overlap join, cohort retention, and the
+    // integer z-score scan
+    "q110_char_entropy", "q111_bm25", "q112_kcore",
+    "q113_containment_prefix", "q115_interval_overlap", "q116_pq_ann",
+    "q117_cohort_retention", "q119_zscore_outliers")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

@@ -1493,6 +1493,46 @@ object SparkEntry {
     "q119_zscore_outliers" -> ((s, dir) =>
       EventOps.zscoreOutliers(t(s, dir, "events"))
         .orderBy("event_id"))
+    ,
+
+    // Incremental JOIN maintenance (the IVM delta-join identity,
+    // completing the family: q96 maintains aggregates, q100 maintains
+    // MERGE state): (A∪ΔA)⋈(B∪ΔB) = A⋈B ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB. The
+    // result is computed as base-join ∪ three delta joins — only the
+    // delta sides rescan at refresh time — and must hash against the
+    // full recompute, which IS the oracle.
+    "q120_incremental_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val ords = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey").as("c_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"))
+      val cA = cust.filter(col("c_custkey") % 10 =!= 0)
+      val cD = cust.filter(col("c_custkey") % 10 === 0)
+      val oA = ords.filter(col("o_orderkey") % 7 =!= 0)
+      val oD = ords.filter(col("o_orderkey") % 7 === 0)
+      val joined = cA.join(oA, "c_custkey")           // the standing view
+        .union(cD.join(oA, "c_custkey"))              // ΔA ⋈ B
+        .union(cA.join(oD, "c_custkey"))              // A ⋈ ΔB
+        .union(cD.join(oD, "c_custkey"))              // ΔA ⋈ ΔB
+      joined.groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"), sum("price_c").as("revenue_c"))
+        .orderBy("c_nationkey")
+    }),
+
+    // SQL surface: explicit GROUPING SETS — an asymmetric set list that
+    // neither ROLLUP (q94) nor CUBE (q107) expresses.
+    "q121_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+          |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+          |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+          |                        (o_orderpriority), ())
+          |ORDER BY g_status, g_prio,
+          |         o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    })
   )
 
   /** Shared q77 input: the events table viewed as a CDC feed. */
@@ -3295,6 +3335,24 @@ object SparkEntry {
         |SELECT event_id, event_type, value_c
         |FROM ev JOIN st USING (event_type)
         |WHERE (n * value_c - s) * (n * value_c - s) > 4 * (n * ss - s * s)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    // The oracle IS the full recompute — the incremental union must
+    // reproduce it exactly.
+    "q120_incremental_join" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q121_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderpriority), ())
+        |ORDER BY g_status, g_prio,
+        |         o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
   )
 }

@@ -298,21 +298,25 @@ object EventOps {
     * is bit-identical on any partitioning and any engine — the property
     * that makes an outlier gate auditable in a data pipeline.
     *
-    * Overflow envelope: needs n·max|x_cents| < 2⁶³ᐟ² ≈ 3·10⁹ and
-    * n·Σx² < 2⁶³ (fine to ~10⁵ rows/group at 10⁵-cent values). Past
-    * that, run the same predicate over DECIMAL(38) or mean-centered
-    * values; the plan shape (one stats aggregate + a broadcast join back)
-    * is unchanged. */
+    * The predicate arithmetic runs in DECIMAL(38,0): the squared terms
+    * reach n²·x² ≈ 10²¹ at only 10⁵ rows/group — past 2⁶³, where Spark's
+    * ANSI mode rightly throws (caught by the 10× scale harness). Exact
+    * decimal keeps the determinism claim at any realistic group size
+    * (overflow now needs n·x > 10¹⁹); DuckDB's HUGEINT sums are the same
+    * integers. Tungsten handles ≤38-digit decimals as two longs — still
+    * an order of magnitude cheaper than any float-tolerance scheme. */
   def zscoreOutliers(events: DataFrame, groupCol: String = "event_type",
                      valueCol: String = "value", sigmas: Int = 2): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
     val ev = events.select(col("event_id"), col(groupCol),
       cents(col(valueCol)).as("value_c"))
     val stats = ev.groupBy(col(groupCol)).agg(count(lit(1)).as("n"),
-      sum("value_c").as("s"), sum(col("value_c") * col("value_c")).as("ss"))
-    val dev = col("n") * col("value_c") - col("s")
+      sum(dec(col("value_c"))).as("s"),
+      sum(dec(col("value_c")) * dec(col("value_c"))).as("ss"))
+    val dev = dec(col("n")) * dec(col("value_c")) - col("s")
     ev.join(stats, Seq(groupCol))
       .filter(dev * dev > lit(sigmas.toLong * sigmas) *
-        (col("n") * col("ss") - col("s") * col("s")))
+        (dec(col("n")) * col("ss") - col("s") * col("s")))
       .select(col("event_id"), col(groupCol), col("value_c"))
   }
 }

@@ -292,7 +292,15 @@ object TextOps {
     * shingle arrays, so false candidates die and the result is
     * bit-identical to the exact form. Cost: the quadratic posting
     * self-join shrinks by ~(1−t) on one side AND avoids the hottest
-    * posting lists on that side; everything else is bucket-local. */
+    * posting lists on that side; everything else is bucket-local.
+    *
+    * When it pays: the prune targets HEAVY-TAILED posting lists (real
+    * corpora: boilerplate shingles with 10⁵⁺-doc postings, which the
+    * rarity prefix never joins on). On the synthetic gate corpus the
+    * vocabulary is tiny and uniform — every posting list is short — so
+    * the measured 10× harness shows the prefix machinery's fixed costs
+    * (df aggregate, per-doc rank window, array verify) without its
+    * payoff; SCALECHECK reports both numbers honestly. */
   def containmentPairsPrefix(shingleDf: DataFrame, idCol: String,
                              thrNum: Long = 9, thrDen: Long = 10,
                              minShingles: Int = 1): DataFrame = {
