@@ -95,11 +95,17 @@ object CorpusPipeline {
       sh.unpersist()
     }
 
-    // 4. repetition quality gate (q56 machinery): drop boilerplate/spam
+    // 4. repetition quality gate (q56 machinery) + character-entropy
+    // floor (q110 machinery): drop boilerplate/spam and entropy-degenerate
+    // text (repeated-char padding, binary-ish junk — natural prose sits
+    // ~2.8-3.3 nats, the floor only fires on pathological docs)
     val rep = CorpusOps.repetitionStats(deduped)
       .filter(col("dup_2gram_ratio") <= 0.5 && col("top_tok_share") <= 0.5)
       .select("doc_id")
-    val quality = cached(deduped.join(rep, Seq("doc_id"), "left_semi"))
+    val ent = TextOps.charEntropy(deduped)
+      .filter(col("entropy_nat") >= 1.0).select("doc_id")
+    val quality = cached(deduped.join(rep, Seq("doc_id"), "left_semi")
+      .join(ent, Seq("doc_id"), "left_semi"))
     stage("quality", quality.count())
 
     // 5. per-domain frequency cap (q59 machinery; synthetic domain key)

@@ -1532,6 +1532,39 @@ object SparkEntry {
           |                        (o_orderpriority), ())
           |ORDER BY g_status, g_prio,
           |         o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    }),
+
+    // UNPIVOT (melt) — the inverse of q95's pivot: wide per-flag measures
+    // back to long (flag, measure, value) form.
+    "q122_unpivot" -> ((s, dir) => {
+      val agg = t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        expr("CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)").as("sum_qty"),
+        expr("CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)").as("sum_price_c"),
+        expr("CAST(sum(CAST(round(l_discount * 1000) AS BIGINT)) AS BIGINT)").as("sum_disc_milli"))
+      agg.unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price_c"), col("sum_disc_milli")),
+          "measure", "value")
+        .orderBy("l_returnflag", "measure")
+    }),
+
+    // IGNORE NULLS window surface: forward-fill (last_value) and
+    // last-seen (lag) across NULLed-out error readings — the standard
+    // sensor-gap-fill idiom.
+    "q123_ignore_nulls" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events")
+      s.sql(
+        """WITH ev AS (SELECT user_id, event_id AS id, ts div 1000 AS ts_us,
+          |                   CASE WHEN event_type = 'error' THEN NULL
+          |                        ELSE CAST(round(value * 100) AS BIGINT) END AS v
+          |            FROM events)
+          |SELECT user_id, id, v,
+          |       last_value(v) IGNORE NULLS OVER w2 AS filled,
+          |       lag(v) IGNORE NULLS OVER w1 AS prev_seen
+          |FROM ev
+          |WINDOW w1 AS (PARTITION BY user_id ORDER BY ts_us, id),
+          |       w2 AS (PARTITION BY user_id ORDER BY ts_us, id
+          |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |ORDER BY user_id, ts_us, id""".stripMargin)
     })
   )
 
@@ -3353,6 +3386,37 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         |                        (o_orderpriority), ())
         |ORDER BY g_status, g_prio,
-        |         o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+        |         o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    // The oracle stacks the three measures explicitly — it checks Spark's
+    // UNPIVOT surface, so it must not itself depend on UNPIVOT dialect.
+    "q122_unpivot" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag,
+        |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+        |         CAST(sum(CAST(round(l_discount * 1000) AS BIGINT)) AS BIGINT) AS sum_disc_milli
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM agg
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price_c', sum_price_c FROM agg
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_disc_milli', sum_disc_milli FROM agg
+        |ORDER BY l_returnflag, measure""".stripMargin,
+
+    // DuckDB spells IGNORE NULLS inside the call; semantics identical.
+    "q123_ignore_nulls" ->
+      """WITH ev AS (SELECT user_id, event_id AS id, epoch_us(ts) AS ts_us,
+        |                   CASE WHEN event_type = 'error' THEN NULL
+        |                        ELSE CAST(round(value * 100) AS BIGINT) END AS v
+        |            FROM events)
+        |SELECT user_id, id, v,
+        |       last_value(v IGNORE NULLS) OVER w2 AS filled,
+        |       lag(v IGNORE NULLS) OVER w1 AS prev_seen
+        |FROM ev
+        |WINDOW w1 AS (PARTITION BY user_id ORDER BY ts_us, id),
+        |       w2 AS (PARTITION BY user_id ORDER BY ts_us, id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us, id""".stripMargin
   )
 }
