@@ -1565,6 +1565,34 @@ object SparkEntry {
           |       w2 AS (PARTITION BY user_id ORDER BY ts_us, id
           |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
           |ORDER BY user_id, ts_us, id""".stripMargin)
+    }),
+
+    // DSv2 WRITE path end to end: executors write per-task temp files,
+    // the driver's commit renames them into the table (two-phase, v1
+    // committer shape), truncate honors mode=overwrite — then read back
+    // through the same V2 source; must equal the oracle's original table.
+    "q124_dsv2_write" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val path = rtPath("q124_dsv2w")
+      val src = t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+      src.repartition(4).write.format("graft.sources.v2.GraftCsv")
+        .mode("overwrite").save(path)
+      s.read.schema(StructType(Seq(
+          StructField("c_custkey", LongType), StructField("c_name", StringType),
+          StructField("c_acctbal", DoubleType))))
+        .format("graft.sources.v2.GraftCsv").load(path)
+        .orderBy("c_custkey")
+    }),
+
+    // Small-file compaction is RESULT-INVARIANT: scatter the documents
+    // table into 64 files, compact, hash the compacted table against the
+    // original's oracle.
+    "q125_compaction" -> ((s, dir) => {
+      val path = rtPath("q125_compact")
+      t(s, dir, "documents").repartition(64)
+        .write.mode("overwrite").parquet(path)
+      Compaction.compact(s, path, targetBytes = 8L << 20)
+      s.read.parquet(path).orderBy("doc_id")
     })
   )
 
@@ -3417,6 +3445,17 @@ object SparkEntry {
         |WINDOW w1 AS (PARTITION BY user_id ORDER BY ts_us, id),
         |       w2 AS (PARTITION BY user_id ORDER BY ts_us, id
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |ORDER BY user_id, ts_us, id""".stripMargin
+        |ORDER BY user_id, ts_us, id""".stripMargin,
+
+    // Write+read round-trip must reproduce the ORIGINAL table (doubles
+    // textual via Double.toString — exact round-trip by definition).
+    "q124_dsv2_write" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // Compaction changes layout, never contents.
+    "q125_compaction" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

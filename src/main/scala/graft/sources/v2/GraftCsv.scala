@@ -7,9 +7,10 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -55,7 +56,10 @@ class GraftCsv extends TableProvider {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val files = GraftCsv.listDataFiles(options.get("path"))
-    require(files.nonEmpty, s"no data files under ${options.get("path")}")
+    // empty/nonexistent target: no schema to infer — legal for the WRITE
+    // path (the writer takes its schema from the incoming data); a read
+    // of an empty table with a user schema yields an empty result
+    if (files.isEmpty) return StructType(Nil)
     val fs = files.head.getFileSystem(new Configuration())
     val in = fs.open(files.head)
     val header = try {
@@ -82,13 +86,121 @@ object GraftCsv {
   }
 }
 
-class GraftCsvTable(tblSchema: StructType, path: String) extends Table with SupportsRead {
+class GraftCsvTable(tblSchema: StructType, path: String)
+  extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graftcsv:$path"
   override def schema(): StructType = tblSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftCsvScanBuilder(tblSchema, path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftCsvWriteBuilder(info.schema(), path, info.queryId())
+}
+
+/** WRITE path of the V2 contract — the "own a sink end to end"
+  * counterpart of the pruning/pushdown scan: executors stream rows to
+  * per-task TEMP files under `_tmp-<queryId>/`; each task's commit message
+  * carries its temp path; the DRIVER's `commit` renames them into place
+  * (and under `overwrite`/truncate first deletes the previous
+  * generation). Files therefore appear in the table only after every
+  * task succeeded — speculative duplicates and failed attempts abort and
+  * delete their own temp file, never the table. This is the same
+  * rename-based two-phase protocol Hadoop FileOutputCommitter v1 uses;
+  * on object stores a production variant substitutes multipart-upload
+  * completion for rename, same shape.
+  *
+  * Cell contract matches the reader: int/long/double/string, NULL = empty
+  * cell, quote-free — a cell containing the separator or a newline is
+  * rejected LOUDLY at write time (the validated-source philosophy: fail
+  * the job, don't corrupt the table). */
+class GraftCsvWriteBuilder(schema: StructType, path: String, queryId: String)
+  extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new GraftCsvBatchWrite(schema, path, queryId, doTruncate)
+  }
+}
+
+class GraftCsvBatchWrite(schema: StructType, path: String, queryId: String,
+                         truncate: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftCsvWriterFactory(schema, path, queryId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val base = new Path(path)
+    val fs = base.getFileSystem(new Configuration())
+    if (truncate) GraftCsv.listDataFiles(path).foreach(f => fs.delete(f, false))
+    messages.foreach { case GraftCsvCommit(tmp) =>
+      val t = new Path(tmp)
+      require(fs.rename(t, new Path(base, t.getName)),
+        s"commit rename failed for $tmp")
+    }
+    fs.delete(new Path(base, s"_tmp-$queryId"), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val base = new Path(path)
+    base.getFileSystem(new Configuration())
+      .delete(new Path(base, s"_tmp-$queryId"), true)
+  }
+}
+
+case class GraftCsvCommit(tmpFile: String) extends WriterCommitMessage
+
+class GraftCsvWriterFactory(schema: StructType, path: String, queryId: String)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftCsvWriter(schema, path, queryId, partitionId, taskId)
+}
+
+class GraftCsvWriter(schema: StructType, path: String, queryId: String,
+                     partitionId: Int, taskId: Long)
+  extends DataWriter[InternalRow] {
+
+  private val tmp = new Path(
+    new Path(path, s"_tmp-$queryId"),
+    f"part-$partitionId%05d-$taskId.csv")
+  private val fs = tmp.getFileSystem(new Configuration())
+  private val out = new java.io.BufferedWriter(
+    new java.io.OutputStreamWriter(fs.create(tmp, true), "UTF-8"))
+  out.write(schema.fieldNames.mkString(","))
+  out.newLine()
+
+  private def cell(row: InternalRow, i: Int): String =
+    if (row.isNullAt(i)) ""
+    else {
+      val s = schema(i).dataType match {
+        case IntegerType => row.getInt(i).toString
+        case LongType => row.getLong(i).toString
+        case DoubleType => row.getDouble(i).toString
+        case StringType => row.getUTF8String(i).toString
+        case other => throw new IllegalArgumentException(s"unsupported type $other")
+      }
+      require(!s.contains(',') && !s.contains('\n') && !s.contains('\r'),
+        s"cell value contains the separator/newline (quote-free contract): '$s'")
+      s
+    }
+
+  override def write(row: InternalRow): Unit = {
+    out.write((0 until schema.length).map(cell(row, _)).mkString(","))
+    out.newLine()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    GraftCsvCommit(tmp.toString)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(tmp, false)
+  }
+
+  override def close(): Unit = ()
 }
 
 class GraftCsvScanBuilder(fullSchema: StructType, path: String)

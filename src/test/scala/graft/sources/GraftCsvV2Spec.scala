@@ -26,6 +26,44 @@ class GraftCsvV2Spec extends SparkSpec {
 
   private def v2 = spark.read.schema(schema).format(fmt).load(dir)
 
+  test("V2 write: two-phase commit lands clean files; V2 read-back round-trips") {
+    val out = java.nio.file.Files.createTempDirectory("graftcsv-w").toString
+    val df = (0 until 50).map(i =>
+      (i, s"w$i", if (i % 7 == 0) None else Some(i * 2.5), i.toLong))
+      .toDF("id", "name", "score", "big")
+    df.repartition(3).write.format(fmt).mode("append").save(out)
+    val back = spark.read.schema(schema).format(fmt).load(out)
+      .as[(Int, String, Option[Double], Long)].collect().toSet
+    assert(back == df.as[(Int, String, Option[Double], Long)].collect().toSet)
+    // commit cleaned up: no temp dirs, exactly the 3 task files
+    val files = new java.io.File(out).listFiles.toSeq.map(_.getName)
+    assert(!files.exists(_.startsWith("_tmp")), files.toString)
+    assert(files.count(_.startsWith("part-")) == 3, files.toString)
+  }
+
+  test("V2 write: overwrite truncates the previous generation") {
+    val out = java.nio.file.Files.createTempDirectory("graftcsv-t").toString
+    Seq((1, "a", Some(1.0), 1L), (2, "b", Some(2.0), 2L))
+      .toDF("id", "name", "score", "big")
+      .write.format(fmt).mode("overwrite").save(out)
+    Seq((9, "z", Some(9.0), 9L)).toDF("id", "name", "score", "big")
+      .write.format(fmt).mode("overwrite").save(out)
+    val got = spark.read.schema(schema).format(fmt).load(out)
+      .as[(Int, String, Option[Double], Long)].collect().toSeq
+    assert(got == Seq((9, "z", Some(9.0), 9L)))
+  }
+
+  test("V2 write: a cell containing the separator fails the job loudly") {
+    val out = java.nio.file.Files.createTempDirectory("graftcsv-b").toString
+    val bad = Seq((1, "has,comma", Some(1.0), 1L)).toDF("id", "name", "score", "big")
+    val e = intercept[Exception] {
+      bad.write.format(fmt).mode("append").save(out)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("quote-free contract")), e.toString)
+  }
+
   test("round-trip equals the native csv reader, including NULL cells") {
     val native = Sinks.readCsv(spark, dir, schema)
       .as[(Int, String, Option[Double], Long)].collect().toSet
