@@ -1593,6 +1593,63 @@ object SparkEntry {
         .write.mode("overwrite").parquet(path)
       Compaction.compact(s, path, targetBytes = 8L << 20)
       s.read.parquet(path).orderBy("doc_id")
+    }),
+
+    // TPC-H Q8-shaped 7-table join (market share): the deep-join
+    // optimizer evidence — three broadcast dims + two fact joins, one
+    // aggregation. Catalyst picks the join order; integer cents keep the
+    // volume sums exact.
+    "q126_market_share" -> ((s, dir) => {
+      val vol = t(s, dir, "lineitem")
+        .join(t(s, dir, "part").filter(col("p_type") === "PROMO"),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation"))
+            .select(col("n_nationkey").as("cn_key"), col("n_regionkey")),
+          col("c_nationkey") === col("cn_key"))
+        .join(broadcast(t(s, dir, "region")).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation"))
+            .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")),
+          col("s_nationkey") === col("sn_key"))
+      vol.groupBy(year(col("o_orderdate")).as("o_year"), col("supp_nation"))
+        .agg(expr("CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)")
+          .as("volume_c"), count(lit(1)).as("n_items"))
+        .orderBy("o_year", "supp_nation")
+    }),
+
+    // Null-safe equality join (<=>): match rows on a NULLABLE key where
+    // NULL must equal NULL — the dimension-with-unknown-bucket idiom.
+    "q127_null_safe_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"),
+        when(col("event_type") === "error", lit(null).cast("string"))
+          .otherwise(col("event_type")).as("etype"))
+      val dim = s.createDataFrame(Seq(
+        ("click", 1L), ("view", 2L), ("purchase", 3L), ("signup", 4L),
+        (null.asInstanceOf[String], 99L))).toDF("etype", "bucket")
+      ev.join(broadcast(dim), ev("etype") <=> dim("etype"), "left")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("bucket").asc_nulls_first)
+    }),
+
+    // Tokenizer APPLY: encode the corpus vocabulary with the q97-learned
+    // merge table (replayed in order) — the downstream consumer of BPE
+    // training, gate-checked by replaying the same replaces in SQL.
+    "q128_bpe_encode" -> ((s, dir) => {
+      import s.implicits._
+      val merges = Bpe.merges(t(s, dir, "documents"), rounds = 4)
+        .orderBy("round").select("left", "right")
+        .as[(String, String)].collect().toSeq
+      val words = Bpe.vocab(t(s, dir, "documents")).select("word", "freq")
+      Bpe.encode(words, merges)
+        .join(words, Seq("word"))
+        .select(col("word"), col("freq"),
+          concat_ws("|", col("tokens")).as("tokens"),
+          size(col("tokens")).cast("long").as("n_tokens"))
+        .orderBy("word")
     })
   )
 
@@ -3456,6 +3513,67 @@ object SparkEntry {
     // Compaction changes layout, never contents.
     "q125_compaction" ->
       """SELECT doc_id, text, lang, source, n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q126_market_share" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+        |       sn.n_name AS supp_nation,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS volume_c,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // IS NOT DISTINCT FROM == Spark's <=>.
+    "q127_null_safe_join" ->
+      """WITH ev AS (SELECT event_id,
+        |                   CASE WHEN event_type = 'error' THEN NULL
+        |                        ELSE event_type END AS etype
+        |            FROM events),
+        |dim(etype, bucket) AS (VALUES
+        |  ('click', CAST(1 AS BIGINT)), ('view', 2), ('purchase', 3),
+        |  ('signup', 4), (NULL, 99))
+        |SELECT bucket, count(*) AS n_events
+        |FROM ev LEFT JOIN dim ON ev.etype IS NOT DISTINCT FROM dim.etype
+        |GROUP BY bucket ORDER BY bucket NULLS FIRST""".stripMargin,
+
+    // Replay the same 4 learned merges over each vocabulary word (the
+    // q97 wrapped-symbol encoding; merges applied in training order).
+    "q128_bpe_encode" -> {
+      def roundCte(i: Int): String = {
+        val prev = s"r${i - 1}"
+        s"""p$i AS (
+           |  SELECT l, r, sum(freq) AS w FROM (
+           |    SELECT freq, s[i] AS l, s[i + 1] AS r FROM (
+           |      SELECT freq, s, unnest(range(1, len(s))) AS i
+           |      FROM (SELECT freq, string_split(trim(repr), '  ') AS s FROM $prev)
+           |      WHERE len(s) >= 2))
+           |  GROUP BY l, r),
+           |m$i AS (SELECT l, r, w FROM p$i ORDER BY w DESC, l, r LIMIT 1),
+           |r$i AS (SELECT word, freq, replace(repr,
+           |          ' ' || (SELECT l FROM m$i) || '  ' || (SELECT r FROM m$i) || ' ',
+           |          ' ' || (SELECT l FROM m$i) || (SELECT r FROM m$i) || ' ') AS repr
+           |        FROM $prev)""".stripMargin
+      }
+      val rounds = (1 to 4).map(roundCte).mkString(",\n")
+      s"""WITH words AS (
+         |  SELECT w AS word, count(*) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE len(w) > 0 GROUP BY w),
+         |r0 AS (SELECT word, freq,
+         |  ' ' || array_to_string(list_transform(range(1, len(word) + 1), i -> word[i]), '  ') || ' ' AS repr
+         |  FROM words),
+         |$rounds
+         |SELECT word, CAST(freq AS BIGINT) AS freq,
+         |       array_to_string(string_split(trim(repr), '  '), '|') AS tokens,
+         |       CAST(len(string_split(trim(repr), '  ')) AS BIGINT) AS n_tokens
+         |FROM r4 ORDER BY word""".stripMargin
+    }
   )
 }

@@ -92,6 +92,22 @@ object StreamOps {
     events.withWatermark("ts", "20 minutes")
       .dropDuplicates("event_id")
 
+  /** [[dedupStream]] with BOUNDED state — the production form. Plain
+    * `dropDuplicates("event_id")` only evicts a key's state if the
+    * event-time column is part of the dedup key, so id-only dedup state
+    * grows forever; `dropDuplicatesWithinWatermark` guarantees eviction
+    * once the watermark passes the key's event time while still deduping
+    * on the id alone. The contract weakens explicitly: duplicates are
+    * dropped only within the horizon (at-least-once sources retry within
+    * seconds, so a horizon of minutes bounds state at
+    * O(arrival-rate × horizon) instead of O(stream length)) — a replay
+    * older than the horizon re-emits, which the spec pins as semantics,
+    * not a bug. */
+  def dedupBoundedStream(events: DataFrame,
+                         horizon: String = "20 minutes"): DataFrame =
+    events.withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Streaming corpus intake — the streaming twin of the batch
     * corpus-clean pipeline's first two stages (exact dedup + quality
     * gate): drop any document whose md5(text) was already seen, then gate

@@ -114,6 +114,31 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupBoundedStream: dups drop within the horizon, state evicts past it") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.dedupBoundedStream(mem.toDF(), horizon = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_bounded")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(1, ts(1), 10, "click", 1.0))
+      q.processAllAvailable()
+      // in-horizon duplicate: dropped
+      mem.addData(Event(1, ts(5), 10, "click", 1.0))
+      q.processAllAvailable()
+      // advance the watermark far past id 1's state (59 - 10 > 1)...
+      mem.addData(Event(2, ts(59), 11, "view", 2.0))
+      q.processAllAvailable()
+      // ...then REPLAY id 1: its state was evicted, so it re-emits — the
+      // documented within-horizon contract, pinned here as semantics
+      mem.addData(Event(1, ts(58), 10, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("dedup_bounded").select("event_id")
+        .as[Long].collect().toSeq
+      assert(got.sorted == Seq(1L, 1L, 2L), s"got $got")
+    } finally q.stop()
+  }
+
   test("cleanDocStream: content dedup across batches + token quality gate") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
