@@ -1650,7 +1650,18 @@ object SparkEntry {
           concat_ws("|", col("tokens")).as("tokens"),
           size(col("tokens")).cast("long").as("n_tokens"))
         .orderBy("word")
-    })
+    }),
+
+    // Spark 4 VARIANT type: parse the JSON props column once into a
+    // variant, extract a typed field — the semi-structured fast path
+    // (shredded binary encoding, no per-access string re-parse).
+    "q129_variant" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(expr("variant_get(parse_json(props), '$.k', 'long')").as("k"),
+          col("event_id"))
+        .groupBy((col("k") % 7).as("k_mod"))
+        .agg(count(lit(1)).as("n"), min("event_id").as("first_event"))
+        .orderBy("k_mod"))
   )
 
   /** Shared q77 input: the events table viewed as a CDC feed. */
@@ -3574,6 +3585,11 @@ object SparkEntry {
          |       array_to_string(string_split(trim(repr), '  '), '|') AS tokens,
          |       CAST(len(string_split(trim(repr), '  ')) AS BIGINT) AS n_tokens
          |FROM r4 ORDER BY word""".stripMargin
-    }
+    },
+
+    "q129_variant" ->
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 7 AS k_mod,
+        |       count(*) AS n, min(event_id) AS first_event
+        |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin
   )
 }

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** One input event (schema of the driver's `events` table). */
 case class Event(event_id: Long, ts: Timestamp, user_id: Long,
@@ -250,9 +250,47 @@ object StreamOps {
       .filter(_.freq >= minFreq)
   }
 
+  /** [[heavyHittersStream]] rebuilt on Spark 4's transformWithState —
+    * the arbitrary-stateful-processing API that supersedes
+    * mapGroupsWithState (typed named state slots with per-slot TTL,
+    * timers decoupled from input arrival, RocksDB-backed). Same contract
+    * as its twin: after any stream prefix, the emitted ≥ minFreq key set
+    * equals batch `HAVING count(*) >= minFreq` — the spec drives BOTH
+    * implementations through the same waves and requires identical
+    * results. Requires the RocksDB state-store provider (the API's
+    * backing store; spark.sql.streaming.stateStore.providerClass). */
+  def heavyHittersTws(keys: Dataset[Long], minFreq: Long): Dataset[KeyCount] = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    keys.groupByKey(identity)
+      .transformWithState(new RunningCountProcessor(minFreq),
+        TimeMode.None(), OutputMode.Update())
+      .filter(_.freq >= minFreq)
+  }
+
   /** Output modes the sinks expect (documented here so callers don't
     * guess): windowed aggs → Append with watermark closes windows;
     * mapGroupsWithState → Update. */
   val WindowedOutputMode: OutputMode = OutputMode.Append()
   val StatefulOutputMode: OutputMode = OutputMode.Update()
+}
+
+/** Per-key running count in a named ValueState slot (transformWithState
+  * form). minFreq is carried only for the scaladoc symmetry — emission is
+  * unconditional here and filtered by the caller, identical to the
+  * mapGroupsWithState twin's shape. */
+class RunningCountProcessor(minFreq: Long)
+  extends StatefulProcessor[Long, Long, KeyCount] {
+  @transient private var count: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    count = getHandle.getValueState[Long]("count",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Long],
+                               timerValues: TimerValues): Iterator[KeyCount] = {
+    val n = (if (count.exists()) count.get() else 0L) + rows.size
+    count.update(n)
+    Iterator.single(KeyCount(key, n))
+  }
 }

@@ -314,4 +314,41 @@ class StreamOpsSpec extends SparkSpec {
         .groupBy(_.k).keySet == Set(1L, 2L))
     } finally q.stop()
   }
+
+  test("heavyHittersTws (transformWithState) matches the mapGroupsWithState twin") {
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(23)
+    val waves = Seq(
+      Seq.fill(30)(1L) ++ Seq.fill(45)(2L) ++ Seq.fill(20)(rnd.nextLong(50L) + 10L),
+      Seq.fill(10)(1L) ++ Seq.fill(15)(2L) ++ Seq.fill(20)(rnd.nextLong(50L) + 10L),
+      Seq.fill(25)(1L) ++ Seq.fill(20)(rnd.nextLong(50L) + 10L))
+    // transformWithState requires the RocksDB state store backend
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Long]
+    val q = StreamOps.heavyHittersTws(mem.toDS(), minFreq = 50L)
+      .writeStream.format("memory").queryName("hh_tws")
+      .outputMode("update").start()
+    try {
+      val seen = scala.collection.mutable.Buffer.empty[Seq[Long]]
+      waves.foreach { w =>
+        mem.addData(w: _*)
+        q.processAllAvailable()
+        seen += w
+        val streamed = spark.table("hh_tws").as[KeyCount].collect()
+          .groupBy(_.k).map { case (k, rows) => (k, rows.map(_.freq).max) }
+        val batch = seen.flatten.groupBy(identity).view
+          .mapValues(_.size.toLong).filter(_._2 >= 50L).toMap
+        assert(streamed == batch, s"after ${seen.size} wave(s)")
+      }
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
