@@ -132,7 +132,13 @@ object Plans {
         "explode(sequence(...)) over their bucket span, the join is an " +
         "equi-join on __bucket with the exact overlap predicate plus the " +
         "owner-bucket (greatest(lo_a,lo_b)) check as residuals — no " +
-        "nested loop, no cartesian, no distinct for dedup."))
+        "nested loop, no cartesian, no distinct for dedup."),
+    "q126_market_share" ->
+      ("Deep 7-table join (TPC-H Q8 shape): the selective part filter " +
+        "and every dimension (part, nation x2, region, supplier, " +
+        "customer) arrive as BroadcastHashJoins so the lineitem fact " +
+        "stream is never shuffled for a join — the only exchanges are " +
+        "the final aggregate and the presentation sort."))
   // q116_pq_ann is absent for the q60 reason: its lazy plan nests four
   // 2-round Lloyd trainings, so the explain text is enormous while the
   // interesting query-time shape — codes ⨯ 3-row broadcast distance

@@ -70,7 +70,10 @@ object ScaleBench {
     // integer z-score scan
     "q110_char_entropy", "q111_bm25", "q112_kcore",
     "q113_containment_prefix", "q115_interval_overlap", "q116_pq_ann",
-    "q117_cohort_retention", "q119_zscore_outliers")
+    "q117_cohort_retention", "q119_zscore_outliers",
+    // the deep-join geometry: 7 tables, mixed broadcast + shuffled fact
+    // joins — the classic optimizer scaling case
+    "q126_market_share")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

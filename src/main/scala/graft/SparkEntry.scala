@@ -1662,6 +1662,36 @@ object SparkEntry {
         .groupBy((col("k") % 7).as("k_mod"))
         .agg(count(lit(1)).as("n"), min("event_id").as("first_event"))
         .orderBy("k_mod"))
+    ,
+
+    // Running DISTINCT count over a window — Spark has no windowed
+    // count(DISTINCT); the engine idiom is size(collect_set) over the
+    // running frame, hash-checked against DuckDB's native windowed
+    // DISTINCT. Kept to one user slice: the running set is per-row state,
+    // the demonstration doesn't need 10k rows of it.
+    "q130_windowed_distinct" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events").filter(col("user_id") < 10)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("ts_us"), col("event_type"))
+        .withColumn("n_types_seen",
+          size(collect_set(col("event_type")).over(w)).cast("long"))
+        .select("user_id", "event_id", "n_types_seen")
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    // Exact median parity: on integer cents both engines' interpolation
+    // formulas land on the same exactly-representable half-integers.
+    "q131_median" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("value_c"))
+        .groupBy("event_type")
+        .agg(median(col("value_c")).as("median_c"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type"))
   )
 
   /** Shared q77 input: the events table viewed as a CDC feed. */
@@ -3590,6 +3620,21 @@ object SparkEntry {
     "q129_variant" ->
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 7 AS k_mod,
         |       count(*) AS n, min(event_id) AS first_event
-        |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin,
+
+    "q130_windowed_distinct" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |            FROM events WHERE user_id < 10)
+        |SELECT user_id, event_id,
+        |       count(DISTINCT event_type) OVER (
+        |         PARTITION BY user_id ORDER BY ts_us, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_types_seen
+        |FROM ev ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q131_median" ->
+      """SELECT event_type,
+        |       median(CAST(round(value * 100) AS BIGINT)) AS median_c,
+        |       count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
