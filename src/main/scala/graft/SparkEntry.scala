@@ -1692,6 +1692,49 @@ object SparkEntry {
         .agg(median(col("value_c")).as("median_c"),
           count(lit(1)).as("n"))
         .orderBy("event_type"))
+    ,
+
+    // Three-step ordered funnel (signup → strictly-later view →
+    // strictly-later purchase): each stage is a min-over-later-events
+    // aggregation on the previous stage's anchor — the MATCH_RECOGNIZE
+    // workload expressed as two ordered gathers, no self-join explosion.
+    "q132_funnel3" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        col("event_type"), expr("ts div 1000").as("ts_us"))
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts_us").as("t_signup"))
+      val s2 = s1.join(ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts_us").as("tv")), Seq("user_id"), "left")
+        .groupBy(col("user_id"), col("t_signup"))
+        .agg(min(when(col("tv") > col("t_signup"), col("tv"))).as("t_view"))
+      val s3 = s2.join(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us").as("tp")), Seq("user_id"), "left")
+        .groupBy(col("user_id"), col("t_signup"), col("t_view"))
+        .agg(min(when(col("tp") > col("t_view"), col("tp"))).as("t_purchase"))
+      s3.select(col("user_id"), col("t_signup"), col("t_view"), col("t_purchase"),
+          (col("t_view").isNotNull.cast("long") +
+            col("t_purchase").isNotNull.cast("long") + 1).as("stages_reached"))
+        .orderBy("user_id")
+    }),
+
+    // Time-weighted average (monitoring-style TWA): per user, each
+    // reading holds until the next one; TWA = Σ(value·Δt) div Σ(Δt) in
+    // exact integer cents×µs (the metric a gauge aggregator computes).
+    "q133_time_weighted_avg" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("ts_us"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("value_c"))
+        .withColumn("next_us", lead(col("ts_us"), 1).over(w))
+        .filter(col("next_us").isNotNull) // last reading: no holding period
+        .withColumn("dt_us", col("next_us") - col("ts_us"))
+      ev.groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum("dt_us").as("span_us"),
+          expr("sum(value_c * dt_us) div sum(dt_us)").as("twa_c"))
+        .filter(col("span_us") > 0)
+        .orderBy("user_id")
+    })
   )
 
   /** Shared q77 input: the events table viewed as a CDC feed. */
@@ -3635,6 +3678,40 @@ object SparkEntry {
       """SELECT event_type,
         |       median(CAST(round(value * 100) AS BIGINT)) AS median_c,
         |       count(*) AS n
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q132_funnel3" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s1 AS (SELECT user_id, min(ts_us) AS t_signup FROM ev
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT s1.user_id AS user_id, t_signup,
+        |              min(CASE WHEN e.ts_us > t_signup THEN e.ts_us END) AS t_view
+        |       FROM s1 LEFT JOIN ev e
+        |         ON e.user_id = s1.user_id AND e.event_type = 'view'
+        |       GROUP BY 1, 2),
+        |s3 AS (SELECT s2.user_id AS user_id, t_signup, t_view,
+        |              min(CASE WHEN e.ts_us > t_view THEN e.ts_us END) AS t_purchase
+        |       FROM s2 LEFT JOIN ev e
+        |         ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        |       GROUP BY 1, 2, 3)
+        |SELECT user_id, t_signup, t_view, t_purchase,
+        |       CAST(t_view IS NOT NULL AS BIGINT)
+        |         + CAST(t_purchase IS NOT NULL AS BIGINT) + 1 AS stages_reached
+        |FROM s3 ORDER BY user_id""".stripMargin,
+
+    "q133_time_weighted_avg" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |                   CAST(round(value * 100) AS BIGINT) AS value_c
+        |            FROM events),
+        |l AS (SELECT user_id, value_c, ts_us,
+        |             lead(ts_us) OVER (PARTITION BY user_id
+        |                               ORDER BY ts_us, event_id) AS next_us
+        |      FROM ev)
+        |SELECT user_id, count(*) AS n_intervals,
+        |       CAST(sum(next_us - ts_us) AS BIGINT) AS span_us,
+        |       CAST(sum(value_c * (next_us - ts_us)) // sum(next_us - ts_us) AS BIGINT) AS twa_c
+        |FROM l WHERE next_us IS NOT NULL
+        |GROUP BY user_id HAVING sum(next_us - ts_us) > 0
+        |ORDER BY user_id""".stripMargin
   )
 }

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** One input event (schema of the driver's `events` table). */
 case class Event(event_id: Long, ts: Timestamp, user_id: Long,
@@ -268,11 +268,72 @@ object StreamOps {
       .filter(_.freq >= minFreq)
   }
 
+  /** Timer-closed gap sessions on transformWithState: fold events into
+    * per-user state, arm an event-time timer at last+gap, emit the
+    * session when the watermark crosses it (see [[SessionTimerProcessor]]).
+    * The watermark delay is 0 here so a session closes as soon as any
+    * later data PROVES the gap elapsed — the spec advances a sentinel
+    * user's clock to close other users' sessions deterministically. */
+  def sessionCloseTws(events: Dataset[Event], gap: String): Dataset[SessionClosed] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    val ms = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .getDuration(gapMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    events.withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(ms),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Output modes the sinks expect (documented here so callers don't
     * guess): windowed aggs → Append with watermark closes windows;
     * mapGroupsWithState → Update. */
   val WindowedOutputMode: OutputMode = OutputMode.Append()
   val StatefulOutputMode: OutputMode = OutputMode.Update()
+}
+
+/** One closed session per user, emitted by an EVENT-TIME TIMER: the
+  * transformWithState form of gap sessionization's close-out. Each
+  * arriving wave folds into per-key (n, cents, last-event-time) state and
+  * re-arms the key's single timer at `last + gap`; when the WATERMARK
+  * passes the timer, [[SessionTimerProcessor.handleExpiredTimer]] emits
+  * the session summary and clears the state — output is driven by time
+  * passing, not by input arriving, which mapGroupsWithState could only
+  * approximate with its coarse per-key timeout. */
+case class SessionAgg(n: Long, cents: Long, lastMs: Long)
+case class SessionClosed(user_id: Long, n_events: Long, total_cents: Long)
+
+class SessionTimerProcessor(gapMs: Long)
+  extends StatefulProcessor[Long, Event, SessionClosed] {
+  @transient private var agg: ValueState[SessionAgg] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    agg = getHandle.getValueState[SessionAgg]("agg",
+      org.apache.spark.sql.Encoders.product[SessionAgg], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+                               timerValues: TimerValues): Iterator[SessionClosed] = {
+    var cur = if (agg.exists()) agg.get() else SessionAgg(0L, 0L, 0L)
+    rows.foreach { e =>
+      cur = SessionAgg(cur.n + 1, cur.cents + math.round(e.value * 100),
+        math.max(cur.lastMs, e.ts.getTime))
+    }
+    agg.update(cur)
+    // exactly one armed timer per key: the session closes gap after the
+    // LATEST event, so earlier arming points are stale
+    getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+    getHandle.registerTimer(cur.lastMs + gapMs)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                  expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionClosed] = {
+    val cur = agg.get()
+    agg.clear()
+    Iterator.single(SessionClosed(key, cur.n, cur.cents))
+  }
 }
 
 /** Per-key running count in a named ValueState slot (transformWithState

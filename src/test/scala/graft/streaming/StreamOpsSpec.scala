@@ -139,6 +139,44 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionCloseTws: event-time timers close sessions when the watermark passes") {
+    implicit val ctx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Event]
+    val q = StreamOps.sessionCloseTws(mem.toDS(), gap = "10 minutes")
+      .writeStream.format("memory").queryName("tws_sessions")
+      .outputMode("append").start()
+    def closed(): Seq[(Long, Long, Long)] =
+      spark.table("tws_sessions").as[SessionClosed].collect()
+        .map(c => (c.user_id, c.n_events, c.total_cents)).toSeq
+    try {
+      // user 10's session: events at minutes 1 and 3 → timer armed at 13
+      mem.addData(Event(1, ts(1), 10, "click", 1.0),
+        Event(2, ts(3), 10, "click", 2.0), Event(3, ts(0), 99, "view", 0.5))
+      q.processAllAvailable()
+      assert(closed().isEmpty) // watermark still at minute 3
+      // sentinel advances the watermark past 13 → user 10's session closes
+      mem.addData(Event(4, ts(30), 99, "view", 0.5))
+      q.processAllAvailable()
+      assert(closed().sorted == Seq((10L, 2L, 300L)))
+      // user 10 reopens (timer re-arms at 41); sentinel at 60 closes it
+      mem.addData(Event(5, ts(31), 10, "click", 4.0))
+      q.processAllAvailable()
+      mem.addData(Event(6, ts(59), 99, "view", 0.5))
+      q.processAllAvailable()
+      assert(closed().sorted == Seq((10L, 1L, 400L), (10L, 2L, 300L)))
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("cleanDocStream: content dedup across batches + token quality gate") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
