@@ -1734,7 +1734,57 @@ object SparkEntry {
           expr("sum(value_c * dt_us) div sum(dt_us)").as("twa_c"))
         .filter(col("span_us") > 0)
         .orderBy("user_id")
-    })
+    }),
+
+    // Winsorized robust mean: clamp each value into its group's exact
+    // rank [p05, p95] band (the q109 all-integer percentile discipline),
+    // then an integer mean — the outlier-resistant KPI form.
+    "q134_winsorized_mean" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("value_c"))
+      val byV = ev.groupBy("event_type", "value_c").agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy("event_type").orderBy("value_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = byV
+        .withColumn("cum", sum("cnt").over(wCum))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("event_type")))
+      val bands = cum.groupBy("event_type").agg(
+        min(when(col("cum") * 100 >= col("n") * 5, col("value_c"))).as("p05_c"),
+        min(when(col("cum") * 100 >= col("n") * 95, col("value_c"))).as("p95_c"))
+      ev.join(broadcast(bands), Seq("event_type"))
+        .select(col("event_type"), col("p05_c"), col("p95_c"),
+          greatest(col("p05_c"), least(col("p95_c"), col("value_c"))).as("w"))
+        .groupBy("event_type", "p05_c", "p95_c")
+        .agg(count(lit(1)).as("n"), expr("sum(w) div count(1)").as("wins_mean_c"))
+        .orderBy("event_type")
+    }),
+
+    // Hopping (sliding) windows: 10-minute windows every 5 minutes —
+    // every event lands in exactly two windows; q66's tumbling sibling.
+    "q135_hopping_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(expr("timestamp_micros(ts div 1000)").as("tts"),
+          col("event_type"), col("value"))
+        .groupBy(window(col("tts"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)").as("sum_c"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("event_type"), col("n"), col("sum_c"))
+        .orderBy("win_start_us", "event_type"))
+    ,
+
+    // Higher-order-function surface over a bound tokens array: filter /
+    // exists / aggregate / transform+array_max, mirrored by DuckDB's
+    // list_* family.
+    "q136_hof_surface" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+        .select(col("doc_id"),
+          size(filter(col("w"), t => length(t) >= 5)).cast("long").as("n_long_tokens"),
+          exists(col("w"), t => t === "spark").cast("long").as("has_spark"),
+          aggregate(col("w"), lit(0L), (acc, t) => acc + length(t)).as("sum_token_len"),
+          array_max(transform(col("w"), t => length(t))).cast("long").as("max_token_len"))
+        .orderBy("doc_id"))
   )
 
   /** Shared q77 input: the events table viewed as a CDC feed. */
@@ -3712,6 +3762,46 @@ object SparkEntry {
         |       CAST(sum(value_c * (next_us - ts_us)) // sum(next_us - ts_us) AS BIGINT) AS twa_c
         |FROM l WHERE next_us IS NOT NULL
         |GROUP BY user_id HAVING sum(next_us - ts_us) > 0
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    "q134_winsorized_mean" ->
+      """WITH ev AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS value_c
+        |            FROM events),
+        |byv AS (SELECT event_type, value_c, count(*) AS cnt FROM ev GROUP BY 1, 2),
+        |cum AS (SELECT event_type, value_c, cnt,
+        |               sum(cnt) OVER (PARTITION BY event_type ORDER BY value_c) AS cum,
+        |               sum(cnt) OVER (PARTITION BY event_type) AS n
+        |        FROM byv),
+        |bands AS (SELECT event_type,
+        |                 CAST(min(CASE WHEN cum * 100 >= n * 5 THEN value_c END) AS BIGINT) AS p05_c,
+        |                 CAST(min(CASE WHEN cum * 100 >= n * 95 THEN value_c END) AS BIGINT) AS p95_c
+        |          FROM cum GROUP BY event_type)
+        |SELECT ev.event_type AS event_type, p05_c, p95_c, count(*) AS n,
+        |       CAST(sum(greatest(p05_c, least(p95_c, value_c)))
+        |            // count(*) AS BIGINT) AS wins_mean_c
+        |FROM ev JOIN bands ON ev.event_type = bands.event_type
+        |GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin,
+
+    // Each event belongs to exactly two 10-min/5-min hop windows: the
+    // 5-min floor and the one before it.
+    "q135_hopping_window" ->
+      """WITH ev AS (SELECT epoch_us(ts) AS us, event_type,
+        |                   CAST(round(value * 100) AS BIGINT) AS v_c
+        |            FROM events),
+        |hop AS (SELECT (us // 300000000) * 300000000 - k * 300000000 AS win_start_us,
+        |               event_type, v_c
+        |        FROM ev CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (1)) t(k))
+        |SELECT win_start_us, event_type, count(*) AS n,
+        |       CAST(sum(v_c) AS BIGINT) AS sum_c
+        |FROM hop GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin,
+
+    "q136_hof_surface" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(list_filter(w, t -> len(t) >= 5)) AS BIGINT) AS n_long_tokens,
+        |       CAST(list_contains(w, 'spark') AS BIGINT) AS has_spark,
+        |       CAST(list_sum(list_transform(w, t -> len(t))) AS BIGINT) AS sum_token_len,
+        |       CAST(list_max(list_transform(w, t -> len(t))) AS BIGINT) AS max_token_len
+        |FROM d ORDER BY doc_id""".stripMargin
   )
 }

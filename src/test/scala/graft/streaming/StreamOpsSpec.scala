@@ -114,6 +114,30 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment equals the batch join") {
+    implicit val ctx = spark.sqlContext
+    // the bread-and-butter streaming shape: enrich a stream against a
+    // static dimension — planned as a broadcast join per micro-batch,
+    // no state, results identical to the batch join of the same rows
+    val dim = Seq(("click", "engagement"), ("view", "engagement"),
+      ("purchase", "revenue"), ("signup", "growth"), ("error", "ops"))
+      .toDF("event_type", "family")
+    val mem = MemoryStream[Event]
+    val q = mem.toDF()
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("event_type"))
+      .select("event_id", "family")
+      .writeStream.format("memory").queryName("ss_enrich")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ss_enrich").as[(Long, String)].collect().toSet
+      val batch = batch1.toDF().join(dim, Seq("event_type"))
+        .select("event_id", "family").as[(Long, String)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("dedupBoundedStream: dups drop within the horizon, state evicts past it") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[Event]
