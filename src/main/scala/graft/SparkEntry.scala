@@ -1785,6 +1785,38 @@ object SparkEntry {
           aggregate(col("w"), lit(0L), (acc, t) => acc + length(t)).as("sum_token_len"),
           array_max(transform(col("w"), t => length(t))).cast("long").as("max_token_len"))
         .orderBy("doc_id"))
+    ,
+
+    // Frequent-items sketch (approx_top_k, DataSketches) with the q87/q98
+    // discipline: capacity ≥ the key domain makes the sketch EXACT (the
+    // Misra-Gries precondition), so the true top-10 must all appear in
+    // the sketch's top-20 — the oracle pins the exact top-10 and the
+    // membership flag, never the engine-specific estimates.
+    "q137_approx_topk" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val sk = li.agg(expr("approx_top_k(l_partkey, 20, 65536)").as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.item").as("l_partkey"), lit(1L).as("in_sketch_top20"))
+      val exact = li.groupBy("l_partkey").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("l_partkey")).limit(10)
+      exact.join(sk, Seq("l_partkey"), "left")
+        .select(col("l_partkey"), col("freq"),
+          coalesce(col("in_sketch_top20"), lit(0L)).as("in_sketch_top20"))
+        .orderBy(col("freq").desc, col("l_partkey"))
+    }),
+
+    // Regex extraction surface: pull every number out of the JSON props
+    // blob (regexp_extract_all) and aggregate — the log-mining idiom.
+    "q138_regex_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          // Spark extracts group 1 by default — the pattern needs the
+          // capture group; DuckDB's default is the full match (same text)
+          explode(expr("regexp_extract_all(props, '([0-9]+)')")).as("num"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_nums"),
+          sum(col("num").cast("long")).as("sum_nums"))
+        .orderBy("event_type"))
   )
 
   /** Shared q77 input: the events table viewed as a CDC feed. */
@@ -3802,6 +3834,21 @@ object SparkEntry {
         |       CAST(list_contains(w, 'spark') AS BIGINT) AS has_spark,
         |       CAST(list_sum(list_transform(w, t -> len(t))) AS BIGINT) AS sum_token_len,
         |       CAST(list_max(list_transform(w, t -> len(t))) AS BIGINT) AS max_token_len
-        |FROM d ORDER BY doc_id""".stripMargin
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // Exact top-10 by (freq DESC, key); membership in the exact-capacity
+    // sketch is pinned TRUE.
+    "q137_approx_topk" ->
+      """SELECT l_partkey, count(*) AS freq, CAST(1 AS BIGINT) AS in_sketch_top20
+        |FROM lineitem GROUP BY l_partkey
+        |ORDER BY freq DESC, l_partkey LIMIT 10""".stripMargin,
+
+    "q138_regex_extract" ->
+      """WITH x AS (SELECT event_type,
+        |                  unnest(regexp_extract_all(props, '[0-9]+')) AS num
+        |           FROM events)
+        |SELECT event_type, count(*) AS n_nums,
+        |       CAST(sum(CAST(num AS BIGINT)) AS BIGINT) AS sum_nums
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
