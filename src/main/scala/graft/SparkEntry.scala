@@ -1817,6 +1817,48 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_nums"),
           sum(col("num").cast("long")).as("sum_nums"))
         .orderBy("event_type"))
+    ,
+
+    // dbt-style constraint audit: one row per declared data-quality rule
+    // with its violation count — referential integrity (anti-joins),
+    // domain rules, uniqueness, and an expected-nonzero canary so the
+    // report is provably not vacuous.
+    "q139_constraint_audit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val ev = t(s, dir, "events")
+      def check(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("violations"))
+          .select(lit(name).as("check"), col("violations"))
+      check("lineitem_orphan_order",
+          li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti"))
+        .union(check("order_orphan_customer",
+          o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")))
+        .union(check("negative_extendedprice", li.filter(col("l_extendedprice") < 0)))
+        .union(check("null_orderkey", o.filter(col("o_orderkey").isNull)))
+        .union(check("duplicate_orderkey",
+          o.groupBy("o_orderkey").agg(count(lit(1)).as("n")).filter(col("n") > 1)))
+        .union(check("error_events_canary", ev.filter(col("event_type") === "error")))
+        .orderBy("check")
+    }),
+
+    // Point-in-time SCD2 lookup: join probe events (purchases) to the
+    // q78 validity intervals — each probe lands in exactly ONE interval
+    // (the history tiles each user's timeline; zero-length tied-ts
+    // intervals contain nothing by the half-open rule).
+    "q140_scd2_lookup" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        col("event_id").as("id"), EventOps.tsUs("ts").as("ts_us"), col("event_type"))
+      val hist = EventOps.scd2(ev, "user_id", "event_type")
+        .select(col("user_id"), col("version"), col("event_type").as("state"),
+          col("valid_from_us"), col("valid_to_us"))
+      val probes = t(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), EventOps.tsUs("ts").as("p_us"))
+      probes.join(hist, Seq("user_id"))
+        .filter(col("p_us") >= col("valid_from_us") &&
+          (col("valid_to_us").isNull || col("p_us") < col("valid_to_us")))
+        .select("user_id", "event_id", "version", "state")
+        .orderBy("user_id", "event_id")
+    })
   )
 
   /** Shared q77 input: the events table viewed as a CDC feed. */
@@ -3849,6 +3891,49 @@ object SparkEntry {
         |           FROM events)
         |SELECT event_type, count(*) AS n_nums,
         |       CAST(sum(CAST(num AS BIGINT)) AS BIGINT) AS sum_nums
-        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q139_constraint_audit" ->
+      """SELECT 'lineitem_orphan_order' AS "check", count(*) AS violations
+        |FROM lineitem WHERE NOT EXISTS
+        |  (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |UNION ALL
+        |SELECT 'order_orphan_customer', count(*) FROM orders WHERE NOT EXISTS
+        |  (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        |UNION ALL
+        |SELECT 'negative_extendedprice', count(*) FROM lineitem
+        |WHERE l_extendedprice < 0
+        |UNION ALL
+        |SELECT 'null_orderkey', count(*) FROM orders WHERE o_orderkey IS NULL
+        |UNION ALL
+        |SELECT 'duplicate_orderkey', count(*) FROM
+        |  (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+        |UNION ALL
+        |SELECT 'error_events_canary', count(*) FROM events
+        |WHERE event_type = 'error'
+        |ORDER BY "check"""".stripMargin,
+
+    // q78's interval machinery + the probe containment join.
+    "q140_scd2_lookup" ->
+      """WITH ev AS (SELECT user_id, event_id AS id, epoch_us(ts) AS ts_us,
+        |                   event_type FROM events),
+        |c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+        |                  ORDER BY ts_us, id) AS prev_state FROM ev),
+        |k AS (SELECT user_id, id, ts_us, event_type FROM c
+        |      WHERE prev_state IS NULL OR event_type <> prev_state),
+        |v AS (SELECT user_id,
+        |        CAST(row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts_us, id) AS INT) AS version,
+        |        event_type, ts_us AS valid_from_us,
+        |        lead(ts_us) OVER (PARTITION BY user_id
+        |          ORDER BY ts_us, id) AS valid_to_us
+        |      FROM k),
+        |p AS (SELECT user_id, event_id, epoch_us(ts) AS p_us FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.user_id AS user_id, event_id, version, v.event_type AS state
+        |FROM p JOIN v ON v.user_id = p.user_id
+        |  AND p_us >= valid_from_us
+        |  AND (valid_to_us IS NULL OR p_us < valid_to_us)
+        |ORDER BY user_id, event_id""".stripMargin
   )
 }
