@@ -1858,7 +1858,49 @@ object SparkEntry {
           (col("valid_to_us").isNull || col("p_us") < col("valid_to_us")))
         .select("user_id", "event_id", "version", "state")
         .orderBy("user_id", "event_id")
-    })
+    }),
+
+    // Nested data modeling round-trip: collapse each customer's orders
+    // into a sorted ARRAY<STRUCT>, then explode back — the flattened view
+    // must equal the original relation (the lakehouse nest/unnest
+    // contract; sort_array pins the nested order deterministically).
+    "q141_nested_roundtrip" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"))
+      val nested = o.groupBy("o_custkey")
+        .agg(sort_array(collect_list(struct(col("o_orderkey"), col("price_c"))))
+          .as("orders"))
+      nested.select(col("o_custkey"), explode(col("orders")).as("e"))
+        .select(col("o_custkey"), col("e.o_orderkey").as("o_orderkey"),
+          col("e.price_c").as("price_c"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Calendar rollup: ISO-week truncation (both engines start weeks on
+    // Monday) — output as epoch days for cross-engine date hashing.
+    "q142_week_rollup" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(expr("CAST(datediff(CAST(date_trunc('week', o_orderdate) AS DATE), DATE'1970-01-01') AS BIGINT)")
+          .as("week_day"))
+        .agg(count(lit(1)).as("n_orders"),
+          expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").as("sum_c"))
+        .orderBy("week_day"))
+    ,
+
+    // Conditional-aggregate breadth: count_if / bool_or / bool_and /
+    // max_by-min_by (on the UNIQUE event_id ordering key — ties would be
+    // engine-arbitrary) — same names, same semantics in DuckDB.
+    "q143_conditional_aggs" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("value_c"))
+        .groupBy("user_id")
+        .agg(expr("count_if(event_type = 'purchase')").as("n_purchases"),
+          expr("bool_or(event_type = 'error')").as("had_error"),
+          expr("bool_and(value_c >= 0)").as("all_nonneg"),
+          expr("max_by(event_type, event_id)").as("last_type"),
+          expr("min_by(event_type, event_id)").as("first_type"))
+        .orderBy("user_id"))
   )
 
   /** Shared q77 input: the events table viewed as a CDC feed. */
@@ -3934,6 +3976,31 @@ object SparkEntry {
         |FROM p JOIN v ON v.user_id = p.user_id
         |  AND p_us >= valid_from_us
         |  AND (valid_to_us IS NULL OR p_us < valid_to_us)
-        |ORDER BY user_id, event_id""".stripMargin
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    // Nest → unnest must reproduce the original relation.
+    "q141_nested_roundtrip" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q142_week_rollup" ->
+      """SELECT datediff('day', DATE '1970-01-01',
+        |                CAST(date_trunc('week', o_orderdate) AS DATE)) AS week_day,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_c
+        |FROM orders GROUP BY 1 ORDER BY week_day""".stripMargin,
+
+    "q143_conditional_aggs" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |                   CAST(round(value * 100) AS BIGINT) AS value_c
+        |            FROM events)
+        |SELECT user_id,
+        |       CAST(count_if(event_type = 'purchase') AS BIGINT) AS n_purchases,
+        |       bool_or(event_type = 'error') AS had_error,
+        |       bool_and(value_c >= 0) AS all_nonneg,
+        |       max_by(event_type, event_id) AS last_type,
+        |       min_by(event_type, event_id) AS first_type
+        |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }
