@@ -1901,6 +1901,27 @@ object SparkEntry {
           expr("max_by(event_type, event_id)").as("last_type"),
           expr("min_by(event_type, event_id)").as("first_type"))
         .orderBy("user_id"))
+    ,
+
+    // BI share-of-total + ranking: per-nation revenue share in integer
+    // ppm (whole-table window sum), with rank and dense_rank over the
+    // revenue ORDER — rank functions depend only on ordering values, so
+    // ties (if any) resolve identically in both engines.
+    "q144_share_rank" -> ((s, dir) => {
+      val rev = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)")
+          .as("revenue_c"))
+      rev
+        .withColumn("share_ppm",
+          expr("(1000000 * revenue_c) div sum(revenue_c) OVER ()"))
+        .withColumn("rnk", rank().over(Window.orderBy(col("revenue_c").desc)).cast("long"))
+        .withColumn("dense_rnk",
+          dense_rank().over(Window.orderBy(col("revenue_c").desc)).cast("long"))
+        .orderBy(col("rnk"), col("n_name"))
+    })
   )
 
   /** Shared q77 input: the events table viewed as a CDC feed. */
@@ -4001,6 +4022,20 @@ object SparkEntry {
         |       bool_and(value_c >= 0) AS all_nonneg,
         |       max_by(event_type, event_id) AS last_type,
         |       min_by(event_type, event_id) AS first_type
-        |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q144_share_rank" ->
+      """WITH rev AS (
+        |  SELECT n_name,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name)
+        |SELECT n_name, revenue_c,
+        |       CAST((1000000 * revenue_c) // sum(revenue_c) OVER () AS BIGINT) AS share_ppm,
+        |       CAST(rank() OVER (ORDER BY revenue_c DESC) AS BIGINT) AS rnk,
+        |       CAST(dense_rank() OVER (ORDER BY revenue_c DESC) AS BIGINT) AS dense_rnk
+        |FROM rev ORDER BY rnk, n_name""".stripMargin
   )
 }
