@@ -1921,6 +1921,21 @@ object SparkEntry {
         .withColumn("dense_rnk",
           dense_rank().over(Window.orderBy(col("revenue_c").desc)).cast("long"))
         .orderBy(col("rnk"), col("n_name"))
+    }),
+
+    // Forward as-of: each purchase attributed to the user's NEXT error
+    // (inclusive, min-id at timestamp ties) — q64's backward machinery
+    // run through time reversal.
+    "q145_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        col("event_id").as("id"), EventOps.tsUs("ts").as("ts_us"),
+        col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("value_c"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .drop("event_type", "value_c")
+      val errors = ev.filter(col("event_type") === "error").drop("event_type")
+      EventOps.asofJoinForward(purchases, errors, "user_id", Seq("value_c"))
+        .select("user_id", "id", "asof_id", "asof_ts_us", "asof_value_c")
+        .orderBy("user_id", "id")
     })
   )
 
@@ -4036,6 +4051,32 @@ object SparkEntry {
         |       CAST((1000000 * revenue_c) // sum(revenue_c) OVER () AS BIGINT) AS share_ppm,
         |       CAST(rank() OVER (ORDER BY revenue_c DESC) AS BIGINT) AS rnk,
         |       CAST(dense_rank() OVER (ORDER BY revenue_c DESC) AS BIGINT) AS dense_rnk
-        |FROM rev ORDER BY rnk, n_name""".stripMargin
+        |FROM rev ORDER BY rnk, n_name""".stripMargin,
+
+    // Brute-force forward attribution: per-(user, ts) the MIN-id error is
+    // the representative (the time-reversed dedup rule), then the
+    // earliest representative at or after each purchase.
+    "q145_asof_forward" ->
+      """WITH ev AS (SELECT user_id, event_id AS id, epoch_us(ts) AS ts_us,
+        |                   event_type,
+        |                   CAST(round(value * 100) AS BIGINT) AS value_c
+        |            FROM events),
+        |p AS (SELECT user_id, id, ts_us FROM ev WHERE event_type = 'purchase'),
+        |e AS (SELECT user_id, id AS rid, ts_us AS rts, value_c FROM ev
+        |      WHERE event_type = 'error'),
+        |ed AS (SELECT user_id, rts, min(rid) AS rid FROM e GROUP BY 1, 2),
+        |edv AS (SELECT ed.user_id AS user_id, ed.rts AS rts, ed.rid AS rid,
+        |               e.value_c AS value_c
+        |        FROM ed JOIN e ON e.user_id = ed.user_id
+        |          AND e.rts = ed.rts AND e.rid = ed.rid),
+        |nt AS (SELECT p.user_id AS user_id, p.id AS id, min(v.rts) AS a_ts
+        |       FROM p LEFT JOIN edv v
+        |         ON v.user_id = p.user_id AND v.rts >= p.ts_us
+        |       GROUP BY 1, 2)
+        |SELECT nt.user_id AS user_id, nt.id AS id, v.rid AS asof_id,
+        |       nt.a_ts AS asof_ts_us, v.value_c AS asof_value_c
+        |FROM nt LEFT JOIN edv v
+        |  ON v.user_id = nt.user_id AND v.rts = nt.a_ts
+        |ORDER BY user_id, id""".stripMargin
   )
 }

@@ -97,6 +97,24 @@ object EventOps {
         matchCols.map(c => col(s"asof_$c")): _*)
   }
 
+  /** FORWARD as-of join: attach the EARLIEST right row with
+    * `right.ts_us >= left.ts_us` — the "what happens next" attribution
+    * (purchase → next error, request → next deploy). Implemented by TIME
+    * REVERSAL over [[asofJoin]]: negate ts_us and id on both sides, run
+    * the backward as-of, negate back. The backward tie rules flip into
+    * exactly the right forward ones: "latest right ≤ t, max id at ties"
+    * becomes "earliest right ≥ t, MIN id at ties" — one implementation,
+    * two directions, same single-shuffle merge-carry plan. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      payload: Seq[String]): DataFrame = {
+    def neg(df: DataFrame): DataFrame = df
+      .withColumn("ts_us", -col("ts_us")).withColumn("id", -col("id"))
+    asofJoin(neg(left), neg(right), key, payload)
+      .withColumn("ts_us", -col("ts_us")).withColumn("id", -col("id"))
+      .withColumn("asof_ts_us", -col("asof_ts_us"))
+      .withColumn("asof_id", -col("asof_id"))
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same key exceeds `gapUs`. Two window passes over
     * the SAME (key, ts, id) sort order — Spark evaluates both in one

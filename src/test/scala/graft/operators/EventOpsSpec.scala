@@ -34,6 +34,24 @@ class EventOpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("asofJoinForward matches a brute-force forward scan (min-id tie rule)") {
+    val left = ev.filter(col("id") % 3 === 0)
+    val right = ev.filter(col("id") % 3 === 1)
+    val rightSeq = evSeq.filter(_._2 % 3 == 1)
+    val got = EventOps.asofJoinForward(left, right, "user_id", Seq("value"))
+      .select("user_id", "id", "asof_id")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    val want = evSeq.filter(_._2 % 3 == 0).map { case (u, id, ts, _) =>
+      // earliest right at ts_r >= ts; ties on ts broken by MIN id (the
+      // time-reversed dedup rule)
+      val cands = rightSeq.filter(r => r._1 == u && r._3 >= ts)
+      val best = if (cands.isEmpty) None
+                 else Some(cands.minBy(r => (r._3, r._2))._2)
+      (u, id, best)
+    }.toSet
+    assert(got == want)
+  }
+
   test("asofJoin is inclusive on equal timestamps and NULL before any match") {
     val left = Seq((1L, 10L, 1000L, 1.0), (1L, 11L, 500L, 1.0)).toDF("user_id", "id", "ts_us", "value")
     val right = Seq((1L, 20L, 1000L, 2.0), (1L, 21L, 900L, 3.0)).toDF("user_id", "id", "ts_us", "value")
