@@ -20,17 +20,31 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").schema
       catch { case _: Throwable => }
     }
-    // Local perf-iteration aids (unset in driver runs): SPARK_GRAFT_ONLY
-    // restricts to a comma-separated query subset; SPARK_GRAFT_REPS>1 runs
-    // each query that many times (first rep warms codegen, LAST rep is the
-    // recorded time — warm-vs-warm comparisons only).
+    // Local perf-iteration aids: SPARK_GRAFT_ONLY restricts to a
+    // comma-separated query subset; SPARK_GRAFT_REPS (default 2) runs each
+    // query that many times (first rep warms codegen, LAST rep is the
+    // recorded time — warm-vs-warm comparisons only; set REPS=1 for a
+    // cold-including number).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(1)
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Session-state reset between queries (round-6 verdict: gate queries
+    // and operators cache DataFrames; 144 queries in one JVM with no
+    // clearCache let those accumulate until late-alphabet queries paid
+    // up to 17x — q93 41 s in-session vs 2.3 s isolated). Each query is
+    // timed from the same clean state ScaleBench uses: no cached
+    // partitions, no leftover temp views.
+    def resetSession(): Unit = {
+      spark.catalog.clearCache()
+      spark.sqlContext.tableNames().foreach { t =>
+        try spark.catalog.dropTempView(t) catch { case _: Throwable => }
+      }
+    }
     val results = selected.map { case (name, fn) =>
       var last = (0.0, Option.empty[String])
       for (_ <- 1 to reps) {
+        resetSession()
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
           catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(160)) }

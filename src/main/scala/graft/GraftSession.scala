@@ -11,6 +11,13 @@ import org.apache.spark.sql.SparkSession
   * plan.
   */
 object GraftSession {
+  // Derby (the q51 JDBC round-trip + Pipeline sink) writes derby.log into
+  // the process CWD unless told otherwise — keep the repo tree clean by
+  // pointing its error stream at the JVM temp dir (must be set before the
+  // Derby driver class loads, hence here in the session factory).
+  System.setProperty("derby.stream.error.file",
+    s"${System.getProperty("java.io.tmpdir")}/graft_derby.log")
+
   def builder(appName: String = "graft", cores: String = "32"): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cores]")

@@ -27,9 +27,23 @@ object SparkEntry {
     * queries: concurrent gate runs on one machine must not race on a
     * shared /tmp path (or Derby in-memory DB name). The UUID goes in the
     * PARENT directory so the leaf keeps its name — the validated source
-    * sniffs the extension off it. */
+    * sniffs the extension off it. All fixtures live under one per-JVM
+    * base that a shutdown hook removes — a gate run leaves /tmp as it
+    * found it (round-6 hygiene advice). Deletion can't happen earlier:
+    * the round-trip results are LAZY reads over these files. */
+  private lazy val rtBase: String = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_rt/" +
+      java.util.UUID.randomUUID().toString.take(8)
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(base))
+    }
+    base
+  }
   private def rtPath(tag: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_rt/${java.util.UUID.randomUUID().toString.take(8)}/$tag"
+    s"$rtBase/${java.util.UUID.randomUUID().toString.take(8)}/$tag"
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -377,8 +391,10 @@ object SparkEntry {
     "q31_minhash_lsh" -> ((s, dir) => {
       val sh = TextOps.shingleTable(t(s, dir, "documents"), "doc_id").cache()
       val cand = TextOps.minhashCandidates(sh, "doc_id")
-      TextOps.jaccardVerify(cand, sh, "doc_id", threshold = 0.5)
-        .orderBy("id1", "id2")
+      Materialize.thenRelease(
+        TextOps.jaccardVerify(cand, sh, "doc_id", threshold = 0.5)
+          .orderBy("id1", "id2"),
+        sh)
     }),
 
     // SimHash near-dup: 64-bit shingle simhash, 4x16-bit pigeonhole blocks
@@ -873,8 +889,10 @@ object SparkEntry {
     // which can keep several docs of one transitive group).
     "q71_components" -> ((s, dir) => {
       val sh = TextOps.shingleTable(t(s, dir, "documents"), "doc_id").cache()
-      val pairs = TextOps.jaccardVerify(
-        TextOps.minhashCandidates(sh, "doc_id"), sh, "doc_id", threshold = 0.5)
+      val pairs = Materialize.thenRelease(
+        TextOps.jaccardVerify(
+          TextOps.minhashCandidates(sh, "doc_id"), sh, "doc_id", threshold = 0.5),
+        sh)
       GraphOps.connectedComponents(pairs.select("id1", "id2"))
         .select(col("id").as("doc_id"), col("component"))
         .orderBy("doc_id")
@@ -1083,7 +1101,9 @@ object SparkEntry {
     // family so deterministic) that justifies the q31 LSH chain.
     "q91_minhash_estimate" -> ((s, dir) => {
       val sh = TextOps.shingleTable(t(s, dir, "documents"), "doc_id").cache()
-      val exact = TextOps.jaccardAllPairs(sh, "doc_id", threshold = 0.5).cache()
+      // jaccardAllPairs returns a MATERIALIZED frame (localCheckpoint) —
+      // its three consumers below re-read stored partitions, no extra cache
+      val exact = TextOps.jaccardAllPairs(sh, "doc_id", threshold = 0.5)
       // signatures are only consumed for docs that appear in an exact
       // pair — semi-join BEFORE the k×|shingles| permutation arithmetic
       // (the near-dup population is a sliver of the corpus: computing
@@ -1094,15 +1114,17 @@ object SparkEntry {
       val sigs = sh.join(broadcast(pairIds), Seq("doc_id"), "leftsemi")
         .select(col("doc_id"), TextOps.shingleHashes(col("sh")).as("hs"))
         .select(col("doc_id"), TextOps.minhashSignature(col("hs"), k = 32).as("sig"))
-      exact
-        .join(sigs.select(col("doc_id").as("id1"), col("sig").as("sig1")), Seq("id1"))
-        .join(sigs.select(col("doc_id").as("id2"), col("sig").as("sig2")), Seq("id2"))
-        .withColumn("est", aggregate(
-          zip_with(col("sig1"), col("sig2"), (a, b) => when(a === b, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x) / lit(32.0))
-        .select(col("id1"), col("id2"), col("jaccard"),
-          (abs(col("est") - col("jaccard")) <= 0.3).as("est_ok"))
-        .orderBy("id1", "id2")
+      Materialize.thenRelease(
+        exact
+          .join(sigs.select(col("doc_id").as("id1"), col("sig").as("sig1")), Seq("id1"))
+          .join(sigs.select(col("doc_id").as("id2"), col("sig").as("sig2")), Seq("id2"))
+          .withColumn("est", aggregate(
+            zip_with(col("sig1"), col("sig2"), (a, b) => when(a === b, 1).otherwise(0)),
+            lit(0), (acc, x) => acc + x) / lit(32.0))
+          .select(col("id1"), col("id2"), col("jaccard"),
+            (abs(col("est") - col("jaccard")) <= 0.3).as("est_ok"))
+          .orderBy("id1", "id2"),
+        sh)
     }),
 
     // Native grouped top-k aggregate (TypedImperativeAggregate): top-3
@@ -1191,11 +1213,14 @@ object SparkEntry {
 
     // Exact threshold heavy hitters via per-partition Misra-Gries
     // candidates + broadcast exact recount — shuffle O(partitions ×
-    // capacity), not O(distinct keys). minFreq·capacity ≥ N(sf0.1) keeps
-    // the no-false-negative precondition at every test scale.
+    // capacity), not O(distinct keys). The bar is N-RELATIVE (freq ≥
+    // ⌈3N/4000⌉, exact integer arithmetic mirrored in the oracle), so
+    // "heavy" keeps meaning heavy at any scale and the no-false-negative
+    // precondition minFreq·capacity ≥ N holds by construction
+    // (3·16384 ≥ 4000).
     "q98_heavy_hitters" -> ((s, dir) =>
-      HeavyHitters.thresholdHitters(t(s, dir, "lineitem").select("l_partkey"),
-        "l_partkey", capacity = 16384, minFreq = 45)),
+      HeavyHitters.thresholdHittersRel(t(s, dir, "lineitem").select("l_partkey"),
+        "l_partkey", capacity = 16384, num = 3, den = 4000)),
 
     // Z-order clustered layout: write lineitem Morton-clustered on
     // (partkey, suppkey), read back through a 2-D box predicate — the
@@ -1731,7 +1756,12 @@ object SparkEntry {
       ev.groupBy("user_id")
         .agg(count(lit(1)).as("n_intervals"),
           sum("dt_us").as("span_us"),
-          expr("sum(value_c * dt_us) div sum(dt_us)").as("twa_c"))
+          // guarded div: the aggregate evaluates BEFORE the span_us > 0
+          // filter, and under ANSI mode a user whose held intervals are
+          // all zero-length would throw DIVIDE_BY_ZERO instead of being
+          // filtered (round-6 advice)
+          expr("CASE WHEN sum(dt_us) > 0 THEN sum(value_c * dt_us) div sum(dt_us) END")
+            .as("twa_c"))
         .filter(col("span_us") > 0)
         .orderBy("user_id")
     }),
@@ -3425,10 +3455,13 @@ object SparkEntry {
          |ORDER BY round""".stripMargin
     },
 
-    // The exact form the sketch must reproduce.
+    // The exact form the sketch must reproduce; the N-relative bar uses
+    // the same ceil-division integer arithmetic as the engine
+    // ((N*3 + 3999) // 4000, floored at 1).
     "q98_heavy_hitters" ->
       """SELECT l_partkey, count(*) AS freq FROM lineitem
-        |GROUP BY l_partkey HAVING count(*) >= 45
+        |GROUP BY l_partkey
+        |HAVING count(*) >= GREATEST(1, ((SELECT count(*) FROM lineitem) * 3 + 3999) // 4000)
         |ORDER BY l_partkey""".stripMargin,
 
     // The clustered layout must be result-invariant: plain filter + agg
@@ -3611,6 +3644,12 @@ object SparkEntry {
 
     // 11 unrolled peel rounds (fixpoint at sf0.01 is round 9; peeling is
     // idempotent after that, so the spare rounds change nothing).
+    // VALID AT sf0.01 ONLY: at a larger gate scale the erosion depth can
+    // exceed 11, and then this ORACLE (not the engine — the engine loops
+    // to a real fixpoint) returns a not-yet-converged edge set and the
+    // gate fails with a misleading hash mismatch. If the gate scale ever
+    // changes, re-measure the fixpoint depth and regenerate the round
+    // count (round-6 advice).
     "q112_kcore" -> {
       // MATERIALIZED: each round references its predecessor several times
       // — default CTE inlining would expand the 11-round chain

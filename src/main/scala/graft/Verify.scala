@@ -14,6 +14,12 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // same session-reset discipline as Bench: 144 queries in one JVM
+      // must not accumulate each other's cached partitions or temp views
+      spark.catalog.clearCache()
+      spark.sqlContext.tableNames().foreach { t =>
+        try spark.catalog.dropTempView(t) catch { case _: Throwable => }
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

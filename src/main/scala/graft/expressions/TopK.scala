@@ -55,10 +55,14 @@ final class TopKBuffer(val k: Int) {
     }
   }
 
-  /** Strongest-first (key desc, payload asc) snapshot. */
+  /** Strongest-first (key desc, payload asc) snapshot. Explicit
+    * comparator, not `sortBy(-key)`: negating Long.MinValue overflows to
+    * itself and would sort that key strongest instead of weakest — and
+    * graft_top_k is a session-registered SQL function, so arbitrary user
+    * data can carry it. */
   def sortedPairs: Array[(Long, Long)] = {
     val out = Array.tabulate(size)(i => (keys(i), payloads(i)))
-    out.sortBy { case (key, p) => (-key, p) }
+    out.sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
   }
 }
 

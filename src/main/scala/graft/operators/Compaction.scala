@@ -13,12 +13,16 @@ import org.apache.spark.sql.SparkSession
   *
   * Shape: size the directory, `coalesce(ceil(size/target))` — coalesce,
   * not repartition: it merges existing partitions WITHOUT a shuffle, so
-  * the rewrite is one read + one write pass — then an atomic-as-the-
-  * filesystem-allows directory swap (write to `<path>__compacting`,
-  * delete old, rename). Readers racing the swap see the old or the new
-  * generation, never a mix, on filesystems with atomic rename; a
-  * production lakehouse replaces the swap with a manifest/transaction-log
-  * flip (Delta/Iceberg shape) — the rewrite pass is identical.
+  * the rewrite is one read + one write pass — then a rename-aside swap:
+  * write to `<path>__compacting`, rename the old generation to
+  * `<path>__old`, rename the new into place, delete `__old`. Each rename
+  * is atomic on a real filesystem, so a reader racing the swap sees the
+  * old generation, the new generation, or (in the instant between the
+  * two renames) a missing path — never a MIX of generations — and a
+  * crash at any point leaves a complete generation recoverable by name.
+  * A production lakehouse replaces the swap with a manifest/
+  * transaction-log flip (Delta/Iceberg shape), which closes even the
+  * missing-path instant — the rewrite pass is identical.
   *
   * Result-invariance is the operator's contract (same rows, any file
   * layout) — the gate hashes the compacted table against the original's
@@ -39,8 +43,15 @@ object Compaction {
     val tmp = new Path(path + "__compacting")
     spark.read.parquet(path).coalesce(n)
       .write.mode("overwrite").parquet(tmp.toString)
-    require(fs.delete(p, true), s"compaction: could not remove old generation $p")
+    // rename-aside swap (see scaladoc): the old generation is moved, not
+    // deleted, before the new one lands — a crash mid-swap always leaves
+    // one complete generation on disk
+    val old = new Path(path + "__old")
+    if (fs.exists(old)) require(fs.delete(old, true),
+      s"compaction: could not clear stale $old")
+    require(fs.rename(p, old), s"compaction: could not set aside old generation $p")
     require(fs.rename(tmp, p), s"compaction: swap rename failed for $tmp")
+    require(fs.delete(old, true), s"compaction: could not remove old generation $old")
     (before, dataFiles(p))
   }
 }

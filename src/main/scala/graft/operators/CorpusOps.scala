@@ -377,12 +377,14 @@ object CorpusOps {
     val bloom = bs.stat.bloomFilter("s", expectedGrams, fpp)
     val bc = docs.sparkSession.sparkContext.broadcast(bloom)
     val might = udf((s: String) => s != null && bc.value.mightContain(s))
-    TextOps.shingleTable(docs, idCol, n, textCol)
-      .select(col(idCol), explode_outer(col("sh")).as("s"))
-      .filter(might(col("s")))
-      .join(bs, Seq("s"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_overlap"))
-      .filter(col("n_overlap") >= minOverlap)
+    graft.Materialize.thenRelease(
+      TextOps.shingleTable(docs, idCol, n, textCol)
+        .select(col(idCol), explode_outer(col("sh")).as("s"))
+        .filter(might(col("s")))
+        .join(bs, Seq("s"))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_overlap"))
+        .filter(col("n_overlap") >= minOverlap),
+      bs)
   }
 }

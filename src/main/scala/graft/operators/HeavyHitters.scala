@@ -36,17 +36,45 @@ import org.apache.spark.sql.functions._
   * for: MG's decrement-all step has no declarative equivalent.
   *
   * Contract: keys are non-negative longs (Long.MinValue is the internal
-  * per-partition row-count sentinel). Like [[TextOps.nearDupDropIds]],
-  * the pass-1 summary is cached: it feeds both the precondition check
-  * and the candidate set.
+  * per-partition row-count sentinel). The pass-1 summary is cached only
+  * for the instant both its consumers need it — the precondition check
+  * and the candidate set are materialized eagerly (both bounded by
+  * partitions × capacity, the same size the candidate broadcast already
+  * requires to fit on the driver) and the cache is released before the
+  * recount job runs, so repeated invocations in one session hold no
+  * cached partitions (round-6 advice).
   */
 object HeavyHitters {
 
+  /** Fixed absolute threshold. Prefer [[thresholdHittersRel]] for
+    * anything long-lived: an absolute bar silently stops meaning "heavy"
+    * when the input grows (round-6 scale note on q98).
+    */
   def thresholdHitters(df: DataFrame, keyCol: String,
-                       capacity: Int, minFreq: Long): DataFrame = {
+                       capacity: Int, minFreq: Long): DataFrame =
+    run(df, keyCol, capacity, _ => minFreq)
+
+  /** N-relative threshold: keep keys with freq ≥ max(1, ⌈N·num/den⌉),
+    * where N is the total row count measured in pass 1. The bound is
+    * computed in exact integer arithmetic (`(N·num + den−1) / den`) so an
+    * external oracle can reproduce it without float-rounding hazards, and
+    * it scales with the data — the no-false-negative precondition
+    * (minFreq·capacity ≥ N) holds at ANY scale once num·capacity ≥ den.
+    */
+  def thresholdHittersRel(df: DataFrame, keyCol: String, capacity: Int,
+                          num: Long, den: Long): DataFrame = {
+    require(num >= 1 && den >= 1, s"bad fraction $num/$den")
+    require(num * capacity >= den,
+      s"thresholdHittersRel: num/den=$num/$den below 1/capacity=1/$capacity — " +
+        "the sketch could miss a qualifying key at some scale; raise capacity or the fraction")
+    run(df, keyCol, capacity, n => ((n * num + den - 1) / den).max(1L))
+  }
+
+  private def run(df: DataFrame, keyCol: String,
+                  capacity: Int, minFreqOf: Long => Long): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    require(capacity >= 1 && minFreq >= 1, s"bad capacity=$capacity minFreq=$minFreq")
+    require(capacity >= 1, s"bad capacity=$capacity")
 
     val keys = df.select(col(keyCol).cast("long")).as[Long]
     val partial = keys.mapPartitions { it =>
@@ -75,12 +103,19 @@ object HeavyHitters {
 
     val n = partial.filter($"k" === Long.MinValue)
       .agg(coalesce(sum($"c"), lit(0L))).as[Long].head()
+    val minFreq = minFreqOf(n)
+    require(minFreq >= 1, s"bad minFreq=$minFreq")
     require(minFreq * capacity >= n,
       s"thresholdHitters: minFreq=$minFreq × capacity=$capacity < N=$n — " +
         "the sketch could miss a qualifying key; raise capacity or minFreq")
 
-    val cands = partial.filter($"k" =!= Long.MinValue)
-      .select($"k".as(keyCol)).distinct()
+    // Bounded collect (≤ partitions × capacity keys — the size the
+    // broadcast below needs driver-resident anyway), then release the
+    // pass-1 cache before the recount job.
+    val candKeys = partial.filter($"k" =!= Long.MinValue)
+      .select($"k").distinct().as[Long].collect()
+    partial.unpersist()
+    val cands = candKeys.toSeq.toDF(keyCol)
     df.select(col(keyCol).cast("long").as(keyCol))
       .join(broadcast(cands), Seq(keyCol))
       .groupBy(keyCol).agg(count(lit(1)).as("freq"))

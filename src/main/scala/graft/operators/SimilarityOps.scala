@@ -221,8 +221,10 @@ object SimilarityOps {
       .filter(col("a.vec_id") < col("b.vec_id"))
       .filter(cosQ(col("a.qv"), col("b.qv")) >= threshold)
       .select(col("b.vec_id").as("vec_id")).distinct()
-    assigned.select("vec_id", "cid")
-      .join(dropped, Seq("vec_id"), "left_anti")
+    graft.Materialize.thenRelease(
+      assigned.select("vec_id", "cid")
+        .join(dropped, Seq("vec_id"), "left_anti"),
+      assigned)
   }
 
   /** Product-quantization ANN (Jégou, Douze, Schmid: "Product Quantization
@@ -289,14 +291,16 @@ object SimilarityOps {
       .agg(transform(sort_array(collect_list(struct(col("s"), col("ds")))),
         p => p.getField("ds")).as("dt"))
     val wTop = Window.partitionBy("qid").orderBy(col("adist").asc, col("vec_id"))
-    codes.crossJoin(broadcast(dt))
-      .filter(col("qid") =!= col("vec_id"))
-      .withColumn("adist", expr(
-        s"aggregate(sequence(0, ${m - 1}), 0L, (acc, s) -> " +
-          "acc + element_at(element_at(dt, s + 1), CAST(element_at(codes, s + 1) AS INT) + 1))"))
-      .withColumn("rank", row_number().over(wTop))
-      .filter(col("rank") <= k)
-      .select("qid", "rank", "vec_id", "adist")
+    graft.Materialize.thenRelease(
+      codes.crossJoin(broadcast(dt))
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("adist", expr(
+          s"aggregate(sequence(0, ${m - 1}), 0L, (acc, s) -> " +
+            "acc + element_at(element_at(dt, s + 1), CAST(element_at(codes, s + 1) AS INT) + 1))"))
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= k)
+        .select("qid", "rank", "vec_id", "adist"),
+      books: _*)
   }
 
   /** Symmetric int8 quantization of an embedding column — the standard

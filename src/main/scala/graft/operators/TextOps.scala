@@ -148,12 +148,17 @@ object TextOps {
   def dupSpanMask(docs: DataFrame, idCol: String, n: Int = 8, minDocs: Int = 2,
                   textCol: String = "text"): DataFrame = {
     val w = docs.select(col(idCol), words(col(textCol)).as("w"))
-    // positional (NOT distinct) n-grams: coverage needs every occurrence
+    // positional (NOT distinct) n-grams: coverage needs every occurrence.
+    // cache: TWO consumers (the duplicated-gram aggregate and the
+    // coverage join) — uncached, the generate pass (split + per-position
+    // md5, the dominant corpus scan) runs twice (round-6 verdict #2);
+    // released via Materialize.thenRelease below.
     val grams = w.filter(size(col("w")) >= n)
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), size(col("w")) - n),
           i => md5(concat_ws(" ", slice(col("w"), i + lit(1), lit(n)))))))
       .select(col(idCol), col("pos"), col("col").as("g"))
+      .cache()
     val dup = grams.groupBy("g")
       .agg(countDistinct(col(idCol)).as("nd"))
       .filter(col("nd") >= minDocs)
@@ -162,11 +167,13 @@ object TextOps {
       .select(col(idCol), explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
       .distinct()
       .groupBy(idCol).agg(count(lit(1)).as("dup_tokens"))
-    docs.select(col(idCol), size(words(col(textCol))).cast("long").as("n_tokens"))
-      .join(covered, Seq(idCol), "left")
-      .select(col(idCol), col("n_tokens"),
-        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
-        (col("n_tokens") - coalesce(col("dup_tokens"), lit(0L))).as("kept_tokens"))
+    graft.Materialize.thenRelease(
+      docs.select(col(idCol), size(words(col(textCol))).cast("long").as("n_tokens"))
+        .join(covered, Seq(idCol), "left")
+        .select(col(idCol), col("n_tokens"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          (col("n_tokens") - coalesce(col("dup_tokens"), lit(0L))).as("kept_tokens")),
+      grams)
   }
 
   /** The ids MinHash-LSH near-dup removal drops: for every verified pair
@@ -177,8 +184,10 @@ object TextOps {
   def nearDupDropIds(docs: DataFrame, idCol: String,
                      threshold: Double = 0.5): DataFrame = {
     val sh = shingleTable(docs, idCol).cache()
-    jaccardVerify(minhashCandidates(sh, idCol), sh, idCol, threshold)
-      .select(col("id2").as(idCol)).distinct()
+    graft.Materialize.thenRelease(
+      jaccardVerify(minhashCandidates(sh, idCol), sh, idCol, threshold)
+        .select(col("id2").as(idCol)).distinct(),
+      sh)
   }
 
   /** EXACT all-pairs n-gram Jaccard near-dup join — no LSH approximation —
@@ -221,10 +230,12 @@ object TextOps {
       .groupBy(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"),
         col("a.sz").as("s1"), col("b.sz").as("s2"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .withColumn("jaccard", col("inter") / (col("s1") + col("s2") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("jaccard"))
+    graft.Materialize.thenRelease(
+      inter
+        .withColumn("jaccard", col("inter") / (col("s1") + col("s2") - col("inter")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id1"), col("id2"), col("jaccard")),
+      index)
   }
 
   /** Asymmetric CONTAINMENT pairs: C(A→B) = |A∩B| / |A| over shingle
@@ -264,14 +275,16 @@ object TextOps {
       .groupBy(col(s"a.$idCol").as("ida"), col(s"b.$idCol").as("idb"),
         col("a.sz").as("sa"), col("b.sz").as("sb"))
       .agg(count(lit(1)).as("inter"))
-    pairs
-      .select(explode(array(
-          struct(col("ida").as("id1"), col("idb").as("id2"),
-            (col("inter") / col("sa")).as("containment")),
-          struct(col("idb").as("id1"), col("ida").as("id2"),
-            (col("inter") / col("sb")).as("containment")))).as("p"))
-      .select(col("p.id1"), col("p.id2"), col("p.containment"))
-      .filter(col("containment") >= threshold)
+    graft.Materialize.thenRelease(
+      pairs
+        .select(explode(array(
+            struct(col("ida").as("id1"), col("idb").as("id2"),
+              (col("inter") / col("sa")).as("containment")),
+            struct(col("idb").as("id1"), col("ida").as("id2"),
+              (col("inter") / col("sb")).as("containment")))).as("p"))
+        .select(col("p.id1"), col("p.id2"), col("p.containment"))
+        .filter(col("containment") >= threshold),
+      index)
   }
 
   /** [[containmentPairs]] with PPJoin-style PREFIX FILTERING — the 100 TB
@@ -325,13 +338,15 @@ object TextOps {
       .join(postings.select(col("id").as("id2"), col("shingle")), Seq("shingle"))
       .filter(col("id1") =!= col("id2"))
       .select("id1", "id2").distinct()
-    cand
-      .join(base.select(col("id").as("id1"), col("sh").as("sh1")), Seq("id1"))
-      .join(base.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
-      .withColumn("containment",
-        size(array_intersect(col("sh1"), col("sh2"))) / size(col("sh1")))
-      .filter(col("containment") >= lit(thrNum.toDouble / thrDen.toDouble))
-      .select(col("id1"), col("id2"), col("containment"))
+    graft.Materialize.thenRelease(
+      cand
+        .join(base.select(col("id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+        .join(base.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+        .withColumn("containment",
+          size(array_intersect(col("sh1"), col("sh2"))) / size(col("sh1")))
+        .filter(col("containment") >= lit(thrNum.toDouble / thrDen.toDouble))
+        .select(col("id1"), col("id2"), col("containment")),
+      postings, base)
   }
 
   /** Exact shingle-set Jaccard for candidate pairs: |A∩B| / |A∪B|. */
@@ -523,11 +538,13 @@ object TextOps {
       .cache()
     val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
-      .select(col(idCol), expr("(1000000 * c2) div c1").as("p_micro"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
-        expr("sum(p_micro) div count(1)").as("score_micro"))
+    graft.Materialize.thenRelease(
+      bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .select(col(idCol), expr("(1000000 * c2) div c1").as("p_micro"))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(p_micro) div count(1)").as("score_micro")),
+      bg)
   }
 
   /** Per-document character-entropy quality metric: Shannon entropy (nats)

@@ -6,6 +6,10 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local session for all specs (one JVM-wide session; scalatest
   * suites run sequentially in the forked test JVM). */
 object TestSession {
+  // keep Derby's log out of the repo tree (same as GraftSession)
+  System.setProperty("derby.stream.error.file",
+    s"${System.getProperty("java.io.tmpdir")}/graft_derby.log")
+
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")

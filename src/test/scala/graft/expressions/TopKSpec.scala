@@ -71,6 +71,20 @@ class TopKSpec extends SparkSpec {
     }
   }
 
+  test("Long.MinValue key sorts weakest, not strongest (negation overflow)") {
+    // -Long.MinValue overflows to itself; a sortBy(-key) would rank it
+    // as the strongest key. It must come LAST, and never displace others.
+    val df = Seq((1, Long.MinValue, 1L), (1, 0L, 2L), (1, Long.MaxValue, 3L))
+      .toDF("g", "key", "payload")
+    val got = natives(df, 3).orderBy("rn")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1, 1L, Long.MaxValue, 3L), (1, 2L, 0L, 2L),
+      (1, 3L, Long.MinValue, 1L)))
+    val top2 = natives(df, 2).orderBy("rn")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(top2.map(_._3) == Seq(Long.MaxValue, 0L))
+  }
+
   test("SQL surface: graft_top_k is registered") {
     val got = spark.sql(
       """SELECT graft_top_k(k, p, 2) AS top FROM VALUES

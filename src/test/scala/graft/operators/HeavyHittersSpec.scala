@@ -43,4 +43,43 @@ class HeavyHittersSpec extends SparkSpec {
     val got = HeavyHitters.thresholdHitters(df, "k", capacity = 4, minFreq = 101)
     assert(got.isEmpty)
   }
+
+  test("N-relative bar equals the exact form at two scales") {
+    // freq ≥ ⌈N/100⌉: at N=10000 → 100 (same bar as the absolute spec);
+    // doubling the data doubles the bar, so the SAME keys qualify — the
+    // property an absolute minFreq loses under growth
+    for (copies <- Seq(1, 2)) {
+      val df = (1 to copies).map(_ => skewed).reduce(_ union _).cache()
+      val n = df.count()
+      val got = HeavyHitters.thresholdHittersRel(df, "k", capacity = 100,
+          num = 1, den = 100)
+        .as[(Long, Long)].collect().toSeq
+      val want = df.groupBy("k").agg(count(lit(1)).as("freq"))
+        .filter(col("freq") >= (n + 99) / 100).orderBy("k")
+        .as[(Long, Long)].collect().toSeq
+      assert(got == want, s"copies=$copies")
+      assert(got.map(_._1).toSet == Set(1L, 2L))
+      df.unpersist()
+    }
+  }
+
+  test("a fraction below 1/capacity is rejected up front") {
+    val e = intercept[IllegalArgumentException] {
+      HeavyHitters.thresholdHittersRel(skewed, "k", capacity = 100,
+        num = 1, den = 1000)
+    }
+    assert(e.getMessage.contains("below 1/capacity"))
+  }
+
+  test("repeated invocations leave no cached partitions behind") {
+    // delta check, not isEmpty: the suite session is shared and other
+    // operators legitimately hold localCheckpoint blocks until GC
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df = skewed
+    HeavyHitters.thresholdHitters(df, "k", capacity = 100, minFreq = 100).count()
+    HeavyHitters.thresholdHittersRel(df, "k", capacity = 100, num = 1, den = 100).count()
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.isEmpty,
+      s"pass-1 summary cache must be released before the operator returns; leaked ids $added")
+  }
 }
