@@ -1966,6 +1966,37 @@ object SparkEntry {
       EventOps.asofJoinForward(purchases, errors, "user_id", Seq("value_c"))
         .select("user_id", "id", "asof_id", "asof_ts_us", "asof_value_c")
         .orderBy("user_id", "id")
+    }),
+
+    // REAL image decode through the JDK's own PNG codec: per doc, generate
+    // a gradient image keyed by (doc_id-derived dims, seed), encode with
+    // ImageIO.write, decode with ImageIoDecoder, and emit exact integer
+    // Rec.601 band sums over the DECODED pixels. PNG is lossless, so the
+    // oracle reproduces every value from the pixel law alone — a stub
+    // decode (byte-length dims, md5 features) cannot hash-match this.
+    // Batch kernel shape: one partition-local map, no shuffle until the
+    // final sort.
+    "q146_imageio_decode" -> ((s, dir) => {
+      import s.implicits._
+      MultimodalOps.decodePngGate(
+        t(s, dir, "documents").select(col("doc_id").cast("long"))
+          .filter(col("doc_id") < 200).as[Long])
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
+    // REAL audio decode via javax.sound.sampled: per user, synthesize a
+    // deterministic mono PCM16 WAV (RIFF bytes built by hand), decode it
+    // with the JDK parser, and emit frame count, channel count, and exact
+    // integer band sums of |amplitude| over the DECODED samples — all
+    // reproducible from the sample law in the oracle.
+    "q147_wav_decode" -> ((s, dir) => {
+      import s.implicits._
+      MultimodalOps.decodeWavGate(
+        t(s, dir, "events").select(col("user_id").cast("long")).distinct()
+          .filter(col("user_id") < 100).as[Long])
+        .toDF()
+        .orderBy("user_id")
     })
   )
 
@@ -4116,6 +4147,50 @@ object SparkEntry {
         |       nt.a_ts AS asof_ts_us, v.value_c AS asof_value_c
         |FROM nt LEFT JOIN edv v
         |  ON v.user_id = nt.user_id AND v.rts = nt.a_ts
-        |ORDER BY user_id, id""".stripMargin
+        |ORDER BY user_id, id""".stripMargin,
+
+    // The decode gate's proof: every value the ENGINE produced by
+    // ImageIO-decoding a PNG it encoded is recomputed here from the pixel
+    // law alone (lossless codec => decoded pixels == generated pixels).
+    // Integer-only arithmetic on both sides: x*255//(w-1) gradients,
+    // Rec.601 milli-luma 299r+587g+114b, band = y*4//h.
+    "q146_imageio_decode" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |                  16 + CAST(doc_id % 17 AS INT) AS w,
+        |                  16 + CAST(doc_id % 13 AS INT) AS h
+        |           FROM documents WHERE doc_id < 200),
+        |ys AS (SELECT doc_id, w, h, unnest(range(0, h)) AS y FROM d),
+        |px AS (SELECT doc_id, w, h, y, unnest(range(0, w)) AS x FROM ys),
+        |lum AS (SELECT doc_id, w, h, y * 4 // h AS band,
+        |               299 * (x * 255 // (w - 1)) + 587 * (y * 255 // (h - 1)) +
+        |               114 * ((x + y + doc_id % 256) % 256) AS luma
+        |        FROM px)
+        |SELECT doc_id, 'png' AS format,
+        |       any_value(w) AS width, any_value(h) AS height,
+        |       CAST(sum(CASE WHEN band = 0 THEN luma END) AS BIGINT) AS band0_luma1000,
+        |       CAST(sum(CASE WHEN band = 1 THEN luma END) AS BIGINT) AS band1_luma1000,
+        |       CAST(sum(CASE WHEN band = 2 THEN luma END) AS BIGINT) AS band2_luma1000,
+        |       CAST(sum(CASE WHEN band = 3 THEN luma END) AS BIGINT) AS band3_luma1000
+        |FROM lum GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same proof for audio: the sample law i·(user_id%16+3) mod 8192 −
+    // 4096 is recomputed per decoded frame; band = i*4//n, |amplitude|
+    // sums in exact integers.
+    "q147_wav_decode" ->
+      """WITH u AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id
+        |           FROM events WHERE user_id < 100),
+        |d AS (SELECT user_id, 400 + CAST(user_id % 7 AS INT) * 50 AS n FROM u),
+        |s AS (SELECT user_id, n, unnest(range(0, n)) AS i FROM d),
+        |v AS (SELECT user_id, n, i * 4 // n AS band,
+        |             abs((i * (user_id % 16 + 3)) % 8192 - 4096) AS a
+        |      FROM s)
+        |SELECT user_id, 'wav' AS format,
+        |       CAST(any_value(n) AS BIGINT) AS n_frames,
+        |       CAST(1 AS INT) AS channels,
+        |       CAST(sum(CASE WHEN band = 0 THEN a END) AS BIGINT) AS band0_abs,
+        |       CAST(sum(CASE WHEN band = 1 THEN a END) AS BIGINT) AS band1_abs,
+        |       CAST(sum(CASE WHEN band = 2 THEN a END) AS BIGINT) AS band2_abs,
+        |       CAST(sum(CASE WHEN band = 3 THEN a END) AS BIGINT) AS band3_abs
+        |FROM v GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -7,6 +7,16 @@ import org.apache.spark.sql.functions._
 case class MediaFeatures(asset_id: Long, format: String, width: Int, height: Int,
                          n_bytes: Long, features: Array[Float])
 
+/** q146 row: decoded-pixel integer band features of a generated PNG. */
+case class PngDecodeRow(doc_id: Long, format: String, width: Int, height: Int,
+                        band0_luma1000: Long, band1_luma1000: Long,
+                        band2_luma1000: Long, band3_luma1000: Long)
+
+/** q147 row: decoded-sample integer band features of a generated WAV. */
+case class WavDecodeRow(user_id: Long, format: String, n_frames: Long,
+                        channels: Int, band0_abs: Long, band1_abs: Long,
+                        band2_abs: Long, band3_abs: Long)
+
 /** Multimodal column handling for the training-data pipeline: image/audio/
   * video travel as opaque `binary` columns with typed metadata, and the
   * decode / feature-extract step runs as a partition-local batch kernel.
@@ -14,12 +24,19 @@ case class MediaFeatures(asset_id: Long, format: String, width: Int, height: Int
   * The Spark-side plumbing here is real — schema, partitioning, the
   * per-partition batch execution shape (`mapPartitions` over a typed
   * Dataset, the Scala analog of `mapInPandas` batches), and the feature
-  * schema. Decoding is REAL for binary PPM ([[PpmDecoder]]: pure-JVM
-  * header+pixel parsing, luma features, nearest-neighbor resize — no
-  * codec library needed) and STUBBED only for formats that genuinely
-  * require a native codec this container lacks (jpeg/png/wav →
-  * [[StubDecoder]], deterministic fake output derived from the bytes).
-  * Swap in a JNI decoder behind the same trait; nothing else changes.
+  * schema. Decoding is REAL for:
+  *   - binary PPM ([[PpmDecoder]]: pure-JVM header+pixel parsing, luma
+  *     features, nearest-neighbor resize — no codec library needed);
+  *   - PNG / JPEG / GIF / BMP ([[ImageIoDecoder]]: the JDK's own
+  *     `javax.imageio` codecs, headless — the round-6 claim that these
+  *     formats need a native library this container lacks was wrong);
+  *   - WAV ([[ImageIoDecoder]] again, via `javax.sound.sampled` — PCM
+  *     frames decoded for real, band-amplitude features).
+  * [[StubDecoder]] now covers only payloads with no JDK codec (video
+  * containers, unknown binaries) with deterministic fake output so
+  * plumbing tests stay hermetic. [[AutoDecoder]] dispatches by magic
+  * bytes and is the default. Swap in an ffmpeg/JNI decoder behind the
+  * same trait; nothing else changes.
   */
 object MultimodalOps {
 
@@ -31,10 +48,12 @@ object MultimodalOps {
     def features(bytes: Array[Byte], dim: Int): Array[Float]
   }
 
-  /** STUB — deterministic fake decode (no codecs in this environment).
-    * Format from magic-byte sniffing (that part is real); dims and features
-    * are reproducible functions of the payload so tests can assert
-    * end-to-end plumbing. */
+  /** STUB — deterministic fake decode for payloads with no JDK codec
+    * (video containers, unknown binaries). Format from magic-byte sniffing
+    * (that part is real); dims and features are reproducible functions of
+    * the payload so tests can assert end-to-end plumbing. Image and WAV
+    * payloads should go through [[ImageIoDecoder]] (real decode) — use
+    * [[AutoDecoder]] to dispatch. */
   object StubDecoder extends MediaDecoder {
     def format(bytes: Array[Byte]): String =
       if (bytes.length >= 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) "jpeg"
@@ -161,6 +180,154 @@ object MultimodalOps {
     }
   }
 
+  /** REAL decoder for the JDK's own codecs — PNG/JPEG/GIF/BMP via
+    * `javax.imageio.ImageIO` (headless; no native library, no display)
+    * and WAV via `javax.sound.sampled.AudioSystem` (PCM frames). Features
+    * follow [[PpmDecoder]]'s contract: horizontal-band mean luma in [0,1]
+    * (Rec.601) for images; per-band mean |amplitude| in [0,1] for audio.
+    * `dims` for audio is (framesPerChannel, channels) — the natural
+    * "extent" of a sampled signal. Non-JDK formats fall through to
+    * [[PpmDecoder]] (P6) then [[StubDecoder]].
+    *
+    * The luma arithmetic has an EXACT integer twin
+    * ([[lumaBandSums1000]]: Σ(299r + 587g + 114b) per band, no division,
+    * no floats) so an external oracle can reproduce decoded-pixel
+    * features bit-for-bit — that is the gate's proof that the decode is
+    * real: a stub deriving output from byte length or an md5 cannot
+    * reproduce per-pixel sums of a losslessly round-tripped image. */
+  object ImageIoDecoder extends MediaDecoder {
+    // raster decode needs no display; set before ImageIO classloads
+    System.setProperty("java.awt.headless", "true")
+
+    private[operators] def sniff(b: Array[Byte]): String =
+      if (b.length >= 8 && b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' &&
+        b(3) == 'G') "png"
+      else if (b.length >= 2 && b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) "jpeg"
+      else if (b.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "gif"
+      else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+      else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "wav"
+      else ""
+
+    private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "ImageIO could not decode payload")
+      img
+    }
+
+    /** Interleaved signed samples of a PCM WAV, plus channel count. */
+    private def wavSamples(bytes: Array[Byte]): (Array[Int], Int) = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        require(f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          f.getSampleSizeInBits == 16 && !f.isBigEndian,
+          s"unsupported WAV encoding $f")
+        val raw = in.readAllBytes()
+        val out = new Array[Int](raw.length / 2)
+        var i = 0
+        while (i < out.length) {
+          out(i) = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xFF)) // LE signed 16
+          i += 1
+        }
+        (out, f.getChannels)
+      } finally in.close()
+    }
+
+    def format(bytes: Array[Byte]): String = {
+      val s = sniff(bytes)
+      if (s.nonEmpty) s else PpmDecoder.format(bytes)
+    }
+
+    def dims(bytes: Array[Byte]): (Int, Int) = sniff(bytes) match {
+      case "png" | "jpeg" | "gif" | "bmp" =>
+        val img = readImage(bytes); (img.getWidth, img.getHeight)
+      case "wav" =>
+        val (samples, ch) = wavSamples(bytes); (samples.length / ch, ch)
+      case _ => PpmDecoder.dims(bytes)
+    }
+
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = sniff(bytes) match {
+      case "png" | "jpeg" | "gif" | "bmp" =>
+        val sums = lumaBandSums1000(bytes, dim)
+        val img = readImage(bytes)
+        val w = img.getWidth; val h = img.getHeight
+        Array.tabulate(dim) { b =>
+          // rows y with y*dim/h == b; count may be 0 when h < dim
+          val n = (0 until h).count(y => y.toLong * dim / h == b) * w
+          if (n == 0) 0.0f else (sums(b) / 1000.0 / n / 255.0).toFloat
+        }
+      case "wav" =>
+        val (samples, _) = wavSamples(bytes)
+        val out = new Array[Float](dim)
+        val bandSum = new Array[Double](dim)
+        val bandN = new Array[Int](dim)
+        var i = 0
+        while (i < samples.length) {
+          val b = (i.toLong * dim / samples.length).toInt
+          bandSum(b) += math.abs(samples(i).toDouble); bandN(b) += 1
+          i += 1
+        }
+        var b = 0
+        while (b < dim) {
+          out(b) = if (bandN(b) == 0) 0.0f else (bandSum(b) / bandN(b) / 32768.0).toFloat
+          b += 1
+        }
+        out
+      case _ => PpmDecoder.features(bytes, dim)
+    }
+
+    /** EXACT integer band features of a decoded WAV: per band
+      * `b = i·nb div n` over interleaved sample index i, the sum of
+      * |sample| — pure Long arithmetic for oracle parity. */
+    def absBandSums(bytes: Array[Byte], nb: Int): Array[Long] = {
+      require(nb > 0, s"bad band count $nb")
+      val (samples, _) = wavSamples(bytes)
+      val out = new Array[Long](nb)
+      var i = 0
+      while (i < samples.length) {
+        out((i.toLong * nb / samples.length).toInt) += math.abs(samples(i).toLong)
+        i += 1
+      }
+      out
+    }
+
+    /** EXACT integer band features of a decoded image: per horizontal band
+      * `b = y·nb div h`, the sum of Rec.601 milli-luma `299·R + 587·G +
+      * 114·B` over every decoded pixel. Pure Long arithmetic — the form an
+      * external oracle reproduces from a known pixel law. */
+    def lumaBandSums1000(bytes: Array[Byte], nb: Int): Array[Long] = {
+      require(nb > 0, s"bad band count $nb")
+      val img = readImage(bytes)
+      val w = img.getWidth; val h = img.getHeight
+      val out = new Array[Long](nb)
+      var y = 0
+      while (y < h) {
+        val band = (y.toLong * nb / h).toInt
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          out(band) += 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+            114L * (rgb & 0xFF)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
+  /** Dispatch-by-magic-bytes decoder — the default: real JDK decode for
+    * PNG/JPEG/GIF/BMP/WAV, real pure-JVM decode for P6 PPM, deterministic
+    * stub only for formats with no JDK codec. */
+  object AutoDecoder extends MediaDecoder {
+    def format(bytes: Array[Byte]): String = ImageIoDecoder.format(bytes)
+    def dims(bytes: Array[Byte]): (Int, Int) = ImageIoDecoder.dims(bytes)
+    def features(bytes: Array[Byte], dim: Int): Array[Float] =
+      ImageIoDecoder.features(bytes, dim)
+  }
+
   /** Deterministic P6 generator for fixtures: an RGB gradient keyed by
     * `seed` (x-gradient red, y-gradient green, diagonal blue). */
   def gradientPpm(w: Int, h: Int, seed: Int): Array[Byte] = {
@@ -180,6 +347,92 @@ object MultimodalOps {
       y += 1
     }
     out
+  }
+
+  /** The [[gradientPpm]] pixel law, PNG-encoded through the JDK's own
+    * codec (`ImageIO.write`): lossless, so [[ImageIoDecoder]] must read
+    * back exactly the generated pixels — the encode half of the
+    * real-decode gate. */
+  def gradientPng(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = if (w > 1) x * 255 / (w - 1) else 0
+        val g = if (h > 1) y * 255 / (h - 1) else 0
+        val b = (x + y + seed) % 256
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", bos), "no PNG writer")
+    bos.toByteArray
+  }
+
+  /** Deterministic 16-bit mono PCM WAV for fixtures: sample(i) =
+    * ((i · (seed + 3)) mod 8192) − 4096, RIFF-encoded by hand (the header
+    * is 44 fixed bytes) so the DECODE side exercises the real
+    * `javax.sound.sampled` parser. */
+  def syntheticWav(nSamples: Int, sampleRate: Int, seed: Int): Array[Byte] = {
+    require(nSamples > 0 && sampleRate > 0, s"bad wav spec $nSamples@$sampleRate")
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      bb.putShort(((i * (seed + 3)) % 8192 - 4096).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** q146 kernel — encode→decode→integer-feature round trip per id, as a
+    * partition-local batch map (no shuffle; the codec init is amortized
+    * per partition, the batch shape a real decoder wants). Dims, seed,
+    * and pixel law are all functions of the id so an external oracle can
+    * recompute every output from arithmetic alone; PNG losslessness is
+    * what makes decode(encode(pixels)) == pixels. */
+  def decodePngGate(ids: Dataset[Long]): Dataset[PngDecodeRow] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val w = 16 + (id % 17).toInt
+        val h = 16 + (id % 13).toInt
+        val png = gradientPng(w, h, seed = (id % 256).toInt)
+        val (dw, dh) = ImageIoDecoder.dims(png)
+        val b = ImageIoDecoder.lumaBandSums1000(png, 4)
+        PngDecodeRow(id, ImageIoDecoder.format(png), dw, dh, b(0), b(1), b(2), b(3))
+      }
+    }
+  }
+
+  /** q147 kernel — same contract as [[decodePngGate]] for audio: RIFF
+    * bytes synthesized by hand, decoded by the JDK's real WAV parser,
+    * exact |amplitude| band sums out. */
+  def decodeWavGate(ids: Dataset[Long]): Dataset[WavDecodeRow] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val n = 400 + (id % 7).toInt * 50
+        val wav = syntheticWav(n, sampleRate = 8000, seed = (id % 16).toInt)
+        val (frames, ch) = ImageIoDecoder.dims(wav)
+        val b = ImageIoDecoder.absBandSums(wav, 4)
+        WavDecodeRow(id, ImageIoDecoder.format(wav), frames.toLong, ch,
+          b(0), b(1), b(2), b(3))
+      }
+    }
   }
 
   /** Image resize as a partition-local batch op over (asset_id, payload):
@@ -204,7 +457,7 @@ object MultimodalOps {
     * partition, rows streamed through it — the batch shape a real codec
     * wants (amortized init, no per-row JNI churn). Output is a typed
     * Dataset, ready to join back or feed the ANN operators. */
-  def extractFeatures(df: DataFrame, decoder: MediaDecoder = StubDecoder,
+  def extractFeatures(df: DataFrame, decoder: MediaDecoder = AutoDecoder,
                       featureDim: Int = 8): Dataset[MediaFeatures] = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -13,16 +13,76 @@ class MultimodalOpsSpec extends SparkSpec {
     .toDF("asset_id", "payload")
 
   test("extractFeatures: schema, format sniffing, deterministic features") {
-    val got = MultimodalOps.extractFeatures(assets).collect()
-      .map(m => m.asset_id -> m).toMap
+    // truncated magic-only payloads: plumbing fixtures, so pin the STUB
+    // decoder explicitly (the AutoDecoder default would — correctly —
+    // refuse to decode 8 bytes of fake jpeg)
+    val got = MultimodalOps.extractFeatures(assets, MultimodalOps.StubDecoder)
+      .collect().map(m => m.asset_id -> m).toMap
     assert(got(1L).format == "jpeg" && got(2L).format == "png" &&
       got(3L).format == "wav" && got(4L).format == "bin")
     assert(got.values.forall(_.features.length == 8))
     assert(got(3L).n_bytes == 12L)
     // determinism: a second run yields identical features
-    val again = MultimodalOps.extractFeatures(assets).collect()
-      .map(m => m.asset_id -> m.features.toSeq).toMap
+    val again = MultimodalOps.extractFeatures(assets, MultimodalOps.StubDecoder)
+      .collect().map(m => m.asset_id -> m.features.toSeq).toMap
     assert(got.view.mapValues(_.features.toSeq).toMap == again)
+  }
+
+  test("ImageIoDecoder: real PNG decode reproduces the generated pixel law") {
+    import MultimodalOps.{ImageIoDecoder, gradientPng}
+    val (w, h, seed) = (20, 12, 5)
+    val png = gradientPng(w, h, seed)
+    assert(ImageIoDecoder.format(png) == "png")
+    assert(ImageIoDecoder.dims(png) == (w, h))
+    // exact integer band sums straight from the pixel law — a fake decode
+    // (md5 of bytes, size-derived dims) cannot reproduce these
+    val want = new Array[Long](4)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = x * 255 / (w - 1); val g = y * 255 / (h - 1)
+      val b = (x + y + seed) % 256
+      want(y * 4 / h) += 299L * r + 587L * g + 114L * b
+    }
+    assert(ImageIoDecoder.lumaBandSums1000(png, 4).toSeq == want.toSeq)
+  }
+
+  test("ImageIoDecoder: PNG features agree with PpmDecoder on the same pixels") {
+    import MultimodalOps._
+    // h divisible by the band count -> both band schemes partition rows
+    // identically; features are mean luma in [0,1] on both paths
+    val (w, h, seed) = (16, 8, 2)
+    val png = ImageIoDecoder.features(gradientPng(w, h, seed), 4)
+    val ppm = PpmDecoder.features(gradientPpm(w, h, seed), 4)
+    png.zip(ppm).foreach { case (a, b) => assert(math.abs(a - b) < 1e-4f) }
+  }
+
+  test("ImageIoDecoder: real WAV decode via javax.sound.sampled") {
+    import MultimodalOps.{ImageIoDecoder, syntheticWav}
+    val n = 1000
+    val wav = syntheticWav(n, sampleRate = 8000, seed = 7)
+    assert(ImageIoDecoder.format(wav) == "wav")
+    assert(ImageIoDecoder.dims(wav) == (n, 1))
+    val got = ImageIoDecoder.features(wav, 4)
+    val want = (0 until 4).map { band =>
+      val idx = (0 until n).filter(i => i.toLong * 4 / n == band)
+      idx.map(i => math.abs((i * 10) % 8192 - 4096).toDouble).sum / idx.size / 32768.0
+    }
+    got.zip(want).foreach { case (a, b) => assert(math.abs(a - b) < 1e-6) }
+  }
+
+  test("extractFeatures with the AutoDecoder default decodes real payloads") {
+    import MultimodalOps._
+    val real = Seq(
+      (10L, gradientPng(9, 6, 1)),
+      (11L, syntheticWav(600, 8000, 4)),
+      (12L, gradientPpm(5, 4, 0)),
+      (13L, Array[Byte](1, 2, 3))) // no JDK codec -> stub fallback
+      .toDF("asset_id", "payload")
+    val got = extractFeatures(real).collect().map(m => m.asset_id -> m).toMap
+    assert(got(10L).format == "png" && got(10L).width == 9 && got(10L).height == 6)
+    assert(got(11L).format == "wav" && got(11L).width == 600 && got(11L).height == 1)
+    assert(got(12L).format == "ppm" && got(12L).width == 5 && got(12L).height == 4)
+    assert(got(13L).format == "bin")
+    assert(got.values.forall(_.features.length == 8))
   }
 
   test("sampleFrames emits nFrames rows per asset with feature vectors") {
