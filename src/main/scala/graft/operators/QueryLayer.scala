@@ -22,19 +22,66 @@ object QueryLayer {
     * `maxSnapM` (reference poi_query.py:21-47 brute-force scan + the
     * cKDTree cutoff variant, test_path.py:262-268).
     *
-    * Each query point is one global argmin: a min_by aggregate per point —
-    * distributed partial aggregation over the node table, no global sort,
-    * no window. `points` must have (query_id, lon, lat). */
+    * Scale shape (round-7 SCALECHECK caught the original
+    * points × nodes crossJoin at 19.9× on 10× data — 100× candidate
+    * growth): nodes and points are bucketed on a degree grid sized so
+    * that any node OUTSIDE a point's 3×3 neighborhood provably has
+    * equirect distance > maxSnapM (lat cell = maxSnapM in degrees; lon
+    * cell widened by 1/cos(max |lat| in the data) so the guarantee
+    * survives the metric's cos(q_lat) scaling — near the poles cos→0
+    * degrades lon cells to one world-spanning cell, which stays exact
+    * and merely loses lon pruning). A point whose in-neighborhood
+    * winner has d² ≤ maxSnapM² is therefore the GLOBAL argmin —
+    * resolved with one equi-join shuffle, no crossJoin. Points the
+    * neighborhood can't decide (no candidate, or the winner is beyond
+    * the guarantee radius — their snap is −1, but the reported
+    * snap_dist_m must still be the true nearest's) fall back to the
+    * original brute-force argmin, applied to ONLY those points: the
+    * common case scans 9 cells, the rare far-from-everything point
+    * pays the full scan the semantics require. Both branches share one
+    * min_by(…, struct(d², node_idx)) expression, so the deterministic
+    * tie-break is identical and the result is bit-equal to the
+    * all-pairs form (q38's oracle pins it).
+    *
+    * `points` must have (query_id, lon, lat). */
   def snapPoints(points: DataFrame, nodes: DataFrame,
                  maxSnapM: Double = 300.0): DataFrame = {
+    val pts = points.select(col("query_id"), col("lon").as("q_lon"), col("lat").as("q_lat"))
     val d2 = equirectDist2(col("q_lon"), col("q_lat"), col("lon"), col("lat"))
-    val best = points.select(col("query_id"), col("lon").as("q_lon"), col("lat").as("q_lat"))
+    val pick = min_by(struct(col("node_idx"), col("lon"), col("lat")),
+      struct(d2, col("node_idx")))
+    val g = maxSnapM / R_QUERY_M // guarantee radius in equirect radians
+    val aDeg = math.toDegrees(g) // lat cell size, degrees
+    // one broadcast row: the lon-cell widening factor (1e-9 floor keeps
+    // bDeg finite/positive at the poles — cells degenerate, never flip)
+    val bounds = broadcast(
+      nodes.select(abs(col("lat")).as("al"))
+        .unionByName(pts.select(abs(col("q_lat")).as("al")))
+        .agg(greatest(cos(radians(max(col("al")))), lit(1e-9)).as("cos_max")))
+    val bDeg = lit(aDeg) / col("cos_max")
+    val nx = nodes.select(col("node_idx"), col("lon"), col("lat")).crossJoin(bounds)
+      .select(col("node_idx"), col("lon"), col("lat"),
+        floor(col("lon") / bDeg).cast("long").as("cx"),
+        floor(col("lat") / lit(aDeg)).cast("long").as("cy"))
+    val neighbors = array((-1 to 1).map(lit): _*)
+    val rep = pts.crossJoin(bounds)
+      .withColumn("dx", explode(neighbors))
+      .withColumn("dy", explode(neighbors))
+      .select(col("query_id"), col("q_lon"), col("q_lat"),
+        (floor(col("q_lon") / bDeg).cast("long") + col("dx")).as("cx"),
+        (floor(col("q_lat") / lit(aDeg)).cast("long") + col("dy")).as("cy"))
+    val nn = rep.join(nx, Seq("cx", "cy"))
+      .groupBy("query_id", "q_lon", "q_lat")
+      .agg(pick.as("nn"), min(d2).as("d2min"))
+    val resolved = nn.filter(col("d2min") <= lit(g * g)).drop("d2min")
+    val unresolved = pts.join(resolved.select("query_id"), Seq("query_id"), "left_anti")
+    val brute = unresolved
       .crossJoin(nodes.select(col("node_idx"), col("lon"), col("lat")))
       .groupBy("query_id", "q_lon", "q_lat")
-      .agg(min_by(struct(col("node_idx"), col("lon"), col("lat")), struct(d2, col("node_idx"))).as("nn"))
+      .agg(pick.as("nn"))
+    resolved.unionByName(brute)
       .select(col("query_id"), col("q_lon"), col("q_lat"),
         col("nn.node_idx").as("node_idx"), col("nn.lon").as("n_lon"), col("nn.lat").as("n_lat"))
-    best
       .withColumn("snap_dist_m",
         haversineM(col("q_lon"), col("q_lat"), col("n_lon"), col("n_lat")))
       .select(col("query_id"),

@@ -17,6 +17,42 @@ class QueryLayerSpec extends SparkSpec {
     assert(got(11L) == -1) // ~45 km away from everything
   }
 
+  test("snapPoints: bucketed path == brute-force argmin on a dense lattice") {
+    // 21×21 node lattice at ~70 m pitch; query points sit at lattice
+    // points, cell corners, mid-edges, and far outside — exercising the
+    // resolved path, cell-boundary ties, and the -1 fallback. The oracle
+    // is the argmin the ORIGINAL all-pairs operator computed: equirect d²
+    // rank (node_idx tie-break), haversine on the winner, -1 past cutoff.
+    val latticeNodes = (for { i <- 0 until 21; j <- 0 until 21 }
+      yield (i * 21 + j, 18.60 + i * 0.001, 54.35 + j * 0.001)).toSeq
+    val nodesDf = latticeNodes.toDF("node_idx", "lon", "lat")
+    val qpts = (for { i <- 0 until 10; j <- 0 until 10 }
+      yield ((i * 10 + j).toLong, 18.6002 + i * 0.0021, 54.3498 + j * 0.0019)).toSeq ++
+      Seq((900L, 18.0, 54.0), (901L, 18.62003, 54.36001))
+    val ptsDf = qpts.toDF("query_id", "lon", "lat")
+    val got = QueryLayer.snapPoints(ptsDf, nodesDf, maxSnapM = 300.0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq.sortBy(_._1)
+    def equirect2(qlon: Double, qlat: Double, lon: Double, lat: Double): Double = {
+      val x = math.toRadians(lon - qlon) * math.cos(math.toRadians(qlat))
+      val y = math.toRadians(lat - qlat)
+      x * x + y * y
+    }
+    def hav(qlon: Double, qlat: Double, lon: Double, lat: Double): Double = {
+      val a = math.pow(math.sin(math.toRadians(lat - qlat) / 2), 2) +
+        math.cos(math.toRadians(qlat)) * math.cos(math.toRadians(lat)) *
+          math.pow(math.sin(math.toRadians(lon - qlon) / 2), 2)
+      2.0 * 6371000.0 * math.asin(math.sqrt(a))
+    }
+    val want = qpts.map { case (id, qlon, qlat) =>
+      val (ni, nlon, nlat) = latticeNodes
+        .minBy { case (ni, lon, lat) => (equirect2(qlon, qlat, lon, lat), ni) }
+      val d = hav(qlon, qlat, nlon, nlat)
+      (id, if (d > 300.0) -1 else ni, d)
+    }.sortBy(_._1)
+    assert(got.map(r => (r._1, r._2)) == want.map(r => (r._1, r._2)))
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g._3 - w._3) < 1e-9) }
+  }
+
   test("nodesNear: radius branch when matches exist, k-nearest fallback otherwise") {
     val inRadius = QueryLayer.nodesNear(nodes, 18.600, 54.350, radiusM = 200.0)
       .select("node_idx").as[Int].collect().toSet
