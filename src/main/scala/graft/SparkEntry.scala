@@ -2004,6 +2004,21 @@ object SparkEntry {
           .filter(col("user_id") < 100).as[Long])
         .toDF()
         .orderBy("user_id")
+    }),
+
+    // Line-level exact dedup (C4 §2.2 / RefinedWeb): repeated lines
+    // survive only at their first (doc, pos) occurrence, docs reassembled
+    // from survivors. The synthetic corpus has no cross-doc duplicate
+    // lines by construction, so the gate plants a shared 10-word
+    // boilerplate line at the head of every 4th document (mirrored in the
+    // oracle) — it must survive in exactly one document.
+    "q148_line_dedup" -> ((s, dir) => {
+      val boiler = (0 until 10).map(i => s"bl$i").mkString(" ")
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, concat(lit(boiler + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      CorpusOps.dedupLines(docs, lineWords = 10)
+        .orderBy("doc_id")
     })
   )
 
@@ -4198,6 +4213,31 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN band = 1 THEN a END) AS BIGINT) AS band1_abs,
         |       CAST(sum(CASE WHEN band = 2 THEN a END) AS BIGINT) AS band2_abs,
         |       CAST(sum(CASE WHEN band = 3 THEN a END) AS BIGINT) AS band3_abs
-        |FROM v GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM v GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Line dedup: 10-word lines, global first-occurrence keep
+    // (row_number over the LINE TEXT ordered by doc, pos), docs rebuilt
+    // from survivors in position order; the boilerplate injection matches
+    // the engine side verbatim.
+    "q148_line_dedup" ->
+      """WITH src AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 4 = 0
+        |             THEN 'bl0 bl1 bl2 bl3 bl4 bl5 bl6 bl7 bl8 bl9 ' || text
+        |             ELSE text END AS text
+        |      FROM documents),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM src),
+        |l AS (SELECT doc_id, CAST(s // 10 AS INT) AS pos,
+        |             array_to_string(w[s+1 : least(s+10, len(w))], ' ') AS line
+        |      FROM (SELECT doc_id, w, unnest(range(0, len(w), 10)) AS s FROM w)),
+        |kept AS (SELECT doc_id, pos, line FROM l
+        |         QUALIFY row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1),
+        |agg AS (SELECT doc_id, count(*) AS kept_lines,
+        |               string_agg(line, ' ' ORDER BY pos) AS text_dedup
+        |        FROM kept GROUP BY doc_id)
+        |SELECT w.doc_id, (len(w.w) + 9) // 10 AS n_lines,
+        |       COALESCE(a.kept_lines, CAST(0 AS BIGINT)) AS kept_lines,
+        |       COALESCE(a.text_dedup, '') AS text_dedup
+        |FROM w LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
   )
 }

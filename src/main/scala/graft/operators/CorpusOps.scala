@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators for the training-data pipeline, beyond the
@@ -135,6 +136,71 @@ object CorpusOps {
           least(lit(size), n - s).as("n")))))
       .select(col(idCol), col("pos").as("chunk_idx"),
         col("col.t").as("chunk_text"), col("col.n").cast("int").as("n_tokens"))
+  }
+
+  /** Line-level exact deduplication — the C4 §2.2 / RefinedWeb / CCNet
+    * corpus stage that [[TextOps.dupSpanMask]]'s n-gram masking
+    * generalizes but real pipelines still run first because it is an
+    * order of magnitude cheaper: every line whose EXACT text occurs more
+    * than once in the corpus (across documents or within one) survives
+    * only at its first occurrence — smallest (doc, position) — and is
+    * dropped everywhere else; documents are then reassembled from their
+    * surviving lines in original order.
+    *
+    * The synthetic corpus has no newline structure, so the liner is a
+    * parameter: `lineWords` groups each document's tokens into fixed
+    * `lineWords`-word lines. The dedup plumbing — line explode, global
+    * first-occurrence argmin, reassembly — is delimiter-agnostic; a real
+    * corpus would feed `split(text, '\n')` lines instead.
+    *
+    * Shape at scale: one Generate (per-doc line windows, pure array
+    * math), ONE shuffle partitioning on the line text for the
+    * first-occurrence window (rn = 1 over (doc, pos) — partition sizes
+    * are per-line occurrence counts, so even planet-scale boilerplate
+    * lines stay bounded by their own frequency), and one per-doc
+    * aggregate for reassembly. Partitioning carries the line text
+    * itself, keeping the keep-rule EXACT; a 100 TB run would shuffle
+    * md5(line) and accept the collision odds (the dupSpanMask trade,
+    * documented there).
+    *
+    * Output: (idCol, n_lines, kept_lines, text_dedup) for every input
+    * document — fully-deduplicated docs keep their row with kept_lines=0
+    * and empty text so the drop accounting stays visible downstream. */
+  def dedupLines(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text", lineWords: Int = 20): DataFrame = {
+    require(lineWords > 0, s"need lineWords > 0, got $lineWords")
+    val n = org.apache.spark.sql.functions.size(col("w"))
+    val lines = docs
+      .select(col(idCol), TextOps.words(col(textCol)).as("w"))
+      // guard the empty-words case: sequence(0, -1, step) counts DOWN
+      // (the shinglesFromWords lesson); posexplode of the empty array
+      // drops the doc here and the final left join restores its row
+      .select(col(idCol), posexplode(
+        when(n > 0, transform(
+          sequence(lit(0), n - 1, lit(lineWords)),
+          s => concat_ws(" ", slice(col("w"), s + 1, lit(lineWords)))))
+          .otherwise(array().cast("array<string>"))))
+      .select(col(idCol), col("pos"), col("col").as("line"))
+    val wFirst = Window.partitionBy("line").orderBy(col(idCol), col("pos"))
+    val agg = lines
+      .withColumn("rn", row_number().over(wFirst))
+      .filter(col("rn") === 1)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("kept_lines"),
+        sort_array(collect_list(struct(col("pos"), col("line")))).as("ls"))
+      // separate select: the transform lambda must see the bound `ls`
+      // attribute, not the collect_list subtree (the HOF staging rule)
+      .select(col(idCol), col("kept_lines"),
+        concat_ws(" ", transform(col("ls"), p => p.getField("line"))).as("text_dedup"))
+    docs
+      .select(col(idCol),
+        ((org.apache.spark.sql.functions.size(TextOps.words(col(textCol)))
+          + lit(lineWords - 1)) cast "long").as("nw"))
+      .select(col(idCol), expr(s"nw div $lineWords").as("n_lines"))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("kept_lines"), lit(0L)).as("kept_lines"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
 
   /** Benchmark decontamination — the eval-leak gate: find corpus documents

@@ -24,6 +24,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r(3L).getDouble(5) == 1.0) // single token is 1/1
   }
 
+  test("dedupLines: first occurrence survives, docs reassembled in order") {
+    // lineWords=2 -> lines are word pairs. Doc 1 repeats "a b" internally
+    // (pos 0 keeps, pos 2 drops); doc 2 repeats doc 1's "a b" and "c d"
+    // (both drop, smaller doc_id won) but keeps its own tail; doc 3 is
+    // entirely doc 1's first line (drops to empty); doc 4 is untouched.
+    val d = Seq(
+      (1L, "a b c d a b"),
+      (2L, "a b c d x y"),
+      (3L, "a b"),
+      (4L, "p q r")) // odd tail: line "r" (shorter than lineWords)
+      .toDF("doc_id", "text")
+    val r = CorpusOps.dedupLines(d, lineWords = 2).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getString(3))).toMap
+    assert(r(1L) == ((3L, 2L, "a b c d"))) // internal repeat dropped
+    assert(r(2L) == ((3L, 1L, "x y"))) // cross-doc lines lost to doc 1
+    assert(r(3L) == ((1L, 0L, ""))) // fully deduplicated, row kept
+    assert(r(4L) == ((2L, 2L, "p q r"))) // unique lines untouched
+  }
+
   test("sampleByHash: deterministic, stratified, extreme rates exact") {
     val d = (0L until 400L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
     val rates = Map("src0" -> 1.0, "src1" -> 0.0, "src2" -> 0.5)
