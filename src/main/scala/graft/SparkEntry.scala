@@ -2019,6 +2019,98 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       CorpusOps.dedupLines(docs, lineWords = 10)
         .orderBy("doc_id")
+    }),
+
+    // Forest root+depth by pointer jumping: ⌈log₂ depth⌉ self-join
+    // rounds vs the oracle's depth-many recursive-CTE steps — the
+    // deterministic synthetic forest (parent ≈ 3 ids back) is ~170 deep
+    // at sf0.01, so the engine converges in 9 doublings where the naive
+    // walk chains ~170 joins.
+    "q149_pointer_jumping" -> ((s, dir) => {
+      val h = conv(substring(md5(
+        concat(lit("pj:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+      val parents = t(s, dir, "documents").select(col("doc_id").as("id"),
+        when(col("doc_id") === 0, lit(0L))
+          .otherwise(col("doc_id") - 1 - pmod(h, least(col("doc_id"), lit(5L))))
+          .as("parent"))
+      GraphOps.pointerJumpRoots(parents)
+        .select(col("id").as("doc_id"), col("root"), col("depth"))
+        .orderBy("doc_id")
+    }),
+
+    // Duffield-Lund-Thorup priority sampling: weight-proportional k-sample
+    // in exact integer math, top-k via TakeOrderedAndProject (no global
+    // sort).
+    "q150_priority_sample" -> ((s, dir) =>
+      CorpusOps.prioritySample(t(s, dir, "documents"), k = 25)
+        .orderBy(col("priority").desc, col("doc_id"))),
+
+    // Symmetric int8 vector quantization with integer-exact rounding and
+    // a per-vector reconstruction-cosine quality metric; gate emits the
+    // ×1e6-floored cosine so the float never crosses the engine boundary.
+    "q151_int8_quant" -> ((s, dir) =>
+      SimilarityOps.int8Quantize(t(s, dir, "embeddings"))
+        .select(col("vec_id"), col("m"), col("nnz8"), col("sum_q8"),
+          floor(col("cos8") * 1e6).cast("long").as("cos8_micro"))
+        .orderBy("vec_id")),
+
+    // Calendar-function surface: trunc to quarter/week, month end,
+    // ISO day-of-week, end-of-month-clamped add_months — the date
+    // breadth a reporting layer leans on, over a deterministic order
+    // subset.
+    "q152_calendar" -> ((s, dir) => {
+      def epochDay(c: org.apache.spark.sql.Column) =
+        datediff(c.cast("date"), lit("1970-01-01").cast("date"))
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"),
+          epochDay(col("o_orderdate")).cast("long").as("day"),
+          epochDay(date_trunc("quarter", col("o_orderdate"))).cast("long").as("quarter_day"),
+          epochDay(date_trunc("week", col("o_orderdate"))).cast("long").as("week_day"),
+          epochDay(last_day(col("o_orderdate"))).cast("long").as("month_end_day"),
+          (weekday(col("o_orderdate")) + 1).cast("long").as("isodow"),
+          epochDay(add_months(col("o_orderdate"), 1)).cast("long").as("next_month_day"))
+        .orderBy("o_orderkey")
+    }),
+
+    // 2-D skyline (Pareto front of cheap-and-large parts): sort + running
+    // max, one window — the oracle runs the quadratic NOT EXISTS
+    // dominance join, same rows.
+    "q153_skyline" -> ((s, dir) =>
+      ProfileOps.skyline(
+          t(s, dir, "part").select(
+            round(col("p_retailprice") * 100).cast("long").as("cost"),
+            col("p_size").cast("long").as("gain")),
+          "cost", "gain")
+        .orderBy("cost", "gain")),
+
+    // Equi-width histogram of event values: row-local bucket arithmetic,
+    // map-side-combined 20-key aggregate, integer-cent sums.
+    "q154_histogram" -> ((s, dir) =>
+      ProfileOps.histogram(t(s, dir, "events"), "value", 0.0, 500.0, 20)
+        .orderBy("bucket")),
+
+    // Merkle-style table reconciliation: orders vs a deterministically
+    // drifted copy (keys ≡0 mod 501 re-priced, ≡0 mod 503 dropped, two
+    // injected keys). Engine compares 256 xor-checksum buckets first and
+    // re-reads only the disagreeing slice; oracle brute-forces the full
+    // outer join.
+    "q155_table_diff" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val base = orders.select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_c"))
+      val drifted = base
+        .filter(col("o_orderkey") % 503 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 501 === 0, col("price_c") + 1)
+            .otherwise(col("price_c")).as("price_c"))
+        .union(base.sparkSession.range(2).select(
+          (col("id") + 9000001L).as("o_orderkey"), (col("id") + 42L).as("price_c")))
+      ReconcileOps.tableDiff(base, drifted, "o_orderkey",
+          concat_ws("|", col("o_orderkey"), col("price_c")))
+        .select(col("key").as("o_orderkey"), col("status"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -4238,6 +4330,111 @@ object SparkEntry {
         |       COALESCE(a.kept_lines, CAST(0 AS BIGINT)) AS kept_lines,
         |       COALESCE(a.text_dedup, '') AS text_dedup
         |FROM w LEFT JOIN agg a USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // Pointer jumping's oracle is the naive walk the operator replaces: a
+    // depth-many recursive CTE up the same deterministic forest.
+    "q149_pointer_jumping" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT doc_id AS id,
+        |         CASE WHEN doc_id = 0 THEN 0
+        |              ELSE doc_id - 1 -
+        |                   (CAST(concat('0x', substring(md5('pj:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |                    % least(doc_id, 5)) END AS parent
+        |  FROM documents),
+        |walk AS (
+        |  SELECT id, parent AS anc,
+        |         CASE WHEN parent = id THEN 0 ELSE 1 END AS depth FROM p
+        |  UNION ALL
+        |  SELECT w.id, p2.parent AS anc, w.depth + 1 AS depth
+        |  FROM walk w JOIN p p2 ON p2.id = w.anc
+        |  WHERE p2.parent <> p2.id)
+        |SELECT id AS doc_id, anc AS root, CAST(depth AS BIGINT) AS depth
+        |FROM walk
+        |QUALIFY row_number() OVER (PARTITION BY id ORDER BY depth DESC) = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    // Priority sampling: qᵢ = wᵢ·2³² div (h32+1), all positive integers,
+    // so // (floor) ≡ div (trunc).
+    "q150_priority_sample" ->
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+        |       (CAST(n_chars AS BIGINT) * 4294967296) //
+        |       (CAST(concat('0x', substring(md5('graft-ps:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+        |         AS priority
+        |FROM documents
+        |ORDER BY priority DESC, doc_id
+        |LIMIT 25""".stripMargin,
+
+    // int8 quantization mirror: same ×1e7 integer domain, same
+    // round(p/q) = (2p+q) div 2q identity, same cosine expression.
+    "q151_int8_quant" ->
+      s"""WITH v AS (SELECT vec_id, ${LlmSql.qvec("embedding")} AS qv FROM embeddings),
+         |mm AS (SELECT vec_id, qv,
+         |              list_max(list_transform(qv, x -> abs(x))) AS m FROM v),
+         |q8t AS (SELECT vec_id, qv, m,
+         |               list_transform(qv, x ->
+         |                 CAST(CASE WHEN x > 0 THEN 1 WHEN x < 0 THEN -1 ELSE 0 END AS BIGINT)
+         |                 * ((2 * abs(x) * 127 + greatest(m, 1)) // (2 * greatest(m, 1)))) AS q8
+         |        FROM mm)
+         |SELECT vec_id, m,
+         |       CAST(list_sum(list_transform(q8, x -> CASE WHEN x <> 0 THEN 1 ELSE 0 END)) AS BIGINT) AS nnz8,
+         |       CAST(list_sum(q8) AS BIGINT) AS sum_q8,
+         |       CAST(floor(${LlmSql.cos("qv", "q8")} * 1e6) AS BIGINT) AS cos8_micro
+         |FROM q8t ORDER BY vec_id""".stripMargin,
+
+    // Calendar surface: DuckDB isodow == Spark weekday+1 (Mon=1);
+    // both engines clamp month-add to the last day of shorter months.
+    "q152_calendar" ->
+      """SELECT o_orderkey,
+        |       datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+        |       datediff('day', DATE '1970-01-01', CAST(date_trunc('quarter', o_orderdate) AS DATE)) AS quarter_day,
+        |       datediff('day', DATE '1970-01-01', CAST(date_trunc('week', o_orderdate) AS DATE)) AS week_day,
+        |       datediff('day', DATE '1970-01-01', last_day(CAST(o_orderdate AS DATE))) AS month_end_day,
+        |       isodow(o_orderdate) AS isodow,
+        |       datediff('day', DATE '1970-01-01', CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE)) AS next_month_day
+        |FROM orders WHERE o_orderkey % 97 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Skyline oracle: the quadratic NOT EXISTS dominance join over the
+    // same distinct coordinates.
+    "q153_skyline" ->
+      """WITH pts AS (SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS cost,
+        |                    CAST(p_size AS BIGINT) AS gain, count(*) AS n_rows
+        |             FROM part GROUP BY 1, 2)
+        |SELECT cost, gain, n_rows FROM pts p
+        |WHERE NOT EXISTS (SELECT 1 FROM pts q
+        |                  WHERE q.cost <= p.cost AND q.gain >= p.gain
+        |                    AND (q.cost < p.cost OR q.gain > p.gain))
+        |ORDER BY cost, gain""".stripMargin,
+
+    // Histogram: [0,500)/20 → width 25.0 (exactly representable); edge
+    // buckets clamp; sums in integer cents.
+    "q154_histogram" ->
+      """WITH b AS (SELECT least(greatest(CAST(floor((value - 0.0) / 25.0) AS BIGINT), 0), 19) AS bucket,
+        |                  CAST(round(value * 100) AS BIGINT) AS v_c
+        |           FROM events)
+        |SELECT bucket, CAST(bucket AS DOUBLE) * 25.0 AS lo_edge,
+        |       count(*) AS n, CAST(sum(v_c) AS BIGINT) AS sum_c
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // Table diff oracle: brute-force full outer join of the same base and
+    // deterministically drifted copy the engine compares bucket-first.
+    "q155_table_diff" ->
+      """WITH base AS (SELECT o_orderkey,
+        |                     CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |              FROM orders),
+        |drifted AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 501 = 0 THEN price_c + 1 ELSE price_c END AS price_c
+        |  FROM base WHERE o_orderkey % 503 <> 0
+        |  UNION ALL
+        |  SELECT * FROM (VALUES (9000001, 42), (9000002, 43)) t(o_orderkey, price_c)),
+        |j AS (SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |             CASE WHEN b.o_orderkey IS NULL THEN 'missing_b'
+        |                  WHEN a.o_orderkey IS NULL THEN 'missing_a'
+        |                  WHEN a.price_c <> b.price_c THEN 'changed' END AS status
+        |      FROM base a FULL JOIN drifted b ON a.o_orderkey = b.o_orderkey)
+        |SELECT o_orderkey, status FROM j WHERE status IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -74,6 +74,35 @@ object CorpusOps {
     docs.filter(bucket < threshold)
   }
 
+  /** Weighted sampling without replacement via PRIORITY SAMPLING
+    * (Duffield–Lund–Thorup, JACM '07): each row gets priority
+    * qᵢ = wᵢ / uᵢ with uᵢ uniform on (0,1], and the k largest priorities
+    * are the sample — inclusion probability ∝ weight, one scan, no
+    * global state. uᵢ here is hash-derived ((h32+1)/2³², h32 from
+    * md5(seed:id)), which keeps the draw DETERMINISTIC and the whole
+    * computation in exact 64-bit integer math: qᵢ = wᵢ·2³² div (h32+1) —
+    * bit-identical on any engine, no float division, re-runnable (the
+    * corpus-pipeline property every sampling stage here shares, cf.
+    * [[sampleByHash]] and [[shuffleShard]]).
+    *
+    * The top-k is `orderBy(...).limit(k)` ON PURPOSE: Spark plans it as
+    * TakeOrderedAndProject — per-partition heaps, k rows shipped per
+    * partition, NO global sort — so the 100 TB form is the same code. */
+  def prioritySample(docs: DataFrame, k: Int, weightCol: String = "n_chars",
+                     seed: String = "graft-ps", idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"bad k=$k")
+    val h32 = conv(substring(md5(
+      concat(lit(seed + ":"), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    docs
+      .select(col(idCol), col(weightCol).cast("long").as("weight"),
+        (h32 + 1L).as("u_num"))
+      .select(col(idCol), col("weight"),
+        expr("(weight * 4294967296) div u_num").as("priority"))
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k)
+  }
+
   /** PII scrubbing: replace e-mail addresses, phone-shaped digit runs, and
     * 13-19-digit card-shaped runs with typed placeholder tokens, appending
     * a per-row replacement count for audit. Patterns stay in the regex

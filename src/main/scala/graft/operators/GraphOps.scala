@@ -339,6 +339,46 @@ object GraphOps {
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Root + depth for every node of a forest via POINTER JUMPING
+    * (Wyllie's shortcutting): each round replaces every node's known
+    * ancestor with that ancestor's ancestor, accumulating the hop count —
+    * the reachable distance DOUBLES per round, so a forest of depth d
+    * converges in ⌈log₂ d⌉ self-joins instead of the d chained joins a
+    * naive parent walk (or a recursive CTE) needs. At 100 TB that is the
+    * whole ballgame: a 10⁶-deep ancestry chain is 20 shuffles, not 10⁶.
+    *
+    * Contract: `parents` has one row per node; every parent value is
+    * itself a node id; roots point at themselves. Depths are exact (the
+    * (anc, depth) pair walks real edges — jumping a root adds depth 0,
+    * so converged rows are fixpoints of the join, same invariant as
+    * [[connectedComponents]]' min-label fold). */
+  def pointerJumpRoots(parents: DataFrame, idCol: String = "id",
+                       parentCol: String = "parent", maxIter: Int = 40): DataFrame = {
+    var state = parents.select(col(idCol).as("id"), col(parentCol).as("anc"),
+        when(col(parentCol) === col(idCol), 0L).otherwise(1L).as("depth"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // inner join is total by the every-parent-is-a-node contract; the
+      // localCheckpoint cuts the doubling lineage (2^rounds plan nodes)
+      val next = state.join(
+          state.select(col("id").as("anc"), col("anc").as("anc2"),
+            col("depth").as("d2")), Seq("anc"))
+        .select(col("id"), col("anc2").as("anc"),
+          (col("depth") + col("d2")).as("depth"))
+        .localCheckpoint()
+      converged = next.join(
+          state.select(col("id"), col("depth").as("old")), Seq("id"))
+        .filter(col("depth") =!= col("old")).isEmpty
+      state = next
+      iter += 1
+    }
+    require(converged, s"pointerJumpRoots did not converge in $maxIter " +
+      "rounds (depth would exceed 2^rounds — or a parent is not a node)")
+    state.select(col("id"), col("anc").as("root"), col("depth"))
+  }
+
   def pageRank(edges: DataFrame, iters: Int = 5,
                srcCol: String = "u", dstCol: String = "v"): DataFrame = {
     require(iters >= 1, s"bad iters=$iters")

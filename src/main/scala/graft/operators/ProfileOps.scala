@@ -63,4 +63,59 @@ object ProfileOps {
     }
     row.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
+
+  /** 2-D skyline (Pareto front): the distinct (cost, gain) points not
+    * strictly dominated by any other point — dominated means another
+    * point is ≤ on cost AND ≥ on gain with at least one strict. The
+    * classic quadratic formulation is a NOT EXISTS inequality self-join
+    * (the oracle runs exactly that); at scale this instead SORTS once by
+    * (cost asc, gain desc) and keeps a point iff its gain strictly
+    * exceeds the running max of everything cheaper — one shuffle
+    * (the sort), one window, O(n log n), no self-join. The two are
+    * equivalent because under that order every potential dominator of a
+    * row precedes it.
+    *
+    * Input rows are first collapsed to distinct coordinates with a
+    * multiplicity count (identical points never dominate each other, so
+    * they survive or fall together). Output: (cost, gain, n_rows). */
+  def skyline(df: DataFrame, costCol: String, gainCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.groupBy(col(costCol).as("cost"), col(gainCol).as("gain"))
+      .agg(count(lit(1)).as("n_rows"))
+    // single global window: the skyline fold is inherently sequential in
+    // the sorted order. The sort itself is distributed (range exchange);
+    // only the streaming max-scan is single-partition — n distinct
+    // coordinates after the groupBy collapse, not n rows. For truly
+    // massive coordinate domains, partition by a cost-range prefix and
+    // stitch (documented trade; not needed at gate scale).
+    val w = Window.orderBy(col("cost").asc, col("gain").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts
+      .withColumn("best_prev", max(col("gain")).over(w))
+      .filter(col("best_prev").isNull || col("gain") > col("best_prev"))
+      .select("cost", "gain", "n_rows")
+  }
+
+  /** Fixed-range equi-width histogram of a numeric column: `nb` buckets
+    * over [lo, hi), everything below lo clamps into bucket 0, everything
+    * at/above hi into bucket nb−1 (the open-ended edge buckets real
+    * profilers use). One scan, one tiny aggregate — the bucket index is
+    * pure row-local arithmetic, so this is a map-side-combined groupBy
+    * on ≤ nb keys regardless of input size. Sums are emitted in ×100
+    * integer cents (the engine-portable micro-unit idiom): a float sum
+    * over shuffled partitions is order-dependent, an integer sum is not.
+    * Output: (bucket, lo_edge, n, sum_c), only non-empty buckets. */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+                nb: Int): DataFrame = {
+    require(nb > 0 && hi > lo, s"bad histogram spec [$lo,$hi)/$nb")
+    val width = (hi - lo) / nb
+    val bucket = least(greatest(
+      floor((col(valueCol) - lo) / width).cast("long"), lit(0L)), lit(nb - 1L))
+    df.select(bucket.as("bucket"),
+        round(col(valueCol) * 100).cast("long").as("v_c"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("v_c").as("sum_c"))
+      .select(col("bucket"), (lit(lo) + col("bucket") * width).as("lo_edge"),
+        col("n"), col("sum_c"))
+  }
 }

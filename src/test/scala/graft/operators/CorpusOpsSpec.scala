@@ -43,6 +43,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r(4L) == ((2L, 2L, "p q r"))) // unique lines untouched
   }
 
+  test("prioritySample: weight-proportional, deterministic, exact top-k") {
+    val docs = (0L until 300L).map(i => (i, 1L + i % 7)).toDF("doc_id", "n_chars")
+    val a = CorpusOps.prioritySample(docs, k = 20).as[(Long, Long, Long)].collect()
+    val b = CorpusOps.prioritySample(docs, k = 20).as[(Long, Long, Long)].collect()
+    assert(a.toSeq == b.toSeq) // deterministic draw, stable order
+    assert(a.length == 20)
+    // priorities strictly follow the published formula
+    a.foreach { case (id, w, p) =>
+      assert(w == 1L + id % 7)
+      assert(p >= w) // u ≤ 1 → priority ≥ weight
+    }
+    // weight-proportional in aggregate: the mean weight of the sample
+    // must exceed the population mean (heavier rows are likelier)
+    val popMean = docs.agg(avg("n_chars")).as[Double].head()
+    assert(a.map(_._2).sum.toDouble / a.length > popMean)
+    // zero-weight rows can never be drawn (priority 0)
+    val withZero = docs.withColumn("n_chars",
+      when(col("doc_id") < 290, lit(0L)).otherwise(col("n_chars")))
+    val z = CorpusOps.prioritySample(withZero, k = 10).as[(Long, Long, Long)].collect()
+    assert(z.forall(_._1 >= 290))
+  }
+
   test("sampleByHash: deterministic, stratified, extreme rates exact") {
     val d = (0L until 400L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
     val rates = Map("src0" -> 1.0, "src1" -> 0.0, "src2" -> 0.5)

@@ -184,4 +184,27 @@ class GraphOpsSpec extends SparkSpec {
     val got = GraphOps.kCore(lolli, k = 2).as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
   }
+
+  test("pointerJumpRoots: chain + star + self-roots, exact depths") {
+    // chain 0<-1<-2<-3<-4, star 10<-{11,12}, isolated root 20
+    val parents = Seq(
+      (0L, 0L), (1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L),
+      (10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L))
+      .toDF("id", "parent")
+    val got = GraphOps.pointerJumpRoots(parents)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(
+      0L -> (0L, 0L), 1L -> (0L, 1L), 2L -> (0L, 2L), 3L -> (0L, 3L),
+      4L -> (0L, 4L), 10L -> (10L, 0L), 11L -> (10L, 1L), 12L -> (10L, 1L),
+      20L -> (20L, 0L)))
+  }
+
+  test("pointerJumpRoots: depth-1000 chain converges in ≤ maxIter doublings") {
+    // log2(1000) ≈ 10 — well under the 40-round guard; a naive walk
+    // would need 1000 join rounds
+    val parents = (0L to 1000L).map(i => (i, math.max(0L, i - 1))).toDF("id", "parent")
+    val got = GraphOps.pointerJumpRoots(parents)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 1001 && got.forall(r => r._2 == 0L && r._3 == r._1))
+  }
 }

@@ -41,4 +41,29 @@ class ProfileOpsSpec extends SparkSpec {
     val keyedSortAgg = "SortAggregate\\(key=\\[[^\\]]".r.findFirstIn(plan)
     assert(keyedSortAgg.isEmpty, s"keyed SortAggregate in plan:\n$plan")
   }
+
+  test("skyline: dominance, coordinate ties, and strictness") {
+    val pts = Seq(
+      (1L, 5L), (1L, 5L),        // duplicate coordinate: survives once, n=2
+      (2L, 5L),                  // same gain, costlier -> dominated
+      (2L, 7L), (3L, 7L),        // (2,7) on front; (3,7) dominated
+      (5L, 9L),                  // on front
+      (6L, 9L), (5L, 8L), (9L, 1L)) // all dominated
+      .toDF("cost", "gain")
+    val got = ProfileOps.skyline(pts, "cost", "gain")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 5L, 2L), (2L, 7L, 1L), (5L, 9L, 1L)))
+  }
+
+  test("histogram: edge clamps, bucket arithmetic, integer-cent sums") {
+    val vals = Seq(-3.0, 0.0, 4.99, 5.0, 12.5, 97.0, 100.0, 250.0).toDF("v")
+    val got = ProfileOps.histogram(vals, "v", 0.0, 100.0, 20)
+      .as[(Long, Double, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got == Map(
+      0L -> (0.0, 3L, 199L),       // -3 clamps in; 0.0 and 4.99
+      1L -> (5.0, 1L, 500L),       // 5.0 lands on its own left edge
+      2L -> (10.0, 1L, 1250L),
+      19L -> (95.0, 3L, 44700L)))  // 97 + clamped 100 and 250
+  }
 }
