@@ -2111,7 +2111,36 @@ object SparkEntry {
           concat_ws("|", col("o_orderkey"), col("price_c")))
         .select(col("key").as("o_orderkey"), col("status"))
         .orderBy("o_orderkey")
-    })
+    }),
+
+    // Stratified weighted sampling: per-source top-5 by the same integer
+    // priority as q150, but through the native graft_top_k aggregate —
+    // bounded map-side partials instead of a row_number window sort.
+    "q156_group_priority_sample" -> ((s, dir) =>
+      CorpusOps.prioritySampleByGroup(t(s, dir, "documents"), k = 5)
+        .orderBy("source", "rn")),
+
+    // Gaps-and-islands: merge each customer's overlapping-or-touching
+    // order activity spans into maximal disjoint islands — two shared-
+    // shuffle windows, no interval self-join, no transitive closure.
+    "q157_interval_coalesce" -> ((s, dir) => {
+      val spans = t(s, dir, "orders").select(
+        col("o_custkey").cast("long").as("cust"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1995-01-01') AS BIGINT)").as("lo"),
+        col("o_orderkey"))
+        .withColumn("hi", col("lo") + 5L + col("o_orderkey") % 25)
+        .drop("o_orderkey")
+      RangeJoinOps.coalesceIntervals(spans, "cust", "lo", "hi")
+        .orderBy("cust", "lo")
+    }),
+
+    // Robust outliers: |x − median| > 3·MAD in doubled integer lanes
+    // (half-/quarter-cents), the 50%-breakdown complement to q119's
+    // z-score gate — same events table, so the two flag sets can be
+    // compared directly.
+    "q158_mad_outliers" -> ((s, dir) =>
+      EventOps.madOutliers(t(s, dir, "events"))
+        .orderBy("event_id"))
   )
 
   /** Shared q77 input: the events table viewed as a CDC feed. */
@@ -4435,6 +4464,68 @@ object SparkEntry {
         |                  WHEN a.price_c <> b.price_c THEN 'changed' END AS status
         |      FROM base a FULL JOIN drifted b ON a.o_orderkey = b.o_orderkey)
         |SELECT o_orderkey, status FROM j WHERE status IS NOT NULL
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Per-source top-5 by the q150 priority formula; the oracle ranks
+    // with the window the engine's bounded aggregate replaces.
+    "q156_group_priority_sample" ->
+      """WITH p AS (
+        |  SELECT source, doc_id,
+        |         (CAST(n_chars AS BIGINT) * 4294967296) //
+        |         (CAST(concat('0x', substring(md5('graft-ps:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+        |           AS priority
+        |  FROM documents),
+        |r AS (SELECT source,
+        |             CAST(row_number() OVER (
+        |               PARTITION BY source
+        |               ORDER BY priority DESC, doc_id) AS BIGINT) AS rn,
+        |             priority, doc_id
+        |      FROM p)
+        |SELECT source, rn, priority, doc_id FROM r
+        |WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
+
+    // Same two-window island scan in DuckDB — identical (lo, hi) sort
+    // keys, strict-gap island starts (touching spans merge).
+    "q157_interval_coalesce" ->
+      """WITH iv AS (
+        |  SELECT CAST(o_custkey AS BIGINT) AS cust,
+        |         CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS lo,
+        |         CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+        |           + 5 + o_orderkey % 25 AS hi
+        |  FROM orders),
+        |m AS (SELECT cust, lo, hi,
+        |             max(hi) OVER (PARTITION BY cust ORDER BY lo, hi
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_hi
+        |      FROM iv),
+        |f AS (SELECT cust, lo, hi,
+        |             CASE WHEN prev_hi IS NULL OR lo > prev_hi THEN 1 ELSE 0 END AS brk
+        |      FROM m),
+        |i AS (SELECT cust, lo, hi,
+        |             sum(brk) OVER (PARTITION BY cust ORDER BY lo, hi
+        |               ROWS UNBOUNDED PRECEDING) AS island
+        |      FROM f)
+        |SELECT cust, min(lo) AS lo, max(hi) AS hi, count(*) AS n_merged
+        |FROM i GROUP BY cust, island
+        |ORDER BY cust, lo""".stripMargin,
+
+    // MAD mirror: medians doubled into integer lanes exactly as the
+    // engine does (m2 half-cents, dev2 integer, mad4 quarter-cents).
+    "q158_mad_outliers" ->
+      """WITH ev AS (SELECT event_id, event_type,
+        |                   CAST(round(value * 100) AS BIGINT) AS value_c
+        |            FROM events),
+        |med AS (SELECT event_type,
+        |               CAST(round(2 * median(value_c)) AS BIGINT) AS m2
+        |        FROM ev GROUP BY event_type),
+        |dev AS (SELECT event_id, ev.event_type, value_c,
+        |               abs(2 * value_c - m2) AS dev2
+        |        FROM ev JOIN med USING (event_type)),
+        |mad AS (SELECT event_type,
+        |               CAST(round(2 * median(dev2)) AS BIGINT) AS mad4
+        |        FROM dev GROUP BY event_type)
+        |SELECT event_id, d.event_type, value_c, dev2
+        |FROM dev d JOIN mad USING (event_type)
+        |WHERE 2 * dev2 > 3 * mad4
+        |ORDER BY event_id""".stripMargin
   )
 }

@@ -103,6 +103,38 @@ object CorpusOps {
       .limit(k)
   }
 
+  /** Per-group weighted top-k sampling: [[prioritySample]]'s
+    * Duffield–Lund–Thorup draw, stratified — the k highest-priority rows
+    * WITHIN each group (per-source corpus quotas, per-language caps).
+    * The per-group top-k runs through the native `graft_top_k`
+    * TypedImperativeAggregate, NOT a row_number window: the aggregate
+    * ships ≤k (priority, id) pairs per group per partition (map-side
+    * bounded partials), where the window would shuffle and sort every
+    * row of every group. Same integer-exact priority as
+    * [[prioritySample]], so the two sampling modes agree on what
+    * "priority" means. Output: (group, rn, priority, id), rn 1..k
+    * priority-descending, id ascending on ties. */
+  def prioritySampleByGroup(docs: DataFrame, k: Int,
+                            groupCol: String = "source",
+                            weightCol: String = "n_chars",
+                            seed: String = "graft-ps",
+                            idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"bad k=$k")
+    val h32 = conv(substring(md5(
+      concat(lit(seed + ":"), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    docs
+      .select(col(groupCol), col(idCol), col(weightCol).cast("long").as("weight"),
+        (h32 + 1L).as("u_num"))
+      .select(col(groupCol), col(idCol),
+        expr("(weight * 4294967296) div u_num").as("priority"))
+      .groupBy(col(groupCol))
+      .agg(call_function("graft_top_k", col("priority"), col(idCol), lit(k)).as("top"))
+      .select(col(groupCol), posexplode(col("top")))
+      .select(col(groupCol), (col("pos") + 1).cast("long").as("rn"),
+        col("col.key").as("priority"), col("col.payload").as(idCol))
+  }
+
   /** PII scrubbing: replace e-mail addresses, phone-shaped digit runs, and
     * 13-19-digit card-shaped runs with typed placeholder tokens, appending
     * a per-row replacement count for audit. Patterns stay in the regex

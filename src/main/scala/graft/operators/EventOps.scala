@@ -337,4 +337,39 @@ object EventOps {
         (dec(col("n")) * col("ss") - col("s") * col("s")))
       .select(col("event_id"), col(groupCol), col("value_c"))
   }
+
+  /** Per-group ROBUST outliers via median absolute deviation: flag rows
+    * with |x − median| > k·MAD. The z-score gate ([[zscoreOutliers]])
+    * breaks down exactly when outliers matter most — the outliers
+    * themselves inflate μ and σ until they mask each other — while the
+    * median/MAD pair has a 50% breakdown point (Hampel; Leys et al.,
+    * J. Exp. Soc. Psych. '13).
+    *
+    * Exactness on an engine boundary: medians of integers land on half-
+    * integers, so everything is DOUBLED into exact integer lanes —
+    * m2 = round(2·median(x_c)) (half-cents), dev2 = |2·x_c − m2|
+    * (half-cents, integer), mad4 = round(2·median(dev2)) (quarter-cents)
+    * — and the flag predicate |x−m| > k·MAD clears denominators to the
+    * all-integer 2·dev2 > k·mad4. No float compare anywhere, so the
+    * flagged set is partitioning- and engine-independent.
+    *
+    * Shape: two small per-group aggregates (exact median over the
+    * reduced group domain) broadcast back onto the row stream — two
+    * scans, no window, no self-join. Production note at petabyte group
+    * sizes: swap `median` for `percentile_approx(…, 0.5)` and keep the
+    * same doubling algebra. */
+  def madOutliers(events: DataFrame, groupCol: String = "event_type",
+                  valueCol: String = "value", k: Int = 3): DataFrame = {
+    val ev = events.select(col("event_id"), col(groupCol),
+      cents(col(valueCol)).as("value_c"))
+    val med = ev.groupBy(col(groupCol))
+      .agg(round(median(col("value_c")) * 2).cast("long").as("m2"))
+    val dev = ev.join(broadcast(med), Seq(groupCol))
+      .withColumn("dev2", abs(col("value_c") * 2 - col("m2")))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(round(median(col("dev2")) * 2).cast("long").as("mad4"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .filter(col("dev2") * 2 > lit(k.toLong) * col("mad4"))
+      .select(col("event_id"), col(groupCol), col("value_c"), col("dev2"))
+  }
 }

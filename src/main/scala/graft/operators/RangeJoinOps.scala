@@ -82,4 +82,37 @@ object RangeJoinOps {
       .filter(col("__bucket") === bucket(s"greatest($aLo, $bLo)"))
       .drop("__bucket")
   }
+
+  /** Coalesce overlapping-or-touching intervals per group into maximal
+    * disjoint islands (gaps-and-islands): the calendar-merge every
+    * availability / activity-span / retention pipeline needs. The naive
+    * formulation is an interval self-join plus transitive closure; this
+    * is instead the classic two-window linear scan — sort each group by
+    * (lo, hi), mark a row as an island START iff its lo exceeds the
+    * running max hi of everything before it (strictly: touching
+    * intervals, lo == prev hi, merge), then island id = running count of
+    * starts. One shuffle (the group partitioning), one sort, both
+    * windows share it; no self-join, no iteration. Windows are
+    * PARTITIONED by the group key, so the scan distributes — the
+    * single-partition window trap this repo fences elsewhere doesn't
+    * apply. Output: (group, lo, hi, n_merged) per island. */
+  def coalesceIntervals(df: DataFrame, groupCol: String,
+                        loCol: String, hiCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = Seq(col(loCol).asc, col(hiCol).asc)
+    val prev = Window.partitionBy(col(groupCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upto = Window.partitionBy(col(groupCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df
+      .withColumn("__prev_hi", max(col(hiCol)).over(prev))
+      .withColumn("__start",
+        when(col("__prev_hi").isNull || col(loCol) > col("__prev_hi"), 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__start")).over(upto))
+      .groupBy(col(groupCol), col("__island"))
+      .agg(min(col(loCol)).as(loCol), max(col(hiCol)).as(hiCol),
+        count(lit(1)).as("n_merged"))
+      .drop("__island")
+  }
 }

@@ -65,6 +65,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(z.forall(_._1 >= 290))
   }
 
+  test("prioritySampleByGroup: per-group quota, agrees with global formula") {
+    val docs = (0L until 200L).map(i => (i, 1L + i % 7, s"src${i % 3}"))
+      .toDF("doc_id", "n_chars", "source")
+    val got = CorpusOps.prioritySampleByGroup(docs, k = 4, groupCol = "source")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.length == 12) // 3 groups × 4
+    // per group: rn is 1..4 and priorities are non-increasing
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == Seq(1L, 2L, 3L, 4L))
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.reverse.toSeq)
+    }
+    // the winner of each group carries the same priority the global
+    // sampler computes for that doc (same formula, same seed)
+    val global = CorpusOps.prioritySample(docs, k = 200)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    got.foreach { case (_, _, p, id) => assert(global(id) == p) }
+  }
+
   test("sampleByHash: deterministic, stratified, extreme rates exact") {
     val d = (0L until 400L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
     val rates = Map("src0" -> 1.0, "src1" -> 0.0, "src2" -> 0.5)

@@ -220,4 +220,31 @@ class EventOpsSpec extends SparkSpec {
     val got = EventOps.zscoreOutliers(df).as[(Long, String, Long)].collect().toSeq
     assert(got == Seq((99L, "a", 10000L)))
   }
+
+  test("madOutliers: robust to the masking that defeats the z-score gate") {
+    // group "a": 20 values at 1.00, TWO spikes at 100.00 — the spikes
+    // inflate σ enough that a 2σ z-gate keeps them (masking); the MAD
+    // gate (median 1.00, MAD 0) must still flag both and nothing else
+    val normal = (0 until 20).map(i => (i.toLong, "a", 1.0))
+    val spikes = Seq((98L, "a", 100.0), (99L, "a", 100.0))
+    val const = (100 until 110).map(i => (i.toLong, "b", 5.0)) // MAD 0, no dev
+    val df = (normal ++ spikes ++ const).toDF("event_id", "event_type", "value")
+    val got = EventOps.madOutliers(df).as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq((98L, "a", 10000L, 19800L), (99L, "a", 10000L, 19800L)))
+  }
+
+  test("madOutliers: half-integer median handled exactly") {
+    // even-sized group: median of (100, 200, 300, 400) cents = 250.0 —
+    // doubling keeps every lane integral; MAD = 200c, k=3 → threshold
+    // |x−250c| > 600c, max deviation 150c, nothing flags. Adding 10.00
+    // re-centers (median 300c, MAD 200c) and only the new point's
+    // 700c deviation clears the 600c bar.
+    val base = Seq((0L, "g", 1.0), (1L, "g", 2.0), (2L, "g", 3.0), (3L, "g", 4.0))
+    val none = EventOps.madOutliers(base.toDF("event_id", "event_type", "value"))
+    assert(none.isEmpty)
+    val withBig = base :+ ((9L, "g", 10.0))
+    val got = EventOps.madOutliers(withBig.toDF("event_id", "event_type", "value"))
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq((9L, "g", 1000L, 1400L)))
+  }
 }

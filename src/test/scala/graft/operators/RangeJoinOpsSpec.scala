@@ -75,4 +75,26 @@ class RangeJoinOpsSpec extends SparkSpec {
     // and the bucket key is what the join keys on
     assert(plan.contains("__bucket"), plan)
   }
+
+  test("coalesceIntervals: overlap, touch, containment, gaps, per-group isolation") {
+    val iv = Seq(
+      // group 1: [0,5) overlaps [3,8); [8,10) touches → one island [0,10)×3;
+      // [20,25) contains [21,22) → island [20,25)×2; [30,31) alone
+      (1L, 0L, 5L), (1L, 3L, 8L), (1L, 8L, 10L),
+      (1L, 20L, 25L), (1L, 21L, 22L), (1L, 30L, 31L),
+      // group 2: same coordinates as group 1's gap — groups never mix
+      (2L, 10L, 20L))
+      .toDF("g", "lo", "hi")
+    val got = RangeJoinOps.coalesceIntervals(iv, "g", "lo", "hi")
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 10L, 3L), (1L, 20L, 25L, 2L), (1L, 30L, 31L, 1L),
+      (2L, 10L, 20L, 1L)))
+    // windows are partitioned by the group key (distributed scan), never
+    // the single-partition global window
+    val plan = RangeJoinOps.coalesceIntervals(iv, "g", "lo", "hi")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(g"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
 }
