@@ -2141,6 +2141,41 @@ object SparkEntry {
     "q158_mad_outliers" -> ((s, dir) =>
       EventOps.madOutliers(t(s, dir, "events"))
         .orderBy("event_id"))
+    ,
+
+    // First-order Markov transition matrix of the event stream, with
+    // exact integer micro-unit row-conditional probabilities.
+    "q159_markov_transitions" -> ((s, dir) =>
+      EventOps.markovTransitions(t(s, dir, "events"))
+        .orderBy("from_type", "to_type")),
+
+    // Quantile normalization of per-language doc lengths onto the global
+    // length distribution — global order statistics WITHOUT a global
+    // sort: reduced-domain cumulative table + the bucket range join.
+    "q160_quantile_normalize" -> ((s, dir) =>
+      ProfileOps.quantileNormalize(
+          t(s, dir, "documents"), groupCol = "lang",
+          valueCol = "n_chars", idCol = "doc_id")
+        .orderBy("doc_id")),
+
+    // Hybrid-retrieval rank fusion: the q111 BM25 top-20 fused with an
+    // entropy-quality ranking of the same candidates via reciprocal-rank
+    // fusion (k=60) — rank-only combining, no score calibration.
+    "q161_rrf_fusion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val a = TextOps.bm25(docs, Seq("spark", "join", "window"), topK = 20)
+        .select(col("doc_id"), col("rank"))
+      val b = TextOps.charEntropy(
+          docs.join(broadcast(a.select("doc_id")), Seq("doc_id")))
+        .withColumn("rank", row_number().over(
+          // 20 candidate rows: the single-partition window is the
+          // re-rank set, never the corpus
+          Window.orderBy(col("entropy_nat").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank"))
+      TextOps.rrfFuse(a, b, "doc_id")
+        .orderBy(col("rrf_micro").desc, col("doc_id"))
+    })
   )
 
   /** Shared q77 input: the events table viewed as a CDC feed. */
@@ -4526,6 +4561,87 @@ object SparkEntry {
         |SELECT event_id, d.event_type, value_c, dev2
         |FROM dev d JOIN mad USING (event_type)
         |WHERE 2 * dev2 > 3 * mad4
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    // Markov mirror: same per-user (ts, event_id) successor order, same
+    // integer div probability.
+    "q159_markov_transitions" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type AS from_type,
+        |                   epoch_us(ts) AS ts_us
+        |            FROM events),
+        |nx AS (SELECT from_type,
+        |              lead(from_type) OVER (PARTITION BY user_id
+        |                ORDER BY ts_us, event_id) AS to_type
+        |       FROM ev),
+        |p AS (SELECT from_type, to_type, count(*) AS n FROM nx
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, sum(n) AS total FROM p GROUP BY 1)
+        |SELECT p.from_type, to_type, n,
+        |       CAST((n * 1000000) // total AS BIGINT) AS p_micro
+        |FROM p JOIN tot USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    // Quantile-normalize mirror: the oracle takes the direct route the
+    // engine avoids — a global row_number — and must land on the same
+    // ⌈r·N/n_g⌉-th order statistic.
+    "q160_quantile_normalize" ->
+      """WITH v AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |           FROM documents),
+        |r AS (SELECT doc_id, lang, n_chars,
+        |             CAST(row_number() OVER (PARTITION BY lang
+        |               ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+        |             count(*) OVER (PARTITION BY lang) AS n_g,
+        |             count(*) OVER () AS n_total
+        |      FROM v),
+        |g AS (SELECT n_chars AS q_n_chars,
+        |             CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS gr
+        |      FROM v)
+        |SELECT doc_id, lang, n_chars, q_n_chars
+        |FROM r JOIN g ON (r.r * r.n_total + r.n_g - 1) // r.n_g = g.gr
+        |ORDER BY doc_id""".stripMargin,
+
+    // RRF mirror: the q111 BM25 pipeline (same constants and stage
+    // rounding) + the q110 entropy law over the 20 candidates, fused
+    // with the same 10⁹ div (60 + rank) integer reciprocals.
+    "q161_rrf_fusion" ->
+      """WITH toks AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |         unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2, 3),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |stats AS (SELECT count(*) AS n,
+        |                 sum(len(string_split(text, ' '))) AS sum_dl
+        |          FROM documents),
+        |sc AS (SELECT tf.doc_id AS doc_id,
+        |              CAST(round(1000000 * (
+        |                round(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1), 6) *
+        |                round(tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl /
+        |                  round(CAST(s.sum_dl AS DOUBLE) / s.n, 6))), 6))) AS BIGINT) AS contrib
+        |       FROM tf JOIN df d USING (term) CROSS JOIN stats s),
+        |agg AS (SELECT doc_id, count(*) AS n_hit_terms,
+        |               CAST(sum(contrib) AS BIGINT) AS score_micro
+        |        FROM sc GROUP BY doc_id),
+        |top AS (SELECT * FROM agg ORDER BY score_micro DESC, doc_id LIMIT 20),
+        |a AS (SELECT doc_id,
+        |             CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank_a
+        |      FROM top),
+        |ch AS (SELECT doc_id, text[i] AS ch
+        |       FROM (SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS i
+        |             FROM documents
+        |             WHERE len(text) > 0 AND doc_id IN (SELECT doc_id FROM a))),
+        |c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+        |ent AS (SELECT doc_id,
+        |               round(ln(CAST(sum(c) AS DOUBLE))
+        |                 - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 5) AS entropy_nat
+        |        FROM c GROUP BY doc_id),
+        |b AS (SELECT doc_id,
+        |             CAST(row_number() OVER (ORDER BY entropy_nat DESC, doc_id) AS BIGINT) AS rank_b
+        |      FROM ent)
+        |SELECT a.doc_id AS doc_id, rank_a, rank_b,
+        |       (1000000000 // (60 + rank_a)) + (1000000000 // (60 + rank_b)) AS rrf_micro
+        |FROM a JOIN b ON a.doc_id = b.doc_id
+        |ORDER BY rrf_micro DESC, doc_id""".stripMargin
   )
 }

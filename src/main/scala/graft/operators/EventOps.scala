@@ -372,4 +372,37 @@ object EventOps {
       .filter(col("dev2") * 2 > lit(k.toLong) * col("mad4"))
       .select(col("event_id"), col(groupCol), col("value_c"), col("dev2"))
   }
+
+  /** First-order Markov transition matrix of the event stream: for every
+    * ordered (from_type → to_type) pair, the observed count and the
+    * transition probability P(to | from) — the behavioral-model summary
+    * (next-action prediction, anomaly scoring, funnel discovery) every
+    * event pipeline eventually wants. Successors are per-user in strict
+    * (ts, event_id) order — the same deterministic tie rule as the
+    * as-of/sessionize family — so the pair stream is reproducible.
+    *
+    * Probability is emitted in exact integer micro-units
+    * (n·10⁶ div row_total): the denominator is the from-type's total
+    * outgoing count, so rows of the matrix sum to ≤10⁶ with only the
+    * div-truncation deficit. Shape: one per-user window (hash shuffle on
+    * user, the per-key depth constant at scale) + one tiny
+    * (|types|², map-side-combined) aggregate; the probability join is a
+    * broadcast. */
+  def markovTransitions(events: DataFrame, userCol: String = "user_id",
+                        typeCol: String = "event_type",
+                        tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col("ts_us"), col("event_id"))
+    val pairs = events
+      .select(col(userCol), col("event_id"), col(typeCol).as("from_type"),
+        tsUs(tsCol).as("ts_us"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum("n").as("total"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(n * 1000000) div total").as("p_micro"))
+  }
 }

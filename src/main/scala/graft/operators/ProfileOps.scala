@@ -96,6 +96,48 @@ object ProfileOps {
       .select("cost", "gain", "n_rows")
   }
 
+  /** Quantile normalization: remap every row's value onto the GLOBAL
+    * value distribution at the same within-group rank — the
+    * cross-source score-calibration step (per-language length norms,
+    * per-domain quality scores) that makes thresholds comparable across
+    * heterogeneous corpus slices. Row with rank r of n_g in its group
+    * maps to the ⌈r·N/n_g⌉-th smallest global value (exact integer
+    * ceil; r = row_number ordered by (value, id), so ties and the
+    * target rank are engine-reproducible).
+    *
+    * Scale shape — the global order statistic WITHOUT a global window:
+    * (a) per-group ranks partition by the group key; (b) the global
+    * distribution is collapsed to (distinct value → count) and
+    * cumulated over the REDUCED distinct-value domain (the q13/skyline
+    * trade, documented there); (c) each row's target rank t is located
+    * in the cumulative table by [[RangeJoinOps.bucketRangeJoin]] — an
+    * equi-join on rank buckets, not a sort — so the big side never
+    * globally sorts or broadcasts. Output: (id, group, value, q_value). */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+                        idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(col(idCol), col(groupCol), col(valueCol).cast("long").as("v"))
+    val perGroup = Window.partitionBy(col(groupCol))
+    val r = rows
+      .withColumn("r", row_number().over(
+        perGroup.orderBy(col("v"), col(idCol))).cast("long"))
+      .withColumn("n_g", count(lit(1)).over(perGroup))
+    val n = rows.agg(count(lit(1)).as("n_total"))
+    val withT = r.crossJoin(broadcast(n))
+      .withColumn("t", expr("(r * n_total + n_g - 1) div n_g"))
+    // cumulative rank span per distinct global value: value v covers
+    // target ranks (cum_end - cnt, cum_end]
+    val cum = rows.groupBy(col("v").as("qv")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_end", sum(col("cnt")).over(
+        Window.orderBy(col("qv")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("qv"), (col("cum_end") - col("cnt")).as("lo"), col("cum_end").as("hi"))
+    // t ∈ (lo, hi] ⟺ t−1 ∈ [lo, hi) — bucketRangeJoin's half-open form
+    RangeJoinOps.bucketRangeJoin(
+        withT.withColumn("t0", col("t") - 1L), "t0", cum, "lo", "hi",
+        bucketWidth = 1024L)
+      .select(col(idCol), col(groupCol), col("v").as(valueCol), col("qv").as(s"q_$valueCol"))
+  }
+
   /** Fixed-range equi-width histogram of a numeric column: `nb` buckets
     * over [lo, hi), everything below lo clamps into bucket 0, everything
     * at/above hi into bucket nb−1 (the open-ended edge buckets real

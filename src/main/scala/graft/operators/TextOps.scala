@@ -625,6 +625,30 @@ object TextOps {
       .select(col("rank"), col(idCol), col("score_micro"), col("n_hit_terms"))
   }
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR '09): merge
+    * two ranked candidate lists into one by summing 1/(k + rank) per
+    * list — the standard hybrid-retrieval combiner (BM25 × vector, or
+    * relevance × quality) precisely because it needs NO score
+    * calibration, only ranks. k=60 is the paper's constant.
+    *
+    * Scores are exact integers: 10⁹ div (k + rank) per contribution —
+    * ranks are small, so the reciprocal grid is far coarser than the
+    * div truncation, and the fused total is engine-portable with no
+    * float epsilon. A document present in only one list contributes
+    * only that list's term (full outer merge). Both inputs must carry
+    * (idCol, rank). Output: (id, rank_a, rank_b, rrf_micro). */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String = "doc_id",
+              k: Int = 60): DataFrame = {
+    require(k >= 0, s"bad k=$k")
+    def contrib(rankCol: String): Column = expr(
+      s"CASE WHEN $rankCol IS NULL THEN 0 ELSE 1000000000 div ($k + $rankCol) END")
+    val fa = a.select(col(idCol), col("rank").cast("long").as("rank_a"))
+    val fb = b.select(col(idCol), col("rank").cast("long").as("rank_b"))
+    fa.join(fb, Seq(idCol), "full")
+      .select(col(idCol), col("rank_a"), col("rank_b"),
+        (contrib("rank_a") + contrib("rank_b")).as("rrf_micro"))
+  }
+
   /** Corpus vocabulary report: the global top-k tokens by frequency with a
     * dense rank — the Zipf-curve / tokenizer-training view of the corpus
     * (vocab construction starts from exactly this table).

@@ -221,6 +221,30 @@ class EventOpsSpec extends SparkSpec {
     assert(got == Seq((99L, "a", 10000L)))
   }
 
+  test("markovTransitions: per-user successor order, integer row-conditional P") {
+    // user 1: a→b→a→c; user 2: b→a. Transitions: a→b, b→a(×2), a→c
+    val ev = Seq(
+      (1L, 10L, "a", 1000L), (1L, 11L, "b", 2000L),
+      (1L, 12L, "a", 3000L), (1L, 13L, "c", 4000L),
+      (2L, 20L, "b", 1000L), (2L, 21L, "a", 2000L))
+      .toDF("user_id", "event_id", "event_type", "ts_us")
+      .withColumn("ts", col("ts_us") * 1000L).drop("ts_us")
+    val got = EventOps.markovTransitions(ev)
+      .as[(String, String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      ("a", "b", 1L, 500000L), ("a", "c", 1L, 500000L), ("b", "a", 2L, 1000000L)))
+  }
+
+  test("markovTransitions: same-timestamp successors resolve by event_id") {
+    val ev = Seq((1L, 2L, "x", 1000L), (1L, 1L, "y", 1000L))
+      .toDF("user_id", "event_id", "event_type", "ts_us")
+      .withColumn("ts", col("ts_us") * 1000L).drop("ts_us")
+    // tie on ts → event_id 1 precedes 2, so the only transition is y→x
+    val got = EventOps.markovTransitions(ev)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(("y", "x", 1L, 1000000L)))
+  }
+
   test("madOutliers: robust to the masking that defeats the z-score gate") {
     // group "a": 20 values at 1.00, TWO spikes at 100.00 — the spikes
     // inflate σ enough that a 2σ z-gate keeps them (masking); the MAD

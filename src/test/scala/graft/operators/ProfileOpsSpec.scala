@@ -55,6 +55,30 @@ class ProfileOpsSpec extends SparkSpec {
     assert(got == Set((1L, 5L, 2L), (2L, 7L, 1L), (5L, 9L, 1L)))
   }
 
+  test("quantileNormalize: group ranks land on exact global order statistics") {
+    // group A values (1,2,3), group B values (10,20,30); global sorted =
+    // (1,2,3,10,20,30). rank r of 3 → t = ceil(r·6/3) = 2r → targets are
+    // the 2nd/4th/6th order statistics (2,10,30) for BOTH groups.
+    val df = Seq((0L, "A", 1L), (1L, "A", 2L), (2L, "A", 3L),
+      (3L, "B", 10L), (4L, "B", 20L), (5L, "B", 30L)).toDF("id", "g", "v")
+    val got = ProfileOps.quantileNormalize(df, "g", "v", "id")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (0L, "A", 1L, 2L), (1L, "A", 2L, 10L), (2L, "A", 3L, 30L),
+      (3L, "B", 10L, 2L), (4L, "B", 20L, 10L), (5L, "B", 30L, 30L)))
+  }
+
+  test("quantileNormalize: duplicate values and a single-group identity") {
+    // one group: the map must be the identity ON RANKS — with duplicates
+    // the t-th order statistic of the same multiset returns the same
+    // multiset of values
+    val df = Seq((0L, "X", 5L), (1L, "X", 5L), (2L, "X", 7L), (3L, "X", 9L))
+      .toDF("id", "g", "v")
+    val out = ProfileOps.quantileNormalize(df, "g", "v", "id")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._4).toSeq == Seq(5L, 5L, 7L, 9L))
+  }
+
   test("histogram: edge clamps, bucket arithmetic, integer-cent sums") {
     val vals = Seq(-3.0, 0.0, 4.99, 5.0, 12.5, 97.0, 100.0, 250.0).toDF("v")
     val got = ProfileOps.histogram(vals, "v", 0.0, 100.0, 20)

@@ -283,4 +283,19 @@ class TextOpsSpec extends SparkSpec {
     // ranks are dense, ordered by (score desc, doc_id)
     assert(got.sortBy(_._1).map(_._1).toSeq == (1 to got.length))
   }
+
+  test("rrfFuse: integer reciprocals, full-outer merge, known fusion order") {
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val b = Seq((20L, 1), (10L, 2), (40L, 3)).toDF("doc_id", "rank")
+    val got = TextOps.rrfFuse(a, b, "doc_id")
+      .as[(Long, Option[Long], Option[Long], Long)].collect()
+      .map(r => r._1 -> r).toMap
+    def c(r: Long) = 1000000000L / (60L + r)
+    assert(got(10L) == ((10L, Some(1L), Some(2L), c(1) + c(2))))
+    assert(got(20L) == ((20L, Some(2L), Some(1L), c(1) + c(2))))
+    assert(got(30L) == ((30L, Some(3L), None, c(3))))    // one-list doc
+    assert(got(40L) == ((40L, None, Some(3L), c(3))))
+    // both-list docs outrank single-list docs at these depths
+    assert(got(10L)._4 > got(30L)._4)
+  }
 }
