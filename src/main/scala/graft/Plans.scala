@@ -148,7 +148,25 @@ object Plans {
         "and every dimension (part, nation x2, region, supplier, " +
         "customer) arrive as BroadcastHashJoins so the lineitem fact " +
         "stream is never shuffled for a join — the only exchanges are " +
-        "the final aggregate and the presentation sort."))
+        "the final aggregate and the presentation sort."),
+    "q155_table_diff" ->
+      ("Merkle reconciliation: each side folds to 256 (bucket, bit_xor) " +
+        "summary rows map-side-combined; the row-level second pass is " +
+        "pruned on BOTH sides by a BroadcastHashJoin against the " +
+        "(<=256-row) disagreeing-bucket list BEFORE the full outer " +
+        "key join — equal tables never shuffle row-level data."),
+    "q157_interval_coalesce" ->
+      ("Gaps-and-islands: ONE hashpartitioning exchange on the group " +
+        "key and one sort serve both the running-max window and the " +
+        "island-id running sum; the island aggregate rides the same " +
+        "partitioning — no interval self-join, no iteration."),
+    "q160_quantile_normalize" ->
+      ("Global order statistics with NO global sort: per-group ranks " +
+        "are partitioned windows; the global distribution collapses to " +
+        "a distinct-value cumulative table (reduced domain); each " +
+        "row's target rank reaches its order statistic through the " +
+        "bucket-expansion equi-join — no single-partition pass over " +
+        "row-level data anywhere."))
   // q116_pq_ann is absent for the q60 reason: its lazy plan nests four
   // 2-round Lloyd trainings, so the explain text is enormous while the
   // interesting query-time shape — codes ⨯ 3-row broadcast distance

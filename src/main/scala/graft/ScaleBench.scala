@@ -105,7 +105,18 @@ object ScaleBench {
     // normalization (global order statistics via reduced-domain cumsum +
     // bucket range join — the no-global-sort claim needs a number), and
     // RRF fusion (BM25 candidates + entropy re-rank of 20 docs)
-    "q159_markov_transitions", "q160_quantile_normalize", "q161_rrf_fusion")
+    "q159_markov_transitions", "q160_quantile_normalize", "q161_rrf_fusion",
+    // market-basket pair join (fan-out bounded by basket size, never
+    // vocabulary), clustering coefficient (the q104 wedge join + one
+    // degree aggregate), and path trigrams (two leads, one shuffle)
+    "q162_copurchase", "q163_clustering_coeff", "q164_path_trigrams",
+    // ANN recall eval (two rankings joined on (qid, vec_id) — corpus
+    // cost is the two retrievals), rate change (reduced-domain lag),
+    // centroid drift (posexplode + two dim-keyed aggregates)
+    "q165_ann_recall", "q166_rate_change", "q167_centroid_drift",
+    // mixture planning + dataset card (source-keyed aggregates) and
+    // pairwise centroid cosines (dim-keyed sums, |groups|² pair join)
+    "q168_mixture_rates", "q169_dataset_card", "q170_centroid_cos")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

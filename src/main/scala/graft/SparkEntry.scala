@@ -2175,6 +2175,84 @@ object SparkEntry {
         .select(col("doc_id"), col("rank"))
       TextOps.rrfFuse(a, b, "doc_id")
         .orderBy(col("rrf_micro").desc, col("doc_id"))
+    }),
+
+    // Market-basket affinity: brand pairs co-purchased within an order,
+    // support ≥ 3, lift in exact micro-units (N·n_ab·10⁶ div n_a·n_b).
+    "q162_copurchase" -> ((s, dir) => {
+      val items = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand"))
+      AffinityOps.copurchasePairs(items, "l_orderkey", "p_brand", minSupport = 3L)
+        .orderBy("item_i", "item_j")
+    }),
+
+    // Local clustering coefficient of the road graph: triangles over
+    // wedges per node, micro-unit exact; degree-<2 nodes emit 0.
+    "q163_clustering_coeff" -> ((s, dir) =>
+      GraphOps.clusteringCoeff(Derive.edgesDiag(Derive.nodes(s, dir)))
+        .orderBy("node")),
+
+    // Behavioral 3-gram paths: the 20 most common consecutive event-type
+    // triples, two leads over one shared per-user window.
+    "q164_path_trigrams" -> ((s, dir) =>
+      EventOps.pathTrigrams(t(s, dir, "events"), k = 20)),
+
+    // ANN eval harness: recall@10 and reciprocal rank of the q41 IVF
+    // retrieval against the exact brute-force ranking, per query —
+    // integer micro-units, no float score compares.
+    "q165_ann_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+      val exact = SimilarityOps.bruteTopK(e, queries, k = 10)
+      val approx = SimilarityOps.ivfTopK(e,
+        e.filter(col("vec_id") % 100 === 0), queries, k = 10, nprobe = 2)
+      SimilarityOps.annRecall(exact, approx, k = 10).orderBy("qid")
+    }),
+
+    // Week-over-week rate change per event type vs the previous OBSERVED
+    // week — exact integer relative deltas over the reduced
+    // (type, week) domain.
+    "q166_rate_change" -> ((s, dir) =>
+      EventOps.rateChange(t(s, dir, "events"))
+        .orderBy("event_type", "wk")),
+
+    // Per-language embedding centroid drift vs the global centroid, in
+    // cleared-denominator DECIMAL(38,0) — the q119 idiom on vectors.
+    "q167_centroid_drift" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+        .join(t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          col("vec_id") === col("doc_id"))
+      SimilarityOps.centroidDrift(vecs, "lang").orderBy("lang")
+    }),
+
+    // Mixture-rate planning: uniform target shares over the observed
+    // sources, pinned 120k-char budget — some sources cap at rate 10⁶
+    // (deficit reported), the rest get exact ppm keep rates.
+    "q168_mixture_rates" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val srcs = docs.select(col("source")).distinct()
+      val shares = srcs.crossJoin(broadcast(srcs.agg(count(lit(1)).as("ns"))))
+        .select(col("source"), expr("1000000 div ns").as("share_ppm"))
+      CorpusOps.mixtureRates(docs, shares, totalChars = 120000L)
+        .orderBy("source")
+    }),
+
+    // Dataset card: per-source doc/char volumes, exact mean and median
+    // lengths, language spread, corpus share in ppm.
+    "q169_dataset_card" -> ((s, dir) =>
+      CorpusOps.datasetCard(t(s, dir, "documents"))
+        .orderBy("source")),
+
+    // Pairwise language centroid cosines — the 1/n factors cancel, so
+    // the exact integer sum vectors carry the whole computation; one
+    // float sqrt/divide at the boundary, micro-floored.
+    "q170_centroid_cos" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+        .join(t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          col("vec_id") === col("doc_id"))
+      SimilarityOps.centroidCos(vecs, "lang").orderBy("g_a", "g_b")
     })
   )
 
@@ -4642,6 +4720,202 @@ object SparkEntry {
         |SELECT a.doc_id AS doc_id, rank_a, rank_b,
         |       (1000000000 // (60 + rank_a)) + (1000000000 // (60 + rank_b)) AS rrf_micro
         |FROM a JOIN b ON a.doc_id = b.doc_id
-        |ORDER BY rrf_micro DESC, doc_id""".stripMargin
+        |ORDER BY rrf_micro DESC, doc_id""".stripMargin,
+
+    // Market-basket mirror: same distinct-presence semantics, same
+    // cleared-denominator lift.
+    "q162_copurchase" ->
+      """WITH present AS (
+        |  SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |nb AS (SELECT count(DISTINCT basket) AS n_baskets FROM present),
+        |sup AS (SELECT item, count(*) AS n_i FROM present GROUP BY item),
+        |pairs AS (SELECT a.item AS item_i, b.item AS item_j, count(*) AS n_ab
+        |          FROM present a JOIN present b ON a.basket = b.basket
+        |            AND a.item < b.item
+        |          GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT item_i, item_j, n_ab,
+        |       CAST((n_ab * n_baskets * 1000000) // (sa.n_i * sb.n_i) AS BIGINT) AS lift_micro
+        |FROM pairs
+        |JOIN sup sa ON sa.item = item_i
+        |JOIN sup sb ON sb.item = item_j
+        |CROSS JOIN nb
+        |ORDER BY item_i, item_j""".stripMargin,
+
+    // Clustering-coefficient mirror: the q104 oriented triangle join +
+    // distinct undirected degrees, same cleared-denominator micro form.
+    "q163_clustering_coeff" ->
+      s"""WITH ${Derive.Sql.nodes},
+         |${Derive.Sql.edgesDiag},
+         |tri AS (
+         |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM ediag e1
+         |  JOIN ediag e2 ON e2.u = e1.v
+         |  JOIN ediag e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |tc AS (SELECT node, count(*) AS n_tri
+         |       FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+         |       GROUP BY node),
+         |deg AS (SELECT node, count(*) AS degree
+         |        FROM (SELECT u AS node FROM ediag
+         |              UNION ALL SELECT v FROM ediag)
+         |        GROUP BY node)
+         |SELECT d.node, d.degree,
+         |       CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_tri,
+         |       CAST(CASE WHEN d.degree < 2 THEN 0
+         |            ELSE (2 * COALESCE(tc.n_tri, 0) * 1000000)
+         |                 // (d.degree * (d.degree - 1)) END AS BIGINT) AS c_micro
+         |FROM deg d LEFT JOIN tc ON tc.node = d.node
+         |ORDER BY d.node""".stripMargin,
+
+    // Path-trigram mirror: two leads over the same (user; ts, event_id)
+    // order, global count, top-20 with the same lexicographic tie rule.
+    "q164_path_trigrams" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type AS e1,
+        |                   epoch_us(ts) AS ts_us
+        |            FROM events),
+        |tri AS (SELECT e1,
+        |               lead(e1, 1) OVER (PARTITION BY user_id
+        |                 ORDER BY ts_us, event_id) AS e2,
+        |               lead(e1, 2) OVER (PARTITION BY user_id
+        |                 ORDER BY ts_us, event_id) AS e3
+        |        FROM ev),
+        |cnt AS (SELECT e1, e2, e3, count(*) AS n FROM tri
+        |        WHERE e3 IS NOT NULL GROUP BY 1, 2, 3),
+        |top AS (SELECT * FROM cnt ORDER BY n DESC, e1, e2, e3 LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY n DESC, e1, e2, e3) AS BIGINT) AS rank,
+        |       e1, e2, e3, n
+        |FROM top ORDER BY rank""".stripMargin,
+
+    // ANN-recall mirror: the q40 brute ranking and the q41 IVF pipeline
+    // side by side, intersected on (qid, vec_id).
+    "q165_ann_recall" ->
+      s"""WITH q AS (SELECT vec_id AS qid, ${LlmSql.qvec("embedding")} AS qq
+         |           FROM embeddings WHERE vec_id < 5),
+         |v AS (SELECT vec_id, ${LlmSql.qvec("embedding")} AS qv FROM embeddings),
+         |ex AS (SELECT qid, vec_id, rank FROM (
+         |         SELECT qid, vec_id,
+         |                row_number() OVER (PARTITION BY qid
+         |                  ORDER BY ${LlmSql.cos("qq", "qv")} DESC, vec_id) AS rank
+         |         FROM q CROSS JOIN v WHERE qid <> vec_id) WHERE rank <= 10),
+         |cents AS (SELECT vec_id AS cid, ${LlmSql.qvec("embedding")} AS cv
+         |          FROM embeddings WHERE vec_id % 100 = 0),
+         |assigned AS (
+         |  SELECT cid, vec_id, qv FROM (
+         |    SELECT c.cid, v.vec_id, v.qv,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${LlmSql.cos("v.qv", "c.cv")} DESC, c.cid) AS crn
+         |    FROM v CROSS JOIN cents c) WHERE crn = 1),
+         |probes AS (
+         |  SELECT qid, qq, cid FROM (
+         |    SELECT q.qid, q.qq, c.cid,
+         |           row_number() OVER (PARTITION BY q.qid
+         |             ORDER BY ${LlmSql.cos("q.qq", "c.cv")} DESC, c.cid) AS prn
+         |    FROM q CROSS JOIN cents c) WHERE prn <= 2),
+         |ap AS (SELECT qid, vec_id, rank FROM (
+         |         SELECT qid, vec_id,
+         |                row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |         FROM (SELECT p.qid, a.vec_id, ${LlmSql.cos("p.qq", "a.qv")} AS cos
+         |               FROM probes p JOIN assigned a ON a.cid = p.cid
+         |               WHERE p.qid <> a.vec_id)) WHERE rank <= 10),
+         |hits AS (SELECT ex.qid AS qid, count(*) AS n_hits,
+         |                min(CASE WHEN ex.rank = 1 THEN ap.rank END) AS rr_rank
+         |         FROM ex JOIN ap ON ex.qid = ap.qid AND ex.vec_id = ap.vec_id
+         |         GROUP BY ex.qid)
+         |SELECT q.qid AS qid,
+         |       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |       CAST((COALESCE(h.n_hits, 0) * 1000000) // 10 AS BIGINT) AS recall_micro,
+         |       CAST(CASE WHEN h.rr_rank IS NULL THEN 0
+         |            ELSE 1000000 // h.rr_rank END AS BIGINT) AS rr_micro
+         |FROM q LEFT JOIN hits h ON h.qid = q.qid
+         |ORDER BY qid""".stripMargin,
+
+    // Rate-change mirror: identical epoch-week buckets and integer
+    // relative deltas over observed weeks.
+    "q166_rate_change" ->
+      """WITH wk AS (SELECT event_type,
+        |                   epoch_us(ts) // 604800000000 AS wk,
+        |                   count(*) AS n
+        |            FROM events GROUP BY 1, 2),
+        |lagged AS (SELECT event_type, wk,
+        |                  lag(wk) OVER (PARTITION BY event_type ORDER BY wk) AS prev_wk,
+        |                  n,
+        |                  lag(n) OVER (PARTITION BY event_type ORDER BY wk) AS prev_n
+        |           FROM wk)
+        |SELECT event_type, CAST(wk AS BIGINT) AS wk,
+        |       CAST(prev_wk AS BIGINT) AS prev_wk,
+        |       n, prev_n,
+        |       CAST(((n - prev_n) * 1000000) // prev_n AS BIGINT) AS delta_micro
+        |FROM lagged WHERE prev_n IS NOT NULL
+        |ORDER BY event_type, wk""".stripMargin,
+
+    // Centroid-drift mirror: same quantized lanes, same cleared
+    // denominators; HUGEINT sums == DECIMAL(38,0).
+    "q167_centroid_drift" ->
+      s"""WITH vl AS (SELECT e.vec_id, d.lang, ${LlmSql.qvec("e.embedding")} AS qv
+         |            FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+         |comps AS (SELECT lang, i AS d, qv[i] AS x
+         |          FROM (SELECT lang, qv, unnest(range(1, len(qv) + 1)) AS i
+         |                FROM vl)),
+         |per AS (SELECT lang, d, sum(x) AS s_g, count(*) AS n_g
+         |        FROM comps GROUP BY 1, 2),
+         |tot AS (SELECT d, sum(x) AS s, count(*) AS n FROM comps GROUP BY d),
+         |agg AS (SELECT lang, first(n_g) AS n_vec, first(n) AS n_all,
+         |               sum((n * s_g - n_g * s) * (n * s_g - n_g * s)) AS drift_num
+         |        FROM per JOIN tot USING (d) GROUP BY lang)
+         |SELECT lang, CAST(n_vec AS BIGINT) AS n_vec,
+         |       CAST(drift_num // (n_vec * n_all * n_vec * n_all) AS BIGINT) AS drift_q2
+         |FROM agg ORDER BY lang""".stripMargin,
+
+    // Mixture-rate mirror: same uniform shares, same pinned budget, same
+    // ppm arithmetic with the cap-and-report-deficit policy.
+    "q168_mixture_rates" ->
+      """WITH w AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS w_chars
+        |           FROM documents GROUP BY source),
+        |ns AS (SELECT count(*) AS n FROM w),
+        |sh AS (SELECT source, CAST(1000000 // n AS BIGINT) AS share_ppm
+        |       FROM w CROSS JOIN ns),
+        |j AS (SELECT w.source AS source, w_chars, share_ppm,
+        |             CAST((120000 * share_ppm) // 1000000 AS BIGINT) AS want_chars
+        |      FROM w JOIN sh ON w.source = sh.source),
+        |r AS (SELECT source, w_chars, want_chars,
+        |             CAST(least(1000000, (want_chars * 1000000) // w_chars) AS BIGINT) AS rate_ppm
+        |      FROM j)
+        |SELECT source, w_chars, want_chars, rate_ppm,
+        |       CAST((w_chars * rate_ppm) // 1000000 AS BIGINT) AS planned_chars,
+        |       CAST(greatest(0, want_chars - w_chars) AS BIGINT) AS deficit_chars
+        |FROM r ORDER BY source""".stripMargin,
+
+    // Dataset-card mirror: HUGEINT sums cast back, median-of-BIGINT
+    // half-integer parity as in q131.
+    "q169_dataset_card" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |                    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |                    CAST(sum(n_chars) // count(*) AS BIGINT) AS mean_chars,
+        |                    median(CAST(n_chars AS BIGINT)) AS median_chars,
+        |                    count(DISTINCT lang) AS n_langs
+        |             FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents)
+        |SELECT source, n_docs, sum_chars, mean_chars, median_chars, n_langs,
+        |       CAST((sum_chars * 1000000) // total_chars AS BIGINT) AS share_ppm
+        |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
+
+    // Centroid-cosine mirror: identical sum vectors, identical one-float
+    // boundary (both engines convert the same exact integers to double).
+    "q170_centroid_cos" ->
+      s"""WITH vl AS (SELECT e.vec_id, d.lang, ${LlmSql.qvec("e.embedding")} AS qv
+         |            FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+         |comps AS (SELECT lang, i AS d, qv[i] AS x
+         |          FROM (SELECT lang, qv, unnest(range(1, len(qv) + 1)) AS i
+         |                FROM vl)),
+         |sums AS (SELECT lang, d, sum(x) AS s FROM comps GROUP BY 1, 2),
+         |p AS (SELECT a.lang AS g_a, b.lang AS g_b,
+         |             sum(a.s * b.s) AS dab, sum(a.s * a.s) AS daa,
+         |             sum(b.s * b.s) AS dbb
+         |      FROM sums a JOIN sums b ON a.d = b.d AND a.lang < b.lang
+         |      GROUP BY 1, 2)
+         |SELECT g_a, g_b,
+         |       CAST(floor(1000000.0 * CAST(dab AS DOUBLE) /
+         |            (sqrt(CAST(daa AS DOUBLE)) * sqrt(CAST(dbb AS DOUBLE)))) AS BIGINT) AS cos_micro
+         |FROM p ORDER BY g_a, g_b""".stripMargin
   )
 }

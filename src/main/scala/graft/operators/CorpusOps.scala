@@ -135,6 +135,57 @@ object CorpusOps {
         col("col.key").as("priority"), col("col.payload").as(idCol))
   }
 
+  /** Mixture-rate planning: given a per-source char budget implied by a
+    * target share, the per-source KEEP RATE (in ppm) that realizes it —
+    * the step that turns "40% web, 30% code, …" into executable
+    * [[sampleByHash]] rates. For source s with w_s available chars and
+    * target want_s = T·share_s: rate_s = min(1, want_s/w_s) — a source
+    * with less data than its target keeps everything (rate 10⁶); the
+    * shortfall is reported (`deficit_chars`) rather than silently
+    * redistributed, so the caller decides the reallocation policy.
+    * All integer ppm arithmetic. One aggregate over sources + a
+    * broadcast of the (tiny) share table. Output: (source, w_chars,
+    * want_chars, rate_ppm, planned_chars, deficit_chars). */
+  def mixtureRates(docs: DataFrame, shares: DataFrame, totalChars: Long,
+                   sourceCol: String = "source",
+                   weightCol: String = "n_chars"): DataFrame = {
+    require(totalChars > 0, s"bad totalChars=$totalChars")
+    val w = docs.groupBy(col(sourceCol))
+      .agg(sum(col(weightCol).cast("long")).as("w_chars"))
+    w.join(broadcast(shares.select(col(sourceCol), col("share_ppm"))), Seq(sourceCol))
+      .withColumn("want_chars", expr(s"(${totalChars}L * share_ppm) div 1000000"))
+      .withColumn("rate_ppm",
+        least(lit(1000000L), expr("(want_chars * 1000000) div w_chars")))
+      .withColumn("planned_chars", expr("(w_chars * rate_ppm) div 1000000"))
+      .select(col(sourceCol), col("w_chars"), col("want_chars"), col("rate_ppm"),
+        col("planned_chars"),
+        greatest(lit(0L), col("want_chars") - col("w_chars")).as("deficit_chars"))
+  }
+
+  /** Per-source dataset card: the summary table a corpus release ships
+    * with (and the sanity dashboard a pipeline watches) — doc and char
+    * volumes, exact mean/median lengths, language spread, and each
+    * source's share of the corpus in ppm. One pass: a single
+    * partial-aggregated groupBy on source (median is exact over the
+    * per-source length domain; swap percentile_approx at petabyte group
+    * sizes, same shape), plus one broadcast of the 1-row corpus total.
+    * All integers: mean and share use `div`; median of longs lands on
+    * exactly-representable halves. */
+  def datasetCard(docs: DataFrame, sourceCol: String = "source",
+                  langCol: String = "lang", weightCol: String = "n_chars"): DataFrame = {
+    val per = docs.groupBy(col(sourceCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col(weightCol).cast("long")).as("sum_chars"),
+      expr(s"sum(CAST($weightCol AS BIGINT)) div count(1)").as("mean_chars"),
+      median(col(weightCol).cast("long")).as("median_chars"),
+      countDistinct(col(langCol)).as("n_langs"))
+    val tot = docs.agg(sum(col(weightCol).cast("long")).as("total_chars"))
+    per.crossJoin(broadcast(tot))
+      .select(col(sourceCol), col("n_docs"), col("sum_chars"), col("mean_chars"),
+        col("median_chars"), col("n_langs"),
+        expr("(sum_chars * 1000000) div total_chars").as("share_ppm"))
+  }
+
   /** PII scrubbing: replace e-mail addresses, phone-shaped digit runs, and
     * 13-19-digit card-shaped runs with typed placeholder tokens, appending
     * a per-row replacement count for audit. Patterns stay in the regex

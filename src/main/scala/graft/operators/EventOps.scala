@@ -405,4 +405,68 @@ object EventOps {
       .select(col("from_type"), col("to_type"), col("n"),
         expr("(n * 1000000) div total").as("p_micro"))
   }
+
+  /** Top-k most common length-3 event paths (behavioral sequence mining,
+    * [[markovTransitions]]' higher-order sibling): every consecutive
+    * (e, e', e'') triple per user in strict (ts, event_id) order,
+    * counted corpus-wide, top-k by frequency.
+    *
+    * Shape: TWO leads over ONE shared window spec — a single hash
+    * shuffle on the user key and a single per-key sort produce both
+    * successors — then a map-side-combined count on the ≤|types|³
+    * domain, then `orderBy().limit(k)` which Spark plans as
+    * TakeOrderedAndProject (per-partition heaps, no global sort).
+    * Output: (rank, e1, e2, e3, n), ties broken lexicographically. */
+  def pathTrigrams(events: DataFrame, k: Int = 20,
+                   userCol: String = "user_id", typeCol: String = "event_type",
+                   tsCol: String = "ts"): DataFrame = {
+    require(k > 0, s"bad k=$k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col("ts_us"), col("event_id"))
+    val top = events
+      .select(col(userCol), col("event_id"), col(typeCol).as("e1"),
+        tsUs(tsCol).as("ts_us"))
+      .withColumn("e2", lead(col("e1"), 1).over(w))
+      .withColumn("e3", lead(col("e1"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))).cast("long"))
+      .select(col("rank"), col("e1"), col("e2"), col("e3"), col("n"))
+  }
+
+  /** Week-over-week volume change per event type — the rate-anomaly
+    * monitor (traffic drops, ingestion stalls, bot bursts) run over any
+    * event feed. Weeks are epoch-aligned integer buckets
+    * (ts_us div 7·86400·10⁶, the [[cohortRetention]] convention);
+    * `delta_micro` = (n − prev)·10⁶ div prev is the exact integer
+    * relative change vs the PREVIOUS OBSERVED week for that type —
+    * sparse form: a type absent for whole weeks compares across the gap
+    * (the zero-count weeks are the anomaly the reader sees in wk/prev_wk
+    * being non-adjacent).
+    *
+    * Shape: one map-side-combined aggregate to (type, week) — a tiny
+    * domain — then a lag window partitioned by type over the reduced
+    * table. Output: (event_type, wk, prev_wk, n, prev_n, delta_micro),
+    * first observed week of each type omitted (no baseline). */
+  def rateChange(events: DataFrame, typeCol: String = "event_type",
+                 tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekly = events
+      .select(col(typeCol), tsUs(tsCol).as("ts_us"))
+      .select(col(typeCol), expr("ts_us div 604800000000").as("wk"))
+      .groupBy(col(typeCol), col("wk")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(typeCol)).orderBy(col("wk"))
+    weekly
+      .withColumn("prev_wk", lag(col("wk"), 1).over(w))
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .filter(col("prev_n").isNotNull)
+      // deltas go negative — `div` truncates toward zero, and so does
+      // DuckDB's integer `//` (measured: −71e6//476 = −149159, the
+      // truncated value), so the two engines agree on negative deltas
+      .select(col(typeCol), col("wk"), col("prev_wk"), col("n"), col("prev_n"),
+        expr("((n - prev_n) * 1000000) div prev_n").as("delta_micro"))
+  }
 }

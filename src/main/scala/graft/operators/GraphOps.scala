@@ -339,6 +339,35 @@ object GraphOps {
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Local clustering coefficient per node: c(v) = 2·T(v) / (d(v)·(d(v)−1))
+    * — the fraction of a node's neighbor pairs that are themselves
+    * connected, the standard "how clique-like is this neighborhood"
+    * statistic (community structure, link spam, social-graph QA).
+    *
+    * T(v) comes from [[triangleCounts]] (oriented wedge join, each
+    * triangle once); d(v) is the distinct undirected degree. The
+    * coefficient is emitted in exact micro-units with the denominator
+    * cleared — c_micro = 2·T·10⁶ div (d·(d−1)) — and degree-<2 nodes
+    * (no neighbor pairs) emit 0, not null. One extra aggregate + one
+    * broadcast-sized join over the triangle table; the wedge join
+    * dominates exactly as in triangleCounts. Output:
+    * (node, degree, n_tri, c_micro). */
+  def clusteringCoeff(edges: DataFrame, srcCol: String = "u",
+                      dstCol: String = "v"): DataFrame = {
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") < col("v")).distinct()
+    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    deg.join(triangleCounts(edges, srcCol, dstCol), Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("degree") < 2, 0L)
+          .otherwise(expr("(2 * coalesce(n_tri, 0L) * 1000000) div (degree * (degree - 1))"))
+          .as("c_micro"))
+  }
+
   /** Root + depth for every node of a forest via POINTER JUMPING
     * (Wyllie's shortcutting): each round replaces every node's known
     * ancestor with that ancestor's ancestor, accumulating the hop count —

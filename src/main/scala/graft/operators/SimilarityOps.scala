@@ -17,6 +17,79 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
+  /** Per-group embedding centroid drift vs the global centroid — the
+    * distribution monitor for a multi-source embedding corpus ("is this
+    * language/domain/shard drifting away from the population?"), the
+    * vector sibling of the tabular profile ops. Per group g with n_g
+    * vectors and per-dimension quantized sums S_g, against global (N,
+    * S): squared centroid distance Σ_d (S_g[d]/n_g − S[d]/N)² is made
+    * EXACT by clearing denominators —
+    *
+    *   drift_num = Σ_d (N·S_g[d] − n_g·S[d])²  [= dist² · (n_g·N)²]
+    *
+    * computed in DECIMAL(38,0) (the q119 z-score idiom: terms reach
+    * ~10²⁹ at scale — past 2⁶³, inside 38 digits; DuckDB's HUGEINT is
+    * the same integer), then reported as the exact integral quotient
+    * `drift_q2 = drift_num div (n_g·N)²` — the squared centroid
+    * distance in quantized units² (≲ dims·(2·10⁷)² ≈ 10¹⁶, back inside
+    * BIGINT), so groups are comparable with NO float mean and no
+    * epsilon. Shape: one posexplode to (group, dim, x) rows, two
+    * partial-aggregated shuffles on (group, dim)/(dim) — both tiny
+    * domains — and a broadcast join on dim. Output:
+    * (group, n_vec, drift_q2). */
+  def centroidDrift(vectors: DataFrame, groupCol: String,
+                    embCol: String = "embedding"): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val comps = vectors
+      .select(col(groupCol), posexplode(quantize(col(embCol))).as(Seq("d", "x")))
+    val per = comps.groupBy(col(groupCol), col("d"))
+      .agg(sum("x").as("s_g"), count(lit(1)).as("n_g"))
+    val glob = comps.groupBy(col("d"))
+      .agg(sum("x").as("s"), count(lit(1)).as("n"))
+    per.join(broadcast(glob), Seq("d"))
+      .select(col(groupCol), col("n_g"), col("n"),
+        (dec(col("n")) * dec(col("s_g")) - dec(col("n_g")) * dec(col("s"))).as("diff"))
+      .groupBy(col(groupCol))
+      .agg(first(col("n_g")).as("n_vec"), first(col("n")).as("n_all"),
+        sum(col("diff") * col("diff")).cast("decimal(38,0)").as("drift_num"))
+      .select(col(groupCol), col("n_vec"),
+        expr("CAST(drift_num div (CAST(n_vec AS DECIMAL(38,0)) * n_all" +
+          " * n_vec * n_all) AS BIGINT)").as("drift_q2"))
+  }
+
+  /** Pairwise cosine similarity BETWEEN group centroids ([[centroidDrift]]'s
+    * cross-group sibling): how aligned are two languages'/domains' mean
+    * embeddings. Key identity: cos of the centroids equals cos of the
+    * per-dimension SUM vectors — the 1/n factors cancel in the ratio —
+    * so no rational centroid is ever materialized. Dot products of sum
+    * vectors run in DECIMAL(38,0) (components ≤ n·10⁷ ≈ 10¹¹ squared
+    * and summed over dims pass 2⁶³ long before they threaten 38
+    * digits); the one float step is the final sqrt/divide ratio,
+    * micro-floored — the [[int8Quantize]] boundary discipline.
+    *
+    * Shape: one posexplode + one (group, dim) aggregate, then an
+    * all-pairs join over the GROUP table (|groups|² rows — groups are
+    * few by definition; the corpus never self-joins). Output:
+    * (g_a, g_b, cos_micro), g_a < g_b. */
+  def centroidCos(vectors: DataFrame, groupCol: String,
+                  embCol: String = "embedding"): DataFrame = {
+    val sums = vectors
+      .select(col(groupCol).as("g"), posexplode(quantize(col(embCol))).as(Seq("d", "x")))
+      .groupBy(col("g"), col("d")).agg(sum("x").cast("decimal(38,0)").as("s"))
+    val pairs = sums.as("a")
+      .join(sums.as("b"), col("a.d") === col("b.d") && col("a.g") < col("b.g"))
+      .select(col("a.g").as("g_a"), col("b.g").as("g_b"),
+        (col("a.s") * col("b.s")).as("ab"),
+        (col("a.s") * col("a.s")).as("aa"),
+        (col("b.s") * col("b.s")).as("bb"))
+      .groupBy("g_a", "g_b")
+      .agg(sum("ab").as("dab"), sum("aa").as("daa"), sum("bb").as("dbb"))
+    pairs.select(col("g_a"), col("g_b"),
+      floor(lit(1000000.0) * col("dab").cast("double") /
+        (sqrt(col("daa").cast("double")) * sqrt(col("dbb").cast("double"))))
+        .cast("long").as("cos_micro"))
+  }
+
   /** Quantize float components to round(x·1e7) longs. */
   def quantize(emb: Column): Column =
     transform(emb, x => round(x.cast("double") * 1e7).cast("long"))
@@ -52,6 +125,39 @@ object SimilarityOps {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "rank", "vec_id", "cos")
+  }
+
+  /** ANN quality evaluation — recall@k and reciprocal rank of an
+    * approximate retrieval against the exact one, per query. The eval
+    * harness every ANN deployment needs: [[ivfTopK]]/[[pqTopK]] trade
+    * recall for probe cost, and this measures the trade instead of
+    * assuming it.
+    *
+    * Inputs are two (qid, rank, vec_id) rankings (both produced by this
+    * module's top-k operators). Per query: `n_hits` = |exact∩approx|
+    * ids, `recall_micro` = n_hits·10⁶ div k, and `rr_micro` = 10⁶ div
+    * (approx rank of the exact #1 neighbor), 0 if the approx list missed
+    * it — all exact integers, no float score comparison anywhere (the
+    * rankings already encode the scores).
+    *
+    * Shape: one equi-join on (qid, vec_id) — k rows per query per side —
+    * plus a per-qid aggregate; cost is |queries|·k, independent of the
+    * corpus. */
+  def annRecall(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"bad k=$k")
+    val e = exact.select(col("qid"), col("rank").cast("long").as("e_rank"), col("vec_id"))
+    val a = approx.select(col("qid"), col("rank").cast("long").as("a_rank"), col("vec_id"))
+    val hits = e.join(a, Seq("qid", "vec_id"))
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_hits"),
+        min(when(col("e_rank") === 1, col("a_rank"))).as("rr_rank"))
+    e.select("qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr(s"(coalesce(n_hits, 0L) * 1000000) div $k").as("recall_micro"),
+        expr("CASE WHEN rr_rank IS NULL THEN 0 ELSE 1000000 div rr_rank END")
+          .as("rr_micro"))
   }
 
   /** IVF-style bucketed ANN: assign every vector to its nearest centroid

@@ -65,6 +65,34 @@ class CorpusOpsSpec extends SparkSpec {
     assert(z.forall(_._1 >= 290))
   }
 
+  test("mixtureRates: capped source reports deficit, uncapped gets exact ppm") {
+    val docs = Seq(
+      (0L, "big", 6000L), (1L, "big", 6000L),   // w = 12000
+      (2L, "small", 1000L))                     // w = 1000
+      .toDF("doc_id", "source", "n_chars")
+    val shares = Seq(("big", 500000L), ("small", 500000L)).toDF("source", "share_ppm")
+    // T = 8000: want = 4000 each. big: rate 4000/12000 → 333333 ppm,
+    // planned 3999; small: want 4000 > 1000 → rate 1e6, deficit 3000
+    val got = CorpusOps.mixtureRates(docs, shares, totalChars = 8000L)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("big") == (("big", 12000L, 4000L, 333333L, 3999L, 0L)))
+    assert(got("small") == (("small", 1000L, 4000L, 1000000L, 1000L, 3000L)))
+  }
+
+  test("datasetCard: volumes, exact mean/median, lang spread, ppm shares") {
+    val docs = Seq(
+      (0L, "a", "en", 100L), (1L, "a", "en", 200L), (2L, "a", "de", 400L),
+      (3L, "b", "en", 300L))
+      .toDF("doc_id", "source", "lang", "n_chars")
+    val got = CorpusOps.datasetCard(docs)
+      .as[(String, Long, Long, Long, Double, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // a: 3 docs, 700 chars, mean 233 (div), median 200.0, 2 langs, 700k ppm
+    assert(got("a") == (("a", 3L, 700L, 233L, 200.0, 2L, 700000L)))
+    assert(got("b") == (("b", 1L, 300L, 300L, 300.0, 1L, 300000L)))
+  }
+
   test("prioritySampleByGroup: per-group quota, agrees with global formula") {
     val docs = (0L until 200L).map(i => (i, 1L + i % 7, s"src${i % 3}"))
       .toDF("doc_id", "n_chars", "source")

@@ -245,6 +245,38 @@ class EventOpsSpec extends SparkSpec {
     assert(got == Seq(("y", "x", 1L, 1000000L)))
   }
 
+  test("pathTrigrams: consecutive triples per user, top-k with lexicographic ties") {
+    // user 1: a b c a b c → triples abc, bca, cab, abc; user 2: a b c → abc
+    val ev = (Seq("a", "b", "c", "a", "b", "c").zipWithIndex.map {
+      case (t, i) => (1L, i.toLong, t, (i + 1) * 1000L)
+    } ++ Seq("a", "b", "c").zipWithIndex.map {
+      case (t, i) => (2L, 10L + i, t, (i + 1) * 1000L)
+    }).toDF("user_id", "event_id", "event_type", "ts_us")
+      .withColumn("ts", col("ts_us") * 1000L).drop("ts_us")
+    val got = EventOps.pathTrigrams(ev, k = 2)
+      .as[(Long, String, String, String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "a", "b", "c", 3L), (2L, "b", "c", "a", 1L)))
+  }
+
+  test("rateChange: week-over-week deltas, sparse weeks compare across the gap") {
+    val WK = 604800000000L // µs per week
+    val a = (Seq.fill(4)(0L) ++ Seq.fill(6)(1L) ++ Seq.fill(3)(3L)) // wk2 absent
+      .zipWithIndex.map { case (wk, i) => (i.toLong, "a", wk * WK + i) }
+    val b = (Seq.fill(3)(0L) ++ Seq.fill(2)(1L)) // non-exact negative delta
+      .zipWithIndex.map { case (wk, i) => (100L + i, "b", wk * WK + i) }
+    val ev = (a ++ b).toDF("event_id", "event_type", "ts_us")
+      .withColumn("ts", col("ts_us") * 1000L).drop("ts_us")
+    val got = EventOps.rateChange(ev)
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      ("a", 1L, 0L, 6L, 4L, 500000L),    // +50%
+      ("a", 3L, 1L, 3L, 6L, -500000L),   // −50%, across the empty week 2
+      // TRUNCATED toward zero: −1e6/3 → −333333 — both Spark's div and
+      // DuckDB's integer // truncate (measured), so parity holds
+      ("b", 1L, 0L, 2L, 3L, -333333L)))
+  }
+
   test("madOutliers: robust to the masking that defeats the z-score gate") {
     // group "a": 20 values at 1.00, TWO spikes at 100.00 — the spikes
     // inflate σ enough that a 2σ z-gate keeps them (masking); the MAD

@@ -185,6 +185,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
   }
 
+  test("clusteringCoeff: triangle+pendant graph, exact micro coefficients") {
+    // triangle 1-2-3 with pendant 4 on node 1, isolated edge 5-6
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L), (5L, 6L))
+      .toDF("u", "v")
+    val got = GraphOps.clusteringCoeff(e)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) == ((3L, 1L, 2000000L / 6)))  // 1 tri of 3 wedges
+    assert(got(2L) == ((2L, 1L, 1000000L)))      // both neighbors linked
+    assert(got(3L) == ((2L, 1L, 1000000L)))
+    assert(got(4L) == ((1L, 0L, 0L)))            // degree-1: no wedges, 0
+    assert(got(5L) == ((1L, 0L, 0L)))
+    assert(got(6L) == ((1L, 0L, 0L)))
+  }
+
   test("pointerJumpRoots: chain + star + self-roots, exact depths") {
     // chain 0<-1<-2<-3<-4, star 10<-{11,12}, isolated root 20
     val parents = Seq(

@@ -192,4 +192,56 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(got.map(_._4).toSeq == got.map(_._4).sorted.toSeq)
     assert(got.forall(_._4 >= 0))
   }
+
+  test("annRecall: hit counting, MRR from exact #1, zero-hit queries kept") {
+    val exact = Seq(
+      (1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L),
+      (2L, 1L, 20L), (2L, 2L, 21L), (2L, 3L, 22L),
+      (3L, 1L, 30L), (3L, 2L, 31L), (3L, 3L, 32L))
+      .toDF("qid", "rank", "vec_id")
+    val approx = Seq(
+      (1L, 1L, 11L), (1L, 2L, 10L), (1L, 3L, 99L),  // 2 hits, exact#1 at rank 2
+      (2L, 1L, 20L), (2L, 2L, 21L), (2L, 3L, 22L),  // perfect
+      (3L, 1L, 98L), (3L, 2L, 97L), (3L, 3L, 96L))  // zero hits
+      .toDF("qid", "rank", "vec_id")
+    val got = SimilarityOps.annRecall(exact, approx, k = 3)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 666666L, 500000L)))
+    assert(got(2L) == ((2L, 3L, 1000000L, 1000000L)))
+    assert(got(3L) == ((3L, 0L, 0L, 0L)))
+  }
+
+  test("centroidCos: orthogonal groups 0, identical groups 1e6, n cancels") {
+    val vecs = Seq(
+      (0L, "A", Seq(1.0f, 0.0f)), (1L, "A", Seq(1.0f, 0.0f)),
+      (2L, "B", Seq(0.0f, 1.0f)),                    // orthogonal to A
+      (3L, "C", Seq(2.0f, 0.0f)))                    // parallel to A
+      .toDF("vec_id", "g", "embedding")
+    val got = SimilarityOps.centroidCos(vecs, "g")
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("A", "B")) == 0L)
+    assert(got(("A", "C")) == 1000000L)  // scale and group size cancel
+    assert(got(("B", "C")) == 0L)
+    assert(got.keySet == Set(("A", "B"), ("A", "C"), ("B", "C"))) // g_a < g_b once
+  }
+
+  test("centroidDrift: hand-computable two-group drift, identical groups drift 0") {
+    // dim 2; group A vectors (1,0),(1,0); group B (0,1),(0,1)
+    // quantized: A sums (2e7, 0), B sums (0, 2e7); global (2e7, 2e7), N=4
+    // diff per dim for A: |4·2e7 − 2·2e7| = 4e7 → drift_num = 2·(4e7)²
+    // → drift_q2 = 2·(4e7)² div (2·4)² = 2·1.6e15/64 = 5e13
+    val vecs = Seq(
+      (0L, "A", Seq(1.0f, 0.0f)), (1L, "A", Seq(1.0f, 0.0f)),
+      (2L, "B", Seq(0.0f, 1.0f)), (3L, "B", Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "g", "embedding")
+    val got = SimilarityOps.centroidDrift(vecs, "g")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map("A" -> ((2L, 50000000000000L)), "B" -> ((2L, 50000000000000L))))
+    val same = Seq(
+      (0L, "A", Seq(1.0f, 2.0f)), (1L, "B", Seq(1.0f, 2.0f)))
+      .toDF("vec_id", "g", "embedding")
+    val zero = SimilarityOps.centroidDrift(same, "g")
+      .as[(String, Long, Long)].collect()
+    assert(zero.forall(_._3 == 0L))
+  }
 }
