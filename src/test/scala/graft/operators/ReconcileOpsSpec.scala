@@ -26,17 +26,34 @@ class ReconcileOpsSpec extends SparkSpec {
   }
 
   test("tableDiff: second pass reads only the disagreeing buckets") {
-    // one drifted key with nb=8 → exactly one bucket disagrees; the
-    // row-level slice must be bucket-pruned (≈1/8 of rows), not a full
-    // second read of both sides
+    // two drifted keys in buckets 1 and 2 with nb=8 → exactly those
+    // buckets disagree; the row-level slices must be bucket-pruned
+    // (≈2/8 of rows) via an IN filter, not a full second read
     val a = (0L until 800L).map(i => (i, i)).toDF("k", "v")
     val b = a.withColumn("v",
-      when(col("k") === 9, col("v") + 1).otherwise(col("v")))
+      when(col("k") === 9 || col("k") === 18, col("v") + 1)
+        .otherwise(col("v")))
+    assert(ReconcileOps.badBuckets(a, b, "k", canon, 8).sorted
+      .sameElements(Array(1L, 2L)))
     val diff = ReconcileOps.tableDiff(a, b, "k", canon, nb = 8)
-    assert(diff.as[(Long, String)].collect().toMap == Map(9L -> "changed"))
-    // the bucket filter sits under the row-level join as a broadcast
-    // semi-ish equi-join on bucket; both slices carry it
-    val plan = diff.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), s"no broadcast prune:\n$plan")
+    assert(diff.as[(Long, String)].collect().toMap ==
+      Map(9L -> "changed", 18L -> "changed"))
+    // the analyzed plan (pre-folding: over a LocalRelation input
+    // Catalyst evaluates the pruned slices at optimization time, which
+    // is the prune doing its job) must carry the bucket-IN filter
+    val plan = diff.queryExecution.analyzed.toString
+    assert(plan.contains(" IN (1,2)") || plan.contains(" IN (1, 2)"),
+      s"no bucket-IN prune:\n$plan")
+  }
+
+  test("tableDiff: scattered drift skips the prune layer, same answer") {
+    // every key drifted → all 8 buckets bad → pruning cannot help; the
+    // adaptive path must drop the IN filter and still answer correctly
+    val a = (0L until 80L).map(i => (i, i)).toDF("k", "v")
+    val b = a.withColumn("v", col("v") + 1)
+    val diff = ReconcileOps.tableDiff(a, b, "k", canon, nb = 8)
+    assert(diff.filter(col("status") === "changed").count() == 80L)
+    val plan = diff.queryExecution.analyzed.toString
+    assert(!plan.contains(" IN ("), s"unexpected prune in degenerate case:\n$plan")
   }
 }
