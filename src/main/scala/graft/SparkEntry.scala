@@ -2253,7 +2253,63 @@ object SparkEntry {
         .join(t(s, dir, "documents").select(col("doc_id"), col("lang")),
           col("vec_id") === col("doc_id"))
       SimilarityOps.centroidCos(vecs, "lang").orderBy("g_a", "g_b")
-    })
+    }),
+
+    // CDC feed extraction from two snapshots: old = orders, new = a
+    // deterministic drift (every 509th key deleted, 511th re-priced,
+    // 513th cloned to a fresh key = insert); the feed must carry op +
+    // the NEW payload. applyFeed ∘ changeFeed ≡ identity is pinned by
+    // ReconcileOpsSpec; the gate hashes the feed itself.
+    "q171_change_feed" -> ((s, dir) => {
+      val a = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("price_c"))
+      val b = a.filter(col("k") % 509 =!= 0)
+        .withColumn("price_c",
+          when(col("k") % 511 === 0, col("price_c") + 100)
+            .otherwise(col("price_c")))
+        .unionByName(a.filter(col("k") % 513 === 0)
+          .select((col("k") + 20000000L).as("k"), col("o_custkey"),
+            col("o_orderstatus"), (col("price_c") + 5).as("price_c")))
+      ReconcileOps.changeFeed(a, b, "k",
+        Seq("o_custkey", "o_orderstatus", "price_c")).orderBy("k")
+    }),
+
+    // Per-type value trend: exact-integer least squares of daily cents
+    // against the epoch-day x, micro-unit slope/intercept.
+    "q172_ols_trend" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        EventOps.tsUs("ts").as("ts_us"),
+        round(col("value") * 100).cast("long").as("y"))
+        .withColumn("x", expr("ts_us div 86400000000"))
+      ProfileOps.olsFit(ev, "event_type", "x", "y").orderBy("event_type")
+    }),
+
+    // Daily spine densification + exact linear interpolation over the
+    // sparse per-user purchase series.
+    "q173_gap_fill" -> ((s, dir) =>
+      EventOps.gapFillDaily(
+        t(s, dir, "events").filter(col("event_type") === "purchase"))
+        .orderBy("user_id", "d")),
+
+    // CUSUM drift alarm: first event where cumulative excess over
+    // $60.00 crosses $300.00 (58/150 users at sf0.01 — a real split).
+    "q174_cusum" -> ((s, dir) =>
+      EventOps.cusum(t(s, dir, "events"), targetC = 6000L, hC = 30000L)
+        .orderBy("user_id")),
+
+    // RFM segmentation: quintile scores over the reduced per-user table.
+    "q175_rfm" -> ((s, dir) =>
+      EventOps.rfm(t(s, dir, "events")).orderBy("user_id")),
+
+    // Equi-depth histogram of lineitem prices: 16 buckets of ~N/16 rows,
+    // edges at exact order statistics — no global sort (reduced-domain
+    // cumulative + bucket range join, the q160 machinery).
+    "q176_equidepth_hist" -> ((s, dir) =>
+      ProfileOps.equidepthHistogram(
+        t(s, dir, "lineitem").select(
+          round(col("l_extendedprice") * 100).cast("long").as("price_c")),
+        "price_c", 16).orderBy("bucket"))
   )
 
   /** Shared q77 input: the events table viewed as a CDC feed. */
@@ -4916,6 +4972,137 @@ object SparkEntry {
          |SELECT g_a, g_b,
          |       CAST(floor(1000000.0 * CAST(dab AS DOUBLE) /
          |            (sqrt(CAST(daa AS DOUBLE)) * sqrt(CAST(dbb AS DOUBLE)))) AS BIGINT) AS cos_micro
-         |FROM p ORDER BY g_a, g_b""".stripMargin
+         |FROM p ORDER BY g_a, g_b""".stripMargin,
+
+    // Change-feed mirror: identical drift construction, full outer join
+    // with IS DISTINCT FROM payload compare (null-safe, like Spark <=>).
+    "q171_change_feed" ->
+      """WITH a AS (SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+        |                  CAST(round(o_totalprice*100) AS BIGINT) AS price_c
+        |           FROM orders),
+        |b AS (SELECT k, o_custkey, o_orderstatus,
+        |             CASE WHEN k % 511 = 0 THEN price_c + 100
+        |                  ELSE price_c END AS price_c
+        |      FROM a WHERE k % 509 <> 0
+        |      UNION ALL
+        |      SELECT k + 20000000, o_custkey, o_orderstatus, price_c + 5
+        |      FROM a WHERE k % 513 = 0),
+        |f AS (SELECT coalesce(a.k, b.k) AS k,
+        |             CASE WHEN a.k IS NULL THEN 'i'
+        |                  WHEN b.k IS NULL THEN 'd'
+        |                  WHEN (a.o_custkey IS DISTINCT FROM b.o_custkey)
+        |                    OR (a.o_orderstatus IS DISTINCT FROM b.o_orderstatus)
+        |                    OR (a.price_c IS DISTINCT FROM b.price_c) THEN 'u'
+        |             END AS op,
+        |             b.o_custkey AS o_custkey,
+        |             b.o_orderstatus AS o_orderstatus,
+        |             b.price_c AS price_c
+        |      FROM a FULL JOIN b ON a.k = b.k)
+        |SELECT k, op, o_custkey, o_orderstatus, price_c
+        |FROM f WHERE op IS NOT NULL ORDER BY k""".stripMargin,
+
+    // OLS mirror: BIGINT day/cents, HUGEINT sums == DECIMAL(38,0),
+    // cleared-denominator closed forms, // truncation == div.
+    "q172_ols_trend" ->
+      """WITH ev AS (SELECT event_type,
+        |                   epoch_us(ts) // 86400000000 AS x,
+        |                   CAST(round(value*100) AS BIGINT) AS y
+        |            FROM events),
+        |s AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x*x) AS sxx, sum(x*y) AS sxy
+        |      FROM ev GROUP BY 1),
+        |d AS (SELECT *, n*sxx - sx*sx AS den FROM s
+        |      WHERE n*sxx - sx*sx <> 0)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |       CAST(((n*sxy - sx*sy) * 1000000) // den AS BIGINT) AS slope_micro,
+        |       CAST(((sy*sxx - sx*sxy) * 1000000) // den AS BIGINT) AS intercept_micro
+        |FROM d ORDER BY event_type""".stripMargin,
+
+    // Gap-fill mirror: per-user range() spine, IGNORE NULLS neighbor
+    // carry (the q123 idiom), identical truncating interpolation div.
+    "q173_gap_fill" ->
+      """WITH daily AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+        |                      CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS v_c
+        |               FROM events WHERE event_type = 'purchase'
+        |               GROUP BY 1, 2),
+        |sp AS (SELECT user_id, unnest(range(min(d), max(d) + 1)) AS d
+        |       FROM daily GROUP BY user_id),
+        |j AS (SELECT sp.user_id AS user_id, sp.d AS d, daily.v_c AS v_c
+        |      FROM sp LEFT JOIN daily
+        |        ON sp.user_id = daily.user_id AND sp.d = daily.d),
+        |w AS (SELECT user_id, d, v_c,
+        |             last_value(v_c IGNORE NULLS) OVER wp AS prev_v,
+        |             last_value(CASE WHEN v_c IS NOT NULL THEN d END IGNORE NULLS)
+        |               OVER wp AS prev_d,
+        |             first_value(v_c IGNORE NULLS) OVER wn AS next_v,
+        |             first_value(CASE WHEN v_c IS NOT NULL THEN d END IGNORE NULLS)
+        |               OVER wn AS next_d
+        |      FROM j
+        |      WINDOW wp AS (PARTITION BY user_id ORDER BY d
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |             wn AS (PARTITION BY user_id ORDER BY d
+        |                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, CAST(d AS BIGINT) AS d,
+        |       CAST(CASE WHEN v_c IS NOT NULL THEN v_c * 1000000
+        |            ELSE prev_v * 1000000 +
+        |                 ((next_v - prev_v) * (d - prev_d) * 1000000)
+        |                   // (next_d - prev_d) END AS BIGINT) AS val_micro,
+        |       CASE WHEN v_c IS NOT NULL THEN 'obs' ELSE 'fill' END AS src
+        |FROM w ORDER BY user_id, d""".stripMargin,
+
+    // CUSUM mirror: same closed form S_i = P_i − min(0, min prefix),
+    // same (ts, id) order, first alarm via row_number.
+    "q174_cusum" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |                   CAST(round(value*100) AS BIGINT) - 6000 AS dx
+        |            FROM events),
+        |w AS (SELECT user_id, event_id, ts_us,
+        |             sum(dx) OVER (PARTITION BY user_id
+        |               ORDER BY ts_us, event_id) AS p
+        |      FROM ev),
+        |s AS (SELECT user_id, ts_us, event_id,
+        |             p - least(0, min(p) OVER (PARTITION BY user_id
+        |               ORDER BY ts_us, event_id)) AS s_c
+        |      FROM w),
+        |al AS (SELECT user_id, ts_us, event_id, s_c,
+        |              row_number() OVER (PARTITION BY user_id
+        |                ORDER BY ts_us, event_id) AS rn
+        |       FROM s WHERE s_c > 30000)
+        |SELECT user_id, ts_us AS alarm_ts_us, event_id AS alarm_event_id,
+        |       CAST(s_c AS BIGINT) AS s_c
+        |FROM al WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // RFM mirror: identical reduced per-user table, identical ntile
+    // orderings with the user_id tie-break.
+    "q175_rfm" ->
+      """WITH per AS (SELECT user_id,
+        |                    max(epoch_us(ts) // 86400000000) AS last_day,
+        |                    count(*) AS n,
+        |                    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS mon_c
+        |             FROM events GROUP BY 1),
+        |mx AS (SELECT max(last_day) AS max_day FROM per),
+        |sc AS (SELECT user_id, (max_day - last_day) AS recency_days, n, mon_c,
+        |              CAST(ntile(5) OVER (ORDER BY (max_day - last_day) DESC, user_id) AS BIGINT) AS r_score,
+        |              CAST(ntile(5) OVER (ORDER BY n ASC, user_id) AS BIGINT) AS f_score,
+        |              CAST(ntile(5) OVER (ORDER BY mon_c ASC, user_id) AS BIGINT) AS m_score
+        |       FROM per CROSS JOIN mx)
+        |SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
+        |       n, mon_c, r_score, f_score, m_score,
+        |       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+        |         CAST(m_score AS VARCHAR) AS segment
+        |FROM sc ORDER BY user_id""".stripMargin,
+
+    // Equi-depth mirror: the oracle MAY afford the global sort — bucket
+    // of rank r is ceil(r·nb/N)−1 = (r·nb−1)//N, grouped min/max/count.
+    "q176_equidepth_hist" ->
+      """WITH v AS (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS v
+        |           FROM lineitem),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS r,
+        |             count(*) OVER () AS n
+        |      FROM v),
+        |b AS (SELECT v, (r * 16 - 1) // n AS bucket FROM r)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, min(v) AS lo_v,
+        |       max(v) AS hi_v, count(*) AS n
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -469,4 +469,124 @@ object EventOps {
       .select(col(typeCol), col("wk"), col("prev_wk"), col("n"), col("prev_n"),
         expr("((n - prev_n) * 1000000) div prev_n").as("delta_micro"))
   }
+
+  /** One-sided CUSUM change-point detection (Page 1954): per key, find
+    * the FIRST event where the cumulative upward drift of the value
+    * series above `targetC` exceeds decision bound `hC` — the sequential
+    * drift alarm (billing spikes, sensor drift, metric creep) that a
+    * plain threshold misses because no single value is anomalous.
+    *
+    * The textbook recursion S_i = max(0, S_{i−1} + x_i − target) is not
+    * a window aggregate, but it has an exact closed form: with prefix
+    * P_i = Σ_{j≤i}(x_j − target) and P_0 = 0,
+    *
+    *   S_i = P_i − min(0, min_{j≤i} P_j)
+    *
+    * — a running sum and a running min over ONE shared (key, ts, id)
+    * window sort, all integer cents, engine-exact. The first S_i > h per
+    * key is then a min_by over the alarm rows. One hash shuffle on the
+    * key, one per-partition sort, one tiny aggregate.
+    *
+    * Output: (key, alarm_ts_us, alarm_event_id, s_c) — one row per key
+    * that ever alarms; quiet keys are absent (the monitoring contract). */
+  def cusum(events: DataFrame, targetC: Long, hC: Long,
+            keyCol: String = "user_id", tsCol: String = "ts",
+            valueCol: String = "value"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col(keyCol), col("event_id"), tsUs(tsCol).as("ts_us"),
+        (cents(col(valueCol)) - targetC).as("dx"))
+      .withColumn("p", sum(col("dx")).over(w))
+      .withColumn("s_c", col("p") - least(lit(0L), min(col("p")).over(w)))
+      .filter(col("s_c") > hC)
+      .groupBy(col(keyCol))
+      .agg(min(struct(col("ts_us"), col("event_id"), col("s_c"))).as("first"))
+      .select(col(keyCol), col("first.ts_us").as("alarm_ts_us"),
+        col("first.event_id").as("alarm_event_id"), col("first.s_c").as("s_c"))
+  }
+
+  /** RFM segmentation — the classic customer scoring: per key, Recency
+    * (days since last event, against the corpus max day), Frequency
+    * (event count), Monetary (integer-cents sum), each scored 1..nt by
+    * quantile (nt=5 → quintiles, 5 = best), segment = the concatenated
+    * code ("555" = recent, frequent, high-spend).
+    *
+    * Scores are `ntile(nt)` with the metric ordered so the best value
+    * lands in tile nt, ties broken by the key — deterministic and
+    * engine-identical. The three ntile windows are unpartitioned BUT run
+    * over the REDUCED per-key table (one row per key, |keys| ≪ N — the
+    * q13 reduced-domain exception); at billions of keys the production
+    * swap is approx-quantile cut points against the same reduced table,
+    * same downstream algebra. */
+  def rfm(events: DataFrame, nt: Int = 5, keyCol: String = "user_id",
+          tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    require(nt > 0, s"bad tile count $nt")
+    val day = 86400000000L
+    val per = events
+      .select(col(keyCol), tsUs(tsCol).as("ts_us"),
+        cents(col(valueCol)).as("v_c"))
+      .groupBy(col(keyCol))
+      .agg(max(expr(s"ts_us div $day")).as("last_day"),
+        count(lit(1)).as("n"), sum(col("v_c")).as("mon_c"))
+    val maxDay = per.agg(max(col("last_day")).as("max_day"))
+    def tileW(o: Column*) = ntile(nt).over(Window.orderBy(o: _*)).cast("long")
+    per.crossJoin(broadcast(maxDay))
+      .select(col(keyCol), (col("max_day") - col("last_day")).as("recency_days"),
+        col("n"), col("mon_c"))
+      .withColumn("r_score", tileW(col("recency_days").desc, col(keyCol)))
+      .withColumn("f_score", tileW(col("n").asc, col(keyCol)))
+      .withColumn("m_score", tileW(col("mon_c").asc, col(keyCol)))
+      .withColumn("segment", concat(col("r_score"), col("f_score"), col("m_score")))
+  }
+
+  /** Daily time-spine densification with EXACT linear interpolation — the
+    * gap-filler every time-series feature pipeline needs: each key's
+    * daily value series (sum of cents per observed day) is completed to
+    * every day between its first and last observation; missing days get
+    * the linear interpolation between the surrounding observed days, in
+    * micro-cents with the division exact and truncating identically in
+    * both engines.
+    *
+    * Shape: per-key daily aggregate (one shuffle), per-key min/max day +
+    * `sequence()` explode for the spine (no cross join against a global
+    * calendar — each key fans out only its own span), left join of spine
+    * to observations (same key+day hash), then the q123 IGNORE NULLS
+    * window idiom — last/first over one per-key sort carry
+    * (prev_d, prev_v) and (next_d, next_v) across the gaps. Interp:
+    *
+    *   val_micro = prev_v·10⁶ + ((next_v − prev_v)·(d − prev_d)·10⁶)
+    *                 div (next_d − prev_d)
+    *
+    * Spine edges are observed days by construction, so filled rows
+    * always have both neighbors. Output: (key, d, val_micro, src) with
+    * src ∈ obs | fill. */
+  def gapFillDaily(events: DataFrame, keyCol: String = "user_id",
+                   tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    val day = 86400000000L
+    val daily = events
+      .select(col(keyCol), tsUs(tsCol).as("ts_us"), cents(col(valueCol)).as("v_c"))
+      .select(col(keyCol), expr(s"ts_us div $day").as("d"), col("v_c"))
+      .groupBy(col(keyCol), col("d")).agg(sum(col("v_c")).as("v_c"))
+    val spine = daily.groupBy(col(keyCol))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col(keyCol), explode(sequence(col("d0"), col("d1"))).as("d"))
+    val wPrev = Window.partitionBy(col(keyCol)).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col(keyCol)).orderBy(col("d"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(daily, Seq(keyCol, "d"), "left")
+      .withColumn("prev_v", last(col("v_c"), ignoreNulls = true).over(wPrev))
+      .withColumn("prev_d",
+        last(when(col("v_c").isNotNull, col("d")), ignoreNulls = true).over(wPrev))
+      .withColumn("next_v", first(col("v_c"), ignoreNulls = true).over(wNext))
+      .withColumn("next_d",
+        first(when(col("v_c").isNotNull, col("d")), ignoreNulls = true).over(wNext))
+      .select(col(keyCol), col("d"),
+        when(col("v_c").isNotNull, col("v_c") * 1000000L)
+          .otherwise(expr("prev_v * 1000000 + ((next_v - prev_v) * (d - prev_d) * 1000000) div (next_d - prev_d)"))
+          .as("val_micro"),
+        when(col("v_c").isNotNull, lit("obs")).otherwise(lit("fill")).as("src"))
+  }
 }

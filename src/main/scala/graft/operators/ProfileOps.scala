@@ -160,4 +160,97 @@ object ProfileOps {
       .select(col("bucket"), (lit(lo) + col("bucket") * width).as("lo_edge"),
         col("n"), col("sum_c"))
   }
+
+  /** Per-group simple (one-variable) least-squares fit in EXACT integer
+    * arithmetic — trend detection over grouped series (is this event
+    * type's value drifting up?) without a single float until the
+    * boundary. The closed forms need only four sums:
+    *
+    *   slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *   intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)
+    *
+    * Numerators and the shared denominator are computed in DECIMAL(38,0)
+    * (n·Σxy at 10⁵ rows/group × day-scale x × cent-scale y crosses 2⁶³ —
+    * the q119 overflow lesson, applied before the harness catches it)
+    * and emitted in exact micro-units via `(10⁶·num) div den` — integer
+    * division truncating toward zero in BOTH engines. Groups with a
+    * degenerate design (all x equal → den = 0) are dropped, stated in
+    * the contract, rather than divided by zero under ANSI.
+    *
+    * Shape: ONE map-side-combined aggregate to |groups| rows; the
+    * arithmetic after it is per-group scalar math. No window, no join. */
+  def olsFit(df: DataFrame, groupCol: String, xCol: String,
+             yCol: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val sums = df
+      .select(col(groupCol), dec(col(xCol)).as("x"), dec(col(yCol)).as("y"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+    sums
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .filter(col("den") =!= lit(0))
+      .withColumn("s_num", (col("n") * col("sxy") - col("sx") * col("sy")) * 1000000L)
+      .withColumn("i_num", (col("sy") * col("sxx") - col("sx") * col("sxy")) * 1000000L)
+      .select(col(groupCol), col("n").cast("long").as("n"),
+        expr("s_num div den").cast("long").as("slope_micro"),
+        expr("i_num div den").cast("long").as("intercept_micro"))
+  }
+
+  /** EQUI-DEPTH histogram — `nb` buckets each holding ~N/nb rows, bucket
+    * edges at the exact order statistics — the complement of
+    * [[histogram]]'s fixed-width form (equi-width collapses under skew:
+    * one hot bucket, the rest empty; equi-depth IS the quantile sketch
+    * made exact). Bucket b (0-based) holds global ranks
+    * (b·N div nb, (b+1)·N div nb], ranks ordered by (value, id) so ties
+    * split deterministically and every engine agrees.
+    *
+    * NO GLOBAL SORT: like [[quantileNormalize]], the value domain is
+    * first collapsed to distinct values with counts (map-side-combined),
+    * the cumulative rank span of each distinct value is a window over
+    * that REDUCED domain, and each bucket edge (an order statistic at
+    * rank t) is located by a bucket range join of the 2·nb edge ranks
+    * against the spans. The full table is touched exactly once.
+    * Edge-rank lookup ignores the id tie-break — an order statistic at
+    * rank t has a well-defined VALUE regardless of how ties are indexed.
+    *
+    * Output: (bucket, lo_v, hi_v, n) — lo_v/hi_v the min/max VALUE in
+    * the bucket, n its exact row count; empty buckets (nb > N) omitted. */
+  def equidepthHistogram(df: DataFrame, valueCol: String,
+                         nb: Int): DataFrame = {
+    require(nb > 0, s"bad bucket count $nb")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val vals = df.select(col(valueCol).cast("long").as("v"))
+    val nRow = vals.agg(count(lit(1)).as("n_total"))
+    // reduced domain: one row per distinct value, its global rank span
+    val cum = vals.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_end", sum(col("cnt")).over(
+        Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("v"), (col("cum_end") - col("cnt")).as("span_lo"),
+        col("cum_end").as("span_hi"))
+    // 2·nb edge ranks: bucket b needs order statistics at lo = b·N/nb+1
+    // and hi = (b+1)·N/nb  (empty buckets — hi < lo — drop here)
+    val edges = spark.range(nb.toLong).toDF("bucket")
+      .crossJoin(broadcast(nRow))
+      .select(col("bucket"),
+        (expr("(bucket * n_total) div " + nb) + 1L).as("t_lo"),
+        expr(s"((bucket + 1) * n_total) div " + nb).as("t_hi"))
+      .filter(col("t_hi") >= col("t_lo"))
+    val melted = edges.select(col("bucket"), lit("lo").as("which"),
+        col("t_lo").as("t"), (col("t_hi") - col("t_lo") + 1L).as("n"))
+      .unionByName(edges.select(col("bucket"), lit("hi").as("which"),
+        col("t_hi").as("t"), (col("t_hi") - col("t_lo") + 1L).as("n")))
+    // t ∈ (span_lo, span_hi] ⟺ t−1 ∈ [span_lo, span_hi)
+    RangeJoinOps.bucketRangeJoin(
+        melted.withColumn("t0", col("t") - 1L), "t0",
+        cum, "span_lo", "span_hi", bucketWidth = 1024L)
+      .groupBy(col("bucket"))
+      .agg(min(when(col("which") === "lo", col("v"))).as("lo_v"),
+        min(when(col("which") === "hi", col("v"))).as("hi_v"),
+        min(col("n")).as("n"))
+  }
 }

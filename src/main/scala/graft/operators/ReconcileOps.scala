@@ -113,4 +113,50 @@ object ReconcileOps {
           .when(col("fp_a") =!= col("fp_b"), lit("changed")).as("status"))
       .filter(col("status").isNotNull)
   }
+
+  /** CDC feed EXTRACTION — [[tableDiff]]'s constructive sibling: not just
+    * WHICH keys differ between snapshot `a` (old) and `b` (new), but the
+    * minimal change feed that replays A into B: one row per drifted key,
+    * `op` ∈ i(nsert) | u(pdate) | d(elete), payload columns carrying the
+    * NEW values (null on delete). This is how a snapshot-only source
+    * (nightly dump, no changelog) is turned into an incremental feed for
+    * downstream CDC consumers ([[graft.operators.EventOps.cdcSnapshot]],
+    * mergeUpsert, SCD2) — the round-trip law
+    * `applyFeed(a, changeFeed(a,b)) == b` is pinned by spec and the q171
+    * gate hashes the feed itself against the oracle's full-outer form.
+    *
+    * Shape: one full outer join on the key — inherently row-level (the
+    * feed must CARRY the new payload, so unlike tableDiff there is no
+    * checksum shortcut) — with null-safe payload comparison (`<=>`
+    * negation), so NULL→value and value→NULL transitions are real
+    * updates, not misses. One shuffle each side, hash join, no window. */
+  def changeFeed(a: DataFrame, b: DataFrame, keyCol: String,
+                 payload: Seq[String]): DataFrame = {
+    require(payload.nonEmpty, "empty payload column list")
+    val an = a.select((keyCol +: payload).map(col): _*).as("a")
+    val bn = b.select((keyCol +: payload).map(col): _*).as("b")
+    val differs = payload
+      .map(c => !(col(s"a.$c") <=> col(s"b.$c"))).reduce(_ || _)
+    val outCols =
+      coalesce(col(s"a.$keyCol"), col(s"b.$keyCol")).as(keyCol) +:
+      when(col(s"a.$keyCol").isNull, lit("i"))
+        .when(col(s"b.$keyCol").isNull, lit("d"))
+        .when(differs, lit("u")).as("op") +:
+      payload.map(c => col(s"b.$c").as(c))
+    an.join(bn, col(s"a.$keyCol") === col(s"b.$keyCol"), "full")
+      .select(outCols: _*)
+      .filter(col("op").isNotNull)
+  }
+
+  /** Replay a [[changeFeed]] onto snapshot `a`: drop deleted + updated
+    * keys, then union the feed's new rows. Anti-join + union — no window,
+    * no full outer. The spec asserts the round-trip law against `b`. */
+  def applyFeed(a: DataFrame, feed: DataFrame, keyCol: String,
+                payload: Seq[String]): DataFrame = {
+    val touched = feed.select(col(keyCol))
+    a.select((keyCol +: payload).map(col): _*)
+      .join(touched, Seq(keyCol), "left_anti")
+      .unionByName(feed.filter(col("op") =!= "d")
+        .select((keyCol +: payload).map(col): _*))
+  }
 }

@@ -303,4 +303,88 @@ class EventOpsSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect().toSeq
     assert(got == Seq((9L, "g", 1000L, 1400L)))
   }
+
+  test("cusum: closed form == textbook recursion, first alarm only") {
+    // three users with deterministic pseudo-random cent values; expected
+    // alarms from the literal S_i = max(0, S_{i-1} + x_i − t) recursion
+    val target = 5000L; val h = 12000L
+    val rows = for (u <- 1L to 3L; i <- 0L until 40L) yield
+      (u * 1000 + i, u, i * 60000000L, ((i * 37 + u * 53) % 130) * 100L)
+    val expected = rows.groupBy(_._2).flatMap { case (u, evs) =>
+      var s = 0L
+      evs.sortBy(e => (e._3, e._1)).collectFirst {
+        case e if { s = math.max(0L, s + e._4 - target); s > h } =>
+          (u, e._3, e._1, s)
+      }
+    }.toSeq.sortBy(_._1)
+    val ev = rows.toSeq.toDF("event_id", "user_id", "ts_us", "v_c")
+      .withColumn("ts", col("ts_us") * 1000L)
+      .withColumn("value", col("v_c") / 100.0)
+      .select("event_id", "user_id", "ts", "value")
+    val got = EventOps.cusum(ev, target, h)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(expected.nonEmpty && got == expected)
+  }
+
+  test("cusum: reset semantics — a deep dip does not bank negative credit") {
+    // value 0 for 10 events (prefix dives −500c each), then 10 events at
+    // +600c over target: max(0,·) resets, so the alarm arrives once the
+    // POST-DIP excess alone crosses h — the running-min subtraction
+    // must reproduce that, not offset the dip against the rise
+    val target = 500L; val h = 1500L
+    val vals = Seq.fill(10)(0L) ++ Seq.fill(10)(1100L)
+    val ev = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, 7L, i * 60000000L, v) }
+      .toDF("event_id", "user_id", "ts_us", "v_c")
+      .withColumn("ts", col("ts_us") * 1000L)
+      .withColumn("value", col("v_c") / 100.0)
+      .select("event_id", "user_id", "ts", "value")
+    val got = EventOps.cusum(ev, target, h)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // events 10,11,12 add +600 each: S = 600, 1200, 1800 → alarm at id 12
+    assert(got == Seq((7L, 12L * 60000000L, 12L, 1800L)))
+  }
+
+  test("gapFillDaily: hand-computed interpolation + conservation") {
+    val day = 86400000000L
+    // user 1: day 100 → 10.00 (two events summed), day 103 → 4.00
+    val ev = Seq(
+      (1L, 1L, 100 * day + 5L, 6.0), (2L, 1L, 100 * day + 9L, 4.0),
+      (3L, 1L, 103 * day + 1L, 4.0),
+      // user 2: single day — spine is one observed row, nothing filled
+      (4L, 2L, 200 * day, 9.5))
+      .toDF("event_id", "user_id", "ts_us", "value")
+      .withColumn("ts", col("ts_us") * 1000L)
+      .select("event_id", "user_id", "ts", "value")
+    val got = EventOps.gapFillDaily(ev)
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // interp day 101: 1000c + (400−1000)·1/3 → 1e9 − 200e6; day 102: −400e6
+    assert(got == Seq(
+      (1L, 100L, 1000L * 1000000, "obs"),
+      (1L, 101L, 800000000L, "fill"),
+      (1L, 102L, 600000000L, "fill"),
+      (1L, 103L, 400L * 1000000, "obs"),
+      (2L, 200L, 950L * 1000000, "obs")))
+  }
+
+  test("rfm: quintile scores, aligned metrics → monotone segments") {
+    val day = 86400000000L
+    // user u (1..10) has u events of u·1.00 on day 100+u: user 10 is the
+    // most recent, most frequent, highest-spend. recency = 10−u days,
+    // n = u, mon = u²·100c; all three ntile(5) orderings list users in
+    // id order → 2 per tile → every score is ⌈u/2⌉
+    val ev = for (u <- 1L to 10L; i <- 0L until u) yield
+      (u * 100 + i, u, (100 + u) * day + i * 1000000L, u * 1.0)
+    val df = ev.toDF("event_id", "user_id", "ts_us", "value")
+      .withColumn("ts", col("ts_us") * 1000L)
+      .select("event_id", "user_id", "ts", "value")
+    val got = EventOps.rfm(df)
+      .as[(Long, Long, Long, Long, Long, Long, Long, String)]
+      .collect().sortBy(_._1).toSeq
+    val expected = (1L to 10L).map { u =>
+      val s = (u + 1) / 2
+      (u, 10 - u, u, u * u * 100, s, s, s, s"$s$s$s")
+    }
+    assert(got == expected)
+  }
 }

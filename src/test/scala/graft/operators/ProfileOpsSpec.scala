@@ -90,4 +90,50 @@ class ProfileOpsSpec extends SparkSpec {
       2L -> (10.0, 1L, 1250L),
       19L -> (95.0, 3L, 44700L)))  // 97 + clamped 100 and 250
   }
+
+  test("olsFit: recovers an exact line; degenerate groups dropped") {
+    // y = 3x + 7 exactly → slope 3.000000, intercept 7.000000; a group
+    // with all-equal x has den = 0 and must be dropped, not divided
+    val lin = (0 until 10).map(i => ("lin", i.toLong, 3L * i + 7))
+    val deg = (0 until 5).map(i => ("deg", 4L, i.toLong))
+    val got = ProfileOps.olsFit((lin ++ deg).toDF("g", "x", "y"), "g", "x", "y")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("lin", 10L, 3000000L, 7000000L)))
+  }
+
+  test("olsFit: non-integer fits truncate toward zero, negatives too") {
+    // x=(0,1,2), y=(0,−1,−3): den=6, slope=−9/6=−1.5 → −1500000 exact;
+    // intercept=1/6 → 166666 (truncated from .67, toward zero)
+    val df = Seq(("n", 0L, 0L), ("n", 1L, -1L), ("n", 2L, -3L))
+      .toDF("g", "x", "y")
+    val got = ProfileOps.olsFit(df, "g", "x", "y")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("n", 3L, -1500000L, 166666L)))
+  }
+
+  test("equidepthHistogram: brute-force parity incl. duplicate splits") {
+    // 103 values with a heavy duplicate mass — ranks (not values) define
+    // the buckets, so duplicates split across boundaries
+    val vals = (0 until 103).map(i => (i * i * 31) % 57).map(_.toLong)
+    val nb = 8
+    val sorted = vals.sorted
+    val n = sorted.length
+    val expected = (0 until nb).flatMap { b =>
+      val lo = b * n / nb; val hi = (b + 1) * n / nb // ranks (lo, hi]
+      if (hi > lo) Some((b.toLong, sorted(lo), sorted(hi - 1), (hi - lo).toLong))
+      else None
+    }
+    val got = ProfileOps.equidepthHistogram(vals.toDF("v"), "v", nb)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == expected)
+  }
+
+  test("equidepthHistogram: more buckets than rows omits empties") {
+    val got = ProfileOps.equidepthHistogram(
+        Seq(10L, 20L, 30L).toDF("v"), "v", 8)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // N=3, nb=8: only buckets whose rank span is non-empty appear, one
+    // row each, and together they cover all three values
+    assert(got.map(_._4).sum == 3L && got.flatMap(r => Seq(r._2, r._3)).toSet == Set(10L, 20L, 30L))
+  }
 }

@@ -56,4 +56,35 @@ class ReconcileOpsSpec extends SparkSpec {
     val plan = diff.queryExecution.analyzed.toString
     assert(!plan.contains(" IN ("), s"unexpected prune in degenerate case:\n$plan")
   }
+
+  test("changeFeed: i/u/d classification, NEW payload carried, null-safe") {
+    val a = Seq((1L, 10L, Option("x")), (2L, 20L, Option.empty[String]),
+      (3L, 30L, Option("z")), (5L, 50L, Option("w")))
+      .toDF("k", "v", "s")
+    val b = Seq((1L, 10L, Option("x")),   // unchanged → absent from feed
+      (2L, 20L, Option("now")),           // NULL→value must register as update
+      (3L, 31L, Option("z")),             // changed payload
+      (6L, 60L, Option.empty[String]))    // insert carrying a NULL column
+      .toDF("k", "v", "s")                // key 5 deleted
+    val got = ReconcileOps.changeFeed(a, b, "k", Seq("v", "s"))
+      .as[(Long, String, Option[Long], Option[String])].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (2L, "u", Some(20L), Some("now")),
+      (3L, "u", Some(31L), Some("z")),
+      (5L, "d", None, None),
+      (6L, "i", Some(60L), None)))
+  }
+
+  test("changeFeed/applyFeed round-trip law: applyFeed(a, feed) == b") {
+    val a = (0L until 200L).map(i => (i, i * 7, s"s$i")).toDF("k", "v", "s")
+    val b = a.filter(col("k") % 11 =!= 0)
+      .withColumn("v",
+        when(col("k") % 13 === 0, col("v") + 1).otherwise(col("v")))
+      .unionByName(Seq((1000L, 1L, "new"), (1001L, 2L, "n2")).toDF("k", "v", "s"))
+    val feed = ReconcileOps.changeFeed(a, b, "k", Seq("v", "s"))
+    val applied = ReconcileOps.applyFeed(a, feed, "k", Seq("v", "s"))
+    assert(applied.exceptAll(b).isEmpty && b.exceptAll(applied).isEmpty)
+    // and a feed against itself is empty (reflexivity)
+    assert(ReconcileOps.changeFeed(b, b, "k", Seq("v", "s")).isEmpty)
+  }
 }
