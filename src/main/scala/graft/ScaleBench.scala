@@ -116,7 +116,17 @@ object ScaleBench {
     "q165_ann_recall", "q166_rate_change", "q167_centroid_drift",
     // mixture planning + dataset card (source-keyed aggregates) and
     // pairwise centroid cosines (dim-keyed sums, |groups|² pair join)
-    "q168_mixture_rates", "q169_dataset_card", "q170_centroid_cos")
+    "q168_mixture_rates", "q169_dataset_card", "q170_centroid_cos",
+    // change-feed extraction (full-outer key join of two snapshots), OLS
+    // trend (one map-side-combined agg to |groups|), gap fill (per-key
+    // spine explode + IGNORE NULLS carries), CUSUM (one per-key window
+    // sort shared by sum+min), RFM (reduced per-user table, then
+    // unpartitioned ntiles over |keys| rows — the q13 exception, and 10×
+    // users makes |keys| itself grow 10×, so this row tests it), and the
+    // equi-depth histogram (reduced-domain cumsum + bucket range join —
+    // the second no-global-sort order-statistics claim needing a number)
+    "q171_change_feed", "q172_ols_trend", "q173_gap_fill",
+    "q174_cusum", "q175_rfm", "q176_equidepth_hist")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

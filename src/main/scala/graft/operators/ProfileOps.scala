@@ -122,19 +122,29 @@ object ProfileOps {
       .withColumn("r", row_number().over(
         perGroup.orderBy(col("v"), col(idCol))).cast("long"))
       .withColumn("n_g", count(lit(1)).over(perGroup))
-    val n = rows.agg(count(lit(1)).as("n_total"))
-    val withT = r.crossJoin(broadcast(n))
-      .withColumn("t", expr("(r * n_total + n_g - 1) div n_g"))
     // cumulative rank span per distinct global value: value v covers
     // target ranks (cum_end - cnt, cum_end]
     val cum = rows.groupBy(col("v").as("qv")).agg(count(lit(1)).as("cnt"))
       .withColumn("cum_end", sum(col("cnt")).over(
         Window.orderBy(col("qv")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("qv"), (col("cum_end") - col("cnt")).as("lo"), col("cum_end").as("hi"))
+      .cache()
+    // ADAPTIVE bucket width = the average span width N/|distinct| — a
+    // fixed width over the rank domain [1, N] is a scale bug: span widths
+    // grow ∝ N (counts grow, the value domain doesn't), so a constant W
+    // explodes each span into ∝N bucket copies (measured: 4.9× wall at
+    // 10× data before this fix). At W ≈ N/|d| the expansion is ≤ 2|d|
+    // rows and each point meets ~2 candidate spans AT ANY SCALE. The two
+    // driver-side scalars are a count + max over the already-cached
+    // REDUCED domain — tiny control reads, not data movement.
+    val nd = cum.count()
+    val nTotal = if (nd == 0) 0L else cum.agg(max(col("hi"))).head.getLong(0)
+    val withT = r
+      .withColumn("t", expr(s"(r * $nTotal + n_g - 1) div n_g"))
     // t ∈ (lo, hi] ⟺ t−1 ∈ [lo, hi) — bucketRangeJoin's half-open form
     RangeJoinOps.bucketRangeJoin(
         withT.withColumn("t0", col("t") - 1L), "t0", cum, "lo", "hi",
-        bucketWidth = 1024L)
+        bucketWidth = math.max(1L, nTotal / math.max(1L, nd)))
       .select(col(idCol), col(groupCol), col("v").as(valueCol), col("qv").as(s"q_$valueCol"))
   }
 
@@ -224,7 +234,6 @@ object ProfileOps {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     val vals = df.select(col(valueCol).cast("long").as("v"))
-    val nRow = vals.agg(count(lit(1)).as("n_total"))
     // reduced domain: one row per distinct value, its global rank span
     val cum = vals.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
       .withColumn("cum_end", sum(col("cnt")).over(
@@ -232,13 +241,19 @@ object ProfileOps {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("v"), (col("cum_end") - col("cnt")).as("span_lo"),
         col("cum_end").as("span_hi"))
+      .cache()
+    // adaptive bucket width — see [[quantileNormalize]]: W ≈ N/|distinct|
+    // (the average span width) keeps the bucket expansion ≤ 2|d| and the
+    // per-edge candidate count ~2 at any scale; a constant W explodes
+    // spans ∝ N because span widths grow with row counts
+    val nd = cum.count()
+    val nTotal = if (nd == 0) 0L else cum.agg(max(col("span_hi"))).head.getLong(0)
     // 2·nb edge ranks: bucket b needs order statistics at lo = b·N/nb+1
     // and hi = (b+1)·N/nb  (empty buckets — hi < lo — drop here)
     val edges = spark.range(nb.toLong).toDF("bucket")
-      .crossJoin(broadcast(nRow))
       .select(col("bucket"),
-        (expr("(bucket * n_total) div " + nb) + 1L).as("t_lo"),
-        expr(s"((bucket + 1) * n_total) div " + nb).as("t_hi"))
+        (expr(s"(bucket * $nTotal) div " + nb) + 1L).as("t_lo"),
+        expr(s"((bucket + 1) * $nTotal) div " + nb).as("t_hi"))
       .filter(col("t_hi") >= col("t_lo"))
     val melted = edges.select(col("bucket"), lit("lo").as("which"),
         col("t_lo").as("t"), (col("t_hi") - col("t_lo") + 1L).as("n"))
@@ -247,7 +262,8 @@ object ProfileOps {
     // t ∈ (span_lo, span_hi] ⟺ t−1 ∈ [span_lo, span_hi)
     RangeJoinOps.bucketRangeJoin(
         melted.withColumn("t0", col("t") - 1L), "t0",
-        cum, "span_lo", "span_hi", bucketWidth = 1024L)
+        cum, "span_lo", "span_hi",
+        bucketWidth = math.max(1L, nTotal / math.max(1L, nd)))
       .groupBy(col("bucket"))
       .agg(min(when(col("which") === "lo", col("v"))).as("lo_v"),
         min(when(col("which") === "hi", col("v"))).as("hi_v"),
