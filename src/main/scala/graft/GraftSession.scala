@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Session factory for the graft engine.
   *
@@ -30,6 +32,21 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+
+  /** Canonicalize an events-style `ts` column to epoch-NANOS long — the
+    * engine-wide convention every `ts div 1000` (= epoch-µs) site assumes.
+    * Early harness data drops stored ts as parquet TIMESTAMP(NANOS), which
+    * `nanosAsLong` already surfaces as the long; later drops store
+    * TIMESTAMP(MICROS), which Spark reads as TIMESTAMP_NTZ — that form is
+    * converted here (µs·1000, exact; the session zone is pinned UTC so the
+    * NTZ→TZ cast is value-preserving and agrees with DuckDB's
+    * `epoch_us(ts)` on the same naive column). Tables without a timestamp
+    * `ts` column pass through untouched. */
+  def canonTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(f => f.name == "ts" &&
+        (f.dataType == TimestampType || f.dataType == TimestampNTZType))
+      .map(_ => df.withColumn("ts", expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000")))
+      .getOrElse(df)
 
   def get(appName: String = "graft"): SparkSession = {
     val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -21,7 +21,7 @@ import graft.sources.{Sinks, ValidatedSource}
 object SparkEntry {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    GraftSession.canonTs(spark.read.parquet(s"$dir/$name.parquet"))
 
   /** Unique-per-invocation fixture location for the q48-q52 round-trip
     * queries: concurrent gate runs on one machine must not race on a
@@ -2309,7 +2309,33 @@ object SparkEntry {
       ProfileOps.equidepthHistogram(
         t(s, dir, "lineitem").select(
           round(col("l_extendedprice") * 100).cast("long").as("price_c")),
-        "price_c", 16).orderBy("bucket"))
+        "price_c", 16).orderBy("bucket")),
+
+    // A/B experiment readout: per-event-type 2×2 contingency (variant by
+    // user-id parity, success = value ≥ $50) + exact-integer rates, risk
+    // ratio, and the chi² statistic via its rational closed form — no
+    // float stats, every decision number engine-reproducible.
+    "q177_ab_report" -> ((s, dir) =>
+      EventOps.abTestReport(t(s, dir, "events")).orderBy("event_type")),
+
+    // PMI collocations: adjacent-pair association by the exact rational
+    // exp(PMI) ratio (ranking-equivalent to PMI, float-log-free).
+    "q178_pmi_colloc" -> ((s, dir) =>
+      TextOps.pmiCollocations(t(s, dir, "documents"))
+        .orderBy(col("pmi_ratio_ppm").desc, col("w1"), col("w2"))),
+
+    // Integer EWMA (α=1/2) of per-user purchase cents: a recurrence with
+    // no relational closed form, run as ONE codegen'd HOF fold over the
+    // per-key sorted array; the oracle replays it as a recursive CTE.
+    "q179_ewma" -> ((s, dir) =>
+      EventOps.ewmaHalf(t(s, dir, "events")).orderBy("user_id")),
+
+    // Top principal embedding direction via exact-integer power iteration
+    // (3 unrolled rounds, max-abs-1000 renormalization); the oracle
+    // unrolls the same three rounds in SQL.
+    "q180_power_iteration" -> ((s, dir) =>
+      SimilarityOps.topDirection(t(s, dir, "embeddings"), dim = 64)
+        .orderBy("dim"))
   )
 
   /** Shared q77 input: the events table viewed as a CDC feed. */
@@ -5103,6 +5129,104 @@ object SparkEntry {
         |b AS (SELECT v, (r * 16 - 1) // n AS bucket FROM r)
         |SELECT CAST(bucket AS BIGINT) AS bucket, min(v) AS lo_v,
         |       max(v) AS hi_v, count(*) AS n
-        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same 2×2 contingency, rates/lift/chi² via the same exact rational
+    // forms — HUGEINT mirrors the engine's DECIMAL(38,0), `//` mirrors
+    // `div` (both truncate toward zero).
+    "q177_ab_report" ->
+      """WITH ev AS (SELECT event_type, (user_id % 2 = 0) AS in_a,
+        |                   (value >= 50.0) AS succ
+        |            FROM events),
+        |ct AS (SELECT event_type,
+        |         sum(CASE WHEN in_a AND succ THEN 1 ELSE 0 END) AS sa,
+        |         sum(CASE WHEN in_a AND NOT succ THEN 1 ELSE 0 END) AS fa,
+        |         sum(CASE WHEN NOT in_a AND succ THEN 1 ELSE 0 END) AS sb,
+        |         sum(CASE WHEN NOT in_a AND NOT succ THEN 1 ELSE 0 END) AS fb
+        |       FROM ev GROUP BY 1)
+        |SELECT event_type, CAST(sa + fa + sb + fb AS BIGINT) AS n,
+        |       CAST(sa AS BIGINT) AS sa, CAST(fa AS BIGINT) AS fa,
+        |       CAST(sb AS BIGINT) AS sb, CAST(fb AS BIGINT) AS fb,
+        |       CAST(sa * 1000000 // (sa + fa) AS BIGINT) AS p_a_ppm,
+        |       CAST(sb * 1000000 // (sb + fb) AS BIGINT) AS p_b_ppm,
+        |       CAST(CASE WHEN sb > 0 THEN
+        |              CAST(sa AS HUGEINT) * (sb + fb) * 1000000
+        |                // (CAST(sa + fa AS HUGEINT) * sb) END AS BIGINT) AS lift_ppm,
+        |       CAST(CAST(sa + fa + sb + fb AS HUGEINT)
+        |              * (CAST(sa AS HUGEINT) * fb - CAST(fa AS HUGEINT) * sb)
+        |              * (CAST(sa AS HUGEINT) * fb - CAST(fa AS HUGEINT) * sb)
+        |              * 1000000
+        |            // (CAST(sa + fa AS HUGEINT) * (sb + fb) * (sa + sb) * (fa + fb))
+        |            AS BIGINT) AS chi2_micro
+        |FROM ct ORDER BY event_type""".stripMargin,
+
+    // Same unigram/bigram MLE ratio in HUGEINT, same minCount and total
+    // (ratio DESC, w1, w2) order at the LIMIT boundary.
+    "q178_pmi_colloc" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |uni AS (SELECT t, count(*) AS c
+        |        FROM (SELECT unnest(w) AS t FROM w) GROUP BY 1),
+        |nu AS (SELECT CAST(sum(c) AS HUGEINT) AS n_uni FROM uni),
+        |bc AS (SELECT w1, w2, count(*) AS cxy FROM (
+        |         SELECT w[i] AS w1, w[i+1] AS w2
+        |         FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+        |               FROM w WHERE len(w) >= 2))
+        |       GROUP BY 1, 2 HAVING count(*) >= 20),
+        |nb AS (SELECT CAST(sum(len(w) - 1) AS HUGEINT) AS n_bi
+        |       FROM w WHERE len(w) >= 2)
+        |SELECT w1, w2, CAST(cxy AS BIGINT) AS cxy,
+        |       CAST(CAST(cxy AS HUGEINT) * n_uni * n_uni * 1000000
+        |            // (n_bi * u1.c * u2.c) AS BIGINT) AS pmi_ratio_ppm
+        |FROM bc CROSS JOIN nu CROSS JOIN nb
+        |JOIN uni u1 ON u1.t = bc.w1
+        |JOIN uni u2 ON u2.t = bc.w2
+        |ORDER BY pmi_ratio_ppm DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    // The fold replayed as a recursive CTE over the same (ts, event_id)
+    // row order; `//` on the all-positive cents matches `div`.
+    "q179_ewma" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS x,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events WHERE event_type = 'purchase'),
+        |nn AS (SELECT user_id, max(rn) AS n FROM ev GROUP BY 1),
+        |f AS (SELECT user_id, rn, x AS s FROM ev WHERE rn = 1
+        |      UNION ALL
+        |      SELECT e.user_id, e.rn, (f.s + e.x) // 2
+        |      FROM f JOIN ev e ON e.user_id = f.user_id AND e.rn = f.rn + 1)
+        |SELECT f.user_id, CAST(nn.n AS BIGINT) AS n, CAST(f.s AS BIGINT) AS ewma_c
+        |FROM f JOIN nn ON nn.user_id = f.user_id AND f.rn = nn.n
+        |ORDER BY f.user_id""".stripMargin,
+
+    // Three power-iteration rounds unrolled in SQL: same quantization,
+    // same truncated means, same max-abs-1000 renormalization. DuckDB
+    // subscripts are 1-based, so v0 lights j=1 (= engine dim 0) and the
+    // output shifts back to 0-based dims.
+    "q180_power_iteration" -> {
+      def rnd(i: Int, prev: String): String =
+        s"""d$i AS (SELECT vec_id, sum(y.y * $prev.v) AS dot
+           |        FROM y JOIN $prev USING (j) GROUP BY vec_id),
+           |w$i AS (SELECT j, sum(CAST(y.y AS HUGEINT) * dot) AS w
+           |        FROM y JOIN d$i USING (vec_id) GROUP BY j),
+           |v$i AS (SELECT j, CAST(CASE WHEN mx = 0 THEN 0
+           |                       ELSE w * 1000 // mx END AS BIGINT) AS v
+           |        FROM w$i CROSS JOIN (SELECT max(abs(w)) AS mx FROM w$i))""".stripMargin
+      s"""WITH x AS (SELECT vec_id,
+         |             list_transform(embedding,
+         |               e -> CAST(round(CAST(e AS DOUBLE) * 1e7) AS BIGINT)) AS xc
+         |           FROM embeddings),
+         |u AS (SELECT vec_id, unnest(xc) AS v, generate_subscripts(xc, 1) AS j
+         |      FROM x),
+         |m AS (SELECT j, sum(v) // count(*) AS mj FROM u GROUP BY j),
+         |y AS (SELECT vec_id, j, u.v - mj AS y FROM u JOIN m USING (j)),
+         |v0 AS (SELECT j, CASE WHEN j = 1 THEN 1000 ELSE 0 END AS v
+         |       FROM (SELECT DISTINCT j FROM y)),
+         |${rnd(1, "v0")},
+         |${rnd(2, "v1")},
+         |${rnd(3, "v2")}
+         |SELECT CAST(j - 1 AS BIGINT) AS dim, v AS comp
+         |FROM v3 ORDER BY dim""".stripMargin
+    }
   )
 }

@@ -49,10 +49,10 @@ object StreamPipeline {
     // 10 smallest event_ids planted INSIDE their own chunk (same-horizon
     // dups — the case streaming dedup guarantees), plus one far-future
     // sentinel event that advances the watermark past every real window.
-    // The harness stores ts as TIMESTAMP(NANOS), surfaced as long nanos
-    // (GraftSession nanosAsLong); watermarks need a real timestamp, so
-    // stage at microsecond precision via exact integer division.
-    val events = spark.read.parquet(s"$dir/events.parquet")
+    // GraftSession.canonTs surfaces ts as long nanos regardless of the
+    // data drop's parquet timestamp unit; watermarks need a real
+    // timestamp, so stage at microsecond precision via exact division.
+    val events = GraftSession.canonTs(spark.read.parquet(s"$dir/events.parquet"))
       .select(col("event_id"),
         expr("timestamp_micros(ts div 1000)").as("ts"),
         col("user_id"), col("event_type"), col("value"))

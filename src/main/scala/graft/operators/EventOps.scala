@@ -589,4 +589,77 @@ object EventOps {
           .as("val_micro"),
         when(col("v_c").isNotNull, lit("obs")).otherwise(lit("fill")).as("src"))
   }
+
+  /** A/B experiment readout: per event_type 2×2 contingency table
+    * (variant A = even user_id, "success" = value ≥ threshold) plus the
+    * three decision numbers, ALL in exact integer arithmetic so the
+    * readout is reproducible across engines and partitionings:
+    *
+    *  - per-variant success rates in ppm (truncating integer division);
+    *  - relative lift of A over B in ppm: sa·(sb+fb)·1e6 div ((sa+fa)·sb)
+    *    — the risk ratio, a monotone transform of the log-lift;
+    *  - the chi-square statistic in micro-units via its exact rational
+    *    closed form N·(sa·fb − fa·sb)²·1e6 div ((sa+fa)(sb+fb)(sa+sb)(fa+fb)).
+    *
+    * The chi² numerator reaches N⁵/16: DECIMAL(38,0) intermediates keep it
+    * exact to N ≈ 2×10⁶ per cell group (the 100× gate scale); the quotient
+    * itself is ≤ N·1e6, comfortably a long. One aggregation, one shuffle on
+    * event_type; the contingency build is a map-side conditional sum. */
+  def abTestReport(events: DataFrame, succThreshold: Double = 50.0): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val ev = events.select(col("event_type"),
+      (col("user_id") % 2 === 0).as("in_a"),
+      (col("value") >= succThreshold).as("succ"))
+    val ct = ev.groupBy("event_type").agg(
+      sum(when(col("in_a") && col("succ"), 1L).otherwise(0L)).as("sa"),
+      sum(when(col("in_a") && !col("succ"), 1L).otherwise(0L)).as("fa"),
+      sum(when(!col("in_a") && col("succ"), 1L).otherwise(0L)).as("sb"),
+      sum(when(!col("in_a") && !col("succ"), 1L).otherwise(0L)).as("fb"))
+    // `div` (IntegralDivide) on DECIMAL operands is the EXACT truncating
+    // integral quotient — decimal `/` would round at its result scale and
+    // a one-ulp round-up at a quotient boundary would diverge from the
+    // oracle's `//`. Products stay below 10³⁸ up to ~2×10⁶ rows per cell.
+    ct.withColumn("n", col("sa") + col("fa") + col("sb") + col("fb"))
+      .withColumn("dlt", dec(col("sa")) * dec(col("fb")) - dec(col("fa")) * dec(col("sb")))
+      .withColumn("num", dec(col("n")) * col("dlt") * col("dlt") * dec(lit(1000000L)))
+      .withColumn("den", dec(col("sa") + col("fa")) * dec(col("sb") + col("fb")) *
+        dec(col("sa") + col("sb")) * dec(col("fa") + col("fb")))
+      .select(col("event_type"), col("n"),
+        col("sa"), col("fa"), col("sb"), col("fb"),
+        expr("(sa * 1000000) div (sa + fa)").as("p_a_ppm"),
+        expr("(sb * 1000000) div (sb + fb)").as("p_b_ppm"),
+        when(col("sb") > 0, expr(
+          "(CAST(sa AS DECIMAL(38,0)) * (sb + fb) * 1000000) div ((sa + fa) * sb)"))
+          .as("lift_ppm"),
+        expr("num div den").as("chi2_micro"))
+  }
+
+  /** Integer exponential moving average, α = 1/2: per key, over the
+    * (ts, event_id)-ordered value-cents sequence,
+    *
+    *   s₁ = x₁;   sᵢ = (sᵢ₋₁ + xᵢ) div 2
+    *
+    * A recurrence has no closed relational form, but it IS a left fold —
+    * expressed here as one `aggregate` higher-order function over the
+    * per-key sorted array (codegen'd, no UDF): ONE shuffle on the key,
+    * then a per-key fold of strictly bounded state (a single long).
+    * `collect_list` holds one user's purchase history in memory — the
+    * per-key-bounded assumption every sessionizer here shares; at 100 TB
+    * user histories are bounded, corpus size grows the number of keys.
+    * Values must be non-negative: truncating div agrees across engines
+    * on positives (all graft monetary columns are).
+    * Output: (key, n, ewma_c). */
+  def ewmaHalf(events: DataFrame, typeFilter: String = "purchase",
+               keyCol: String = "user_id", tsCol: String = "ts",
+               valueCol: String = "value"): DataFrame =
+    events.filter(col("event_type") === typeFilter)
+      .select(col(keyCol), tsUs(tsCol).as("ts_us"), col("event_id"),
+        cents(col(valueCol)).as("x"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("x"))))
+          .as("seq"))
+      .select(col(keyCol), col("n"),
+        expr("aggregate(slice(seq, 2, size(seq) - 1), seq[0].x," +
+          " (acc, e) -> (acc + e.x) div 2)").as("ewma_c"))
 }

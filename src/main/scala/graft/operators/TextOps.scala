@@ -691,4 +691,50 @@ object TextOps {
     * [[shinglesFromWords]] scaladoc for why that is O(tokens²). */
   def fingerprint(text: Column, n: Int = 3, k: Int = 4): Column =
     fingerprintFromShingles(shingles(text, n), k)
+
+  /** PMI collocations: adjacent word pairs ranked by an EXACT integer
+    * monotone transform of pointwise mutual information,
+    *
+    *   ratio_ppm = c(xy)·N_uni²·10⁶ div (N_bi·c(x)·c(y))
+    *               (= exp(PMI) in ppm, PMI with bigram/unigram MLEs)
+    *
+    * — the log is monotone, so ranking by the rational ratio IS ranking by
+    * PMI, with none of the cross-engine float-log drift. DECIMAL(38,0)
+    * intermediates keep c·N²·10⁶ exact to ~10⁹-token corpora; past that
+    * drop the ppm scale (the ranking is scale-invariant).
+    *
+    * Shape: two map-side-combined counts (unigram, bigram) + two broadcast
+    * joins of the tiny aggregates back onto the bigram counts — no
+    * shuffle of the corpus beyond the two counts. The bigram explode is
+    * a zip of the token array with its own tail, one generate pass.
+    * `minCount` suppresses the low-support noise PMI is notorious for.
+    * Output: top `k` of (w1, w2, cxy, pmi_ratio_ppm). */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 20, k: Int = 50,
+                      textCol: String = "text"): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val w = docs.select(words(col(textCol)).as("w"))
+    val uni = w.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val nUni = uni.agg(sum("c").as("n_uni"))
+    val bi = w.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+          " (a, b) -> struct(a AS w1, b AS w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= minCount)
+    val nBi = w.filter(size(col("w")) >= 2)
+      .select((size(col("w")) - 1).cast("long").as("nb"))
+      .agg(sum("nb").as("n_bi"))
+    bi.crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .join(broadcast(uni.withColumnRenamed("t", "w1").withColumnRenamed("c", "cx")), "w1")
+      .join(broadcast(uni.withColumnRenamed("t", "w2").withColumnRenamed("c", "cy")), "w2")
+      .withColumn("num", dec(col("cxy")) * dec(col("n_uni")) * dec(col("n_uni")) *
+        dec(lit(1000000L)))
+      .withColumn("den", dec(col("n_bi")) * dec(col("cx")) * dec(col("cy")))
+      .select(col("w1"), col("w2"), col("cxy"),
+        expr("num div den").as("pmi_ratio_ppm"))
+      .orderBy(col("pmi_ratio_ppm").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

@@ -387,4 +387,58 @@ class EventOpsSpec extends SparkSpec {
     }
     assert(got == expected)
   }
+
+  test("ewmaHalf matches a per-user Scala fold (ties + singleton users)") {
+    val rnd = new scala.util.Random(11)
+    // user 9 gets exactly one purchase (fold degenerates to x1); ts ties
+    // within a user are broken by event_id, which the struct sort pins
+    val rows = (0L until 300L).map { i =>
+      val u = rnd.nextInt(10).toLong
+      val ts = if (u == 9) 5000L else rnd.nextInt(50).toLong * 1000
+      (i, u, ts * 1000000L, // micros → nanos
+        if (rnd.nextBoolean()) "purchase" else "view", rnd.nextInt(10000) / 100.0)
+    }.filter { case (_, u, _, tpe, _) => u != 9 || tpe != "purchase" } :+
+      (999L, 9L, 5000L * 1000000L, "purchase", 42.0)
+    val df = rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = EventOps.ewmaHalf(df)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val want = rows.filter(_._4 == "purchase")
+      .groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (u, es) =>
+        val xs = es.sortBy(e => (e._3 / 1000, e._1))
+          .map(e => math.round(e._5 * 100))
+        (u, xs.size.toLong, xs.tail.foldLeft(xs.head)((acc, x) => (acc + x) / 2))
+      }
+    assert(got == want)
+  }
+
+  test("abTestReport: contingency + exact rational stats vs BigInt reference") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 500L).map { i =>
+      (i, rnd.nextInt(40).toLong, i * 1000000000L,
+        if (i % 2 == 0) "click" else "buy", rnd.nextInt(10000) / 100.0)
+    }
+    val df = rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = EventOps.abTestReport(df, succThreshold = 50.0)
+      .select("event_type", "n", "sa", "fa", "sb", "fb",
+        "p_a_ppm", "p_b_ppm", "lift_ppm", "chi2_micro")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Option[Long], Long)]
+      .collect().sortBy(_._1).toSeq
+    val want = rows.groupBy(_._4).toSeq.sortBy(_._1).map { case (tpe, es) =>
+      def cnt(a: Boolean, s: Boolean) = es.count(e =>
+        (e._2 % 2 == 0) == a && (e._5 >= 50.0) == s).toLong
+      val (sa, fa, sb, fb) = (cnt(true, true), cnt(true, false),
+        cnt(false, true), cnt(false, false))
+      val n = sa + fa + sb + fb
+      def q(num: BigInt, den: BigInt) = (num / den).toLong // BigInt / truncates
+      val dlt = BigInt(sa) * fb - BigInt(fa) * sb
+      (tpe, n, sa, fa, sb, fb,
+        q(BigInt(sa) * 1000000, BigInt(sa + fa)),
+        q(BigInt(sb) * 1000000, BigInt(sb + fb)),
+        if (sb > 0) Some(q(BigInt(sa) * (sb + fb) * 1000000, BigInt(sa + fa) * sb)) else None,
+        q(BigInt(n) * dlt * dlt * 1000000,
+          BigInt(sa + fa) * (sb + fb) * (sa + sb) * (fa + fb)))
+    }
+    assert(got == want)
+  }
 }

@@ -244,4 +244,25 @@ class SimilarityOpsSpec extends SparkSpec {
       .as[(String, Long, Long)].collect()
     assert(zero.forall(_._3 == 0L))
   }
+
+  test("topDirection: recovers a planted dominant axis; bounded and deterministic") {
+    val rnd = new scala.util.Random(17)
+    // variance planted on dim 5 (±10), noise ±0.01 elsewhere → the top
+    // principal direction is e5 up to sign
+    val vecs = (0L until 60L).map { i =>
+      val sign = if (i % 2 == 0) 1.0f else -1.0f
+      (i, Seq.tabulate(8)(j =>
+        if (j == 5) sign * 10.0f else (rnd.nextInt(21) - 10) / 1000.0f))
+    }.toDF("vec_id", "embedding")
+    val got = SimilarityOps.topDirection(vecs, dim = 8)
+      .as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    assert(got.length == 8)
+    assert(got.map(math.abs).max == 1000L)     // renormalized to max-abs 1000
+    assert(math.abs(got(5)) == 1000L)          // the planted axis dominates
+    assert(got.zipWithIndex.filter(_._2 != 5).forall(c => math.abs(c._1) < 20))
+    // fixed unroll + integer arithmetic → bit-identical reruns
+    val again = SimilarityOps.topDirection(vecs, dim = 8)
+      .as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    assert(got.toSeq == again.toSeq)
+  }
 }

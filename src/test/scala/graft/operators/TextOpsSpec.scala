@@ -298,4 +298,32 @@ class TextOpsSpec extends SparkSpec {
     // both-list docs outrank single-list docs at these depths
     assert(got(10L)._4 > got(30L)._4)
   }
+
+  test("pmiCollocations: exact rational ratio vs a BigInt reference") {
+    // "a b" always adjacent (strong collocation); "a c" co-occur but never
+    // adjacent; filler repeats inflate unigram counts
+    val docs = (0 until 30).map(i => (i.toLong,
+      s"a b x$i y filler a b c filler filler a b")).toDF("doc_id", "text")
+    val got = TextOps.pmiCollocations(docs, minCount = 5, k = 10)
+      .as[(String, String, Long, Long)].collect().toSeq
+    // brute-force reference over the same tokenization
+    val texts = (0 until 30).map(i => s"a b x$i y filler a b c filler filler a b")
+    val toks = texts.flatMap(_.split(" "))
+    val uni = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bis = texts.flatMap(t => { val w = t.split(" "); w.zip(w.tail) })
+    val nBi = BigInt(bis.size)
+    val nUni = BigInt(toks.size)
+    val want = bis.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .filter(_._2 >= 5)
+      .map { case ((w1, w2), cxy) =>
+        (w1, w2, cxy,
+          (BigInt(cxy) * nUni * nUni * 1000000 / (nBi * uni(w1) * uni(w2))).toLong)
+      }
+      .sortBy { case (w1, w2, _, r) => (-r, w1, w2) }.take(10)
+    assert(got == want)
+    // the always-adjacent pair outscores the filler self-pair, whose
+    // unigram mass is high but adjacency is rare
+    val byPair = got.map(r => (r._1, r._2) -> r._4).toMap
+    assert(byPair(("a", "b")) > byPair(("filler", "filler")))
+  }
 }
