@@ -126,7 +126,20 @@ object ScaleBench {
     // equi-depth histogram (reduced-domain cumsum + bucket range join —
     // the second no-global-sort order-statistics claim needing a number)
     "q171_change_feed", "q172_ols_trend", "q173_gap_fill",
-    "q174_cusum", "q175_rfm", "q176_equidepth_hist")
+    "q174_cusum", "q175_rfm", "q176_equidepth_hist",
+    // A/B report (one conditional-sum agg to |types| rows), PMI
+    // collocations (two corpus counts + broadcast joins; the bigram
+    // domain, not the corpus, bounds the join), EWMA (per-key sorted
+    // fold — per-user history depth is scale-invariant here, so the 10×
+    // cost is 10× keys), and power iteration (3× (map dot + dim-keyed
+    // gather) over 10× vectors — should scale with the scan)
+    "q177_ab_report", "q178_pmi_colloc", "q179_ewma",
+    "q180_power_iteration",
+    // entity resolution: blocked fuzzy candidates + component closure +
+    // golden-record agg — candidate volume is bounded by the name
+    // vocabulary (which the 10× doc rewrite does NOT grow), so the cost
+    // should track the two part-table scans
+    "q181_entity_resolution")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

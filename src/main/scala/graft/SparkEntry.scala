@@ -2336,6 +2336,40 @@ object SparkEntry {
     "q180_power_iteration" -> ((s, dir) =>
       SimilarityOps.topDirection(t(s, dir, "embeddings"), dim = 64)
         .orderBy("dim"))
+    ,
+
+    // End-to-end ENTITY RESOLUTION over part names — the full dedup-merge
+    // pipeline as one job: q102's blocked Levenshtein candidates → edge
+    // list → connected components (transitive merge closure) → per-entity
+    // golden record (min-key canonical + attribute ranges). Names with no
+    // fuzzy match stay their own singleton entity via the left join.
+    // Blocking keeps candidate generation an equi-join (never all-pairs);
+    // the closure is the q71 pointer machinery on a distinct-name domain
+    // that vocabulary, not corpus size, bounds.
+    "q181_entity_resolution" -> ((s, dir) => {
+      val names = t(s, dir, "part").select("p_name").distinct()
+        .select(col("p_name"), split(col("p_name"), " ").getItem(1).as("noun"))
+      val cand = names.alias("a").join(names.alias("b"),
+          col("a.noun") === col("b.noun") && col("a.p_name") < col("b.p_name"))
+        .filter(levenshtein(col("a.p_name"), col("b.p_name")) <= 3)
+        .select(col("a.p_name").as("id1"), col("b.p_name").as("id2"))
+      val comp = GraphOps.connectedComponents(cand)
+        .withColumnRenamed("id", "p_name")
+      val lab = names.select("p_name")
+        .join(comp, Seq("p_name"), "left")
+        .select(col("p_name"),
+          coalesce(col("component"), col("p_name")).as("entity"))
+      val parts = t(s, dir, "part").select(col("p_name"), col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("price_c"))
+      lab.join(parts, "p_name")
+        .groupBy("entity")
+        .agg(countDistinct("p_name").as("n_names"),
+          count(lit(1)).as("n_parts"),
+          min("p_partkey").as("canonical_key"),
+          min("price_c").as("min_price_c"),
+          max("price_c").as("max_price_c"))
+        .orderBy("entity")
+    })
   )
 
   /** Shared q77 input: the events table viewed as a CDC feed. */
@@ -5227,6 +5261,33 @@ object SparkEntry {
          |${rnd(3, "v2")}
          |SELECT CAST(j - 1 AS BIGINT) AS dim, v AS comp
          |FROM v3 ORDER BY dim""".stripMargin
-    }
+    },
+
+    // q102's candidate SQL + the q71 transitive-closure recursion over the
+    // fuzzy-match edges, singletons restored by the left join, then the
+    // same golden-record aggregate.
+    "q181_entity_resolution" ->
+      """WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part),
+        |s AS (SELECT p_name, string_split(p_name, ' ')[2] AS noun FROM n),
+        |cand AS (SELECT a.p_name AS id1, b.p_name AS id2
+        |         FROM s a JOIN s b ON a.noun = b.noun AND a.p_name < b.p_name
+        |         WHERE levenshtein(a.p_name, b.p_name) <= 3),
+        |sym AS (SELECT id1 AS a, id2 AS b FROM cand
+        |        UNION SELECT id2, id1 FROM cand),
+        |reach(a, b) AS (
+        |  SELECT a, a FROM sym GROUP BY a
+        |  UNION
+        |  SELECT r.a, s2.b FROM reach r JOIN sym s2 ON s2.a = r.b),
+        |comp AS (SELECT a AS p_name, min(b) AS component FROM reach GROUP BY a),
+        |lab AS (SELECT n.p_name, coalesce(c.component, n.p_name) AS entity
+        |        FROM n LEFT JOIN comp c ON c.p_name = n.p_name),
+        |pp AS (SELECT p_name, p_partkey,
+        |              CAST(round(p_retailprice * 100) AS BIGINT) AS price_c
+        |       FROM part)
+        |SELECT entity, count(DISTINCT l.p_name) AS n_names, count(*) AS n_parts,
+        |       min(p_partkey) AS canonical_key, min(price_c) AS min_price_c,
+        |       max(price_c) AS max_price_c
+        |FROM lab l JOIN pp ON pp.p_name = l.p_name
+        |GROUP BY entity ORDER BY entity""".stripMargin
   )
 }

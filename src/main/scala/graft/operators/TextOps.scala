@@ -703,29 +703,32 @@ object TextOps {
     * intermediates keep c·N²·10⁶ exact to ~10⁹-token corpora; past that
     * drop the ppm scale (the ranking is scale-invariant).
     *
-    * Shape: two map-side-combined counts (unigram, bigram) + two broadcast
-    * joins of the tiny aggregates back onto the bigram counts — no
-    * shuffle of the corpus beyond the two counts. The bigram explode is
-    * a zip of the token array with its own tail, one generate pass.
+    * Shape: the corpus is scanned EXACTLY ONCE — each token is exploded
+    * with its successor (null for the last token of a doc) and counted by
+    * (t, nxt), one map-side-combined shuffle on the distinct-bigram
+    * domain. Everything else (unigram counts, both corpus totals, the
+    * ratio join) derives from that small aggregate, which is
+    * localCheckpoint'd so its four consumers don't re-run the explode
+    * (the first version scanned the corpus three times and scaled 10×
+    * at 10× data; one scan puts the growth on the vocabulary instead).
     * `minCount` suppresses the low-support noise PMI is notorious for.
     * Output: top `k` of (w1, w2, cxy, pmi_ratio_ppm). */
   def pmiCollocations(docs: DataFrame, minCount: Long = 20, k: Int = 50,
                       textCol: String = "text"): DataFrame = {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
-    val w = docs.select(words(col(textCol)).as("w"))
-    val uni = w.select(explode(col("w")).as("t"))
-      .groupBy("t").agg(count(lit(1)).as("c"))
-    val nUni = uni.agg(sum("c").as("n_uni"))
-    val bi = w.filter(size(col("w")) >= 2)
+    // (token, successor-or-null) counts: ONE generate pass over the corpus
+    val pc = docs.select(words(col(textCol)).as("w"))
       .select(explode(expr(
-        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
-          " (a, b) -> struct(a AS w1, b AS w2))")).as("p"))
-      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
-      .filter(col("cxy") >= minCount)
-    val nBi = w.filter(size(col("w")) >= 2)
-      .select((size(col("w")) - 1).cast("long").as("nb"))
-      .agg(sum("nb").as("n_bi"))
+        "zip_with(w, concat(slice(w, 2, size(w) - 1), array(CAST(NULL AS STRING)))," +
+          " (a, b) -> struct(a AS t, b AS nxt))")).as("p"))
+      .groupBy(col("p.t").as("t"), col("p.nxt").as("nxt"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val uni = pc.groupBy("t").agg(sum("c").as("c"))
+    val nUni = pc.agg(sum("c").as("n_uni"))
+    val nBi = pc.filter(col("nxt").isNotNull).agg(sum("c").as("n_bi"))
+    val bi = pc.filter(col("nxt").isNotNull).filter(col("c") >= minCount)
+      .select(col("t").as("w1"), col("nxt").as("w2"), col("c").as("cxy"))
     bi.crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
       .join(broadcast(uni.withColumnRenamed("t", "w1").withColumnRenamed("c", "cx")), "w1")
       .join(broadcast(uni.withColumnRenamed("t", "w2").withColumnRenamed("c", "cy")), "w2")
