@@ -139,7 +139,11 @@ object ScaleBench {
     // golden-record agg — candidate volume is bounded by the name
     // vocabulary (which the 10× doc rewrite does NOT grow), so the cost
     // should track the two part-table scans
-    "q181_entity_resolution")
+    "q181_entity_resolution",
+    // seasonal profile (two scans, |types|·7 broadcast) and count-min
+    // (fixed d·w grid shuffle — the domain-independent-shuffle claim
+    // needs a number; the exact-count calibration side grows with keys)
+    "q182_seasonal", "q183_countmin")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

@@ -2369,7 +2369,22 @@ object SparkEntry {
           min("price_c").as("min_price_c"),
           max("price_c").as("max_price_c"))
         .orderBy("entity")
-    })
+    }),
+
+    // Weekday seasonal baseline + residual anomaly counts: the exact
+    // two-pass decomposition, |types|·7 profile rows broadcast back.
+    "q182_seasonal" -> ((s, dir) =>
+      EventOps.seasonalProfile(t(s, dir, "events"))
+        .orderBy("event_type", "isodow")),
+
+    // Count-min sketch calibrated against exact counts: every estimate
+    // must sit at-or-above its true frequency (the one-sided CMS bound,
+    // measured per key — the q87/q91 sketch-calibration discipline).
+    "q183_countmin" -> ((s, dir) =>
+      HeavyHitters.countMin(t(s, dir, "events"), "user_id")
+        .select(col("k").cast("long").as("user_id"), col("true_n"),
+          col("est_n"), col("within_bound"))
+        .orderBy("user_id"))
   )
 
   /** Shared q77 input: the events table viewed as a CDC feed. */
@@ -5288,6 +5303,48 @@ object SparkEntry {
         |       min(p_partkey) AS canonical_key, min(price_c) AS min_price_c,
         |       max(price_c) AS max_price_c
         |FROM lab l JOIN pp ON pp.p_name = l.p_name
-        |GROUP BY entity ORDER BY entity""".stripMargin
+        |GROUP BY entity ORDER BY entity""".stripMargin,
+
+    // Same epoch-day weekday arithmetic, truncated seasonal means, same
+    // |residual| > $100 bar; LEFT JOIN restores zero-anomaly cells.
+    "q182_seasonal" ->
+      """WITH ev AS (SELECT event_type,
+        |                   (epoch_us(ts) // 86400000000 + 3) % 7 + 1 AS isodow,
+        |                   CAST(round(value * 100) AS BIGINT) AS v_c
+        |            FROM events),
+        |prof AS (SELECT event_type, isodow, count(*) AS n,
+        |                sum(v_c) // count(*) AS mean_c
+        |         FROM ev GROUP BY 1, 2),
+        |anom AS (SELECT e.event_type, e.isodow, count(*) AS n_anom
+        |         FROM ev e JOIN prof p USING (event_type, isodow)
+        |         WHERE abs(e.v_c - p.mean_c) > 10000
+        |         GROUP BY 1, 2)
+        |SELECT event_type, CAST(isodow AS BIGINT) AS isodow, n,
+        |       CAST(mean_c AS BIGINT) AS mean_c,
+        |       coalesce(n_anom, 0) AS n_anom
+        |FROM prof LEFT JOIN anom USING (event_type, isodow)
+        |ORDER BY event_type, isodow""".stripMargin,
+
+    // Same md5 row hashes, same d×w grid, same min-of-rows estimate; the
+    // exact join reproduces the calibration columns.
+    "q183_countmin" ->
+      """WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+        |ii AS (SELECT unnest(generate_series(0, 3)) AS i),
+        |b AS (SELECT k, i,
+        |             CAST(concat('0x', substring(md5(concat(CAST(i AS VARCHAR), ':', k)), 1, 8))
+        |                  AS BIGINT) % 1024 AS bucket
+        |      FROM ev CROSS JOIN ii),
+        |cms AS (SELECT i, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |keys_ AS (SELECT k, count(*) AS true_n FROM ev GROUP BY 1),
+        |est AS (SELECT k, true_n, min(cnt) AS est_n FROM (
+        |          SELECT ky.k, ky.true_n, cm.cnt
+        |          FROM keys_ ky CROSS JOIN ii
+        |          JOIN cms cm ON cm.i = ii.i AND cm.bucket =
+        |            CAST(concat('0x', substring(md5(concat(CAST(ii.i AS VARCHAR), ':', ky.k)), 1, 8))
+        |                 AS BIGINT) % 1024)
+        |        GROUP BY 1, 2)
+        |SELECT CAST(k AS BIGINT) AS user_id, true_n, est_n,
+        |       CASE WHEN est_n >= true_n THEN 1 ELSE 0 END AS within_bound
+        |FROM est ORDER BY user_id""".stripMargin
   )
 }

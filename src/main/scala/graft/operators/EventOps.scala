@@ -634,6 +634,34 @@ object EventOps {
         expr("num div den").as("chi2_micro"))
   }
 
+  /** Weekday seasonal profile + anomaly counts — the classic two-pass
+    * seasonal-baseline decomposition, exact-integer end to end: pass 1
+    * aggregates the (type, ISO weekday) seasonal mean in truncated cents;
+    * pass 2 re-scans with the tiny profile broadcast back and counts
+    * events whose |value − seasonal mean| exceeds `anomC`. Two scans is
+    * the honest cost of an exact baseline-then-residual pass (a one-scan
+    * form needs the mean before it finishes reading); the profile itself
+    * is ≤ |types|·7 rows at any corpus size. ISO weekday comes from pure
+    * epoch-day arithmetic ((day+3) % 7 + 1; day 0 = Thursday) — no
+    * calendar library, identical in every engine.
+    * Output: (event_type, isodow, n, mean_c, n_anom). */
+  def seasonalProfile(events: DataFrame, anomC: Long = 10000L): DataFrame = {
+    val ev = events.select(col("event_type"), tsUs("ts").as("ts_us"),
+        cents(col("value")).as("v_c"))
+      .withColumn("isodow", expr("(ts_us div 86400000000 + 3) % 7 + 1"))
+    val prof = ev.groupBy("event_type", "isodow")
+      .agg(count(lit(1)).as("n"), sum("v_c").as("sum_c"))
+      .withColumn("mean_c", expr("sum_c div n"))
+    val anom = ev
+      .join(broadcast(prof.select("event_type", "isodow", "mean_c")),
+        Seq("event_type", "isodow"))
+      .filter(abs(col("v_c") - col("mean_c")) > anomC)
+      .groupBy("event_type", "isodow").agg(count(lit(1)).as("n_anom"))
+    prof.join(anom, Seq("event_type", "isodow"), "left")
+      .select(col("event_type"), col("isodow"), col("n"), col("mean_c"),
+        coalesce(col("n_anom"), lit(0L)).as("n_anom"))
+  }
+
   /** Integer exponential moving average, α = 1/2: per key, over the
     * (ts, event_id)-ordered value-cents sequence,
     *

@@ -2,7 +2,7 @@ package graft.operators
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Exact threshold heavy hitters without shuffling every distinct key —
@@ -121,5 +121,40 @@ object HeavyHitters {
       .groupBy(keyCol).agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= minFreq)
       .orderBy(keyCol)
+  }
+
+  /** Count-min sketch (Cormode & Muthukrishnan '05) + per-key calibration:
+    * build a d×w counter grid (row i counts keys by md5-derived bucket
+    * hᵢ(k)), estimate each key's frequency as the MIN of its d counters,
+    * and join the estimates against the exact counts so the sketch's
+    * one-sided guarantee (est ≥ true, overshoot ≤ εN with prob 1−δ at
+    * d = ln 1/δ, w = e/ε) is a MEASURED gate row, not a cited one — the
+    * q87/q91 sketch-calibration discipline applied to frequencies.
+    *
+    * Scale shape: the grid build is one map-side-combined aggregation
+    * onto a FIXED d·w counter domain — the shuffle never grows with the
+    * key domain (the same property the Misra-Gries pass above buys;
+    * count-min adds mergeability-by-addition, the form a 1000-executor
+    * ingest pre-aggregates). The exact-count pass exists only for the
+    * calibration join; production reads estimates straight off the grid.
+    * Hashing is md5-based (engine-portable, oracle-checkable); keys are
+    * rendered as strings so any key type sketches identically. */
+  def countMin(df: DataFrame, keyCol: String, d: Int = 4,
+               w: Int = 1024): DataFrame = {
+    def bucket(i: Column, k: Column): Column =
+      conv(substring(md5(concat(i.cast("string"), lit(":"), k)), 1, 8), 16, 10)
+        .cast("long") % w
+    val rowIdx = array((0 until d).map(lit(_)): _*)
+    val keyed = df.select(col(keyCol).cast("string").as("k"))
+    val cms = keyed.select(col("k"), explode(rowIdx).as("i"))
+      .withColumn("bucket", bucket(col("i"), col("k")))
+      .groupBy("i", "bucket").agg(count(lit(1)).as("cnt"))
+    val exact = keyed.groupBy("k").agg(count(lit(1)).as("true_n"))
+    exact.select(col("k"), col("true_n"), explode(rowIdx).as("i"))
+      .withColumn("bucket", bucket(col("i"), col("k")))
+      .join(cms, Seq("i", "bucket"))
+      .groupBy("k", "true_n").agg(min("cnt").as("est_n"))
+      .select(col("k"), col("true_n"), col("est_n"),
+        when(col("est_n") >= col("true_n"), 1L).otherwise(0L).as("within_bound"))
   }
 }

@@ -412,6 +412,23 @@ class EventOpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("seasonalProfile: known weekday means and anomaly counts") {
+    val day = 86400000000L
+    // day 0 = Thu (isodow 4), day 1 = Fri (5). Type A on Thursdays:
+    // values 10.00, 20.00, 90.00 → mean 40.00, one |resid| > 100? no —
+    // anomC default 10000c ($100): resids 30/20/50 → none. Type B on
+    // Friday: 1.00 and 250.00 → mean 125.50, resids 124.50 → both > $100.
+    val rows = Seq(
+      (1L, 0L * day, "A", 10.0), (2L, 0L * day + 7, "A", 20.0),
+      (3L, 7L * day, "A", 90.0), // day 7 = Thursday again
+      (4L, 1L * day, "B", 1.0), (5L, 1L * day + 9, "B", 250.0))
+      .map { case (id, us, tpe, v) => (id, us * 1000, 0L, tpe, v) }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventOps.seasonalProfile(df)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(("A", 4L, 3L, 4000L, 0L), ("B", 5L, 2L, 12550L, 2L)))
+  }
+
   test("abTestReport: contingency + exact rational stats vs BigInt reference") {
     val rnd = new scala.util.Random(13)
     val rows = (0L until 500L).map { i =>

@@ -82,4 +82,31 @@ class HeavyHittersSpec extends SparkSpec {
     assert(added.isEmpty,
       s"pass-1 summary cache must be released before the operator returns; leaked ids $added")
   }
+
+  test("countMin: matches a Scala sketch replay; tiny grid forces collisions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val keys = (0 until 400).map(_ => rnd.nextInt(30).toLong)
+    val df = keys.toDF("k")
+    val (d, w) = (2, 8) // 30 keys into 8 buckets: collisions guaranteed
+    val got = HeavyHitters.countMin(df, "k", d = d, w = w)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // replay the md5 grid in Scala
+    def bucket(i: Int, k: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$i:$k".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % w
+    }
+    val trueN = keys.groupBy(_.toString).view.mapValues(_.size.toLong).toMap
+    val cms = keys.flatMap(k => (0 until d).map(i => (i, bucket(i, k.toString))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = trueN.toSeq.sortBy(_._1).map { case (k, n) =>
+      val est = (0 until d).map(i => cms((i, bucket(i, k)))).min
+      (k, n, est, if (est >= n) 1L else 0L)
+    }
+    assert(got == want)
+    assert(got.forall(_._4 == 1L))           // one-sided bound always holds
+    assert(got.exists(r => r._3 > r._2))     // the tiny grid DID collide
+  }
 }
