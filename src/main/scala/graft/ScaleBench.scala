@@ -143,7 +143,10 @@ object ScaleBench {
     // seasonal profile (two scans, |types|·7 broadcast) and count-min
     // (fixed d·w grid shuffle — the domain-independent-shuffle claim
     // needs a number; the exact-count calibration side grows with keys)
-    "q182_seasonal", "q183_countmin")
+    "q182_seasonal", "q183_countmin",
+    // synchronous LPA: 3 × (edge-label join + vote count + per-node
+    // top-1 window), all node-partitioned — should track edge growth
+    "q184_label_prop")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

@@ -2384,7 +2384,16 @@ object SparkEntry {
       HeavyHitters.countMin(t(s, dir, "events"), "user_id")
         .select(col("k").cast("long").as("user_id"), col("true_n"),
           col("est_n"), col("within_bound"))
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // Mode-label community detection (deterministic synchronous LPA,
+    // 3 unrolled rounds) over the q112 sparsified lattice — communities
+    // within components, the q71/q112 graph family's missing member.
+    "q184_label_prop" -> ((s, dir) => {
+      val e = Derive.edgesDiag(Derive.nodes(s, dir))
+        .filter((col("u") * 37 + col("v") * 61) % 100 < 85)
+      GraphOps.labelPropagation(e, rounds = 3).orderBy("node")
+    })
   )
 
   /** Shared q77 input: the events table viewed as a CDC feed. */
@@ -5345,6 +5354,27 @@ object SparkEntry {
         |        GROUP BY 1, 2)
         |SELECT CAST(k AS BIGINT) AS user_id, true_n, est_n,
         |       CASE WHEN est_n >= true_n THEN 1 ELSE 0 END AS within_bound
-        |FROM est ORDER BY user_id""".stripMargin
+        |FROM est ORDER BY user_id""".stripMargin,
+
+    // Three synchronous LPA rounds unrolled (MATERIALIZED per round —
+    // the q112 lesson: default CTE inlining expands multi-reference
+    // chains exponentially), same (cnt DESC, label) tie-break.
+    "q184_label_prop" -> {
+      def round(i: Int): String =
+        s"""v$i AS MATERIALIZED (SELECT s.u AS node, l.label, count(*) AS cnt
+           |  FROM sym s JOIN l${i - 1} l ON l.node = s.v GROUP BY 1, 2),
+           |l$i AS MATERIALIZED (SELECT node, label FROM (
+           |  SELECT node, label, row_number() OVER (PARTITION BY node
+           |    ORDER BY cnt DESC, label) AS rn FROM v$i) WHERE rn = 1)""".stripMargin
+      s"""WITH ${Derive.Sql.nodes},
+         |${Derive.Sql.edgesDiag},
+         |e0 AS MATERIALIZED (SELECT u, v FROM ediag WHERE (u * 37 + v * 61) % 100 < 85),
+         |sym AS MATERIALIZED (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+         |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM sym),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT node, label AS community FROM l3 ORDER BY node""".stripMargin
+    }
   )
 }

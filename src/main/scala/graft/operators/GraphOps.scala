@@ -176,6 +176,53 @@ object GraphOps {
         max(col("outs")).as("outliers_gt2"))
   }
 
+  /** Synchronous LABEL-PROPAGATION community detection (Raghavan, Albert
+    * & Kumara 2007): every node starts labeled with itself; each round
+    * EVERY node simultaneously takes the most frequent label among its
+    * neighbors, ties broken by the smallest label — the deterministic
+    * variant of the usual randomized tie-break, so the result is
+    * engine-reproducible. NOT the same operator as
+    * [[connectedComponents]]: min-label propagation converges to
+    * connectivity classes; mode-label propagation finds densely
+    * intra-connected groups INSIDE a component (communities), the
+    * link-structure signal corpus pipelines use for domain clustering
+    * and crawl-graph spam lobes.
+    *
+    * `rounds` is a FIXED unroll, not convergence-tested: synchronous LPA
+    * can oscillate on bipartite-ish structures, and a deterministic
+    * round count is what makes an exact oracle possible (the oracle
+    * unrolls the same rounds in SQL). A few rounds is the operating
+    * regime for community ASSIGNMENT; treat the labels as cluster keys,
+    * not a fixpoint claim.
+    *
+    * Scale shape: per round, one join of the symmetrized edge list
+    * against the label table (shuffle on node id) + one (node, label)
+    * count + one per-node top-1 window over ≤ degree rows — all
+    * partitioned by node id, lineage cut per round. Output:
+    * (node, community); isolated nodes never appear (no neighbors → no
+    * votes — join survivors back against the node table if needed). */
+  def labelPropagation(edges: DataFrame, rounds: Int,
+                       srcCol: String = "u", dstCol: String = "v"): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    var labels = sym.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val votes = sym
+        .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
+        .groupBy(col("u").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("node").orderBy(col("cnt").desc, col("label"))
+      labels = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("node"), col("label"))
+        .localCheckpoint()
+    }
+    labels.select(col("node"), col("label").as("community"))
+  }
+
   /** Connected components over an undirected pair list by iterative
     * min-label propagation: every node starts labeled with itself; each
     * round a node takes the minimum of its own and its neighbors' labels;

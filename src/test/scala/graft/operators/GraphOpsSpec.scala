@@ -222,4 +222,33 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
     assert(got.length == 1001 && got.forall(r => r._2 == 0L && r._3 == r._1))
   }
+
+  test("labelPropagation: matches a Scala synchronous replay; splits two cliques") {
+    // two 4-cliques joined by one bridge — communities must respect the
+    // dense groups, not the (single) connected component
+    val clique = (ids: Seq[Long]) =>
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(0L, 1L, 2L, 3L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ ((3L, 10L))).toDF("u", "v")
+    val rounds = 3
+    val got = GraphOps.labelPropagation(edges, rounds)
+      .as[(Long, Long)].collect().toMap
+    // reference: synchronous mode-label with (count desc, label asc) ties
+    val sym = (clique(Seq(0L, 1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L, 13L)) :+
+      ((3L, 10L))).flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    var lab = sym.keys.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      lab = sym.map { case (n, nbrs) =>
+        val counts = nbrs.groupBy(lab).view.mapValues(_.size).toMap
+        n -> counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }
+    }
+    assert(got == lab)
+    // both cliques collapse to intra-clique labels; the bridge does not
+    // merge them into one community
+    val aLabels = Seq(0L, 1L, 2L, 3L).map(got).distinct
+    val bLabels = Seq(10L, 11L, 12L, 13L).map(got).distinct
+    assert(aLabels.intersect(bLabels).isEmpty)
+  }
 }
