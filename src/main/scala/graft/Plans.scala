@@ -166,7 +166,19 @@ object Plans {
         "a distinct-value cumulative table (reduced domain); each " +
         "row's target rank reaches its order statistic through the " +
         "bucket-expansion equi-join — no single-partition pass over " +
-        "row-level data anywhere."))
+        "row-level data anywhere."),
+    "q179_ewma" ->
+      ("A recurrence as a relational plan: ONE hashpartitioning " +
+        "exchange on the key into an ObjectHashAggregate " +
+        "(sort_array∘collect_list — per-key bounded state), then the " +
+        "EWMA fold is a plain `aggregate` lambda in the projection — no " +
+        "WindowExec, no iteration, no driver loop."),
+    "q183_countmin" ->
+      ("Count-min grid build: Generate explode(4 row indices) into a " +
+        "partial-aggregated exchange on (i, bucket) — the shuffle " +
+        "domain is the FIXED d·w grid, independent of key cardinality; " +
+        "the estimate side joins the ≤4096-row grid back via hash " +
+        "join + a min aggregate, never a window."))
   // q116_pq_ann is absent for the q60 reason: its lazy plan nests four
   // 2-round Lloyd trainings, so the explain text is enormous while the
   // interesting query-time shape — codes ⨯ 3-row broadcast distance
@@ -181,6 +193,11 @@ object Plans {
   // enormous while each round's shape — broadcast centroids + dotQ
   // distance + argmin window — is exactly q41's, already covered by the
   // q40 section's native-expression evidence.
+  // q178_pmi_colloc, q180_power_iteration, q181_entity_resolution and
+  // q184_label_prop are absent for the q71 reason: their hot inner table
+  // (the (t,nxt) count / the centered matrix / the component labels) is
+  // localCheckpoint'd, so the explain shows checkpoint scans; the
+  // one-scan/iteration evidence lives in SCALECHECK.md instead.
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
