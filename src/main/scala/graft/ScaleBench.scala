@@ -146,7 +146,11 @@ object ScaleBench {
     "q182_seasonal", "q183_countmin",
     // synchronous LPA: 3 × (edge-label join + vote count + per-node
     // top-1 window), all node-partitioned — should track edge growth
-    "q184_label_prop")
+    "q184_label_prop",
+    // calibration bins (reduced-domain cumulative, the third
+    // order-statistics consumer) and the quarantine rule battery
+    // (pure map-side projection — should be ~flat)
+    "q185_calibration", "q186_quarantine")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

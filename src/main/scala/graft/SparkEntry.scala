@@ -2393,7 +2393,32 @@ object SparkEntry {
       val e = Derive.edgesDiag(Derive.nodes(s, dir))
         .filter((col("u") * 37 + col("v") * 61) % 100 < 85)
       GraphOps.labelPropagation(e, rounds = 3).orderBy("node")
-    })
+    }),
+
+    // Calibration / reliability curve: value-cents deciles (reduced-
+    // domain quantile bins, no row-level global sort) vs purchase rate
+    // in ppm — the score-vs-outcome table every quality/ranking score
+    // gets audited with.
+    "q185_calibration" -> ((s, dir) =>
+      ProfileOps.calibrationBins(
+        t(s, dir, "events").select(
+          round(col("value") * 100).cast("long").as("v_c"),
+          (col("event_type") === "purchase").as("conv")),
+        "v_c", "conv", nb = 10).orderBy("bin")),
+
+    // Ingest quarantine split: per-row reason codes from a rule battery
+    // (the production shape of q139's count-only audit — violating rows
+    // leave the pipeline WITH their diagnosis, clean rows pass through).
+    "q186_quarantine" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("reasons", filter(array(
+          when(col("value") > 480.0, lit("value_range")),
+          when(col("event_type") === "error", lit("error_type")),
+          when(col("user_id") % 97 === 0, lit("denylisted_user"))),
+          x => x.isNotNull))
+        .filter(size(col("reasons")) > 0)
+        .select(col("event_id"), concat_ws(",", col("reasons")).as("reasons"))
+        .orderBy("event_id"))
   )
 
   /** Shared q77 input: the events table viewed as a CDC feed. */
@@ -5375,6 +5400,41 @@ object SparkEntry {
          |${round(2)},
          |${round(3)}
          |SELECT node, label AS community FROM l3 ORDER BY node""".stripMargin
-    }
+    },
+
+    // Same reduced-domain first-rank decile rule, same ppm truncation.
+    "q185_calibration" ->
+      """WITH dom AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |                    count(*) AS cnt,
+        |                    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ys
+        |             FROM events GROUP BY 1),
+        |cum AS (SELECT v, cnt, ys,
+        |               sum(cnt) OVER (ORDER BY v
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end,
+        |               sum(cnt) OVER () AS n_total
+        |        FROM dom),
+        |b AS (SELECT ((cum_end - cnt) * 10) // n_total AS bin, cnt, v, ys FROM cum)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(sum(cnt) AS BIGINT) AS n,
+        |       min(v) AS lo_v, max(v) AS hi_v,
+        |       CAST(sum(ys) AS BIGINT) AS outcomes,
+        |       CAST(sum(ys) * 1000000 // sum(cnt) AS BIGINT) AS rate_ppm
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same rule battery, same reason order (list literal order is the
+    // CASE construction order in both engines).
+    "q186_quarantine" ->
+      """SELECT event_id,
+        |       array_to_string(list_filter(
+        |         [CASE WHEN value > 480.0 THEN 'value_range' END,
+        |          CASE WHEN event_type = 'error' THEN 'error_type' END,
+        |          CASE WHEN user_id % 97 = 0 THEN 'denylisted_user' END],
+        |         x -> x IS NOT NULL), ',') AS reasons
+        |FROM events
+        |WHERE len(list_filter(
+        |         [CASE WHEN value > 480.0 THEN 'value_range' END,
+        |          CASE WHEN event_type = 'error' THEN 'error_type' END,
+        |          CASE WHEN user_id % 97 = 0 THEN 'denylisted_user' END],
+        |         x -> x IS NOT NULL)) > 0
+        |ORDER BY event_id""".stripMargin
   )
 }

@@ -269,4 +269,41 @@ object ProfileOps {
         min(when(col("which") === "hi", col("v"))).as("hi_v"),
         min(col("n")).as("n"))
   }
+
+  /** Calibration curve: bin rows into `nb` value-quantile bins and report
+    * each bin's outcome rate in ppm — the reliability-diagram table every
+    * score column (quality classifier, ranking score, risk model) gets
+    * checked against ("is the outcome monotone in the score?").
+    *
+    * Bins are VALUE-quantiles on the reduced distinct-value domain: a
+    * value lands in the bin of its tie-run's FIRST global rank
+    * (lo_rank·nb div N), so tied rows always share a bin and no
+    * row-level global sort exists anywhere — the only ordered pass is
+    * the cumulative window over distinct values (the q160/q176
+    * reduced-domain discipline). Ties can make bins uneven; that is the
+    * honest semantics of quantile-binning a discrete score.
+    * Output: (bin, n, lo_v, hi_v, outcomes, rate_ppm). */
+  def calibrationBins(df: DataFrame, valueCol: String, outcomeCol: String,
+                      nb: Int): DataFrame = {
+    require(nb > 0, s"bad bin count $nb")
+    import org.apache.spark.sql.expressions.Window
+    // reduced domain, materialized once: it feeds both the total and the
+    // cumulative window (localCheckpoint — one corpus scan, no unpersist
+    // bookkeeping, ContextCleaner-reclaimed)
+    val dom = df
+      .select(col(valueCol).cast("long").as("v"),
+        col(outcomeCol).cast("boolean").as("y"))
+      .groupBy("v").agg(count(lit(1)).as("cnt"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("ys"))
+      .localCheckpoint()
+    val cum = dom.withColumn("cum_end", sum(col("cnt")).over(
+        Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.crossJoin(broadcast(dom.agg(sum(col("cnt")).as("n_total"))))
+      .withColumn("bin", expr(s"((cum_end - cnt) * $nb) div n_total"))
+      .groupBy("bin")
+      .agg(sum("cnt").as("n"), min("v").as("lo_v"), max("v").as("hi_v"),
+        sum("ys").as("outcomes"))
+      .withColumn("rate_ppm", expr("(outcomes * 1000000) div n"))
+  }
 }

@@ -136,4 +136,18 @@ class ProfileOpsSpec extends SparkSpec {
     // row each, and together they cover all three values
     assert(got.map(_._4).sum == 3L && got.flatMap(r => Seq(r._2, r._3)).toSet == Set(10L, 20L, 30L))
   }
+
+  test("calibrationBins: first-rank tie rule keeps a tie-run in one bin") {
+    // 12 rows, a 3-run of value 5 straddling the N/2 edge: lo_rank(5)=4 →
+    // (4·2) div 12 = bin 0, so ALL ties land low; bin 0 = {1,2,3,4,5×3},
+    // bin 1 = {6..10}. Outcome = even value.
+    val rows = (Seq(1L, 2L, 3L, 4L) ++ Seq.fill(3)(5L) ++ (6L to 10L))
+      .map(v => (v, v % 2 == 0))
+    val got = ProfileOps.calibrationBins(
+        rows.toDF("v", "y"), "v", "y", nb = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, 7L, 1L, 5L, 2L, 285714L),
+      (1L, 5L, 6L, 10L, 3L, 600000L)))
+  }
 }
