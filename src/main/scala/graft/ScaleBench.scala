@@ -150,7 +150,11 @@ object ScaleBench {
     // calibration bins (reduced-domain cumulative, the third
     // order-statistics consumer) and the quarantine rule battery
     // (pure map-side projection — should be ~flat)
-    "q185_calibration", "q186_quarantine")
+    "q185_calibration", "q186_quarantine",
+    // split-overlap contamination: shingle explode + semi-join against
+    // the distinct train-gram set — the q62 join geometry at report
+    // granularity
+    "q187_split_overlap")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

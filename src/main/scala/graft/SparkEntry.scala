@@ -2419,6 +2419,36 @@ object SparkEntry {
         .filter(size(col("reasons")) > 0)
         .select(col("event_id"), concat_ws(",", col("reasons")).as("reasons"))
         .orderBy("event_id"))
+    ,
+
+    // Split-overlap contamination report — the eval-hygiene table next
+    // to q62's per-doc decontamination: deterministic 80/10/10 split by
+    // doc_id, distinct 8-grams per split, and each held-out split's
+    // gram-level overlap with train in ppm plus the count of its docs
+    // carrying ≥1 train-seen gram. The join keys the gram string against
+    // the distinct train set (semi-join shape) — never doc×doc.
+    "q187_split_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("split",
+          when(col("doc_id") % 10 <= 7, lit("train"))
+            .when(col("doc_id") % 10 === 8, lit("val"))
+            .otherwise(lit("test")))
+      val grams = TextOps.shingleTable(docs, "doc_id", n = 8)
+        .join(docs.select("doc_id", "split"), "doc_id")
+        .select(col("split"), col("doc_id"), explode(col("sh")).as("g"))
+      val train = grams.filter(col("split") === "train")
+        .select("g").distinct().withColumn("hit", lit(1L))
+      grams.filter(col("split") =!= "train")
+        .select("split", "doc_id", "g").distinct()
+        .join(train, Seq("g"), "left")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"),
+          countDistinct("doc_id").as("n_docs"),
+          countDistinct(when(col("hit").isNotNull, col("doc_id"))).as("n_docs_hit"))
+        .withColumn("overlap_ppm", expr("(n_hit * 1000000) div n_grams"))
+        .orderBy("split")
+    })
   )
 
   /** Shared q77 input: the events table viewed as a CDC feed. */
@@ -5435,6 +5465,30 @@ object SparkEntry {
         |          CASE WHEN event_type = 'error' THEN 'error_type' END,
         |          CASE WHEN user_id % 97 = 0 THEN 'denylisted_user' END],
         |         x -> x IS NOT NULL)) > 0
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    // Same split rule, same per-doc-distinct 8-grams, same (doc, gram)
+    // accounting; hits via LEFT JOIN against the distinct train set.
+    "q187_split_overlap" ->
+      """WITH d AS (SELECT doc_id, text,
+        |             CASE WHEN doc_id % 10 <= 7 THEN 'train'
+        |                  WHEN doc_id % 10 = 8 THEN 'val'
+        |                  ELSE 'test' END AS split
+        |           FROM documents),
+        |w AS (SELECT doc_id, split, string_split(text, ' ') AS w FROM d),
+        |g AS (SELECT doc_id, split,
+        |             unnest(list_distinct(list_transform(
+        |               generate_series(0, len(w) - 8),
+        |               i -> array_to_string(w[i+1:i+8], ' ')))) AS g
+        |      FROM w WHERE len(w) >= 8),
+        |tr AS (SELECT DISTINCT g FROM g WHERE split = 'train'),
+        |ho AS (SELECT split, doc_id, g.g,
+        |              CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |       FROM g LEFT JOIN tr ON tr.g = g.g WHERE split <> 'train')
+        |SELECT split, count(*) AS n_grams, CAST(sum(hit) AS BIGINT) AS n_hit,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT CASE WHEN hit = 1 THEN doc_id END) AS BIGINT) AS n_docs_hit,
+        |       CAST(sum(hit) * 1000000 // count(*) AS BIGINT) AS overlap_ppm
+        |FROM ho GROUP BY split ORDER BY split""".stripMargin
   )
 }
