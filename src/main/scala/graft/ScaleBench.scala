@@ -154,7 +154,10 @@ object ScaleBench {
     // split-overlap contamination: shingle explode + semi-join against
     // the distinct train-gram set — the q62 join geometry at report
     // granularity
-    "q187_split_overlap")
+    "q187_split_overlap",
+    // vocab drift: one token count to the |vocabulary| domain, chi²
+    // arithmetic on that reduced domain only
+    "q188_vocab_drift")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2448,6 +2448,39 @@ object SparkEntry {
           countDistinct(when(col("hit").isNotNull, col("doc_id"))).as("n_docs_hit"))
         .withColumn("overlap_ppm", expr("(n_hit * 1000000) div n_grams"))
         .orderBy("split")
+    }),
+
+    // Vocabulary drift between two corpus snapshots (doc-id parity as
+    // old/new crawl): per-term 2×2 chi² against the half totals, exact
+    // rational micro-units (the q177 closed form per TERM — the corpus
+    // monitor that catches a source changing register/language between
+    // crawls). Two map-side-combined counts; the statistic is computed
+    // on the |vocabulary| domain only.
+    "q188_vocab_drift" -> ((s, dir) => {
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val toks = t(s, dir, "documents")
+        .select((col("doc_id") % 2 === 0).as("old_half"),
+          explode(split(col("text"), " ")).as("term"))
+      val counts = toks.groupBy("term").agg(
+        sum(when(col("old_half"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("old_half"), 1L).otherwise(0L)).as("cb"))
+        .localCheckpoint() // feeds the totals AND the scored rows
+      val tot = counts.agg(sum("ca").as("na"), sum("cb").as("nb"))
+      counts.filter(col("ca") + col("cb") >= 40)
+        .crossJoin(broadcast(tot))
+        .withColumn("dlt",
+          dec(col("ca")) * dec(col("nb") - col("cb")) -
+            dec(col("na") - col("ca")) * dec(col("cb")))
+        .withColumn("num",
+          dec(col("na") + col("nb")) * col("dlt") * col("dlt") * dec(lit(1000000L)))
+        .withColumn("den",
+          dec(col("ca") + col("cb")) *
+            dec((col("na") - col("ca")) + (col("nb") - col("cb"))) *
+            dec(col("na")) * dec(col("nb")))
+        .select(col("term"), col("ca"), col("cb"),
+          expr("num div den").as("chi2_micro"))
+        .orderBy(col("chi2_micro").desc, col("term"))
+        .limit(30)
     })
   )
 
@@ -5489,6 +5522,30 @@ object SparkEntry {
         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |       CAST(count(DISTINCT CASE WHEN hit = 1 THEN doc_id END) AS BIGINT) AS n_docs_hit,
         |       CAST(sum(hit) * 1000000 // count(*) AS BIGINT) AS overlap_ppm
-        |FROM ho GROUP BY split ORDER BY split""".stripMargin
+        |FROM ho GROUP BY split ORDER BY split""".stripMargin,
+
+    // Same per-term 2×2 chi² in HUGEINT, same minCount and total order
+    // at the LIMIT boundary.
+    "q188_vocab_drift" ->
+      """WITH toks AS (SELECT (doc_id % 2 = 0) AS old_half,
+        |                     unnest(string_split(text, ' ')) AS term
+        |              FROM documents),
+        |counts AS (SELECT term,
+        |             sum(CASE WHEN old_half THEN 1 ELSE 0 END) AS ca,
+        |             sum(CASE WHEN NOT old_half THEN 1 ELSE 0 END) AS cb
+        |           FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ca) AS HUGEINT) AS na,
+        |               CAST(sum(cb) AS HUGEINT) AS nb
+        |        FROM counts)
+        |SELECT term, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+        |       CAST((na + nb)
+        |              * (CAST(ca AS HUGEINT) * (nb - cb) - (na - ca) * cb)
+        |              * (CAST(ca AS HUGEINT) * (nb - cb) - (na - ca) * cb)
+        |              * 1000000
+        |            // (CAST(ca + cb AS HUGEINT) * ((na - ca) + (nb - cb)) * na * nb)
+        |            AS BIGINT) AS chi2_micro
+        |FROM counts CROSS JOIN tot
+        |WHERE ca + cb >= 40
+        |ORDER BY chi2_micro DESC, term LIMIT 30""".stripMargin
   )
 }
