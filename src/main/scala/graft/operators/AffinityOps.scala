@@ -35,8 +35,13 @@ object AffinityOps {
   def copurchasePairs(items: DataFrame, basketCol: String, itemCol: String,
                       minSupport: Long = 1L): DataFrame = {
     require(minSupport >= 1, s"bad minSupport=$minSupport")
+    // Materialized ONCE: presence feeds FOUR consumers (basket count,
+    // item supports, both self-join sides) — uncut, the distinct's
+    // shuffle and the upstream scan re-run per consumer (the q178
+    // triple-scan family; ReusedExchange only covers the join sides).
     val present = items.select(col(basketCol).as("basket"), col(itemCol).as("item"))
       .distinct()
+      .localCheckpoint()
     val nBaskets = present.select(countDistinct("basket").as("n_baskets"))
     val support = present.groupBy("item").agg(count(lit(1)).as("n_i"))
     val pairs = present.as("a")
