@@ -372,11 +372,26 @@ object GraphOps {
     * same plan shape, different rank key. The id orientation keeps the
     * SQL oracle trivial and is exact on the near-regular graphs here. */
   def triangleCounts(edges: DataFrame, srcCol: String = "u",
-                     dstCol: String = "v"): DataFrame = {
-    val e = edges.select(
+                     dstCol: String = "v"): DataFrame =
+    triangleCountsCanon(canonEdges(edges, srcCol, dstCol))
+
+  /** Canonical undirected edge list (u < v, distinct), built ONCE and
+    * shared by every consumer SUBTREE — identical subtrees let Spark's
+    * ReusedExchange serve the distinct's shuffle from memory across the
+    * wedge join's three sides (measured FASTER than a localCheckpoint
+    * here: the lattice input is compute-light, and a checkpoint trades
+    * the in-memory reused exchange for a disk round-trip). The fix that
+    * mattered for [[clusteringCoeff]] is building this ONE canonical
+    * frame instead of two textually-separate ones, which defeated
+    * exchange reuse. */
+  private def canonEdges(edges: DataFrame, srcCol: String,
+                         dstCol: String): DataFrame =
+    edges.select(
         least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") < col("v")).distinct()
+
+  private def triangleCountsCanon(e: DataFrame): DataFrame = {
     val tri = e.alias("e1")
       .join(e.alias("e2"), col("e2.u") === col("e1.v"))
       .join(e.alias("e3"),
@@ -401,13 +416,10 @@ object GraphOps {
     * (node, degree, n_tri, c_micro). */
   def clusteringCoeff(edges: DataFrame, srcCol: String = "u",
                       dstCol: String = "v"): DataFrame = {
-    val und = edges.select(
-        least(col(srcCol), col(dstCol)).as("u"),
-        greatest(col(srcCol), col(dstCol)).as("v"))
-      .filter(col("u") < col("v")).distinct()
+    val und = canonEdges(edges, srcCol, dstCol) // shared with the wedge join
     val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("degree"))
-    deg.join(triangleCounts(edges, srcCol, dstCol), Seq("node"), "left")
+    deg.join(triangleCountsCanon(und), Seq("node"), "left")
       .select(col("node"), col("degree"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"),
         when(col("degree") < 2, 0L)
