@@ -169,14 +169,17 @@ object SimilarityOps {
   def ivfTopK(vectors: DataFrame, centroids: DataFrame, queries: DataFrame,
               k: Int, nprobe: Int = 2): DataFrame = {
     val cents = broadcast(centroids.select(col("vec_id").as("cid"), quantize(col("embedding")).as("cv")))
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    // corpus-side assignment is the [[nearestCid]] zero-shuffle fold (in
+    // its cosine form — IVF buckets by angle): the former crossJoin +
+    // per-vector ranking window shuffled the WHOLE vector table once per
+    // retrieval. The probe side keeps the window — it needs top-nprobe,
+    // and the query set is small by contract.
     val assigned = vectors
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
-      .crossJoin(cents)
-      .withColumn("ccos", cosQ(col("qv"), col("cv")))
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
-      .select(col("cid"), col("vec_id"), col("qv"))
+      .withColumn("na", dotQ(col("qv"), col("qv")))
+      .crossJoin(centsArray(cents))
+      .select(nearestCidCos(col("qv"), col("na"), col("cs")).as("cid"),
+        col("vec_id"), col("qv"))
     val wProbe = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cid"))
     val probes = queries
       .select(col("vec_id").as("qid"), quantize(col("embedding")).as("qq"))
@@ -251,6 +254,24 @@ object SimilarityOps {
         val d = na - lit(2L) * dotQ(qv, c.getField("cv")) + c.getField("nc")
         when(d < acc.getField("dist"),
           struct(d.as("dist"), c.getField("cid").as("cid"))).otherwise(acc)
+      },
+      acc => acc.getField("cid"))
+
+  /** [[nearestCid]]'s rule in COSINE form — the IVF bucketing metric:
+    * argmax cos over the cid-sorted centroid array by a strict-`>` fold,
+    * so exact ties keep the first (smallest) cid — identical semantics
+    * to `row_number() OVER (ORDER BY ccos DESC, cid)`, zero shuffle.
+    * The cosine is the same [[cosQ]] double both the former window and
+    * the oracle compute, so results are bit-identical. */
+  private def nearestCidCos(qv: Column, na: Column, cs: Column): Column =
+    aggregate(cs,
+      struct(lit(-2.0).as("cos"), lit(Long.MaxValue).as("cid")),
+      (acc, c) => {
+        val cosv = dotQ(qv, c.getField("cv")).cast("double") /
+          (sqrt(na.cast("double")) * sqrt(c.getField("nc").cast("double")))
+        when(cosv > acc.getField("cos"),
+          struct(cosv.as("cos"), c.getField("cid").cast("long").as("cid")))
+          .otherwise(acc)
       },
       acc => acc.getField("cid"))
 
