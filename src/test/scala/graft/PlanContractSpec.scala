@@ -1,0 +1,68 @@
+package graft
+
+/** Plan-shape contracts over the headline queries — the scale dossier's
+  * "no cartesian, no accidental nested loop" audit as a REGRESSION TEST:
+  * every ScaleBench query's physical plan is built against sf0.001 and
+  * must contain no CartesianProduct, and BroadcastNestedLoopJoin only
+  * where a query legitimately broadcasts a 1-row scalar (or runs a
+  * guarded brute-force fallback) — the allowlist below, each entry
+  * justified in the PLANS.md dossier. A new operator that accidentally
+  * plans a cross join fails here before any benchmark has to catch it.
+  *
+  * Plans only — nothing executes beyond the driver-steered control some
+  * operators run while BUILDING their frame (k-means rounds, BPE argmax),
+  * which is why this uses the tiny sf0.001 directory. */
+class PlanContractSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Queries where BroadcastNestedLoopJoin is the intended shape:
+    * 1-row scalar broadcasts (crossJoin of a single aggregate row) or a
+    * guarded brute-force fallback behind an anti-join. */
+  private val bnljAllowed: Set[String] = Set(
+    "q13_weight_sanity",        // 1-row totals broadcast
+    "q23_snap", "q26_dijkstra_reach", "q27_multi_tile_reach", // 1-row snap-radius / bound scalars
+    "q40_cosine_topk",          // 5-row query side broadcast, qid<>vec_id residual
+    "q161_rrf_fusion",          // 20-doc re-rank side broadcast
+    "q162_copurchase",          // 1-row basket-count scalar
+    "q38_point_query",          // lat-bound scalar + guarded fallback
+    "q39_accuracy",             // scalar accuracy denominator
+    "q54_nodes_near",           // k-NN fallback branch
+    "q60_kmeans", "q70_semdedup", "q116_pq_ann", // centroid-array 1-row frames
+    "q41_ann_ivf", "q165_ann_recall",            // centsArray 1-row frame
+    "q87_distinct_sketch",      // sketch-vs-exact scalar compare
+    "q91_minhash_estimate",     // corpus-stats scalar
+    "q98_heavy_hitters",        // N-relative threshold scalar
+    "q109_quantile_sketch",     // sketch bound scalar
+    "q110_char_entropy",        // corpus-entropy scalar
+    "q111_bm25",                // corpus stats (N, avgdl) scalar
+    "q156_group_priority_sample",
+    "q160_quantile_normalize", "q176_equidepth_hist", // nTotal scalar
+    "q175_rfm",                 // max-day 1-row cross join
+    "q177_ab_report",
+    "q178_pmi_colloc",          // n_uni/n_bi 1-row totals
+    "q180_power_iteration",     // max-abs renorm scalar
+    "q183_countmin",
+    "q185_calibration",         // n_total scalar
+    "q187_split_overlap", "q188_vocab_drift",
+    "q79_bigram_lm", "q83_length_report", "q85_vocab_report",
+    "q168_mixture_rates", "q169_dataset_card")
+
+  /** q38's brute-force fallback joins the (empty-whenever-the-grid-
+    * decides) unresolved-points frame against nodes — the initial plan
+    * shows the cartesian even though its left input is empty at runtime;
+    * the guard is the left-anti join above it (PLANS.md q38 section). */
+  private val cartAllowed: Set[String] = Set("q38_point_query")
+
+  test("headline query plans: no CartesianProduct; BNLJ only where allowlisted") {
+    val failures = ScaleBench.ScaleQueries.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString()
+      val cart = plan.contains("CartesianProduct") && !cartAllowed(name)
+      val bnlj = plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
+      (if (cart) Seq(s"$name: CartesianProduct") else Nil) ++
+        (if (bnlj) Seq(s"$name: unexpected BroadcastNestedLoopJoin") else Nil)
+    }
+    assert(failures.isEmpty, s"plan contract violations:\n${failures.mkString("\n")}")
+  }
+}
