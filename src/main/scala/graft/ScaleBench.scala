@@ -157,7 +157,11 @@ object ScaleBench {
     "q187_split_overlap",
     // vocab drift: one token count to the |vocabulary| domain, chi²
     // arithmetic on that reduced domain only
-    "q188_vocab_drift")
+    "q188_vocab_drift",
+    // rollup cascade (two map-side-combined aggregations, the second
+    // over the tiny hour domain) and the dataset fingerprint (pure scan
+    // + one keyless XOR fold — should track the scan)
+    "q189_rollup_cascade", "q190_dataset_fingerprint")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

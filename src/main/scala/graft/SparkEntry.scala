@@ -2450,6 +2450,39 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    // Rollup cascade: the day grain is re-aggregated FROM the hour
+    // grain (sum of counts, sum of sums — the production pattern where
+    // coarse rollups never touch raw data), and the oracle computes the
+    // day grain DIRECTLY from raw — the gate IS the re-aggregability
+    // identity that makes cascaded rollups safe.
+    "q189_rollup_cascade" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        EventOps.tsUs("ts").as("ts_us"),
+        round(col("value") * 100).cast("long").as("v_c"))
+      val hourly = ev
+        .groupBy(col("event_type"), expr("ts_us div 3600000000").as("hr"))
+        .agg(count(lit(1)).as("n"), sum("v_c").as("sum_c"))
+      hourly
+        .groupBy(col("event_type"), expr("hr div 24").as("d"))
+        .agg(sum("n").as("n"), sum("sum_c").as("sum_c"))
+        .orderBy("event_type", "d")
+    }),
+
+    // Order-independent dataset fingerprint — content-addressed dataset
+    // versioning: per-row md5-derived 60-bit hashes folded with XOR (and
+    // count + min/max as collision witnesses), so ANY permutation or
+    // repartitioning of the same rows fingerprints identically, and one
+    // changed row flips it. The q155 Merkle machinery's global form.
+    "q190_dataset_fingerprint" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(conv(substring(md5(concat_ws("|",
+            col("l_orderkey"), col("l_linenumber"),
+            round(col("l_extendedprice") * 100).cast("long"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("xor_fp"),
+          min("h").as("min_h"), max("h").as("max_h"))),
+
     // Vocabulary drift between two corpus snapshots (doc-id parity as
     // old/new crawl): per-term 2×2 chi² against the half totals, exact
     // rational micro-units (the q177 closed form per TERM — the corpus
@@ -5523,6 +5556,28 @@ object SparkEntry {
         |       CAST(count(DISTINCT CASE WHEN hit = 1 THEN doc_id END) AS BIGINT) AS n_docs_hit,
         |       CAST(sum(hit) * 1000000 // count(*) AS BIGINT) AS overlap_ppm
         |FROM ho GROUP BY split ORDER BY split""".stripMargin,
+
+    // The oracle computes the DAY grain directly from raw rows — the
+    // engine's hour→day cascade must reproduce it exactly.
+    "q189_rollup_cascade" ->
+      """SELECT event_type,
+        |       (epoch_us(ts) // 3600000000) // 24 AS d,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY event_type, d""".stripMargin,
+
+    // Same row rendering, same 60-bit md5 prefix, same XOR fold.
+    "q190_dataset_fingerprint" ->
+      """WITH h AS (SELECT CAST(concat('0x', substring(md5(
+        |             concat_ws('|', CAST(l_orderkey AS VARCHAR),
+        |               CAST(l_linenumber AS VARCHAR),
+        |               CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR))),
+        |             1, 15)) AS BIGINT) AS h
+        |           FROM lineitem)
+        |SELECT count(*) AS n_rows, bit_xor(h) AS xor_fp,
+        |       min(h) AS min_h, max(h) AS max_h
+        |FROM h""".stripMargin,
 
     // Same per-term 2×2 chi² in HUGEINT, same minCount and total order
     // at the LIMIT boundary.
