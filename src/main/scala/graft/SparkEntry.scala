@@ -2483,6 +2483,36 @@ object SparkEntry {
           expr("bit_xor(h)").as("xor_fp"),
           min("h").as("min_h"), max("h").as("max_h"))),
 
+    // SQL-surface: GROUP BY ALL / ORDER BY ALL (the analyst shorthand
+    // both engines resolve from the select list — same text runs in
+    // Spark 4 and DuckDB verbatim).
+    "q191_group_by_all" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |       count(*) AS n,
+          |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+          |FROM orders
+          |GROUP BY ALL
+          |ORDER BY ALL""".stripMargin)
+    }),
+
+    // SQL-surface: the error-safe try_* family under ANSI mode —
+    // try_divide / try_cast return NULL where strict ANSI would raise
+    // (the ingest posture for dirty numeric text and zero denominators).
+    "q192_try_surface" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          expr("try_divide(CAST(round(value * 100) AS BIGINT)," +
+            " event_id % 7)").as("per7"),
+          expr("try_cast(substr(props, 1, 2) AS BIGINT)").as("bad_cast"),
+          expr("try_add(9223372036854775807L, CASE WHEN event_id % 2 = 0" +
+            " THEN 1 ELSE 0 END)").as("ovf"))
+        .withColumn("per7_c",
+          expr("CAST(floor(per7 * 100) AS BIGINT)")) // pin float → exact
+        .drop("per7")
+        .orderBy("event_id")),
+
     // Vocabulary drift between two corpus snapshots (doc-id parity as
     // old/new crawl): per-term 2×2 chi² against the half totals, exact
     // rational micro-units (the q177 closed form per TERM — the corpus
@@ -5556,6 +5586,28 @@ object SparkEntry {
         |       CAST(count(DISTINCT CASE WHEN hit = 1 THEN doc_id END) AS BIGINT) AS n_docs_hit,
         |       CAST(sum(hit) * 1000000 // count(*) AS BIGINT) AS overlap_ppm
         |FROM ho GROUP BY split ORDER BY split""".stripMargin,
+
+    // Same text as the engine ran — both resolve ALL from the select list.
+    "q191_group_by_all" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        |FROM orders
+        |GROUP BY ALL
+        |ORDER BY ALL""".stripMargin,
+
+    // The try_* semantics mirrored as explicit CASE guards (DuckDB's
+    // TRY_CAST exists; its division and addition raise where Spark's
+    // try_ forms return NULL, so the guards state the semantics).
+    "q192_try_surface" ->
+      """SELECT event_id,
+        |       TRY_CAST(substring(props, 1, 2) AS BIGINT) AS bad_cast,
+        |       CASE WHEN event_id % 2 = 0 THEN NULL
+        |            ELSE 9223372036854775807 END AS ovf,
+        |       CASE WHEN event_id % 7 = 0 THEN NULL
+        |            ELSE CAST(floor(CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE)
+        |                 / (event_id % 7) * 100) AS BIGINT) END AS per7_c
+        |FROM events ORDER BY event_id""".stripMargin,
 
     // The oracle computes the DAY grain directly from raw rows — the
     // engine's hour→day cascade must reproduce it exactly.
