@@ -40,6 +40,13 @@ object Bench {
       spark.sqlContext.tableNames().foreach { t =>
         try spark.catalog.dropTempView(t) catch { case _: Throwable => }
       }
+      // localCheckpoint blocks (the iterative operators' lineage cuts)
+      // are reclaimed by ContextCleaner only when a JVM GC runs — left
+      // to chance, checkpoint storage from q71/q74/q112-style queries
+      // accumulates across the session and shows up as multi-second
+      // variance on later iterative queries. Forcing a GC makes the
+      // reclaim deterministic per query boundary.
+      System.gc()
     }
     val results = selected.map { case (name, fn) =>
       var last = (0.0, Option.empty[String])

@@ -242,13 +242,16 @@ object ScaleBench {
     // Local iteration aid (unset in full runs): restrict to a comma-
     // separated query subset, same contract as Bench/Verify.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // clearCache + GC per boundary: the GC makes ContextCleaner reclaim
+    // localCheckpoint blocks deterministically (see Bench.resetSession).
+    def reset(): Unit = { spark.catalog.clearCache(); System.gc() }
     val rows = ScaleQueries.filter(q => only.forall(_.contains(q))).map { q =>
       time(src, q)
-      spark.catalog.clearCache()
+      reset()
       val base = time(src, q)
-      spark.catalog.clearCache()
+      reset()
       val scaled = time(out, q)
-      spark.catalog.clearCache()
+      reset()
       (q, base, scaled)
     }
     def fmt(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
