@@ -55,10 +55,9 @@ object ScaleBench {
     // partials), Lee-et-al span masking (positional-gram joins), BPE
     // (vocabulary-bound rounds — should be ~flat in corpus size), the
     // MERGE upsert, the rewritten range join, and triangle wedges.
-    // q98_heavy_hitters is deliberately ABSENT: its gate parameters pin
-    // minFreq·capacity ≥ N for sf0.1, and at 10× the runtime
-    // precondition fails LOUDLY by design (a fixed absolute threshold
-    // stops being "heavy" when N grows; production scales minFreq with N)
+    // (q98_heavy_hitters sat out this batch while its absolute minFreq
+    // made the 10× precondition fail loudly by design — it rejoins in
+    // the round-7 block below with the N-relative threshold)
     "q92_native_topk", "q93_dup_span_mask", "q97_bpe_merges",
     "q100_merge_upsert", "q103_range_join_rule", "q104_triangles",
     // later round-6 additions: BM25 retrieval (filtered tf + broadcast
