@@ -413,4 +413,46 @@ class StreamOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("foreachBatch idempotent MERGE sink: at-least-once delivery converges") {
+    // The sink-side exactly-once story: Structured Streaming guarantees
+    // at-LEAST-once delivery to foreachBatch, so the sink must be
+    // idempotent — and mergeUpsert is (latest-(ts,id)-wins: re-applying
+    // a batch re-selects the same winners). Batch 0 is deliberately
+    // applied TWICE to simulate redelivery; the folded state must still
+    // equal the one-shot batch snapshot of the whole feed.
+    implicit val ctx = spark.sqlContext
+    val feed = Seq(
+      Change(1, 0, 100, "u", 10), Change(2, 1, 100, "u", 20),
+      Change(1, 2, 200, "u", 30), Change(3, 3, 200, "u", 40),
+      Change(2, 4, 300, "d", 0), Change(4, 5, 300, "u", 50))
+    val mem = MemoryStream[Change]
+    var state = Seq.empty[(Long, Long, Long, Long)]
+      .toDF("user_id", "id", "ts_us", "state_cents")
+    var replayed = false
+    val q = mem.toDS().toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        def applyBatch(): Unit = {
+          // localCheckpoint: the fold would otherwise re-plan the whole
+          // upstream chain per batch (the Bpe.merges lesson)
+          state = graft.operators.EventOps
+            .mergeUpsert(state, batch, "user_id", "state_cents")
+            .localCheckpoint()
+        }
+        applyBatch()
+        if (id == 0 && !replayed) { replayed = true; applyBatch() }
+      }
+      .start()
+    try {
+      mem.addData(feed.take(3): _*); q.processAllAvailable()
+      mem.addData(feed.drop(3): _*); q.processAllAvailable()
+      assert(replayed) // the redelivery really happened
+      val got = state.as[(Long, Long, Long, Long)].collect().toSet
+      val want = graft.operators.EventOps
+        .cdcSnapshot(feed.toDF(), "user_id", "state_cents")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == want)
+      assert(got.map(_._1) == Set(1L, 3L, 4L)) // user 2 tombstoned
+    } finally q.stop()
+  }
 }
