@@ -5356,17 +5356,20 @@ object SparkEntry {
         |SELECT event_type, CAST(sa + fa + sb + fb AS BIGINT) AS n,
         |       CAST(sa AS BIGINT) AS sa, CAST(fa AS BIGINT) AS fa,
         |       CAST(sb AS BIGINT) AS sb, CAST(fb AS BIGINT) AS fb,
-        |       CAST(sa * 1000000 // (sa + fa) AS BIGINT) AS p_a_ppm,
-        |       CAST(sb * 1000000 // (sb + fb) AS BIGINT) AS p_b_ppm,
-        |       CAST(CASE WHEN sb > 0 THEN
+        |       CAST(CASE WHEN sa + fa > 0 THEN
+        |              sa * 1000000 // (sa + fa) END AS BIGINT) AS p_a_ppm,
+        |       CAST(CASE WHEN sb + fb > 0 THEN
+        |              sb * 1000000 // (sb + fb) END AS BIGINT) AS p_b_ppm,
+        |       CAST(CASE WHEN sb > 0 AND sa + fa > 0 THEN
         |              CAST(sa AS HUGEINT) * (sb + fb) * 1000000
         |                // (CAST(sa + fa AS HUGEINT) * sb) END AS BIGINT) AS lift_ppm,
-        |       CAST(CAST(sa + fa + sb + fb AS HUGEINT)
+        |       CAST(CASE WHEN (sa + fa) * (sb + fb) * (sa + sb) * (fa + fb) > 0 THEN
+        |              CAST(sa + fa + sb + fb AS HUGEINT)
         |              * (CAST(sa AS HUGEINT) * fb - CAST(fa AS HUGEINT) * sb)
         |              * (CAST(sa AS HUGEINT) * fb - CAST(fa AS HUGEINT) * sb)
         |              * 1000000
         |            // (CAST(sa + fa AS HUGEINT) * (sb + fb) * (sa + sb) * (fa + fb))
-        |            AS BIGINT) AS chi2_micro
+        |            END AS BIGINT) AS chi2_micro
         |FROM ct ORDER BY event_type""".stripMargin,
 
     // Same unigram/bigram MLE ratio in HUGEINT, same minCount and total

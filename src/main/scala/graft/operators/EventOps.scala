@@ -626,12 +626,18 @@ object EventOps {
         dec(col("sa") + col("sb")) * dec(col("fa") + col("fb")))
       .select(col("event_type"), col("n"),
         col("sa"), col("fa"), col("sb"), col("fb"),
-        expr("(sa * 1000000) div (sa + fa)").as("p_a_ppm"),
-        expr("(sb * 1000000) div (sb + fb)").as("p_b_ppm"),
-        when(col("sb") > 0, expr(
+        // zero-margin guards: a type with an empty variant (or an empty
+        // contingency margin) reports NULL instead of tripping ANSI
+        // DIVIDE_BY_ZERO — the q133 discipline (unhit on this data,
+        // guarded for degenerate inputs)
+        when(col("sa") + col("fa") > 0,
+          expr("(sa * 1000000) div (sa + fa)")).as("p_a_ppm"),
+        when(col("sb") + col("fb") > 0,
+          expr("(sb * 1000000) div (sb + fb)")).as("p_b_ppm"),
+        when(col("sb") > 0 && col("sa") + col("fa") > 0, expr(
           "(CAST(sa AS DECIMAL(38,0)) * (sb + fb) * 1000000) div ((sa + fa) * sb)"))
           .as("lift_ppm"),
-        expr("num div den").as("chi2_micro"))
+        when(col("den") > 0, expr("num div den")).as("chi2_micro"))
   }
 
   /** Weekday seasonal profile + anomaly counts — the classic two-pass
