@@ -68,7 +68,20 @@ object Bench {
     }.mkString("{", ",", "}")
     val errors = results.collect { case (k, _, Some(e)) => s""""$k"""" }.mkString("[", ",", "]")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    println(line)
+    // Self-reporting artifact (round-7 verdict #1): the driver captures the
+    // bench through a bounded stdout tail window, which silently dropped 97
+    // queries' numbers in BENCH_r07.json. Write the COMPLETE result — a
+    // methodology header plus the same JSON object — to a committed file so
+    // every query's official time survives regardless of capture.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    val full =
+      s"""{"harness":"graft.Bench","reps":$reps,"timed_rep":"last","state_reset":"clearCache+dropTempViews+System.gc per rep","n_queries":${results.size},""" +
+        line.drop(1)
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: $e") }
     results.foreach { case (k, _, err) => err.foreach(e => System.err.println(s"[bench] $k FAILED: $e")) }
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)

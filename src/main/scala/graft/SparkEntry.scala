@@ -2540,10 +2540,31 @@ object SparkEntry {
           dec(col("ca") + col("cb")) *
             dec((col("na") - col("ca")) + (col("nb") - col("cb"))) *
             dec(col("na")) * dec(col("nb")))
+        // ANSI guard (q177's pattern): an empty snapshot half (na or nb = 0)
+        // or a >=40-count term spanning the entire corpus makes den 0 and
+        // IntegralDivide raise DIVIDE_BY_ZERO; such degenerate margins carry
+        // no drift signal, so score them NULL (oracle mirrors the CASE).
         .select(col("term"), col("ca"), col("cb"),
-          expr("num div den").as("chi2_micro"))
+          when(col("den") > 0, expr("num div den")).as("chi2_micro"))
         .orderBy(col("chi2_micro").desc, col("term"))
         .limit(30)
+    }),
+
+    // SemDeDup in its PRODUCTION configuration (round-7 verdict #4): the
+    // cluster count scales with the corpus — k = ⌈n/125⌉, the knob that
+    // keeps the within-cluster pairwise step at n²/k ≈ 125·n comparisons
+    // regardless of corpus size (SemDeDup's own 50k clusters for LAION).
+    // q70 pins k=4 as the reproducibility twin; THIS row hash-verifies the
+    // k∝n path itself — the count() is a one-scalar steering read, and the
+    // oracle computes the identical ⌈n/125⌉ from the same corpus.
+    "q193_semdedup_prod" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.select("vec_id", "embedding").union(
+        e.filter(col("vec_id") < 20)
+          .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      val k = ((corpus.count() + 124L) / 125L).toInt
+      SimilarityOps.semDedup(corpus, k = k, iters = 2, dim = 64, threshold = 0.99)
+        .orderBy("vec_id")
     })
   )
 
@@ -2712,6 +2733,19 @@ object SparkEntry {
          |${update(s"${prefix}a1", s"${prefix}c0", s"${prefix}c1")},
          |${assign(s"${prefix}c1", s"${prefix}a2", dim, src)},
          |${update(s"${prefix}a2", s"${prefix}c1", s"${prefix}c2")}""".stripMargin
+
+    /** [[twoRounds]] with a DATA-DEPENDENT k: `kSql` is a scalar subquery
+      * (e.g. ⌈n/125⌉ over the corpus) evaluated inside the c0 seed filter —
+      * the q193 production-configuration mirror, where the engine computes
+      * the same k from a driver-side count. */
+    def twoRoundsDynK(kSql: String, dim: Int, src: String = "qv"): String =
+      s"""c0 AS (SELECT CAST(rn - 1 AS INT) AS cid, qv AS cv
+         |       FROM (SELECT qv, row_number() OVER (ORDER BY vec_id) AS rn FROM $src)
+         |       WHERE rn <= ($kSql)),
+         |${assign("c0", "a1", dim, src)},
+         |${update("a1", "c0", "c1")},
+         |${assign("c1", "a2", dim, src)},
+         |${update("a2", "c1", "c2")}""".stripMargin
   }
 
   /** Shared by q26 (single tile) and q27 (multi-tile + owner dedup): the
@@ -5648,14 +5682,33 @@ object SparkEntry {
         |               CAST(sum(cb) AS HUGEINT) AS nb
         |        FROM counts)
         |SELECT term, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
-        |       CAST((na + nb)
+        |       CAST(CASE WHEN CAST(ca + cb AS HUGEINT)
+        |                        * ((na - ca) + (nb - cb)) * na * nb > 0
+        |            THEN (na + nb)
         |              * (CAST(ca AS HUGEINT) * (nb - cb) - (na - ca) * cb)
         |              * (CAST(ca AS HUGEINT) * (nb - cb) - (na - ca) * cb)
         |              * 1000000
         |            // (CAST(ca + cb AS HUGEINT) * ((na - ca) + (nb - cb)) * na * nb)
-        |            AS BIGINT) AS chi2_micro
+        |            END AS BIGINT) AS chi2_micro
         |FROM counts CROSS JOIN tot
         |WHERE ca + cb >= 40
-        |ORDER BY chi2_micro DESC, term LIMIT 30""".stripMargin
+        |ORDER BY chi2_micro DESC, term LIMIT 30""".stripMargin,
+
+    // SemDeDup production config: identical machinery to q70, k computed
+    // as ⌈n/125⌉ from the same corpus the engine counts.
+    "q193_semdedup_prod" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 20),
+         |qv AS (SELECT vec_id, ${LlmSql.qvec("embedding")} AS qv FROM corpus),
+         |${KmeansSql.twoRoundsDynK("SELECT (count(*) + 124) // 125 FROM corpus", 64)},
+         |${KmeansSql.assign("c2", "a3", 64)},
+         |pairs AS (
+         |  SELECT b.vec_id AS dropped_id
+         |  FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE ${LlmSql.cos("a.qv", "b.qv")} >= 0.99)
+         |SELECT a.vec_id, a.cid FROM a3 a
+         |WHERE NOT EXISTS (SELECT 1 FROM pairs d WHERE d.dropped_id = a.vec_id)
+         |ORDER BY a.vec_id""".stripMargin
   )
 }

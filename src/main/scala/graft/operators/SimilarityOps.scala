@@ -267,8 +267,15 @@ object SimilarityOps {
     aggregate(cs,
       struct(lit(-2.0).as("cos"), lit(Long.MaxValue).as("cid")),
       (acc, c) => {
-        val cosv = dotQ(qv, c.getField("cv")).cast("double") /
-          (sqrt(na.cast("double")) * sqrt(c.getField("nc").cast("double")))
+        // A zero-norm side (na or nc = 0) makes the ratio 0/0 = NaN, which
+        // the strict-`>` fold would never admit — the vector would keep the
+        // Long.MaxValue sentinel cid, an unprobed bucket, and silently drop
+        // out of recall. nanvl pins the undefined cosine to -1.0 so such a
+        // vector lands deterministically in the first (smallest-cid)
+        // centroid, matching the former NaN-first row_number window.
+        val cosv = nanvl(dotQ(qv, c.getField("cv")).cast("double") /
+          (sqrt(na.cast("double")) * sqrt(c.getField("nc").cast("double"))),
+          lit(-1.0))
         when(cosv > acc.getField("cos"),
           struct(cosv.as("cos"), c.getField("cid").cast("long").as("cid")))
           .otherwise(acc)

@@ -718,8 +718,12 @@ object TextOps {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     // (token, successor-or-null) counts: ONE generate pass over the corpus
     val pc = docs.select(words(col(textCol)).as("w"))
+      // greatest(..., 0) keeps the slice length total: size(w) = 0 would
+      // make it -1 and throw at runtime. Unreachable while the tokenizer
+      // maps empty text to [""], but that precondition shouldn't be
+      // load-bearing here.
       .select(explode(expr(
-        "zip_with(w, concat(slice(w, 2, size(w) - 1), array(CAST(NULL AS STRING)))," +
+        "zip_with(w, concat(slice(w, 2, greatest(size(w) - 1, 0)), array(CAST(NULL AS STRING)))," +
           " (a, b) -> struct(a AS t, b AS nxt))")).as("p"))
       .groupBy(col("p.t").as("t"), col("p.nxt").as("nxt"))
       .agg(count(lit(1)).as("c"))
