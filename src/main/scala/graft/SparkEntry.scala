@@ -2565,6 +2565,35 @@ object SparkEntry {
       val k = ((corpus.count() + 124L) / 125L).toInt
       SimilarityOps.semDedup(corpus, k = k, iters = 2, dim = 64, threshold = 0.99)
         .orderBy("vec_id")
+    }),
+
+    // STREAMING oracle gate (round-7 verdict #5): the watermarked windowed
+    // aggregation driven through a real file-source stream and the
+    // foreachBatch idempotent MERGE sink into parquet — the first gate row
+    // whose result is PRODUCED BY Structured Streaming. Update mode: every
+    // touched window re-emits per micro-batch and the MERGE keeps the
+    // latest, so the converged sink equals the batch aggregate the oracle
+    // computes. Exact integers: epoch-µs window starts, cent sums.
+    "q194_stream_windows" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"),
+        expr("timestamp_micros(ts div 1000)").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      streaming.StreamGate.windowedGate(s, ev, rtPath("q194_stream"))
+        .orderBy("window_us", "event_type")
+    }),
+
+    // Streaming gap sessionization through the same harness, APPEND mode:
+    // a session emits exactly once when the watermark passes its end +
+    // gap (a far-future sentinel flushes the tail; its own session never
+    // closes, so it is absent by construction). session_window merges on
+    // strict <gap, so the oracle breaks sessions on diff >= gap.
+    "q195_stream_sessions" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"),
+        expr("timestamp_micros(ts div 1000)").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      streaming.StreamGate.sessionGate(s, ev, rtPath("q195_stream"),
+          gap = "30 minutes")
+        .orderBy("user_id", "start_us")
     })
   )
 
@@ -5709,6 +5738,35 @@ object SparkEntry {
          |  WHERE ${LlmSql.cos("a.qv", "b.qv")} >= 0.99)
          |SELECT a.vec_id, a.cid FROM a3 a
          |WHERE NOT EXISTS (SELECT 1 FROM pairs d WHERE d.dropped_id = a.vec_id)
-         |ORDER BY a.vec_id""".stripMargin
+         |ORDER BY a.vec_id""".stripMargin,
+
+    // The streaming windowed aggregate converges to the plain 10-minute
+    // tumbling batch aggregate (epoch-aligned floor, integer cents).
+    "q194_stream_windows" ->
+      """WITH ev AS (SELECT epoch_us(ts) AS ts_us, event_type,
+        |                   CAST(round(value * 100) AS BIGINT) AS cents
+        |            FROM events)
+        |SELECT ts_us - ts_us % 600000000 AS window_us, event_type,
+        |       count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Gap sessions with session_window's STRICT-< merge rule: a new
+    // session starts when the gap to the previous event is >= 30 min.
+    "q195_stream_sessions" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |                   CAST(round(value * 100) AS BIGINT) AS cents
+        |            FROM events),
+        |d AS (SELECT user_id, ts_us, cents,
+        |             CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+        |                       >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |      FROM ev),
+        |s AS (SELECT user_id, ts_us, cents,
+        |             sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+        |                            ROWS UNBOUNDED PRECEDING) AS session_idx
+        |      FROM d)
+        |SELECT user_id, min(ts_us) AS start_us, count(*) AS n_events,
+        |       max(ts_us) AS last_us, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, start_us""".stripMargin
   )
 }

@@ -51,8 +51,11 @@ object ProfileOps {
         max(col(c)).as(s"${c}__max"))
     } :+ count(lit(1)).as("__total")
     val ndAggs = cols.map(c => countDistinct(col(c)).as(s"${c}__nd"))
+    // broadcast: both sides are single-row aggregates; without the hint
+    // Spark has no stats for the agg output and plans a CartesianProduct
+    // (harmless at 1×1 but outside the engine's no-cartesian contract)
     val row = df.agg(basicAggs.head, basicAggs.tail: _*)
-      .crossJoin(df.agg(ndAggs.head, ndAggs.tail: _*))
+      .crossJoin(broadcast(df.agg(ndAggs.head, ndAggs.tail: _*)))
     val entries = cols.map { c =>
       struct(lit(c).as("col_name"),
         col(s"${c}__cnt").as("n_nonnull"),

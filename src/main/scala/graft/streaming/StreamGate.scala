@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Drives the streaming operators end-to-end for the CORRECTNESS GATE:
+  * a real file-source stream, the production `foreachBatch` idempotent
+  * MERGE sink, and a parquet result table the DuckDB oracle can hash —
+  * the batch-equivalence specs in StreamOpsSpec pin the semantics; these
+  * runs make the windowed-agg and sessionize paths first-class oracle
+  * rows instead of spec-only components (round-7 verdict #5).
+  *
+  * Sink contract ("foreachBatch idempotent MERGE", StreamOpsSpec): the
+  * engine guarantees at-LEAST-once delivery to foreachBatch, so the sink
+  * folds each batch by KEY — delete-then-insert (anti-join ∪ batch) — and
+  * re-applying a delivered batch reproduces the same state. The converged
+  * state is written ONCE to a parquet table and read back, so the gate
+  * hashes a real sink table, not an in-memory frame.
+  *
+  * Staging note: the chunk ranking uses one global row_number window —
+  * STAGING-ONLY code simulating time-ordered log-file arrival at gate
+  * scale (the StreamPipeline caveat); the operators under test never
+  * depend on it.
+  */
+object StreamGate {
+
+  /** Write `events` (ts TIMESTAMP) as `nChunks` time-ordered parquet files
+    * under `in` (sequential appends — deterministic arrival order), plus
+    * an optional far-future sentinel row that advances the watermark past
+    * every real window/session so append-mode state flushes. */
+  private def stageChunks(events: DataFrame, nChunks: Int, in: String,
+                          sentinel: Boolean): Unit = {
+    val total = events.count()
+    val ranked = events
+      .withColumn("rk", row_number().over(Window.orderBy("ts", "event_id")) - 1)
+      .withColumn("chunk", (col("rk") * nChunks / total).cast("int"))
+      .drop("rk")
+      .cache()
+    (0 until nChunks).foreach { i =>
+      ranked.filter(col("chunk") === i).drop("chunk")
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    if (sentinel)
+      ranked.agg(max("ts").as("maxts"))
+        .select(lit(-1L).as("event_id"),
+          (col("maxts") + expr("INTERVAL 24 HOURS")).as("ts"),
+          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+          lit(0.0).as("value"))
+        .coalesce(1).write.mode("append").parquet(in)
+    ranked.unpersist()
+  }
+
+  /** Run `op` over a file-source stream of `events`, folding every output
+    * batch through the idempotent MERGE (keyed delete-then-insert) into a
+    * parquet sink table; returns the converged table. `outputMode` is
+    * "update" for running aggregates (every changed key re-emits; the
+    * MERGE keeps the latest) or "append" for watermark-finalized rows
+    * (each emitted once; the MERGE makes redelivery harmless). */
+  private def runMerged(spark: SparkSession, events: DataFrame, work: String,
+                        op: DataFrame => DataFrame, keys: Seq[String],
+                        outputMode: String, sentinel: Boolean): DataFrame = {
+    val in = s"$work/in"
+    stageChunks(events, nChunks = 4, in, sentinel)
+    val staged = spark.read.parquet(in)
+    val stream = spark.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    // empty frame with the op's exact output schema (batch-equivalence
+    // path of the same operator) seeds the MERGE fold
+    var state = op(staged.limit(0)).localCheckpoint()
+    val q = op(stream).writeStream
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode(outputMode)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // localCheckpoint: without it every batch re-plans the whole fold
+        // chain (the Bpe.merges lesson); keyed delete-then-insert is the
+        // idempotent MERGE from StreamOpsSpec
+        state = batch.unionByName(state.join(batch, keys, "left_anti"))
+          .localCheckpoint()
+        ()
+      }
+      .start()
+    // default micro-batch trigger + processAllAvailable, NOT AvailableNow:
+    // append-mode emission happens in the no-data batch that follows the
+    // final watermark advance, and processAllAvailable settles only after
+    // it (the termination pattern StreamPipeline has proven green at both
+    // gate SFs); AvailableNow can stop at the last data batch
+    q.processAllAvailable()
+    q.stop()
+    val sink = s"$work/sink"
+    state.write.mode("overwrite").parquet(sink)
+    spark.read.parquet(sink)
+  }
+
+  /** GATE: [[StreamOps.windowedCounts]] through the update-mode MERGE sink.
+    * Update mode re-emits a window whenever a batch touches it, so the
+    * converged sink equals the full batch aggregate with no sentinel
+    * needed; the watermark still bounds state (arrival is time-ordered, so
+    * nothing is late-dropped). Output in exact integers: epoch-µs window
+    * start and cent sums (the double round-trip through sum_value/100 is
+    * exact — cent sums are integers far below 2^53). */
+  def windowedGate(spark: SparkSession, events: DataFrame, work: String): DataFrame =
+    runMerged(spark, events, work, StreamOps.windowedCounts,
+      keys = Seq("window_start", "event_type"), outputMode = "update",
+      sentinel = false)
+      .select(expr("unix_micros(window_start)").as("window_us"),
+        col("event_type"), col("n"),
+        round(col("sum_value") * 100).cast("long").as("sum_cents"))
+
+  /** GATE: [[StreamOps.sessionizeStream]] through the append-mode MERGE
+    * sink. Append emits each session exactly once when the watermark
+    * passes its end + gap; the far-future sentinel flushes the tail
+    * sessions, and its own session never closes, so the sentinel is
+    * absent from the sink by construction. */
+  def sessionGate(spark: SparkSession, events: DataFrame, work: String,
+                  gap: String): DataFrame =
+    runMerged(spark, events, work, StreamOps.sessionizeStream(_, gap),
+      keys = Seq("user_id", "window_start"), outputMode = "append",
+      sentinel = true)
+      .select(col("user_id"),
+        expr("unix_micros(first_ts)").as("start_us"),
+        col("n_events"),
+        expr("unix_micros(last_ts)").as("last_us"), col("sum_cents"))
+}

@@ -46,7 +46,14 @@ class PlanContractSpec extends SparkSpec {
     "q185_calibration",         // n_total scalar
     "q187_split_overlap", "q188_vocab_drift",
     "q79_bigram_lm", "q83_length_report", "q85_vocab_report",
-    "q168_mixture_rates", "q169_dataset_card")
+    "q168_mixture_rates", "q169_dataset_card",
+    // round-8 full-coverage additions (each the same 1-row/tiny
+    // broadcast class as above):
+    "q17_reach_summary", "q18_path", // Dijkstra kernel bound scalars (the q26/q27 class)
+    "q75_quality_gate",              // percentile-threshold scalar (two 1-row broadcasts)
+    "q76_tfidf",                     // corpus-N scalar
+    "q42_embed_neardup",             // fixed hyperplane table broadcast (8 rows)
+    "q90_profile")                   // 1-row basic-aggs × 1-row distinct-aggs
 
   /** q38's brute-force fallback joins the (empty-whenever-the-grid-
     * decides) unresolved-points frame against nodes — the initial plan
