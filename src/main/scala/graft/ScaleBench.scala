@@ -260,7 +260,25 @@ object ScaleBench {
       // is internally inconsistent for any n_chars consumer; cast keeps
       // the source's BIGINT type (length() alone would narrow to INT)
       .withColumn("n_chars", length(col("text")).cast("long")))
-    copies("embeddings")((d, i) => d.withColumn("vec_id", col("vec_id") + lit(i * nVec)))
+    // embeddings: rotate dimensions by 7·i per copy — the embedding analog
+    // of the documents token rewrite. Identical copies would otherwise be
+    // exact cross-copy near-dups (cos = 1), making every LSH bucket's
+    // within-bucket pair count grow quadratically in k BY CONSTRUCTION of
+    // the scaled corpus rather than by the operator (caught as q42's 3.6×
+    // when the harness went full-coverage). A circular shift preserves
+    // norms and within-copy geometry exactly; cross-copy cosines drop to
+    // background. Shifts repeat mod 64 (dim), so copies ≥64 additionally
+    // NEGATE the vector (negation also preserves all within-copy cosines)
+    // — the (shift, sign) pair is injective through k = 128.
+    copies("embeddings")((d, i) => d
+      .withColumn("vec_id", col("vec_id") + lit(i * nVec))
+      .withColumn("embedding", if (i == 0) col("embedding") else {
+        val s = (7 * i) % 64
+        val rot =
+          if (s == 0) "embedding"
+          else s"concat(slice(embedding, ${s + 1}, ${64 - s}), slice(embedding, 1, $s))"
+        expr(if (i >= 64) s"transform($rot, x -> -x)" else rot)
+      }))
     // events: offset event ids AND user ids per copy — k independent user
     // populations over the same time range, so per-user session/as-of/
     // funnel work scales linearly (offsetting only event_id would multiply

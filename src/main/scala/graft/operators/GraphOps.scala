@@ -134,9 +134,13 @@ object GraphOps {
     // Single pass, no eager driver-side count(): left-join a match flag
     // against the (deduped) reversed edge set and aggregate both counts in
     // one job. rev is distinct so parallel edges can't fan the join out.
+    // hint("merge"): rev is EDGE-SIZED — without the hint Spark's size
+    // estimate broadcasts it, a driver hash-relation build growing
+    // linearly with the graph (ScaleBench q11: 11.7× at 10×, most of the
+    // wall driver-side; the shuffle join scales with partitions instead).
     val rev = edges.select(col("v").as("u"), col("u").as("v"))
       .distinct().withColumn("rec", lit(1))
-    edges.join(rev, Seq("u", "v"), "left")
+    edges.join(rev.hint("merge"), Seq("u", "v"), "left")
       .agg((count(col("rec")) / count(lit(1))).cast("double").as("reciprocity"))
   }
 
