@@ -63,31 +63,30 @@ object Derive {
       (lit(54.3) + floor(col("c_custkey") / GridW) * lit(2e-3)).as("lat"))
 
   /** Neighbor candidates of the dense lattice in CLOSED FORM — one map
-    * pass over the node scan, existence decided against a 1-row max-index
-    * broadcast. PRECONDITION: node_idx is dense (min..max with no holes),
-    * which customer keys satisfy at every SF and the ScaleBench
-    * materializer preserves by construction ("dense synthetic keys stay
-    * dense"). Under density this equals the self-join construction the
-    * DuckDB mirror (Sql.edges) keeps — so the oracle re-proves the
-    * equivalence on every gate run. The former per-neighbor self-joins
-    * broadcast the FULL node list once per join (4-8 hash-relation builds
-    * per consumer query) — a driver cost growing linearly with the graph
-    * that ScaleBench caught as q11's 13.2× at 10× (5-6 s of the 8 s wall
-    * was sequential broadcast builds, not executor work). The constant-key
-    * 1-row bounds join stays a BroadcastHashJoin, so the no-BNLJ plan
-    * contract holds for every graph query unchanged. */
+    * pass over the node scan, existence decided against the max index.
+    * PRECONDITION: node_idx is dense (min..max with no holes), which
+    * customer keys satisfy at every SF and the ScaleBench materializer
+    * preserves by construction ("dense synthetic keys stay dense"). Under
+    * density this equals the self-join construction the DuckDB mirror
+    * (Sql.edges) keeps — so the oracle re-proves the equivalence on every
+    * gate run. The former per-neighbor self-joins broadcast the FULL node
+    * list once per join (4-8 hash-relation builds per consumer query) — a
+    * driver cost growing linearly with the graph that ScaleBench caught as
+    * q11's 13.2× at 10× (5-6 s of the 8 s wall was sequential broadcast
+    * builds, not executor work). The max index is a 1-row driver-side
+    * steering scalar (same class as the k-means/BPE control sites): a
+    * constant-key 1-row join would constant-fold into a
+    * BroadcastNestedLoopJoin and trip the plan contract, whereas inlining
+    * the bound as a literal keeps every consumer plan join-free. */
   private def neighborEdges(nodes: DataFrame, diag: Boolean): DataFrame = {
-    val bounds = nodes.agg(max(col("node_idx")).as("hi")).withColumn("jk", lit(1))
+    val hi = nodes.agg(max(col("node_idx"))).head.getInt(0)
     val vs = Seq(
       when((col("node_idx") + 1) % GridW =!= 0, col("node_idx") + 1), // right
       col("node_idx") + GridW) ++ // down (existence via the hi bound)
       (if (diag) Seq(when((col("node_idx") + 1) % GridW =!= 0,
         col("node_idx") + GridW + 1)) else Nil) // down-right diagonal
     nodes.select(col("node_idx").as("u"), explode(array(vs: _*)).as("v"))
-      .where(col("v").isNotNull)
-      .withColumn("jk", lit(1))
-      .join(broadcast(bounds), Seq("jk"))
-      .where(col("v") <= col("hi"))
+      .where(col("v").isNotNull && col("v") <= lit(hi))
       .select(col("u"), col("v"))
   }
 
