@@ -27,7 +27,8 @@ object Plans {
         "(no window since round 2)."),
     "q23_snap" ->
       ("The bucketed NN join: one exchange per side on the (cx,cy) cell key, " +
-        "the 3x3 explode on the points side, per-point row_number argmin, " +
+        "the 3x3 explode on the points side, per-point min_by hash-aggregate " +
+        "argmin (partial aggregation collapses candidates map-side), " +
         "left join for the -1 cutoff rows."),
     "q26_dijkstra_reach" ->
       ("The cogroup kernel: one exchange of edges and one of sources on the " +

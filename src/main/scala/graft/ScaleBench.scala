@@ -225,7 +225,12 @@ object ScaleBench {
     // streaming-fed gates (file-source micro-batches + MERGE sink; the
     // staging row_number window is simulated-arrival cost, counted
     // honestly in the ratio)
-    "q193_semdedup_prod", "q194_stream_windows", "q195_stream_sessions")
+    "q193_semdedup_prod", "q194_stream_windows", "q195_stream_sessions",
+    // XML round-trip (write cost scales with data), the recursive-CTE
+    // BFS (UnionLoop: per-level joins against the seed frontier), ordered
+    // LISTAGG, and the mergeable-HLL re-aggregability gate
+    "q196_xml_roundtrip", "q197_recursive_cte", "q198_listagg",
+    "q199_hll_merge")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

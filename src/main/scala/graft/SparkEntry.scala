@@ -2594,8 +2594,88 @@ object SparkEntry {
       streaming.StreamGate.sessionGate(s, ev, rtPath("q195_stream"),
           gap = "30 minutes")
         .orderBy("user_id", "start_us")
+    }),
+
+    // S6c: XML round-trip through Spark 4's NATIVE xml source (spark-xml
+    // folded into core in 4.0) — schema-pinned read recovers exact types,
+    // so the round-trip must equal the original projection. Strings ride
+    // through writer-side escaping; money stays integer cents.
+    "q196_xml_roundtrip" -> ((s, dir) => {
+      val path = rtPath("q196_xml")
+      val src = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("total_c"))
+      Sinks.writeXml(src, path)
+      Sinks.readXml(s, path, src.schema).orderBy("o_orderkey")
+    }),
+
+    // SQL-surface: WITH RECURSIVE (Spark 4's UnionLoop execution) — the
+    // declarative twin of the hand-built iterative operators (q26/q45/
+    // q71/q74): bounded-depth BFS over the symmetrized lattice from a
+    // seed set, minimum hop count per reached node. Same text in both
+    // engines (the recursion limit conf is Spark-side only).
+    "q197_recursive_cte" -> ((s, dir) => {
+      Seq("customer").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(recursiveCteSql)
+    }),
+
+    // SQL-surface: LISTAGG ... WITHIN GROUP (Spark 4.0) — deterministic
+    // ordered string aggregation (the report/export idiom). Restricted to
+    // a keyed subset so group strings stay bounded; the ORDER BY makes
+    // the result partitioning-independent.
+    "q198_listagg" -> ((s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") % 500 === 0)
+        .select(col("o_orderstatus"),
+          concat(col("o_orderpriority"), lit("#"), col("o_orderkey")).as("tag"))
+        .groupBy("o_orderstatus")
+        .agg(expr("listagg(tag, ',') WITHIN GROUP (ORDER BY tag)").as("tags"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
+    // Mergeable HLL sketches (Spark 4 DataSketches surface): per-day
+    // PARTIAL sketches union-merged per type must estimate within the
+    // same 5% bound as the one-shot sketch — the constant-memory
+    // re-aggregability contract (q96/q189's identity, sketch form) that
+    // incremental distinct-count maintenance at 100 TB rests on. The
+    // estimates are engine-specific, so the oracle pins the exact counts
+    // and the bounds (q87 discipline). HIP estimators are order-dependent
+    // under union, so both paths are bound-checked, not equality-checked.
+    "q199_hll_merge" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        EventOps.tsUs("ts").as("ts_us"), col("user_id"))
+        .withColumn("d", expr("ts_us div 86400000000"))
+      val partial = ev.groupBy("event_type", "d")
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      val merged = partial.groupBy("event_type")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("est_merged"))
+      val direct = ev.groupBy("event_type")
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est_direct"),
+          countDistinct(col("user_id")).as("n_exact"))
+      merged.join(direct, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("est_merged") - col("n_exact")) * 100 <= col("n_exact") * 5)
+            .as("merge_ok"),
+          (abs(col("est_direct") - col("n_exact")) * 100 <= col("n_exact") * 5)
+            .as("approx_ok"))
+        .orderBy("event_type")
     })
   )
+
+  /** q197's shared text: Spark executes it via UnionLoop; DuckDB runs the
+    * identical statement as the oracle. Depth-bounded (d < 3), so the
+    * cyclic symmetrized graph terminates in both engines. */
+  private lazy val recursiveCteSql: String =
+    s"""WITH RECURSIVE
+       |${Derive.Sql.nodes},
+       |${Derive.Sql.edges},
+       |${Derive.Sql.symEdges},
+       |hops(v, d) AS (
+       |  SELECT node_idx AS v, 0 AS d FROM nodes WHERE node_idx % 500 = 3
+       |  UNION ALL
+       |  SELECT s.v, h.d + 1 FROM hops h JOIN sym s ON s.u = h.v WHERE h.d < 3
+       |)
+       |SELECT CAST(v AS INT) AS v, CAST(min(d) AS INT) AS d
+       |FROM hops GROUP BY v ORDER BY v""".stripMargin
 
   /** Shared q77 input: the events table viewed as a CDC feed. */
   private def cdcFeed(s: SparkSession, dir: String): DataFrame =
@@ -5767,6 +5847,34 @@ object SparkEntry {
         |SELECT user_id, min(ts_us) AS start_us, count(*) AS n_events,
         |       max(ts_us) AS last_us, CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM s GROUP BY user_id, session_idx
-        |ORDER BY user_id, start_us""".stripMargin
+        |ORDER BY user_id, start_us""".stripMargin,
+
+    // The XML container adds nothing the projection doesn't have — the
+    // round-trip must reproduce the original rows exactly.
+    "q196_xml_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS total_c
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // Same statement text as the engine side (q191 discipline): DuckDB's
+    // recursive-CTE evaluator is the oracle for Spark's UnionLoop.
+    "q197_recursive_cte" -> recursiveCteSql,
+
+    // DuckDB's ordered string_agg mirrors LISTAGG WITHIN GROUP.
+    "q198_listagg" ->
+      """SELECT o_orderstatus,
+        |       string_agg(tag, ',' ORDER BY tag) AS tags,
+        |       count(*) AS n
+        |FROM (SELECT o_orderstatus,
+        |             o_orderpriority || '#' || CAST(o_orderkey AS VARCHAR) AS tag
+        |      FROM orders WHERE o_orderkey % 500 = 0)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // Sketch estimates are engine-specific: the oracle pins the exact
+    // distinct counts and the 5% bounds (TRUE), like q87/q109.
+    "q199_hll_merge" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |       TRUE AS merge_ok, TRUE AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

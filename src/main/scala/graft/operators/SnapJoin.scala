@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GeoFunctions._
@@ -24,9 +23,12 @@ import graft.functions.GeoFunctions._
   *      centered anywhere in a cell of side r is covered by the 3×3 block);
   *   4. equi-join on the cell key — ONE shuffle, no cross join, skew bounded
   *      by cell density (dense downtown cells can further AQE-split);
-  *   5. per-point argmin via `row_number` over (dist, node_idx) — the
-  *      node_idx tie-break makes equidistant snaps deterministic, which the
-  *      reference's KD-tree is not (it returns whichever leaf wins).
+  *   5. per-point argmin via the `min_by` AGGREGATE over (dist, node_idx) —
+  *      partial aggregation collapses each partition's candidates to one
+  *      row per point BEFORE the shuffle (a row_number window would sort
+  *      the full candidate table per key instead); the node_idx tie-break
+  *      makes equidistant snaps deterministic, which the reference's
+  *      KD-tree is not (it returns whichever leaf wins).
   *
   * Scale: both inputs shuffle once on the cell key; the points side fans out
   * ×9. With cell = 300 m a 10×10 km tile is ~1.1k cells; a planet-scale node
@@ -75,11 +77,16 @@ object SnapJoin {
     val cand = rep.join(nx, Seq("cx", "cy"))
       .withColumn("dist", dist)
       .filter(col("dist") <= maxSnapM)
-    val w = Window.partitionBy(idCol).orderBy(col("dist"), col("node_idx"))
+    // min_by over the (dist, node_idx) struct = lexicographic argmin, the
+    // same winner the former row_number window picked — but as a hash
+    // aggregate with map-side combine, so candidate volume collapses to
+    // |points| rows before the shuffle instead of sorting per key after it
     val best = cand
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("node_idx"), col("dist").as("dist_to_node_m"))
+      .groupBy(col(idCol))
+      .agg(min_by(struct(col("node_idx"), col("dist")),
+        struct(col("dist"), col("node_idx"))).as("pick"))
+      .select(col(idCol), col("pick.node_idx").as("node_idx"),
+        col("pick.dist").as("dist_to_node_m"))
     points.select(idCol).join(best, Seq(idCol), "left")
       .withColumn("node_idx", coalesce(col("node_idx"), lit(-1)))
   }

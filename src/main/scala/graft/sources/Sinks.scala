@@ -80,6 +80,20 @@ object Sinks {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  // ----------------------------------------------------------------- XML (S6c)
+
+  /** XML sink/source over Spark 4's NATIVE xml data source (the spark-xml
+    * package was folded into core in 4.0) — the interchange format when
+    * the downstream consumer is a feed/config system. Values are escaped
+    * by the writer, so arbitrary text columns survive; the reader is
+    * schema-pinned like [[readCsv]] (inference is an extra pass, and XML
+    * carries no types of its own). */
+  def writeXml(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("rowTag", "row").xml(path)
+
+  def readXml(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("rowTag", "row").schema(schema).xml(path)
+
   // --------------------------------------------------------------- JDBC (S16)
 
   /** The DB-persistence stage the reference promises but never implements

@@ -45,6 +45,19 @@ class SinksSpec extends SparkSpec {
       df.as[(Long, Option[String], Double)].collect().toSet)
   }
 
+  test("XML round-trip with escaping-hostile strings (S6c)") {
+    val p = tmp("xml")
+    // markup metacharacters must survive the writer's escaping
+    val hostile = Seq((1L, "<b>&amp;", 1.5), (2L, "\"quoted\" 'text'", 2.5),
+      (3L, null, -1.0)).toDF("id", "tag", "x")
+    Sinks.writeXml(hostile, p)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("tag", StringType), StructField("x", DoubleType)))
+    val back = Sinks.readXml(spark, p, schema)
+    assert(back.as[(Long, Option[String], Double)].collect().toSet ==
+      hostile.as[(Long, Option[String], Double)].collect().toSet)
+  }
+
   test("text id list round-trip preserves first-seen order, skips junk (S12/U3)") {
     val p = Files.createTempDirectory("graft-ids").resolve("ids").toString
     // write a messy file by hand: comments, commas, dupes, blanks
