@@ -396,9 +396,17 @@ object GraphOps {
       .filter(col("u") < col("v")).distinct()
 
   private def triangleCountsCanon(e: DataFrame): DataFrame = {
+    // shuffle_hash, not the planner's default: the build side here is the
+    // EDGE LIST itself, so the auto-broadcast the size estimate picks at
+    // small SF becomes a driver-built, driver-shipped hash relation that
+    // grows linearly with the graph (the q11 disease — 10× measured the
+    // broadcast build as the dominant job; at 100× it is a cliff). A
+    // shuffled hash join keeps both sides executor-partitioned on the join
+    // key — per-partition build size is |E|/parts, which the partition
+    // count absorbs on a real cluster.
     val tri = e.alias("e1")
-      .join(e.alias("e2"), col("e2.u") === col("e1.v"))
-      .join(e.alias("e3"),
+      .join(e.alias("e2").hint("shuffle_hash"), col("e2.u") === col("e1.v"))
+      .join(e.alias("e3").hint("shuffle_hash"),
         col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
       .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
@@ -423,7 +431,10 @@ object GraphOps {
     val und = canonEdges(edges, srcCol, dstCol) // shared with the wedge join
     val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("degree"))
-    deg.join(triangleCountsCanon(und), Seq("node"), "left")
+    // same rationale as the wedge join: the triangle table is node-sized,
+    // so let it shuffle on `node` (matching deg's partitioning) instead of
+    // broadcasting a graph-sized relation from the driver
+    deg.join(triangleCountsCanon(und).hint("shuffle_hash"), Seq("node"), "left")
       .select(col("node"), col("degree"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"),
         when(col("degree") < 2, 0L)
