@@ -2658,7 +2658,77 @@ object SparkEntry {
           (abs(col("est_direct") - col("n_exact")) * 100 <= col("n_exact") * 5)
             .as("approx_ok"))
         .orderBy("event_type")
-    })
+    }),
+
+    // Sorted-neighborhood ER candidates (Hernández-Stolfo): each name is
+    // compared only to its next w−1 neighbors in (block, name) sort order —
+    // O(N·w) candidates where the q102 blocked self-join pays O(Σ block²).
+    // Same distinct-name domain and Levenshtein verify as q102, so the two
+    // gates bracket the classic ER candidate-generation tradeoff.
+    "q200_snm_names" -> ((s, dir) => {
+      val names = t(s, dir, "part").select("p_name").distinct()
+        .select(col("p_name"), split(col("p_name"), " ").getItem(0).as("blk"))
+      TextOps.sortedNeighborhoodPairs(names, "blk", "p_name", w = 4, maxDist = 6)
+        .orderBy("name1", "name2")
+    }),
+
+    // Winnowing fingerprints (Schleimer et al. SIGMOD'03): window-min
+    // selection over positional gram hashes — any shared ≥(w+n−1)-token run
+    // between docs shares a fingerprint, at ~2/(w+1) selection density.
+    // Entirely per-row HOFs (no explode, no window shuffle): the projection
+    // scales with the scan by construction.
+    "q201_winnow" -> ((s, dir) =>
+      TextOps.winnowFingerprints(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // Two-sample Kolmogorov-Smirnov in exact integers (cleared n_a·n_b
+    // denominator): distribution drift between order-status populations.
+    // One reduced-domain cumulative window; the argmax is a max_by on the
+    // same domain.
+    "q202_ks_test" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderstatus").as("g"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      ProfileOps.ksTest(o, "g", "cents", "F", "O")
+    }),
+
+    // Gini concentration of corpus CHARACTER mass over sources (exact ppm,
+    // cleared denominators) + top-decile share — the skew headline that
+    // drives domain-cap (q59) and mixture (q168) tuning. Mass = n_chars
+    // (doc counts are uniform-by-construction here, which would pin the
+    // statistic at 0 and gate nothing).
+    "q203_gini_sources" -> ((s, dir) =>
+      ProfileOps.giniConcentration(t(s, dir, "documents"), "source",
+        weightCol = Some("n_chars"))),
+
+    // Mergeable EXACT distinct counts via Spark's bitmap aggregates:
+    // per-day partial bitmaps OR-merged per type must equal the one-shot
+    // exact count — q199's re-aggregability contract with equality instead
+    // of a 5% bound (bitmaps are exact; the cost is memory ∝ id-range
+    // rather than the sketch's constant, the documented tradeoff).
+    "q204_bitmap_distinct" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        EventOps.tsUs("ts").as("ts_us"), col("user_id"))
+        .withColumn("d", expr("ts_us div 86400000000"))
+      val merged = ev
+        .groupBy(col("event_type"), col("d"),
+          expr("bitmap_bucket_number(user_id)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+        .groupBy("event_type", "bkt")
+        .agg(expr("bitmap_count(bitmap_or_agg(bm))").as("c"))
+        .groupBy("event_type").agg(sum("c").as("n_merged"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_exact"))
+      merged.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"), col("n_merged"))
+        .orderBy("event_type")
+    }),
+
+    // STREAMING CDC gate: the mapGroupsWithState latest-wins compaction
+    // driven through the file-source stream + MERGE sink; the converged
+    // snapshot answers to the SAME oracle as the batch operator (q77) —
+    // the third streaming-fed gate row (windows q194, sessions q195).
+    "q205_stream_cdc" -> ((s, dir) =>
+      streaming.StreamGate.cdcGate(s, cdcFeed(s, dir), rtPath("q205_stream"))
+        .orderBy("user_id"))
   )
 
   /** q197's shared text: Spark executes it via UnionLoop; DuckDB runs the
@@ -2676,6 +2746,20 @@ object SparkEntry {
        |)
        |SELECT CAST(v AS INT) AS v, CAST(min(d) AS INT) AS d
        |FROM hops GROUP BY v ORDER BY v""".stripMargin
+
+  /** Shared by q77 (batch latest-wins snapshot) and q205 (the streaming
+    * mapGroupsWithState twin through the MERGE sink): both compact the
+    * same feed, so both answer to this oracle. */
+  private lazy val cdcSnapshotOracle: String =
+    """WITH f AS (SELECT user_id, event_id AS id, epoch_us(ts) AS ts_us,
+      |                  CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+      |                  CAST(round(value * 100) AS BIGINT) AS state_cents
+      |           FROM events),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+      |                  ORDER BY ts_us DESC, id DESC) AS rn FROM f)
+      |SELECT user_id, id, ts_us, state_cents FROM r
+      |WHERE rn = 1 AND op <> 'd'
+      |ORDER BY user_id""".stripMargin
 
   /** Shared q77 input: the events table viewed as a CDC feed. */
   private def cdcFeed(s: SparkSession, dir: String): DataFrame =
@@ -3856,16 +3940,7 @@ object SparkEntry {
 
     // Mirrors cdcFeed + cdcSnapshot: latest (ts, id) row per user wins,
     // tombstoned keys ('error' → op 'd') drop out.
-    "q77_cdc_snapshot" ->
-      """WITH f AS (SELECT user_id, event_id AS id, epoch_us(ts) AS ts_us,
-        |                  CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
-        |                  CAST(round(value * 100) AS BIGINT) AS state_cents
-        |           FROM events),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
-        |                  ORDER BY ts_us DESC, id DESC) AS rn FROM f)
-        |SELECT user_id, id, ts_us, state_cents FROM r
-        |WHERE rn = 1 AND op <> 'd'
-        |ORDER BY user_id""".stripMargin,
+    "q77_cdc_snapshot" -> cdcSnapshotOracle,
 
     // Mirrors EventOps.scd2: run-collapse on event_type (lag), version =
     // row_number over surviving changes, interval close = lead.
@@ -5875,6 +5950,90 @@ object SparkEntry {
     "q199_hll_merge" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |       TRUE AS merge_ok, TRUE AS approx_ok
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Same (block, name) window + w−1 leads + Levenshtein verify; UNION
+    // dedups like the engine's distinct.
+    "q200_snm_names" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part),
+        |s AS (SELECT p_name, string_split(p_name, ' ')[1] AS blk FROM n),
+        |l AS (SELECT p_name,
+        |        lead(p_name, 1) OVER w AS nb1,
+        |        lead(p_name, 2) OVER w AS nb2,
+        |        lead(p_name, 3) OVER w AS nb3
+        |      FROM s WINDOW w AS (PARTITION BY blk ORDER BY p_name)),
+        |p AS (SELECT p_name AS name1, nb1 AS name2 FROM l WHERE nb1 IS NOT NULL
+        |      UNION SELECT p_name, nb2 FROM l WHERE nb2 IS NOT NULL
+        |      UNION SELECT p_name, nb3 FROM l WHERE nb3 IS NOT NULL)
+        |SELECT name1, name2,
+        |       CAST(levenshtein(name1, name2) AS BIGINT) AS dist
+        |FROM p WHERE levenshtein(name1, name2) <= 6
+        |ORDER BY name1, name2""".stripMargin,
+
+    // Positional 3-gram hashes (docShingles' md5 convention, NOT distinct),
+    // window-4 minima, distinct selected set — identical integer summaries.
+    "q201_winnow" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(w) >= 6 THEN
+        |           list_transform(generate_series(0, len(w) - 3),
+        |             i -> CAST(concat('0x', substring(md5(array_to_string(w[i+1:i+3], ' ')), 1, 8)) AS BIGINT))
+        |         ELSE [] END AS h
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |m AS (SELECT doc_id,
+        |        list_distinct(list_transform(generate_series(0, len(h) - 4),
+        |          i -> list_min(h[i+1:i+4]))) AS fp
+        |      FROM g)
+        |SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp,
+        |       CAST(coalesce(list_sum(fp), 0) AS BIGINT) AS sum_fp,
+        |       CAST(list_min(fp) AS BIGINT) AS min_fp
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Same reduced-domain ECDF gaps with the n_a·n_b denominator cleared;
+    // the argmax value ties broken to the smallest v.
+    "q202_ks_test" ->
+      """WITH f AS (SELECT o_orderstatus AS g,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |           FROM orders WHERE o_orderstatus IN ('F', 'O')),
+        |dom AS (SELECT v, sum(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS ca,
+        |               sum(CASE WHEN g = 'O' THEN 1 ELSE 0 END) AS cb
+        |        FROM f GROUP BY v),
+        |cum AS (SELECT v,
+        |          sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fa,
+        |          sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fb
+        |        FROM dom),
+        |tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM dom),
+        |gaps AS (SELECT v, na, nb, abs(fa * nb - fb * na) AS gap
+        |         FROM cum CROSS JOIN tot),
+        |mg AS (SELECT max(gap) AS mx FROM gaps)
+        |SELECT CAST(min(na) AS BIGINT) AS n_a, CAST(min(nb) AS BIGINT) AS n_b,
+        |       CAST(max(gap) AS BIGINT) AS d_num,
+        |       CAST(max(gap) * 1000000 // (min(na) * min(nb)) AS BIGINT) AS d_micro,
+        |       CAST(min(CASE WHEN gap = mx THEN v END) AS BIGINT) AS at_v
+        |FROM gaps CROSS JOIN mg""".stripMargin,
+
+    // Same ascending (mass, key) ranking and cleared-denominator closed
+    // forms in BIGINT (counts are far below overflow here).
+    "q203_gini_sources" ->
+      """WITH m AS (SELECT source AS k, sum(n_chars) AS x FROM documents GROUP BY 1),
+        |r AS (SELECT k, x, row_number() OVER (ORDER BY x, k) AS i FROM m),
+        |t AS (SELECT count(*) AS n, sum(x) AS s FROM m)
+        |SELECT CAST(min(n) AS BIGINT) AS n_keys, CAST(min(s) AS BIGINT) AS total,
+        |       CAST(((2 * sum(i * x) - (min(n) + 1) * min(s)) * 1000000)
+        |            // (min(n) * min(s)) AS BIGINT) AS gini_ppm,
+        |       CAST((sum(CASE WHEN i > n - (n + 9) // 10 THEN x ELSE 0 END)
+        |             * 1000000) // min(s) AS BIGINT) AS top_decile_ppm
+        |FROM r CROSS JOIN t""".stripMargin,
+
+    // Bitmaps are exact: the merged count must EQUAL the direct distinct
+    // count (no bound column — a miscounting merge hash-mismatches).
+    "q204_bitmap_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |       count(DISTINCT user_id) AS n_merged
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The streaming compaction converges to the batch snapshot: q77's
+    // oracle verbatim.
+    "q205_stream_cdc" -> cdcSnapshotOracle
   )
 }

@@ -309,4 +309,80 @@ object ProfileOps {
         sum("ys").as("outcomes"))
       .withColumn("rate_ppm", expr("(outcomes * 1000000) div n"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic in EXACT integers: the D
+    * statistic max_x |F_a(x) − F_b(x)| is computed with the n_a·n_b
+    * common denominator cleared — d_num = max_x |c_a(x)·n_b − c_b(x)·n_a|
+    * over the merged value domain, so the comparison is integer-exact and
+    * bit-identical across engines (the q119/q172 cleared-denominator
+    * discipline; floats appear nowhere). The drift-detection primitive for
+    * "did this feed's distribution move between snapshots?" gates.
+    *
+    * Shape: one aggregation to the distinct-value domain (per-group counts
+    * per value), one cumulative window over that REDUCED domain (the
+    * q160/q176 exception — never over rows), one argmax. Output one row:
+    * (n_a, n_b, d_num, d_micro, at_v) with d_micro = d_num·10⁶ div
+    * (n_a·n_b) and at_v the smallest value attaining the max (ties in the
+    * argmax are broken by value for determinism). */
+  def ksTest(df: DataFrame, groupCol: String, valueCol: String,
+             groupA: String, groupB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dom = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(col(valueCol).cast("long").as("v"),
+        (col(groupCol) === groupA).as("isa"))
+      .groupBy("v")
+      .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("isa"), 1L).otherwise(0L)).as("cb"))
+      .localCheckpoint()
+    val cum = dom.select(col("v"),
+      sum(col("ca")).over(Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("fa"),
+      sum(col("cb")).over(Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("fb"))
+    val gaps = cum
+      .crossJoin(broadcast(dom.agg(sum("ca").as("na"), sum("cb").as("nb"))))
+      .select(col("v"), col("na"), col("nb"),
+        abs(col("fa") * col("nb") - col("fb") * col("na")).as("gap"))
+    gaps
+      // the argmax rides the same reduced domain: max_by with a (gap, −v)
+      // tie-break = smallest value attaining the max, deterministic
+      .agg(min("na").as("n_a"), min("nb").as("n_b"), max("gap").as("d_num"),
+        max_by(col("v"), struct(col("gap"), (-col("v")).as("nv"))).as("at_v"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        expr("(d_num * 1000000) div (n_a * n_b)").as("d_micro"), col("at_v"))
+  }
+
+  /** Gini concentration of an integer mass over keys, exact: with
+    * per-key masses x_(1) ≤ … ≤ x_(n) (ties ranked by key for a total
+    * order), G = (2·Σ i·x_(i) − (n+1)·S) / (n·S) — reported in ppm with
+    * the denominator cleared (G_num·10⁶ div (n·S)), plus the top-decile
+    * mass share in ppm (the "what fraction of the corpus do the biggest
+    * ⌈n/10⌉ sources own?" skew headline for domain-cap tuning, q59's
+    * planning twin).
+    *
+    * Shape: one aggregation to the key domain, one rank window over that
+    * reduced domain (|keys| rows), integer arithmetic after. Output one
+    * row: (n_keys, total, gini_ppm, top_decile_ppm). */
+  def giniConcentration(df: DataFrame, keyCol: String,
+                        weightCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mass = df.groupBy(col(keyCol).as("k"))
+      .agg(weightCol.map(w => sum(col(w).cast("long")))
+        .getOrElse(count(lit(1))).as("x"))
+      .localCheckpoint()
+    val ranked = mass.withColumn("i",
+      row_number().over(Window.orderBy(col("x"), col("k"))).cast("long"))
+    ranked.crossJoin(broadcast(
+        mass.agg(count(lit(1)).as("n"), sum("x").as("s"))))
+      .agg(min("n").as("n_keys"), min("s").as("total"),
+        sum(expr("i * x")).as("ixs"),
+        // top decile = the ⌈n/10⌉ LARGEST masses = ranks > n − ⌈n/10⌉
+        // (integer `div`, not `/` — Spark's `/` on longs returns DOUBLE)
+        sum(when(col("i") > col("n") - expr("(n + 9) div 10"), col("x"))
+          .otherwise(0L)).as("top_mass"))
+      .select(col("n_keys"), col("total"),
+        expr("((2 * ixs - (n_keys + 1) * total) * 1000000) div (n_keys * total)")
+          .as("gini_ppm"),
+        expr("(top_mass * 1000000) div total").as("top_decile_ppm"))
+  }
 }

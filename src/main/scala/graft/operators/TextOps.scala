@@ -744,4 +744,93 @@ object TextOps {
       .orderBy(col("pmi_ratio_ppm").desc, col("w1"), col("w2"))
       .limit(k)
   }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    * SIGMOD'03, the MOSS scheme; cf. the reference's fingerprint sketches):
+    * hash every positional word `n`-gram, slide a window of `w` consecutive
+    * hashes, and select each window's MINIMUM — the selected set is the
+    * fingerprint. The winnowing guarantee: any shared run of at least
+    * `w + n − 1` tokens between two documents contributes at least one
+    * COMMON fingerprint, while the expected density of selected positions
+    * is only 2/(w+1) — a principled sub-sample for plagiarism/overlap
+    * detection, unlike top-k sketches which an adversarial prefix can
+    * dominate.
+    *
+    * Shape: everything is per-row higher-order functions — positional gram
+    * hashes, window minima, distinct — with NO explode and NO window
+    * shuffle; the only aggregate-free pass is the projection itself, so the
+    * operator is embarrassingly parallel and scales with the scan (the
+    * canonical winnowing selection is doc-local by definition). Output per
+    * doc: fingerprint count, their sum and min (order-independent integer
+    * summaries the oracle reproduces hash-exactly; the raw set stays
+    * available via [[winnowSelect]] for joins). */
+  /** Positional gram hashes (NOT distinct — winnowing is positional). The
+    * `when` guard keeps the expression total: sequence(0, −1) silently
+    * steps BACKWARDS in Spark (the pmi slice lesson). `w` must be a
+    * materialized attribute (the [[shinglesFromWords]] capture trap). */
+  def winnowGramHashes(w: Column, n: Int = 3): Column =
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => conv(substring(md5(concat_ws(" ", slice(w, i + lit(1), lit(n)))), 1, 8), 16, 10)
+          .cast("long")))
+      .otherwise(array().cast("array<long>"))
+
+  /** Distinct window-of-`win` minima over a MATERIALIZED hash-array
+    * attribute — passing the [[winnowGramHashes]] expression here directly
+    * would recompute the whole gram-hash array once per window index
+    * (O(grams²) md5 work; the same capture trap, one level up). */
+  def winnowMins(hs: Column, win: Int = 4): Column =
+    when(size(hs) >= win,
+      array_distinct(transform(sequence(lit(0), size(hs) - win),
+        i => array_min(slice(hs, i + lit(1), lit(win))))))
+      .otherwise(array().cast("array<long>"))
+
+  /** Convenience single-expression winnowing selection for tests/small
+    * frames ONLY (inlines the gram array into the window lambda — the
+    * documented O(grams²) trap; hot paths stage via [[winnowGramHashes]] →
+    * [[winnowMins]] as [[winnowFingerprints]] does). */
+  def winnowSelect(w: Column, n: Int = 3, win: Int = 4): Column =
+    winnowMins(winnowGramHashes(w, n), win)
+
+  /** Per-doc winnowing fingerprint summary (the gate face): each HOF stage
+    * rides its own projection, so every array is a materialized attribute
+    * and the md5 pass runs exactly once per gram. */
+  def winnowFingerprints(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text", n: Int = 3,
+                         win: Int = 4): DataFrame =
+    docs.select(col(idCol), words(col(textCol)).as("w"))
+      .select(col(idCol), winnowGramHashes(col("w"), n).as("hs"))
+      .select(col(idCol), winnowMins(col("hs"), win).as("fp"))
+      .select(col(idCol), size(col("fp")).cast("long").as("n_fp"),
+        coalesce(aggregate(col("fp"), lit(0L), (acc, x) => acc + x), lit(0L))
+          .as("sum_fp"),
+        array_min(col("fp")).as("min_fp"))
+
+  /** Sorted-neighborhood method (Hernández & Stolfo SIGMOD'95): sort the
+    * records within each block by a key and compare each record only to its
+    * next `w − 1` neighbors in that order — the classic entity-resolution
+    * candidate generator whose cost is O(N log N + N·w) instead of the
+    * blocked self-join's O(Σ block²). Implemented as `w − 1` `lead()`
+    * columns over a (block, key) window — one shuffle on the block key,
+    * per-partition sort, NO self-join — then a Levenshtein verify on the
+    * stacked neighbor pairs. Blocks bound the window partitions, so the
+    * sort never goes global; feed a duplicate-free key domain (q200 passes
+    * DISTINCT names) so the neighbor order is total and deterministic.
+    * Output: (name1, name2, dist) candidate pairs with dist <= maxDist. */
+  def sortedNeighborhoodPairs(df: DataFrame, blockCol: String, keyCol: String,
+                              w: Int = 4, maxDist: Int = 6): DataFrame = {
+    val win = Window.partitionBy(blockCol).orderBy(keyCol)
+    val nb = (1 until w).map(i => lead(col(keyCol), i).over(win).as(s"nb$i"))
+    val staged = df.select(Seq(col(blockCol), col(keyCol)) ++ nb: _*)
+    val pairs = (1 until w).map(i =>
+      staged.filter(col(s"nb$i").isNotNull)
+        .select(col(keyCol).as("name1"), col(s"nb$i").as("name2")))
+      .reduce(_ unionByName _)
+    pairs
+      .withColumn("dist", levenshtein(col("name1"), col("name2")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      // distinct: a pair seen at offsets i and j (duplicate keys in the
+      // window) must count once, like every other candidate generator here
+      .distinct()
+  }
 }

@@ -30,10 +30,12 @@ object StreamGate {
     * an optional far-future sentinel row that advances the watermark past
     * every real window/session so append-mode state flushes. */
   private def stageChunks(events: DataFrame, nChunks: Int, in: String,
-                          sentinel: Boolean): Unit = {
+                          sentinel: Boolean,
+                          orderCols: Seq[String] = Seq("ts", "event_id")): Unit = {
     val total = events.count()
     val ranked = events
-      .withColumn("rk", row_number().over(Window.orderBy("ts", "event_id")) - 1)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(orderCols.map(col): _*)) - 1)
       .withColumn("chunk", (col("rk") * nChunks / total).cast("int"))
       .drop("rk")
       .cache()
@@ -59,9 +61,10 @@ object StreamGate {
     * (each emitted once; the MERGE makes redelivery harmless). */
   private def runMerged(spark: SparkSession, events: DataFrame, work: String,
                         op: DataFrame => DataFrame, keys: Seq[String],
-                        outputMode: String, sentinel: Boolean): DataFrame = {
+                        outputMode: String, sentinel: Boolean,
+                        orderCols: Seq[String] = Seq("ts", "event_id")): DataFrame = {
     val in = s"$work/in"
-    stageChunks(events, nChunks = 4, in, sentinel)
+    stageChunks(events, nChunks = 4, in, sentinel, orderCols)
     val staged = spark.read.parquet(in)
     val stream = spark.readStream.schema(staged.schema)
       .option("maxFilesPerTrigger", 1).parquet(in)
@@ -121,4 +124,21 @@ object StreamGate {
         expr("unix_micros(first_ts)").as("start_us"),
         col("n_events"),
         expr("unix_micros(last_ts)").as("last_us"), col("sum_cents"))
+
+  /** GATE: [[StreamOps.cdcSnapshotStream]] (mapGroupsWithState latest-wins
+    * compaction) through the update-mode MERGE sink. Every micro-batch
+    * re-emits each touched user's best-so-far change; the MERGE keeps the
+    * latest, so the converged sink is the per-user terminal state — equal
+    * to the BATCH snapshot of the whole feed (q77's operator and oracle).
+    * Tombstones ride the state like any change and are dropped at read,
+    * exactly as [[graft.operators.EventOps.cdcSnapshot]] does. */
+  def cdcGate(spark: SparkSession, feed: DataFrame, work: String): DataFrame = {
+    import spark.implicits._
+    runMerged(spark, feed, work,
+      df => StreamOps.cdcSnapshotStream(df.as[Change]).toDF(),
+      keys = Seq("user_id"), outputMode = "update", sentinel = false,
+      orderCols = Seq("ts_us", "id"))
+      .filter(col("op") =!= "d")
+      .select(col("user_id"), col("id"), col("ts_us"), col("state_cents"))
+  }
 }

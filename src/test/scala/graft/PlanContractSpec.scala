@@ -53,7 +53,9 @@ class PlanContractSpec extends SparkSpec {
     "q75_quality_gate",              // percentile-threshold scalar (two 1-row broadcasts)
     "q76_tfidf",                     // corpus-N scalar
     "q42_embed_neardup",             // fixed hyperplane table broadcast (8 rows)
-    "q90_profile")                   // 1-row basic-aggs × 1-row distinct-aggs
+    "q90_profile",                   // 1-row basic-aggs × 1-row distinct-aggs
+    "q202_ks_test",                  // (n_a, n_b) 1-row totals broadcast
+    "q203_gini_sources")             // (n, S) 1-row totals broadcast
 
   /** q38's brute-force fallback joins the (empty-whenever-the-grid-
     * decides) unresolved-points frame against nodes — the initial plan

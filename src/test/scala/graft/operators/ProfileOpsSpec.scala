@@ -150,4 +150,44 @@ class ProfileOpsSpec extends SparkSpec {
       (0L, 7L, 1L, 5L, 2L, 285714L),
       (1L, 5L, 6L, 10L, 3L, 600000L)))
   }
+
+  test("ksTest: identical samples give D = 0; disjoint samples give D = 1") {
+    val same = (1L to 20L).flatMap(v => Seq(("a", v), ("b", v)))
+      .toDF("g", "v")
+    val s = ProfileOps.ksTest(same, "g", "v", "a", "b")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(s == ((20L, 20L, 0L, 0L, 1L)))
+    // a entirely below b: the gap peaks at a's max with c_a·n_b = n_a·n_b
+    val disj = ((1L to 5L).map(("a", _)) ++ (10L to 21L).map(("b", _)))
+      .toDF("g", "v")
+    val d = ProfileOps.ksTest(disj, "g", "v", "a", "b")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(d == ((5L, 12L, 60L, 1000000L, 5L)))
+  }
+
+  test("ksTest: hand-computed mixed case with ties") {
+    // a = {1,2,2,4}, b = {2,3}: cleared-denominator gaps (n_a=4, n_b=2):
+    // v=1: |1·2−0·4|=2; v=2: |3·2−1·4|=2; v=3: |3·2−2·4|=2; v=4: |4·2−2·4|=0
+    // D_num = 2, first attained at v=1
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("a", 4L),
+      ("b", 2L), ("b", 3L), ("c", 99L)).toDF("g", "v")
+    val got = ProfileOps.ksTest(df, "g", "v", "a", "b")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got == ((4L, 2L, 2L, 250000L, 1L)))
+  }
+
+  test("giniConcentration: equal masses give 0; extreme concentration is (n-1)/n") {
+    val eq = (1L to 40L).map(i => s"k${i % 4}").toDF("k")
+    val g0 = ProfileOps.giniConcentration(eq, "k")
+      .as[(Long, Long, Long, Long)].head()
+    // 4 keys × 10 docs: gini 0, top decile = ⌈4/10⌉ = 1 key = 1/4 of mass
+    assert(g0 == ((4L, 40L, 0L, 250000L)))
+    // one key owns 96 of 100 rows, four own 1 each: exact closed form
+    // ranks asc: x = (1,1,1,1,96), Σi·x = 1+2+3+4+480 = 490
+    // G_num = 2·490 − 6·100 = 380 → 380e6 div 500 = 760000
+    val hot = (Seq.fill(96)("big") ++ Seq("a", "b", "c", "d")).toDF("k")
+    val g1 = ProfileOps.giniConcentration(hot, "k")
+      .as[(Long, Long, Long, Long)].head()
+    assert(g1 == ((5L, 100L, 760000L, 960000L)))
+  }
 }

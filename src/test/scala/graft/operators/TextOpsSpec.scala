@@ -326,4 +326,80 @@ class TextOpsSpec extends SparkSpec {
     val byPair = got.map(r => (r._1, r._2) -> r._4).toMap
     assert(byPair(("a", "b")) > byPair(("filler", "filler")))
   }
+
+  test("winnowFingerprints matches a brute-force winnow (n=3, w=4)") {
+    def md5h(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    def brute(text: String): (Long, Long, Option[Long]) = {
+      val w = text.split(" ", -1)
+      if (w.length < 6) (0L, 0L, None)
+      else {
+        val hs = w.sliding(3).map(g => md5h(g.mkString(" "))).toVector
+        val fp = hs.sliding(4).map(_.min).toVector.distinct
+        (fp.length.toLong, fp.sum, Some(fp.min))
+      }
+    }
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog today",
+      "one two three four five six seven",
+      "too short here",            // 3 words: grams exist, no full window
+      "a b c d e f",               // exactly the minimum length
+      "x x x x x x x x x")         // degenerate repeats: one distinct gram
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TextOps.winnowFingerprints(docs)
+      .orderBy("doc_id").as[(Long, Long, Long, Option[Long])].collect()
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val (n, s, m) = brute(t)
+      assert(got(i) == ((i.toLong, n, s, m)), s"doc $i ($t)")
+    }
+  }
+
+  test("winnowing guarantee: a shared >= w+n-1 token run shares a fingerprint") {
+    import org.apache.spark.sql.functions.col
+    // 6 shared tokens (= w+n−1) embedded in different contexts
+    val docs = Seq(
+      (1L, "alpha beta SHARED1 SHARED2 SHARED3 SHARED4 SHARED5 SHARED6 gamma"),
+      (2L, "zeta eta theta SHARED1 SHARED2 SHARED3 SHARED4 SHARED5 SHARED6"))
+      .toDF("doc_id", "text")
+    val fps = docs
+      .select(col("doc_id"),
+        TextOps.winnowSelect(TextOps.words(col("text"))).as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty)
+  }
+
+  test("sortedNeighborhoodPairs: window-bounded candidates, Levenshtein verify") {
+    // block 'aa': planted adjacent near-dups; 'frost' vs 'wheat' blocks
+    // never compare. In-block names 5 apart in sort order are NOT
+    // candidates at w=4 even when similar.
+    val names = Seq(
+      "aa almond blue", "aa almond blues",      // adjacent, dist 1
+      "aa azure xx", "aa banana yy", "aa cream zz",
+      "aa almond blux",                         // sorts 3rd in block
+      "frost pale qq", "wheat pale qq")
+      .map(Tuple1(_)).toDF("p_name")
+      .select(col("p_name"),
+        org.apache.spark.sql.functions.split(col("p_name"), " ")
+          .getItem(0).as("blk"))
+    val got = TextOps.sortedNeighborhoodPairs(names, "blk", "p_name",
+        w = 4, maxDist = 3)
+      .orderBy("name1", "name2")
+      .as[(String, String, Long)].collect().toSeq
+    // sorted 'aa' block: blue, blues, blux, azure, banana, cream →
+    // actually: "aa almond blue" < "aa almond blues" < "aa almond blux"
+    // < "aa azure xx" < "aa banana yy" < "aa cream zz"
+    assert(got.contains(("aa almond blue", "aa almond blues", 1L)))
+    assert(got.contains(("aa almond blue", "aa almond blux", 1L)))
+    assert(got.contains(("aa almond blues", "aa almond blux", 2L)))
+    // cross-block pair (dist 3: frost→wheat is 4 edits — and different
+    // blocks anyway) absent; every emitted pair is within dist 3
+    assert(got.forall(_._3 <= 3))
+    assert(!got.exists(p => p._1.startsWith("frost") || p._1.startsWith("wheat")))
+    // candidate bound: at w=4 each name contributes at most 3 pairs
+    assert(got.size <= names.count() * 3)
+  }
 }
