@@ -237,7 +237,11 @@ object ScaleBench {
     // streaming CDC gate (micro-batch arrival simulation included in the
     // measured cost, like q194/q195)
     "q200_snm_names", "q201_winnow", "q202_ks_test", "q203_gini_sources",
-    "q204_bitmap_distinct", "q205_stream_cdc")
+    "q204_bitmap_distinct", "q205_stream_cdc",
+    // tokenizer fertility (vocabulary-bound encode + per-lang aggregate),
+    // map/array surface reports, and the transformWithState streaming gate
+    "q206_tokenizer_fertility", "q207_map_surface", "q208_array_setops",
+    "q209_stream_heavy")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

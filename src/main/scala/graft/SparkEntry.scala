@@ -2728,7 +2728,95 @@ object SparkEntry {
     // the third streaming-fed gate row (windows q194, sessions q195).
     "q205_stream_cdc" -> ((s, dir) =>
       streaming.StreamGate.cdcGate(s, cdcFeed(s, dir), rtPath("q205_stream"))
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // Tokenizer fertility report: ONE global BPE tokenizer (the q97/q128
+    // machinery), per-LANGUAGE chars-per-token and tokens-per-word in
+    // exact milli units — the compression-budget table every multilingual
+    // pretraining mix is planned against (languages the tokenizer serves
+    // badly cost more tokens per character). Encoding runs on the
+    // distinct-word domain, never the corpus.
+    "q206_tokenizer_fertility" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val mergeTable = Bpe.merges(docs, rounds = 4)
+        .orderBy("round").select("left", "right")
+        .as[(String, String)].collect().toSeq
+      val lw = docs
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("lang", "word").agg(count(lit(1)).as("freq"))
+      val toks = Bpe.encode(lw.select("word").distinct(), mergeTable)
+        .select(col("word"), size(col("tokens")).cast("long").as("n_tok"))
+      lw.join(toks, Seq("word"))
+        .groupBy("lang")
+        .agg(sum(col("freq")).as("n_words"),
+          sum(col("freq") * length(col("word"))).as("n_chars"),
+          sum(col("freq") * col("n_tok")).as("n_tokens"))
+        .select(col("lang"), col("n_words"), col("n_tokens"),
+          expr("(n_chars * 1000) div n_tokens").as("chars_per_token_milli"),
+          expr("(n_tokens * 1000) div n_words").as("tokens_per_word_milli"))
+        .orderBy("lang")
+    }),
+
+    // Map-type surface: per-user event-type count MAPS via
+    // map_from_entries + transform_values-family HOFs (size / element_at /
+    // map_filter / aggregate over map_values) — the oracle computes the
+    // same report relationally, so the gate checks the map semantics, not
+    // a DuckDB MAP dialect.
+    "q207_map_surface" -> ((s, dir) => {
+      val counts = t(s, dir, "events")
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      counts.groupBy("user_id")
+        .agg(map_from_entries(sort_array(
+          collect_list(struct(col("event_type"), col("n"))))).as("m"))
+        .select(col("user_id"), size(col("m")).cast("long").as("n_types"),
+          element_at(col("m"), "view").as("views"),
+          expr("CAST(size(map_filter(m, (k, v) -> v >= 20)) AS BIGINT)")
+            .as("n_hot"),
+          expr("aggregate(map_values(m), 0L, (acc, x) -> acc + x)").as("total"))
+        .orderBy("user_id")
+    }),
+
+    // Array set-operation surface: per-user DISTINCT event-type sets
+    // before/after a global 20% time cut, compared with array_union /
+    // array_intersect / array_except — "which behaviors only appear
+    // later" as array algebra; the oracle is the relational form
+    // (UNION / JOIN / ANTI JOIN on the distinct pairs).
+    "q208_array_setops" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
+        EventOps.tsUs("ts").as("ts_us"))
+      val cut = ev.agg((min(col("ts_us")) +
+        expr("(max(ts_us) - min(ts_us)) div 5")).as("cut"))
+      ev.crossJoin(broadcast(cut))
+        .groupBy("user_id")
+        .agg(
+          sort_array(collect_set(when(col("ts_us") < col("cut"),
+            col("event_type")))).as("a"),
+          sort_array(collect_set(when(col("ts_us") >= col("cut"),
+            col("event_type")))).as("b"))
+        .select(col("user_id"),
+          size(array_union(col("a"), col("b"))).cast("long").as("n_union"),
+          size(array_intersect(col("a"), col("b"))).cast("long").as("n_inter"),
+          size(array_except(col("b"), col("a"))).cast("long").as("n_new"),
+          concat_ws(",", array_sort(array_intersect(col("a"), col("b"))))
+            .as("inter_csv"))
+        .orderBy("user_id")
+    }),
+
+    // FOURTH streaming gate: transformWithState running counts (Spark 4's
+    // arbitrary-stateful API, RocksDB store) through the MERGE sink — the
+    // converged sink must equal batch HAVING with the q98-style N-relative
+    // threshold. Elevates transformWithState from spec-only to
+    // oracle-gated.
+    "q209_stream_heavy" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"),
+        expr("timestamp_micros(ts div 1000)").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      val minFreq = (3 * ev.count() + 399) / 400
+      streaming.StreamGate.heavyGate(s, ev, rtPath("q209_stream"), minFreq)
+        .orderBy("k")
+    })
   )
 
   /** q197's shared text: Spark executes it via UnionLoop; DuckDB runs the
@@ -2746,6 +2834,38 @@ object SparkEntry {
        |)
        |SELECT CAST(v AS INT) AS v, CAST(min(d) AS INT) AS d
        |FROM hops GROUP BY v ORDER BY v""".stripMargin
+
+  /** Shared by q128 (per-word encode replay) and q206 (per-language
+    * fertility over the same encoding): the 4-round BPE merge replay on
+    * the global vocabulary — words → r0 (wrapped char repr) → r4. Each
+    * round recomputes the argmax pair exactly as Bpe.merges learns it
+    * (weight desc, then (l, r) ascending), so the replayed tokenization
+    * IS the engine's. */
+  private lazy val bpeReplayPrefix: String = {
+    def roundCte(i: Int): String = {
+      val prev = s"r${i - 1}"
+      s"""p$i AS (
+         |  SELECT l, r, sum(freq) AS w FROM (
+         |    SELECT freq, s[i] AS l, s[i + 1] AS r FROM (
+         |      SELECT freq, s, unnest(range(1, len(s))) AS i
+         |      FROM (SELECT freq, string_split(trim(repr), '  ') AS s FROM $prev)
+         |      WHERE len(s) >= 2))
+         |  GROUP BY l, r),
+         |m$i AS (SELECT l, r, w FROM p$i ORDER BY w DESC, l, r LIMIT 1),
+         |r$i AS (SELECT word, freq, replace(repr,
+         |          ' ' || (SELECT l FROM m$i) || '  ' || (SELECT r FROM m$i) || ' ',
+         |          ' ' || (SELECT l FROM m$i) || (SELECT r FROM m$i) || ' ') AS repr
+         |        FROM $prev)""".stripMargin
+    }
+    s"""WITH words AS (
+       |  SELECT w AS word, count(*) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |r0 AS (SELECT word, freq,
+       |  ' ' || array_to_string(list_transform(range(1, len(word) + 1), i -> word[i]), '  ') || ' ' AS repr
+       |  FROM words),
+       |${(1 to 4).map(roundCte).mkString(",\n")}""".stripMargin
+  }
 
   /** Shared by q77 (batch latest-wins snapshot) and q205 (the streaming
     * mapGroupsWithState twin through the MERGE sink): both compact the
@@ -4666,36 +4786,12 @@ object SparkEntry {
 
     // Replay the same 4 learned merges over each vocabulary word (the
     // q97 wrapped-symbol encoding; merges applied in training order).
-    "q128_bpe_encode" -> {
-      def roundCte(i: Int): String = {
-        val prev = s"r${i - 1}"
-        s"""p$i AS (
-           |  SELECT l, r, sum(freq) AS w FROM (
-           |    SELECT freq, s[i] AS l, s[i + 1] AS r FROM (
-           |      SELECT freq, s, unnest(range(1, len(s))) AS i
-           |      FROM (SELECT freq, string_split(trim(repr), '  ') AS s FROM $prev)
-           |      WHERE len(s) >= 2))
-           |  GROUP BY l, r),
-           |m$i AS (SELECT l, r, w FROM p$i ORDER BY w DESC, l, r LIMIT 1),
-           |r$i AS (SELECT word, freq, replace(repr,
-           |          ' ' || (SELECT l FROM m$i) || '  ' || (SELECT r FROM m$i) || ' ',
-           |          ' ' || (SELECT l FROM m$i) || (SELECT r FROM m$i) || ' ') AS repr
-           |        FROM $prev)""".stripMargin
-      }
-      val rounds = (1 to 4).map(roundCte).mkString(",\n")
-      s"""WITH words AS (
-         |  SELECT w AS word, count(*) AS freq
-         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-         |  WHERE len(w) > 0 GROUP BY w),
-         |r0 AS (SELECT word, freq,
-         |  ' ' || array_to_string(list_transform(range(1, len(word) + 1), i -> word[i]), '  ') || ' ' AS repr
-         |  FROM words),
-         |$rounds
+    "q128_bpe_encode" ->
+      s"""$bpeReplayPrefix
          |SELECT word, CAST(freq AS BIGINT) AS freq,
          |       array_to_string(string_split(trim(repr), '  '), '|') AS tokens,
          |       CAST(len(string_split(trim(repr), '  ')) AS BIGINT) AS n_tokens
-         |FROM r4 ORDER BY word""".stripMargin
-    },
+         |FROM r4 ORDER BY word""".stripMargin,
 
     "q129_variant" ->
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 7 AS k_mod,
@@ -6034,6 +6130,69 @@ object SparkEntry {
 
     // The streaming compaction converges to the batch snapshot: q77's
     // oracle verbatim.
-    "q205_stream_cdc" -> cdcSnapshotOracle
+    "q205_stream_cdc" -> cdcSnapshotOracle,
+
+    // Same global 4-round replay as q128, joined to per-(lang, word)
+    // frequencies; milli ratios with cleared integer division.
+    "q206_tokenizer_fertility" ->
+      s"""$bpeReplayPrefix,
+         |tok AS (SELECT word,
+         |          CAST(len(string_split(trim(repr), '  ')) AS BIGINT) AS n_tok
+         |        FROM r4),
+         |lw AS (SELECT lang, w AS word, count(*) AS freq
+         |       FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+         |             FROM documents)
+         |       WHERE len(w) > 0 GROUP BY lang, w)
+         |SELECT lang, CAST(sum(freq) AS BIGINT) AS n_words,
+         |       CAST(sum(freq * n_tok) AS BIGINT) AS n_tokens,
+         |       CAST((sum(freq * len(word)) * 1000) // sum(freq * n_tok)
+         |            AS BIGINT) AS chars_per_token_milli,
+         |       CAST((sum(freq * n_tok) * 1000) // sum(freq)
+         |            AS BIGINT) AS tokens_per_word_milli
+         |FROM lw JOIN tok USING (word)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // The relational form of the per-user count-map report (the gate
+    // checks Spark's map semantics, not a DuckDB MAP dialect).
+    "q207_map_surface" ->
+      """SELECT user_id, count(*) AS n_types,
+        |       CAST(sum(CASE WHEN event_type = 'view' THEN n END) AS BIGINT) AS views,
+        |       CAST(sum(CASE WHEN n >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+        |       CAST(sum(n) AS BIGINT) AS total
+        |FROM (SELECT user_id, event_type, count(*) AS n
+        |      FROM events GROUP BY 1, 2)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Relational mirror of the array set algebra: UNION / JOIN /
+    // ANTI JOIN over the distinct (user, type) pairs each side of the cut.
+    "q208_array_setops" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts FROM events),
+        |cut AS (SELECT min(ts) + (max(ts) - min(ts)) // 5 AS cut FROM ev),
+        |a AS (SELECT DISTINCT user_id, event_type
+        |      FROM ev CROSS JOIN cut WHERE ts < cut),
+        |b AS (SELECT DISTINCT user_id, event_type
+        |      FROM ev CROSS JOIN cut WHERE ts >= cut),
+        |u AS (SELECT user_id, count(DISTINCT event_type) AS n_union
+        |      FROM (SELECT * FROM a UNION SELECT * FROM b) GROUP BY user_id),
+        |i AS (SELECT a.user_id, count(*) AS n_inter,
+        |             string_agg(a.event_type, ',' ORDER BY a.event_type) AS inter_csv
+        |      FROM a JOIN b USING (user_id, event_type) GROUP BY a.user_id),
+        |x AS (SELECT b.user_id, count(*) AS n_new
+        |      FROM b ANTI JOIN a USING (user_id, event_type) GROUP BY b.user_id)
+        |SELECT user_id, n_union,
+        |       coalesce(n_inter, 0) AS n_inter,
+        |       coalesce(n_new, 0) AS n_new,
+        |       coalesce(inter_csv, '') AS inter_csv
+        |FROM u LEFT JOIN i USING (user_id) LEFT JOIN x USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    // The transformWithState running counts converge to batch HAVING at
+    // the N-relative threshold (q98's ceil form).
+    "q209_stream_heavy" ->
+      """WITH n AS (SELECT count(*) AS c FROM events)
+        |SELECT user_id AS k, count(*) AS freq FROM events
+        |GROUP BY user_id
+        |HAVING count(*) >= (3 * (SELECT c FROM n) + 399) // 400
+        |ORDER BY k""".stripMargin
   )
 }

@@ -50,9 +50,14 @@ object AffinityOps {
       .groupBy(col("a.item").as("item_i"), col("b.item").as("item_j"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minSupport)
+    // NO broadcast hint on the support joins: support's cardinality is the
+    // ITEM DOMAIN, which grows with the catalog — at 100× data the forced
+    // broadcast OOM'd an 8 GiB driver (SCALECHECK 100× campaign) while
+    // buying nothing at small scale (AQE broadcasts a small support on its
+    // own). Only the 1-row basket count is hint-broadcast.
     pairs
-      .join(broadcast(support.select(col("item").as("item_i"), col("n_i").as("n_a"))), Seq("item_i"))
-      .join(broadcast(support.select(col("item").as("item_j"), col("n_i").as("n_b"))), Seq("item_j"))
+      .join(support.select(col("item").as("item_i"), col("n_i").as("n_a")), Seq("item_i"))
+      .join(support.select(col("item").as("item_j"), col("n_i").as("n_b")), Seq("item_j"))
       .crossJoin(broadcast(nBaskets))
       .select(col("item_i"), col("item_j"), col("n_ab"),
         expr("(n_ab * n_baskets * 1000000) div (n_a * n_b)").as("lift_micro"))

@@ -78,16 +78,22 @@ object GraphOps {
       (row_number().over(Window.partitionBy(col(tileCol)).orderBy(col(idCol))) - 1).cast("int"))
 
   /** J1: re-key edge endpoints from external ids to node indices via two
-    * broadcast equi-joins; unmatched endpoints are dropped (reference
+    * equi-joins; unmatched endpoints are dropped (reference
     * graph_construction.py:250-255 `dropna`). `nodeIdx` must have columns
-    * (idCol, node_idx). */
+    * (idCol, node_idx).
+    *
+    * No broadcast HINT: the id map's cardinality is the NODE DOMAIN, which
+    * grows with the graph (the q162 growing-broadcast lesson) — per-tile
+    * maps are small and AQE broadcasts them on its own; a planetary
+    * whole-graph rekey becomes a shuffle join keyed on node id, which is
+    * the only shape that survives. */
   def rekeyEdges(edges: DataFrame, nodeIdx: DataFrame,
                  idCol: String = "osm_node_id"): DataFrame = {
     val dim = nodeIdx.select(col(idCol), col("node_idx"))
     edges
-      .join(broadcast(dim.withColumnRenamed(idCol, "u_id").withColumnRenamed("node_idx", "u_idx")),
+      .join(dim.withColumnRenamed(idCol, "u_id").withColumnRenamed("node_idx", "u_idx"),
         col("u") === col("u_id"), "inner")
-      .join(broadcast(dim.withColumnRenamed(idCol, "v_id").withColumnRenamed("node_idx", "v_idx")),
+      .join(dim.withColumnRenamed(idCol, "v_id").withColumnRenamed("node_idx", "v_idx"),
         col("v") === col("v_id"), "inner")
       .drop("u", "v", "u_id", "v_id")
       .withColumnRenamed("u_idx", "u")

@@ -733,9 +733,13 @@ object TextOps {
     val nBi = pc.filter(col("nxt").isNotNull).agg(sum("c").as("n_bi"))
     val bi = pc.filter(col("nxt").isNotNull).filter(col("c") >= minCount)
       .select(col("t").as("w1"), col("nxt").as("w2"), col("c").as("cxy"))
+    // scalar totals are hint-broadcast; the UNIGRAM joins are not — uni is
+    // the full vocabulary, which grows with the corpus (Heaps' law organic,
+    // linearly under ScaleBench's injective rewrite), the q162 growing-
+    // broadcast lesson. AQE still broadcasts a small vocab on its own.
     bi.crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
-      .join(broadcast(uni.withColumnRenamed("t", "w1").withColumnRenamed("c", "cx")), "w1")
-      .join(broadcast(uni.withColumnRenamed("t", "w2").withColumnRenamed("c", "cy")), "w2")
+      .join(uni.withColumnRenamed("t", "w1").withColumnRenamed("c", "cx"), "w1")
+      .join(uni.withColumnRenamed("t", "w2").withColumnRenamed("c", "cy"), "w2")
       .withColumn("num", dec(col("cxy")) * dec(col("n_uni")) * dec(col("n_uni")) *
         dec(lit(1000000L)))
       .withColumn("den", dec(col("n_bi")) * dec(col("cx")) * dec(col("cy")))

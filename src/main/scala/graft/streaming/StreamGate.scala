@@ -62,15 +62,19 @@ object StreamGate {
   private def runMerged(spark: SparkSession, events: DataFrame, work: String,
                         op: DataFrame => DataFrame, keys: Seq[String],
                         outputMode: String, sentinel: Boolean,
-                        orderCols: Seq[String] = Seq("ts", "event_id")): DataFrame = {
+                        orderCols: Seq[String] = Seq("ts", "event_id"),
+                        seed: Option[DataFrame] = None): DataFrame = {
     val in = s"$work/in"
     stageChunks(events, nChunks = 4, in, sentinel, orderCols)
     val staged = spark.read.parquet(in)
     val stream = spark.readStream.schema(staged.schema)
       .option("maxFilesPerTrigger", 1).parquet(in)
-    // empty frame with the op's exact output schema (batch-equivalence
-    // path of the same operator) seeds the MERGE fold
-    var state = op(staged.limit(0)).localCheckpoint()
+    // empty frame with the op's exact output schema seeds the MERGE fold —
+    // derived by running the op on an empty BATCH frame (the batch-
+    // equivalence path), except for ops that cannot run in batch mode at
+    // all (transformWithState needs the StateStoreCoordinator that only a
+    // streaming query creates) — those pass the empty frame explicitly
+    var state = seed.getOrElse(op(staged.limit(0))).localCheckpoint()
     val q = op(stream).writeStream
       .option("checkpointLocation", s"$work/ckpt")
       .outputMode(outputMode)
@@ -140,5 +144,32 @@ object StreamGate {
       orderCols = Seq("ts_us", "id"))
       .filter(col("op") =!= "d")
       .select(col("user_id"), col("id"), col("ts_us"), col("state_cents"))
+  }
+
+  /** GATE: [[StreamOps.heavyHittersTws]] (Spark 4 transformWithState,
+    * RocksDB-backed running counts) through the update-mode MERGE sink.
+    * Every batch re-emits each ≥ minFreq key's running count; the MERGE
+    * keeps the latest, so the converged sink is exactly the batch
+    * `HAVING count(*) >= minFreq` set with final counts. The RocksDB
+    * provider conf is scoped to this run and restored after (the API
+    * requires that backing store; the session default elsewhere is the
+    * HDFS-backed store). */
+  def heavyGate(spark: SparkSession, events: DataFrame, work: String,
+                minFreq: Long): DataFrame = {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      runMerged(spark, events, work,
+        df => StreamOps.heavyHittersTws(
+          df.select(col("user_id")).as[Long], minFreq).toDF(),
+        keys = Seq("k"), outputMode = "update", sentinel = false,
+        seed = Some(spark.emptyDataset[KeyCount].toDF()))
+    } finally old match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
   }
 }

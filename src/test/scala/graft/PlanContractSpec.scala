@@ -55,7 +55,8 @@ class PlanContractSpec extends SparkSpec {
     "q42_embed_neardup",             // fixed hyperplane table broadcast (8 rows)
     "q90_profile",                   // 1-row basic-aggs × 1-row distinct-aggs
     "q202_ks_test",                  // (n_a, n_b) 1-row totals broadcast
-    "q203_gini_sources")             // (n, S) 1-row totals broadcast
+    "q203_gini_sources",             // (n, S) 1-row totals broadcast
+    "q208_array_setops")             // 1-row time-cut scalar broadcast
 
   /** q38's brute-force fallback joins the (empty-whenever-the-grid-
     * decides) unresolved-points frame against nodes — the initial plan
