@@ -241,7 +241,14 @@ object ScaleBench {
     // tokenizer fertility (vocabulary-bound encode + per-lang aggregate),
     // map/array surface reports, and the transformWithState streaming gate
     "q206_tokenizer_fertility", "q207_map_surface", "q208_array_setops",
-    "q209_stream_heavy")
+    "q209_stream_heavy",
+    // collation grouping (a lower()-class scan agg), near-dup cluster
+    // canonicalization (the q71 component machinery + one golden-record
+    // agg), ROUGE-2 counted-gram join, JSD drift (vocabulary-domain
+    // arithmetic), and the bucketed co-located join (write cost scales
+    // with data; the join itself is exchange-free by bucket layout)
+    "q210_collation", "q211_neardup_canon", "q212_rouge_overlap",
+    "q213_jsd_drift", "q214_bucketed_join", "q215_partition_prune")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

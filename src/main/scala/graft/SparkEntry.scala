@@ -2816,6 +2816,165 @@ object SparkEntry {
       val minFreq = (3 * ev.count() + 399) / 400
       streaming.StreamGate.heavyGate(s, ev, rtPath("q209_stream"), minFreq)
         .orderBy("k")
+    }),
+
+    // Spark 4 collation surface: case-mangled part names grouped under
+    // UTF8_LCASE — COLLATION EQUALITY drives the grouping (not a lower()
+    // rewrite on the engine side); the oracle is the lower()-normalized
+    // relational twin, which coincides for the ASCII name domain. The
+    // group key is re-exposed as CAST(lower(k) AS STRING) because the
+    // collated representative Spark keeps per group is whichever variant
+    // a partition saw first — nondeterministic across runs by contract.
+    "q210_collation" -> ((s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"),
+        when(col("p_partkey") % 3 === 0, upper(col("p_name")))
+          .otherwise(col("p_name")).as("name"))
+      p.groupBy(expr("collate(name, 'UTF8_LCASE')").as("k"))
+        .agg(count(lit(1)).as("n_parts"),
+          countDistinct(col("name")).as("n_variants"),
+          min("name").as("first_variant"))
+        .select(expr("CAST(lower(k) AS STRING)").as("name_lc"),
+          col("n_parts"), col("n_variants"), col("first_variant"))
+        .orderBy("name_lc")
+    }),
+
+    // Near-dup cluster CANONICALIZATION — the "keep one" decision that
+    // turns q71's component ids into an actual dedup action: per cluster,
+    // keep the member with the most characters (ties → larger doc_id, via
+    // one lexicographic struct max — no per-cluster sort), report the
+    // drop count and the full member list. The production form of
+    // CorpusPipeline's LSH-drop stage, here oracle-gated end to end
+    // (LSH candidates → verified pairs → components → golden record).
+    "q211_neardup_canon" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sh = TextOps.shingleTable(docs, "doc_id").cache()
+      val pairs = Materialize.thenRelease(
+        TextOps.jaccardVerify(
+          TextOps.minhashCandidates(sh, "doc_id"), sh, "doc_id",
+          threshold = 0.5),
+        sh)
+      GraphOps.connectedComponents(pairs.select("id1", "id2"))
+        .join(docs.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("n_chars"), col("id"))).as("best"),
+          sort_array(collect_list(col("id"))).as("members"))
+        .select(col("component"), col("n_members"),
+          col("best.id").as("keep_id"), col("best.n_chars").as("keep_chars"),
+          (col("n_members") - 1).as("n_dropped"),
+          expr("array_join(transform(members, x -> CAST(x AS STRING)), ',')")
+            .as("members_csv"))
+        .orderBy("component")
+    }),
+
+    // ROUGE-2 overlap eval between adjacent doc pairs (2k as reference,
+    // 2k+1 as candidate): multiset bigram intersection Σ min(ca, cb) via a
+    // counted gram equi-join — never a per-pair array materialization —
+    // with precision/recall/F1 as exact integer milli ratios. The
+    // n-gram-overlap eval every summarization/dedup pipeline scores with;
+    // at scale the join is bounded by shared-gram volume, not pair count.
+    "q212_rouge_overlap" -> ((s, dir) => {
+      val w = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+      val grams = w.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
+        .as("g"))
+      val cnt = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // one gram pass feeds both pair sides
+      val a = cnt.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("pair_id"), col("g"), col("c").as("ca"))
+      val b = cnt.filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") - 1).as("pair_id"), col("g"), col("c").as("cb"))
+      val inter = a.join(b, Seq("pair_id", "g"))
+        .groupBy("pair_id").agg(sum(least(col("ca"), col("cb"))).as("inter"))
+      val tots = cnt.groupBy("doc_id").agg(sum(col("c")).as("n"))
+      val na = tots.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("pair_id"), col("n").as("na"))
+      val nb = tots.filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") - 1).as("pair_id"), col("n").as("nb"))
+      na.join(nb, Seq("pair_id"))
+        .join(inter, Seq("pair_id"), "left")
+        .select(col("pair_id"), coalesce(col("inter"), lit(0L)).as("inter"),
+          col("na"), col("nb"))
+        .select(col("pair_id"), col("inter"), col("na"), col("nb"),
+          expr("(inter * 1000) div nb").as("p_milli"),
+          expr("(inter * 1000) div na").as("r_milli"),
+          expr("(inter * 2000) div (na + nb)").as("f1_milli"))
+        .orderBy("pair_id")
+    }),
+
+    // Jensen-Shannon divergence between the two corpus halves' unigram
+    // distributions (q188's chi² companion: bounded, symmetric, the
+    // standard corpus-drift metric). Per-term contributions are rounded
+    // to integer MICRO-nats before summing — float summation order can
+    // then never affect the result — and the ln/÷ chain is mirrored
+    // op-for-op in the oracle (same IEEE arithmetic on both engines).
+    "q213_jsd_drift" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select((col("doc_id") % 2 === 0).as("old_half"),
+          explode(split(col("text"), " ")).as("term"))
+      val counts = toks.groupBy("term").agg(
+        sum(when(col("old_half"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("old_half"), 1L).otherwise(0L)).as("cb"))
+        .localCheckpoint() // feeds the totals AND the scored rows
+      val tot = counts.agg(sum("ca").as("na"), sum("cb").as("nb"))
+      counts.filter(col("ca") + col("cb") >= 40)
+        .crossJoin(broadcast(tot))
+        .withColumn("p", col("ca").cast("double") / col("na").cast("double"))
+        .withColumn("q", col("cb").cast("double") / col("nb").cast("double"))
+        .withColumn("m", (col("p") + col("q")) / lit(2.0d))
+        .withColumn("contrib",
+          when(col("ca") > 0, col("p") * log(col("p") / col("m")) * lit(0.5d))
+            .otherwise(lit(0.0d)) +
+          when(col("cb") > 0, col("q") * log(col("q") / col("m")) * lit(0.5d))
+            .otherwise(lit(0.0d)))
+        .select(col("term"), col("ca"), col("cb"),
+          floor(col("contrib") * lit(1000000.0d) + lit(0.5d)).as("jsd_micro"))
+        .orderBy(col("jsd_micro").desc, col("term"))
+        .limit(30)
+    }),
+
+    // Bucketed-table co-located join: orders and customer written with
+    // bucketBy(8, custkey) + sortBy, then joined — the bucketing metadata
+    // makes the sort-merge join SHUFFLE-FREE on both sides (asserted in
+    // PlanContractSpec with broadcast disabled), the storage-level answer
+    // to "pre-partition the big fact join" that salting/AQE can't give.
+    // Cents-integer price sum (q03's device) keeps the total exact.
+    "q214_bucketed_join" -> ((s, dir) => {
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val ot = s"q214_orders_$tag"
+      val ct = s"q214_cust_$tag"
+      t(s, dir, "orders").write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", rtPath("q214_o")).saveAsTable(ot)
+      t(s, dir, "customer").write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", rtPath("q214_c")).saveAsTable(ct)
+      val o = s.table(ot)
+      val c = s.table(ct)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(round(col("o_totalprice") * 100)) / 100).as("sum_price"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Hive-style partitioned layout + partition PRUNING: documents written
+    // partitionBy(lang), then a lang-filtered aggregate — the filter must
+    // resolve at the DIRECTORY level (PartitionFilters in the scan, see
+    // PlanContractSpec), never by reading and discarding rows. At 100 TB
+    // this is the difference between listing one directory and scanning
+    // the corpus; the oracle is the same aggregate over the unpartitioned
+    // table.
+    "q215_partition_prune" -> ((s, dir) => {
+      val path = rtPath("q215_part")
+      t(s, dir, "documents").write.mode("overwrite")
+        .partitionBy("lang").parquet(path)
+      s.read.parquet(path).filter(col("lang") === "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("source")
     })
   )
 
@@ -6193,6 +6352,118 @@ object SparkEntry {
         |SELECT user_id AS k, count(*) AS freq FROM events
         |GROUP BY user_id
         |HAVING count(*) >= (3 * (SELECT c FROM n) + 399) // 400
-        |ORDER BY k""".stripMargin
+        |ORDER BY k""".stripMargin,
+
+    // lower()-normalized twin of the UTF8_LCASE collation grouping
+    // (coincident on the ASCII name domain).
+    "q210_collation" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN p_partkey % 3 = 0 THEN upper(p_name)
+        |              ELSE p_name END AS name
+        |  FROM part)
+        |SELECT lower(name) AS name_lc, count(*) AS n_parts,
+        |       count(DISTINCT name) AS n_variants, min(name) AS first_variant
+        |FROM m GROUP BY lower(name) ORDER BY name_lc""".stripMargin,
+
+    // q71's recursive component closure extended to the golden-record
+    // pick: rank members by (n_chars, id) DESC per component.
+    "q211_neardup_canon" ->
+      s"""WITH RECURSIVE $minhashCandSql,
+         |vp AS (
+         |  SELECT id1, id2
+         |  FROM cand JOIN sh s1 ON s1.doc_id = id1 JOIN sh s2 ON s2.doc_id = id2
+         |  WHERE len(list_intersect(s1.sh, s2.sh)) / len(list_distinct(list_concat(s1.sh, s2.sh))) >= 0.5),
+         |sym AS (SELECT id1 AS a, id2 AS b FROM vp UNION SELECT id2, id1 FROM vp),
+         |reach(a, b) AS (
+         |  SELECT a, a FROM sym GROUP BY a
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b),
+         |comp AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY a),
+         |m AS (SELECT c.component, c.id, d.n_chars
+         |      FROM comp c JOIN documents d ON d.doc_id = c.id),
+         |best AS (SELECT component, id AS keep_id, n_chars AS keep_chars,
+         |                row_number() OVER (PARTITION BY component
+         |                  ORDER BY n_chars DESC, id DESC) AS rn
+         |         FROM m),
+         |agg AS (SELECT component, count(*) AS n_members,
+         |               string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members_csv
+         |        FROM m GROUP BY component)
+         |SELECT a.component, a.n_members, b.keep_id, b.keep_chars,
+         |       a.n_members - 1 AS n_dropped, a.members_csv
+         |FROM agg a JOIN best b ON b.component = a.component AND b.rn = 1
+         |ORDER BY a.component""".stripMargin,
+
+    // Counted-bigram multiset intersection per adjacent pair; same
+    // integer milli ratios.
+    "q212_rouge_overlap" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |g AS (SELECT doc_id,
+        |             unnest(list_transform(generate_series(1, len(w) - 1),
+        |               i -> w[i] || ' ' || w[i + 1])) AS g
+        |      FROM w),
+        |cnt AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+        |tots AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS pair_id, CAST(sum(least(a.c, b.c)) AS BIGINT) AS inter
+        |  FROM cnt a JOIN cnt b ON b.g = a.g AND b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 2 = 0 GROUP BY a.doc_id),
+        |pairs AS (
+        |  SELECT na.doc_id AS pair_id, na.n AS na, nb.n AS nb
+        |  FROM tots na JOIN tots nb ON nb.doc_id = na.doc_id + 1
+        |  WHERE na.doc_id % 2 = 0)
+        |SELECT p.pair_id, coalesce(i.inter, 0) AS inter, p.na, p.nb,
+        |       (coalesce(i.inter, 0) * 1000) // p.nb AS p_milli,
+        |       (coalesce(i.inter, 0) * 1000) // p.na AS r_milli,
+        |       (coalesce(i.inter, 0) * 2000) // (p.na + p.nb) AS f1_milli
+        |FROM pairs p LEFT JOIN inter i ON i.pair_id = p.pair_id
+        |ORDER BY p.pair_id""".stripMargin,
+
+    // Op-for-op mirror of the JSD chain: same p/q/m doubles, same
+    // p * ln(p/m) * 0.5 association, same floor(x·1e6 + 0.5) micro round.
+    "q213_jsd_drift" ->
+      """WITH toks AS (
+        |  SELECT doc_id % 2 = 0 AS old_half,
+        |         unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |counts AS (
+        |  SELECT term,
+        |         CAST(sum(CASE WHEN old_half THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |         CAST(sum(CASE WHEN old_half THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM toks GROUP BY term),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |               CAST(sum(cb) AS BIGINT) AS nb FROM counts),
+        |scored AS (
+        |  SELECT term, ca, cb,
+        |         CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) AS p,
+        |         CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) AS q
+        |  FROM counts CROSS JOIN tot WHERE ca + cb >= 40),
+        |c AS (
+        |  SELECT term, ca, cb, p, q, (p + q) / 2.0 AS m FROM scored),
+        |jsd AS (
+        |  SELECT term, ca, cb,
+        |         (CASE WHEN ca > 0 THEN p * ln(p / m) * 0.5 ELSE 0.0 END) +
+        |         (CASE WHEN cb > 0 THEN q * ln(q / m) * 0.5 ELSE 0.0 END) AS contrib
+        |  FROM c)
+        |SELECT term, ca, cb,
+        |       CAST(floor(contrib * 1000000.0 + 0.5) AS BIGINT) AS jsd_micro
+        |FROM jsd ORDER BY jsd_micro DESC, term LIMIT 30""".stripMargin,
+
+    // The bucketed tables hold exactly the source rows, so the oracle is
+    // the plain join (bucket layout is a physical property, not a result).
+    "q214_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       sum(round(o_totalprice * 100)) / 100 AS sum_price
+        |FROM orders JOIN customer ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // Partition layout is physical; the answer is the plain filtered
+    // aggregate.
+    "q215_partition_prune" ->
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin
   )
 }

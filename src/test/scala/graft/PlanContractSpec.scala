@@ -45,6 +45,7 @@ class PlanContractSpec extends SparkSpec {
     "q183_countmin",
     "q185_calibration",         // n_total scalar
     "q187_split_overlap", "q188_vocab_drift",
+    "q213_jsd_drift",           // (na, nb) 1-row totals broadcast (q188's class)
     "q79_bigram_lm", "q83_length_report", "q85_vocab_report",
     "q168_mixture_rates", "q169_dataset_card",
     // round-8 full-coverage additions (each the same 1-row/tiny
@@ -74,5 +75,48 @@ class PlanContractSpec extends SparkSpec {
         (if (bnlj) Seq(s"$name: unexpected BroadcastNestedLoopJoin") else Nil)
     }
     assert(failures.isEmpty, s"plan contract violations:\n${failures.mkString("\n")}")
+  }
+
+  test("bucketed tables join exchange-free (q214's layout contract)") {
+    // Broadcast disabled so the contract actually exercises the bucketed
+    // sort-merge path — with broadcast on, a small side would hide a
+    // missing bucket layout behind a BroadcastHashJoin.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val dir = sfDir
+      val base = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+      def tbl(name: String, src: String, key: String): Unit =
+        spark.read.parquet(s"$dir/$src.parquet").write.mode("overwrite")
+          .bucketBy(8, key).sortBy(key)
+          .option("path", s"$base/$name").saveAsTable(name)
+      tbl("bucket_spec_orders", "orders", "o_custkey")
+      tbl("bucket_spec_cust", "customer", "c_custkey")
+      val o = spark.table("bucket_spec_orders")
+      val c = spark.table("bucket_spec_cust")
+      val plan = o.join(c, o("o_custkey") === c("c_custkey"))
+        .queryExecution.executedPlan.toString()
+      assert(plan.contains("SortMergeJoin"), s"expected SortMergeJoin:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bucket_spec_orders")
+      spark.sql("DROP TABLE IF EXISTS bucket_spec_cust")
+    }
+  }
+
+  test("partitioned layout prunes at the directory level (q215's contract)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-part").toString
+    spark.read.parquet(s"$sfDir/documents.parquet").write
+      .mode("overwrite").partitionBy("lang").parquet(base)
+    val plan = spark.read.parquet(base)
+      .filter(org.apache.spark.sql.functions.col("lang") === "en")
+      .select("source", "n_chars")
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("lang"),
+      s"lang filter must land in PartitionFilters (directory prune):\n$plan")
   }
 }
