@@ -248,7 +248,10 @@ object ScaleBench {
     // arithmetic), and the bucketed co-located join (write cost scales
     // with data; the join itself is exchange-free by bucket layout)
     "q210_collation", "q211_neardup_canon", "q212_rouge_overlap",
-    "q213_jsd_drift", "q214_bucketed_join", "q215_partition_prune")
+    "q213_jsd_drift", "q214_bucketed_join", "q215_partition_prune",
+    // stream-stream interval join gate (arrival simulation counted
+    // honestly in the ratio, like q194/q195)
+    "q216_stream_join")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

@@ -2975,6 +2975,18 @@ object SparkEntry {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
         .orderBy("source")
+    }),
+
+    // FIFTH streaming gate: the stream-stream interval join (purchase →
+    // view attribution, watermark-bounded state on both sides) through
+    // the MERGE sink — the last major Structured Streaming join shape
+    // promoted from spec-only batch equivalence to a DuckDB oracle row.
+    "q216_stream_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"),
+        expr("timestamp_micros(ts div 1000)").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      streaming.StreamGate.attrGate(s, ev, rtPath("q216_stream"))
+        .orderBy("purchase_id", "view_id")
     })
   )
 
@@ -6464,6 +6476,21 @@ object SparkEntry {
       """SELECT source, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang = 'en'
-        |GROUP BY source ORDER BY source""".stripMargin
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // The converged stream-stream join sink equals the bounded interval
+    // join: views within 4 hours before their user's purchase.
+    "q216_stream_join" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id,
+        |                  epoch_us(ts) AS p_us,
+        |                  CAST(round(value * 100) AS BIGINT) AS purchase_cents
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS v_us
+        |      FROM events WHERE event_type = 'view')
+        |SELECT p.purchase_id, p.user_id, p.p_us, v.view_id, v.v_us,
+        |       p.purchase_cents
+        |FROM p JOIN v ON v.user_id = p.user_id
+        | AND v.v_us <= p.p_us AND v.v_us >= p.p_us - 14400000000
+        |ORDER BY p.purchase_id, v.view_id""".stripMargin
   )
 }

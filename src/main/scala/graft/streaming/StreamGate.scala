@@ -172,4 +172,28 @@ object StreamGate {
       case None => spark.conf.unset(providerKey)
     }
   }
+
+  /** GATE: [[StreamOps.attributionJoin]] — the watermark-bounded
+    * stream-stream interval join — through the append-mode MERGE sink.
+    * One staged file-source stream is filtered into both sides
+    * (purchases, views), so each micro-batch advances both watermarks in
+    * lockstep; inner-join rows emit as soon as they match, so no sentinel
+    * is needed, and (purchase_id, view_id) is a unique MERGE key because
+    * event ids are unique. The converged sink must equal the bounded
+    * interval join of the same inputs — the oracle's relational form. */
+  def attrGate(spark: SparkSession, events: DataFrame, work: String): DataFrame =
+    runMerged(spark, events, work,
+      df => StreamOps.attributionJoin(
+        df.filter(col("event_type") === "purchase"),
+        df.filter(col("event_type") === "view"),
+        // 4 h lookback: the gate corpus is a sparse 30-day stream, and the
+        // default 15 min yields a 9-row result — too thin to exercise the
+        // join state across micro-batch boundaries
+        lookback = "4 hours"),
+      keys = Seq("purchase_id", "view_id"), outputMode = "append",
+      sentinel = false)
+      .select(col("purchase_id"), col("user_id"),
+        expr("unix_micros(p_ts)").as("p_us"),
+        col("view_id"), expr("unix_micros(v_ts)").as("v_us"),
+        col("purchase_cents"))
 }
