@@ -250,8 +250,9 @@ object ScaleBench {
     "q210_collation", "q211_neardup_canon", "q212_rouge_overlap",
     "q213_jsd_drift", "q214_bucketed_join", "q215_partition_prune",
     // stream-stream interval join gate (arrival simulation counted
-    // honestly in the ratio, like q194/q195)
-    "q216_stream_join")
+    // honestly in the ratio, like q194/q195) and the BPE round-trip
+    // invariant (vocabulary-bound, like q97/q128)
+    "q216_stream_join", "q217_bpe_roundtrip")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

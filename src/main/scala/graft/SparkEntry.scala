@@ -2987,6 +2987,30 @@ object SparkEntry {
         col("user_id"), col("event_type"), col("value"))
       streaming.StreamGate.attrGate(s, ev, rtPath("q216_stream"))
         .orderBy("purchase_id", "view_id")
+    }),
+
+    // Tokenizer LOSSLESSNESS: BPE-encode every distinct word, detokenize
+    // by plain concatenation, and report how many words survive the round
+    // trip (all of them must — BPE merges never drop characters). The
+    // oracle replays the identical 4 merge rounds in SQL, so a drifted
+    // merge table or a symbol-splitting bug breaks n_exact, not just
+    // token counts. Complements q206 (fertility) and q128 (encode).
+    "q217_bpe_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val mergeTable = Bpe.merges(docs, rounds = 4)
+        .orderBy("round").select("left", "right")
+        .as[(String, String)].collect().toSeq
+      val words = docs.select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0).distinct()
+      Bpe.encode(words, mergeTable)
+        .select(col("word"), concat_ws("", col("tokens")).as("detok"),
+          size(col("tokens")).cast("long").as("n_tok"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(when(col("detok") === col("word"), 1L).otherwise(0L))
+            .as("n_exact"),
+          sum("n_tok").as("n_tokens"),
+          max("n_tok").as("max_tokens_per_word"))
     })
   )
 
@@ -6491,6 +6515,17 @@ object SparkEntry {
         |       p.purchase_cents
         |FROM p JOIN v ON v.user_id = p.user_id
         | AND v.v_us <= p.p_us AND v.v_us >= p.p_us - 14400000000
-        |ORDER BY p.purchase_id, v.view_id""".stripMargin
+        |ORDER BY p.purchase_id, v.view_id""".stripMargin,
+
+    // Replay the same 4 merge rounds, detokenize by concatenation.
+    "q217_bpe_roundtrip" ->
+      s"""$bpeReplayPrefix,
+         |tok AS (SELECT word, string_split(trim(repr), '  ') AS toks FROM r4)
+         |SELECT count(*) AS n_words,
+         |       CAST(sum(CASE WHEN array_to_string(toks, '') = word
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+         |       CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+         |       CAST(max(len(toks)) AS BIGINT) AS max_tokens_per_word
+         |FROM tok""".stripMargin
   )
 }
