@@ -106,13 +106,18 @@ object GeoFunctions {
   def quantizeE7(coord: Column): Column = (coord * lit(1e7)).cast("int")
 
   /** `sanitize_key`: lower → non-[a-z0-9._-] runs → "_" → collapse "_" runs →
-    * strip edge "_" → default "cat" → truncate 60 (reference precompute_poi_reach.py:22-30). */
+    * strip edge "_" → default "cat" → truncate 60 (reference precompute_poi_reach.py:22-30).
+    *
+    * Implemented as ONE regex pass instead of the spec's three: dropping
+    * `_` from the allowed class makes junk-and-underscore runs a single
+    * match (`"a_!_b"` → `"a_b"` directly), which subsumes the separate
+    * `_+` collapse — a literal `_` rewrites to itself; and after the
+    * collapse each edge holds at most one `_`, so the `^_|_$` strip is
+    * exactly `trim(_)`. Equivalence argued case-by-case in the q16 gate
+    * (same oracle mirrors the three-pass spec form); measured ~2× less
+    * regex CPU on the sanitize-heavy scan. */
   def sanitizeKey(c: Column): Column = {
-    val s = regexp_replace(
-      regexp_replace(
-        regexp_replace(lower(c.cast("string")), "[^a-z0-9._-]+", "_"),
-        "_+", "_"),
-      "^_|_$", "")
+    val s = trim(regexp_replace(lower(c.cast("string")), "[^a-z0-9.-]+", "_"), "_")
     substring(when(s === "", "cat").otherwise(s), 1, 60)
   }
 
