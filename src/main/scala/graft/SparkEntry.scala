@@ -3011,6 +3011,36 @@ object SparkEntry {
             .as("n_exact"),
           sum("n_tok").as("n_tokens"),
           max("n_tok").as("max_tokens_per_word"))
+    }),
+
+    // SIXTH streaming gate: dropDuplicatesWithinWatermark (Spark 4's
+    // bounded-state exactly-once repair) over a feed with planted
+    // duplicate deliveries (every 7th event arrives twice) — the
+    // converged sink must equal the distinct event set. Elevates
+    // streaming dedup from spec-only batch equivalence to an oracle row.
+    "q218_stream_dedup" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"),
+        expr("timestamp_micros(ts div 1000)").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      val feed = ev.unionAll(ev.filter(col("event_id") % 7 === 0))
+      streaming.StreamGate.dedupGate(s, feed, rtPath("q218_stream"))
+        .orderBy("event_id")
+    }),
+
+    // Matryoshka-style dimension ablation: the exact top-10 cosine
+    // ranking at the full 64 dims vs the same ranking on the first 32
+    // dims, scored with the q165 recall@k/reciprocal-rank machinery —
+    // the "how much retrieval quality does a cheaper prefix embedding
+    // keep" report an embedding-storage decision needs.
+    "q219_mrl_ablation" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      def half(df: DataFrame): DataFrame =
+        df.withColumn("embedding", slice(col("embedding"), 1, 32))
+      val q = e.filter(col("vec_id") < 5)
+      SimilarityOps.annRecall(
+          SimilarityOps.bruteTopK(e, q, 10),
+          SimilarityOps.bruteTopK(half(e), half(q), 10), k = 10)
+        .orderBy("qid")
     })
   )
 
@@ -6526,6 +6556,44 @@ object SparkEntry {
          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
          |       CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
          |       CAST(max(len(toks)) AS BIGINT) AS max_tokens_per_word
-         |FROM tok""".stripMargin
+         |FROM tok""".stripMargin,
+
+    // The planted duplicate deliveries collapse back to the distinct
+    // event set.
+    "q218_stream_dedup" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+        |       CAST(round(value * 100) AS BIGINT) AS cents
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // Same q165 scoring tail; the approximate side is the exact ranking
+    // over the 32-dim embedding prefix.
+    "q219_mrl_ablation" ->
+      s"""WITH q AS (SELECT vec_id AS qid, ${LlmSql.qvec("embedding")} AS qq,
+         |                  ${LlmSql.qvec("embedding[1:32]")} AS qh
+         |           FROM embeddings WHERE vec_id < 5),
+         |v AS (SELECT vec_id, ${LlmSql.qvec("embedding")} AS qv,
+         |             ${LlmSql.qvec("embedding[1:32]")} AS vh
+         |      FROM embeddings),
+         |ex AS (SELECT qid, vec_id, rank FROM (
+         |         SELECT qid, vec_id,
+         |                row_number() OVER (PARTITION BY qid
+         |                  ORDER BY ${LlmSql.cos("qq", "qv")} DESC, vec_id) AS rank
+         |         FROM q CROSS JOIN v WHERE qid <> vec_id) WHERE rank <= 10),
+         |ap AS (SELECT qid, vec_id, rank FROM (
+         |         SELECT qid, vec_id,
+         |                row_number() OVER (PARTITION BY qid
+         |                  ORDER BY ${LlmSql.cos("qh", "vh")} DESC, vec_id) AS rank
+         |         FROM q CROSS JOIN v WHERE qid <> vec_id) WHERE rank <= 10),
+         |hits AS (SELECT ex.qid AS qid, count(*) AS n_hits,
+         |                min(CASE WHEN ex.rank = 1 THEN ap.rank END) AS rr_rank
+         |         FROM ex JOIN ap ON ex.qid = ap.qid AND ex.vec_id = ap.vec_id
+         |         GROUP BY ex.qid)
+         |SELECT q.qid AS qid,
+         |       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |       CAST((COALESCE(h.n_hits, 0) * 1000000) // 10 AS BIGINT) AS recall_micro,
+         |       CAST(CASE WHEN h.rr_rank IS NULL THEN 0
+         |            ELSE 1000000 // h.rr_rank END AS BIGINT) AS rr_micro
+         |FROM q LEFT JOIN hits h ON h.qid = q.qid
+         |ORDER BY qid""".stripMargin
   )
 }

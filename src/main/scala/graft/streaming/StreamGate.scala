@@ -196,4 +196,27 @@ object StreamGate {
         expr("unix_micros(p_ts)").as("p_us"),
         col("view_id"), expr("unix_micros(v_ts)").as("v_us"),
         col("purchase_cents"))
+
+  /** GATE: `dropDuplicatesWithinWatermark` (Spark 4's bounded-state
+    * streaming dedup) through the append-mode MERGE sink. The input
+    * carries planted duplicate deliveries; each event_id is emitted once
+    * on first arrival and later copies are suppressed while their key is
+    * inside the watermark horizon — exactly the at-least-once →
+    * exactly-once repair every ingest pipeline needs, with state the
+    * watermark can evict (plain dropDuplicates would pin every key
+    * forever). The converged sink must equal the distinct event set. */
+  def dedupGate(spark: SparkSession, events: DataFrame, work: String): DataFrame = {
+    def project(df: DataFrame): DataFrame =
+      df.select(col("event_id"), expr("unix_micros(ts)").as("ts_us"),
+        col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    runMerged(spark, events, work,
+      df => project(df.withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark("event_id")),
+      keys = Seq("event_id"), outputMode = "append", sentinel = false,
+      // dropDuplicatesWithinWatermark refuses batch frames outright, so
+      // the MERGE fold's schema seed cannot come from the batch twin —
+      // pass the projected empty frame directly (heavyGate's pattern)
+      seed = Some(project(events.limit(0))))
+  }
 }
