@@ -174,6 +174,15 @@ object Plans {
         "(sort_array∘collect_list — per-key bounded state), then the " +
         "EWMA fold is a plain `aggregate` lambda in the projection — no " +
         "WindowExec, no iteration, no driver loop."),
+    "q214_bucketed_join" ->
+      ("Bucketed co-located join: both sides carry bucketBy(8, custkey) " +
+        "metadata, so the SortMergeJoin plans with NO Exchange on either " +
+        "side (the broadcast-disabled form is pinned in PlanContractSpec); " +
+        "the only shuffle is the final segment aggregate."),
+    "q215_partition_prune" ->
+      ("Hive-partitioned layout: the lang filter resolves at the DIRECTORY " +
+        "level — PartitionFilters on the scan, no lang column in the data " +
+        "read — so 100 TB growth in other partitions costs this query nothing."),
     "q183_countmin" ->
       ("Count-min grid build: Generate explode(4 row indices) into a " +
         "partial-aggregated exchange on (i, bucket) — the shuffle " +
