@@ -75,6 +75,19 @@ object StreamGate {
     // all (transformWithState needs the StateStoreCoordinator that only a
     // streaming query creates) — those pass the empty frame explicitly
     var state = seed.getOrElse(op(staged.limit(0))).localCheckpoint()
+    // Stateful operators keep one state-store instance PER shuffle
+    // partition PER micro-batch: at the session's 32 partitions a 5-batch
+    // run pays 160 store open/commit cycles per stateful operator (the
+    // stream-stream join keeps FOUR stores per partition), which is the
+    // dominant fixed cost of every streaming gate — not the data. Size
+    // the state partitioning to the gate's state volume instead, the
+    // same spark.sql.shuffle.partitions sizing any production streaming
+    // job does. Results are partition-count-invariant; the batch twins
+    // run at the session default. Restored in the finally.
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partsKey)
+    spark.conf.set(partsKey, "4")
+    try {
     val q = op(stream).writeStream
       .option("checkpointLocation", s"$work/ckpt")
       .outputMode(outputMode)
@@ -97,6 +110,7 @@ object StreamGate {
     val sink = s"$work/sink"
     state.write.mode("overwrite").parquet(sink)
     spark.read.parquet(sink)
+    } finally spark.conf.set(partsKey, prevParts)
   }
 
   /** GATE: [[StreamOps.windowedCounts]] through the update-mode MERGE sink.
