@@ -83,7 +83,13 @@ class GeoFunctionsSpec extends SparkSpec {
       "__x__" -> "x",
       "###" -> "cat",
       "a.b-c_d" -> "a.b-c_d",
-      ("x" * 80) -> ("x" * 60))
+      ("x" * 80) -> ("x" * 60),
+      // single-pass-equivalence edge cases (the scaladoc's argument that
+      // one [^a-z0-9.-]+ pass + trim('_') equals the three-pass spec):
+      "a_!_b" -> "a_b",   // junk-and-underscore mixed run collapses once
+      "-_-" -> "-_-",     // lone underscore between kept chars survives
+      "_" -> "cat",       // pure underscore strips to empty -> default
+      "a.__.b" -> "a._.b") // underscore run between dots still collapses
     val got = cases.map(_._1).toDF("s").select(sanitizeKey(col("s"))).as[String].collect()
     assert(got.toSeq == cases.map(_._2))
   }
