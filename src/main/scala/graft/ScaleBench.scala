@@ -253,9 +253,11 @@ object ScaleBench {
     // honestly in the ratio, like q194/q195) and the BPE round-trip
     // invariant (vocabulary-bound, like q97/q128)
     "q216_stream_join", "q217_bpe_roundtrip",
-    // streaming dedup (arrival simulation in the ratio) and the 64- vs
-    // 32-dim retrieval ablation (two brute rankings over 10x vectors)
-    "q218_stream_dedup", "q219_mrl_ablation")
+    // streaming dedup (arrival simulation in the ratio), the 64- vs
+    // 32-dim retrieval ablation (two brute rankings over 10x vectors),
+    // and the image dHash near-dup (decode + hash per asset is map-side;
+    // the block join grows with the planted duplicate volume)
+    "q218_stream_dedup", "q219_mrl_ablation", "q220_image_dhash")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

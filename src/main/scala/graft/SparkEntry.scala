@@ -3041,6 +3041,20 @@ object SparkEntry {
           SimilarityOps.bruteTopK(e, q, 10),
           SimilarityOps.bruteTopK(half(e), half(q), 10), k = 10)
         .orderBy("qid")
+    }),
+
+    // IMAGE near-dup via perceptual dHash over REAL decoded pixels: the
+    // textured PNGs are decoded with the JDK codec, dHash-sampled to a
+    // 9×8 luma grid, and paired with the SAME pigeonhole block join text
+    // dedup uses (TextOps.simhashPairs) — multimodal dedup, decode side
+    // real, oracle replaying the pixel law at the sampled coordinates.
+    "q220_image_dhash" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents").select(col("doc_id").cast("long"))
+        .filter(col("doc_id") < 200).as[Long]
+      TextOps.simhashPairs(MultimodalOps.dhashGate(ids), "asset_id",
+          maxHamming = 3)
+        .orderBy("id1", "id2")
     })
   )
 
@@ -6594,6 +6608,44 @@ object SparkEntry {
          |       CAST(CASE WHEN h.rr_rank IS NULL THEN 0
          |            ELSE 1000000 // h.rr_rank END AS BIGINT) AS rr_micro
          |FROM q LEFT JOIN hits h ON h.qid = q.qid
-         |ORDER BY qid""".stripMargin
+         |ORDER BY qid""".stripMargin,
+
+    // Pixel-law replay of the dHash: nearest-neighbor sample coordinates
+    // sx = c·w/9, sy = r·h/8, luma = 114·((sx²·31 + sy²·17 + seed·97) mod
+    // 256) (the textured PNG has r = g = 0), then the q32 pigeonhole
+    // block join + exact Hamming.
+    "q220_image_dhash" -> {
+      val blockSums = (0 until 4).map { b =>
+        s"CAST(sum(CASE WHEN k >= ${16 * b} AND k < ${16 * (b + 1)} " +
+          s"THEN bit * (1 << (k % 16)) ELSE 0 END) AS INTEGER) AS b$b"
+      }.mkString(", ")
+      val blockRows = (0 until 4)
+        .map(b => s"SELECT id, b0, b1, b2, b3, $b AS blk, b$b AS bval FROM sim")
+        .mkString("\nUNION ALL ")
+      val ham = (0 until 4).map(b => s"bit_count(xor(xb$b, yb$b))").mkString(" + ")
+      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+         |                  16 + CAST(doc_id % 3 AS INT) AS w,
+         |                  16 + CAST(doc_id % 2 AS INT) AS h,
+         |                  CAST(doc_id % 8 AS INT) AS seed
+         |           FROM documents WHERE doc_id < 200),
+         |g AS (SELECT id, r, c,
+         |             114 * (((c*w//9)*(c*w//9)*31 + (r*h//8)*(r*h//8)*17
+         |                     + seed*97) % 256) AS luma
+         |      FROM d, range(0, 8) AS t1(r), range(0, 9) AS t2(c)),
+         |bits AS (SELECT a.id, CAST(a.r * 8 + a.c AS INTEGER) AS k,
+         |                CASE WHEN n.luma > a.luma THEN 1 ELSE 0 END AS bit
+         |         FROM g a JOIN g n ON n.id = a.id AND n.r = a.r AND n.c = a.c + 1
+         |         WHERE a.c < 8),
+         |sim AS (SELECT id, $blockSums FROM bits GROUP BY id),
+         |blocks AS ($blockRows),
+         |cand AS (SELECT DISTINCT a.id id1, b.id id2,
+         |                a.b0 xb0, a.b1 xb1, a.b2 xb2, a.b3 xb3,
+         |                b.b0 yb0, b.b1 yb1, b.b2 yb2, b.b3 yb3
+         |         FROM blocks a JOIN blocks b
+         |           ON a.blk = b.blk AND a.bval = b.bval AND a.id < b.id)
+         |SELECT id1, id2, CAST($ham AS INTEGER) AS hamming
+         |FROM cand WHERE $ham <= 3
+         |ORDER BY id1, id2""".stripMargin
+    }
   )
 }

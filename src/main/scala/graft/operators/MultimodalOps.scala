@@ -373,6 +373,70 @@ object MultimodalOps {
     bos.toByteArray
   }
 
+  /** Textured PNG for the perceptual-hash gate: r = g = 0 and
+    * b = (x²·31 + y²·17 + seed·97) mod 256 — a quadratic-mod law with
+    * real brightness variation (a monotone gradient would hash every
+    * image to all-ones and make the dedup degenerate), still exactly
+    * replayable in SQL. */
+  def texturePng(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (x * x * 31 + y * y * 17 + seed * 97) % 256)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", bos), "no PNG writer")
+    bos.toByteArray
+  }
+
+  /** q220 kernel — perceptual dHash (difference hash) over REAL decoded
+    * pixels: synthesize the textured PNG per asset, decode it with the
+    * JDK codec, nearest-neighbor sample a 9×8 luma grid
+    * (sx = c·w/9, sy = r·h/8, integer floor — the standard dHash resize),
+    * and set bit r·8+c when the right neighbor is strictly brighter.
+    * Bits pack as 4×16-bit int blocks (the q32 device: a packed 64-bit
+    * hash would go negative at bit 63 and signed-shift semantics diverge
+    * across engines), so [[TextOps.simhashPairs]]'s pigeonhole block join
+    * finds near-dup pairs with the SAME machinery text dedup uses. The
+    * id→(w, h, seed) law plants exact duplicates (ids ≡ mod 24) and
+    * same-size seed-shifted near-dups; cross-size pairs land far apart. */
+  def dhashGate(ids: Dataset[Long]): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val w = 16 + (id % 3).toInt
+        val h = 16 + (id % 2).toInt
+        val png = texturePng(w, h, seed = (id % 8).toInt)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+        def luma1000(c: Int, r: Int): Long = {
+          val p = img.getRGB(c * img.getWidth / 9, r * img.getHeight / 8)
+          299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+        }
+        val blocks = Array.fill(4)(0)
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) {
+            if (luma1000(c + 1, r) > luma1000(c, r)) {
+              val k = r * 8 + c
+              blocks(k / 16) |= 1 << (k % 16)
+            }
+            c += 1
+          }
+          r += 1
+        }
+        (id, blocks(0), blocks(1), blocks(2), blocks(3))
+      }
+    }.toDF("asset_id", "b0", "b1", "b2", "b3")
+  }
+
   /** Deterministic 16-bit mono PCM WAV for fixtures: sample(i) =
     * ((i · (seed + 3)) mod 8192) − 4096, RIFF-encoded by hand (the header
     * is 44 fixed bytes) so the DECODE side exercises the real
