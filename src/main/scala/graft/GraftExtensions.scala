@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{DotQ, RewriteDotProduct, RewriteRangeJoin, TopK}
+import graft.expressions.{DotQ, NormalizeText, RewriteDotProduct, RewriteRangeJoin, TopK}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the engine's native expressions with the session's function
@@ -28,6 +28,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 3, "graft_top_k takes exactly 3 arguments (key, payload, k)")
         TopK(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[NormalizeText].getCanonicalName, "graft_normalize"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2,
+          "graft_normalize takes exactly 2 arguments (str, form)")
+        val form = children(1) match {
+          case lit if lit.foldable && lit.dataType == org.apache.spark.sql.types.StringType =>
+            val v = lit.eval()
+            require(v != null, "graft_normalize form must be a non-null literal")
+            v.toString
+          case other =>
+            throw new IllegalArgumentException(
+              s"graft_normalize form must be a string literal, got $other")
+        }
+        NormalizeText(children.head, form)
       }))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectOptimizerRule(_ => RewriteRangeJoin)

@@ -3055,6 +3055,45 @@ object SparkEntry {
       TextOps.simhashPairs(MultimodalOps.dhashGate(ids), "asset_id",
           maxHamming = 3)
         .orderBy("id1", "id2")
+    }),
+
+    // REAL video frame sampling through the JDK's own multi-frame
+    // container codec (multi-page TIFF): per asset, synthesize an
+    // id-keyed N-frame container, decode EVERY page with ImageReader,
+    // sample 4 frames at the stride law j·N div 4, and emit each sampled
+    // frame's exact integer Rec.601 luma sum. TIFF is lossless, so the
+    // oracle reproduces all values from the pixel law — the former
+    // byte-slicing stub cannot hash-match per-frame pixel sums. This
+    // closes the last stubbed decode path with a real codec.
+    "q221_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      MultimodalOps.videoFrameGate(
+        t(s, dir, "documents").select(col("doc_id").cast("long"))
+          .filter(col("doc_id") < 200).as[Long])
+        .toDF()
+        .orderBy("asset_id", "frame_idx")
+    }),
+
+    // Unicode NFC normalization via the native codegen'd expression
+    // (graft_normalize — java.text.Normalizer inside whole-stage
+    // codegen): per doc, plant a DECOMPOSED vowel + combining-diacritic
+    // pair (all 20 combos have precomposed NFC forms), normalize, and
+    // emit the composed string plus codepoint lengths before/after. The
+    // oracle is DuckDB's own nfc_normalize — an identity "normalizer"
+    // fails on every planted row (len_norm = len_raw − 1 only under real
+    // composition). The corpus text itself is the ASCII fast path the
+    // expression's isNormalized guard skips allocation for.
+    "q222_nfc_normalize" -> ((s, dir) => {
+      val vowels = array(Seq("a", "e", "i", "o", "u").map(lit): _*)
+      val marks = array(Seq("\u0300", "\u0301", "\u0302", "\u0303").map(lit): _*)
+      t(s, dir, "documents")
+        .withColumn("raw", concat(substring(col("text"), 1, 20), lit(" "),
+          element_at(vowels, (col("doc_id") % 5 + 1).cast("int")),
+          element_at(marks, (col("doc_id") % 4 + 1).cast("int"))))
+        .select(col("doc_id"), length(col("raw")).as("len_raw"),
+          expr("graft_normalize(raw, 'NFC')").as("norm"))
+        .withColumn("len_norm", length(col("norm")))
+        .orderBy("doc_id")
     })
   )
 
@@ -6646,6 +6685,48 @@ object SparkEntry {
          |SELECT id1, id2, CAST($ham AS INTEGER) AS hamming
          |FROM cand WHERE $ham <= 3
          |ORDER BY id1, id2""".stripMargin
-    }
+    },
+
+    // Pixel-law replay of the sampled video frames: frame f pixel
+    // (x, y) has r = (x·7+f·13)%256, g = (y·11+f·5)%256,
+    // b = (x+y+f+seed)%256; sampled frame indices are j·N div 4. TIFF
+    // losslessness makes the decoded sums equal the law's sums exactly.
+    "q221_video_frames" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS asset_id,
+        |                  6 + CAST(doc_id % 5 AS INT) AS n,
+        |                  12 + CAST(doc_id % 5 AS INT) AS w,
+        |                  12 + CAST(doc_id % 3 AS INT) AS h,
+        |                  CAST(doc_id % 9 AS INT) AS seed
+        |           FROM documents WHERE doc_id < 200),
+        |f AS (SELECT asset_id, n, w, h, seed,
+        |             CAST(j * n // 4 AS INT) AS frame_idx
+        |      FROM d, range(0, 4) AS t(j)),
+        |ys AS (SELECT asset_id, n, w, h, seed, frame_idx, unnest(range(0, h)) AS y FROM f),
+        |px AS (SELECT asset_id, n, w, h, seed, frame_idx, y, unnest(range(0, w)) AS x FROM ys),
+        |lum AS (SELECT asset_id, n, w, h, frame_idx,
+        |               299 * ((x * 7 + frame_idx * 13) % 256) +
+        |               587 * ((y * 11 + frame_idx * 5) % 256) +
+        |               114 * ((x + y + frame_idx + seed) % 256) AS luma
+        |        FROM px)
+        |SELECT asset_id, any_value(n) AS n_frames, frame_idx,
+        |       any_value(w) AS width, any_value(h) AS height,
+        |       CAST(sum(luma) AS BIGINT) AS luma1000
+        |FROM lum GROUP BY asset_id, frame_idx
+        |ORDER BY asset_id, frame_idx""".stripMargin,
+
+    // DuckDB's own Unicode NFC implementation is the oracle: the planted
+    // vowel + combining mark (chr(768 + k)) must compose to the single
+    // precomposed codepoint, shrinking the codepoint length by exactly 1.
+    "q222_nfc_normalize" ->
+      """WITH d AS (SELECT doc_id,
+        |        substring(text, 1, 20) || ' ' ||
+        |        chr(CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 97 WHEN 1 THEN 101
+        |            WHEN 2 THEN 105 WHEN 3 THEN 111 ELSE 117 END) ||
+        |        chr(768 + CAST(doc_id % 4 AS INT)) AS raw
+        |      FROM documents)
+        |SELECT doc_id, CAST(length(raw) AS INT) AS len_raw,
+        |       nfc_normalize(raw) AS norm,
+        |       CAST(length(nfc_normalize(raw)) AS INT) AS len_norm
+        |FROM d ORDER BY doc_id""".stripMargin
   )
 }

@@ -17,6 +17,11 @@ case class WavDecodeRow(user_id: Long, format: String, n_frames: Long,
                         channels: Int, band0_abs: Long, band1_abs: Long,
                         band2_abs: Long, band3_abs: Long)
 
+/** q221 row: one REAL decoded frame sampled from a multi-page TIFF
+  * "video" container, with its exact integer luma sum. */
+case class VideoFrameRow(asset_id: Long, n_frames: Int, frame_idx: Int,
+                         width: Int, height: Int, luma1000: Long)
+
 /** Multimodal column handling for the training-data pipeline: image/audio/
   * video travel as opaque `binary` columns with typed metadata, and the
   * decode / feature-extract step runs as a partition-local batch kernel.
@@ -32,11 +37,14 @@ case class WavDecodeRow(user_id: Long, format: String, n_frames: Long,
   *     formats need a native library this container lacks was wrong);
   *   - WAV ([[ImageIoDecoder]] again, via `javax.sound.sampled` — PCM
   *     frames decoded for real, band-amplitude features).
-  * [[StubDecoder]] now covers only payloads with no JDK codec (video
-  * containers, unknown binaries) with deterministic fake output so
-  * plumbing tests stay hermetic. [[AutoDecoder]] dispatches by magic
-  * bytes and is the default. Swap in an ffmpeg/JNI decoder behind the
-  * same trait; nothing else changes.
+  *   - multi-page TIFF "video" containers ([[readFrames]] /
+  *     [[sampleFrames]]: every page decoded by the JDK `ImageReader`,
+  *     frames sampled from real rasters — q221's gate).
+  * [[StubDecoder]] now covers only payloads with no JDK codec at all
+  * (mp4-style video containers, unknown binaries) with deterministic fake
+  * output so plumbing tests stay hermetic. [[AutoDecoder]] dispatches by
+  * magic bytes and is the default. Swap in an ffmpeg/JNI decoder behind
+  * the same trait; nothing else changes.
   */
 object MultimodalOps {
 
@@ -205,6 +213,7 @@ object MultimodalOps {
       else if (b.length >= 2 && b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) "jpeg"
       else if (b.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "gif"
       else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+      else if (isTiff(b)) "tiff"
       else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "wav"
       else ""
@@ -241,7 +250,7 @@ object MultimodalOps {
     }
 
     def dims(bytes: Array[Byte]): (Int, Int) = sniff(bytes) match {
-      case "png" | "jpeg" | "gif" | "bmp" =>
+      case "png" | "jpeg" | "gif" | "bmp" | "tiff" =>
         val img = readImage(bytes); (img.getWidth, img.getHeight)
       case "wav" =>
         val (samples, ch) = wavSamples(bytes); (samples.length / ch, ch)
@@ -249,7 +258,7 @@ object MultimodalOps {
     }
 
     def features(bytes: Array[Byte], dim: Int): Array[Float] = sniff(bytes) match {
-      case "png" | "jpeg" | "gif" | "bmp" =>
+      case "png" | "jpeg" | "gif" | "bmp" | "tiff" =>
         val sums = lumaBandSums1000(bytes, dim)
         val img = readImage(bytes)
         val w = img.getWidth; val h = img.getHeight
@@ -326,6 +335,139 @@ object MultimodalOps {
     def dims(bytes: Array[Byte]): (Int, Int) = ImageIoDecoder.dims(bytes)
     def features(bytes: Array[Byte], dim: Int): Array[Float] =
       ImageIoDecoder.features(bytes, dim)
+  }
+
+  /** TIFF container magic: little-endian `II*\0` or big-endian `MM\0*`. */
+  private[operators] def isTiff(b: Array[Byte]): Boolean =
+    b.length >= 4 &&
+      ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+        (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))
+
+  /** Deterministic multi-frame "video" container through the JDK's OWN
+    * multi-page codec (`javax.imageio` TIFF, reader+writer since Java 9;
+    * lossless RGB, so decode(encode(frames)) is bit-exact). Frame `f`
+    * pixel law — exactly replayable by an external oracle:
+    * r = (x·7 + f·13) mod 256, g = (y·11 + f·5) mod 256,
+    * b = (x + y + f + seed) mod 256. */
+  def syntheticTiffVideo(nFrames: Int, w: Int, h: Int, seed: Int): Array[Byte] = {
+    require(nFrames > 0 && w > 0 && h > 0, s"bad video spec ${nFrames}x${w}x$h")
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("tiff")
+    require(writers.hasNext, "no TIFF writer in this JVM")
+    val wr = writers.next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      wr.setOutput(ios)
+      wr.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, (((x * 7 + f * 13) % 256) << 16) |
+              (((y * 11 + f * 5) % 256) << 8) | ((x + y + f + seed) % 256))
+            x += 1
+          }
+          y += 1
+        }
+        wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      wr.endWriteSequence()
+    } finally { wr.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** REAL container frame decode: every page of a multi-page TIFF via the
+    * JDK `ImageReader` (`getNumImages(true)` forces a full directory
+    * scan). This is the decode half of the video path — frame sampling
+    * selects from genuinely decoded rasters, not byte slices. */
+  def readFrames(bytes: Array[Byte]): IndexedSeq[java.awt.image.BufferedImage] = {
+    require(isTiff(bytes), "not a TIFF container")
+    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("tiff")
+    require(readers.hasNext, "no TIFF reader in this JVM")
+    val rd = readers.next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      rd.setInput(iis)
+      (0 until rd.getNumImages(true)).map(rd.read)
+    } finally { rd.dispose(); iis.close() }
+  }
+
+  /** Exact Rec.601 milli-luma sum over one decoded frame — pure Long
+    * arithmetic, the per-frame form an external oracle reproduces from
+    * the pixel law. */
+  def lumaSum1000(img: java.awt.image.BufferedImage): Long = {
+    var sum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sum += 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+          114L * (rgb & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    sum
+  }
+
+  /** Horizontal-band mean luma of a decoded frame, [[PpmDecoder]]'s
+    * feature contract over a `BufferedImage`. */
+  private[operators] def bandLuma(img: java.awt.image.BufferedImage,
+                                  dim: Int): Array[Float] = {
+    val w = img.getWidth; val h = img.getHeight
+    val sums = new Array[Long](dim)
+    val ns = new Array[Long](dim)
+    var y = 0
+    while (y < h) {
+      val b = (y.toLong * dim / h).toInt
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sums(b) += 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+          114L * (rgb & 0xFF)
+        x += 1
+      }
+      ns(b) += w
+      y += 1
+    }
+    Array.tabulate(dim)(b =>
+      if (ns(b) == 0) 0.0f else (sums(b) / 1000.0 / ns(b) / 255.0).toFloat)
+  }
+
+  /** q221 kernel — REAL video frame sampling: per asset, synthesize the
+    * multi-page TIFF (id-derived frame count, dims, seed), decode ALL
+    * frames with the JDK's container reader, sample `sample` frames at
+    * the standard stride law `f = j·N div sample`, and emit each sampled
+    * frame's exact integer luma sum. TIFF is lossless, so the oracle
+    * reproduces every value from the pixel law alone — a byte-slicing
+    * stub cannot hash-match per-frame pixel sums. Partition-local batch
+    * map; no shuffle until the final sort. */
+  def videoFrameGate(ids: Dataset[Long], sample: Int = 4): Dataset[VideoFrameRow] = {
+    require(sample > 0, s"bad sample count $sample")
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.mapPartitions { it =>
+      it.flatMap { id =>
+        val n = 6 + (id % 5).toInt
+        val w = 12 + (id % 5).toInt
+        val h = 12 + (id % 3).toInt
+        val vid = syntheticTiffVideo(n, w, h, seed = (id % 9).toInt)
+        val frames = readFrames(vid)
+        require(frames.length == n, s"decoded ${frames.length} frames, wrote $n")
+        (0 until sample).iterator.map { j =>
+          val fi = j * n / sample
+          val img = frames(fi)
+          VideoFrameRow(id, n, fi, img.getWidth, img.getHeight, lumaSum1000(img))
+        }
+      }
+    }
   }
 
   /** Deterministic P6 generator for fixtures: an RGB gradient keyed by
@@ -536,9 +678,13 @@ object MultimodalOps {
       }
   }
 
-  /** Frame sampling for "video" payloads: split the byte stream into
-    * `nFrames` equal slices and feature-extract each — the partition-local
-    * shape of real frame sampling (stub slicing stands in for ffmpeg). */
+  /** Frame sampling for video payloads. Multi-page TIFF containers (the
+    * JDK's own multi-frame codec) get REAL decode: every page is read via
+    * `ImageReader`, `nFrames` of them are sampled at the standard stride
+    * `j·N div nFrames`, and each sampled frame's band-luma features come
+    * from its actual pixels. Payloads with no JDK container codec (mp4
+    * etc.) keep the byte-slice stand-in so the plumbing stays total —
+    * swap an ffmpeg decoder into the TIFF branch's shape to cover them. */
   def sampleFrames(df: DataFrame, nFrames: Int,
                    decoder: MediaDecoder = StubDecoder,
                    featureDim: Int = 8): DataFrame = {
@@ -549,11 +695,19 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          val step = math.max(1, bytes.length / nFrames)
-          (0 until nFrames).iterator.map { f =>
-            val from = f * step
-            val slice = bytes.slice(from, math.min(from + step, bytes.length))
-            (id, f, decoder.features(slice, featureDim))
+          if (isTiff(bytes)) {
+            val frames = readFrames(bytes)
+            val take = math.min(nFrames, frames.length)
+            (0 until take).iterator.map { j =>
+              (id, j * frames.length / take, bandLuma(frames(j * frames.length / take), featureDim))
+            }
+          } else {
+            val step = math.max(1, bytes.length / nFrames)
+            (0 until nFrames).iterator.map { f =>
+              val from = f * step
+              val slice = bytes.slice(from, math.min(from + step, bytes.length))
+              (id, f, decoder.features(slice, featureDim))
+            }
           }
         }
       }

@@ -162,4 +162,57 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(MultimodalOps.PpmDecoder.dims(resized(10L)) == (2, 2))
     assert(resized(12L).sameElements("RIFFxxxxWAVE".getBytes("UTF-8"))) // pass-through
   }
+
+  test("TIFF video container: lossless multi-frame round trip through the JDK codec") {
+    val (n, w, h, seed) = (5, 7, 4, 3)
+    val vid = MultimodalOps.syntheticTiffVideo(n, w, h, seed)
+    assert(MultimodalOps.isTiff(vid))
+    assert(MultimodalOps.ImageIoDecoder.format(vid) == "tiff")
+    val frames = MultimodalOps.readFrames(vid)
+    assert(frames.length == n)
+    // every decoded pixel of every frame equals the generating law —
+    // the decode is real and the container is lossless
+    for (f <- 0 until n; y <- 0 until h; x <- 0 until w) {
+      val want = (((x * 7 + f * 13) % 256) << 16) |
+        (((y * 11 + f * 5) % 256) << 8) | ((x + y + f + seed) % 256)
+      assert((frames(f).getRGB(x, y) & 0xFFFFFF) == want,
+        s"frame $f pixel ($x,$y)")
+    }
+  }
+
+  test("sampleFrames: REAL frame sampling from a TIFF container, stub for unknown bytes") {
+    val vid = MultimodalOps.syntheticTiffVideo(8, 5, 4, seed = 2)
+    val rows = MultimodalOps.sampleFrames(
+      Seq((7L, vid), (8L, Array[Byte](1, 2, 3, 4, 5, 6))).toDF("asset_id", "payload"),
+      nFrames = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2)))
+    // TIFF row: 4 frames sampled at the stride law j*8/4 = 0,2,4,6
+    val tiffFrames = rows.filter(_._1 == 7L).map(_._2).sorted
+    assert(tiffFrames.sameElements(Array(0, 2, 4, 6)))
+    // sampled features come from real pixels: recompute frame 2's bands
+    val f2 = MultimodalOps.readFrames(vid)(2)
+    val want = MultimodalOps.bandLuma(f2, 8).toSeq
+    assert(rows.find(r => r._1 == 7L && r._2 == 2).get._3 == want)
+    // non-container payload keeps the byte-slice stand-in (4 slices)
+    assert(rows.count(_._1 == 8L) == 4)
+  }
+
+  test("videoFrameGate: sampled-frame luma sums equal the pixel law exactly") {
+    val got = MultimodalOps.videoFrameGate(Seq(3L, 10L).toDS())
+      .collect().map(r => (r.asset_id, r.frame_idx) -> r).toMap
+    for (id <- Seq(3L, 10L)) {
+      val n = 6 + (id % 5).toInt; val w = 12 + (id % 5).toInt
+      val h = 12 + (id % 3).toInt; val seed = (id % 9).toInt
+      for (j <- 0 until 4) {
+        val fi = j * n / 4
+        var sum = 0L
+        for (y <- 0 until h; x <- 0 until w)
+          sum += 299L * ((x * 7 + fi * 13) % 256) +
+            587L * ((y * 11 + fi * 5) % 256) + 114L * ((x + y + fi + seed) % 256)
+        val row = got((id, fi))
+        assert(row.n_frames == n && row.width == w && row.height == h)
+        assert(row.luma1000 == sum, s"asset $id frame $fi")
+      }
+    }
+  }
 }
