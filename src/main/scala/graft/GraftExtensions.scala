@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{DotQ, NormalizeText, RewriteDotProduct, RewriteRangeJoin, TopK}
+import graft.expressions.{DotQ, JaroWinkler, NormalizeText, RewriteDotProduct, RewriteRangeJoin, TopK}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the engine's native expressions with the session's function
@@ -45,6 +45,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               s"graft_normalize form must be a string literal, got $other")
         }
         NormalizeText(children.head, form)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getCanonicalName, "graft_jaro_winkler"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "graft_jaro_winkler takes exactly 2 arguments")
+        JaroWinkler(children.head, children(1))
       }))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectOptimizerRule(_ => RewriteRangeJoin)

@@ -3094,6 +3094,24 @@ object SparkEntry {
           expr("graft_normalize(raw, 'NFC')").as("norm"))
         .withColumn("len_norm", length(col("norm")))
         .orderBy("doc_id")
+    }),
+
+    // Jaro-Winkler fuzzy scoring via the native codegen'd expression —
+    // q102's blocked catalog-dedup shape (distinct names, noun blocks,
+    // never all-pairs) with the transposition-tolerant prefix-weighted
+    // scorer entity resolution pairs with edit distance. The oracle is
+    // DuckDB's OWN jaro_winkler_similarity — an independent
+    // implementation the expression must match bit-for-bit on every
+    // block pair (double-exact hash compare, no rounding).
+    "q223_jaro_winkler" -> ((s, dir) => {
+      val names = t(s, dir, "part").select("p_name").distinct()
+        .select(col("p_name"), split(col("p_name"), " ").getItem(1).as("noun"))
+      names.alias("a").join(names.alias("b"),
+          col("a.noun") === col("b.noun") && col("a.p_name") < col("b.p_name"))
+        .select(col("a.p_name").as("name1"), col("b.p_name").as("name2"),
+          expr("graft_jaro_winkler(a.p_name, b.p_name)").as("jw"))
+        .filter(col("jw") >= 0.8)
+        .orderBy("name1", "name2")
     })
   )
 
@@ -6727,6 +6745,19 @@ object SparkEntry {
         |SELECT doc_id, CAST(length(raw) AS INT) AS len_raw,
         |       nfc_normalize(raw) AS norm,
         |       CAST(length(nfc_normalize(raw)) AS INT) AS len_norm
-        |FROM d ORDER BY doc_id""".stripMargin
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // DuckDB's independent Jaro-Winkler implementation scores the same
+    // noun blocks; the engine expression must match every double exactly.
+    "q223_jaro_winkler" ->
+      """WITH names AS (SELECT DISTINCT p_name,
+        |                      string_split(p_name, ' ')[2] AS noun
+        |               FROM part)
+        |SELECT a.p_name AS name1, b.p_name AS name2,
+        |       jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+        |FROM names a JOIN names b
+        |  ON a.noun = b.noun AND a.p_name < b.p_name
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.8
+        |ORDER BY name1, name2""".stripMargin
   )
 }
