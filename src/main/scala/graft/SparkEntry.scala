@@ -3112,6 +3112,19 @@ object SparkEntry {
           expr("graft_jaro_winkler(a.p_name, b.p_name)").as("jw"))
         .filter(col("jw") >= 0.8)
         .orderBy("name1", "name2")
+    }),
+
+    // IVF-PQ with residual quantization — the FAISS IVFADC composition
+    // (coarse 4-list Lloyd, exact long residuals, 4×16-dim residual
+    // codebooks, 2-probe ADC top-10 for 3 queries). Everything on the
+    // exact integer grid, so the DuckDB oracle unrolls the full pipeline
+    // (coarse training + assignment + residuals + 4 residual codebook
+    // trainings + probes + ADC) and must hash-match bit-for-bit.
+    "q224_ivfpq_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.ivfpqTopK(e, e.filter(col("vec_id") < 3), k = 10,
+          nlist = 4, nprobe = 2, m = 4, ksub = 8, iters = 2, dim = 64)
+        .orderBy("qid", "rank")
     })
   )
 
@@ -6758,6 +6771,67 @@ object SparkEntry {
         |FROM names a JOIN names b
         |  ON a.noun = b.noun AND a.p_name < b.p_name
         |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.8
-        |ORDER BY name1, name2""".stripMargin
+        |ORDER BY name1, name2""".stripMargin,
+
+    // Full IVFADC replay: coarse 2-round Lloyd + assignment (the q60
+    // CTEs), exact long residuals, four residual-slice codebook
+    // trainings, 2-probe selection by exact L2, and the ADC sum over
+    // (list, subspace, code) — every intermediate on the integer grid.
+    "q224_ivfpq_ann" -> {
+      val m = 4; val sub = 16; val ksub = 8; val nlist = 4; val nprobe = 2
+      val rvs = (0 until m).map(s =>
+        s"rv$s AS (SELECT vec_id, rv[${s * sub + 1}:${(s + 1) * sub}] AS qv FROM resid)")
+        .mkString(",\n")
+      val chains = (0 until m)
+        .map(s => KmeansSql.twoRounds(ksub, sub, prefix = s"r$s", src = s"rv$s"))
+        .mkString(",\n")
+      val finals = (0 until m)
+        .map(s => KmeansSql.assign(s"r${s}c2", s"r${s}a3", sub, src = s"rv$s"))
+        .mkString(",\n")
+      val codes = (0 until m)
+        .map(s => s"SELECT vec_id, $s AS s, cid AS scid FROM r${s}a3")
+        .mkString("\nUNION ALL ")
+      val dts = (0 until m).map(s =>
+        s"""SELECT p.qid, p.cid, $s AS s, c.cid AS scid,
+           |       list_sum(list_transform(range(1, ${sub + 1}),
+           |         i -> (p.qr[${s * sub} + i] - c.cv[i]) * (p.qr[${s * sub} + i] - c.cv[i]))) AS d
+           |FROM probes p CROSS JOIN r${s}c2 c""".stripMargin)
+        .mkString("\nUNION ALL ")
+      s"""WITH qv AS (SELECT vec_id, ${LlmSql.qvec("embedding")} AS qv FROM embeddings),
+         |${KmeansSql.twoRounds(nlist, 64, prefix = "g", src = "qv")},
+         |${KmeansSql.assign("gc2", "ga3", 64, src = "qv")},
+         |resid AS MATERIALIZED (
+         |  SELECT a.vec_id, a.cid,
+         |         list_transform(range(1, 65), i -> a.qv[i] - c.cv[i]) AS rv
+         |  FROM ga3 a JOIN gc2 c ON c.cid = a.cid),
+         |$rvs,
+         |$chains,
+         |$finals,
+         |codes AS MATERIALIZED (
+         |  SELECT u.vec_id, r.cid, u.s, u.scid
+         |  FROM ($codes) u JOIN resid r ON r.vec_id = u.vec_id),
+         |probes AS MATERIALIZED (
+         |  SELECT qid, cid, qr FROM (
+         |    SELECT q.vec_id AS qid, c.cid,
+         |           list_transform(range(1, 65), i -> q.qv[i] - c.cv[i]) AS qr,
+         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |             list_sum(list_transform(range(1, 65),
+         |               i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))), c.cid) AS prn
+         |    FROM qv q CROSS JOIN gc2 c WHERE q.vec_id < 3)
+         |  WHERE prn <= $nprobe),
+         |dt AS MATERIALIZED ($dts),
+         |adist AS (
+         |  SELECT dt.qid, codes.vec_id, CAST(sum(dt.d) AS BIGINT) AS adist
+         |  FROM codes JOIN dt ON dt.cid = codes.cid AND dt.s = codes.s AND dt.scid = codes.scid
+         |  WHERE dt.qid <> codes.vec_id
+         |  GROUP BY dt.qid, codes.vec_id),
+         |ranked AS (
+         |  SELECT qid, CAST(row_number() OVER (
+         |           PARTITION BY qid ORDER BY adist, vec_id) AS INT) AS rank,
+         |         vec_id, adist
+         |  FROM adist)
+         |SELECT qid, rank, vec_id, adist FROM ranked
+         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+    }
   )
 }

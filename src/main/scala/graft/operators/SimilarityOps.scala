@@ -282,10 +282,17 @@ object SimilarityOps {
       },
       acc => acc.getField("cid"))
 
-  def kmeansCentroids(vectors: DataFrame, k: Int, iters: Int, dim: Int): DataFrame = {
+  def kmeansCentroids(vectors: DataFrame, k: Int, iters: Int, dim: Int): DataFrame =
+    kmeansCentroidsQ(
+      vectors.select(col("vec_id"), quantize(col("embedding")).as("qv")),
+      k, iters, dim)
+
+  /** [[kmeansCentroids]] over an ALREADY-quantized (vec_id, qv) frame —
+    * the form residual training needs (residuals are exact differences of
+    * quantized vectors; re-quantizing them would be wrong). */
+  def kmeansCentroidsQ(qvIn: DataFrame, k: Int, iters: Int, dim: Int): DataFrame = {
     require(k > 0 && iters > 0 && dim > 0, s"bad kmeans params k=$k iters=$iters dim=$dim")
-    val qv = vectors
-      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val qv = qvIn.select(col("vec_id"), col("qv"))
       .withColumn("na", dotQ(col("qv"), col("qv")))
     val c0 = qv.orderBy("vec_id").limit(k)
       .select((row_number().over(Window.orderBy("vec_id")) - 1).as("cid"),
@@ -315,8 +322,12 @@ object SimilarityOps {
     * shuffle-free map pass over the big table.
     * Input cents: (cid, cv quantized); output (cid, vec_id, qv). */
   def assignToCentroids(vectors: DataFrame, cents: DataFrame): DataFrame =
-    vectors
-      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    assignToCentroidsQ(
+      vectors.select(col("vec_id"), quantize(col("embedding")).as("qv")), cents)
+
+  /** [[assignToCentroids]] over an already-quantized (vec_id, qv) frame. */
+  def assignToCentroidsQ(qvIn: DataFrame, cents: DataFrame): DataFrame =
+    qvIn.select(col("vec_id"), col("qv"))
       .withColumn("na", dotQ(col("qv"), col("qv")))
       .crossJoin(centsArray(cents.select(col("cid"), col("cv"))))
       .select(nearestCid(col("qv"), col("na"), col("cs")).as("cid"),
@@ -435,6 +446,95 @@ object SimilarityOps {
         .filter(col("rank") <= k)
         .select("qid", "rank", "vec_id", "adist"),
       books: _*)
+  }
+
+  /** IVF-PQ with RESIDUAL quantization — the FAISS IVFADC composition
+    * (Jégou et al. 2011 §IV: coarse quantizer + product-quantized
+    * residuals), i.e. the index structure actually deployed for
+    * billion-vector corpora: [[ivfTopK]] alone still scans raw vectors in
+    * probed lists, [[pqTopK]] alone scans every code; this probes
+    * `nprobe`/`nlist` of the corpus AND touches only m-byte codes there.
+    *
+    *  1. coarse: [[kmeansCentroidsQ]] (nlist lists, exact-integer Lloyd);
+    *  2. residual r = v − c(v) — EXACT long subtraction on the quantized
+    *     grid (no re-quantization, hence the Q variants);
+    *  3. m sub-codebooks trained on residual slices; codes = per-vector
+    *     m sub-centroid ids (broadcast-fold assignment, zero shuffle);
+    *  4. query: probe the nprobe L2-nearest coarse lists; per probed
+    *     list, the query RESIDUAL q − c builds the m×ksub ADC table;
+    *     candidate distance = m lookups summed — exact integers end to
+    *     end, so results are bit-identical in any engine.
+    *
+    * Scale shape: training touches vectors once per Lloyd round; encoding
+    * is a broadcast map pass; the query scan is codes ⋈ broadcast ADC
+    * rows on (list, subspace, code) — map-side join, partial-aggregated
+    * sum, then the per-query top-k. Nothing vector-sized shuffles at
+    * query time.
+    *
+    * Returns (qid, rank, vec_id, adist), ties on adist broken by vec_id;
+    * recall approximate by design — [[annRecall]] measures it, the q224
+    * oracle replays the algorithm. */
+  def ivfpqTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                nlist: Int = 4, nprobe: Int = 2, m: Int = 4, ksub: Int = 8,
+                iters: Int = 2, dim: Int = 64): DataFrame = {
+    require(m > 0 && dim % m == 0, s"bad ivfpq m=$m dim=$dim")
+    require(nprobe > 0 && nprobe <= nlist, s"bad ivfpq nprobe=$nprobe nlist=$nlist")
+    val sub = dim / m
+    val qvAll = vectors.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val coarse = kmeansCentroidsQ(qvAll, nlist, iters, dim).select("cid", "cv").cache()
+    // coarse assignment + exact residual per vector
+    val resid = assignToCentroidsQ(qvAll, coarse)
+      .join(broadcast(coarse.select(col("cid"), col("cv").as("ccv"))), Seq("cid"))
+      .select(col("cid"), col("vec_id"),
+        zip_with(col("qv"), col("ccv"), (a, b) => a - b).as("rv"))
+      .cache()
+    def rslice(s: Int): DataFrame =
+      resid.select(col("vec_id"), slice(col("rv"), s * sub + 1, sub).as("qv"))
+    val books = (0 until m).map { s =>
+      kmeansCentroidsQ(rslice(s), ksub, iters, sub)
+        .select(lit(s).as("s"), col("cid").as("scid"), col("cv")).cache()
+    }
+    // flat code rows (coarse list, subspace, sub-centroid id) per vector
+    val codes = (0 until m).map { s =>
+        assignToCentroidsQ(rslice(s), books(s).select(col("scid").as("cid"), col("cv")))
+          .select(col("vec_id"), lit(s).as("s"), col("cid").as("scid"))
+      }
+      .reduce(_ union _)
+      .join(resid.select("vec_id", "cid"), Seq("vec_id"))
+    // probe the nprobe exact-L2-nearest coarse lists per query
+    val q = queries.select(col("vec_id").as("qid"), quantize(col("embedding")).as("qq"))
+    val wProbe = Window.partitionBy("qid").orderBy(col("cdist").asc, col("cid"))
+    val probes = q.crossJoin(broadcast(coarse))
+      .withColumn("cdist",
+        dotQ(col("qq"), col("qq")) - lit(2L) * dotQ(col("qq"), col("cv")) +
+          dotQ(col("cv"), col("cv")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("qid"), col("cid"),
+        zip_with(col("qq"), col("cv"), (a, b) => a - b).as("qr"))
+    // ADC rows: per (query, probed list, subspace, sub-centroid) the exact
+    // |query-residual-slice − sub-centroid|² — qid×nprobe×m×ksub rows,
+    // broadcastable at any corpus size (independent of |vectors|)
+    val dte = (0 until m).map { s =>
+        probes.select(col("qid"), col("cid"), lit(s).as("s"),
+          slice(col("qr"), s * sub + 1, sub).as("qrs"))
+      }
+      .reduce(_ union _)
+      .join(broadcast(books.reduce(_ union _)), Seq("s"))
+      .withColumn("d",
+        dotQ(col("qrs"), col("qrs")) - lit(2L) * dotQ(col("qrs"), col("cv")) +
+          dotQ(col("cv"), col("cv")))
+      .select("qid", "cid", "s", "scid", "d")
+    val wTop = Window.partitionBy("qid").orderBy(col("adist").asc, col("vec_id"))
+    graft.Materialize.thenRelease(
+      codes.join(broadcast(dte), Seq("cid", "s", "scid"))
+        .filter(col("qid") =!= col("vec_id"))
+        .groupBy("qid", "vec_id")
+        .agg(sum("d").as("adist"))
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= k)
+        .select("qid", "rank", "vec_id", "adist"),
+      coarse +: resid +: books: _*)
   }
 
   /** Symmetric int8 quantization of an embedding column — the standard

@@ -193,6 +193,40 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(got.forall(_._4 >= 0))
   }
 
+  test("ivfpqTopK: probed-cluster containment, planted duplicate at minimum ADC distance") {
+    val centers = Seq(Seq(0.9f, 0.9f), Seq(0.9f, -0.9f), Seq(-0.9f, 0.9f), Seq(-0.9f, -0.9f))
+    val rnd = new scala.util.Random(17)
+    val dim = 8
+    val base = (0 until 60).map { i =>
+      val c = centers(i % 4)
+      val v = Seq.tabulate(dim)(d =>
+        (if (d < 2) c(d) else 0.0f) + (rnd.nextGaussian() / 50).toFloat)
+      (i.toLong, v)
+    }
+    val dup = (99L, base.head._2) // exact copy of vec 0
+    val df = (base :+ dup).toDF("vec_id", "embedding")
+    val got = SimilarityOps.ivfpqTopK(df, df.filter(col("vec_id") === 0), k = 5,
+        nlist = 4, nprobe = 1, m = 4, ksub = 4, iters = 2, dim = dim)
+      .select("qid", "rank", "vec_id", "adist")
+      .as[(Long, Int, Long, Long)].collect().sortBy(_._2)
+    assert(got.length == 5 && got.map(_._2).toSeq == (1 to 5))
+    // the exact copy has residual identical to the query's residual in the
+    // probed list, so its ADC distance is the minimum (ties break by id)
+    val minDist = got.map(_._4).min
+    assert(got.find(_._3 == 99L).exists(_._4 == minDist), got.toSeq.toString)
+    // with nprobe=1 everything retrieved comes from the query's own
+    // well-separated cluster (i % 4 == 0 by construction)
+    assert(got.forall(r => r._3 == 99L || r._3 % 4 == 0), got.toSeq.toString)
+    assert(got.map(_._4).toSeq == got.map(_._4).sorted.toSeq)
+    assert(got.forall(_._4 >= 0))
+    // determinism: an identical second run returns the identical ranking
+    val again = SimilarityOps.ivfpqTopK(df, df.filter(col("vec_id") === 0), k = 5,
+        nlist = 4, nprobe = 1, m = 4, ksub = 4, iters = 2, dim = dim)
+      .select("qid", "rank", "vec_id", "adist")
+      .as[(Long, Int, Long, Long)].collect().sortBy(_._2)
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("annRecall: hit counting, MRR from exact #1, zero-hit queries kept") {
     val exact = Seq(
       (1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L),
