@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{DotQ, JaroWinkler, NormalizeText, RewriteDotProduct, RewriteRangeJoin, TopK}
+import graft.expressions.{BlocklistHits, DotQ, JaroWinkler, NormalizeText, RewriteDotProduct, RewriteRangeJoin, TopK}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the engine's native expressions with the session's function
@@ -52,6 +52,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 2, "graft_jaro_winkler takes exactly 2 arguments")
         JaroWinkler(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_blocklist_hits"),
+      new ExpressionInfo(classOf[BlocklistHits].getCanonicalName, "graft_blocklist_hits"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2,
+          "graft_blocklist_hits takes exactly 2 arguments (text, terms)")
+        BlocklistHits(children.head, children(1))
       }))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectOptimizerRule(_ => RewriteRangeJoin)

@@ -3125,6 +3125,23 @@ object SparkEntry {
       SimilarityOps.ivfpqTopK(e, e.filter(col("vec_id") < 3), k = 10,
           nlist = 4, nprobe = 2, m = 4, ksub = 8, iters = 2, dim = 64)
         .orderBy("qid", "rank")
+    }),
+
+    // Corpus blocklist filter via the plan-time-compiled Aho-Corasick
+    // expression: ONE text walk whatever the term count, vs the
+    // per-term contains scan the declarative spelling pays. The term
+    // set stresses the automaton (overlapping terms, a term inside
+    // another, matches crossing word boundaries); substring semantics
+    // mirror DuckDB contains exactly.
+    "q225_blocklist" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("graft_blocklist_hits(text, " +
+            "array('scan slow', 'slow', 'low', 'par', 'spark', " +
+            "'fast table', 'he lin', 'merge batch'))").as("hits"))
+        .select(col("doc_id"), size(col("hits")).as("n_hits"),
+          array_join(col("hits"), ",").as("hits_csv"))
+        .orderBy("doc_id")
     })
   )
 
@@ -6832,6 +6849,19 @@ object SparkEntry {
          |  FROM adist)
          |SELECT qid, rank, vec_id, adist FROM ranked
          |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
-    }
+    },
+
+    // The oracle scans once per term (the shape the automaton replaces);
+    // sorted-distinct hit lists must agree exactly.
+    "q225_blocklist" ->
+      """WITH h AS (SELECT doc_id,
+        |        list_sort(list_distinct(list_filter(
+        |          ['scan slow', 'slow', 'low', 'par', 'spark',
+        |           'fast table', 'he lin', 'merge batch'],
+        |          t -> contains(text, t)))) AS hits
+        |      FROM documents)
+        |SELECT doc_id, CAST(len(hits) AS INT) AS n_hits,
+        |       coalesce(array_to_string(hits, ','), '') AS hits_csv
+        |FROM h ORDER BY doc_id""".stripMargin
   )
 }
