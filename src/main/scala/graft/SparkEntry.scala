@@ -3127,6 +3127,30 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // Semantic decontamination — the embedding-space complement of the
+    // 8-gram overlap gates (q62/q81/q187): for every benchmark vector
+    // (odd ids, bounded), the exact max-cosine train neighbor (even ids)
+    // and a contamination flag at 0.9. Scale shape: the SMALL benchmark
+    // side broadcasts against the train scan (one pass, no shuffle of
+    // the big side), argmax via the shared (cos desc, id) tie rule; at
+    // corpus scale the same contract runs over ivfpqTopK candidates.
+    "q226_semantic_decontam" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val train = e.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("near_id"), SimilarityOps.quantize(col("embedding")).as("tv"))
+      val bench = e.filter(col("vec_id") % 2 === 1 && col("vec_id") < 40)
+        .select(col("vec_id"), SimilarityOps.quantize(col("embedding")).as("bv"))
+      val w = Window.partitionBy("vec_id").orderBy(col("c").desc, col("near_id"))
+      train.join(broadcast(bench))
+        .withColumn("c", SimilarityOps.cosQ(col("bv"), col("tv")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("near_id"),
+          floor(col("c") * 1e6).cast("long").as("cos_micro"))
+        .withColumn("contaminated", col("cos_micro") >= 900000L)
+        .orderBy("vec_id")
+    }),
+
     // Corpus blocklist filter via the plan-time-compiled Aho-Corasick
     // expression: ONE text walk whatever the term count, vs the
     // per-term contains scan the declarative spelling pays. The term
@@ -6849,6 +6873,23 @@ object SparkEntry {
          |  FROM adist)
          |SELECT qid, rank, vec_id, adist FROM ranked
          |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+    },
+
+    // Exact cross-set argmax replay: same cosine, same floor-micro
+    // boundary, same (cos desc, id) tie rule.
+    "q226_semantic_decontam" -> {
+      val cos = LlmSql.cos("b.qv", "t.qv")
+      s"""WITH e AS (SELECT vec_id, ${LlmSql.qvec("embedding")} AS qv FROM embeddings),
+         |t AS (SELECT vec_id, qv FROM e WHERE vec_id % 2 = 0),
+         |b AS (SELECT vec_id, qv FROM e WHERE vec_id % 2 = 1 AND vec_id < 40),
+         |sc AS (SELECT b.vec_id, t.vec_id AS near_id, $cos AS c
+         |       FROM b CROSS JOIN t),
+         |r AS (SELECT vec_id, near_id, c, row_number() OVER (
+         |        PARTITION BY vec_id ORDER BY c DESC, near_id) AS rn
+         |      FROM sc)
+         |SELECT vec_id, near_id, CAST(floor(c * 1e6) AS BIGINT) AS cos_micro,
+         |       CAST(floor(c * 1e6) AS BIGINT) >= 900000 AS contaminated
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
     },
 
     // The oracle scans once per term (the shape the automaton replaces);
