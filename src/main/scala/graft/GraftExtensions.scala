@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{BlocklistHits, DotQ, JaroWinkler, NormalizeText, RewriteDotProduct, RewriteRangeJoin, TopK}
+import graft.expressions.{BlocklistHits, DotQ, HilbertIndex, JaroWinkler, NormalizeText, RewriteDotProduct, RewriteRangeJoin, TopK}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the engine's native expressions with the session's function
@@ -60,6 +60,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           "graft_blocklist_hits takes exactly 2 arguments (text, terms)")
         BlocklistHits(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hilbert"),
+      new ExpressionInfo(classOf[HilbertIndex].getCanonicalName, "graft_hilbert"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "graft_hilbert takes exactly 2 arguments (x, y)")
+        HilbertIndex(children.head, children(1))
       }))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectOptimizerRule(_ => RewriteRangeJoin)

@@ -259,7 +259,8 @@ object ScaleBench {
     // the block join grows with the planted duplicate volume)
     "q218_stream_dedup", "q219_mrl_ablation", "q220_image_dhash",
     "q221_video_frames", "q222_nfc_normalize", "q223_jaro_winkler",
-    "q224_ivfpq_ann", "q225_blocklist", "q226_semantic_decontam")
+    "q224_ivfpq_ann", "q225_blocklist", "q226_semantic_decontam",
+    "q227_hilbert_scan")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

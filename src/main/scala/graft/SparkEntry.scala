@@ -3166,6 +3166,27 @@ object SparkEntry {
         .select(col("doc_id"), size(col("hits")).as("n_hits"),
           array_join(col("hits"), ",").as("hits_csv"))
         .orderBy("doc_id")
+    }),
+
+    // Hilbert-clustered layout (q99's Morton twin): write lineitem
+    // clustered on the CONTINUOUS curve via the native graft_hilbert
+    // expression, read back through a 2-D box — results must answer to
+    // the plain-filter oracle (the layout is result-invariant by
+    // contract). Hilbert beats Morton exactly where file splits don't
+    // land on aligned quadrants: measured 25% tighter total box area at
+    // 10 files on a uniform grid (ZOrderSpec).
+    "q227_hilbert_scan" -> ((s, dir) => {
+      val path = rtPath("hilbert.parquet")
+      ZOrder.writeClusteredHilbert(
+        t(s, dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity"),
+        "l_partkey", "l_suppkey", path, files = 10)
+      s.read.parquet(path)
+        .filter(col("l_partkey").between(300, 520) &&
+          col("l_suppkey").between(20, 60))
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("sum_qty"))
+        .orderBy("l_partkey")
     })
   )
 
@@ -6903,6 +6924,15 @@ object SparkEntry {
         |      FROM documents)
         |SELECT doc_id, CAST(len(hits) AS INT) AS n_hits,
         |       coalesce(array_to_string(hits, ','), '') AS hits_csv
-        |FROM h ORDER BY doc_id""".stripMargin
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    // Layout result-invariance: the Hilbert clustering must answer the
+    // box query identically to the plain filter over the original table.
+    "q227_hilbert_scan" ->
+      """SELECT l_partkey, count(*) AS n,
+        |       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 300 AND 520 AND l_suppkey BETWEEN 20 AND 60
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin
   )
 }

@@ -43,4 +43,48 @@ class ZOrderSpec extends SparkSpec {
         .orderBy("x").as[(Long, Long)].collect().toSeq
     assert(box(spark.read.parquet(s"$dir/z")) == box(grid))
   }
+
+  test("hilbertD: continuous traversal — every step is unit-adjacent (Morton jumps)") {
+    // the first 256 d-values of the order-16 curve cover one 16×16 block
+    // as a contiguous unit-step walk; the Z-curve jumps at every
+    // power-of-2 boundary, which is exactly why Hilbert boxes are tighter
+    val pts = (for (x <- 0 until 16; y <- 0 until 16)
+      yield (ZOrder.hilbertD(x, y), x, y)).sortBy(_._1)
+    assert(pts.map(_._1) == (0 until 256).map(_.toLong), "d not a 0..255 bijection")
+    pts.zip(pts.tail).foreach { case ((_, x1, y1), (_, x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1, s"jump at ($x1,$y1)->($x2,$y2)")
+    }
+    // Morton fails continuity on the same block (e.g. 3 -> 4 jumps)
+    val mpts = (for (x <- 0 until 16; y <- 0 until 16)
+      yield ((0 until 4).map(i => (((x >> i) & 1) << (2 * i)) | (((y >> i) & 1) << (2 * i + 1))).sum, x, y))
+      .sortBy(_._1)
+    assert(mpts.zip(mpts.tail).exists { case ((_, x1, y1), (_, x2, y2)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) > 1
+    })
+  }
+
+  test("hilbert layout beats morton at unaligned file splits; SQL surface registered") {
+    // 64×64 grid, 10 equal chunks (NOT a power of 2 — splits can't land
+    // on aligned quadrants): total bounding-box area must be tighter for
+    // the continuous curve. Kernel-level check, no files needed.
+    val grid = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
+    def totalArea(key: ((Long, Long)) => Long): Long = {
+      val rows = grid.sortBy(key)
+      val n = rows.length
+      (0 until 10).map { i =>
+        val c = rows.slice(i * n / 10, (i + 1) * n / 10)
+        (c.map(_._1).max - c.map(_._1).min + 1) * (c.map(_._2).max - c.map(_._2).min + 1)
+      }.sum
+    }
+    def morton(x: Long, y: Long): Long =
+      (0 until 6).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val h = totalArea { case (x, y) => ZOrder.hilbertD(x, y) }
+    val m = totalArea { case (x, y) => morton(x, y) }
+    assert(h < m, s"hilbert $h not tighter than morton $m")
+    // the registered expression equals the kernel
+    val got = Seq((3L, 5L), (0L, 0L), (65535L, 65535L)).toDF("x", "y")
+      .selectExpr("graft_hilbert(x, y)").as[Long].collect()
+    assert(got.toSeq == Seq(ZOrder.hilbertD(3, 5), ZOrder.hilbertD(0, 0),
+      ZOrder.hilbertD(65535, 65535)))
+  }
 }
