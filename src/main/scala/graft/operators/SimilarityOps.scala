@@ -402,13 +402,18 @@ object SimilarityOps {
       vectors.select(col("vec_id"),
         slice(col("embedding"), s * sub + 1, sub).as("embedding"))
     }
-    // cache: each codebook (ksub×sub longs — tiny) has TWO consumers, the
-    // encoder and the ADC tables; uncached, both re-run the whole Lloyd
-    // training chain (the semDedup lineage-severing rule)
+    // Each codebook (ksub×sub longs — tiny) has TWO consumers, the
+    // encoder and the ADC tables; without materialization both re-run
+    // the whole Lloyd training chain (the semDedup lineage-severing
+    // rule). localCheckpoint (eager) rather than cache: it also CUTS the
+    // nested training lineage out of every downstream plan — with lazy
+    // caches Catalyst re-optimizes the stacked Lloyd chains per
+    // consumer (the q224 lesson: 22 s → 7 s on 2000 vectors) — and
+    // ContextCleaner reclaims the partitions on GC, no release needed.
     val books = subVecs.zipWithIndex.map { case (sv, s) =>
       kmeansCentroids(sv, ksub, iters, sub)
         .select(lit(s).as("s"), col("cid"), col("cv"))
-        .cache()
+        .localCheckpoint()
     }
     // codes: one row per vector, array of m sub-centroid ids (s-ordered)
     val codes = subVecs.zipWithIndex.map { case (sv, s) =>
@@ -436,16 +441,14 @@ object SimilarityOps {
       .agg(transform(sort_array(collect_list(struct(col("s"), col("ds")))),
         p => p.getField("ds")).as("dt"))
     val wTop = Window.partitionBy("qid").orderBy(col("adist").asc, col("vec_id"))
-    graft.Materialize.thenRelease(
-      codes.crossJoin(broadcast(dt))
-        .filter(col("qid") =!= col("vec_id"))
-        .withColumn("adist", expr(
-          s"aggregate(sequence(0, ${m - 1}), 0L, (acc, s) -> " +
-            "acc + element_at(element_at(dt, s + 1), CAST(element_at(codes, s + 1) AS INT) + 1))"))
-        .withColumn("rank", row_number().over(wTop))
-        .filter(col("rank") <= k)
-        .select("qid", "rank", "vec_id", "adist"),
-      books: _*)
+    codes.crossJoin(broadcast(dt))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("adist", expr(
+        s"aggregate(sequence(0, ${m - 1}), 0L, (acc, s) -> " +
+          "acc + element_at(element_at(dt, s + 1), CAST(element_at(codes, s + 1) AS INT) + 1))"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "adist")
   }
 
   /** IVF-PQ with RESIDUAL quantization — the FAISS IVFADC composition
@@ -481,18 +484,26 @@ object SimilarityOps {
     require(nprobe > 0 && nprobe <= nlist, s"bad ivfpq nprobe=$nprobe nlist=$nlist")
     val sub = dim / m
     val qvAll = vectors.select(col("vec_id"), quantize(col("embedding")).as("qv"))
-    val coarse = kmeansCentroidsQ(qvAll, nlist, iters, dim).select("cid", "cv").cache()
+    // lineage discipline: each composition level (coarse training →
+    // residuals → residual codebooks) is localCheckpoint'ed EAGERLY —
+    // the nested Lloyd chains otherwise stack into one plan Catalyst
+    // re-optimizes per consumer (measured 22 s at sf0.1 with lazy
+    // caches, 5× the flat-PQ twin, on 2000 vectors — pure planning
+    // cost). Checkpointed partitions are ContextCleaner-reclaimed when
+    // the frames are GC'd, so nothing needs an explicit release.
+    val coarse = kmeansCentroidsQ(qvAll, nlist, iters, dim)
+      .select("cid", "cv").localCheckpoint()
     // coarse assignment + exact residual per vector
     val resid = assignToCentroidsQ(qvAll, coarse)
       .join(broadcast(coarse.select(col("cid"), col("cv").as("ccv"))), Seq("cid"))
       .select(col("cid"), col("vec_id"),
         zip_with(col("qv"), col("ccv"), (a, b) => a - b).as("rv"))
-      .cache()
+      .localCheckpoint()
     def rslice(s: Int): DataFrame =
       resid.select(col("vec_id"), slice(col("rv"), s * sub + 1, sub).as("qv"))
     val books = (0 until m).map { s =>
       kmeansCentroidsQ(rslice(s), ksub, iters, sub)
-        .select(lit(s).as("s"), col("cid").as("scid"), col("cv")).cache()
+        .select(lit(s).as("s"), col("cid").as("scid"), col("cv")).localCheckpoint()
     }
     // flat code rows (coarse list, subspace, sub-centroid id) per vector
     val codes = (0 until m).map { s =>
@@ -526,15 +537,13 @@ object SimilarityOps {
           dotQ(col("cv"), col("cv")))
       .select("qid", "cid", "s", "scid", "d")
     val wTop = Window.partitionBy("qid").orderBy(col("adist").asc, col("vec_id"))
-    graft.Materialize.thenRelease(
-      codes.join(broadcast(dte), Seq("cid", "s", "scid"))
-        .filter(col("qid") =!= col("vec_id"))
-        .groupBy("qid", "vec_id")
-        .agg(sum("d").as("adist"))
-        .withColumn("rank", row_number().over(wTop))
-        .filter(col("rank") <= k)
-        .select("qid", "rank", "vec_id", "adist"),
-      coarse +: resid +: books: _*)
+    codes.join(broadcast(dte), Seq("cid", "s", "scid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy("qid", "vec_id")
+      .agg(sum("d").as("adist"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "adist")
   }
 
   /** Symmetric int8 quantization of an embedding column — the standard
