@@ -3187,6 +3187,37 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("sum_qty"))
         .orderBy("l_partkey")
+    }),
+
+    // Transparent materialized-view rewrite (the third injected optimizer
+    // rule): the query below is written against the BASE lineitem scan —
+    // subset grouping, a group-column filter, count/sum/min/max — and
+    // RewriteAggToSummary answers it from the pre-aggregated summary
+    // instead. The in-query require pins that the rewrite actually fired
+    // (executed plan scans the summary path); the oracle computes from
+    // the RAW table, so the rewritten result must be value-identical.
+    // Own newSession: the MV registration must not leak to siblings.
+    // l_quantity is integral-valued, so double sums are exact and
+    // order-independent (the q01 precedent).
+    "q228_mv_rewrite" -> ((s, dir) => {
+      val s2 = s.newSession()
+      val base = s"$dir/lineitem.parquet"
+      val sumPath = rtPath("mv_lineitem.parquet")
+      Mv.createSummary(s2, base, sumPath,
+        Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"))
+      Mv.register(s2, "li_by_flag_status", base, sumPath,
+        Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"))
+      val q = s2.read.parquet(base)
+        .filter(col("l_returnflag") =!= "N")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum("l_quantity").as("sum_qty"),
+          min("l_quantity").as("min_qty"),
+          max("l_quantity").as("max_qty"))
+        .orderBy("l_returnflag")
+      require(q.queryExecution.executedPlan.toString.contains("mv_lineitem"),
+        "MV rewrite did not fire — plan still scans the base table")
+      q
     })
   )
 
@@ -6933,6 +6964,16 @@ object SparkEntry {
         |       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem
         |WHERE l_partkey BETWEEN 300 AND 520 AND l_suppkey BETWEEN 20 AND 60
-        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+
+    // The oracle computes from the RAW table — the summary-answered plan
+    // must be value-identical (re-aggregated partials, q189's identity).
+    "q228_mv_rewrite" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       sum(l_quantity) AS sum_qty,
+        |       min(l_quantity) AS min_qty,
+        |       max(l_quantity) AS max_qty
+        |FROM lineitem WHERE l_returnflag <> 'N'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

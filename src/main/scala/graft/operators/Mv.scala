@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialized summary tables ("materialized views") + the registration
+  * half of the [[graft.expressions.RewriteAggToSummary]] optimizer rule —
+  * the warehouse feature where `GROUP BY` queries over a 100 TB fact
+  * table are answered from a pre-aggregated summary a fraction of the
+  * size, WITHOUT the query author knowing the summary exists.
+  *
+  * The summary stores re-aggregable partials per grouping-domain row:
+  * `mv_cnt` = count(*), and per value column v `mv_sum_v` / `mv_min_v` /
+  * `mv_max_v`. Any aggregate over a grouping subset re-aggregates them
+  * (sum of sums, min of mins, sum of counts) — the q96/q189 rollup
+  * identity, applied by the optimizer instead of by hand.
+  *
+  * Usage:
+  * {{{
+  *   Mv.createSummary(spark, basePath, sumPath, Seq("a", "b"), Seq("x"))
+  *   Mv.register(spark, "orders_by_ab", basePath, sumPath,
+  *     Seq("a", "b"), Seq("x"))
+  *   // any groupBy("a")/agg(sum("x"), count(*)) over basePath now scans
+  *   // the summary — verify with .explain or the q228 plan contract
+  * }}}
+  *
+  * Create BEFORE register: the summary-building aggregate itself scans
+  * the base table, and registering first would rewrite the builder onto
+  * the summary it is about to write. */
+object Mv {
+
+  val ConfPrefix = "spark.graft.mv."
+
+  /** Build + write the summary parquet for (groupCols, valueCols): one
+    * row per grouping-domain value with re-aggregable partials. */
+  def createSummary(spark: SparkSession, basePath: String, summaryPath: String,
+                    groupCols: Seq[String], valueCols: Seq[String]): Unit = {
+    require(groupCols.nonEmpty && valueCols.nonEmpty, "empty MV spec")
+    val aggs = count(lit(1)).as("mv_cnt") +:
+      valueCols.flatMap(v => Seq(
+        sum(col(v)).as(s"mv_sum_$v"),
+        min(col(v)).as(s"mv_min_$v"),
+        max(col(v)).as(s"mv_max_$v")))
+    spark.read.parquet(basePath)
+      .groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(summaryPath)
+  }
+
+  /** Register the summary with the optimizer rule (session-scoped conf).
+    * Value format is positional and pipe-separated; paths must be the
+    * same strings queries read from. */
+  def register(spark: SparkSession, name: String, basePath: String,
+               summaryPath: String, groupCols: Seq[String],
+               valueCols: Seq[String]): Unit =
+    spark.conf.set(ConfPrefix + name,
+      s"$basePath|$summaryPath|${groupCols.mkString(",")}|${valueCols.mkString(",")}")
+
+  /** Remove a registration. */
+  def unregister(spark: SparkSession, name: String): Unit =
+    spark.conf.unset(ConfPrefix + name)
+}
