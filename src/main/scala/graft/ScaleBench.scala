@@ -260,7 +260,9 @@ object ScaleBench {
     "q218_stream_dedup", "q219_mrl_ablation", "q220_image_dhash",
     "q221_video_frames", "q222_nfc_normalize", "q223_jaro_winkler",
     "q224_ivfpq_ann", "q225_blocklist", "q226_semantic_decontam",
-    "q227_hilbert_scan", "q228_mv_rewrite")
+    "q227_hilbert_scan", "q228_mv_rewrite", "q229_tpch_q21_shape",
+    "q230_tpch_q13_shape", "q231_multi_touch", "q232_median_impute",
+    "q233_k_anonymity", "q234_dynamic_pivot")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

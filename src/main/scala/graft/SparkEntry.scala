@@ -3218,8 +3218,122 @@ object SparkEntry {
       require(q.queryExecution.executedPlan.toString.contains("mv_lineitem"),
         "MV rewrite did not fire — plan still scans the base table")
       q
+    }),
+
+    // TPC-H Q21's correlated shape — the hardest decorrelation stress in
+    // the suite: EXISTS (another supplier on the order) AND NOT EXISTS
+    // (another FAILED supplier on the order), both correlated to the
+    // outer lineitem on (orderkey, <> suppkey). Identical statement text
+    // in both engines; Catalyst must decorrelate to semi/anti joins
+    // (never a per-row subquery loop).
+    "q229_tpch_q21_shape" -> ((s, dir) => {
+      for (tb <- Seq("lineitem", "orders")) t(s, dir, tb).createOrReplaceTempView(tb)
+      s.sql(tpchQ21Sql)
+    }),
+
+    // TPC-H Q13's shape: LEFT join with an ON-clause predicate on the
+    // RIGHT side (not a WHERE — the zero-order customers must survive),
+    // count(right key) per customer, then the distribution of counts.
+    "q230_tpch_q13_shape" -> ((s, dir) => {
+      for (tb <- Seq("customer", "orders")) t(s, dir, tb).createOrReplaceTempView(tb)
+      s.sql(tpchQ13Sql)
+    }),
+
+    // Linear multi-touch attribution: every view inside the 30-minute
+    // look-back of a purchase gets an exact integer share of 10^6
+    // micro-units (10^6 div n each, remainder to the earliest touch) —
+    // per-conversion credit sums to exactly 10^6, no float weights.
+    "q231_multi_touch" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        EventOps.tsUs("ts").as("ts_us"), col("event_type"))
+      EventOps.multiTouchAttribution(ev, "user_id", "view", "purchase",
+          windowUs = 1800000000L)
+        .orderBy("conv_id", "touch_id")
+    }),
+
+    // Group-median imputation — the feature-store fill rule: planted
+    // missing cells (event_id % 7 = 0, mirrored) are imputed with the
+    // EXACT per-type median of the surviving values. Doubled-cents lanes
+    // (q131's device) keep the even-count half-cent interpolation an
+    // exact integer in both engines.
+    "q232_median_impute" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("value_c"))
+        .withColumn("missing", col("event_id") % 7 === 0)
+      val med = ev.filter(!col("missing"))
+        .groupBy("event_type")
+        .agg(expr("CAST(round(median(value_c) * 2) AS BIGINT)").as("med2"))
+      ev.join(med, Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          when(col("missing"), col("med2")).otherwise(col("value_c") * 2)
+            .as("value2_c"),
+          col("missing").as("imputed"))
+        .orderBy("event_id")
+    }),
+
+    // k-anonymity audit — training-data governance: equivalence classes
+    // over the quasi-identifiers (nation, segment, account-balance
+    // band), class sizes, and the k>=5 anonymity flag. The re-identifiable
+    // classes (n < 5) are what a release pipeline must suppress or
+    // generalize.
+    "q233_k_anonymity" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("anonymous", col("n") >= 5)
+        .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+    }),
+
+    // DYNAMIC pivot: the column set is discovered from the data (driver-
+    // steered distinct over the bounded type domain — the documented
+    // steering-scalar pattern), then pivoted per day. The oracle spells
+    // the same columns as CASE sums; absent cells are zero-filled.
+    "q234_dynamic_pivot" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", EventOps.tsUs("ts"))
+        .select(expr("ts_us div 86400000000").as("day"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("value_c"))
+      val types = ev.select("event_type").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      ev.groupBy("day")
+        .pivot("event_type", types)
+        .agg(sum("value_c"))
+        .na.fill(0L)
+        .orderBy("day")
     })
   )
+
+  /** q229's shared text (both engines run it verbatim): TPC-H Q21's
+    * double-correlated EXISTS / NOT EXISTS shape over the columns this
+    * corpus has — 'R'-flagged lineitems standing in for late receipts. */
+  private lazy val tpchQ21Sql: String =
+    """SELECT l1.l_suppkey, count(*) AS numwait
+      |FROM lineitem l1 JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      |WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY l1.l_suppkey
+      |ORDER BY numwait DESC, l_suppkey
+      |LIMIT 20""".stripMargin
+
+  /** q230's shared text: TPC-H Q13 — LEFT join with the predicate in the
+    * ON clause (zero-order customers must survive), then the
+    * distribution of per-customer order counts. */
+  private lazy val tpchQ13Sql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      |      FROM customer c LEFT JOIN orders o
+      |        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      |      GROUP BY c.c_custkey) cc
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
 
   /** q197's shared text: Spark executes it via UnionLoop; DuckDB runs the
     * identical statement as the oracle. Depth-bounded (d < 3), so the
@@ -6974,6 +7088,72 @@ object SparkEntry {
         |       min(l_quantity) AS min_qty,
         |       max(l_quantity) AS max_qty
         |FROM lineitem WHERE l_returnflag <> 'N'
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Same statement text both engines (the q191/q197 device).
+    "q229_tpch_q21_shape" -> tpchQ21Sql,
+    "q230_tpch_q13_shape" -> tpchQ13Sql,
+
+    // Exact per-conversion split replay: same window, same remainder-to-
+    // earliest rule, integer micro-units.
+    "q231_multi_touch" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+        |            FROM events),
+        |t AS (SELECT user_id, event_id AS touch_id, ts_us AS touch_us
+        |      FROM ev WHERE event_type = 'view'),
+        |c AS (SELECT user_id, event_id AS conv_id, ts_us AS conv_us
+        |      FROM ev WHERE event_type = 'purchase'),
+        |j AS (SELECT c.conv_id, t.touch_id, c.user_id, t.touch_us
+        |      FROM c JOIN t USING (user_id)
+        |      WHERE t.touch_us <= c.conv_us
+        |        AND t.touch_us > c.conv_us - 1800000000),
+        |r AS (SELECT conv_id, touch_id, user_id,
+        |             count(*) OVER (PARTITION BY conv_id) AS n,
+        |             row_number() OVER (PARTITION BY conv_id
+        |               ORDER BY touch_us, touch_id) AS rk
+        |      FROM j)
+        |SELECT conv_id, touch_id, user_id,
+        |       CAST(1000000 // n +
+        |            CASE WHEN rk = 1 THEN 1000000 % n ELSE 0 END AS BIGINT)
+        |         AS weight_micro
+        |FROM r ORDER BY conv_id, touch_id""".stripMargin,
+
+    // Exact median replay in doubled-cents lanes; the planted missing
+    // rule is mirrored verbatim.
+    "q232_median_impute" ->
+      """WITH ev AS (SELECT event_id, event_type,
+        |                   CAST(round(value * 100) AS BIGINT) AS value_c,
+        |                   event_id % 7 = 0 AS missing
+        |            FROM events),
+        |med AS (SELECT event_type,
+        |               CAST(round(median(value_c) * 2) AS BIGINT) AS med2
+        |        FROM ev WHERE NOT missing GROUP BY event_type)
+        |SELECT event_id, ev.event_type,
+        |       CASE WHEN missing THEN med2 ELSE value_c * 2 END AS value2_c,
+        |       missing AS imputed
+        |FROM ev JOIN med ON med.event_type = ev.event_type
+        |ORDER BY event_id""".stripMargin,
+
+    // Equivalence classes over the quasi-identifiers; k = 5.
+    "q233_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |       CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |       count(*) AS n, count(*) >= 5 AS anonymous
+        |FROM customer
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // The oracle spells the dynamically-discovered columns as CASE sums
+    // under the SAME names; absent cells are zero like na.fill.
+    "q234_dynamic_pivot" -> {
+      val cases = Seq("click", "error", "purchase", "signup", "view").map(t =>
+        s"COALESCE(CAST(sum(CASE WHEN event_type = '$t' THEN value_c END) AS BIGINT), 0) AS $t")
+        .mkString(",\n       ")
+      s"""WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+         |                   CAST(round(value * 100) AS BIGINT) AS value_c
+         |            FROM events)
+         |SELECT day,
+         |       $cases
+         |FROM ev GROUP BY day ORDER BY day""".stripMargin
+    }
   )
 }

@@ -286,6 +286,41 @@ object EventOps {
         (col("exit_us") - col("entry_us")).as("ttc_us"))
   }
 
+  /** Linear multi-touch attribution — the marketing-analytics complement
+    * of [[funnel]] and the as-of join: for every conversion event, every
+    * touch event by the same key inside the look-back window
+    * `(conv_us − windowUs, conv_us]`, each credited an exact integer
+    * share of one million micro-units: `10⁶ div n` per touch, with the
+    * division REMAINDER going to the earliest touch (ties by touch id) —
+    * so per-conversion credit sums to exactly 10⁶ and the split is
+    * bit-reproducible in any engine (no float weights).
+    *
+    * Scale shape: one per-key equi-join (conversions ⋈ touches on the
+    * key) with the window as residual, then two window functions over
+    * conv_id — the shuffle key is the conversion, bounded by touches
+    * actually inside the window. Input needs (event_id, ts_us,
+    * event_type, key). */
+  def multiTouchAttribution(events: DataFrame, key: String,
+                            touchType: String, convType: String,
+                            windowUs: Long): DataFrame = {
+    require(windowUs > 0, s"bad attribution window $windowUs")
+    val touches = events.filter(col("event_type") === touchType)
+      .select(col(key), col("event_id").as("touch_id"), col("ts_us").as("touch_us"))
+    val convs = events.filter(col("event_type") === convType)
+      .select(col(key), col("event_id").as("conv_id"), col("ts_us").as("conv_us"))
+    val wN = Window.partitionBy("conv_id")
+    val wRank = Window.partitionBy("conv_id").orderBy("touch_us", "touch_id")
+    convs.join(touches, Seq(key))
+      .filter(col("touch_us") <= col("conv_us") &&
+        col("touch_us") > col("conv_us") - windowUs)
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("rk", row_number().over(wRank))
+      .select(col("conv_id"), col("touch_id"), col(key),
+        (expr("1000000 div n") +
+          when(col("rk") === 1, expr("1000000 % n")).otherwise(lit(0L)))
+          .as("weight_micro"))
+  }
+
   /** Weekly cohort-retention matrix — the standard product-analytics view:
     * users are grouped by the epoch week of their FIRST event (the
     * cohort), and each cell (cohort_wk, wk_offset) counts the distinct

@@ -120,6 +120,30 @@ class EventOpsSpec extends SparkSpec {
     assert(!got.contains(5L))            // no entry event → no row
   }
 
+  test("multiTouchAttribution: exact 10^6 split, remainder to earliest, window edges") {
+    val e = Seq(
+      // user 1: three views in window, one outside; purchase at 10000
+      (1L, 1L, 9000L, "view"), (1L, 2L, 9500L, "view"), (1L, 3L, 10000L, "view"),
+      (1L, 4L, 7999L, "view"), // outside: touch_us <= conv_us - window
+      (1L, 5L, 10000L, "purchase"),
+      // user 2: purchase with no touches -> no rows
+      (2L, 6L, 5000L, "purchase"),
+      // user 3: exactly-one-touch split
+      (3L, 7L, 4000L, "view"), (3L, 8L, 4100L, "purchase"))
+      .toDF("user_id", "event_id", "ts_us", "event_type")
+    val got = EventOps.multiTouchAttribution(e, "user_id", "view", "purchase",
+        windowUs = 2000L)
+      .select("conv_id", "touch_id", "weight_micro")
+      .as[(Long, Long, Long)].collect().toSet
+    // 10^6 div 3 = 333333 rem 1; earliest touch (id 1) gets the remainder
+    assert(got == Set((5L, 1L, 333334L), (5L, 2L, 333333L), (5L, 3L, 333333L),
+      (8L, 7L, 1000000L)))
+    // conservation: every conversion's credit sums to exactly 10^6
+    // (toSeq first — summing over the Set would dedup equal weights)
+    val sums = got.toSeq.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    assert(sums.values.forall(_ == 1000000L))
+  }
+
   test("cdcSnapshot keeps the latest (ts, id) row per key and honors tombstones") {
     val feed = Seq(
       (1L, 0L, 100L, "u", 10L), (1L, 1L, 200L, "u", 20L),  // latest upsert wins
