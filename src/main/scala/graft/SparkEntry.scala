@@ -3302,6 +3302,29 @@ object SparkEntry {
         .agg(sum("value_c"))
         .na.fill(0L)
         .orderBy("day")
+    }),
+
+    // Join elimination via a declared RELY-style unique key (the fourth
+    // injected optimizer rule): the query LEFT-joins the nation dimension
+    // but reads only customer columns, so the join is provably a no-op —
+    // the plan must not scan nation at all (in-query require), and the
+    // result must equal the join-free oracle, which is also the
+    // semantic proof of the elimination. Own newSession: the uniqueness
+    // declaration must not leak to siblings.
+    "q235_join_elim" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.unique.nation_pk",
+        s"$dir/nation.parquet|n_nationkey")
+      val c = s2.read.parquet(s"$dir/customer.parquet")
+      val n = s2.read.parquet(s"$dir/nation.parquet")
+      val q = c.join(n, c("c_nationkey") === n("n_nationkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("bal_c"))
+        .orderBy("c_mktsegment")
+      require(!q.queryExecution.executedPlan.toString.contains("nation.parquet"),
+        "dimension join was not eliminated")
+      q
     })
   )
 
@@ -7154,6 +7177,13 @@ object SparkEntry {
          |SELECT day,
          |       $cases
          |FROM ev GROUP BY day ORDER BY day""".stripMargin
-    }
+    },
+
+    // Join-free by construction — the oracle IS the semantic proof that
+    // a left join to a unique key with left-only projection is a no-op.
+    "q235_join_elim" ->
+      """SELECT c_mktsegment, count(*) AS n_cust,
+        |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_c
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }
