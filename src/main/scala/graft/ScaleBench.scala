@@ -262,7 +262,8 @@ object ScaleBench {
     "q224_ivfpq_ann", "q225_blocklist", "q226_semantic_decontam",
     "q227_hilbert_scan", "q228_mv_rewrite", "q229_tpch_q21_shape",
     "q230_tpch_q13_shape", "q231_multi_touch", "q232_median_impute",
-    "q233_k_anonymity", "q234_dynamic_pivot", "q235_join_elim")
+    "q233_k_anonymity", "q234_dynamic_pivot", "q235_join_elim",
+    "q236_mmr_rerank")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

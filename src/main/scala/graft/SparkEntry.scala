@@ -3325,6 +3325,19 @@ object SparkEntry {
       require(!q.queryExecution.executedPlan.toString.contains("nation.parquet"),
         "dimension join was not eliminated")
       q
+    }),
+
+    // MMR diversified re-rank (λ = 0.7): the stage after retrieval —
+    // top-10 brute candidates per query, greedy selection of 5
+    // maximizing 7·rel − 3·max-sim-to-selected in exact integer
+    // micro-units, ties by vec_id. The oracle unrolls all five greedy
+    // rounds; the per-query loop runs as a partition-local batch kernel
+    // over the (already bounded) candidate list.
+    "q236_mmr_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.mmrRerank(e, e.filter(col("vec_id") < 3),
+          kCand = 10, kOut = 5)
+        .orderBy("qid", "pos")
     })
   )
 
@@ -7184,6 +7197,54 @@ object SparkEntry {
     "q235_join_elim" ->
       """SELECT c_mktsegment, count(*) AS n_cust,
         |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_c
-        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // Full greedy unroll: candidate relevance, pairwise candidate
+    // similarity, then five rounds of argmax(7·rel − 3·maxsim) with the
+    // (score DESC, vec_id) tie rule — every score an exact integer.
+    "q236_mmr_rerank" -> {
+      val ln = 7; val ldiff = 3; val kC = 10; val kO = 5
+      val head =
+        s"""WITH e AS (SELECT vec_id, ${LlmSql.qvec("embedding")} AS qv FROM embeddings),
+           |cand AS MATERIALIZED (
+           |  SELECT qid, vec_id, rel, qv FROM (
+           |    SELECT q.vec_id AS qid, v.vec_id,
+           |           CAST(floor(1e6 * ${LlmSql.cos("q.qv", "v.qv")}) AS BIGINT) AS rel,
+           |           v.qv,
+           |           row_number() OVER (PARTITION BY q.vec_id
+           |             ORDER BY ${LlmSql.cos("q.qv", "v.qv")} DESC, v.vec_id) AS rn
+           |    FROM e q CROSS JOIN e v
+           |    WHERE q.vec_id < 3 AND v.vec_id <> q.vec_id) rr
+           |  WHERE rn <= $kC),
+           |sim AS MATERIALIZED (
+           |  SELECT a.qid, a.vec_id AS a, b.vec_id AS b,
+           |         CAST(floor(1e6 * ${LlmSql.cos("a.qv", "b.qv")}) AS BIGINT) AS s
+           |  FROM cand a JOIN cand b ON b.qid = a.qid AND b.vec_id <> a.vec_id),
+           |s1 AS (SELECT qid, vec_id, CAST($ln AS BIGINT) * rel AS score, 1 AS pos FROM (
+           |         SELECT qid, vec_id, rel, row_number() OVER (
+           |           PARTITION BY qid ORDER BY $ln * rel DESC, vec_id) AS rn FROM cand) r1
+           |       WHERE rn = 1)""".stripMargin
+      val rounds = (2 to kO).map { r =>
+        val selPrev = (1 until r).map(i => s"SELECT qid, vec_id FROM s$i")
+          .mkString(" UNION ALL ")
+        s"""p$r AS (
+           |  SELECT c.qid, c.vec_id, $ln * c.rel - $ldiff * max(sim.s) AS score
+           |  FROM cand c
+           |  JOIN ($selPrev) sel ON sel.qid = c.qid
+           |  JOIN sim ON sim.qid = c.qid AND sim.a = c.vec_id AND sim.b = sel.vec_id
+           |  WHERE NOT EXISTS (SELECT 1 FROM ($selPrev) sp
+           |                    WHERE sp.qid = c.qid AND sp.vec_id = c.vec_id)
+           |  GROUP BY c.qid, c.vec_id, c.rel),
+           |s$r AS (SELECT qid, vec_id, score, $r AS pos FROM (
+           |         SELECT qid, vec_id, score, row_number() OVER (
+           |           PARTITION BY qid ORDER BY score DESC, vec_id) AS rn FROM p$r) r$r
+           |       WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val all = (1 to kO).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+      s"""$head,
+         |$rounds
+         |SELECT qid, CAST(pos AS INT) AS pos, vec_id, score AS score_micro
+         |FROM ($all) u ORDER BY qid, pos""".stripMargin
+    }
   )
 }

@@ -546,6 +546,77 @@ object SimilarityOps {
       .select("qid", "rank", "vec_id", "adist")
   }
 
+  /** MMR diversified re-ranking (Carbonell & Goldstein, SIGIR'98) — the
+    * stage after retrieval: from each query's candidate list, greedily
+    * select `kOut` items maximizing
+    * `λ·relevance − (1−λ)·max-similarity-to-already-selected`, so the
+    * result is relevant AND non-redundant (a dedup-adjacent contract:
+    * near-identical top hits collapse to one representative).
+    *
+    * All scoring is exact integer micro-units: relevance =
+    * `floor(10⁶·cos(query, cand))` (the engine-wide cosine), pairwise
+    * candidate similarity likewise, and the MMR score
+    * `λn·rel − (λd−λn)·maxsim` stays in Long. The greedy loop runs as a
+    * partition-local batch kernel per query (`flatMapGroups` — the
+    * candidate list is small by contract; retrieval already bounded it),
+    * so nothing quadratic ever leaves an executor. Ties break by
+    * vec_id, making the selection bit-reproducible; the q236 oracle
+    * unrolls the greedy rounds in SQL.
+    *
+    * Returns (qid, pos, vec_id, score_micro): pos = selection order
+    * (1-based), score_micro = the MMR objective at selection time
+    * (pos 1 carries λn·rel — no diversity term yet). */
+  def mmrRerank(vectors: DataFrame, queries: DataFrame, kCand: Int, kOut: Int,
+                lambdaNum: Long = 7, lambdaDen: Long = 10): DataFrame = {
+    require(kOut > 0 && kOut <= kCand, s"bad mmr k=$kOut cand=$kCand")
+    require(lambdaNum >= 0 && lambdaNum <= lambdaDen && lambdaDen > 0,
+      s"bad mmr lambda $lambdaNum/$lambdaDen")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val qv = vectors.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val cands = bruteTopK(vectors, queries, kCand)
+      .select(col("qid"), col("vec_id"),
+        floor(col("cos") * 1e6).cast("long").as("rel_micro"))
+      .join(qv, Seq("vec_id"))
+      .select(col("qid"), col("vec_id"), col("rel_micro"), col("qv"))
+      .as[(Long, Long, Long, Array[Long])]
+    cands.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val cs = it.toArray.sortBy(_._2) // vec_id order: deterministic base
+      def cosMicro(a: Array[Long], b: Array[Long]): Long = {
+        var dot = 0L; var na = 0L; var nb = 0L
+        var i = 0
+        while (i < a.length) {
+          dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        }
+        math.floor(1e6 * (dot.toDouble /
+          (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)))).toLong
+      }
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Long)]
+      var pos = 1
+      while (pos <= math.min(kOut, cs.length)) {
+        var bestIdx = -1
+        var bestScore = Long.MinValue
+        var i = 0
+        while (i < cs.length) {
+          if (!selected.contains(i)) {
+            val maxSim = if (selected.isEmpty) 0L
+              else selected.map(j => cosMicro(cs(i)._4, cs(j)._4)).max
+            val score = lambdaNum * cs(i)._3 - (lambdaDen - lambdaNum) * maxSim
+            // strict >: on ties the smaller vec_id (earlier in the
+            // vec_id-sorted array) wins
+            if (score > bestScore) { bestScore = score; bestIdx = i }
+          }
+          i += 1
+        }
+        selected += bestIdx
+        out += ((qid, pos, cs(bestIdx)._2, bestScore))
+        pos += 1
+      }
+      out.iterator
+    }.toDF("qid", "pos", "vec_id", "score_micro")
+  }
+
   /** Symmetric int8 quantization of an embedding column — the standard
     * 4×-compression step before shipping vectors to an ANN index or a
     * GPU: per-vector scale m = max|component|, q8ᵢ = round(xᵢ·127/m)

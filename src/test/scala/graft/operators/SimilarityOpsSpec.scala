@@ -227,6 +227,40 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(got.toSeq == again.toSeq)
   }
 
+  test("mmrRerank: diversity beats pure relevance on planted near-dups; deterministic") {
+    // Geometry chosen so the diversity term can actually win: high
+    // relevance to the query LOWER-BOUNDS mutual similarity (cos(a,b) >=
+    // 2 cos(q,a) cos(q,b) - 1 on the sphere), so the near-dup cluster
+    // sits at rel ~0.90 with mutual sim ~1.0, and the diverse candidates
+    // at rel 0.85/0.80 on the OPPOSITE side of the query (mutual sim
+    // ~0.53/0.72). Pure relevance ranks the cluster 1-2-3; MMR at λ=0.7
+    // must rank cluster, B, C (each later cluster member scores
+    // 0.7*0.90 - 0.3*1.0 = 0.33 < B's 0.43 and C's 0.34).
+    val a = Seq(0.9f, 0.436f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val df = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),           // the query
+      (1L, a), (2L, a.updated(2, 0.002f)), (3L, a.updated(2, -0.002f)),
+      (4L, Seq(0.85f, -0.527f, 0f, 0f, 0f, 0f, 0f, 0f)),    // B
+      (5L, Seq(0.8f, 0f, 0.6f, 0f, 0f, 0f, 0f, 0f)))        // C
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.mmrRerank(df, df.filter(col("vec_id") === 0),
+        kCand = 5, kOut = 3)
+      .select("pos", "vec_id", "score_micro")
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1, 2, 3))
+    // pos 1 is a cluster member (most relevant)
+    assert(Set(1L, 2L, 3L).contains(got(0)._2), got.toSeq.toString)
+    // pos 2 and 3 are the DIVERSE candidates, not the remaining copies
+    assert(got(1)._2 == 4L, got.toSeq.toString)
+    assert(got(2)._2 == 5L, got.toSeq.toString)
+    // determinism
+    val again = SimilarityOps.mmrRerank(df, df.filter(col("vec_id") === 0),
+        kCand = 5, kOut = 3)
+      .select("pos", "vec_id", "score_micro")
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("annRecall: hit counting, MRR from exact #1, zero-hit queries kept") {
     val exact = Seq(
       (1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L),
