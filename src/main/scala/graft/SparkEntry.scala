@@ -3338,6 +3338,39 @@ object SparkEntry {
       SimilarityOps.mmrRerank(e, e.filter(col("vec_id") < 3),
           kCand = 10, kOut = 5)
         .orderBy("qid", "pos")
+    }),
+
+    // Incremental MV refresh — the IVM identity end to end: build the
+    // summary on ~2/3 of lineitem, append the remaining third to the
+    // base directory, refresh the summary from the DELTA ONLY (the
+    // summary never re-reads the base), and the rewritten query over the
+    // refreshed summary must equal the oracle over the WHOLE raw table.
+    // Plan-pinned like q228: the require proves the query scanned the
+    // summary.
+    "q237_mv_incremental" -> ((s, dir) => {
+      val s2 = s.newSession()
+      val basePath = rtPath("mvinc_base.parquet")
+      val sumPath = rtPath("mvinc_sum.parquet")
+      val li = s2.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity")
+      li.filter(col("l_orderkey") % 3 =!= 0)
+        .write.mode("overwrite").parquet(basePath)
+      Mv.createSummary(s2, basePath, sumPath,
+        Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"))
+      val delta = li.filter(col("l_orderkey") % 3 === 0)
+      delta.write.mode("append").parquet(basePath)
+      Mv.refreshIncremental(s2, delta, sumPath,
+        Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"))
+      Mv.register(s2, "mvinc", basePath, sumPath,
+        Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"))
+      val q = s2.read.parquet(basePath)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"),
+          max("l_quantity").as("max_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+      require(q.queryExecution.executedPlan.toString.contains("mvinc_sum"),
+        "MV rewrite did not fire after the incremental refresh")
+      q
     })
   )
 
@@ -7245,6 +7278,16 @@ object SparkEntry {
          |$rounds
          |SELECT qid, CAST(pos AS INT) AS pos, vec_id, score AS score_micro
          |FROM ($all) u ORDER BY qid, pos""".stripMargin
-    }
+    },
+
+    // base(2/3) + delta(1/3) = the whole table — the oracle computes
+    // straight from raw lineitem, so a wrong merge (double count, lost
+    // group, +0-coalesced null) cannot hash-match.
+    "q237_mv_incremental" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       sum(l_quantity) AS sum_qty, max(l_quantity) AS max_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
   )
 }

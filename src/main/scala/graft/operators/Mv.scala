@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Materialized summary tables ("materialized views") + the registration
@@ -59,4 +59,41 @@ object Mv {
   /** Remove a registration. */
   def unregister(spark: SparkSession, name: String): Unit =
     spark.conf.unset(ConfPrefix + name)
+
+  /** Incremental refresh — the IVM identity the partials were chosen
+    * for: `merge(partials(base), partials(delta)) ≡ partials(base ∪
+    * delta)` (q96/q189's re-aggregability, applied to the summary).
+    * Reads ONLY the delta and the |grouping domain|-sized summary, never
+    * the base table — at warehouse scale that is the difference between
+    * a refresh proportional to the day's ingest and one proportional to
+    * the table's history. Null semantics per group: a value column with
+    * no non-null rows keeps a null sum/min/max partial, exactly like the
+    * full recompute (asymmetric coalesce, not +0). The merged summary is
+    * materialized BEFORE the overwrite (it reads the path it replaces). */
+  def refreshIncremental(spark: SparkSession, deltaDf: DataFrame,
+                         summaryPath: String, groupCols: Seq[String],
+                         valueCols: Seq[String]): Unit = {
+    val aggs = count(lit(1)).as("mv_cnt") +:
+      valueCols.flatMap(v => Seq(
+        sum(col(v)).as(s"mv_sum_$v"),
+        min(col(v)).as(s"mv_min_$v"),
+        max(col(v)).as(s"mv_max_$v")))
+    val delta = deltaDf.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val cur = spark.read.parquet(summaryPath)
+    def both(n: String, merge: (Column, Column) => Column): Column = {
+      val (a, b) = (col(s"a.$n"), col(s"b.$n"))
+      when(a.isNull, b).when(b.isNull, a).otherwise(merge(a, b)).as(n)
+    }
+    val keys = groupCols.map(g =>
+      coalesce(col(s"a.$g"), col(s"b.$g")).as(g))
+    val merged = cur.alias("a").join(delta.alias("b"),
+        groupCols.map(g => col(s"a.$g") <=> col(s"b.$g")).reduce(_ && _),
+        "full_outer")
+      .select(keys ++ (both("mv_cnt", _ + _) +: valueCols.flatMap(v => Seq(
+        both(s"mv_sum_$v", _ + _),
+        both(s"mv_min_$v", least(_, _)),
+        both(s"mv_max_$v", greatest(_, _))))): _*)
+      .localCheckpoint()
+    merged.write.mode("overwrite").parquet(summaryPath)
+  }
 }

@@ -88,6 +88,29 @@ class RewriteAggToSummarySpec extends SparkSpec {
     }
   }
 
+  test("refreshIncremental(delta) == full recompute, including all-null value groups") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mvref").toString
+    val base = Seq(("a", Some(1L)), ("a", Some(3L)), ("b", None))
+      .toDF("g", "x")
+    val delta = Seq(("a", Some(10L)), ("b", None), ("c", Some(7L)), ("d", None))
+      .toDF("g", "x")
+    base.write.parquet(s"$dir/t")
+    Mv.createSummary(spark, s"$dir/t", s"$dir/s", Seq("g"), Seq("x"))
+    delta.write.mode("append").parquet(s"$dir/t")
+    Mv.refreshIncremental(spark, delta, s"$dir/s", Seq("g"), Seq("x"))
+    // ground truth: recompute the summary from the unioned table
+    Mv.createSummary(spark, s"$dir/t", s"$dir/s2", Seq("g"), Seq("x"))
+    def read(p: String) = spark.read.parquet(p)
+      .orderBy("g")
+      .as[(String, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(read(s"$dir/s") == read(s"$dir/s2"))
+    // group d exists with a NULL sum/min/max (not zero): the asymmetric
+    // coalesce must not fabricate values
+    val d = read(s"$dir/s").find(_._1 == "d").get
+    assert(d._2 == 1L && d._3.isEmpty && d._4.isEmpty && d._5.isEmpty)
+  }
+
   test("unregistered sessions are untouched; unregister restores the base plan") {
     // the shared spec session has no registration at all
     val p = spark.read.parquet(s"$dirs/fact").groupBy("ga").agg(sum("x"))
