@@ -3371,6 +3371,37 @@ object SparkEntry {
       require(q.queryExecution.executedPlan.toString.contains("mvinc_sum"),
         "MV rewrite did not fire after the incremental refresh")
       q
+    }),
+
+    // DSv2 FILE SKIPPING: the custom source's write path now records
+    // per-file numeric min/max in a manifest, and the scan prunes files
+    // whose stats refute the pushed filters at PLANNING time — the
+    // custom-source analogue of parquet row-group pruning (and of
+    // Iceberg/Delta manifest skipping). Orders are range-clustered on
+    // o_orderkey into 8 files, so the key-range query must plan a strict
+    // subset of files (in-query require via the planning instrumentation)
+    // while answering exactly like the raw-table oracle.
+    "q238_dsv2_skipping" -> ((s, dir) => {
+      val path = rtPath("dsv2skip")
+      t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.format("graft.sources.v2.GraftCsv").mode("overwrite").save(path)
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_custkey", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_totalprice", org.apache.spark.sql.types.DoubleType)))
+      val q = s.read.schema(sch).format("graft.sources.v2.GraftCsv").load(path)
+        .filter(col("o_orderkey") >= 2000 && col("o_orderkey") < 3000)
+        .groupBy(expr("o_orderkey div 100").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("price_c"))
+        .orderBy("bucket")
+      q.rdd.getNumPartitions // force partition planning
+      val (kept, total) = graft.sources.v2.GraftCsv.lastSkipStats.get()
+      require(total == 8 && kept < total,
+        s"file skipping did not prune: kept $kept of $total")
+      q
     })
   )
 
@@ -7288,6 +7319,15 @@ object SparkEntry {
         |       sum(l_quantity) AS sum_qty, max(l_quantity) AS max_qty
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // The raw-table answer: skipping may touch fewer files, never fewer
+    // matching rows.
+    "q238_dsv2_skipping" ->
+      """SELECT o_orderkey // 100 AS bucket, count(*) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_c
+        |FROM orders
+        |WHERE o_orderkey >= 2000 AND o_orderkey < 3000
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -84,6 +84,88 @@ object GraftCsv {
       .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
       .sortBy(_.getName.toString)
   }
+
+  /** Per-(file, numeric column) write-time statistics: the manifest rows
+    * behind file skipping. min/max rendered as text ("" = all-null). */
+  case class ColStat(col: String, min: String, max: String, nulls: Long)
+
+  private[v2] val ManifestName = "_stats.csv"
+
+  /** (kept, total) of the last driver-side partition planning — test
+    * instrumentation for the skip decision (same spirit as
+    * `description()`'s PushedFilters: observable, not load-bearing). */
+  val lastSkipStats = new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
+
+  /** Manifest: file → col → (min, max, nulls, rows). Absent or
+    * unparseable → empty (files without stats are never skipped). */
+  private[sources] def readManifest(path: String): Map[String, Map[String, (String, String, Long, Long)]] = {
+    val m = new Path(path, ManifestName)
+    val fs = m.getFileSystem(new Configuration())
+    if (!fs.exists(m)) return Map.empty
+    val in = fs.open(m)
+    try {
+      val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      lines.flatMap { l =>
+        l.split(",", -1) match {
+          case Array(f, c, mn, mx, nulls, rows) =>
+            Some((f, c, (mn, mx, nulls.toLong, rows.toLong)))
+          case _ => None
+        }
+      }.groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    } finally in.close()
+  }
+
+  private[v2] def writeManifest(path: String,
+                                entries: Map[String, (Long, Seq[ColStat])]): Unit = {
+    val m = new Path(path, ManifestName)
+    val fs = m.getFileSystem(new Configuration())
+    val out = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(fs.create(m, true), "UTF-8"))
+    try entries.toSeq.sortBy(_._1).foreach { case (file, (rows, stats)) =>
+      stats.foreach { s =>
+        out.write(s"$file,${s.col},${s.min},${s.max},${s.nulls},$rows")
+        out.newLine()
+      }
+    } finally out.close()
+  }
+
+  /** Can `file` (with these stats) possibly satisfy every pushed filter?
+    * Missing stats for a referenced column → cannot rule the file out.
+    * Integer columns compare in EXACT Long arithmetic (the manifest
+    * stores exact bounds); doubles in Double. */
+  private[v2] def mayMatch(stats: Map[String, (String, String, Long, Long)],
+                           schema: StructType, filters: Array[Filter]): Boolean =
+    filters.forall { f =>
+      val colOpt = f.references.headOption.flatMap(stats.get)
+      val dtOpt = f.references.headOption
+        .flatMap(c => schema.fields.find(_.name == c)).map(_.dataType)
+      (colOpt, dtOpt) match {
+        case (Some((mn, mx, nulls, rows)), Some(dt)) =>
+          // cmp(bound, v): sign of (bound − filter value), exact per type
+          def cmpMin(v: Any): Int = cmpB(mn, v, dt)
+          def cmpMax(v: Any): Int = cmpB(mx, v, dt)
+          f match {
+            case _ if rows == 0 => false
+            case IsNull(_) => nulls > 0
+            case IsNotNull(_) => nulls < rows
+            // value comparisons never match an all-null column
+            case _ if mn.isEmpty => false
+            case EqualTo(_, v) => cmpMin(v) <= 0 && cmpMax(v) >= 0
+            case GreaterThan(_, v) => cmpMax(v) > 0
+            case GreaterThanOrEqual(_, v) => cmpMax(v) >= 0
+            case LessThan(_, v) => cmpMin(v) < 0
+            case LessThanOrEqual(_, v) => cmpMin(v) <= 0
+            case _ => true // shapes stats don't cover
+          }
+        case _ => true // no stats for this file/column: never skip
+      }
+    }
+
+  private def cmpB(bound: String, v: Any, dt: DataType): Int = (dt, v) match {
+    case (DoubleType, n: Number) => java.lang.Double.compare(bound.toDouble, n.doubleValue())
+    case (_, n: Number) => java.lang.Long.compare(bound.toLong, n.longValue())
+    case _ => 0 // non-numeric filter value against numeric stats: no skip
+  }
 }
 
 class GraftCsvTable(tblSchema: StructType, path: String)
@@ -134,12 +216,28 @@ class GraftCsvBatchWrite(schema: StructType, path: String, queryId: String,
     val base = new Path(path)
     val fs = base.getFileSystem(new Configuration())
     if (truncate) GraftCsv.listDataFiles(path).foreach(f => fs.delete(f, false))
-    messages.foreach { case GraftCsvCommit(tmp) =>
+    messages.foreach { case GraftCsvCommit(tmp, _, _) =>
       val t = new Path(tmp)
       require(fs.rename(t, new Path(base, t.getName)),
         s"commit rename failed for $tmp")
     }
     fs.delete(new Path(base, s"_tmp-$queryId"), true)
+    // file-skipping manifest: per-file numeric min/max/null stats, written
+    // by the DRIVER after every task's rename landed (the manifest names
+    // only files that exist). Truncate starts a fresh manifest; appends
+    // keep prior generations' entries (stale rows for deleted files are
+    // harmless — planning keys on the current listing).
+    val prior = if (truncate) Map.empty[String, (Long, Seq[GraftCsv.ColStat])]
+      else GraftCsv.readManifest(path).map { case (f, cols) =>
+        val rows = cols.values.headOption.map(_._4).getOrElse(0L)
+        f -> (rows, cols.toSeq.map { case (c, (mn, mx, n, _)) =>
+          GraftCsv.ColStat(c, mn, mx, n)
+        })
+      }
+    val added = messages.collect { case GraftCsvCommit(tmp, rows, stats) =>
+      new Path(tmp).getName -> (rows, stats)
+    }.toMap
+    GraftCsv.writeManifest(path, prior ++ added)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -149,7 +247,8 @@ class GraftCsvBatchWrite(schema: StructType, path: String, queryId: String,
   }
 }
 
-case class GraftCsvCommit(tmpFile: String) extends WriterCommitMessage
+case class GraftCsvCommit(tmpFile: String, rows: Long,
+                          stats: Seq[GraftCsv.ColStat]) extends WriterCommitMessage
 
 class GraftCsvWriterFactory(schema: StructType, path: String, queryId: String)
   extends DataWriterFactory {
@@ -170,6 +269,50 @@ class GraftCsvWriter(schema: StructType, path: String, queryId: String,
   out.write(schema.fieldNames.mkString(","))
   out.newLine()
 
+  // per-column running stats for the skipping manifest (numeric columns
+  // only — string ranges don't skip well and would need cell escaping).
+  // Integer columns track min/max in EXACT Long lanes: a double lane
+  // would round past 2^53 and a rounded-tighter bound wrongly skips a
+  // matching file (stats must always be conservative).
+  private val numericIdx: Array[Int] = schema.fields.zipWithIndex.collect {
+    case (f, i) if f.dataType == IntegerType || f.dataType == LongType ||
+      f.dataType == DoubleType => i
+  }
+  private val statMinL = Array.fill[Long](schema.length)(Long.MaxValue)
+  private val statMaxL = Array.fill[Long](schema.length)(Long.MinValue)
+  private val statMinD = Array.fill[Double](schema.length)(Double.PositiveInfinity)
+  private val statMaxD = Array.fill[Double](schema.length)(Double.NegativeInfinity)
+  private val statSeen = new Array[Boolean](schema.length)
+  private val statNulls = new Array[Long](schema.length)
+  private var rowCount = 0L
+
+  private def trackStats(row: InternalRow): Unit = {
+    rowCount += 1
+    numericIdx.foreach { i =>
+      if (row.isNullAt(i)) statNulls(i) += 1
+      else {
+        statSeen(i) = true
+        schema(i).dataType match {
+          case DoubleType =>
+            val v = row.getDouble(i)
+            if (v < statMinD(i)) statMinD(i) = v
+            if (v > statMaxD(i)) statMaxD(i) = v
+          case dt =>
+            val v = if (dt == IntegerType) row.getInt(i).toLong else row.getLong(i)
+            if (v < statMinL(i)) statMinL(i) = v
+            if (v > statMaxL(i)) statMaxL(i) = v
+        }
+      }
+    }
+  }
+
+  private def renderStat(i: Int, isMin: Boolean): String =
+    if (!statSeen(i)) "" // all-null column
+    else schema(i).dataType match {
+      case DoubleType => (if (isMin) statMinD(i) else statMaxD(i)).toString
+      case _ => (if (isMin) statMinL(i) else statMaxL(i)).toString
+    }
+
   private def cell(row: InternalRow, i: Int): String =
     if (row.isNullAt(i)) ""
     else {
@@ -188,11 +331,14 @@ class GraftCsvWriter(schema: StructType, path: String, queryId: String,
   override def write(row: InternalRow): Unit = {
     out.write((0 until schema.length).map(cell(row, _)).mkString(","))
     out.newLine()
+    trackStats(row)
   }
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    GraftCsvCommit(tmp.toString)
+    GraftCsvCommit(tmp.toString, rowCount,
+      numericIdx.toSeq.map(i => GraftCsv.ColStat(schema(i).name,
+        renderStat(i, isMin = true), renderStat(i, isMin = false), statNulls(i))))
   }
 
   override def abort(): Unit = {
@@ -241,8 +387,22 @@ class GraftCsvScan(fullSchema: StructType, required: StructType,
     s"GraftCsvScan path=$path, ReadSchema: ${required.simpleString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    GraftCsv.listDataFiles(path).map(f => GraftCsvPartition(f.toString)).toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    val all = GraftCsv.listDataFiles(path)
+    // file skipping: drop files whose manifest min/max PROVE no line can
+    // pass the pushed filters — the custom-source analogue of parquet
+    // row-group pruning, decided at planning time from |files| manifest
+    // rows instead of any data read. Files without stats always scan.
+    val manifest =
+      if (pushed.isEmpty) Map.empty[String, Map[String, (String, String, Long, Long)]]
+      else GraftCsv.readManifest(path)
+    val kept = all.filter { f =>
+      manifest.get(f.getName)
+        .forall(stats => GraftCsv.mayMatch(stats, fullSchema, pushed))
+    }
+    GraftCsv.lastSkipStats.set((kept.length, all.length))
+    kept.map(f => GraftCsvPartition(f.toString)).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftCsvReaderFactory(fullSchema, required, pushed)

@@ -117,4 +117,60 @@ class GraftCsvV2Spec extends SparkSpec {
     assert(files.size == 2)
     assert(v2.rdd.getNumPartitions == 2)
   }
+
+  test("file skipping: range-disjoint files are pruned at planning time, results exact") {
+    import graft.sources.v2.GraftCsv
+    val out = java.nio.file.Files.createTempDirectory("graftcsv-skip").toString
+    val df = (0 until 400).map(i => (i.toLong, i % 50, s"n$i")).toDF("k", "m", "name")
+    // range-partition on k so the 4 files carry disjoint [min, max] ranges
+    df.repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .write.format(fmt).mode("overwrite").save(out)
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("m", IntegerType), StructField("name", StringType)))
+    def rd = spark.read.schema(sch).format(fmt).load(out)
+    // the manifest exists and carries one entry per file per numeric col
+    val manifest = GraftCsv.readManifest(out)
+    assert(manifest.size == 4 && manifest.values.forall(_.keySet == Set("k", "m")))
+    // a tight range predicate must plan ONLY the file(s) containing it
+    val got = rd.filter(col("k") >= 120 && col("k") <= 130).select("k")
+      .as[Long].collect().toSet
+    assert(got == (120L to 130L).toSet)
+    val (kept, total) = GraftCsv.lastSkipStats.get()
+    assert(total == 4 && kept < total, s"no skipping happened: $kept/$total")
+    // equality probe: exactly one file survives planning
+    assert(rd.filter(col("k") === 7).count() == 1)
+    assert(GraftCsv.lastSkipStats.get()._1 == 1)
+    // a filter matching nothing skips every file
+    assert(rd.filter(col("k") > 100000).count() == 0)
+    assert(GraftCsv.lastSkipStats.get()._1 == 0)
+    // un-skippable column (m spans every file): nothing pruned, result exact
+    assert(rd.filter(col("m") === 3).count() == 8)
+    assert(GraftCsv.lastSkipStats.get()._1 == 4)
+    // APPEND merges the manifest: new files get entries, old ones survive
+    (1000 until 1100).map(i => (i.toLong, i % 50, s"n$i")).toDF("k", "m", "name")
+      .coalesce(1).write.format(fmt).mode("append").save(out)
+    assert(GraftCsv.readManifest(out).size == 5)
+    assert(rd.filter(col("k") >= 1000).count() == 100)
+    assert(GraftCsv.lastSkipStats.get()._1 == 1, "append file not isolated by skip")
+  }
+
+  test("file skipping stays conservative: all-null columns and IsNull/IsNotNull") {
+    import graft.sources.v2.GraftCsv
+    val out = java.nio.file.Files.createTempDirectory("graftcsv-skipnull").toString
+    val sch = StructType(Seq(StructField("a", LongType), StructField("b", LongType)))
+    // file 1: b entirely null; file 2: b fully populated
+    Seq((1L, Option.empty[Long]), (2L, None)).toDF("a", "b")
+      .coalesce(1).write.format(fmt).mode("overwrite").save(out)
+    Seq((3L, Option(30L)), (4L, Some(40L))).toDF("a", "b")
+      .coalesce(1).write.format(fmt).mode("append").save(out)
+    def rd = spark.read.schema(sch).format(fmt).load(out)
+    // value predicate on b: the all-null file is provably unmatchable
+    assert(rd.filter(col("b") > 0).count() == 2)
+    assert(GraftCsv.lastSkipStats.get() == ((1, 2)))
+    // IsNull keeps only the all-null file; IsNotNull only the populated one
+    assert(rd.filter(col("b").isNull).count() == 2)
+    assert(GraftCsv.lastSkipStats.get() == ((1, 2)))
+    assert(rd.filter(col("b").isNotNull).count() == 2)
+    assert(GraftCsv.lastSkipStats.get() == ((1, 2)))
+  }
 }
