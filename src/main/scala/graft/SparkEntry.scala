@@ -3402,6 +3402,20 @@ object SparkEntry {
       require(total == 8 && kept < total,
         s"file skipping did not prune: kept $kept of $total")
       q
+    }),
+
+    // STREAMING incremental view maintenance (SEVENTH streaming gate):
+    // the summary parquet is folded forward per micro-batch via
+    // Mv.refreshIncremental behind per-batchId marker files (the
+    // transactional-foreachBatch idempotence pattern — refresh is not
+    // naturally idempotent), and the converged summary must hash-match
+    // the one-shot aggregate over the whole events stream.
+    "q239_stream_mv" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"),
+        expr("timestamp_micros(ts div 1000)").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      streaming.StreamGate.mvGate(s, ev, rtPath("q239_stream"))
+        .orderBy("event_type")
     })
   )
 
@@ -7328,6 +7342,16 @@ object SparkEntry {
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_c
         |FROM orders
         |WHERE o_orderkey >= 2000 AND o_orderkey < 3000
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The one-shot aggregate the per-batch folds must converge to —
+    // exact integer cents, so a double-applied or lost batch cannot
+    // hash-match.
+    "q239_stream_mv" ->
+      """SELECT event_type, count(*) AS mv_cnt,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mv_sum_cents,
+        |       CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mv_min_cents,
+        |       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mv_max_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

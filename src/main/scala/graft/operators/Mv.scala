@@ -34,18 +34,26 @@ object Mv {
   /** Build + write the summary parquet for (groupCols, valueCols): one
     * row per grouping-domain value with re-aggregable partials. */
   def createSummary(spark: SparkSession, basePath: String, summaryPath: String,
-                    groupCols: Seq[String], valueCols: Seq[String]): Unit = {
+                    groupCols: Seq[String], valueCols: Seq[String]): Unit =
+    createSummaryFrom(spark.read.parquet(basePath), summaryPath, groupCols, valueCols)
+
+  /** [[createSummary]] over an arbitrary frame — the form streaming
+    * maintenance seeds with (an empty batch projection) and incremental
+    * refresh shares its partial definitions with. */
+  def createSummaryFrom(df: DataFrame, summaryPath: String,
+                        groupCols: Seq[String], valueCols: Seq[String]): Unit = {
     require(groupCols.nonEmpty && valueCols.nonEmpty, "empty MV spec")
-    val aggs = count(lit(1)).as("mv_cnt") +:
+    df.groupBy(groupCols.map(col): _*)
+      .agg(partials(valueCols).head, partials(valueCols).tail: _*)
+      .write.mode("overwrite").parquet(summaryPath)
+  }
+
+  private def partials(valueCols: Seq[String]): Seq[Column] =
+    count(lit(1)).as("mv_cnt") +:
       valueCols.flatMap(v => Seq(
         sum(col(v)).as(s"mv_sum_$v"),
         min(col(v)).as(s"mv_min_$v"),
         max(col(v)).as(s"mv_max_$v")))
-    spark.read.parquet(basePath)
-      .groupBy(groupCols.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
-      .write.mode("overwrite").parquet(summaryPath)
-  }
 
   /** Register the summary with the optimizer rule (session-scoped conf).
     * Value format is positional and pipe-separated; paths must be the
@@ -73,11 +81,7 @@ object Mv {
   def refreshIncremental(spark: SparkSession, deltaDf: DataFrame,
                          summaryPath: String, groupCols: Seq[String],
                          valueCols: Seq[String]): Unit = {
-    val aggs = count(lit(1)).as("mv_cnt") +:
-      valueCols.flatMap(v => Seq(
-        sum(col(v)).as(s"mv_sum_$v"),
-        min(col(v)).as(s"mv_min_$v"),
-        max(col(v)).as(s"mv_max_$v")))
+    val aggs = partials(valueCols)
     val delta = deltaDf.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val cur = spark.read.parquet(summaryPath)
     def both(n: String, merge: (Column, Column) => Column): Column = {

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -210,6 +212,50 @@ object StreamGate {
         expr("unix_micros(p_ts)").as("p_us"),
         col("view_id"), expr("unix_micros(v_ts)").as("v_us"),
         col("purchase_cents"))
+
+  /** GATE: STREAMING incremental view maintenance — the MV lifecycle's
+    * streaming leg: every micro-batch folds into the summary parquet via
+    * [[graft.operators.Mv.refreshIncremental]] (delta partials merged by
+    * key; the base stream is never re-read), so the sink IS the
+    * continuously-maintained summary table the batch rewrite rule
+    * answers queries from. refreshIncremental is NOT naturally
+    * idempotent (re-applying a delivered batch double-counts), so the
+    * driver applies the transactional-foreachBatch pattern the at-least-
+    * once contract requires: a per-batchId marker file under `_applied/`
+    * gates each refresh — a redelivered batch is skipped, a restart
+    * resumes exactly where the markers end. The converged summary must
+    * hash-match the one-shot aggregate over the whole stream. */
+  def mvGate(spark: SparkSession, events: DataFrame, work: String): DataFrame = {
+    import graft.operators.Mv
+    val in = s"$work/in"
+    stageChunks(events, nChunks = 4, in, sentinel = false)
+    val staged = spark.read.parquet(in)
+    def project(df: DataFrame): DataFrame =
+      df.select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val sumPath = s"$work/mv"
+    Mv.createSummaryFrom(project(staged.limit(0)), sumPath,
+      Seq("event_type"), Seq("cents"))
+    val stream = spark.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val fs = new Path(work).getFileSystem(new Configuration())
+    val q = project(stream).writeStream
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new Path(s"$work/_applied/$batchId")
+        if (!fs.exists(marker)) {
+          Mv.refreshIncremental(spark, batch, sumPath,
+            Seq("event_type"), Seq("cents"))
+          fs.create(marker, true).close()
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(sumPath)
+  }
 
   /** GATE: `dropDuplicatesWithinWatermark` (Spark 4's bounded-state
     * streaming dedup) through the append-mode MERGE sink. The input
