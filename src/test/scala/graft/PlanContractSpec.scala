@@ -25,6 +25,7 @@ class PlanContractSpec extends SparkSpec {
     "q40_cosine_topk",          // 5-row query side broadcast, qid<>vec_id residual
     "q219_mrl_ablation",        // the q40 shape twice (full-dim + 32-dim rankings)
     "q226_semantic_decontam",   // the q40 shape: 20-row benchmark side broadcast
+    "q236_mmr_rerank",          // candidate retrieval IS bruteTopK (the q40 shape)
     "q161_rrf_fusion",          // 20-doc re-rank side broadcast
     "q162_copurchase",          // 1-row basket-count scalar
     "q38_point_query",          // lat-bound scalar + guarded fallback
