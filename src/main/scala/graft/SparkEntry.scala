@@ -3416,6 +3416,21 @@ object SparkEntry {
         col("user_id"), col("event_type"), col("value"))
       streaming.StreamGate.mvGate(s, ev, rtPath("q239_stream"))
         .orderBy("event_type")
+    }),
+
+    // Ed-Join prefix-filtered edit-distance join (the q113 discipline
+    // applied to levenshtein): candidates only from each name's d·q+1
+    // RAREST positional q-grams, exact-verify after — the oracle is the
+    // brute quadratic join, so the gate IS the completeness proof (the
+    // prefix filter must lose no pair). Typo variants are planted on
+    // every 40th part name so the result exercises real matches, not
+    // just vocabulary-adjacent names.
+    "q240_edit_join" -> ((s, dir) => {
+      val base = t(s, dir, "part").select(col("p_name").as("name"))
+      val typos = t(s, dir, "part").filter(col("p_partkey") % 40 === 0)
+        .select(concat(lit("x"), substring(col("p_name"), 2, 1000)).as("name"))
+      TextOps.editDistanceJoin(base.union(typos), "name", d = 2)
+        .orderBy("n1", "n2")
     })
   )
 
@@ -7352,6 +7367,22 @@ object SparkEntry {
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mv_sum_cents,
         |       CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mv_min_cents,
         |       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mv_max_cents
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The brute quadratic form IS the oracle: result identity proves the
+    // prefix filter complete (the q80/q113 contrast-pair pattern).
+    "q240_edit_join" ->
+      """WITH names AS (
+        |  SELECT DISTINCT name FROM (
+        |    SELECT p_name AS name FROM part
+        |    UNION ALL
+        |    SELECT 'x' || substring(p_name, 2) FROM part WHERE p_partkey % 40 = 0))
+        |SELECT a.name AS n1, b.name AS n2,
+        |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM names a JOIN names b
+        |  ON a.name < b.name
+        | AND abs(length(a.name) - length(b.name)) <= 2
+        |WHERE levenshtein(a.name, b.name) <= 2
+        |ORDER BY n1, n2""".stripMargin
   )
 }

@@ -349,6 +349,71 @@ object TextOps {
       postings, base)
   }
 
+  /** Ed-Join-style edit-distance similarity join (Xiao, Wang, Lin,
+    * VLDB'08): all pairs of distinct strings with levenshtein ≤ d,
+    * WITHOUT the all-pairs scan — the scale path for fuzzy catalog /
+    * entity matching where q102's semantic blocking has no block key.
+    *
+    * Filter theory (both conservative, so the result is EXACT after the
+    * verify): d edit operations destroy at most d·q of a string's
+    * positional q-grams, so a true pair's gram-BAG overlap is at least
+    * max(|Gs|,|Gt|) − d·q; by prefix filtering over the global
+    * (rarity, gram, occ) order, such a pair must share a bag element
+    * within each side's d·q+1 RAREST grams. Candidates therefore come
+    * from a prefix×prefix equi-join on (gram, occurrence-index) — bag
+    * elements, so duplicated grams pair by occurrence and multiplicity
+    * is respected — plus the |len diff| ≤ d length filter; each
+    * candidate is verified with the exact levenshtein. Strings short
+    * enough that the gram bound degenerates (len ≤ d·q+q−1 — the bound
+    * hits zero, a pair can share NO gram) fall into a tiny brute
+    * bucket, keeping the operator total.
+    *
+    * Scale shape: the join touches only d·q+1 rows per string per side
+    * (frequent grams never generate candidates), the q113 discipline
+    * applied to edit distance. Returns (n1, n2, dist), n1 < n2. */
+  def editDistanceJoin(names: DataFrame, nameCol: String, d: Int,
+                       q: Int = 2): DataFrame = {
+    require(d >= 1 && q >= 2, s"bad edit-join params d=$d q=$q")
+    val shortMax = d * q + q - 1
+    val n = names.select(col(nameCol).as("name")).distinct().cache()
+    // EVERY string with at least one gram is indexed — a short string's
+    // pair with a long partner still satisfies the gram bound (the long
+    // side retains ≥ |G_long| − d·q grams, all of which the short side
+    // must hold), so excluding short strings from the index loses
+    // cross-length pairs. The brute bucket below covers only pairs where
+    // BOTH sides are short enough for the bound to degenerate.
+    val grams = n.filter(length(col("name")) >= q)
+      .select(col("name"), posexplode(expr(
+        s"transform(sequence(1, length(name) - ${q - 1}), i -> substring(name, i, $q))"))
+        .as(Seq("p", "g")))
+      .withColumn("occ", row_number().over(
+        Window.partitionBy("name", "g").orderBy("p")))
+      .select("name", "g", "occ")
+      .cache()
+    val dfreq = grams.groupBy("g", "occ").agg(count(lit(1)).as("df"))
+    val wRank = Window.partitionBy("name")
+      .orderBy(col("df").asc, col("g").asc, col("occ").asc)
+    val prefix = grams.join(dfreq, Seq("g", "occ"))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= d * q + 1)
+    val cand = prefix.select(col("name").as("n1"), col("g"), col("occ"))
+      .join(prefix.select(col("name").as("n2"), col("g"), col("occ")),
+        Seq("g", "occ"))
+      .filter(col("n1") < col("n2"))
+      .select("n1", "n2").distinct()
+    val shorts = n.filter(length(col("name")) <= shortMax)
+    val shortPairs = shorts.select(col("name").as("n1"))
+      .crossJoin(shorts.select(col("name").as("n2")))
+      .filter(col("n1") < col("n2"))
+    graft.Materialize.thenRelease(
+      cand.union(shortPairs).distinct() // buckets overlap on mid-length pairs
+        .filter(abs(length(col("n1")) - length(col("n2"))) <= d)
+        .withColumn("dist", levenshtein(col("n1"), col("n2")).cast("long"))
+        .filter(col("dist") <= d)
+        .select("n1", "n2", "dist"),
+      n, grams)
+  }
+
   /** Exact shingle-set Jaccard for candidate pairs: |A∩B| / |A∪B|. */
   def jaccardVerify(pairs: DataFrame, shingleDf: DataFrame, idCol: String,
                     threshold: Double = 0.5): DataFrame =

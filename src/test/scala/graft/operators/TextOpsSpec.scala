@@ -222,6 +222,44 @@ class TextOpsSpec extends SparkSpec {
     assert(fps(1L) != fps(3L))
   }
 
+  test("editDistanceJoin == brute-force levenshtein join, incl. short strings and repeats") {
+    // randomized corpus over a tiny alphabet (maximal gram collisions),
+    // plus planted typo variants (substitution, deletion, insertion),
+    // strings short enough for the brute bucket, and repeated-gram
+    // strings (the bag-semantics occurrence pairing)
+    val rnd = new scala.util.Random(23)
+    val base = (0 until 80).map(_ =>
+      (0 until (3 + rnd.nextInt(12))).map(_ => "abcd" (rnd.nextInt(4))).mkString)
+    val typos = base.take(20).map { s =>
+      rnd.nextInt(3) match {
+        case 0 => "z" + s.drop(1)                   // substitution
+        case 1 => s.drop(1)                          // deletion
+        case _ => s.take(1) + "q" + s.drop(1)        // insertion
+      }
+    }
+    val repeats = Seq("aaaaaaa", "aaaaaab", "abababab", "babababa", "aa", "ab", "b")
+    val names = (base ++ typos ++ repeats).distinct
+    val df = names.toDF("name")
+    val got = TextOps.editDistanceJoin(df, "name", d = 2)
+      .as[(String, String, Long)].collect().toSet
+    val want = (for {
+      a <- names; b <- names if a < b
+      dist = {
+        // textbook DP levenshtein
+        val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0
+        }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+            m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        m(a.length)(b.length)
+      }
+      if dist <= 2
+    } yield (a, b, dist.toLong)).toSet
+    assert(got == want, s"missing=${want -- got}\nextra=${got -- want}")
+    assert(want.nonEmpty, "degenerate fixture: no true pairs")
+  }
+
   test("containmentPairsPrefix == containmentPairs (planted containment + corpus)") {
     // planted: doc 20 wholly inside doc 21 (containment 1.0 one way, low
     // the other); plus the shared fixture corpus for variety
