@@ -3431,6 +3431,18 @@ object SparkEntry {
         .select(concat(lit("x"), substring(col("p_name"), 2, 1000)).as("name"))
       TextOps.editDistanceJoin(base.union(typos), "name", d = 2)
         .orderBy("n1", "n2")
+    }),
+
+    // M4 downsampling (error-free line rendering): per (event_type,
+    // bucket) only the first/last/min/max points survive — the dashboard
+    // query that turns a metrics table into |series|·4·width rows. All
+    // selections by total struct orders, exact integers.
+    "q241_m4_downsample" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        col("event_id").as("id"), EventOps.tsUs("ts").as("ts_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("value_c"))
+      EventOps.m4Downsample(ev, "event_type", nBuckets = 50)
+        .orderBy("event_type", "bucket", "ts_us", "value_c")
     })
   )
 
@@ -7383,6 +7395,30 @@ object SparkEntry {
         |  ON a.name < b.name
         | AND abs(length(a.name) - length(b.name)) <= 2
         |WHERE levenshtein(a.name, b.name) <= 2
-        |ORDER BY n1, n2""".stripMargin
+        |ORDER BY n1, n2""".stripMargin,
+
+    // Window replay of the four role selections under the same total
+    // tie orders; coinciding roles dedup via DISTINCT.
+    "q241_m4_downsample" ->
+      """WITH ev AS (SELECT event_type, event_id AS id, epoch_us(ts) AS ts_us,
+        |                   CAST(round(value * 100) AS BIGINT) AS value_c
+        |            FROM events),
+        |r AS (SELECT min(ts_us) AS tmin, max(ts_us) AS tmax FROM ev),
+        |b AS (SELECT ev.*, ((ts_us - tmin) * 50) // (tmax - tmin + 1) AS bucket
+        |      FROM ev, r),
+        |ranked AS (SELECT *,
+        |  row_number() OVER (PARTITION BY event_type, bucket
+        |    ORDER BY ts_us, id) AS r_first,
+        |  row_number() OVER (PARTITION BY event_type, bucket
+        |    ORDER BY ts_us DESC, id DESC) AS r_last,
+        |  row_number() OVER (PARTITION BY event_type, bucket
+        |    ORDER BY value_c, ts_us, id) AS r_vmin,
+        |  row_number() OVER (PARTITION BY event_type, bucket
+        |    ORDER BY value_c DESC, ts_us DESC, id DESC) AS r_vmax
+        |  FROM b)
+        |SELECT DISTINCT event_type, bucket, ts_us, value_c
+        |FROM ranked
+        |WHERE r_first = 1 OR r_last = 1 OR r_vmin = 1 OR r_vmax = 1
+        |ORDER BY event_type, bucket, ts_us, value_c""".stripMargin
   )
 }

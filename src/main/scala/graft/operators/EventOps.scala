@@ -321,6 +321,43 @@ object EventOps {
           .as("weight_micro"))
   }
 
+  /** M4 time-series downsampling (Jugel et al., VLDB'14) — the
+    * error-free rendering aggregation: per (series, time bucket) keep
+    * only the FIRST, LAST, MIN-value and MAX-value points (≤4 rows per
+    * pixel column), which provably reproduces the exact line rendering
+    * of the full series at that horizontal resolution. The dashboard
+    * query shape: a 100 TB metrics table downsampled to
+    * |series|·4·width rows.
+    *
+    * Deterministic by total tie orders: first/last by (ts, id),
+    * min/max value by (value, ts, id) — all struct-ordered aggregates,
+    * one shuffle on (series, bucket), map-side combined. Buckets are
+    * uniform over the GLOBAL [tmin, tmax] range (a 1-row scalar
+    * broadcast), exact integer arithmetic. Rows where the four roles
+    * coincide dedup, hence ≤4. Output (series, bucket, ts_us, value_c). */
+  def m4Downsample(events: DataFrame, seriesCol: String,
+                   nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"bad bucket count $nBuckets")
+    val rng = events.agg(min("ts_us").as("tmin"), max("ts_us").as("tmax"))
+    def pt(c: Column): Column =
+      struct(c.getField("ts_us").as("ts_us"), c.getField("value_c").as("value_c"))
+    events.crossJoin(broadcast(rng))
+      .withColumn("bucket",
+        expr(s"((ts_us - tmin) * $nBuckets) div (tmax - tmin + 1)"))
+      .groupBy(col(seriesCol), col("bucket"))
+      .agg(
+        min(struct(col("ts_us"), col("id"), col("value_c"))).as("p_first"),
+        max(struct(col("ts_us"), col("id"), col("value_c"))).as("p_last"),
+        min(struct(col("value_c"), col("ts_us"), col("id"))).as("p_vmin"),
+        max(struct(col("value_c"), col("ts_us"), col("id"))).as("p_vmax"))
+      .select(col(seriesCol), col("bucket"),
+        explode(array(pt(col("p_first")), pt(col("p_last")),
+          pt(col("p_vmin")), pt(col("p_vmax")))).as("p"))
+      .select(col(seriesCol), col("bucket"),
+        col("p.ts_us").as("ts_us"), col("p.value_c").as("value_c"))
+      .distinct()
+  }
+
   /** Weekly cohort-retention matrix — the standard product-analytics view:
     * users are grouped by the epoch week of their FIRST event (the
     * cohort), and each cell (cohort_wk, wk_offset) counts the distinct

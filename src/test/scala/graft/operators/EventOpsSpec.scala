@@ -144,6 +144,30 @@ class EventOpsSpec extends SparkSpec {
     assert(sums.values.forall(_ == 1000000L))
   }
 
+  test("m4Downsample: per-bucket min/max/first/last preserved, at most 4 rows each") {
+    val rnd = new scala.util.Random(31)
+    val pts = (0 until 500).map(i =>
+      ("s" + (i % 2), i.toLong, (i * 17L) % 1000, rnd.nextInt(2000).toLong - 1000))
+      .toDF("event_type", "id", "ts_us", "value_c")
+    val out = EventOps.m4Downsample(pts, "event_type", nBuckets = 10)
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.groupBy(r => (r._1, r._2)).forall(_._2.length <= 4))
+    // rendering invariants: per bucket the output's value extrema and
+    // time extrema equal the input's — the M4 error-free guarantee
+    val rng = pts.agg(min("ts_us"), max("ts_us")).as[(Long, Long)].head()
+    val in = pts.as[(String, Long, Long, Long)].collect()
+      .map { case (s, id, ts, v) =>
+        (s, (ts - rng._1) * 10 / (rng._2 - rng._1 + 1), ts, v)
+      }
+    for (((series, bucket), rows) <- in.groupBy(r => (r._1, r._2))) {
+      val o = out.filter(r => r._1 == series && r._2 == bucket)
+      assert(o.map(_._4).min == rows.map(_._4).min, s"vmin $series/$bucket")
+      assert(o.map(_._4).max == rows.map(_._4).max, s"vmax $series/$bucket")
+      assert(o.map(_._3).min == rows.map(_._3).min, s"tmin $series/$bucket")
+      assert(o.map(_._3).max == rows.map(_._3).max, s"tmax $series/$bucket")
+    }
+  }
+
   test("cdcSnapshot keeps the latest (ts, id) row per key and honors tombstones") {
     val feed = Seq(
       (1L, 0L, 100L, "u", 10L), (1L, 1L, 200L, "u", 20L),  // latest upsert wins
