@@ -188,7 +188,26 @@ object Plans {
         "partial-aggregated exchange on (i, bucket) — the shuffle " +
         "domain is the FIXED d·w grid, independent of key cardinality; " +
         "the estimate side joins the ≤4096-row grid back via hash " +
-        "join + a min aggregate, never a window."))
+        "join + a min aggregate, never a window."),
+    "q228_mv_rewrite" ->
+      ("The materialized-view rewrite, in the plan: the query is written " +
+        "against the lineitem BASE scan, but RewriteAggToSummary replaces " +
+        "the FileScan with the mv_lineitem summary (sum(l_quantity) " +
+        "became sum(mv_sum_l_quantity), count(*) became sum(mv_cnt)) — " +
+        "the scan reads |grouping domain| rows, not the fact table; the " +
+        "group-column filter sits above the summary scan."),
+    "q235_join_elim" ->
+      ("Join elimination via the declared-unique nation key: the user " +
+        "query LEFT-joins nation, but the plan contains NO join and NO " +
+        "nation scan at all — only the customer scan and the aggregate. " +
+        "The RELY declaration plus the left-only projection make the " +
+        "join provably a no-op, so the optimizer removed it outright."),
+    "q238_dsv2_skipping" ->
+      ("DSv2 file skipping: the scan's PushedFilters carry the key range " +
+        "and partition planning consulted the _stats.csv manifest — at " +
+        "gate scale 2 of 8 range-clustered files survive planning (the " +
+        "in-query require pins it); the plan itself shows the pushed " +
+        "predicates on the custom GraftCsvScan."))
   // q116_pq_ann is absent for the q60 reason: its lazy plan nests four
   // 2-round Lloyd trainings, so the explain text is enormous while the
   // interesting query-time shape — codes ⨯ 3-row broadcast distance
