@@ -3443,6 +3443,16 @@ object SparkEntry {
         expr("CAST(round(value * 100) AS BIGINT)").as("value_c"))
       EventOps.m4Downsample(ev, "event_type", nBuckets = 50)
         .orderBy("event_type", "bucket", "ts_us", "value_c")
+    }),
+
+    // Binary embedding retrieval: sign-bit codes (4×16-bit blocks),
+    // Hamming top-50 candidate scan (XOR + popcount, no vector data),
+    // exact-cosine rerank to top-5 — the 32×-compression pattern modern
+    // embedding stores use. Both stages replayed in the oracle.
+    "q242_binary_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.binaryTopK(e, e.filter(col("vec_id") < 3), k = 5)
+        .orderBy("qid", "rank")
     })
   )
 
@@ -7419,6 +7429,31 @@ object SparkEntry {
         |SELECT DISTINCT event_type, bucket, ts_us, value_c
         |FROM ranked
         |WHERE r_first = 1 OR r_last = 1 OR r_vmin = 1 OR r_vmax = 1
-        |ORDER BY event_type, bucket, ts_us, value_c""".stripMargin
+        |ORDER BY event_type, bucket, ts_us, value_c""".stripMargin,
+
+    // Sign-bit blocks, XOR+bit_count Hamming, candidate window, exact
+    // cosine rerank — both stages replayed with the shared tie rules.
+    "q242_binary_rerank" -> {
+      def blk(src: String, b: Int): String =
+        s"CAST(list_sum(list_transform(range(0, 16), j -> " +
+          s"CASE WHEN $src[${b * 16} + j + 1] > 0 THEN (1 << j) ELSE 0 END)) AS INT)"
+      val ham = (0 until 4).map(b => s"bit_count(xor(c.b$b, qq.b$b))").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, ${LlmSql.qvec("embedding")} AS qv FROM embeddings),
+         |c AS (SELECT vec_id, qv, ${(0 until 4).map(b => s"${blk("qv", b)} AS b$b").mkString(", ")} FROM e),
+         |qq AS (SELECT vec_id AS qid, qv AS qvq,
+         |       ${(0 until 4).map(b => s"${blk("qv", b)} AS b$b").mkString(", ")}
+         |       FROM e WHERE vec_id < 3),
+         |h AS (SELECT qq.qid, c.vec_id, qq.qvq, c.qv,
+         |             CAST($ham AS INT) AS hamming,
+         |             row_number() OVER (PARTITION BY qq.qid
+         |               ORDER BY $ham, c.vec_id) AS hrank
+         |      FROM c CROSS JOIN qq WHERE c.vec_id <> qq.qid),
+         |r AS (SELECT qid, vec_id, hamming, ${LlmSql.cos("qvq", "qv")} AS cos,
+         |             row_number() OVER (PARTITION BY qid
+         |               ORDER BY ${LlmSql.cos("qvq", "qv")} DESC, vec_id) AS rank
+         |      FROM h WHERE hrank <= 50)
+         |SELECT qid, CAST(rank AS INT) AS rank, vec_id, hamming, cos
+         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+    }
   )
 }

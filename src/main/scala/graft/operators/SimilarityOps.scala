@@ -617,6 +617,52 @@ object SimilarityOps {
     }.toDF("qid", "pos", "vec_id", "score_micro")
   }
 
+  /** Binary (1-bit) embedding quantization + Hamming-candidate retrieval
+    * with exact rerank — the 32×-compression retrieval pattern modern
+    * embedding APIs ship (sign bit per dimension; Hamming distance as
+    * the cheap first pass, exact cosine reranking the short candidate
+    * list). 64 dims pack into four 16-bit blocks (the q32/q220 device:
+    * a packed 64-bit code goes negative at bit 63 and signed-shift
+    * semantics diverge across engines).
+    *
+    * Retrieval: per query, the `cand` Hamming-nearest codes (ties by
+    * vec_id) form the candidate list — a pure map scan over codes, XOR +
+    * bit_count per row, no vector data touched — then exact quantized
+    * cosine reranks candidates to the final top-k. Recall is approximate
+    * by design (sign bits quantize hard); the q242 oracle replays both
+    * stages bit-for-bit.
+    *
+    * Returns (qid, rank, vec_id, hamming, cos). */
+  def binaryTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                 cand: Int = 50, dim: Int = 64): DataFrame = {
+    require(k > 0 && cand >= k, s"bad binary topk k=$k cand=$cand")
+    require(dim % 16 == 0, s"dim $dim must pack into 16-bit blocks")
+    val nb = dim / 16
+    def blocks(qv: Column, prefix: String): Seq[Column] =
+      (0 until nb).map(b => aggregate(
+        transform(sequence(lit(0), lit(15)),
+          j => when(element_at(qv, lit(b * 16) + j + 1) > 0,
+            pow(lit(2), j).cast("int")).otherwise(lit(0))),
+        lit(0), (acc, x) => acc + x).as(s"$prefix$b"))
+    val v = vectors.select(col("vec_id") +: quantize(col("embedding")).as("qv") +: Nil: _*)
+      .select(col("vec_id"), col("qv"))
+    val corpus = v.select(col("vec_id") +: col("qv") +: blocks(col("qv"), "b"): _*)
+    val q = queries.select(col("vec_id").as("qid"), quantize(col("embedding")).as("qq"))
+      .select(col("qid") +: col("qq") +: blocks(col("qq"), "qb"): _*)
+    val ham = (0 until nb).map(b =>
+      expr(s"bit_count(b$b ^ qb$b)")).reduce(_ + _)
+    val wHam = Window.partitionBy("qid").orderBy(col("hamming").asc, col("vec_id"))
+    val wCos = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    corpus.join(broadcast(q), col("qid") =!= col("vec_id"))
+      .withColumn("hamming", ham.cast("int"))
+      .withColumn("hrank", row_number().over(wHam))
+      .filter(col("hrank") <= cand)
+      .withColumn("cos", cosQ(col("qq"), col("qv")))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "hamming", "cos")
+  }
+
   /** Symmetric int8 quantization of an embedding column — the standard
     * 4×-compression step before shipping vectors to an ANN index or a
     * GPU: per-vector scale m = max|component|, q8ᵢ = round(xᵢ·127/m)

@@ -261,6 +261,35 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(got.toSeq == again.toSeq)
   }
 
+  test("binaryTopK: exact copy at Hamming 0 and rank 1; recall against brute on clusters") {
+    val centers = Seq(Seq(0.9f, 0.9f), Seq(0.9f, -0.9f), Seq(-0.9f, 0.9f), Seq(-0.9f, -0.9f))
+    val rnd = new scala.util.Random(41)
+    val dim = 16
+    val base = (0 until 40).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, Seq.tabulate(dim)(d =>
+        (c(d % 2) * (if (d < 8) 1 else -1) + rnd.nextGaussian() / 40).toFloat))
+    }
+    val dup = (99L, base.head._2)
+    val df = (base :+ dup).toDF("vec_id", "embedding")
+    val got = SimilarityOps.binaryTopK(df, df.filter(col("vec_id") === 0),
+        k = 5, cand = 20, dim = dim)
+      .select("rank", "vec_id", "hamming", "cos")
+      .as[(Int, Long, Int, Double)].collect().sortBy(_._1)
+    assert(got.length == 5 && got.map(_._1).toSeq == (1 to 5))
+    // the exact copy shares every sign bit and every component
+    assert(got.head._2 == 99L && got.head._3 == 0 && got.head._4 > 0.9999)
+    // cosines are non-increasing with rank (the rerank is exact)
+    assert(got.map(_._4).toSeq == got.map(_._4).sortBy(-_).toSeq)
+    // with cand = corpus size the result EQUALS brute-force top-k
+    val all = SimilarityOps.binaryTopK(df, df.filter(col("vec_id") === 0),
+        k = 5, cand = 41, dim = dim)
+      .select("rank", "vec_id").as[(Int, Long)].collect().toSet
+    val brute = SimilarityOps.bruteTopK(df, df.filter(col("vec_id") === 0), 5)
+      .select("rank", "vec_id").as[(Int, Long)].collect().toSet
+    assert(all == brute)
+  }
+
   test("annRecall: hit counting, MRR from exact #1, zero-hit queries kept") {
     val exact = Seq(
       (1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L),
