@@ -3453,6 +3453,46 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       SimilarityOps.binaryTopK(e, e.filter(col("vec_id") < 3), k = 5)
         .orderBy("qid", "rank")
+    }),
+
+    // Referential-consistent pseudonymization — the release-pipeline
+    // tokenization rule: the same salted-hash mapping applied to BOTH
+    // sides of a foreign key keeps every join intact. The per-nation
+    // aggregate over the PSEUDONYM join must equal the raw-key join
+    // (consistency proof), and sample_pid forces the oracle to replay
+    // the exact mapping (salt || key, md5, 16 hex chars).
+    "q243_pseudonymize" -> ((s, dir) => {
+      def pseudo(c: Column): Column =
+        substring(md5(concat(lit("graft-s1:"), c.cast("string"))), 1, 16)
+      val cust = t(s, dir, "customer")
+        .select(pseudo(col("c_custkey")).as("pid"), col("c_nationkey"))
+      val ords = t(s, dir, "orders")
+        .select(pseudo(col("o_custkey")).as("pid"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"))
+      cust.join(ords, Seq("pid"))
+        .groupBy("c_nationkey")
+        .agg(countDistinct("pid").as("n_cust"), count(lit(1)).as("n_orders"),
+          sum("price_c").as("rev_c"), min("pid").as("sample_pid"))
+        .orderBy("c_nationkey")
+    }),
+
+    // Incremental LSH ingest: the corpus band index is PERSISTED (every
+    // 10th doc held out as the "daily batch"), the batch probes it, and
+    // the verified near-dup pairs must equal the full recompute
+    // restricted to pairs touching a new doc — the identity that lets a
+    // production pipeline dedup ingest without re-signing the corpus.
+    "q244_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sh = TextOps.shingleTable(docs, "doc_id").cache()
+      val corpusBands = TextOps.minhashBands(
+        sh.filter(col("doc_id") % 10 =!= 0), "doc_id")
+      val newBands = TextOps.minhashBands(
+        sh.filter(col("doc_id") % 10 === 0), "doc_id")
+      val cand = TextOps.minhashCandidatesIncremental(corpusBands, newBands, "doc_id")
+      Materialize.thenRelease(
+        TextOps.jaccardVerify(cand, sh, "doc_id", threshold = 0.5)
+          .orderBy("id1", "id2"),
+        sh)
     })
   )
 
@@ -7454,6 +7494,35 @@ object SparkEntry {
          |      FROM h WHERE hrank <= 50)
          |SELECT qid, CAST(rank AS INT) AS rank, vec_id, hamming, cos
          |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
-    }
+    },
+
+    // The oracle replays the identical mapping (DuckDB's md5 agrees with
+    // Spark's) and the identical join — equality with the raw-key join
+    // is implied by injectivity at this scale.
+    "q243_pseudonymize" ->
+      """WITH c AS (SELECT substring(md5('graft-s1:' || CAST(c_custkey AS VARCHAR)), 1, 16) AS pid,
+        |                  c_nationkey
+        |           FROM customer),
+        |o AS (SELECT substring(md5('graft-s1:' || CAST(o_custkey AS VARCHAR)), 1, 16) AS pid,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |      FROM orders)
+        |SELECT c_nationkey, count(DISTINCT c.pid) AS n_cust,
+        |       count(*) AS n_orders,
+        |       CAST(sum(price_c) AS BIGINT) AS rev_c,
+        |       min(c.pid) AS sample_pid
+        |FROM c JOIN o ON o.pid = c.pid
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    // The oracle is the FULL band replay restricted to pairs touching a
+    // new (doc_id % 10 = 0) doc — the incremental == restricted-full
+    // identity, verified through the same exact-Jaccard gate as q31.
+    "q244_incremental_dedup" ->
+      s"""WITH $minhashCandSql
+         |SELECT id1, id2,
+         |       len(list_intersect(s1.sh, s2.sh)) / len(list_distinct(list_concat(s1.sh, s2.sh))) AS jaccard
+         |FROM cand JOIN sh s1 ON s1.doc_id = id1 JOIN sh s2 ON s2.doc_id = id2
+         |WHERE (id1 % 10 = 0 OR id2 % 10 = 0)
+         |  AND len(list_intersect(s1.sh, s2.sh)) / len(list_distinct(list_concat(s1.sh, s2.sh))) >= 0.5
+         |ORDER BY id1, id2""".stripMargin
   )
 }

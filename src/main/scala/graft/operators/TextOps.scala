@@ -112,20 +112,46 @@ object TextOps {
     * all-pairs. `shingleDf` from [[shingleTable]]. */
   def minhashCandidates(shingleDf: DataFrame, idCol: String,
                         k: Int = 12, bands: Int = 6): DataFrame = {
-    // Stage hashes → signature → bands through separate projections:
-    // nesting the expressions would inline the k-hash signature tree into
-    // every band element (k × bands recomputations of the shingle set —
-    // measured 76 s vs 3 s at sf0.1). Each select materializes its column
-    // once per row; higher-order exprs see bound attributes, not subtrees.
-    val banded = shingleDf
-      .select(col(idCol), shingleHashes(col("sh")).as("hs"))
-      .select(col(idCol), minhashSignature(col("hs"), k).as("sig"))
-      .select(col(idCol), explode(lshBands(col("sig"), bands, k / bands)).as("b"))
-      .select(col(idCol), col("b.band").as("band"), col("b.bkey").as("bkey"))
+    val banded = minhashBands(shingleDf, idCol, k, bands)
     banded.alias("a")
       .join(banded.alias("b"), Seq("band", "bkey"))
       .filter(col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+      .distinct()
+  }
+
+  /** The banded-signature table (id, band, bkey) — the LSH INDEX a
+    * deployment persists so ingest batches probe it incrementally
+    * instead of re-signing the corpus.
+    *
+    * Stage hashes → signature → bands through separate projections:
+    * nesting the expressions would inline the k-hash signature tree into
+    * every band element (k × bands recomputations of the shingle set —
+    * measured 76 s vs 3 s at sf0.1). Each select materializes its column
+    * once per row; higher-order exprs see bound attributes, not subtrees. */
+  def minhashBands(shingleDf: DataFrame, idCol: String,
+                   k: Int = 12, bands: Int = 6): DataFrame =
+    shingleDf
+      .select(col(idCol), shingleHashes(col("sh")).as("hs"))
+      .select(col(idCol), minhashSignature(col("hs"), k).as("sig"))
+      .select(col(idCol), explode(lshBands(col("sig"), bands, k / bands)).as("b"))
+      .select(col(idCol), col("b.band").as("band"), col("b.bkey").as("bkey"))
+
+  /** Incremental LSH ingest — the daily-batch shape: candidates for NEW
+    * docs against the SAVED corpus band index plus the new batch itself,
+    * without touching any existing document's text or signature. The
+    * identity `incremental(new, corpus) == full(corpus ∪ new) restricted
+    * to pairs touching a new id` is what q244 gates: the probe side is
+    * |new| bands, the join fans out only through shared buckets. Output
+    * (id1, id2) with id1 < id2. */
+  def minhashCandidatesIncremental(corpusBands: DataFrame, newBands: DataFrame,
+                                   idCol: String): DataFrame = {
+    val all = corpusBands.unionByName(newBands)
+    newBands.alias("a")
+      .join(all.alias("b"), Seq("band", "bkey"))
+      .filter(col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("id1"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id2"))
       .distinct()
   }
 

@@ -260,6 +260,24 @@ class TextOpsSpec extends SparkSpec {
     assert(want.nonEmpty, "degenerate fixture: no true pairs")
   }
 
+  test("minhashCandidatesIncremental == full candidates restricted to new-id pairs") {
+    val docs = (0 until 60).map { i =>
+      val base = (0 until 30).map(w => s"w${(i * 7 + w) % 40}").mkString(" ")
+      // plant near-dups across the corpus/new split boundary
+      (i.toLong, if (i % 9 == 1) (0 until 30).map(w => s"w${((i - 1) * 7 + w) % 40}").mkString(" ") else base)
+    }.toDF("doc_id", "text")
+    val sh = TextOps.shingleTable(docs, "doc_id")
+    val corpus = TextOps.minhashBands(sh.filter(col("doc_id") % 5 =!= 0), "doc_id")
+    val fresh = TextOps.minhashBands(sh.filter(col("doc_id") % 5 === 0), "doc_id")
+    val inc = TextOps.minhashCandidatesIncremental(corpus, fresh, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    val full = TextOps.minhashCandidates(sh, "doc_id")
+      .as[(Long, Long)].collect().toSet
+      .filter(p => p._1 % 5 == 0 || p._2 % 5 == 0)
+    assert(inc == full, s"missing=${full -- inc} extra=${inc -- full}")
+    assert(inc.nonEmpty, "degenerate fixture: no cross-split candidates")
+  }
+
   test("containmentPairsPrefix == containmentPairs (planted containment + corpus)") {
     // planted: doc 20 wholly inside doc 21 (containment 1.0 one way, low
     // the other); plus the shared fixture corpus for variety
