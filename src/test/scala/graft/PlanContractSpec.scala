@@ -61,13 +61,19 @@ class PlanContractSpec extends SparkSpec {
     "q90_profile",                   // 1-row basic-aggs × 1-row distinct-aggs
     "q202_ks_test",                  // (n_a, n_b) 1-row totals broadcast
     "q203_gini_sources",             // (n, S) 1-row totals broadcast
-    "q208_array_setops")             // 1-row time-cut scalar broadcast
+    "q208_array_setops",             // 1-row time-cut scalar broadcast
+    "q241_m4_downsample",            // global (tmin, tmax) 1-row range broadcast
+    "q242_binary_rerank")            // the q40 shape: 3-query code broadcast
 
   /** q38's brute-force fallback joins the (empty-whenever-the-grid-
     * decides) unresolved-points frame against nodes — the initial plan
     * shows the cartesian even though its left input is empty at runtime;
     * the guard is the left-anti join above it (PLANS.md q38 section). */
-  private val cartAllowed: Set[String] = Set("q38_point_query")
+  private val cartAllowed: Set[String] = Set("q38_point_query",
+    // q240's brute bucket: all-pairs over strings too short for the gram
+    // bound — EMPTY on every realistic name domain (p_names are 20+
+    // chars); the shape exists in the plan, the data never does.
+    "q240_edit_join")
 
   test("headline query plans: no CartesianProduct; BNLJ only where allowlisted") {
     val failures = ScaleBench.ScaleQueries.flatMap { name =>
