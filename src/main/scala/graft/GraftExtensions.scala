@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{BlocklistHits, DotQ, HilbertIndex, JaroWinkler, NormalizeText, RewriteAggToSummary, RewriteDotProduct, RewriteJoinElimination, RewriteRangeJoin, TopK}
+import graft.expressions.{BlocklistHits, DamerauLevenshtein, DotQ, HilbertIndex, JaroWinkler, NormalizeText, RewriteAggToSummary, RewriteDotProduct, RewriteJoinElimination, RewriteRangeJoin, TopK}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the engine's native expressions with the session's function
@@ -67,6 +67,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 2, "graft_hilbert takes exactly 2 arguments (x, y)")
         HilbertIndex(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_damerau"),
+      new ExpressionInfo(classOf[DamerauLevenshtein].getCanonicalName, "graft_damerau"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "graft_damerau takes exactly 2 arguments")
+        DamerauLevenshtein(children.head, children(1))
       }))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectOptimizerRule(_ => RewriteRangeJoin)

@@ -3493,6 +3493,29 @@ object SparkEntry {
         TextOps.jaccardVerify(cand, sh, "doc_id", threshold = 0.5)
           .orderBy("id1", "id2"),
         sh)
+    }),
+
+    // Full Damerau-Levenshtein (unrestricted transpositions) via the
+    // native graft_damerau expression — planted adjacent-char swaps make
+    // the transposition advantage VISIBLE in the result (dd < lev rows),
+    // and DuckDB's own damerau_levenshtein is the independent
+    // integer-exact oracle. Blocked on the noun like q102/q223.
+    "q245_damerau" -> ((s, dir) => {
+      val base = t(s, dir, "part").select(col("p_name").as("name"))
+      // swap chars 3 and 4 of every 25th name: damerau 1, levenshtein 2
+      val swapped = t(s, dir, "part").filter(col("p_partkey") % 25 === 0)
+        .select(concat(substring(col("p_name"), 1, 2),
+          substring(col("p_name"), 4, 1), substring(col("p_name"), 3, 1),
+          substring(col("p_name"), 5, 1000)).as("name"))
+      val names = base.union(swapped).distinct()
+        .select(col("name"), split(col("name"), " ").getItem(1).as("noun"))
+      names.alias("a").join(names.alias("b"),
+          col("a.noun") === col("b.noun") && col("a.name") < col("b.name"))
+        .select(col("a.name").as("name1"), col("b.name").as("name2"),
+          expr("graft_damerau(a.name, b.name)").as("dd"),
+          levenshtein(col("a.name"), col("b.name")).as("lev"))
+        .filter(col("dd") <= 2)
+        .orderBy("name1", "name2")
     })
   )
 
@@ -7523,6 +7546,24 @@ object SparkEntry {
          |FROM cand JOIN sh s1 ON s1.doc_id = id1 JOIN sh s2 ON s2.doc_id = id2
          |WHERE (id1 % 10 = 0 OR id2 % 10 = 0)
          |  AND len(list_intersect(s1.sh, s2.sh)) / len(list_distinct(list_concat(s1.sh, s2.sh))) >= 0.5
-         |ORDER BY id1, id2""".stripMargin
+         |ORDER BY id1, id2""".stripMargin,
+
+    // DuckDB's own full-DL implementation is the oracle; the planted
+    // swaps mirror the engine's substring surgery verbatim.
+    "q245_damerau" ->
+      """WITH names AS (
+        |  SELECT DISTINCT name, string_split(name, ' ')[2] AS noun FROM (
+        |    SELECT p_name AS name FROM part
+        |    UNION ALL
+        |    SELECT substring(p_name, 1, 2) || substring(p_name, 4, 1) ||
+        |           substring(p_name, 3, 1) || substring(p_name, 5)
+        |    FROM part WHERE p_partkey % 25 = 0))
+        |SELECT a.name AS name1, b.name AS name2,
+        |       CAST(damerau_levenshtein(a.name, b.name) AS INT) AS dd,
+        |       CAST(levenshtein(a.name, b.name) AS INT) AS lev
+        |FROM names a JOIN names b
+        |  ON a.noun = b.noun AND a.name < b.name
+        |WHERE damerau_levenshtein(a.name, b.name) <= 2
+        |ORDER BY name1, name2""".stripMargin
   )
 }
