@@ -3516,6 +3516,52 @@ object SparkEntry {
           levenshtein(col("a.name"), col("b.name")).as("lev"))
         .filter(col("dd") <= 2)
         .orderBy("name1", "name2")
+    }),
+
+    // CUPED variance reduction (Deng et al., WSDM'13) — the modern A/B
+    // readout next to q177's chi²: per user, pre-period covariate x and
+    // post-period metric y (integer cents); pooled θ = cov(x,y)/var(x)
+    // kept as an EXACT rational (cleared-denominator DECIMAL(38)
+    // numerator/denominator, emitted as strings so no engine division
+    // rounds); the adjusted treatment-control lift is the exact rational
+    // [(Yt·nc − Yc·nt)·θd − θn·(Xt·nc − Xc·nt)] / (nt·nc·θd), with a
+    // double rendering computed from the exact integers (deterministic
+    // in both engines). One row out; everything reduces map-side.
+    "q246_cuped" -> ((s, dir) => {
+      val cut = 1705363200000000L // 2024-01-16 00:00:00 UTC
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      val u = t(s, dir, "events")
+        .select(col("user_id"), EventOps.tsUs("ts").as("ts_us"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy("user_id")
+        .agg(sum(when(col("ts_us") < cut, col("cents")).otherwise(0L)).as("x"),
+          sum(when(col("ts_us") >= cut, col("cents")).otherwise(0L)).as("y"))
+      val tot = u.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      val arms = u.groupBy((col("user_id") % 2).as("arm"))
+        .agg(count(lit(1)).as("na"), sum("x").as("xa"), sum("y").as("ya"))
+        .agg(
+          sum(when(col("arm") === 1, col("na"))).as("nt"),
+          sum(when(col("arm") === 0, col("na"))).as("nc"),
+          sum(when(col("arm") === 1, col("xa"))).as("xt"),
+          sum(when(col("arm") === 0, col("xa"))).as("xc"),
+          sum(when(col("arm") === 1, col("ya"))).as("yt"),
+          sum(when(col("arm") === 0, col("ya"))).as("yc"))
+      tot.crossJoin(broadcast(arms)) // 1×1: explicit broadcast (the q90 rule)
+        .select(col("nt").cast("long").as("n_t"), col("nc").cast("long").as("n_c"),
+          (dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy"))).as("tn"),
+          (dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))).as("td"),
+          (dec(col("yt")) * dec(col("nc")) - dec(col("yc")) * dec(col("nt"))).as("dy"),
+          (dec(col("xt")) * dec(col("nc")) - dec(col("xc")) * dec(col("nt"))).as("dx"),
+          (dec(col("nt")) * dec(col("nc"))).as("nn"))
+        .select(col("n_t"), col("n_c"),
+          col("tn").cast("string").as("theta_num"),
+          col("td").cast("string").as("theta_den"),
+          (col("dy").cast("double") / col("nn").cast("double")).as("raw_diff"),
+          (col("dy") * col("td") - col("tn") * col("dx")).cast("string").as("adj_num"),
+          (col("nn") * col("td")).cast("string").as("adj_den"),
+          ((col("dy") * col("td") - col("tn") * col("dx")).cast("double") /
+            (col("nn") * col("td")).cast("double")).as("adj_diff"))
     })
   )
 
@@ -7564,6 +7610,39 @@ object SparkEntry {
         |FROM names a JOIN names b
         |  ON a.noun = b.noun AND a.name < b.name
         |WHERE damerau_levenshtein(a.name, b.name) <= 2
-        |ORDER BY name1, name2""".stripMargin
+        |ORDER BY name1, name2""".stripMargin,
+
+    // HUGEINT replay of the cleared-denominator rationals; strings pin
+    // exactness, the doubles are computed from the same exact integers.
+    "q246_cuped" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |                   CAST(round(value * 100) AS BIGINT) AS cents
+        |            FROM events),
+        |u AS (SELECT user_id,
+        |             sum(CASE WHEN ts_us < 1705363200000000 THEN cents ELSE 0 END) AS x,
+        |             sum(CASE WHEN ts_us >= 1705363200000000 THEN cents ELSE 0 END) AS y
+        |      FROM ev GROUP BY user_id),
+        |tot AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |               CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |               CAST(sum(x*x) AS HUGEINT) AS sxx, CAST(sum(x*y) AS HUGEINT) AS sxy
+        |        FROM u),
+        |arms AS (SELECT CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS nt,
+        |                CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS nc,
+        |                CAST(sum(CASE WHEN user_id % 2 = 1 THEN x ELSE 0 END) AS HUGEINT) AS xt,
+        |                CAST(sum(CASE WHEN user_id % 2 = 0 THEN x ELSE 0 END) AS HUGEINT) AS xc,
+        |                CAST(sum(CASE WHEN user_id % 2 = 1 THEN y ELSE 0 END) AS HUGEINT) AS yt,
+        |                CAST(sum(CASE WHEN user_id % 2 = 0 THEN y ELSE 0 END) AS HUGEINT) AS yc
+        |         FROM u),
+        |f AS (SELECT n*sxy - sx*sy AS tn, n*sxx - sx*sx AS td,
+        |             yt*nc - yc*nt AS dy, xt*nc - xc*nt AS dx, nt*nc AS nn,
+        |             nt, nc
+        |      FROM tot, arms)
+        |SELECT CAST(nt AS BIGINT) AS n_t, CAST(nc AS BIGINT) AS n_c,
+        |       CAST(tn AS VARCHAR) AS theta_num, CAST(td AS VARCHAR) AS theta_den,
+        |       CAST(dy AS DOUBLE) / CAST(nn AS DOUBLE) AS raw_diff,
+        |       CAST(dy*td - tn*dx AS VARCHAR) AS adj_num,
+        |       CAST(nn*td AS VARCHAR) AS adj_den,
+        |       CAST(dy*td - tn*dx AS DOUBLE) / CAST(nn*td AS DOUBLE) AS adj_diff
+        |FROM f""".stripMargin
   )
 }
