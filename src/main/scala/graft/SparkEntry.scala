@@ -3562,6 +3562,47 @@ object SparkEntry {
           (col("nn") * col("td")).cast("string").as("adj_den"),
           ((col("dy") * col("td") - col("tn") * col("dx")).cast("double") /
             (col("nn") * col("td")).cast("double")).as("adj_diff"))
+    }),
+
+    // Sample-ratio mismatch — the A/B sanity gate that must run BEFORE
+    // any readout: chi² of observed arm counts against the 50/50 design,
+    // exact rational (chi² = (nt−nc)²/(nt+nc) for two equal-probability
+    // arms — cleared to integers), plus the mismatch in ppm. A biased
+    // assignment invalidates q177/q246 silently; this is the tripwire.
+    "q247_srm" -> ((s, dir) => {
+      t(s, dir, "events").select(col("user_id")).distinct()
+        .agg(
+          sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("n_t"),
+          sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n_c"))
+        .select(col("n_t"), col("n_c"),
+          ((col("n_t") - col("n_c")) * (col("n_t") - col("n_c"))).as("chi2_num"),
+          (col("n_t") + col("n_c")).as("chi2_den"),
+          expr("abs(n_t - n_c) * 1000000 div (n_t + n_c)").as("mismatch_ppm"),
+          // chi² > 3.84 ⇔ num > 3.84·den ⇔ 100·num > 384·den (exact ints)
+          ((col("n_t") - col("n_c")) * (col("n_t") - col("n_c")) * 100 >
+            (col("n_t") + col("n_c")) * 384).as("srm_alarm"))
+    }),
+
+    // LSH recall EVALUATION — measuring the near-dup detector instead of
+    // assuming it: exact Jaccard ≥ 0.5 pairs (the q72 inverted-index
+    // ground truth) vs the pairs the banded MinHash surfaces (q31's
+    // machinery); recall in exact ppm. The eval every production dedup
+    // deployment owes its corpus.
+    "q248_lsh_recall" -> ((s, dir) => {
+      val sh = TextOps.shingleTable(t(s, dir, "documents"), "doc_id").cache()
+      val exact = TextOps.jaccardAllPairs(sh, "doc_id", threshold = 0.5)
+        .select("id1", "id2")
+      val lsh = TextOps.jaccardVerify(
+        TextOps.minhashCandidates(sh, "doc_id"), sh, "doc_id", threshold = 0.5)
+        .select("id1", "id2")
+      Materialize.thenRelease(
+        exact
+          .join(lsh.withColumn("found", lit(1L)), Seq("id1", "id2"), "left")
+          .agg(count(lit(1)).as("n_true"),
+            sum(coalesce(col("found"), lit(0L))).as("n_found"))
+          .select(col("n_true"), col("n_found"),
+            expr("n_found * 1000000 div n_true").as("recall_ppm")),
+        sh)
     })
   )
 
@@ -7643,6 +7684,42 @@ object SparkEntry {
         |       CAST(dy*td - tn*dx AS VARCHAR) AS adj_num,
         |       CAST(nn*td AS VARCHAR) AS adj_den,
         |       CAST(dy*td - tn*dx AS DOUBLE) / CAST(nn*td AS DOUBLE) AS adj_diff
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    // Exact arm counts over distinct users; the alarm threshold in pure
+    // integer arithmetic.
+    "q247_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |a AS (SELECT CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |             CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c
+        |      FROM u)
+        |SELECT n_t, n_c,
+        |       (n_t - n_c) * (n_t - n_c) AS chi2_num,
+        |       n_t + n_c AS chi2_den,
+        |       abs(n_t - n_c) * 1000000 // (n_t + n_c) AS mismatch_ppm,
+        |       (n_t - n_c) * (n_t - n_c) * 100 > (n_t + n_c) * 384 AS srm_alarm
+        |FROM a""".stripMargin,
+
+    // Ground truth = the q72 exact inverted-index pairs; found = the q31
+    // banded-MinHash pairs; recall in exact ppm.
+    "q248_lsh_recall" ->
+      s"""WITH $minhashCandSql,
+         |idx AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM sh),
+         |agg AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.sz AS s1, b.sz AS s2,
+         |         count(*) AS inter
+         |  FROM idx a JOIN idx b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |   AND least(a.sz, b.sz) >= 0.5 * greatest(a.sz, b.sz)
+         |  GROUP BY 1, 2, 3, 4),
+         |exact AS (SELECT id1, id2 FROM agg WHERE inter / (s1 + s2 - inter) >= 0.5),
+         |lsh AS (SELECT c.id1, c.id2 FROM cand c
+         |        JOIN sh s1 ON s1.doc_id = c.id1 JOIN sh s2 ON s2.doc_id = c.id2
+         |        WHERE len(list_intersect(s1.sh, s2.sh)) / len(list_distinct(list_concat(s1.sh, s2.sh))) >= 0.5)
+         |SELECT count(*) AS n_true,
+         |       CAST(sum(CASE WHEN l.id1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+         |       CAST(sum(CASE WHEN l.id1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+         |         // count(*) AS recall_ppm
+         |FROM exact e LEFT JOIN lsh l ON l.id1 = e.id1 AND l.id2 = e.id2""".stripMargin
   )
 }
