@@ -265,7 +265,8 @@ object ScaleBench {
     "q233_k_anonymity", "q234_dynamic_pivot", "q235_join_elim",
     "q236_mmr_rerank", "q237_mv_incremental", "q238_dsv2_skipping", "q239_stream_mv", "q240_edit_join", "q241_m4_downsample", "q242_binary_rerank",
     "q243_pseudonymize", "q244_incremental_dedup", "q245_damerau",
-    "q246_cuped", "q247_srm", "q248_lsh_recall")
+    "q246_cuped", "q247_srm", "q248_lsh_recall", "q249_accent_fold",
+    "q250_streaks", "q251_churn_labels")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

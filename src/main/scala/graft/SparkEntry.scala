@@ -3603,6 +3603,71 @@ object SparkEntry {
           .select(col("n_true"), col("n_found"),
             expr("n_found * 1000000 div n_true").as("recall_ppm")),
         sh)
+    }),
+
+    // Accent folding for search/dedup normalization: NFD via the native
+    // graft_normalize, then strip the combining marks (\p{Mn}) — the
+    // composition every search index applies before matching. The
+    // oracle is DuckDB's INDEPENDENT strip_accents implementation, so
+    // the decomposition tables and the mark class must agree exactly on
+    // the planted precomposed+decomposed accent mix.
+    "q249_accent_fold" -> ((s, dir) => {
+      val vowels = array(Seq("a", "e", "i", "o", "u").map(lit): _*)
+      val marks = array(Seq("\u0300", "\u0301", "\u0302", "\u0303").map(lit): _*)
+      val pre = array(Seq("\u00e9", "\u00e0", "\u0129", "\u00f4", "\u00fa").map(lit): _*)
+      t(s, dir, "documents")
+        .withColumn("raw", concat(substring(col("text"), 1, 15), lit(" "),
+          element_at(pre, (col("doc_id") % 5 + 1).cast("int")),
+          element_at(vowels, (col("doc_id") % 5 + 1).cast("int")),
+          element_at(marks, (col("doc_id") % 4 + 1).cast("int"))))
+        .select(col("doc_id"),
+          regexp_replace(expr("graft_normalize(raw, 'NFD')"), "\\p{Mn}", "")
+            .as("folded"))
+        .withColumn("len_folded", length(col("folded")))
+        .orderBy("doc_id")
+    }),
+
+    // Monotone-streak detection (the "3 consecutive increases" alert
+    // rule): per event_type ordered by time, runs of strictly-increasing
+    // values via the gaps-and-islands double-rank device; report each
+    // maximal streak of length >= 4 with its exact rise.
+    "q250_streaks" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("ts_us", "id")
+      val ev = t(s, dir, "events").select(col("event_type"),
+          col("event_id").as("id"), EventOps.tsUs("ts").as("ts_us"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("value_c"))
+        .withColumn("up",
+          when(col("value_c") > lag("value_c", 1).over(w), 1).otherwise(0))
+        .withColumn("rn", row_number().over(w))
+      // island id: rn − running count of 'up' flags is constant within a
+      // run of consecutive increases
+      val runs = ev.withColumn("upcum",
+          sum("up").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("island", col("rn") - col("upcum"))
+        .filter(col("up") === 1)
+        .groupBy("event_type", "island")
+        .agg((count(lit(1)) + 1).as("streak_len"),
+          min("ts_us").as("from_ts"), max("ts_us").as("to_ts"),
+          (max("value_c") - min("value_c")).as("max_minus_min"))
+        .filter(col("streak_len") >= 4)
+      runs.select("event_type", "streak_len", "from_ts", "to_ts", "max_minus_min")
+        .orderBy("event_type", "from_ts")
+    }),
+
+    // Label engineering for churn models: per (user, event), did the
+    // user return within 7 days — the point-in-time-correct label rule
+    // (only FUTURE events count, via lead over the user's timeline).
+    "q251_churn_labels" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "id")
+      t(s, dir, "events").select(col("user_id"), col("event_id").as("id"),
+          EventOps.tsUs("ts").as("ts_us"))
+        .withColumn("next_us", lead("ts_us", 1).over(w))
+        .select(col("user_id"), col("id"), col("ts_us"),
+          when(col("next_us").isNotNull &&
+            col("next_us") - col("ts_us") <= 604800000000L, 1)
+            .otherwise(0).as("returned_7d"),
+          (col("next_us") - col("ts_us")).as("gap_us"))
+        .orderBy("user_id", "ts_us", "id")
     })
   )
 
@@ -7720,6 +7785,55 @@ object SparkEntry {
          |       CAST(sum(CASE WHEN l.id1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
          |       CAST(sum(CASE WHEN l.id1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000
          |         // count(*) AS recall_ppm
-         |FROM exact e LEFT JOIN lsh l ON l.id1 = e.id1 AND l.id2 = e.id2""".stripMargin
+         |FROM exact e LEFT JOIN lsh l ON l.id1 = e.id1 AND l.id2 = e.id2""".stripMargin,
+
+    // DuckDB's independent strip_accents must agree with NFD + \p{Mn}
+    // removal on the precomposed+decomposed mix.
+    "q249_accent_fold" ->
+      """WITH d AS (SELECT doc_id,
+        |        substring(text, 1, 15) || ' ' ||
+        |        chr(CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 233 WHEN 1 THEN 224
+        |            WHEN 2 THEN 297 WHEN 3 THEN 244 ELSE 250 END) ||
+        |        chr(CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 97 WHEN 1 THEN 101
+        |            WHEN 2 THEN 105 WHEN 3 THEN 111 ELSE 117 END) ||
+        |        chr(768 + CAST(doc_id % 4 AS INT)) AS raw
+        |      FROM documents)
+        |SELECT doc_id, strip_accents(raw) AS folded,
+        |       CAST(length(strip_accents(raw)) AS INT) AS len_folded
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // The same gaps-and-islands double rank, replayed.
+    "q250_streaks" ->
+      """WITH ev AS (SELECT event_type, event_id AS id, epoch_us(ts) AS ts_us,
+        |                   CAST(round(value * 100) AS BIGINT) AS value_c
+        |            FROM events),
+        |w AS (SELECT *, CASE WHEN value_c > lag(value_c) OVER
+        |               (PARTITION BY event_type ORDER BY ts_us, id)
+        |             THEN 1 ELSE 0 END AS up,
+        |             row_number() OVER (PARTITION BY event_type
+        |               ORDER BY ts_us, id) AS rn
+        |      FROM ev),
+        |i AS (SELECT *, rn - sum(up) OVER (PARTITION BY event_type
+        |               ORDER BY ts_us, id ROWS UNBOUNDED PRECEDING) AS island
+        |      FROM w),
+        |r AS (SELECT event_type, island, count(*) + 1 AS streak_len,
+        |             min(ts_us) AS from_ts, max(ts_us) AS to_ts,
+        |             max(value_c) - min(value_c) AS max_minus_min
+        |      FROM i WHERE up = 1 GROUP BY 1, 2)
+        |SELECT event_type, CAST(streak_len AS BIGINT) AS streak_len,
+        |       from_ts, to_ts, max_minus_min
+        |FROM r WHERE streak_len >= 4 ORDER BY event_type, from_ts""".stripMargin,
+
+    // Point-in-time label: only the strictly-next event decides.
+    "q251_churn_labels" ->
+      """WITH ev AS (SELECT user_id, event_id AS id, epoch_us(ts) AS ts_us FROM events),
+        |w AS (SELECT *, lead(ts_us) OVER (PARTITION BY user_id
+        |               ORDER BY ts_us, id) AS next_us FROM ev)
+        |SELECT user_id, id, ts_us,
+        |       CAST(CASE WHEN next_us IS NOT NULL
+        |                  AND next_us - ts_us <= 604800000000
+        |             THEN 1 ELSE 0 END AS INT) AS returned_7d,
+        |       next_us - ts_us AS gap_us
+        |FROM w ORDER BY user_id, ts_us, id""".stripMargin
   )
 }
