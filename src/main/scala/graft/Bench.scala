@@ -35,7 +35,7 @@ object Bench {
     // up to 17x — q93 41 s in-session vs 2.3 s isolated). Each query is
     // timed from the same clean state ScaleBench uses: no cached
     // partitions, no leftover temp views.
-    def resetSession(): Unit = {
+    def resetSession(gc: Boolean): Unit = {
       spark.catalog.clearCache()
       spark.sqlContext.tableNames().foreach { t =>
         try spark.catalog.dropTempView(t) catch { case _: Throwable => }
@@ -45,13 +45,16 @@ object Bench {
       // to chance, checkpoint storage from q71/q74/q112-style queries
       // accumulates across the session and shows up as multi-second
       // variance on later iterative queries. Forcing a GC makes the
-      // reclaim deterministic per query boundary.
-      System.gc()
+      // reclaim deterministic per QUERY boundary; between the reps of
+      // ONE query a second forced full GC buys nothing (the rep leaves
+      // only its own checkpoint blocks) and at 250 queries the extra
+      // 250 GCs cost the session minutes of pure pause time.
+      if (gc) System.gc()
     }
     val results = selected.map { case (name, fn) =>
       var last = (0.0, Option.empty[String])
-      for (_ <- 1 to reps) {
-        resetSession()
+      for (r <- 1 to reps) {
+        resetSession(gc = r == 1)
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
           catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(160)) }
