@@ -266,7 +266,14 @@ object ScaleBench {
     "q236_mmr_rerank", "q237_mv_incremental", "q238_dsv2_skipping", "q239_stream_mv", "q240_edit_join", "q241_m4_downsample", "q242_binary_rerank",
     "q243_pseudonymize", "q244_incremental_dedup", "q245_damerau",
     "q246_cuped", "q247_srm", "q248_lsh_recall", "q249_accent_fold",
-    "q250_streaks", "q251_churn_labels")
+    "q250_streaks", "q251_churn_labels",
+    // fourth continuation batch: Kaplan–Meier (per-user agg + reduced-
+    // domain fold), Benford (one digit histogram), apportionment (cell-
+    // domain windows), assortativity (degree joins + keyless agg),
+    // lag-1..3 autocorrelation (one per-series window + two passes),
+    // and 3-round HITS (6 gather joins + 6 scalar renorms)
+    "q252_kaplan_meier", "q253_benford", "q254_apportion",
+    "q255_assortativity", "q256_autocorr", "q257_hits")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

@@ -3668,6 +3668,57 @@ object SparkEntry {
             .otherwise(0).as("returned_7d"),
           (col("next_us") - col("ts_us")).as("gap_us"))
         .orderBy("user_id", "ts_us", "id")
+    }),
+
+    // Kaplan–Meier survival of time-to-first-purchase, right-censored at
+    // each user's last event: the step table lives on the reduced
+    // duration-days domain; the ppm survival product is an integer HOF
+    // fold whose recurrence the oracle replays as a recursive CTE.
+    "q252_kaplan_meier" -> ((s, dir) =>
+      EventOps.kaplanMeier(t(s, dir, "events")).orderBy("t_days")),
+
+    // Benford first-digit audit of order totals (cents): the nine
+    // round(1e6·log10(1+1/d)) constants — which sum to exactly 1e6 —
+    // are inlined identically in both engines; per-digit chi-square
+    // contributions in exact integer micro-units, N via a 9-row window.
+    "q253_benford" -> ((s, dir) =>
+      ProfileOps.benford(
+        t(s, dir, "orders").select(
+          round(col("o_totalprice") * 100).cast("long").as("cents")),
+        "cents").orderBy("digit")),
+
+    // Largest-remainder (Hamilton) apportionment of an exact 1e6-slot
+    // sampling budget across (source, lang) cells — the hard-budget
+    // allocator behind q168's mixture rates; sum(alloc) = seats by
+    // construction (conservation spec-pinned at two SFs).
+    "q254_apportion" -> ((s, dir) =>
+      CorpusOps.apportion(t(s, dir, "documents"), Seq("source", "lang"),
+        seats = 1000000L).orderBy("source", "lang")),
+
+    // Newman degree assortativity of the q184-sparsified triangulated
+    // lattice: denominators cleared in DECIMAL(38) lanes, sign-safe
+    // truncated ppm — 1 row, 4 exact sums.
+    "q255_assortativity" -> ((s, dir) => {
+      val e = Derive.edgesDiag(Derive.nodes(s, dir))
+        .filter((col("u") * 37 + col("v") * 61) % 100 < 85)
+      GraphOps.assortativity(e)
+    }),
+
+    // Lag-1..3 autocorrelation per event_type series in cleared-
+    // denominator integers — the periodicity probe next to q182's
+    // weekday profile; one shared per-series window sort feeds all
+    // three leads, sign-safe ppm ratios.
+    "q256_autocorr" -> ((s, dir) =>
+      EventOps.autocorrelation(t(s, dir, "events"))
+        .orderBy("event_type", "lag")),
+
+    // Kleinberg HITS hubs/authorities: 3 synchronous integer-milli
+    // rounds (div-by-max renorm) over the sparsified DIRECTED lattice;
+    // the oracle unrolls all six gather+renorm steps.
+    "q257_hits" -> ((s, dir) => {
+      val e = Derive.edgesDiag(Derive.nodes(s, dir))
+        .filter((col("u") * 37 + col("v") * 61) % 100 < 85)
+      GraphOps.hits(e, iters = 3).orderBy("node")
     })
   )
 
@@ -7834,6 +7885,169 @@ object SparkEntry {
         |                  AND next_us - ts_us <= 604800000000
         |             THEN 1 ELSE 0 END AS INT) AS returned_7d,
         |       next_us - ts_us AS gap_us
-        |FROM w ORDER BY user_id, ts_us, id""".stripMargin
+        |FROM w ORDER BY user_id, ts_us, id""".stripMargin,
+
+    // The KM product replayed as a recursive CTE over the rn-ordered
+    // step table — same censoring convention (censored-at-t stays in
+    // n_i), same truncating integer recurrence.
+    "q252_kaplan_meier" ->
+      """WITH RECURSIVE subj AS (
+        |  SELECT user_id,
+        |         CASE WHEN min(CASE WHEN event_type = 'purchase'
+        |                       THEN epoch_us(ts) END) IS NOT NULL
+        |              THEN 1 ELSE 0 END AS observed,
+        |         (coalesce(min(CASE WHEN event_type = 'purchase'
+        |                        THEN epoch_us(ts) END),
+        |                   max(epoch_us(ts))) - min(epoch_us(ts)))
+        |           // 86400000000 AS dur_d
+        |  FROM events GROUP BY user_id),
+        |bydur AS (SELECT dur_d, count(*) AS c_all, sum(observed) AS d
+        |          FROM subj GROUP BY 1),
+        |st AS (SELECT dur_d, d,
+        |              sum(c_all) OVER (ORDER BY dur_d DESC
+        |                ROWS UNBOUNDED PRECEDING) AS n_risk
+        |       FROM bydur),
+        |ev AS (SELECT dur_d, d, n_risk,
+        |              row_number() OVER (ORDER BY dur_d) AS rn
+        |       FROM st WHERE d >= 1),
+        |km AS (SELECT rn, dur_d, d, n_risk,
+        |              (1000000 * (n_risk - d)) // n_risk AS s
+        |       FROM ev WHERE rn = 1
+        |       UNION ALL
+        |       SELECT e.rn, e.dur_d, e.d, e.n_risk,
+        |              (km.s * (e.n_risk - e.d)) // e.n_risk
+        |       FROM km JOIN ev e ON e.rn = km.rn + 1)
+        |SELECT dur_d AS t_days, CAST(d AS BIGINT) AS d_events,
+        |       CAST(n_risk AS BIGINT) AS n_at_risk, CAST(s AS BIGINT) AS surv_ppm
+        |FROM km ORDER BY t_days""".stripMargin,
+
+    // Same nine inlined constants (1-based list subscript = digit), same
+    // string-head digit extraction, same micro-unit chi-square.
+    "q253_benford" ->
+      """WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders),
+        |d AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+        |             count(*) AS obs
+        |      FROM v WHERE cents > 0 GROUP BY 1),
+        |e AS (SELECT digit, obs, sum(obs) OVER () AS n,
+        |             ([301030, 176091, 124939, 96910, 79181,
+        |               66947, 57992, 51153, 45757])[digit] AS exp_ppm
+        |      FROM d)
+        |SELECT digit, obs, CAST(n AS BIGINT) AS n,
+        |       CAST((obs * 1000000) // n AS BIGINT) AS obs_ppm,
+        |       CAST(exp_ppm AS BIGINT) AS exp_ppm,
+        |       CAST(((CAST(obs AS HUGEINT) * 1000000 - CAST(exp_ppm AS HUGEINT) * n)
+        |             * (CAST(obs AS HUGEINT) * 1000000 - CAST(exp_ppm AS HUGEINT) * n))
+        |            // (CAST(exp_ppm AS HUGEINT) * n) AS BIGINT) AS chi2_micro
+        |FROM e ORDER BY digit""".stripMargin,
+
+    // Same truncating base, same remainder ranking with the (source,
+    // lang) tiebreak, same shortfall top-up.
+    "q254_apportion" ->
+      """WITH cells AS (SELECT source, lang, count(*) AS cnt
+        |               FROM documents GROUP BY 1, 2),
+        |w AS (SELECT source, lang, cnt, sum(cnt) OVER () AS total FROM cells),
+        |b AS (SELECT source, lang, cnt,
+        |             (cnt * 1000000) // total AS base,
+        |             (cnt * 1000000) % total AS rem
+        |      FROM w),
+        |r AS (SELECT *, 1000000 - sum(base) OVER () AS shortfall,
+        |             row_number() OVER (ORDER BY rem DESC, source, lang) AS rk
+        |      FROM b)
+        |SELECT source, lang, cnt, CAST(base AS BIGINT) AS base,
+        |       CAST(base + CASE WHEN rk <= shortfall THEN 1 ELSE 0 END
+        |            AS BIGINT) AS alloc
+        |FROM r ORDER BY source, lang""".stripMargin,
+
+    // Same symmetrized edge list, same four exact sums, same sign-safe
+    // cleared-denominator ppm (HUGEINT lanes mirror DECIMAL(38)).
+    "q255_assortativity" ->
+      s"""WITH ${Derive.Sql.nodes},
+         |${Derive.Sql.edgesDiag},
+         |e0 AS (SELECT u, v FROM ediag WHERE (u * 37 + v * 61) % 100 < 85),
+         |sym AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+         |deg AS (SELECT u AS node, count(*) AS deg FROM sym GROUP BY 1),
+         |wd AS (SELECT ju.deg AS ju, kv.deg AS kv
+         |       FROM sym s JOIN deg ju ON ju.node = s.u
+         |                  JOIN deg kv ON kv.node = s.v),
+         |agg AS (SELECT count(*) AS m, sum(ju * kv) AS s_jk,
+         |               sum(ju + kv) AS s_j, sum(ju * ju + kv * kv) AS s_q
+         |        FROM wd),
+         |fin AS (SELECT m, s_jk, s_j, s_q,
+         |               4 * CAST(m AS HUGEINT) * s_jk
+         |                 - CAST(s_j AS HUGEINT) * s_j AS num,
+         |               2 * CAST(m AS HUGEINT) * s_q
+         |                 - CAST(s_j AS HUGEINT) * s_j AS den
+         |        FROM agg)
+         |SELECT CAST(m AS BIGINT) AS m, CAST(s_jk AS BIGINT) AS s_jk,
+         |       CAST(s_j AS BIGINT) AS s_j, CAST(s_q AS BIGINT) AS s_q,
+         |       CAST(CASE WHEN den <= 0 THEN NULL
+         |                 WHEN num < 0 THEN -(((- num) * 1000000) // den)
+         |                 ELSE (num * 1000000) // den END AS BIGINT) AS r_ppm
+         |FROM fin""".stripMargin,
+
+    // Same full-series-mean convention, same n²-cleared products in
+    // HUGEINT, same abs-then-truncate ppm.
+    "q256_autocorr" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id AS id,
+        |                   CAST(round(value * 100) AS BIGINT) AS x
+        |            FROM events),
+        |l AS (SELECT event_type, x,
+        |             lead(x, 1) OVER w AS x_1,
+        |             lead(x, 2) OVER w AS x_2,
+        |             lead(x, 3) OVER w AS x_3
+        |      FROM ev WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, id)),
+        |st AS (SELECT event_type, count(*) AS n, sum(x) AS s FROM l GROUP BY 1),
+        |y AS (SELECT l.event_type, st.n,
+        |             CAST(st.n AS HUGEINT) * l.x - st.s AS y,
+        |             CASE WHEN x_1 IS NULL THEN NULL
+        |                  ELSE CAST(st.n AS HUGEINT) * x_1 - st.s END AS y1,
+        |             CASE WHEN x_2 IS NULL THEN NULL
+        |                  ELSE CAST(st.n AS HUGEINT) * x_2 - st.s END AS y2,
+        |             CASE WHEN x_3 IS NULL THEN NULL
+        |                  ELSE CAST(st.n AS HUGEINT) * x_3 - st.s END AS y3
+        |      FROM l JOIN st USING (event_type)),
+        |a AS (SELECT event_type, n, sum(y * y) AS den,
+        |             sum(CASE WHEN y1 IS NULL THEN 0 ELSE y * y1 END) AS num_1,
+        |             sum(CASE WHEN y2 IS NULL THEN 0 ELSE y * y2 END) AS num_2,
+        |             sum(CASE WHEN y3 IS NULL THEN 0 ELSE y * y3 END) AS num_3
+        |      FROM y GROUP BY 1, 2),
+        |u AS (SELECT event_type, n, den, 1 AS lag, num_1 AS num FROM a
+        |      UNION ALL SELECT event_type, n, den, 2, num_2 FROM a
+        |      UNION ALL SELECT event_type, n, den, 3, num_3 FROM a)
+        |SELECT event_type, CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n,
+        |       CAST(CASE WHEN den <= 0 THEN NULL
+        |                 WHEN num < 0 THEN -(((- num) * 1000000) // den)
+        |                 ELSE (num * 1000000) // den END AS BIGINT) AS r_ppm
+        |FROM u ORDER BY event_type, lag""".stripMargin,
+
+    // All six HITS gather+renorm steps unrolled; coalesce-0 mirrors the
+    // left joins, the div-by-max renorm is the same integer recurrence.
+    "q257_hits" -> {
+      def half(i: Int, outCol: String, src: String,
+               joinOn: String, groupOn: String): String =
+        s"""g$i AS MATERIALIZED (SELECT nd.node, coalesce(g.$outCol, 0) AS $outCol
+           |  FROM nd LEFT JOIN (SELECT e0.$groupOn AS node, sum($src.${if (outCol == "h") "a" else "h"}) AS $outCol
+           |    FROM e0 JOIN $src ON $src.node = e0.$joinOn GROUP BY 1) g USING (node)),
+           |r$i AS MATERIALIZED (SELECT node,
+           |    CASE WHEN mx = 0 THEN 0 ELSE ($outCol * 1000) // mx END AS $outCol
+           |  FROM g$i CROSS JOIN (SELECT max(abs($outCol)) AS mx FROM g$i))""".stripMargin
+      s"""WITH ${Derive.Sql.nodes},
+         |${Derive.Sql.edgesDiag},
+         |e0 AS MATERIALIZED (SELECT u, v FROM ediag
+         |  WHERE (u * 37 + v * 61) % 100 < 85),
+         |nd AS MATERIALIZED (SELECT DISTINCT node FROM
+         |  (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)),
+         |a0 AS (SELECT node, 1000 AS a FROM nd),
+         |${half(1, "h", "a0", joinOn = "v", groupOn = "u")},
+         |${half(2, "a", "r1", joinOn = "u", groupOn = "v")},
+         |${half(3, "h", "r2", joinOn = "v", groupOn = "u")},
+         |${half(4, "a", "r3", joinOn = "u", groupOn = "v")},
+         |${half(5, "h", "r4", joinOn = "v", groupOn = "u")},
+         |${half(6, "a", "r5", joinOn = "u", groupOn = "v")}
+         |SELECT nd.node, CAST(r5.h AS BIGINT) AS h, CAST(r6.a AS BIGINT) AS a
+         |FROM nd JOIN r5 USING (node) JOIN r6 USING (node)
+         |ORDER BY node""".stripMargin
+    }
   )
 }

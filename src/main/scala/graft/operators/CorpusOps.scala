@@ -565,4 +565,69 @@ object CorpusOps {
         .filter(col("n_overlap") >= minOverlap),
       bs)
   }
+
+  /** Largest-remainder (Hamilton) apportionment: split exactly `seats`
+    * sample slots across the key cells proportionally to their row
+    * counts, with the conservation GUARANTEE Σalloc = seats — the exact
+    * allocator a mixture plan (q168) needs when the budget is a hard
+    * integer (a crawl quota, a token budget, a GPU-hour split) and
+    * truncated per-cell shares would silently under-fill it.
+    *
+    * base = (cnt·seats) div total; the Σbase..seats shortfall (< #cells
+    * by construction) goes to the cells with the largest remainders,
+    * ties broken by the key order — all exact integers, one aggregation
+    * to the cell domain plus two windows OVER that tiny domain (never
+    * the rows). cnt·seats ≤ 10⁸·10⁶ stays far under 2⁶³. */
+  /** Iterative proportional fitting / raking (Deming & Stephan 1940) —
+    * reweight a panel's (row, col) cells so both marginal totals match a
+    * target population's margins: the survey-weighting / dataset-
+    * rebalancing primitive ("make the crawl's source×lang mix look like
+    * the census"). Integer-exact and replayable: weights live in micro
+    * units (10⁶ = 1.0) and each half-round applies
+    * w ← (w · target_margin · 10⁶) div current_margin, where
+    * current_margin = Σ cnt·w over the row (resp. column) — a windowed
+    * sum over the CELL domain, never the rows; the w·target product runs
+    * in a DECIMAL(38) lane (it passes 2⁶³ past ~10⁵-doc targets). The
+    * truncating recurrence is mirrored half-round by half-round in the
+    * oracle's unrolled CTEs. Output: one row per cell with the final
+    * weight and its weighted micro-doc mass. */
+  def ipfRake(panel: DataFrame, target: DataFrame, rowCol: String = "source",
+              colCol: String = "lang", rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, s"bad rounds=$rounds")
+    val cells = panel.groupBy(col(rowCol), col(colCol)).agg(count(lit(1)).as("cnt"))
+    val tRow = target.groupBy(col(rowCol)).agg(count(lit(1)).as("t_row"))
+    val tCol = target.groupBy(col(colCol)).agg(count(lit(1)).as("t_col"))
+    val wRow = Window.partitionBy(rowCol)
+    val wCol = Window.partitionBy(colCol)
+    val init = cells.join(broadcast(tRow), Seq(rowCol))
+      .join(broadcast(tCol), Seq(colCol))
+      .withColumn("w", lit(1000000L))
+    (1 to rounds).foldLeft(init) { (df, _) =>
+      df.withColumn("cur", sum(col("cnt") * col("w")).over(wRow))
+        .withColumn("w",
+          expr("(CAST(w AS DECIMAL(38,0)) * t_row * 1000000) div cur"))
+        .withColumn("cur", sum(col("cnt") * col("w")).over(wCol))
+        .withColumn("w",
+          expr("(CAST(w AS DECIMAL(38,0)) * t_col * 1000000) div cur"))
+        .drop("cur")
+    }
+      .select(col(rowCol), col(colCol), col("cnt"), col("w").as("w_micro"),
+        (col("cnt") * col("w")).as("mass_micro"))
+  }
+
+  def apportion(rows: DataFrame, keyCols: Seq[String], seats: Long): DataFrame = {
+    require(keyCols.nonEmpty && seats > 0, s"need keys and seats > 0")
+    val cells = rows.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("cnt"))
+    val wAll = Window.partitionBy(lit(1)) // cell domain, not row domain
+    val wRank = Window.orderBy(col("rem").desc +: keyCols.map(col): _*)
+    cells
+      .withColumn("total", sum("cnt").over(wAll))
+      .withColumn("base", expr(s"(cnt * ${seats}L) div total"))
+      .withColumn("rem", expr(s"(cnt * ${seats}L) % total"))
+      .withColumn("shortfall", lit(seats) - sum("base").over(wAll))
+      .withColumn("rk", row_number().over(wRank))
+      .select(keyCols.map(col) ++ Seq(col("cnt"), col("base"),
+        (col("base") + when(col("rk") <= col("shortfall"), 1L).otherwise(0L))
+          .as("alloc")): _*)
+  }
 }

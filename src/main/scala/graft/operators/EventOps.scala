@@ -768,4 +768,103 @@ object EventOps {
       .select(col(keyCol), col("n"),
         expr("aggregate(slice(seq, 2, size(seq) - 1), seq[0].x," +
           " (acc, e) -> (acc + e.x) div 2)").as("ewma_c"))
+
+  /** Kaplan–Meier survival curve (Kaplan & Meier, JASA 1958) in exact
+    * integer ppm — time-to-first-`eventType` per user, right-censored at
+    * the user's last observed event.
+    *
+    * Subjects: one row per user; duration = whole days from the user's
+    * first event to their first `eventType` event (observed) or to their
+    * last event (censored). The estimator's step table lives on the
+    * REDUCED duration domain (distinct day counts, bounded by the data's
+    * calendar span — never row count), so:
+    *  - the at-risk counts n_i come from ONE reverse-cumulative window
+    *    over that tiny domain (the q160/q175 reduced-domain exception to
+    *    the no-unpartitioned-window rule);
+    *  - the survival product S_i = S_{i-1}·(n_i−d_i)/n_i is an integer
+    *    recurrence in ppm units, S_i = (S_{i-1}·(n_i−d_i)) div n_i — run
+    *    as one codegen'd HOF fold over the collected step array (≤ span
+    *    days long), replayable bit-for-bit as a recursive CTE. S ≤ 10⁶
+    *    and n ≤ |users| keep the product far under 2⁶³.
+    * The censored-at-t convention is the standard one: censoring happens
+    * AFTER events at the same time, so tied censored subjects stay in n_i.
+    * Output: (t_days, d_events, n_at_risk, surv_ppm), one row per event
+    * time. */
+  def kaplanMeier(events: DataFrame, eventType: String = "purchase",
+                  keyCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    val dayUs = 86400000000L
+    val subj = events
+      .select(col(keyCol), tsUs(tsCol).as("ts_us"), col("event_type"))
+      .groupBy(col(keyCol))
+      .agg(min("ts_us").as("start_us"), max("ts_us").as("end_us"),
+        min(when(col("event_type") === eventType, col("ts_us"))).as("first_evt_us"))
+      .select(
+        when(col("first_evt_us").isNotNull, 1L).otherwise(0L).as("observed"),
+        expr(s"(coalesce(first_evt_us, end_us) - start_us) div ${dayUs}L")
+          .as("dur_d"))
+    val byDur = subj.groupBy("dur_d")
+      .agg(count(lit(1)).as("c_all"), sum("observed").as("d"))
+    // reverse-cumulative at-risk over the reduced duration domain
+    val wRev = Window.orderBy(col("dur_d").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val steps = byDur.withColumn("n_risk", sum("c_all").over(wRev))
+      .filter(col("d") >= 1)
+      .select(col("dur_d").as("t"), col("d"), col("n_risk").as("n"))
+    steps
+      .agg(sort_array(collect_list(struct(col("t"), col("d"), col("n")))).as("a"))
+      .select(explode(expr(
+        """aggregate(a,
+          |  named_struct('s', CAST(1000000 AS BIGINT),
+          |    'out', CAST(array() AS ARRAY<STRUCT<t: BIGINT, d: BIGINT, n: BIGINT, s: BIGINT>>)),
+          |  (acc, e) -> named_struct(
+          |    's', (acc.s * (e.n - e.d)) div e.n,
+          |    'out', array_append(acc.out, named_struct('t', e.t, 'd', e.d,
+          |      'n', e.n, 's', (acc.s * (e.n - e.d)) div e.n))),
+          |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("r.t").as("t_days"), col("r.d").as("d_events"),
+        col("r.n").as("n_at_risk"), col("r.s").as("surv_ppm"))
+  }
+
+  /** Lag-k autocorrelation of a per-series value sequence, exact to the
+    * last integer: for series x₁..xₙ (cents, ordered by time with the id
+    * tiebreak) and the FULL-series mean convention,
+    * r_k = Σᵢ(xᵢ−x̄)(xᵢ₊ₖ−x̄) / Σᵢ(xᵢ−x̄)², computed with denominators
+    * cleared by n² — num_k = Σ(n·xᵢ−S)(n·xᵢ₊ₖ−S), den = Σ(n·xᵢ−S)² where
+    * S = Σx — in DECIMAL(38,0) lanes (n·x ~ 10⁹ squared per term times n
+    * terms passes 2⁶³ past ~10⁵ rows/series). The ratio is emitted in
+    * sign-safe truncated ppm: sign(num)·((|num|·10⁶) div den) — both
+    * engines agree on abs-then-truncate, whereas a signed integer
+    * division would expose their floor-vs-truncate difference.
+    * One window pass per series (the leads share the sort); series
+    * count × lags bounds the output, not row count. */
+  def autocorrelation(events: DataFrame, lags: Seq[Int] = Seq(1, 2, 3),
+                      seriesCol: String = "event_type", tsCol: String = "ts",
+                      valueCol: String = "value"): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), s"lags must be >= 1: $lags")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val w = Window.partitionBy(seriesCol).orderBy("ts_us", "id")
+    val rows = events.select(col(seriesCol), tsUs(tsCol).as("ts_us"),
+        col("event_id").as("id"), cents(col(valueCol)).as("x"))
+      .select(col(seriesCol) +: col("x") +:
+        lags.map(k => lead("x", k).over(w).as(s"x_$k")): _*)
+    // per-series totals: |series| rows, broadcast back for the second pass
+    // (the q182 two-pass baseline discipline — an exact mean needs the
+    // whole series before the residual products can start)
+    val stats = rows.groupBy(seriesCol)
+      .agg(count(lit(1)).as("n"), sum("x").as("s"))
+    val joined = rows.join(broadcast(stats), Seq(seriesCol))
+      .withColumn("y", dec(col("n")) * dec(col("x")) - dec(col("s")))
+    val aggs = joined.groupBy(col(seriesCol), col("n")).agg(
+      sum(col("y") * col("y")).as("den"),
+      lags.map(k => sum(when(col(s"x_$k").isNotNull,
+        col("y") * (dec(col("n")) * dec(col(s"x_$k")) - dec(col("s"))))
+        .otherwise(dec(lit(0)))).as(s"num_$k")): _*)
+    aggs.select(col(seriesCol), col("n"), col("den"),
+        explode(array(lags.map(k =>
+          struct(lit(k).as("lag"), col(s"num_$k").as("num"))): _*)).as("e"))
+      .select(col(seriesCol), col("e.lag").as("lag"), col("n"),
+        expr("""CASE WHEN den <= 0 THEN NULL
+                |     WHEN e.num < 0 THEN -(((- e.num) * 1000000) div den)
+                |     ELSE (e.num * 1000000) div den END""".stripMargin).as("r_ppm"))
+  }
 }

@@ -511,4 +511,82 @@ object GraphOps {
           (lit(150000L) + expr("(850 * coalesce(in_mass, 0)) div 1000")).as("rank"))
     }
   }
+
+  /** Degree assortativity (Newman, PRL 2002): the Pearson correlation of
+    * endpoint degrees over edges — positive = hubs link hubs, negative =
+    * hub-and-spoke. In the denominators-cleared integer form over the
+    * SYMMETRIZED edge list (each undirected edge counted both ways, which
+    * scales num and den by the same factor, leaving r untouched):
+    *
+    *   r = (4M·Σjk − (Σ(j+k))²) / (2M·Σ(j²+k²) − (Σ(j+k))²)
+    *
+    * where (j,k) are the endpoint degrees of each directed edge and M the
+    * directed edge count. Two hash joins against the |nodes|-row degree
+    * table and ONE keyless aggregate — the cross-edge sums live in
+    * DECIMAL(38,0) lanes ((Σ(j+k))² passes 2⁶³ past ~10⁸ edges). The
+    * ratio is emitted in the sign-safe truncated-ppm form (abs-then-div,
+    * sign reapplied — the engines' floor-vs-truncate division difference
+    * never fires); den = 0 (a perfectly regular graph) reports NULL.
+    * Output: 1 row (m, s_jk, s_j, s_q, r_ppm). */
+  def assortativity(edges: DataFrame,
+                    srcCol: String = "u", dstCol: String = "v"): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = sym
+      .join(deg.select(col("node").as("u"), col("deg").as("ju")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("kv")), Seq("v"))
+    withDeg.agg(
+        count(lit(1)).as("m"),
+        sum(col("ju") * col("kv")).as("s_jk"),
+        sum(col("ju") + col("kv")).as("s_j"),
+        sum(col("ju") * col("ju") + col("kv") * col("kv")).as("s_q"))
+      .withColumn("num",
+        dec(lit(4)) * dec(col("m")) * dec(col("s_jk")) - dec(col("s_j")) * dec(col("s_j")))
+      .withColumn("den",
+        dec(lit(2)) * dec(col("m")) * dec(col("s_q")) - dec(col("s_j")) * dec(col("s_j")))
+      .select(col("m"), col("s_jk"), col("s_j"), col("s_q"),
+        expr("""CASE WHEN den <= 0 THEN NULL
+                |     WHEN num < 0 THEN -(((- num) * 1000000) div den)
+                |     ELSE (num * 1000000) div den END""".stripMargin).as("r_ppm"))
+  }
+
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) — `iters` synchronous
+    * rounds in exact integer milli-units over the DIRECTED edge list:
+    *   h(u) = Σ_{u→v} a(v), then renormalize to max |h| = 1000;
+    *   a(v) = Σ_{u→v} h(u), then renormalize likewise.
+    * The div-by-max renormalization is an integer recurrence both engines
+    * replay exactly (the q180 power-iteration discipline), and the max
+    * itself comes from a 1-row broadcast (allowlisted scalar shape).
+    * Scores start at a(v) = 1000 for every node; nodes with no out-edges
+    * keep h = 0 (resp. in-edges, a = 0) via the left join. Per round: two
+    * hash joins + two keyed aggregates — no windows, no collects; the
+    * edge table is materialized once and reused. */
+  def hits(edges: DataFrame, iters: Int = 3,
+           srcCol: String = "u", dstCol: String = "v"): DataFrame = {
+    require(iters >= 1, s"bad iters=$iters")
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val nodes = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node"))).distinct()
+    def renorm(df: DataFrame, c: String): DataFrame =
+      df.crossJoin(broadcast(df.agg(max(abs(col(c))).as("mx"))))
+        .select(col("node"),
+          expr(s"CASE WHEN mx = 0 THEN CAST(0 AS BIGINT) ELSE ($c * 1000) div mx END")
+            .as(c))
+    def gather(scores: DataFrame, scoreCol: String, outCol: String,
+               joinOn: String, groupOn: String): DataFrame =
+      nodes.join(
+        e.join(scores.select(col("node").as(joinOn), col(scoreCol)), Seq(joinOn))
+          .groupBy(col(groupOn).as("node")).agg(sum(scoreCol).as(outCol)),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col(outCol), lit(0L)).as(outCol))
+    var a = nodes.select(col("node"), lit(1000L).as("a"))
+    var h = nodes.select(col("node"), lit(0L).as("h"))
+    for (_ <- 1 to iters) {
+      h = renorm(gather(a, "a", "h", joinOn = "v", groupOn = "u"), "h")
+      a = renorm(gather(h, "h", "a", joinOn = "u", groupOn = "v"), "a")
+    }
+    h.join(a, Seq("node")).select(col("node"), col("h"), col("a"))
+  }
 }

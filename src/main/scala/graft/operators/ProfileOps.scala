@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.TimestampType
 
@@ -352,6 +353,77 @@ object ProfileOps {
         expr("(d_num * 1000000) div (n_a * n_b)").as("d_micro"), col("at_v"))
   }
 
+  /** Two-sample Mann–Whitney U (Wilcoxon rank-sum) in EXACT integers —
+    * the nonparametric "did the distribution shift?" companion to
+    * [[ksTest]], with the textbook tie handling: tied values take the
+    * AVERAGE rank, which is fractional, so everything is carried in
+    * DOUBLED rank units (2·avgrank = 2·cumBefore + t + 1, always an
+    * integer). Emitted pieces, all exact:
+    *  - u2_a = 2·U_A = Σ_v c_a(v)·(2·cumBefore(v)+t(v)+1) − n_a·(n_a+1)
+    *  - t_ties = Σ_v (t³−t), the tie-correction mass
+    *  - var12nn1 = 12·n·(n−1)·Var(U) = n_a·n_b·(n³−n − t_ties)
+    *    (DECIMAL(38) lane — n³·n_a·n_b passes 2⁶³ around n ≈ 5·10⁴)
+    *  - auc_ppm = the common-language effect size U_A/(n_a·n_b) in
+    *    truncated ppm — u2_a·10⁶ div (2·n_a·n_b).
+    * Shape: ONE aggregation to the distinct-value domain, one cumulative
+    * window over that reduced domain (the q160/q202 exception), one
+    * keyless fold. No row-level sort anywhere. */
+  def mannWhitney(df: DataFrame, groupCol: String, valueCol: String,
+                  groupA: String, groupB: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val dom = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(col(valueCol).cast("long").as("v"),
+        (col(groupCol) === groupA).as("isa"))
+      .groupBy("v")
+      .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("isa"), 1L).otherwise(0L)).as("cb"))
+      .withColumn("t", col("ca") + col("cb"))
+    val cum = dom.withColumn("cum_end", sum(col("t")).over(
+      Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.agg(
+        sum("ca").as("n_a"), sum("cb").as("n_b"),
+        sum(col("ca") * (lit(2) * (col("cum_end") - col("t")) + col("t") + 1))
+          .as("r2_a"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("t_ties"))
+      .select(col("n_a"), col("n_b"),
+        (col("r2_a") - col("n_a") * (col("n_a") + 1)).as("u2_a"), col("t_ties"))
+      .withColumn("n", col("n_a") + col("n_b"))
+      .select(col("n_a"), col("n_b"), col("u2_a"), col("t_ties"),
+        // the product lives in a DECIMAL(38) lane; the ppm emission goes
+        // through `div` (exact truncating integral quotient → BIGINT)
+        ((dec(col("n_a")) * dec(col("n_b"))) *
+          (dec(col("n")) * dec(col("n")) * dec(col("n"))
+            - dec(col("n")) - dec(col("t_ties")))).as("var_lane"),
+        expr("(u2_a * 1000000) div (2 * n_a * n_b)").as("auc_ppm"))
+      .select(col("n_a"), col("n_b"), col("u2_a"), col("t_ties"),
+        // var12nn1·10⁻⁶ in ppm units keeps the emitted value in BIGINT
+        // range at any realistic n (n³·n_a·n_b div 10⁶ ≤ 2⁶³ up to
+        // n ≈ 10⁶ per side); the lane itself never rounds
+        expr("var_lane div 1000000").as("var12nn1_micro"), col("auc_ppm"))
+  }
+
+  /** Exact lower weighted median per group — the smallest value v whose
+    * cumulative weight reaches half the group's total (2·cum ≥ W), the
+    * robust location estimate when rows carry mass (quantities, token
+    * counts). Reduced-domain shape: one aggregation to the (group, value)
+    * domain, one per-group cumulative window over it, one min_by fold —
+    * no row-level sort, no global window. */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+                     weightCol: String): DataFrame = {
+    val dom = df.select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"),
+        col(weightCol).cast("long").as("wt"))
+      .groupBy("g", "v").agg(sum("wt").as("w"))
+    val cum = dom.select(col("g"), col("v"), col("w"),
+      sum("w").over(Window.partitionBy("g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+      sum("w").over(Window.partitionBy("g")).as("w_total"))
+    cum.filter(col("cum") * 2 >= col("w_total"))
+      .groupBy("g")
+      .agg(min("v").as("median_v"), min("w_total").as("w_total"))
+      .select(col("g").as(groupCol), col("median_v"), col("w_total"))
+  }
+
   /** Gini concentration of an integer mass over keys, exact: with
     * per-key masses x_(1) ≤ … ≤ x_(n) (ties ranked by key for a total
     * order), G = (2·Σ i·x_(i) − (n+1)·S) / (n·S) — reported in ppm with
@@ -384,5 +456,38 @@ object ProfileOps {
         expr("((2 * ixs - (n_keys + 1) * total) * 1000000) div (n_keys * total)")
           .as("gini_ppm"),
         expr("(top_mass * 1000000) div total").as("top_decile_ppm"))
+  }
+
+  /** Benford's-law first-digit audit (Benford 1938; Nigrini's fraud-
+    * detection battery) — the data-quality tripwire for fabricated or
+    * truncated numeric columns: natural multi-order-of-magnitude amounts
+    * follow P(d) = log₁₀(1+1/d), and a synthetic column betrays itself by
+    * a flat (or spiked) digit histogram.
+    *
+    * Exact-integer end to end: the expected probabilities are the nine
+    * CONSTANTS round(10⁶·log₁₀(1+1/d)) — which sum to exactly 10⁶ —
+    * inlined identically in the oracle, so no engine ever evaluates a
+    * log. First digit comes from the decimal string head (identical
+    * semantics everywhere; non-positive values are excluded before the
+    * cast so ANSI never sees a '-'). χ² contribution per digit in micro
+    * units: ((obs·10⁶ − exp_ppm·N)²) div (exp_ppm·N) — DECIMAL(38) lanes
+    * (the squared term passes 2⁶³ near 10⁷ rows). N comes from a window
+    * sum over the NINE-row digit table — no scalar broadcast join.
+    * Output: (digit, obs, n, obs_ppm, exp_ppm, chi2_micro). */
+  def benford(values: DataFrame, valCol: String): DataFrame = {
+    val expPpm = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L)
+    val obs = values.filter(col(valCol) > 0)
+      .select(substring(col(valCol).cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("obs"))
+    val w = Window.partitionBy(lit(1)) // 9-row domain
+    obs.withColumn("n", sum("obs").over(w))
+      .withColumn("exp_ppm", element_at(array(expPpm.map(lit): _*), col("digit")))
+      .select(col("digit"), col("obs"), col("n"),
+        expr("(obs * 1000000) div n").as("obs_ppm"), col("exp_ppm"),
+        expr("""((CAST(obs AS DECIMAL(38,0)) * 1000000 - CAST(exp_ppm AS DECIMAL(38,0)) * n)
+                |  * (CAST(obs AS DECIMAL(38,0)) * 1000000 - CAST(exp_ppm AS DECIMAL(38,0)) * n))
+                |  div (CAST(exp_ppm AS DECIMAL(38,0)) * n)""".stripMargin)
+          .as("chi2_micro"))
   }
 }

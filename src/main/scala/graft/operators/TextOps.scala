@@ -928,4 +928,53 @@ object TextOps {
       // window) must count once, like every other candidate generator here
       .distinct()
   }
+
+  /** Exact multi-word PHRASE search over the corpus — the positional
+    * inverted-index form: tokens carry their position, the phrase's
+    * first word selects candidate (doc, pos) anchors, and each further
+    * word is an equi-join on (doc, pos + i). Candidate volume is bounded
+    * by the FIRST word's posting list (pick rare-first in a production
+    * ranker); no LIKE scan, no per-row regex — the joins are all
+    * hash-partitionable by doc. Output: (id, n_hits, first_pos) per
+    * document containing the exact consecutive phrase. */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String], idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val toks = docs
+      .select(col(idCol), posexplode(words(col(textCol))).as(Seq("pos", "w")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("w"))
+    val anchor = toks.filter(col("w") === phrase.head)
+      .select(col(idCol), col("pos"))
+    phrase.zipWithIndex.drop(1).foldLeft(anchor) { case (acc, (word, i)) =>
+      acc.join(
+        toks.filter(col("w") === word)
+          .select(col(idCol), (col("pos") - i).as("pos")),
+        Seq(idCol, "pos"))
+    }
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"), min("pos").as("first_pos"))
+  }
+
+  /** Good–Turing frequency smoothing (Good 1953; the Katz-backoff core):
+    * from the unigram count table, the count-of-counts N_r and the
+    * smoothed count r* = (r+1)·N_{r+1}/N_r in exact truncated micro
+    * units — the "how much probability mass do unseen/rare events
+    * deserve" table every count-based LM needs. The r domain (distinct
+    * frequencies) is tiny — Zipf puts it at O(√tokens) — so the N_{r+1}
+    * lookup is a self-join on that reduced domain, never the corpus.
+    * Also emits each r's share of total token mass in ppm; the r with no
+    * successor (the max count, typically) reports NULL r*. */
+  def goodTuring(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(explode(words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("r"))
+    val nr = counts.groupBy("r").agg(count(lit(1)).as("n_r"))
+    val total = Window.partitionBy(lit(1)) // |distinct r| rows
+    nr.withColumn("mass", col("r") * col("n_r"))
+      .withColumn("total_mass", sum("mass").over(total))
+      .join(nr.select((col("r") - 1).as("r"), col("n_r").as("n_r1")), Seq("r"), "left")
+      .select(col("r"), col("n_r"),
+        expr("(mass * 1000000) div total_mass").as("mass_ppm"),
+        expr("((r + 1) * n_r1 * 1000000) div n_r").as("r_star_micro"))
+  }
 }

@@ -64,7 +64,8 @@ class PlanContractSpec extends SparkSpec {
     "q208_array_setops",             // 1-row time-cut scalar broadcast
     "q241_m4_downsample",            // global (tmin, tmax) 1-row range broadcast
     "q242_binary_rerank",            // the q40 shape: 3-query code broadcast
-    "q246_cuped")                    // 1-row totals x 1-row arms cross join
+    "q246_cuped",                    // 1-row totals x 1-row arms cross join
+    "q257_hits")                     // 6× 1-row max-abs renorm scalars (the q180 class)
 
   /** q38's brute-force fallback joins the (empty-whenever-the-grid-
     * decides) unresolved-points frame against nodes — the initial plan

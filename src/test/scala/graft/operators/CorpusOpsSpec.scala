@@ -349,4 +349,23 @@ class CorpusOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(exact.nonEmpty && bloom == exact)
   }
+
+  test("apportion: conservation and the quota property (seeded random cells)") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 5000).map { i =>
+      (s"s${rnd.nextInt(7)}", s"l${rnd.nextInt(5)}", i)
+    }.toDF("source", "lang", "i")
+    for (seats <- Seq(997L, 1000000L)) {
+      val got = CorpusOps.apportion(rows, Seq("source", "lang"), seats)
+        .select("cnt", "base", "alloc")
+        .as[(Long, Long, Long)].collect()
+      val total = got.map(_._1).sum
+      // hard conservation: the budget is hit EXACTLY
+      assert(got.map(_._3).sum == seats)
+      // quota property: floor(q) = base <= alloc <= base + 1
+      assert(got.forall { case (cnt, base, alloc) =>
+        base == cnt * seats / total && (alloc == base || alloc == base + 1)
+      })
+    }
+  }
 }

@@ -506,4 +506,43 @@ class EventOpsSpec extends SparkSpec {
     }
     assert(got == want)
   }
+
+  test("kaplanMeier: hand example with right-censoring and the at-risk convention") {
+    val day = 86400000000L // µs
+    // durations: u1=2 obs, u3=2 obs (later events ignored), u4=7 obs,
+    // u2=5 censored, u5=3 censored
+    val evs = Seq(
+      (1L, 0L, "view"), (1L, 2L, "purchase"),
+      (2L, 0L, "view"), (2L, 5L, "view"),
+      (3L, 0L, "view"), (3L, 2L, "purchase"), (3L, 9L, "view"),
+      (4L, 0L, "view"), (4L, 7L, "purchase"),
+      (5L, 0L, "view"), (5L, 3L, "view"))
+      .toDF("user_id", "d", "event_type")
+      .select(col("user_id"), (col("d") * day * 1000L).as("ts"), col("event_type"))
+    val got = EventOps.kaplanMeier(evs)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // t=2: d=2 of n=5 at risk -> S = (1e6*3) div 5 = 600000
+    // t=7: d=1 of n=1 at risk -> S = (600000*0) div 1 = 0
+    assert(got == Seq((2L, 2L, 5L, 600000L), (7L, 1L, 1L, 0L)))
+    // survival is monotone non-increasing by construction of the fold
+    assert(got.map(_._4) == got.map(_._4).sorted.reverse)
+  }
+
+  test("autocorrelation: alternating series gives exact sign-flipping ppm; constant gives NULL") {
+    val mk = (0 until 8).map(i =>
+      ("alt", i.toLong, i.toLong * 1000000L, if (i % 2 == 0) 1.0 else 0.0)) ++
+      (0 until 6).map(i => ("const", (100 + i).toLong, i.toLong * 1000000L, 2.5))
+    val ev = mk.toDF("event_type", "event_id", "ts_us", "value")
+      .select(col("event_type"), col("event_id"), (col("ts_us") * 1000L).as("ts"),
+        col("value"))
+    val got = EventOps.autocorrelation(ev)
+      .as[(String, Int, Long, Option[Long])].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    // alt: x = 100,0,...; y = ±400; den = 8*160000; num_1 = -7*160000,
+    // num_2 = +6*160000, num_3 = -5*160000
+    assert(got(("alt", 1)) == Some(-875000L))
+    assert(got(("alt", 2)) == Some(750000L))
+    assert(got(("alt", 3)) == Some(-625000L))
+    assert(Seq(1, 2, 3).forall(k => got(("const", k)).isEmpty))
+  }
 }

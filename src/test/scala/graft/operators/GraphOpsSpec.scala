@@ -251,4 +251,33 @@ class GraphOpsSpec extends SparkSpec {
     val bLabels = Seq(10L, 11L, 12L, 13L).map(got).distinct
     assert(aLabels.intersect(bLabels).isEmpty)
   }
+
+  test("assortativity: a star is exactly r = -1 (hub-and-spoke extreme)") {
+    // K_{1,3}: sym M=6; (j,k) = (3,1)x3 + (1,3)x3 -> S_jk=18, S_j=24,
+    // S_q=60; num = 4*6*18 - 576 = -144; den = 2*6*60 - 576 = 144.
+    val e = Seq((0, 1), (0, 2), (0, 3)).toDF("u", "v")
+    val r = GraphOps.assortativity(e).select("m", "s_jk", "s_j", "s_q", "r_ppm")
+      .as[(Long, Long, Long, Long, Option[Long])].head()
+    assert(r == ((6L, 18L, 24L, 60L, Some(-1000000L))))
+  }
+
+  test("assortativity: a regular ring has zero degree variance -> NULL") {
+    val e = Seq((0, 1), (1, 2), (2, 3), (3, 0)).toDF("u", "v")
+    val r = GraphOps.assortativity(e).select("r_ppm").as[Option[Long]].head()
+    assert(r.isEmpty)
+  }
+
+  test("hits: 3 rounds match the hand-unrolled integer recurrence") {
+    // 1->2, 3->2, 2->4: node 2 is the authority (two in-links from the
+    // co-citing hubs 1 and 3), nodes 1/3 are the hubs. Hand unroll with
+    // the div-by-max milli renorm:
+    //   r1: h=(1000,1000,1000,0)  a=(0,1000,0,500)
+    //   r2: h=(1000,500,1000,0)   a=(0,1000,0,250)
+    //   r3: h=(1000,250,1000,0)   a=(0,1000,0,125)
+    val e = Seq((1, 2), (3, 2), (2, 4)).toDF("u", "v")
+    val got = GraphOps.hits(e, iters = 3)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(got == Set((1, 1000L, 0L), (2, 250L, 1000L),
+      (3, 1000L, 0L), (4, 0L, 125L)))
+  }
 }

@@ -190,4 +190,25 @@ class ProfileOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].head()
     assert(g1 == ((5L, 100L, 760000L, 960000L)))
   }
+
+  test("benford: digit partition, inlined constants, exact chi2 micro-units") {
+    // values planted so every first digit appears a known number of
+    // times; non-positives must be excluded before the string cast
+    val vals = (Seq(1L, 19L, 150L, 2L, 25L, 3L, 47L, 5L, 6L, 78L, 9L) ++
+      Seq(0L, -4L)).toDF("v")
+    val got = ProfileOps.benford(vals, "v")
+      .as[(Int, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val expPpm = Map(1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L,
+      5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+    val obsWant = Map(1 -> 3L, 2 -> 2L, 3 -> 1L, 4 -> 1L, 5 -> 1L, 6 -> 1L,
+      7 -> 1L, 9 -> 1L) // no 8; zero/negative dropped
+    assert(got.keySet == obsWant.keySet)
+    got.foreach { case (d, (_, obs, n, obsPpm, exp, chi2)) =>
+      assert(n == 11L && obs == obsWant(d) && exp == expPpm(d))
+      assert(obsPpm == obs * 1000000L / 11L)
+      val dev = BigInt(obs) * 1000000 - BigInt(exp) * 11
+      assert(BigInt(chi2) == dev * dev / (BigInt(exp) * 11))
+    }
+  }
 }
