@@ -273,7 +273,14 @@ object ScaleBench {
     // lag-1..3 autocorrelation (one per-series window + two passes),
     // and 3-round HITS (6 gather joins + 6 scalar renorms)
     "q252_kaplan_meier", "q253_benford", "q254_apportion",
-    "q255_assortativity", "q256_autocorr", "q257_hits")
+    "q255_assortativity", "q256_autocorr", "q257_hits",
+    // fifth continuation batch: Mann-Whitney (reduced value domain),
+    // IPF raking (cell-domain windows), phrase search (positional
+    // posting joins), weighted median (per-group reduced domain),
+    // Good-Turing (distinct-frequency domain), time-RANGE frames
+    // (per-user value-based window)
+    "q258_mann_whitney", "q259_ipf_rake", "q260_phrase_search",
+    "q261_weighted_median", "q262_good_turing", "q263_range_frame")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

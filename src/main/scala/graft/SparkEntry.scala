@@ -3719,6 +3719,61 @@ object SparkEntry {
       val e = Derive.edgesDiag(Derive.nodes(s, dir))
         .filter((col("u") * 37 + col("v") * 61) % 100 < 85)
       GraphOps.hits(e, iters = 3).orderBy("node")
+    }),
+
+    // Mann–Whitney U between the view and click value distributions:
+    // doubled-rank integers with textbook average-rank tie handling —
+    // the nonparametric shift test next to q202's KS distance.
+    "q258_mann_whitney" -> ((s, dir) =>
+      ProfileOps.mannWhitney(
+        t(s, dir, "events").select(col("event_type"),
+          round(col("value") * 100).cast("long").as("v_c")),
+        "event_type", "v_c", "view", "click")),
+
+    // IPF raking: reweight the odd-doc panel's (source, lang) cells to
+    // the FULL corpus margins — 2 rounds of the truncating micro-unit
+    // recurrence, each half-round mirrored in the oracle's CTE chain.
+    "q259_ipf_rake" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      CorpusOps.ipfRake(d.filter(col("doc_id") % 2 === 1), d)
+        .orderBy("source", "lang")
+    }),
+
+    // Positional phrase search ("value table part", exact consecutive
+    // match): anchor posting list + per-word (doc, pos+i) equi-joins —
+    // the inverted-index form, no LIKE scan.
+    "q260_phrase_search" -> ((s, dir) =>
+      TextOps.phraseSearch(t(s, dir, "documents"),
+        Seq("value", "table", "part")).orderBy("doc_id")),
+
+    // Exact lower weighted median of price cents weighted by quantity,
+    // per return flag — reduced (group, value) domain, no global sort.
+    "q261_weighted_median" -> ((s, dir) =>
+      ProfileOps.weightedMedian(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+          col("l_quantity").cast("long").as("qty")),
+        "l_returnflag", "price_c", "qty").orderBy("l_returnflag")),
+
+    // Good–Turing count-of-counts smoothing over the corpus unigrams:
+    // r* = (r+1)·N_{r+1}/N_r in truncated micro units on the tiny
+    // distinct-frequency domain.
+    "q262_good_turing" -> ((s, dir) =>
+      TextOps.goodTuring(t(s, dir, "documents")).orderBy("r")),
+
+    // Time-RANGE window frames: trailing-1-hour per-user sum/count via
+    // rangeBetween on the µs axis — the value-based frame surface (peers
+    // at the same ts all join the frame, unlike ROWS).
+    "q263_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-3600000000L, 0)
+      t(s, dir, "events").select(col("user_id"), col("event_id").as("id"),
+          EventOps.tsUs("ts").as("ts_us"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("v_c"))
+        .select(col("user_id"), col("id"), col("ts_us"),
+          sum("v_c").over(w).as("hour_sum_c"),
+          count(lit(1)).over(w).as("hour_n"))
+        .orderBy("user_id", "ts_us", "id")
     })
   )
 
@@ -8048,6 +8103,115 @@ object SparkEntry {
          |SELECT nd.node, CAST(r5.h AS BIGINT) AS h, CAST(r6.a AS BIGINT) AS a
          |FROM nd JOIN r5 USING (node) JOIN r6 USING (node)
          |ORDER BY node""".stripMargin
-    }
+    },
+
+    // Same doubled-rank tie handling, same cleared-variance lane, same
+    // truncated ppm effect size.
+    "q258_mann_whitney" ->
+      """WITH dom AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |                    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS ca,
+        |                    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS cb
+        |             FROM events WHERE event_type IN ('view', 'click')
+        |             GROUP BY 1),
+        |c AS (SELECT v, ca, cb, ca + cb AS t,
+        |             sum(ca + cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_end
+        |      FROM dom),
+        |a AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b,
+        |             sum(ca * (2 * (cum_end - t) + t + 1)) AS r2_a,
+        |             sum(t * t * t - t) AS t_ties
+        |      FROM c),
+        |f AS (SELECT n_a, n_b, r2_a - n_a * (n_a + 1) AS u2_a, t_ties,
+        |             n_a + n_b AS n FROM a)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |       CAST(u2_a AS BIGINT) AS u2_a, CAST(t_ties AS BIGINT) AS t_ties,
+        |       CAST((CAST(n_a AS HUGEINT) * n_b *
+        |             (CAST(n AS HUGEINT) * n * n - n - t_ties)) // 1000000
+        |            AS BIGINT) AS var12nn1_micro,
+        |       CAST((u2_a * 1000000) // (2 * n_a * n_b) AS BIGINT) AS auc_ppm
+        |FROM f""".stripMargin,
+
+    // Four half-rounds unrolled, the same truncating micro recurrence
+    // with the margin windows over the cell domain.
+    "q259_ipf_rake" -> {
+      def half(i: Int, prev: String, margin: String, part: String): String =
+        s"""r$i AS (SELECT source, lang, cnt, t_row, t_col,
+           |  (w * $margin * 1000000) // (sum(cnt * w) OVER (PARTITION BY $part)) AS w
+           |  FROM $prev)""".stripMargin
+      s"""WITH cells AS (SELECT source, lang, count(*) AS cnt FROM documents
+         |               WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+         |tr AS (SELECT source, count(*) AS t_row FROM documents GROUP BY 1),
+         |tc AS (SELECT lang, count(*) AS t_col FROM documents GROUP BY 1),
+         |r0 AS (SELECT c.source, c.lang, c.cnt, tr.t_row, tc.t_col,
+         |              CAST(1000000 AS HUGEINT) AS w
+         |       FROM cells c JOIN tr USING (source) JOIN tc USING (lang)),
+         |${half(1, "r0", "t_row", "source")},
+         |${half(2, "r1", "t_col", "lang")},
+         |${half(3, "r2", "t_row", "source")},
+         |${half(4, "r3", "t_col", "lang")}
+         |SELECT source, lang, cnt, CAST(w AS BIGINT) AS w_micro,
+         |       CAST(cnt * w AS BIGINT) AS mass_micro
+         |FROM r4 ORDER BY source, lang""".stripMargin
+    },
+
+    // Same positional inverted-index joins; generate_subscripts is
+    // 1-based, shifted to the engine's 0-based positions.
+    "q260_phrase_search" ->
+      """WITH toks AS (SELECT doc_id,
+        |                     generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+        |                     unnest(string_split(text, ' ')) AS w
+        |              FROM documents),
+        |a AS (SELECT doc_id, pos FROM toks WHERE w = 'value'),
+        |m AS (SELECT a.doc_id, a.pos
+        |      FROM a JOIN toks t1 ON t1.doc_id = a.doc_id
+        |                         AND t1.pos = a.pos + 1 AND t1.w = 'table'
+        |             JOIN toks t2 ON t2.doc_id = a.doc_id
+        |                         AND t2.pos = a.pos + 2 AND t2.w = 'part')
+        |SELECT doc_id, count(*) AS n_hits, min(pos) AS first_pos
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same reduced-domain cumulative weights, same lower-median rule.
+    "q261_weighted_median" ->
+      """WITH dom AS (SELECT l_returnflag AS g,
+        |                    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |                    sum(CAST(l_quantity AS BIGINT)) AS w
+        |             FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT g, v, w,
+        |             sum(w) OVER (PARTITION BY g ORDER BY v
+        |               ROWS UNBOUNDED PRECEDING) AS cum,
+        |             sum(w) OVER (PARTITION BY g) AS w_total
+        |      FROM dom)
+        |SELECT g AS l_returnflag, min(v) AS median_v,
+        |       CAST(min(w_total) AS BIGINT) AS w_total
+        |FROM c WHERE cum * 2 >= w_total GROUP BY g ORDER BY g""".stripMargin,
+
+    // Same count-of-counts domain, same truncated micro smoothing; the
+    // max count's missing successor reports NULL in both engines.
+    "q262_good_turing" ->
+      """WITH counts AS (SELECT w, count(*) AS r
+        |                FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |                      FROM documents)
+        |                GROUP BY w),
+        |nr AS (SELECT r, count(*) AS n_r FROM counts GROUP BY r),
+        |m AS (SELECT r, n_r, r * n_r AS mass,
+        |             sum(r * n_r) OVER () AS total_mass FROM nr)
+        |SELECT m.r, CAST(m.n_r AS BIGINT) AS n_r,
+        |       CAST((m.mass * 1000000) // m.total_mass AS BIGINT) AS mass_ppm,
+        |       CAST(((m.r + 1) * s.n_r * 1000000) // m.n_r AS BIGINT) AS r_star_micro
+        |FROM m LEFT JOIN nr s ON s.r = m.r + 1
+        |ORDER BY m.r""".stripMargin,
+
+    // RANGE frames are value-based in both engines: all ts peers join
+    // the frame, so ties need no id tiebreak to hash-match.
+    "q263_range_frame" ->
+      """WITH ev AS (SELECT user_id, event_id AS id, epoch_us(ts) AS ts_us,
+        |                   CAST(round(value * 100) AS BIGINT) AS v_c
+        |            FROM events)
+        |SELECT user_id, id, ts_us,
+        |       CAST(sum(v_c) OVER w AS BIGINT) AS hour_sum_c,
+        |       CAST(count(*) OVER w AS BIGINT) AS hour_n
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us, id""".stripMargin
   )
 }

@@ -350,6 +350,37 @@ class CorpusOpsSpec extends SparkSpec {
     assert(exact.nonEmpty && bloom == exact)
   }
 
+  test("ipfRake: the last-fitted margin matches its target to truncation") {
+    val rnd = new scala.util.Random(29)
+    val target = (0 until 4000).map(i =>
+      (s"s${rnd.nextInt(6)}", s"l${rnd.nextInt(4)}", i)).toDF("source", "lang", "i")
+    val panel = target.filter(col("i") % 3 === 0) // a skewed third
+    val cells = CorpusOps.ipfRake(panel, target)
+      .as[(String, String, Long, Long, Long)].collect()
+    // the final half-round fits the LANG margin: per-lang weighted mass
+    // must equal t_col*1e6 up to one truncation unit per cell
+    val targetLang = target.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    cells.groupBy(_._2).foreach { case (lang, cs) =>
+      val mass = cs.map(c => BigInt(c._3) * c._4).sum
+      val want = BigInt(targetLang(lang)) * 1000000
+      // truncation loses < cnt per cell in w, i.e. < cnt*1 in mass — and
+      // cnt sums to the panel lang margin; bound loosely by that
+      val slack = cs.map(_._3).sum
+      assert(mass <= want && want - mass <= slack,
+        s"$lang: mass=$mass want=$want slack=$slack")
+    }
+    // the row margins (fitted one half-round earlier) converge too: within
+    // 2% after two full rounds on this data
+    val targetSrc = target.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    cells.groupBy(_._1).foreach { case (src, cs) =>
+      val mass = cs.map(c => BigInt(c._3) * c._4).sum.toDouble
+      val want = targetSrc(src) * 1e6
+      assert(math.abs(mass - want) / want < 0.02, s"$src: $mass vs $want")
+    }
+  }
+
   test("apportion: conservation and the quota property (seeded random cells)") {
     val rnd = new scala.util.Random(13)
     val rows = (0 until 5000).map { i =>

@@ -191,6 +191,28 @@ class ProfileOpsSpec extends SparkSpec {
     assert(g1 == ((5L, 100L, 760000L, 960000L)))
   }
 
+  test("mannWhitney: hand-checked doubled ranks, ties, and effect size") {
+    // A = {1,2,3}, B = {2,3,4}: doubled rank sum of A = 2+5+9 = 16,
+    // u2_a = 16 - 3*4 = 4 (U = 2 by the count-pairs definition:
+    // 0 + 0.5 + 1.5); ties at 2 and 3 give T = 6+6 = 12;
+    // auc = 4e6 div 18 = 222222; var lane 9*(210-12) = 1782 -> 0 micro.
+    val df = (Seq(1L, 2L, 3L).map(("A", _)) ++ Seq(2L, 3L, 4L).map(("B", _)))
+      .toDF("grp", "v")
+    val r = ProfileOps.mannWhitney(df, "grp", "v", "A", "B")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(r == ((3L, 3L, 4L, 12L, 0L, 222222L)))
+  }
+
+  test("weightedMedian: lower median by cumulative weight, per group") {
+    // g1: values 1(w1), 2(w1), 3(w8) -> W=10, first 2cum>=10 at v=3
+    // g2: values 5(w3), 7(w3)        -> W=6,  2*3 >= 6 at v=5 (lower rule)
+    val df = Seq(("g1", 1L, 1L), ("g1", 2L, 1L), ("g1", 3L, 8L),
+      ("g2", 5L, 3L), ("g2", 7L, 3L)).toDF("g", "v", "wt")
+    val got = ProfileOps.weightedMedian(df, "g", "v", "wt")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("g1", 3L, 10L), ("g2", 5L, 6L)))
+  }
+
   test("benford: digit partition, inlined constants, exact chi2 micro-units") {
     // values planted so every first digit appears a known number of
     // times; non-positives must be excluded before the string cast

@@ -458,4 +458,28 @@ class TextOpsSpec extends SparkSpec {
     // candidate bound: at w=4 each name contributes at most 3 pairs
     assert(got.size <= names.count() * 3)
   }
+
+  test("phraseSearch: exact consecutive matches only, with overlap counting") {
+    val docs = Seq(
+      (1L, "x a b c y a b c"),   // two hits, first at pos 1
+      (2L, "a b x c"),           // words present but not consecutive
+      (3L, "c b a"),             // reversed
+      (4L, "a b c"),             // hit at 0
+      (5L, "a a b c"))           // hit at 1 (anchor at 0 fails, 1 matches)
+      .toDF("doc_id", "text")
+    val got = TextOps.phraseSearch(docs, Seq("a", "b", "c"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L), (4L, 1L, 0L), (5L, 1L, 1L)))
+  }
+
+  test("goodTuring: hand-checked count-of-counts smoothing") {
+    // corpus "a a a b b c": N_1=N_2=N_3=1; r*(1)=2.0, r*(2)=3.0, r*(3)=NULL
+    val docs = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val got = TextOps.goodTuring(docs)
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 166666L, Some(2000000L)),
+      (2L, 1L, 333333L, Some(3000000L)),
+      (3L, 1L, 500000L, None)))
+  }
 }
