@@ -280,7 +280,11 @@ object ScaleBench {
     // Good-Turing (distinct-frequency domain), time-RANGE frames
     // (per-user value-based window)
     "q258_mann_whitney", "q259_ipf_rake", "q260_phrase_search",
-    "q261_weighted_median", "q262_good_turing", "q263_range_frame")
+    "q261_weighted_median", "q262_good_turing", "q263_range_frame",
+    // sixth continuation batch: the Q17 double-correlated-scalar
+    // decorrelation shape, k-center seeding (4 broadcast-seed scans),
+    // and binary-segmentation change-point argmax (one per-series window)
+    "q264_tpch_q17_shape", "q265_kcenter_seeds", "q266_binary_segmentation")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

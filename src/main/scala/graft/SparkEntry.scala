@@ -3774,7 +3774,32 @@ object SparkEntry {
           sum("v_c").over(w).as("hour_sum_c"),
           count(lit(1)).over(w).as("hour_n"))
         .orderBy("user_id", "ts_us", "id")
-    })
+    }),
+
+    // TPC-H Q17's shape — TWO correlated scalar aggregate subqueries in
+    // the WHERE clause ("below 1/5 of the part's average quantity",
+    // cross-multiplied into exact integers so no float boundary row can
+    // flip) — identical statement text in both engines; Catalyst must
+    // decorrelate both scalars into aggregate joins.
+    "q264_tpch_q17_shape" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(tpchQ17Sql)
+    }),
+
+    // Gonzalez farthest-point (k-center) seeding over the embedding
+    // corpus, k = 4: exact quantized distances, broadcast-seed scans,
+    // 1-row argmax steering per round; the oracle unrolls all three
+    // picks with least-of-seeds distance CTEs.
+    "q265_kcenter_seeds" -> ((s, dir) =>
+      SimilarityOps.kcenterSeeds(t(s, dir, "embeddings"), k = 4)
+        .orderBy("seed_rank")),
+
+    // Binary-segmentation change-point localization per event series:
+    // argmax of the cleared-denominator between-segment contrast on the
+    // shared per-series window — q174's CUSUM names the wave, this
+    // names the split position.
+    "q266_binary_segmentation" -> ((s, dir) =>
+      EventOps.binarySegmentation(t(s, dir, "events")).orderBy("event_type"))
   )
 
   /** q229's shared text (both engines run it verbatim): TPC-H Q21's
@@ -3794,6 +3819,27 @@ object SparkEntry {
       |GROUP BY l1.l_suppkey
       |ORDER BY numwait DESC, l_suppkey
       |LIMIT 20""".stripMargin
+
+  /** q264's shared text: TPC-H Q17's correlated-scalar-aggregate shape
+    * with the 0.2·avg threshold cross-multiplied into exact integers
+    * (qty < sum/(5·cnt) ⇔ 5·qty·cnt < sum — quantities are integral, so
+    * both engines compare the same exact values; a float avg would risk
+    * a last-ulp boundary flip). Two correlated scalars per row force the
+    * full decorrelation path. */
+  private lazy val tpchQ17Sql: String =
+    """SELECT l.l_partkey, count(*) AS n_small,
+      |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+      |            AS BIGINT) AS small_rev_c
+      |FROM lineitem l
+      |WHERE l.l_returnflag = 'A'
+      |  AND 5 * CAST(l.l_quantity AS BIGINT) *
+      |      (SELECT count(*) FROM lineitem l2
+      |       WHERE l2.l_partkey = l.l_partkey)
+      |      < (SELECT sum(CAST(l3.l_quantity AS BIGINT))
+      |         FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)
+      |GROUP BY l.l_partkey
+      |ORDER BY n_small DESC, l_partkey
+      |LIMIT 50""".stripMargin
 
   /** q230's shared text: TPC-H Q13 — LEFT join with the predicate in the
     * ON clause (zero-order customers must survive), then the
@@ -8212,6 +8258,66 @@ object SparkEntry {
         |FROM ev
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-        |ORDER BY user_id, ts_us, id""".stripMargin
+        |ORDER BY user_id, ts_us, id""".stripMargin,
+
+    // Identical statement text — DuckDB decorrelates the same scalars.
+    "q264_tpch_q17_shape" -> tpchQ17Sql,
+
+    // Three picks unrolled: per-seed distance CTEs, least-fold, and the
+    // (mind2 DESC, id) argmax mirroring max_by's tiebreak.
+    "q265_kcenter_seeds" ->
+      """WITH x AS (SELECT vec_id AS id,
+        |             list_transform(embedding,
+        |               e -> CAST(round(CAST(e AS DOUBLE) * 1e7) AS BIGINT)) AS xc
+        |           FROM embeddings),
+        |u AS (SELECT id, unnest(xc) AS val, generate_subscripts(xc, 1) AS j FROM x),
+        |s0 AS (SELECT min(id) AS id FROM x),
+        |u0 AS (SELECT j, val FROM u WHERE id = (SELECT id FROM s0)),
+        |dA AS (SELECT u.id, sum((u.val - u0.val) * (u.val - u0.val)) AS d2
+        |       FROM u JOIN u0 USING (j) GROUP BY u.id),
+        |p1 AS (SELECT id, d2 FROM dA ORDER BY d2 DESC, id LIMIT 1),
+        |u1 AS (SELECT j, val FROM u WHERE id = (SELECT id FROM p1)),
+        |dB AS (SELECT u.id, sum((u.val - u1.val) * (u.val - u1.val)) AS d2
+        |       FROM u JOIN u1 USING (j) GROUP BY u.id),
+        |m2 AS (SELECT dA.id, least(dA.d2, dB.d2) AS mind2 FROM dA JOIN dB USING (id)),
+        |p2 AS (SELECT id, mind2 FROM m2 ORDER BY mind2 DESC, id LIMIT 1),
+        |u2 AS (SELECT j, val FROM u WHERE id = (SELECT id FROM p2)),
+        |dC AS (SELECT u.id, sum((u.val - u2.val) * (u.val - u2.val)) AS d2
+        |       FROM u JOIN u2 USING (j) GROUP BY u.id),
+        |m3 AS (SELECT m2.id, least(m2.mind2, dC.d2) AS mind2 FROM m2 JOIN dC USING (id)),
+        |p3 AS (SELECT id, mind2 FROM m3 ORDER BY mind2 DESC, id LIMIT 1)
+        |SELECT CAST(0 AS INT) AS seed_rank, (SELECT id FROM s0) AS vec_id,
+        |       CAST(0 AS BIGINT) AS mind2
+        |UNION ALL SELECT 1, id, CAST(d2 AS BIGINT) FROM p1
+        |UNION ALL SELECT 2, id, CAST(mind2 AS BIGINT) FROM p2
+        |UNION ALL SELECT 3, id, CAST(mind2 AS BIGINT) FROM p3
+        |ORDER BY seed_rank""".stripMargin,
+
+    // Same cleared-denominator contrast, same truncated key, same
+    // (key DESC, p) argmax.
+    "q266_binary_segmentation" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id AS id,
+        |                   CAST(round(value * 100) AS BIGINT) AS x
+        |            FROM events),
+        |r AS (SELECT event_type, ts_us,
+        |             row_number() OVER w AS p,
+        |             sum(x) OVER (PARTITION BY event_type ORDER BY ts_us, id
+        |               ROWS UNBOUNDED PRECEDING) AS s_l,
+        |             count(*) OVER (PARTITION BY event_type) AS n,
+        |             sum(x) OVER (PARTITION BY event_type) AS s
+        |      FROM ev WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, id)),
+        |sc AS (SELECT event_type, ts_us, p, n,
+        |              CAST(s_l AS HUGEINT) * (n - p)
+        |                - (CAST(s AS HUGEINT) - s_l) * p AS d
+        |       FROM r WHERE p < n),
+        |k AS (SELECT event_type, ts_us, p, n, d,
+        |             (d * d) // (CAST(p AS HUGEINT) * (n - p) * 1000000) AS key
+        |      FROM sc),
+        |b AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |               ORDER BY key DESC, p) AS rk FROM k)
+        |SELECT event_type, CAST(n AS BIGINT) AS n, CAST(p AS BIGINT) AS split_pos,
+        |       ts_us AS split_ts_us, CAST(key AS BIGINT) AS score_scaled,
+        |       CAST(CASE WHEN d > 0 THEN -1 WHEN d < 0 THEN 1 ELSE 0 END AS INT) AS dir
+        |FROM b WHERE rk = 1 ORDER BY event_type""".stripMargin
   )
 }

@@ -867,4 +867,43 @@ object EventOps {
                 |     WHEN e.num < 0 THEN -(((- e.num) * 1000000) div den)
                 |     ELSE (e.num * 1000000) div den END""".stripMargin).as("r_ppm"))
   }
+
+  /** Binary-segmentation change-point LOCALIZATION (Scott & Knott 1974;
+    * the first split of the classic recursive scheme) — where q174's
+    * CUSUM raises the alarm, this names the position: per series the
+    * split p maximizing the between-segment contrast
+    * n_L·n_R·(mean_L − mean_R)², evaluated exactly with denominators
+    * cleared — d = S_L·n_R − S_R·n_L (DECIMAL(38) lane), ranking key
+    * d² div (n_L·n_R·10⁶), the ÷10⁶ keeping the key in BIGINT to ~10⁷
+    * rows/series. Both engines argmax the SAME truncated integer key
+    * with the position tiebreak, so truncation can never diverge them.
+    * One window sort per series feeds the position, prefix sum, and
+    * totals; the argmax is a grouped max_by — no self-joins, no
+    * quadratic split table. Output: (series, n, split_pos, split_ts_us,
+    * score_scaled, dir) with dir = sign(mean_R − mean_L). */
+  def binarySegmentation(events: DataFrame, seriesCol: String = "event_type",
+                         tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val w = Window.partitionBy(seriesCol).orderBy("ts_us", "id")
+    val rows = events.select(col(seriesCol), tsUs(tsCol).as("ts_us"),
+        col("event_id").as("id"), cents(col(valueCol)).as("x"))
+      .select(col(seriesCol), col("ts_us"),
+        row_number().over(w).as("p"),
+        sum("x").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("s_l"),
+        count(lit(1)).over(Window.partitionBy(seriesCol)).as("n"),
+        sum("x").over(Window.partitionBy(seriesCol)).as("s"))
+    rows.filter(col("p") < col("n"))
+      .withColumn("d", dec(col("s_l")) * (col("n") - col("p"))
+        - (dec(col("s")) - dec(col("s_l"))) * col("p"))
+      .withColumn("key",
+        expr("(d * d) div (CAST(p AS DECIMAL(38,0)) * (n - p) * 1000000)"))
+      .groupBy(seriesCol)
+      .agg(max("n").as("n"),
+        max_by(struct(col("p"), col("ts_us"), col("key"), col("d")),
+          struct(col("key"), (-col("p")).as("np"))).as("b"))
+      .select(col(seriesCol), col("n"), col("b.p").cast("long").as("split_pos"),
+        col("b.ts_us").as("split_ts_us"), col("b.key").as("score_scaled"),
+        when(col("b.d") > 0, -1).when(col("b.d") < 0, 1).otherwise(0).as("dir"))
+  }
 }

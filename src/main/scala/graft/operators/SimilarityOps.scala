@@ -784,4 +784,49 @@ object SimilarityOps {
       .select(col("j").cast("long").as("dim"), col("comp"))
       .orderBy("dim")
   }
+
+  /** Gonzalez farthest-point traversal (k-center seeding, Gonzalez 1985;
+    * the deterministic cousin of k-means++): seed 0 is the smallest id,
+    * each next seed is the vector MAXIMIZING its min squared distance to
+    * the seeds picked so far (tie → smallest id). The classic 2-approx
+    * cover seeding for IVF/PQ codebooks — unlike Lloyd it needs no
+    * iteration-to-convergence and its output is order-free.
+    *
+    * Exact integers end to end: quantized components, d² via the zip_with
+    * fold (≤ 2³⁰ per term · dims, far under 2⁶³). Each round is ONE scan
+    * computing least-of-s distances against BROADCAST seed literals (no
+    * join, no shuffle — the q60 centroid-fold shape), and the argmax is a
+    * 1-row driver steering scalar (the kmeans/BPE control class). Work is
+    * k scans of the corpus; the k·k seed-literal rebuild is O(k²·dim)
+    * driver arithmetic. Output: (seed_rank, id, mind2) — mind2 is the
+    * picked vector's covering radius at pick time (0 for seed 0). */
+  def kcenterSeeds(vectors: DataFrame, k: Int, embCol: String = "embedding",
+                   idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1, s"bad k=$k")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val x = vectors
+      .select(col(idCol).cast("long").as("id"), quantize(col(embCol)).as("xc"))
+      .localCheckpoint() // k scans of the quantized table, not its lineage
+    def vecOf(id: Long): IndexedSeq[Long] =
+      x.filter(col("id") === id).select("xc").head().getSeq[Long](0).toIndexedSeq
+    val firstId = x.agg(min("id")).head().getLong(0)
+    var picked = Vector((firstId, 0L))
+    for (_ <- 1 until k) {
+      val dists = picked.map { case (sid, _) =>
+        val sLit = array(vecOf(sid).map(lit(_)): _*)
+        aggregate(zip_with(col("xc"), sLit, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, t) => acc + t)
+      }
+      val mind = dists.reduce(least(_, _))
+      val r = x.select(col("id"), mind.as("mind2"))
+        .agg(max_by(struct(col("id"), col("mind2")),
+          struct(col("mind2"), (-col("id")).as("ni"))).as("b"))
+        .select("b.id", "b.mind2").head()
+      picked :+= ((r.getLong(0), r.getLong(1)))
+    }
+    picked.zipWithIndex
+      .map { case ((id, d2), i) => (i, id, d2) }
+      .toDF("seed_rank", idCol, "mind2")
+  }
 }

@@ -528,6 +528,19 @@ class EventOpsSpec extends SparkSpec {
     assert(got.map(_._4) == got.map(_._4).sorted.reverse)
   }
 
+  test("binarySegmentation: locates a planted step exactly") {
+    // 5 values at 100.00 then 5 at 200.00: the contrast peaks at p = 5,
+    // mean rises -> dir = +1; key = (250000² ) div (25·1e6) = 2500
+    val ev = (0 until 10).map(i =>
+      ("m", i.toLong, i.toLong * 1000000L, if (i < 5) 100.0 else 200.0))
+      .toDF("event_type", "event_id", "ts_us", "value")
+      .select(col("event_type"), col("event_id"), (col("ts_us") * 1000L).as("ts"),
+        col("value"))
+    val r = EventOps.binarySegmentation(ev)
+      .as[(String, Long, Long, Long, Long, Int)].head()
+    assert(r == (("m", 10L, 5L, 4000000L, 2500L, 1)))
+  }
+
   test("autocorrelation: alternating series gives exact sign-flipping ppm; constant gives NULL") {
     val mk = (0 until 8).map(i =>
       ("alt", i.toLong, i.toLong * 1000000L, if (i % 2 == 0) 1.0 else 0.0)) ++

@@ -362,4 +362,19 @@ class SimilarityOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().sortBy(_._1).map(_._2)
     assert(got.toSeq == again.toSeq)
   }
+
+  test("kcenterSeeds: hand-checked farthest-point picks on a line") {
+    // 1-dim points 0.0, 1.0, 0.4, 0.45 (quantized ×1e7): seed0 = id 0;
+    // pick1 = id 1 (d² = 1e14); then min-dists are id2 1.6e13 (to 0),
+    // id3 2.025e13 (to 0) -> pick2 = id 3
+    val vecs = Seq((0L, Seq(0.0f)), (1L, Seq(1.0f)), (2L, Seq(0.4f)),
+      (3L, Seq(0.45f))).toDF("vec_id", "embedding")
+    val got = SimilarityOps.kcenterSeeds(vecs, k = 3)
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0, 0L, 0L), (1, 1L, 100000000000000L),
+      (2, 3L, 20250000000000L)))
+    // the covering radius sequence is non-increasing after the first pick
+    val radii = got.drop(1).map(_._3)
+    assert(radii == radii.sorted.reverse)
+  }
 }
