@@ -284,7 +284,10 @@ object ScaleBench {
     // sixth continuation batch: the Q17 double-correlated-scalar
     // decorrelation shape, k-center seeding (4 broadcast-seed scans),
     // and binary-segmentation change-point argmax (one per-series window)
-    "q264_tpch_q17_shape", "q265_kcenter_seeds", "q266_binary_segmentation")
+    "q264_tpch_q17_shape", "q265_kcenter_seeds", "q266_binary_segmentation",
+    // seventh continuation batch: Kendall tau (cell-domain pair join),
+    // stratified split assignment (per-stratum hash windows)
+    "q267_kendall_tau", "q268_stratified_split")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

@@ -3799,7 +3799,24 @@ object SparkEntry {
     // shared per-series window — q174's CUSUM names the wave, this
     // names the split position.
     "q266_binary_segmentation" -> ((s, dir) =>
-      EventOps.binarySegmentation(t(s, dir, "events")).orderBy("event_type"))
+      EventOps.binarySegmentation(t(s, dir, "events")).orderBy("event_type")),
+
+    // Kendall tau-a between quantity and discount over the CELL domain
+    // (|A|·|B| cells, never row pairs): exact concordant/discordant/tie
+    // masses plus the sqrt-free tau-a in sign-safe ppm.
+    "q267_kendall_tau" -> ((s, dir) =>
+      ProfileOps.kendallTau(
+        t(s, dir, "lineitem").select(
+          col("l_quantity").cast("long").as("qty"),
+          round(col("l_discount") * 100).cast("long").as("disc_c")),
+        "qty", "disc_c")),
+
+    // Deterministic stratified train/val/test split: per-source md5
+    // ranking + the exact r·1000 <= n_s·permille boundary rule — the
+    // id-pure assignment no re-run or re-partition can move.
+    "q268_stratified_split" -> ((s, dir) =>
+      CorpusOps.stratifiedSplit(t(s, dir, "documents"))
+        .orderBy("doc_id"))
   )
 
   /** q229's shared text (both engines run it verbatim): TPC-H Q21's
@@ -8318,6 +8335,47 @@ object SparkEntry {
         |SELECT event_type, CAST(n AS BIGINT) AS n, CAST(p AS BIGINT) AS split_pos,
         |       ts_us AS split_ts_us, CAST(key AS BIGINT) AS score_scaled,
         |       CAST(CASE WHEN d > 0 THEN -1 WHEN d < 0 THEN 1 ELSE 0 END AS INT) AS dir
-        |FROM b WHERE rk = 1 ORDER BY event_type""".stripMargin
+        |FROM b WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    // Same cell-domain pair masses, same margin tie counts, same
+    // sign-safe 2(P−Q)·10⁶ div n(n−1).
+    "q267_kendall_tau" ->
+      """WITH cells AS (SELECT CAST(l_quantity AS BIGINT) AS a,
+        |                      CAST(round(l_discount * 100) AS BIGINT) AS b,
+        |                      count(*) AS cnt
+        |               FROM lineitem GROUP BY 1, 2),
+        |p AS (SELECT sum(CASE WHEN y.b > x.b THEN x.cnt * y.cnt ELSE 0 END) AS p_conc,
+        |             sum(CASE WHEN y.b < x.b THEN x.cnt * y.cnt ELSE 0 END) AS q_disc
+        |      FROM cells x JOIN cells y ON x.a < y.a),
+        |ma AS (SELECT sum((m * (m - 1)) // 2) AS ties_a, sum(m) AS n
+        |       FROM (SELECT a, sum(cnt) AS m FROM cells GROUP BY a)),
+        |mb AS (SELECT sum((m * (m - 1)) // 2) AS ties_b
+        |       FROM (SELECT b, sum(cnt) AS m FROM cells GROUP BY b))
+        |SELECT CAST(n AS BIGINT) AS n, CAST(p_conc AS BIGINT) AS p_conc,
+        |       CAST(q_disc AS BIGINT) AS q_disc, CAST(ties_a AS BIGINT) AS ties_a,
+        |       CAST(ties_b AS BIGINT) AS ties_b,
+        |       CAST(CASE WHEN p_conc >= q_disc
+        |             THEN (CAST(p_conc - q_disc AS HUGEINT) * 2000000)
+        |                  // (n * (n - 1))
+        |             ELSE -((CAST(q_disc - p_conc AS HUGEINT) * 2000000)
+        |                  // (n * (n - 1)))
+        |        END AS BIGINT) AS taua_ppm
+        |FROM p, ma, mb""".stripMargin,
+
+    // Same md5 ranking (identical hex in both engines), same exact
+    // integer permille boundaries.
+    "q268_stratified_split" ->
+      """WITH h AS (SELECT source, doc_id,
+        |                  md5(concat_ws(':', 'split', CAST(doc_id AS VARCHAR))) AS h
+        |           FROM documents),
+        |r AS (SELECT source, doc_id,
+        |             row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS r,
+        |             count(*) OVER (PARTITION BY source) AS n_s
+        |      FROM h)
+        |SELECT source, doc_id,
+        |       CASE WHEN r * 1000 <= n_s * 800 THEN 'train'
+        |            WHEN r * 1000 <= n_s * 900 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM r ORDER BY doc_id""".stripMargin
   )
 }

@@ -566,6 +566,32 @@ object CorpusOps {
       bs)
   }
 
+  /** Deterministic STRATIFIED train/val/test assignment — every stratum
+    * contributes exactly its proportional share to each split, and the
+    * assignment is a pure function of the id (re-runs, re-orders, and
+    * re-partitions cannot move a document between splits): rows rank
+    * within their stratum by md5("split:" ∥ id) — a fixed random-but-
+    * deterministic order both engines compute identically — and the
+    * exact integer rule r·1000 ≤ n_s·permille cuts the boundaries, so
+    * |train| = ⌊0.8·n_s⌋ per stratum, no float, no global sort (one
+    * window per stratum). The leakage-control counterpart to q187's
+    * contamination report: the split is decided before any content is
+    * looked at. */
+  def stratifiedSplit(docs: DataFrame, strataCol: String = "source",
+                      idCol: String = "doc_id",
+                      trainPermille: Int = 800, valPermille: Int = 900): DataFrame = {
+    require(0 < trainPermille && trainPermille <= valPermille && valPermille <= 1000)
+    val w = Window.partitionBy(strataCol).orderBy("h", idCol)
+    docs.select(col(strataCol), col(idCol),
+        md5(concat_ws(":", lit("split"), col(idCol).cast("string"))).as("h"))
+      .withColumn("r", row_number().over(w))
+      .withColumn("n_s", count(lit(1)).over(Window.partitionBy(strataCol)))
+      .select(col(strataCol), col(idCol),
+        when(expr(s"r * 1000 <= n_s * $trainPermille"), "train")
+          .when(expr(s"r * 1000 <= n_s * $valPermille"), "val")
+          .otherwise("test").as("split"))
+  }
+
   /** Largest-remainder (Hamilton) apportionment: split exactly `seats`
     * sample slots across the key cells proportionally to their row
     * counts, with the conservation GUARANTEE Σalloc = seats — the exact

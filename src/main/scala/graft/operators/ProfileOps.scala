@@ -403,6 +403,45 @@ object ProfileOps {
         expr("var_lane div 1000000").as("var12nn1_micro"), col("auc_ppm"))
   }
 
+  /** Kendall rank correlation, exact, via the CELL domain: with both
+    * variables reduced to their (a, b) value cells, the concordant /
+    * discordant pair masses are
+    *   P = Σ_{a<a', b<b'} n·n',  Q = Σ_{a<a', b>b'} n·n'
+    * — a pair join over |A|·|B| CELLS (bounded by the value domains,
+    * never by rows: the O(n log n) merge-sort trick is pointless when
+    * the domain is small, and the naive O(n²) row join would be a
+    * scale-killer). Tie masses n1/n2 come from the per-value margins.
+    * Emits tau-a in sign-safe truncated ppm — 2(P−Q)·10⁶ div (n(n−1)),
+    * the sqrt-free variant (tau-b's denominator needs a square root, so
+    * its exact pieces P, Q, ties_a, ties_b are emitted instead).
+    * The cells table is tiny, so the inequality pair join is an
+    * intended broadcast nested loop (plan-contract allowlisted). */
+  def kendallTau(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // three consumers of the tiny cell table
+    val pairs = cells.alias("x").join(broadcast(cells.alias("y")),
+        col("x.a") < col("y.a"))
+      .agg(
+        sum(when(col("y.b") > col("x.b"), col("x.cnt") * col("y.cnt"))
+          .otherwise(0L)).as("p_conc"),
+        sum(when(col("y.b") < col("x.b"), col("x.cnt") * col("y.cnt"))
+          .otherwise(0L)).as("q_disc"))
+    val margA = cells.groupBy("a").agg(sum("cnt").as("m"))
+      .agg(sum(expr("(m * (m - 1)) div 2")).as("ties_a"), sum("m").as("n"))
+    val margB = cells.groupBy("b").agg(sum("cnt").as("m"))
+      .agg(sum(expr("(m * (m - 1)) div 2")).as("ties_b"))
+    pairs.crossJoin(broadcast(margA)).crossJoin(broadcast(margB))
+      .select(col("n"), col("p_conc"), col("q_disc"),
+        col("ties_a"), col("ties_b"),
+        expr("""CASE WHEN p_conc >= q_disc
+                |  THEN (CAST(p_conc - q_disc AS DECIMAL(38,0)) * 2000000)
+                |       div (n * (n - 1))
+                |  ELSE -((CAST(q_disc - p_conc AS DECIMAL(38,0)) * 2000000)
+                |       div (n * (n - 1))) END""".stripMargin).as("taua_ppm"))
+  }
+
   /** Exact lower weighted median per group — the smallest value v whose
     * cumulative weight reaches half the group's total (2·cum ≥ W), the
     * robust location estimate when rows carry mass (quantities, token

@@ -350,6 +350,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(exact.nonEmpty && bloom == exact)
   }
 
+  test("stratifiedSplit: exact per-stratum shares, id-pure under repartition") {
+    val docs = (0L until 430L).map(i => (s"s${i % 3}", i)).toDF("source", "doc_id")
+    val got = CorpusOps.stratifiedSplit(docs)
+      .as[(String, Long, String)].collect()
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val n = rows.size
+      val bySplit = rows.groupBy(_._3).view.mapValues(_.size).toMap
+      assert(bySplit.getOrElse("train", 0) == n * 800 / 1000)
+      assert(bySplit.getOrElse("val", 0) == n * 900 / 1000 - n * 800 / 1000)
+      assert(bySplit.getOrElse("test", 0) == n - n * 900 / 1000)
+    }
+    // pure function of the id: a shuffled, repartitioned input assigns
+    // every document to the SAME split
+    val again = CorpusOps.stratifiedSplit(docs.orderBy(rand(42)).repartition(7))
+      .as[(String, Long, String)].collect()
+    assert(again.toSet == got.toSet)
+  }
+
   test("ipfRake: the last-fitted margin matches its target to truncation") {
     val rnd = new scala.util.Random(29)
     val target = (0 until 4000).map(i =>

@@ -213,6 +213,20 @@ class ProfileOpsSpec extends SparkSpec {
     assert(got == Set(("g1", 3L, 10L), ("g2", 5L, 6L)))
   }
 
+  test("kendallTau: perfect, inverted, and tied hand cases") {
+    def tau(pts: Seq[(Long, Long)]): (Long, Long, Long, Long, Long, Long) =
+      ProfileOps.kendallTau(pts.toDF("a", "b"), "a", "b")
+        .as[(Long, Long, Long, Long, Long, Long)].head()
+    // monotone -> tau = +1; anti-monotone -> -1
+    assert(tau(Seq((1L, 1L), (2L, 2L), (3L, 3L))) ==
+      ((3L, 3L, 0L, 0L, 0L, 1000000L)))
+    assert(tau(Seq((1L, 3L), (2L, 2L), (3L, 1L))) ==
+      ((3L, 0L, 3L, 0L, 0L, -1000000L)))
+    // one a-tie: P=2, Q=0, ties_a=1 -> tau-a = 4e6 div 6 = 666666
+    assert(tau(Seq((1L, 1L), (1L, 2L), (2L, 3L))) ==
+      ((3L, 2L, 0L, 1L, 0L, 666666L)))
+  }
+
   test("benford: digit partition, inlined constants, exact chi2 micro-units") {
     // values planted so every first digit appears a known number of
     // times; non-positives must be excluded before the string cast
