@@ -286,8 +286,12 @@ object ScaleBench {
     // and binary-segmentation change-point argmax (one per-series window)
     "q264_tpch_q17_shape", "q265_kcenter_seeds", "q266_binary_segmentation",
     // seventh continuation batch: Kendall tau (cell-domain pair join),
-    // stratified split assignment (per-stratum hash windows)
-    "q267_kendall_tau", "q268_stratified_split")
+    // stratified split assignment (per-stratum hash windows), WordPiece
+    // encode (vocabulary-bound HOF fold — should be ~flat like BPE)
+    "q267_kendall_tau", "q268_stratified_split", "q269_wordpiece",
+    // eighth continuation batch: uplift/ROC/DiD evaluation (reduced-
+    // domain cumulative bins; the DiD median cut is one domain window)
+    "q270_qini", "q271_roc_curve", "q272_did")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

@@ -3816,7 +3816,37 @@ object SparkEntry {
     // id-pure assignment no re-run or re-partition can move.
     "q268_stratified_split" -> ((s, dir) =>
       CorpusOps.stratifiedSplit(t(s, dir, "documents"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // WordPiece greedy maximal-munch encoding over a corpus-derived
+    // piece vocabulary (chars + top-20 substrings) — the BERT-family
+    // inference tokenizer next to q97/q128's BPE; the oracle rebuilds
+    // the same vocabulary in SQL and replays the longest-match walk as
+    // a recursive CTE with length-guarded joins.
+    "q269_wordpiece" -> ((s, dir) =>
+      Bpe.wordpieceEncode(t(s, dir, "documents")).orderBy("w")),
+
+    // Qini uplift curve: per score decile (descending, reduced-domain
+    // bins) the cumulative incremental conversions of treated over
+    // rate-scaled control, denominator cleared — the targeting-model
+    // evaluation next to q177's A/B readout.
+    "q270_qini" -> ((s, dir) =>
+      EventOps.qiniCurve(t(s, dir, "events")).orderBy("bin")),
+
+    // Exact ROC curve over the value-cents score domain: one operating
+    // point per distinct score, cumulative TP/FP and ppm rates — the
+    // threshold-tuning artifact whose trapezoid area is q258's AUC.
+    "q271_roc_curve" -> ((s, dir) =>
+      ProfileOps.rocCurve(
+        t(s, dir, "events").select(
+          (col("event_type") === "purchase").as("label"),
+          round(col("value") * 100).cast("long").as("v_c")),
+        "label", "v_c").orderBy(col("v").desc)),
+
+    // Diff-in-differences: parity arms × exact-median time split, the
+    // contrast composed from four truncated mean_micro terms.
+    "q272_did" -> ((s, dir) =>
+      EventOps.didReadout(t(s, dir, "events")))
   )
 
   /** q229's shared text (both engines run it verbatim): TPC-H Q21's
@@ -8361,6 +8391,132 @@ object SparkEntry {
         |                  // (n * (n - 1)))
         |        END AS BIGINT) AS taua_ppm
         |FROM p, ma, mb""".stripMargin,
+
+    // The oracle rebuilds the SAME vocabulary (chars + top-20 substrings,
+    // (cnt DESC, s) total order) and replays the maximal munch as a
+    // recursive CTE — longest match via length-guarded LEFT JOINs.
+    "q269_wordpiece" ->
+      """WITH RECURSIVE words AS MATERIALIZED (
+        |  SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |subs AS (
+        |  SELECT unnest(flatten([
+        |    [substring(w, CAST(i AS INT), CAST(l AS INT))
+        |     FOR i IN generate_series(1, length(w) - l + 1)]
+        |    FOR l IN [2, 3, 4]])) AS s
+        |  FROM words WHERE length(w) >= 2),
+        |top AS (SELECT s FROM (SELECT s, count(*) AS cnt FROM subs GROUP BY s)
+        |        ORDER BY cnt DESC, s LIMIT 20),
+        |chs AS (SELECT DISTINCT unnest([substring(w, CAST(i AS INT), 1)
+        |                         FOR i IN generate_series(1, length(w))]) AS s
+        |        FROM words),
+        |voc AS MATERIALIZED (SELECT DISTINCT s FROM
+        |  (SELECT s FROM top UNION ALL SELECT s FROM chs)),
+        |enc AS (
+        |  SELECT w, CAST(1 AS BIGINT) AS p, CAST([] AS VARCHAR[]) AS ts FROM words
+        |  UNION ALL
+        |  SELECT w, p + length(piece), list_append(ts, piece) FROM (
+        |    SELECT e.w, e.p, e.ts,
+        |           coalesce(v4.s, v3.s, v2.s,
+        |                    substring(e.w, CAST(e.p AS INT), 1)) AS piece
+        |    FROM enc e
+        |    LEFT JOIN voc v4 ON e.p + 3 <= length(e.w)
+        |                    AND v4.s = substring(e.w, CAST(e.p AS INT), 4)
+        |    LEFT JOIN voc v3 ON e.p + 2 <= length(e.w)
+        |                    AND v3.s = substring(e.w, CAST(e.p AS INT), 3)
+        |    LEFT JOIN voc v2 ON e.p + 1 <= length(e.w)
+        |                    AND v2.s = substring(e.w, CAST(e.p AS INT), 2)
+        |    WHERE e.p <= length(e.w)))
+        |SELECT w, array_to_string(ts, '|') AS pieces,
+        |       CAST(len(ts) AS BIGINT) AS n_pieces
+        |FROM enc WHERE p > length(w) ORDER BY w""".stripMargin,
+
+    // Same per-user reduce, same descending decile bins, same cleared
+    // cumulative contrast.
+    "q270_qini" ->
+      """WITH users AS (SELECT user_id % 2 = 0 AS treated,
+        |                      sum(CAST(round(value * 100) AS BIGINT)) AS score,
+        |                      max(CASE WHEN event_type = 'purchase'
+        |                          THEN 1 ELSE 0 END) AS y
+        |               FROM events GROUP BY user_id),
+        |dom AS (SELECT score, count(*) AS cnt,
+        |               sum(CASE WHEN treated THEN 1 ELSE 0 END) AS nt,
+        |               sum(CASE WHEN treated THEN y ELSE 0 END) AS rt,
+        |               sum(CASE WHEN NOT treated THEN y ELSE 0 END) AS rc
+        |        FROM users GROUP BY score),
+        |c AS (SELECT *, sum(cnt) OVER (ORDER BY score DESC
+        |               ROWS UNBOUNDED PRECEDING) AS cum_end,
+        |             sum(cnt) OVER () AS n_total
+        |      FROM dom),
+        |b AS (SELECT ((cum_end - cnt) * 10) // n_total AS bin,
+        |             cnt, nt, rt, rc FROM c),
+        |g AS (SELECT bin, sum(cnt) AS n, sum(nt) AS nt,
+        |             sum(rt) AS rt, sum(rc) AS rc
+        |      FROM b GROUP BY bin),
+        |k AS (SELECT bin,
+        |             sum(n) OVER w AS n_cum, sum(nt) OVER w AS nt_cum,
+        |             sum(rt) OVER w AS rt_cum, sum(rc) OVER w AS rc_cum
+        |      FROM g WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)),
+        |f AS (SELECT bin, nt_cum, rt_cum, n_cum - nt_cum AS nc_cum, rc_cum,
+        |             CAST(rt_cum AS HUGEINT) * (n_cum - nt_cum)
+        |               - CAST(rc_cum AS HUGEINT) * nt_cum AS num
+        |      FROM k)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(nt_cum AS BIGINT) AS nt_cum,
+        |       CAST(rt_cum AS BIGINT) AS rt_cum, CAST(nc_cum AS BIGINT) AS nc_cum,
+        |       CAST(rc_cum AS BIGINT) AS rc_cum,
+        |       CAST(CASE WHEN nc_cum = 0 THEN NULL
+        |                 WHEN num < 0 THEN -(((- num) * 1000000) // nc_cum)
+        |                 ELSE (num * 1000000) // nc_cum END AS BIGINT) AS qini_micro
+        |FROM f ORDER BY bin""".stripMargin,
+
+    // Same descending reduced-domain cumulative, same ppm truncation.
+    "q271_roc_curve" ->
+      """WITH dom AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |                    sum(CASE WHEN event_type = 'purchase'
+        |                        THEN 1 ELSE 0 END) AS tp_v,
+        |                    sum(CASE WHEN event_type = 'purchase'
+        |                        THEN 0 ELSE 1 END) AS fp_v
+        |             FROM events GROUP BY 1),
+        |c AS (SELECT v,
+        |             sum(tp_v) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING) AS tp,
+        |             sum(fp_v) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING) AS fp,
+        |             sum(tp_v) OVER () AS p, sum(fp_v) OVER () AS n
+        |      FROM dom)
+        |SELECT v, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |       CAST(CASE WHEN p > 0 THEN (tp * 1000000) // p END AS BIGINT) AS tpr_ppm,
+        |       CAST(CASE WHEN n > 0 THEN (fp * 1000000) // n END AS BIGINT) AS fpr_ppm
+        |FROM c ORDER BY v DESC""".stripMargin,
+
+    // Same exact lower-median time cut, same four truncated mean terms.
+    "q272_did" ->
+      """WITH ev AS (SELECT user_id % 2 = 0 AS treated, epoch_us(ts) AS ts_us,
+        |                   CAST(round(value * 100) AS BIGINT) AS v_c
+        |            FROM events),
+        |dom AS (SELECT ts_us, count(*) AS cnt FROM ev GROUP BY 1),
+        |cut AS (SELECT min(ts_us) AS cut_us FROM (
+        |          SELECT ts_us,
+        |                 sum(cnt) OVER (ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS cum,
+        |                 sum(cnt) OVER () AS n
+        |          FROM dom) WHERE cum * 2 >= n),
+        |cells AS (SELECT
+        |    sum(CASE WHEN treated AND ts_us > cut_us THEN 1 ELSE 0 END) AS n_tp,
+        |    sum(CASE WHEN treated AND ts_us > cut_us THEN v_c ELSE 0 END) AS s_tp,
+        |    sum(CASE WHEN treated AND ts_us <= cut_us THEN 1 ELSE 0 END) AS n_tr,
+        |    sum(CASE WHEN treated AND ts_us <= cut_us THEN v_c ELSE 0 END) AS s_tr,
+        |    sum(CASE WHEN NOT treated AND ts_us > cut_us THEN 1 ELSE 0 END) AS n_cp,
+        |    sum(CASE WHEN NOT treated AND ts_us > cut_us THEN v_c ELSE 0 END) AS s_cp,
+        |    sum(CASE WHEN NOT treated AND ts_us <= cut_us THEN 1 ELSE 0 END) AS n_cr,
+        |    sum(CASE WHEN NOT treated AND ts_us <= cut_us THEN v_c ELSE 0 END) AS s_cr
+        |  FROM ev CROSS JOIN cut)
+        |SELECT CAST(n_tp AS BIGINT) AS n_tp, CAST(s_tp AS BIGINT) AS s_tp,
+        |       CAST(n_tr AS BIGINT) AS n_tr, CAST(s_tr AS BIGINT) AS s_tr,
+        |       CAST(n_cp AS BIGINT) AS n_cp, CAST(s_cp AS BIGINT) AS s_cp,
+        |       CAST(n_cr AS BIGINT) AS n_cr, CAST(s_cr AS BIGINT) AS s_cr,
+        |       CAST(CASE WHEN n_tp = 0 OR n_tr = 0 OR n_cp = 0 OR n_cr = 0 THEN NULL
+        |            ELSE ((s_tp * 1000000) // n_tp) - ((s_tr * 1000000) // n_tr)
+        |             - (((s_cp * 1000000) // n_cp) - ((s_cr * 1000000) // n_cr))
+        |            END AS BIGINT) AS did_micro
+        |FROM cells""".stripMargin,
 
     // Same md5 ranking (identical hex in both engines), same exact
     // integer permille boundaries.

@@ -100,4 +100,60 @@ object Bpe {
     }
     words.select(col(wordCol), syms(reprN).as("tokens"))
   }
+
+  /** WordPiece-style GREEDY maximal-munch encoding (Wu et al. 2016;
+    * the inference-side algorithm of the BERT tokenizer family) — the
+    * ordering-free counterpart to BPE's merge replay: at each position
+    * take the LONGEST vocabulary piece starting there, fall back to the
+    * single character. The vocabulary is corpus-derived and fully
+    * deterministic: every character of the distinct-word domain (making
+    * the tokenizer total) plus the `topSub` most frequent substrings of
+    * length 2..`maxPiece`, counted once per (word, position) occurrence
+    * over DISTINCT words, ties broken lexicographically.
+    *
+    * Distributed shape: like [[merges]], everything past the first scan
+    * runs on the word VOCABULARY, not the corpus; the learned piece list
+    * is a driver-collected steering table (the BPE/Lloyd control class)
+    * inlined as an array literal, so the encode pass is one codegen'd
+    * HOF fold per word — each step advances by the matched piece length,
+    * replayed step-for-step by the oracle's recursive CTE (longest-match
+    * selection via length-guarded LEFT JOINs + coalesce).
+    * Output: (w, pieces '|'-joined, n_pieces). */
+  def wordpieceEncode(docs: DataFrame, topSub: Int = 20, maxPiece: Int = 4,
+                      textCol: String = "text"): DataFrame = {
+    require(maxPiece >= 2 && topSub >= 0, s"bad maxPiece=$maxPiece topSub=$topSub")
+    val words = docs
+      .select(explode(split(col(textCol), " ")).as("w")).distinct()
+      .filter(length(col("w")) >= 1)
+      .localCheckpoint() // consumed by the substring count AND the encode
+    val subs = words.select(explode(expr(
+        s"""flatten(transform(sequence(2, $maxPiece),
+           |  L -> CASE WHEN length(w) >= L
+           |       THEN transform(sequence(1, length(w) - L + 1),
+           |                      i -> substring(w, i, L))
+           |       ELSE CAST(array() AS ARRAY<STRING>) END))""".stripMargin)).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("s")).limit(topSub)
+      .select("s").collect().map(_.getString(0))
+    val chars = words
+      .select(explode(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+        .as("c")).distinct().collect().map(_.getString(0))
+    val vocab = (chars ++ subs).distinct.sorted
+    val vocLit = vocab.map(v => s"'$v'").mkString("array(", ", ", ")")
+    def pieceCase(p: String): String =
+      (maxPiece to 2 by -1).map(l =>
+        s"WHEN $p + ${l - 1} <= length(w) AND array_contains($vocLit, substring(w, $p, $l)) " +
+          s"THEN substring(w, $p, $l)")
+        .mkString("CASE ", " ", s" ELSE substring(w, $p, 1) END")
+    val piece = pieceCase("acc.p")
+    words.select(col("w"), expr(
+        s"""aggregate(sequence(1, length(w)),
+           |  named_struct('p', 1, 'ts', CAST(array() AS ARRAY<STRING>)),
+           |  (acc, x) -> CASE WHEN acc.p > length(w) THEN acc
+           |    ELSE named_struct('p', acc.p + length($piece),
+           |                      'ts', array_append(acc.ts, $piece)) END,
+           |  acc -> acc.ts)""".stripMargin).as("ts"))
+      .select(col("w"), array_join(col("ts"), "|").as("pieces"),
+        size(col("ts")).cast("long").as("n_pieces"))
+  }
 }

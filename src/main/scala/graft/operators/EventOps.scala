@@ -868,6 +868,100 @@ object EventOps {
                 |     ELSE (e.num * 1000000) div den END""".stripMargin).as("r_ppm"))
   }
 
+  /** Qini uplift curve (Radcliffe 2007) — the standard targeting-model
+    * evaluation: order the population by score (best first), and at each
+    * decile report the incremental conversions of the TREATED top slice
+    * over the rate-scaled control, Qini_k = Rt_k − Rc_k·Nt_k/Nc_k, in
+    * sign-safe truncated micro units with the denominator cleared
+    * (qini_micro = (Rt·Nc − Rc·Nt)·10⁶ div Nc — exact integers, no rate
+    * float). Deciles come from the REDUCED per-user score domain via the
+    * q185 cumulative-bin device (descending: bin 0 = best); cumulative
+    * counts over the ≤10-row bin table. Treatment = even user id (the
+    * q177 arm convention), outcome = the user ever converts.
+    * Output: one row per decile with cumulative (Nt, Rt, Nc, Rc) and
+    * qini_micro. */
+  def qiniCurve(events: DataFrame, convType: String = "purchase",
+                nb: Int = 10): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val users = events.select(col("user_id"), cents(col("value")).as("v_c"),
+        (col("event_type") === convType).as("conv"))
+      .groupBy("user_id")
+      .agg(sum("v_c").as("score"),
+        max(when(col("conv"), 1L).otherwise(0L)).as("y"))
+      .select((col("user_id") % 2 === 0).as("treated"), col("score"), col("y"))
+    // reduced score domain, DESCENDING cumulative → decile of the top slice
+    val dom = users.groupBy("score")
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("treated"), 1L).otherwise(0L)).as("nt"),
+        sum(when(col("treated"), col("y")).otherwise(0L)).as("rt"),
+        sum(when(!col("treated"), col("y")).otherwise(0L)).as("rc"))
+    val wDesc = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(lit(1))
+    val binned = dom
+      .withColumn("cum_end", sum("cnt").over(wDesc))
+      .withColumn("n_total", sum("cnt").over(wAll))
+      .withColumn("bin", expr(s"((cum_end - cnt) * $nb) div n_total"))
+      .groupBy("bin")
+      .agg(sum("cnt").as("n"), sum("nt").as("nt"),
+        sum("rt").as("rt"), sum("rc").as("rc"))
+    val wBin = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned
+      .select(col("bin"),
+        sum("n").over(wBin).as("n_cum"), sum("nt").over(wBin).as("nt_cum"),
+        sum("rt").over(wBin).as("rt_cum"), sum("rc").over(wBin).as("rc_cum"))
+      .withColumn("nc_cum", col("n_cum") - col("nt_cum"))
+      .withColumn("num",
+        dec(col("rt_cum")) * col("nc_cum") - dec(col("rc_cum")) * col("nt_cum"))
+      .select(col("bin"), col("nt_cum"), col("rt_cum"), col("nc_cum"), col("rc_cum"),
+        expr("""CASE WHEN nc_cum = 0 THEN NULL
+                |     WHEN num < 0 THEN -(((- num) * 1000000) div nc_cum)
+                |     ELSE (num * 1000000) div nc_cum END""".stripMargin)
+          .as("qini_micro"))
+  }
+
+  /** Diff-in-differences readout, exact: arms by user parity (q177's
+    * convention), periods split at the EXACT median event time (the
+    * lower median over the reduced timestamp domain — both engines pick
+    * the same boundary row). Emits the four cell masses and the DiD
+    * contrast composed from four truncated mean_micro terms — each term
+    * a deterministic integral division, so the composition is
+    * bit-identical across engines (the q177 p_ppm discipline).
+    * Output: 1 row. */
+  def didReadout(events: DataFrame, tsCol: String = "ts",
+                 valueCol: String = "value"): DataFrame = {
+    val ev = events.select((col("user_id") % 2 === 0).as("treated"),
+      tsUs(tsCol).as("ts_us"), cents(col(valueCol)).as("v_c"))
+    // exact lower-median boundary on the reduced ts domain
+    val dom = ev.groupBy("ts_us").agg(count(lit(1)).as("cnt"))
+    val wAsc = Window.orderBy("ts_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cut = dom
+      .withColumn("cum", sum("cnt").over(wAsc))
+      .withColumn("n", sum("cnt").over(Window.partitionBy(lit(1))))
+      .filter(col("cum") * 2 >= col("n"))
+      .agg(min("ts_us").as("cut_us"))
+    ev.crossJoin(broadcast(cut))
+      .select(col("treated"), (col("ts_us") > col("cut_us")).as("post"), col("v_c"))
+      .agg(
+        sum(when(col("treated") && col("post"), 1L).otherwise(0L)).as("n_tp"),
+        sum(when(col("treated") && col("post"), col("v_c")).otherwise(0L)).as("s_tp"),
+        sum(when(col("treated") && !col("post"), 1L).otherwise(0L)).as("n_tr"),
+        sum(when(col("treated") && !col("post"), col("v_c")).otherwise(0L)).as("s_tr"),
+        sum(when(!col("treated") && col("post"), 1L).otherwise(0L)).as("n_cp"),
+        sum(when(!col("treated") && col("post"), col("v_c")).otherwise(0L)).as("s_cp"),
+        sum(when(!col("treated") && !col("post"), 1L).otherwise(0L)).as("n_cr"),
+        sum(when(!col("treated") && !col("post"), col("v_c")).otherwise(0L)).as("s_cr"))
+      .select(col("n_tp"), col("s_tp"), col("n_tr"), col("s_tr"),
+        col("n_cp"), col("s_cp"), col("n_cr"), col("s_cr"),
+        // empty-cell guard: the q177/q133 discipline (unhit on this data)
+        expr("""CASE WHEN n_tp = 0 OR n_tr = 0 OR n_cp = 0 OR n_cr = 0 THEN NULL
+                |ELSE ((s_tp * 1000000) div n_tp) - ((s_tr * 1000000) div n_tr)
+                | - (((s_cp * 1000000) div n_cp) - ((s_cr * 1000000) div n_cr))
+                |END""".stripMargin).as("did_micro"))
+  }
+
   /** Binary-segmentation change-point LOCALIZATION (Scott & Knott 1974;
     * the first split of the classic recursive scheme) — where q174's
     * CUSUM raises the alarm, this names the position: per series the

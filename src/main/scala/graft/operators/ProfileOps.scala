@@ -442,6 +442,31 @@ object ProfileOps {
                 |       div (n * (n - 1))) END""".stripMargin).as("taua_ppm"))
   }
 
+  /** Exact ROC curve — one operating point per DISTINCT score value,
+    * thresholded at "score ≥ v" (descending cumulative over the reduced
+    * score domain, the q185/q202 device): cumulative TP/FP plus
+    * tpr_ppm = TP·10⁶ div P and fpr_ppm = FP·10⁶ div N, all exact
+    * integers. The curve's trapezoid area is q258's AUC (= U/(n₁·n₀)) —
+    * emitted there; here the full curve is the artifact, threshold
+    * tuning's input table. Row count is bounded by the score DOMAIN,
+    * never the corpus. */
+  def rocCurve(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val dom = df.select(col(scoreCol).cast("long").as("v"),
+        when(col(labelCol), 1L).otherwise(0L).as("y"))
+      .groupBy("v")
+      .agg(sum("y").as("tp_v"), (count(lit(1)) - sum("y")).as("fp_v"))
+    val wDesc = Window.orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(lit(1))
+    dom
+      .select(col("v"),
+        sum("tp_v").over(wDesc).as("tp"), sum("fp_v").over(wDesc).as("fp"),
+        sum("tp_v").over(wAll).as("p"), sum("fp_v").over(wAll).as("n"))
+      .select(col("v"), col("tp"), col("fp"),
+        when(col("p") > 0, expr("(tp * 1000000) div p")).as("tpr_ppm"),
+        when(col("n") > 0, expr("(fp * 1000000) div n")).as("fpr_ppm"))
+  }
+
   /** Exact lower weighted median per group — the smallest value v whose
     * cumulative weight reaches half the group's total (2·cum ≥ W), the
     * robust location estimate when rows carry mass (quantities, token

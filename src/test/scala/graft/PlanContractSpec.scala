@@ -66,7 +66,8 @@ class PlanContractSpec extends SparkSpec {
     "q242_binary_rerank",            // the q40 shape: 3-query code broadcast
     "q246_cuped",                    // 1-row totals x 1-row arms cross join
     "q257_hits",                     // 6× 1-row max-abs renorm scalars (the q180 class)
-    "q267_kendall_tau")              // cell-domain a<a' pair join (|A|·|B| cells) + 1-row margins
+    "q267_kendall_tau",              // cell-domain a<a' pair join (|A|·|B| cells) + 1-row margins
+    "q272_did")                      // 1-row median-cut scalar broadcast
 
   /** q38's brute-force fallback joins the (empty-whenever-the-grid-
     * decides) unresolved-points frame against nodes — the initial plan

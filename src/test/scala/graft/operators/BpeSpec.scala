@@ -44,4 +44,22 @@ class BpeSpec extends SparkSpec {
     assert(got("cab") == Seq("c", "ab"))
     assert(got("x") == Seq("x"))
   }
+
+  test("wordpieceEncode: greedy longest match, total, lossless") {
+    // distinct words {ababc, abc}: every substring of length 2-4 lands in
+    // the top-20, so greedy takes 'abab' first in 'ababc' then the 'c'
+    val docs = Seq((1L, "ababc abc")).toDF("doc_id", "text")
+    val got = Bpe.wordpieceEncode(docs)
+      .as[(String, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("ababc") == (("ababc", "abab|c", 2L)))
+    assert(got("abc") == (("abc", "abc", 1L)))
+    // lossless on a wider corpus: concatenating the pieces restores the
+    // word, and the encoder is total (chars are always in the vocab)
+    val wide = Seq((1L, "table value spark fast merge window"),
+      (2L, "agg row scan slow customer query")).toDF("doc_id", "text")
+    val all = Bpe.wordpieceEncode(wide).as[(String, String, Long)].collect()
+    assert(all.length == 12)
+    assert(all.forall { case (w, p, n) =>
+      p.split("\\|").mkString == w && p.split("\\|").length.toLong == n })
+  }
 }

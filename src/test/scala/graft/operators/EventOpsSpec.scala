@@ -528,6 +528,47 @@ class EventOpsSpec extends SparkSpec {
     assert(got.map(_._4) == got.map(_._4).sorted.reverse)
   }
 
+  test("qiniCurve: planted uplift shows in the top decile, zero effect cancels") {
+    // treated (even ids) convert at high score, control does not ->
+    // positive qini; the score domain {10.0, 5.0} bins to deciles 0 and 5
+    def mk(rows: Seq[(Long, String, Double)]) =
+      rows.zipWithIndex.map { case ((u, et, v), i) =>
+        (u, i.toLong, i.toLong * 1000000000L, et, v) }
+        .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val uplift = mk(Seq((0L, "purchase", 10.0), (2L, "view", 5.0),
+      (1L, "view", 10.0), (3L, "view", 5.0)))
+    val got = EventOps.qiniCurve(uplift)
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    // bin 0 (score 10): Nt=1 Rt=1 Nc=1 Rc=0 -> num=1 -> 1e6 micro
+    assert(got(0L)._6 == Some(1000000L))
+    // symmetric outcomes cancel exactly
+    val flat = mk(Seq((0L, "purchase", 10.0), (2L, "view", 5.0),
+      (1L, "purchase", 10.0), (3L, "view", 5.0)))
+    val z = EventOps.qiniCurve(flat)
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect()
+    assert(z.forall(_._6 == Some(0L)))
+  }
+
+  test("didReadout: planted parallel-trends violation is the exact contrast") {
+    // treated pre 1.00 post 3.00; control pre 1.00 post 2.00 -> DiD 1.00
+    // ts domain {1,2,3,4} µs x2 users: lower-median cut at ts=2
+    val ev = (for {
+      u <- Seq(0L, 1L); tsU <- Seq(1L, 2L, 3L, 4L)
+    } yield {
+      val post = tsU > 2
+      val v = (u, post) match {
+        case (0L, false) => 1.0; case (0L, true) => 3.0
+        case (_, false) => 1.0;  case (_, true) => 2.0
+      }
+      (u, u * 10 + tsU, tsU * 1000L, v) // ts nanos = µs*1000
+    }).toDF("user_id", "event_id", "ts", "value")
+    val r = EventOps.didReadout(ev)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Option[Long])].head()
+    assert(r._9 == Some(100000000L)) // 1.00 in cents-micro
+    assert((r._1, r._3, r._5, r._7) == ((2L, 2L, 2L, 2L)))
+  }
+
   test("binarySegmentation: locates a planted step exactly") {
     // 5 values at 100.00 then 5 at 200.00: the contrast peaks at p = 5,
     // mean rises -> dir = +1; key = (250000² ) div (25·1e6) = 2500

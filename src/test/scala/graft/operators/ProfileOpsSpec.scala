@@ -213,6 +213,19 @@ class ProfileOpsSpec extends SparkSpec {
     assert(got == Set(("g1", 3L, 10L), ("g2", 5L, 6L)))
   }
 
+  test("rocCurve: hand-checked operating points") {
+    // scores: 3 -> P; 2 -> one P one N; 1 -> N   (P = 2, N = 2)
+    val df = Seq((true, 3L), (true, 2L), (false, 2L), (false, 1L))
+      .toDF("label", "score")
+    val got = ProfileOps.rocCurve(df, "label", "score")
+      .as[(Long, Long, Long, Option[Long], Option[Long])]
+      .collect().sortBy(-_._1).toSeq
+    assert(got == Seq(
+      (3L, 1L, 0L, Some(500000L), Some(0L)),
+      (2L, 2L, 1L, Some(1000000L), Some(500000L)),
+      (1L, 2L, 2L, Some(1000000L), Some(1000000L))))
+  }
+
   test("kendallTau: perfect, inverted, and tied hand cases") {
     def tau(pts: Seq[(Long, Long)]): (Long, Long, Long, Long, Long, Long) =
       ProfileOps.kendallTau(pts.toDF("a", "b"), "a", "b")
