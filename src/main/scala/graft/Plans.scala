@@ -207,7 +207,21 @@ object Plans {
         "and partition planning consulted the _stats.csv manifest — at " +
         "gate scale 2 of 8 range-clustered files survive planning (the " +
         "in-query require pins it); the plan itself shows the pushed " +
-        "predicates on the custom GraftCsvScan."))
+        "predicates on the custom GraftCsvScan."),
+    "q264_tpch_q17_shape" ->
+      ("TPC-H Q17's correlated-scalar-aggregate shape, decorrelated: each " +
+        "scalar subquery (per-part count; per-part quantity sum) becomes a " +
+        "partial/final aggregate to the part domain BROADCAST back onto the " +
+        "fact scan — no per-row subquery execution anywhere. The exact-" +
+        "integer 5·qty·cnt < sum predicate rides the second join as its " +
+        "condition, and the returnflag filter is pushed to the parquet " +
+        "scan."),
+    "q270_qini" ->
+      ("The uplift curve never sorts rows: one exchange to the per-user " +
+        "reduce, one aggregate to the score DOMAIN, then every cumulative " +
+        "(descending deciles, cumulative arm masses) is a window over " +
+        "that reduced domain — the row count entering any window is " +
+        "bounded by distinct scores, not users."))
   // q116_pq_ann is absent for the q60 reason: its lazy plan nests four
   // 2-round Lloyd trainings, so the explain text is enormous while the
   // interesting query-time shape — codes ⨯ 3-row broadcast distance

@@ -290,8 +290,11 @@ object ScaleBench {
     // encode (vocabulary-bound HOF fold — should be ~flat like BPE)
     "q267_kendall_tau", "q268_stratified_split", "q269_wordpiece",
     // eighth continuation batch: uplift/ROC/DiD evaluation (reduced-
-    // domain cumulative bins; the DiD median cut is one domain window)
-    "q270_qini", "q271_roc_curve", "q272_did")
+    // domain cumulative bins; the DiD median cut is one domain window),
+    // LSH precision (band join + exact verify), community modularity
+    // (label-prop rounds + two label joins)
+    "q270_qini", "q271_roc_curve", "q272_did",
+    "q273_lsh_precision", "q274_modularity")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

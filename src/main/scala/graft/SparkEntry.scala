@@ -3846,7 +3846,40 @@ object SparkEntry {
     // Diff-in-differences: parity arms × exact-median time split, the
     // contrast composed from four truncated mean_micro terms.
     "q272_did" -> ((s, dir) =>
-      EventOps.didReadout(t(s, dir, "events")))
+      EventOps.didReadout(t(s, dir, "events"))),
+
+    // Measured LSH PRECISION at four thresholds — the q248-recall
+    // companion: every band-join candidate exact-verified, pass rates in
+    // ppm. Detector evaluation as a hash-checked fact.
+    "q273_lsh_precision" -> ((s, dir) => {
+      val sh = TextOps.shingleTable(t(s, dir, "documents"), "doc_id").cache()
+      val jac = TextOps.minhashCandidates(sh, "doc_id")
+        .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+        .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+        .select(expr("(size(array_intersect(sh1, sh2)) * 1000000)" +
+          " div size(array_union(sh1, sh2))").as("jac_ppm"))
+      val out = jac
+        .select(explode(array(Seq(500000, 600000, 700000, 800000).map(lit): _*))
+          .as("thr"), col("jac_ppm"))
+        .groupBy("thr")
+        .agg(count(lit(1)).as("n_cand"),
+          sum(when(col("jac_ppm") >= col("thr"), 1L).otherwise(0L)).as("n_pass"))
+        .select(col("thr"), col("n_cand"), col("n_pass"),
+          expr("CASE WHEN n_cand = 0 THEN NULL" +
+            " ELSE (n_pass * 1000000) div n_cand END").as("precision_ppm"))
+        .orderBy("thr")
+      Materialize.thenRelease(out, sh)
+    }),
+
+    // Newman modularity of the q184 label-propagation communities —
+    // detect (q184) then SCORE: exact per-community masses and the
+    // global Q in sign-safe ppm over the same symmetrized graph.
+    "q274_modularity" -> ((s, dir) => {
+      val e = Derive.edgesDiag(Derive.nodes(s, dir))
+        .filter((col("u") * 37 + col("v") * 61) % 100 < 85)
+      GraphOps.modularity(e, GraphOps.labelPropagation(e, rounds = 3))
+        .orderBy("community")
+    })
   )
 
   /** q229's shared text (both engines run it verbatim): TPC-H Q21's
@@ -8486,6 +8519,64 @@ object SparkEntry {
         |       CAST(CASE WHEN p > 0 THEN (tp * 1000000) // p END AS BIGINT) AS tpr_ppm,
         |       CAST(CASE WHEN n > 0 THEN (fp * 1000000) // n END AS BIGINT) AS fpr_ppm
         |FROM c ORDER BY v DESC""".stripMargin,
+
+    // Same banded candidates (shared minhash CTE), same exact ppm
+    // Jaccard, same threshold grid.
+    "q273_lsh_precision" ->
+      s"""WITH $minhashCandSql,
+         |j AS (SELECT (len(list_intersect(s1.sh, s2.sh)) * 1000000)
+         |             // len(list_distinct(list_concat(s1.sh, s2.sh))) AS jac_ppm
+         |      FROM cand JOIN sh s1 ON s1.doc_id = id1
+         |                JOIN sh s2 ON s2.doc_id = id2),
+         |t AS (SELECT unnest([500000, 600000, 700000, 800000]) AS thr),
+         |g AS (SELECT thr, count(*) AS n_cand,
+         |             sum(CASE WHEN jac_ppm >= thr THEN 1 ELSE 0 END) AS n_pass
+         |      FROM t CROSS JOIN j GROUP BY thr)
+         |SELECT CAST(thr AS INT) AS thr, CAST(n_cand AS BIGINT) AS n_cand,
+         |       CAST(n_pass AS BIGINT) AS n_pass,
+         |       CAST(CASE WHEN n_cand = 0 THEN NULL
+         |            ELSE (n_pass * 1000000) // n_cand END AS BIGINT) AS precision_ppm
+         |FROM g ORDER BY thr""".stripMargin,
+
+    // The q184 label-propagation rounds rebuilt, then the exact
+    // modularity masses over the same symmetrized edge set.
+    "q274_modularity" -> {
+      def round(i: Int): String =
+        s"""v$i AS MATERIALIZED (SELECT s.u AS node, l.label, count(*) AS cnt
+           |  FROM sym s JOIN l${i - 1} l ON l.node = s.v GROUP BY 1, 2),
+           |l$i AS MATERIALIZED (SELECT node, label FROM (
+           |  SELECT node, label, row_number() OVER (PARTITION BY node
+           |    ORDER BY cnt DESC, label) AS rn FROM v$i) WHERE rn = 1)""".stripMargin
+      s"""WITH ${Derive.Sql.nodes},
+         |${Derive.Sql.edgesDiag},
+         |e0 AS MATERIALIZED (SELECT u, v FROM ediag WHERE (u * 37 + v * 61) % 100 < 85),
+         |sym AS MATERIALIZED (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+         |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM sym),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |wl AS (SELECT s.u, s.v, lu.label AS cu, lv.label AS cv
+         |       FROM sym s JOIN l3 lu ON lu.node = s.u
+         |                  JOIN l3 lv ON lv.node = s.v),
+         |perc AS (SELECT cu AS community, count(*) AS d_sum,
+         |                sum(CASE WHEN cu = cv THEN 1 ELSE 0 END) AS e_in_dir
+         |         FROM wl GROUP BY 1),
+         |nn AS (SELECT label AS community, count(*) AS n_nodes FROM l3 GROUP BY 1),
+         |jj AS (SELECT p.community, nn.n_nodes, p.e_in_dir, p.d_sum,
+         |              sum(p.d_sum) OVER () AS m_dir
+         |       FROM perc p JOIN nn USING (community)),
+         |c AS (SELECT *, m_dir * e_in_dir - d_sum * d_sum AS contrib FROM jj),
+         |f AS (SELECT *, sum(contrib) OVER () AS qtot FROM c)
+         |SELECT community, CAST(n_nodes AS BIGINT) AS n_nodes,
+         |       CAST(e_in_dir AS BIGINT) AS e_in_dir,
+         |       CAST(d_sum AS BIGINT) AS d_sum, CAST(contrib AS BIGINT) AS contrib,
+         |       CAST(CASE WHEN qtot < 0
+         |            THEN -(((- CAST(qtot AS HUGEINT)) * 1000000)
+         |                   // (CAST(m_dir AS HUGEINT) * m_dir))
+         |            ELSE ((CAST(qtot AS HUGEINT)) * 1000000)
+         |                 // (CAST(m_dir AS HUGEINT) * m_dir) END AS BIGINT) AS q_ppm
+         |FROM f ORDER BY community""".stripMargin
+    },
 
     // Same exact lower-median time cut, same four truncated mean terms.
     "q272_did" ->

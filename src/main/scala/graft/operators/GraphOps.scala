@@ -512,6 +512,47 @@ object GraphOps {
     }
   }
 
+  /** Newman MODULARITY of a node labeling, exact — the quality score
+    * that closes the community loop (labelPropagation DETECTS, this
+    * SCORES): in the directed-double-counted convention over the same
+    * symmetrized distinct edge set label propagation walks,
+    *   Q · M² = Σ_c (M·E_c − d_c²)
+    * with M = |sym edges| (= 2m), E_c = in-community directed edges and
+    * d_c = the community's degree mass. All sums are exact longs (the
+    * M·E_c product stays under 2⁶³ to ~10⁸ edges); the global Q lands in
+    * sign-safe truncated ppm via a DECIMAL(38) lane. M comes from a
+    * window over the COMMUNITY domain — no scalar broadcast join.
+    * Output: one row per community (n_nodes, e_in_dir, d_sum, contrib)
+    * plus the shared q_ppm. */
+  def modularity(edges: DataFrame, labels: DataFrame,
+                 srcCol: String = "u", dstCol: String = "v"): DataFrame = {
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    val lab = labels.select(col("node"), col("community")).localCheckpoint()
+    val withLab = sym
+      .join(lab.select(col("node").as("u"), col("community").as("cu")), Seq("u"))
+      .join(lab.select(col("node").as("v"), col("community").as("cv")), Seq("v"))
+    val perC = withLab.groupBy(col("cu").as("community"))
+      .agg(count(lit(1)).as("d_sum"),
+        sum(when(col("cu") === col("cv"), 1L).otherwise(0L)).as("e_in_dir"))
+    val nNodes = lab.groupBy("community").agg(count(lit(1)).as("n_nodes"))
+    val w = Window.partitionBy(lit(1)) // community domain
+    perC.join(nNodes, Seq("community"))
+      .withColumn("m_dir", sum("d_sum").over(w))
+      .withColumn("contrib",
+        col("m_dir") * col("e_in_dir") - col("d_sum") * col("d_sum"))
+      .withColumn("qtot", sum("contrib").over(w))
+      .select(col("community"), col("n_nodes"), col("e_in_dir"), col("d_sum"),
+        col("contrib"),
+        expr("""CASE WHEN qtot < 0
+                |  THEN -(((- CAST(qtot AS DECIMAL(38,0))) * 1000000)
+                |         div (CAST(m_dir AS DECIMAL(38,0)) * m_dir))
+                |  ELSE ((CAST(qtot AS DECIMAL(38,0))) * 1000000)
+                |       div (CAST(m_dir AS DECIMAL(38,0)) * m_dir) END"""
+          .stripMargin).as("q_ppm"))
+  }
+
   /** Degree assortativity (Newman, PRL 2002): the Pearson correlation of
     * endpoint degrees over edges — positive = hubs link hubs, negative =
     * hub-and-spoke. In the denominators-cleared integer form over the

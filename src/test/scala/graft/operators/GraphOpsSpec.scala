@@ -267,6 +267,22 @@ class GraphOpsSpec extends SparkSpec {
     assert(r.isEmpty)
   }
 
+  test("modularity: two cliques score exactly 1/2; one community scores 0") {
+    val e = Seq((0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)).toDF("u", "v")
+    val goodLab = Seq((0, 10L), (1, 10L), (2, 10L), (3, 20L), (4, 20L), (5, 20L))
+      .toDF("node", "community")
+    val got = GraphOps.modularity(e, goodLab)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // per clique: M=12, d=6, e_in=6 -> contrib 36; Q*M^2 = 72 -> 500000 ppm
+    assert(got.toSeq == Seq((10L, 3L, 6L, 6L, 36L, 500000L),
+      (20L, 3L, 6L, 6L, 36L, 500000L)))
+    // the trivial all-in-one labeling has zero modularity by construction
+    val oneLab = (0 to 5).map(n => (n, 1L)).toDF("node", "community")
+    val z = GraphOps.modularity(e, oneLab)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(z == ((1L, 6L, 12L, 12L, 0L, 0L)))
+  }
+
   test("hits: 3 rounds match the hand-unrolled integer recurrence") {
     // 1->2, 3->2, 2->4: node 2 is the authority (two in-links from the
     // co-citing hubs 1 and 3), nodes 1/3 are the hubs. Hand unroll with

@@ -472,6 +472,25 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1L), (4L, 1L, 0L), (5L, 1L, 1L)))
   }
 
+  test("lsh precision gate shape: fixed threshold grid, monotone pass counts") {
+    // near-dup pair (1,2) must survive banding; (3) is unrelated
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val sh = TextOps.shingleTable(docs, "doc_id")
+    val cand = TextOps.minhashCandidates(sh, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 2L)))
+    // exact ppm jaccard of the planted pair: shingle multisets share 7 of
+    // 9 distinct 3-grams -> (7*1e6) div 9 = 777777 >= the 0.7 threshold
+    val j = TextOps.jaccardVerify(cand.toSeq.toDF("id1", "id2"), sh, "doc_id",
+      threshold = 0.0).as[(Long, Long, Double)].collect()
+      .find(r => r._1 == 1L && r._2 == 2L).get._3
+    assert(math.abs(j - 7.0 / 9.0) < 1e-12)
+  }
+
   test("goodTuring: hand-checked count-of-counts smoothing") {
     // corpus "a a a b b c": N_1=N_2=N_3=1; r*(1)=2.0, r*(2)=3.0, r*(3)=NULL
     val docs = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
