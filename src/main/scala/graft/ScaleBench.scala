@@ -294,7 +294,9 @@ object ScaleBench {
     // LSH precision (band join + exact verify), community modularity
     // (label-prop rounds + two label joins)
     "q270_qini", "q271_roc_curve", "q272_did",
-    "q273_lsh_precision", "q274_modularity")
+    "q273_lsh_precision", "q274_modularity",
+    // ninth continuation batch: the Q20 three-level decorrelation shape
+    "q275_tpch_q20_shape")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

@@ -3879,6 +3879,15 @@ object SparkEntry {
         .filter((col("u") * 37 + col("v") * 61) % 100 < 85)
       GraphOps.modularity(e, GraphOps.labelPropagation(e, rounds = 3))
         .orderBy("community")
+    }),
+
+    // TPC-H Q20's nesting pattern: IN subquery whose body filters
+    // through a correlated scalar aggregate in HAVING — identical
+    // statement text in both engines, three decorrelation levels.
+    "q275_tpch_q20_shape" -> ((s, dir) => {
+      for (tb <- Seq("lineitem", "supplier", "part"))
+        t(s, dir, tb).createOrReplaceTempView(tb)
+      s.sql(tpchQ20Sql)
     })
   )
 
@@ -3920,6 +3929,26 @@ object SparkEntry {
       |GROUP BY l.l_partkey
       |ORDER BY n_small DESC, l_partkey
       |LIMIT 50""".stripMargin
+
+  /** q275's shared text: TPC-H Q20's nesting pattern — an IN subquery
+    * whose body GROUPs and filters through a correlated scalar aggregate
+    * in the HAVING clause (supplier dominates an eighth of a small
+    * part's shipped quantity). Three nesting levels for the decorrelator;
+    * integer-exact threshold (quantities are integral). */
+  private lazy val tpchQ20Sql: String =
+    """SELECT s.s_suppkey, count(*) AS n_dominant
+      |FROM supplier s JOIN (
+      |  SELECT l.l_suppkey, l.l_partkey
+      |  FROM lineitem l
+      |  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 10)
+      |  GROUP BY l.l_suppkey, l.l_partkey
+      |  HAVING sum(CAST(l.l_quantity AS BIGINT)) * 8 >
+      |         (SELECT sum(CAST(l2.l_quantity AS BIGINT))
+      |          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      |) d ON d.l_suppkey = s.s_suppkey
+      |GROUP BY s.s_suppkey
+      |ORDER BY n_dominant DESC, s_suppkey
+      |LIMIT 40""".stripMargin
 
   /** q230's shared text: TPC-H Q13 — LEFT join with the predicate in the
     * ON clause (zero-order customers must survive), then the
@@ -8253,7 +8282,9 @@ object SparkEntry {
         |       CAST((CAST(n_a AS HUGEINT) * n_b *
         |             (CAST(n AS HUGEINT) * n * n - n - t_ties)) // 1000000
         |            AS BIGINT) AS var12nn1_micro,
-        |       CAST((u2_a * 1000000) // (2 * n_a * n_b) AS BIGINT) AS auc_ppm
+        |       CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+        |            ELSE (u2_a * 1000000) // (2 * n_a * n_b) END
+        |            AS BIGINT) AS auc_ppm
         |FROM f""".stripMargin,
 
     // Four half-rounds unrolled, the same truncating micro recurrence
@@ -8577,6 +8608,9 @@ object SparkEntry {
          |                 // (CAST(m_dir AS HUGEINT) * m_dir) END AS BIGINT) AS q_ppm
          |FROM f ORDER BY community""".stripMargin
     },
+
+    // Identical statement text — DuckDB runs the same three levels.
+    "q275_tpch_q20_shape" -> tpchQ20Sql,
 
     // Same exact lower-median time cut, same four truncated mean terms.
     "q272_did" ->

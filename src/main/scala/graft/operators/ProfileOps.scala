@@ -395,7 +395,10 @@ object ProfileOps {
         ((dec(col("n_a")) * dec(col("n_b"))) *
           (dec(col("n")) * dec(col("n")) * dec(col("n"))
             - dec(col("n")) - dec(col("t_ties")))).as("var_lane"),
-        expr("(u2_a * 1000000) div (2 * n_a * n_b)").as("auc_ppm"))
+        // empty-arm guard: the q177/q133 discipline — a degenerate input
+        // reports NULL instead of tripping ANSI DIVIDE_BY_ZERO
+        expr("CASE WHEN n_a = 0 OR n_b = 0 THEN NULL" +
+          " ELSE (u2_a * 1000000) div (2 * n_a * n_b) END").as("auc_ppm"))
       .select(col("n_a"), col("n_b"), col("u2_a"), col("t_ties"),
         // var12nn1·10⁻⁶ in ppm units keeps the emitted value in BIGINT
         // range at any realistic n (n³·n_a·n_b div 10⁶ ≤ 2⁶³ up to
