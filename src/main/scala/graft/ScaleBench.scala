@@ -295,8 +295,10 @@ object ScaleBench {
     // (label-prop rounds + two label joins)
     "q270_qini", "q271_roc_curve", "q272_did",
     "q273_lsh_precision", "q274_modularity",
-    // ninth continuation batch: the Q20 three-level decorrelation shape
-    "q275_tpch_q20_shape")
+    // ninth continuation batch: the Q20 three-level decorrelation shape,
+    // bloom file skipping (write + 3 planned point reads), Theil-Sen
+    // (calendar-pair domain joins + reduced-domain medians)
+    "q275_tpch_q20_shape", "q276_bloom_skip", "q277_theil_sen")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

@@ -3888,7 +3888,43 @@ object SparkEntry {
       for (tb <- Seq("lineitem", "supplier", "part"))
         t(s, dir, tb).createOrReplaceTempView(tb)
       s.sql(tpchQ20Sql)
-    })
+    }),
+
+    // DSv2 BLOOM file skipping: the documents table written through
+    // GraftCsv in an INTERLEAVED key layout (file f holds doc_id ≡ f
+    // mod 8, so every file's [min, max] covers every probe and range
+    // stats cannot prune) — the three point lookups must still plan a
+    // strict file subset through the per-file Bloom filters
+    // (require'd in-engine), and the rows must hash-match the plain
+    // parquet filter. False positives only KEEP files, so the result
+    // is exact by construction.
+    "q276_bloom_skip" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val path = rtPath("bloomskip")
+      t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        .repartition(8, col("doc_id") % 8)
+        .write.format("graft.sources.v2.GraftCsv").mode("overwrite").save(path)
+      val sch = StructType(Seq(StructField("doc_id", LongType),
+        StructField("lang", StringType), StructField("n_chars", LongType)))
+      val rd = s.read.schema(sch).format("graft.sources.v2.GraftCsv").load(path)
+      val probes = Seq(40L, 41L, 1002L)
+      // three single-key probes, each must prune through the blooms
+      val parts = probes.map { k =>
+        val one = rd.filter(col("doc_id") === k)
+        one.rdd.getNumPartitions // force partition planning
+        val (kept, total) = graft.sources.v2.GraftCsv.lastSkipStats.get()
+        require(total == 8 && kept <= 2,
+          s"bloom skipping did not prune for key $k: kept $kept of $total")
+        one
+      }
+      parts.reduce(_ unionByName _).orderBy("doc_id")
+    }),
+
+    // Theil–Sen robust trend per event series: median of pairwise daily
+    // slopes over the |T|²/2 calendar-pair domain, exact truncated
+    // micro units — the 29%-breakdown complement to q172's OLS.
+    "q277_theil_sen" -> ((s, dir) =>
+      EventOps.theilSen(t(s, dir, "events")).orderBy("event_type"))
   )
 
   /** q229's shared text (both engines run it verbatim): TPC-H Q21's
@@ -8611,6 +8647,46 @@ object SparkEntry {
 
     // Identical statement text — DuckDB runs the same three levels.
     "q275_tpch_q20_shape" -> tpchQ20Sql,
+
+    // The data law is a plain filter — the skipping being exercised on
+    // the Spark side cannot change the answer, only the files read.
+    "q276_bloom_skip" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (40, 41, 1002) ORDER BY doc_id""".stripMargin,
+
+    // Same daily reduce, same abs-then-truncate pair slopes, same lower
+    // medians over the reduced domains.
+    "q277_theil_sen" ->
+      """WITH pts AS (SELECT event_type, epoch_us(ts) // 86400000000 AS t,
+        |                    sum(CAST(round(value * 100) AS BIGINT)) AS y
+        |             FROM events GROUP BY 1, 2),
+        |pairs AS (SELECT a.event_type,
+        |                 CASE WHEN b.y - a.y < 0
+        |                      THEN -(((a.y - b.y) * 1000000) // (b.t - a.t))
+        |                      ELSE ((b.y - a.y) * 1000000) // (b.t - a.t) END AS slope
+        |          FROM pts a JOIN pts b
+        |            ON b.event_type = a.event_type AND a.t < b.t),
+        |sdom AS (SELECT event_type, slope, count(*) AS c FROM pairs GROUP BY 1, 2),
+        |scum AS (SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY slope
+        |              ROWS UNBOUNDED PRECEDING) AS cum,
+        |              sum(c) OVER (PARTITION BY event_type) AS ntot FROM sdom),
+        |sm AS (SELECT event_type, min(slope) AS slope_micro, min(ntot) AS n_pairs
+        |       FROM scum WHERE cum * 2 >= ntot GROUP BY 1),
+        |resid AS (SELECT p.event_type, p.y * 1000000 - sm.slope_micro * p.t AS r
+        |          FROM pts p JOIN sm USING (event_type)),
+        |rdom AS (SELECT event_type, r, count(*) AS c FROM resid GROUP BY 1, 2),
+        |rcum AS (SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY r
+        |              ROWS UNBOUNDED PRECEDING) AS cum,
+        |              sum(c) OVER (PARTITION BY event_type) AS ntot FROM rdom),
+        |im AS (SELECT event_type, min(r) AS intercept_micro FROM rcum
+        |       WHERE cum * 2 >= ntot GROUP BY 1),
+        |np AS (SELECT event_type, count(*) AS n_points FROM pts GROUP BY 1)
+        |SELECT np.event_type, CAST(np.n_points AS BIGINT) AS n_points,
+        |       CAST(sm.n_pairs AS BIGINT) AS n_pairs,
+        |       CAST(sm.slope_micro AS BIGINT) AS slope_micro,
+        |       CAST(im.intercept_micro AS BIGINT) AS intercept_micro
+        |FROM np JOIN sm USING (event_type) JOIN im USING (event_type)
+        |ORDER BY np.event_type""".stripMargin,
 
     // Same exact lower-median time cut, same four truncated mean terms.
     "q272_did" ->

@@ -868,6 +868,55 @@ object EventOps {
                 |     ELSE (e.num * 1000000) div den END""".stripMargin).as("r_ppm"))
   }
 
+  /** Theil–Sen robust trend (Theil 1950; Sen 1968) — the median-of-
+    * pairwise-slopes estimator with a 29% breakdown point, the robust
+    * complement to q172's least-squares fit (one wild day drags OLS,
+    * not this). Exact and domain-bounded: the series reduces to DAILY
+    * points first (t = epoch day, y = Σ cents), so the pair join is
+    * |T|²/2 over the calendar span — never row pairs. Each pair's slope
+    * lands in sign-safe truncated micro units ((Δy·10⁶) div Δt,
+    * abs-then-divide), the per-series LOWER MEDIAN comes from a
+    * cumulative window over the slope domain, and the intercept is the
+    * lower median of the exact residuals y·10⁶ − slope·t. Both engines
+    * replay the same truncations, so the estimator is hash-stable.
+    * Output: (series, n_points, n_pairs, slope_micro, intercept_micro). */
+  def theilSen(events: DataFrame, seriesCol: String = "event_type",
+               tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    val dayUs = 86400000000L
+    val pts = events.select(col(seriesCol),
+        expr(s"(${tsCol} div 1000) div ${dayUs}L").as("t"),
+        cents(col(valueCol)).as("x"))
+      .groupBy(col(seriesCol), col("t")).agg(sum("x").as("y"))
+      .localCheckpoint() // three consumers: pair join ×2, residual pass
+    def lowerMedian(df: DataFrame, vCol: String, out: String): DataFrame = {
+      val dom = df.groupBy(col(seriesCol), col(vCol)).agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(seriesCol).orderBy(vCol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dom.withColumn("cum", sum("c").over(wCum))
+        .withColumn("ntot", sum("c").over(Window.partitionBy(seriesCol)))
+        .filter(col("cum") * 2 >= col("ntot"))
+        .groupBy(col(seriesCol))
+        .agg(min(col(vCol)).as(out), min("ntot").as(s"n_$out"))
+    }
+    val pairs = pts.alias("a").join(pts.alias("b"),
+        col(s"a.$seriesCol") === col(s"b.$seriesCol") && col("a.t") < col("b.t"))
+      .select(col(s"a.$seriesCol").as(seriesCol),
+        expr("""CASE WHEN b.y - a.y < 0
+                |  THEN -(((a.y - b.y) * 1000000) div (b.t - a.t))
+                |  ELSE ((b.y - a.y) * 1000000) div (b.t - a.t) END"""
+          .stripMargin).as("slope"))
+    val slope = lowerMedian(pairs, "slope", "slope_micro")
+    val nPts = pts.groupBy(col(seriesCol)).agg(count(lit(1)).as("n_points"))
+    val resid = pts.join(slope.select(col(seriesCol), col("slope_micro")), Seq(seriesCol))
+      .select(col(seriesCol),
+        (col("y") * 1000000L - col("slope_micro") * col("t")).as("r"))
+    val icept = lowerMedian(resid, "r", "intercept_micro")
+    nPts.join(slope, Seq(seriesCol)).join(icept, Seq(seriesCol))
+      .select(col(seriesCol), col("n_points"),
+        col("n_slope_micro").as("n_pairs"), col("slope_micro"),
+        col("intercept_micro"))
+  }
+
   /** Qini uplift curve (Radcliffe 2007) — the standard targeting-model
     * evaluation: order the population by score (best first), and at each
     * decile report the incremental conversions of the TREATED top slice

@@ -86,19 +86,56 @@ object GraftCsv {
   }
 
   /** Per-(file, numeric column) write-time statistics: the manifest rows
-    * behind file skipping. min/max rendered as text ("" = all-null). */
-  case class ColStat(col: String, min: String, max: String, nulls: Long)
+    * behind file skipping. min/max rendered as text ("" = all-null);
+    * `bloom` is a base64 64-Kibit 4-hash Bloom filter over the column's
+    * values (integer columns only, "" = none) — the equality-predicate
+    * complement to min/max range pruning: interleaved key layouts leave
+    * every file's range covering every probe, but a point lookup still
+    * prunes through the blooms (the Delta/Iceberg bloom-skipping shape,
+    * re-implemented in the custom source). */
+  case class ColStat(col: String, min: String, max: String, nulls: Long,
+                     bloom: String = "")
 
   private[v2] val ManifestName = "_stats.csv"
+
+  /** Bloom geometry: m = 2¹⁶ bits, k = 4 double-hashed probes. At the
+    * gate's ~7.5k keys/file that is m/n ≈ 8.7 → ~2% false-positive rate;
+    * false positives only KEEP a file (never skip a match). */
+  private[v2] val BloomBits = 1 << 16
+  private[v2] val BloomK = 4
+
+  /** splitmix64 finalizer — deterministic, dependency-free. */
+  private[v2] def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private[v2] def bloomBits(v: Long): Array[Int] = {
+    val h1 = mix64(v)
+    val h2 = mix64(v ^ 0x5DEECE66DL) | 1L
+    Array.tabulate(BloomK)(j =>
+      (((h1 + j * h2) % BloomBits + BloomBits) % BloomBits).toInt)
+  }
+
+  private[v2] def bloomMayContain(b64: String, v: Long): Boolean = {
+    if (b64.isEmpty) return true // no bloom: cannot rule the file out
+    val bytes = java.util.Base64.getDecoder.decode(b64)
+    bloomBits(v).forall { bit =>
+      (bytes(bit >>> 3) & (1 << (bit & 7))) != 0
+    }
+  }
 
   /** (kept, total) of the last driver-side partition planning — test
     * instrumentation for the skip decision (same spirit as
     * `description()`'s PushedFilters: observable, not load-bearing). */
   val lastSkipStats = new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
 
-  /** Manifest: file → col → (min, max, nulls, rows). Absent or
-    * unparseable → empty (files without stats are never skipped). */
-  private[sources] def readManifest(path: String): Map[String, Map[String, (String, String, Long, Long)]] = {
+  /** Manifest: file → col → (min, max, nulls, rows, bloom). Absent or
+    * unparseable → empty (files without stats are never skipped). Rows
+    * may be 6-field (pre-bloom, bloom = "") or 7-field. */
+  private[sources] def readManifest(path: String): Map[String, Map[String, (String, String, Long, Long, String)]] = {
     val m = new Path(path, ManifestName)
     val fs = m.getFileSystem(new Configuration())
     if (!fs.exists(m)) return Map.empty
@@ -108,7 +145,9 @@ object GraftCsv {
       lines.flatMap { l =>
         l.split(",", -1) match {
           case Array(f, c, mn, mx, nulls, rows) =>
-            Some((f, c, (mn, mx, nulls.toLong, rows.toLong)))
+            Some((f, c, (mn, mx, nulls.toLong, rows.toLong, "")))
+          case Array(f, c, mn, mx, nulls, rows, bloom) =>
+            Some((f, c, (mn, mx, nulls.toLong, rows.toLong, bloom)))
           case _ => None
         }
       }.groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
@@ -123,7 +162,7 @@ object GraftCsv {
       new java.io.OutputStreamWriter(fs.create(m, true), "UTF-8"))
     try entries.toSeq.sortBy(_._1).foreach { case (file, (rows, stats)) =>
       stats.foreach { s =>
-        out.write(s"$file,${s.col},${s.min},${s.max},${s.nulls},$rows")
+        out.write(s"$file,${s.col},${s.min},${s.max},${s.nulls},$rows,${s.bloom}")
         out.newLine()
       }
     } finally out.close()
@@ -133,24 +172,30 @@ object GraftCsv {
     * Missing stats for a referenced column → cannot rule the file out.
     * Integer columns compare in EXACT Long arithmetic (the manifest
     * stores exact bounds); doubles in Double. */
-  private[v2] def mayMatch(stats: Map[String, (String, String, Long, Long)],
+  private[v2] def mayMatch(stats: Map[String, (String, String, Long, Long, String)],
                            schema: StructType, filters: Array[Filter]): Boolean =
     filters.forall { f =>
       val colOpt = f.references.headOption.flatMap(stats.get)
       val dtOpt = f.references.headOption
         .flatMap(c => schema.fields.find(_.name == c)).map(_.dataType)
       (colOpt, dtOpt) match {
-        case (Some((mn, mx, nulls, rows)), Some(dt)) =>
+        case (Some((mn, mx, nulls, rows, bloom)), Some(dt)) =>
           // cmp(bound, v): sign of (bound − filter value), exact per type
           def cmpMin(v: Any): Int = cmpB(mn, v, dt)
           def cmpMax(v: Any): Int = cmpB(mx, v, dt)
+          // bloom probe: integer equality only (doubles carry no bloom)
+          def bloomOk(v: Any): Boolean = (dt, v) match {
+            case (IntegerType | LongType, n: Number) =>
+              bloomMayContain(bloom, n.longValue())
+            case _ => true
+          }
           f match {
             case _ if rows == 0 => false
             case IsNull(_) => nulls > 0
             case IsNotNull(_) => nulls < rows
             // value comparisons never match an all-null column
             case _ if mn.isEmpty => false
-            case EqualTo(_, v) => cmpMin(v) <= 0 && cmpMax(v) >= 0
+            case EqualTo(_, v) => cmpMin(v) <= 0 && cmpMax(v) >= 0 && bloomOk(v)
             case GreaterThan(_, v) => cmpMax(v) > 0
             case GreaterThanOrEqual(_, v) => cmpMax(v) >= 0
             case LessThan(_, v) => cmpMin(v) < 0
@@ -230,9 +275,9 @@ class GraftCsvBatchWrite(schema: StructType, path: String, queryId: String,
     val prior = if (truncate) Map.empty[String, (Long, Seq[GraftCsv.ColStat])]
       else GraftCsv.readManifest(path).map { case (f, cols) =>
         val rows = cols.values.headOption.map(_._4).getOrElse(0L)
-        f -> (rows, cols.toSeq.map { case (c, (mn, mx, n, _)) =>
-          GraftCsv.ColStat(c, mn, mx, n)
-        })
+        f -> ((rows, cols.toSeq.map { case (c, (mn, mx, n, _, bloom)) =>
+          GraftCsv.ColStat(c, mn, mx, n, bloom)
+        }))
       }
     val added = messages.collect { case GraftCsvCommit(tmp, rows, stats) =>
       new Path(tmp).getName -> (rows, stats)
@@ -284,6 +329,12 @@ class GraftCsvWriter(schema: StructType, path: String, queryId: String,
   private val statMaxD = Array.fill[Double](schema.length)(Double.NegativeInfinity)
   private val statSeen = new Array[Boolean](schema.length)
   private val statNulls = new Array[Long](schema.length)
+  // per-integer-column Bloom bitsets for equality skipping (8 KiB each)
+  private val statBloom: Array[Array[Byte]] = schema.fields.map { f =>
+    if (f.dataType == IntegerType || f.dataType == LongType)
+      new Array[Byte](GraftCsv.BloomBits / 8)
+    else null
+  }
   private var rowCount = 0L
 
   private def trackStats(row: InternalRow): Unit = {
@@ -301,6 +352,10 @@ class GraftCsvWriter(schema: StructType, path: String, queryId: String,
             val v = if (dt == IntegerType) row.getInt(i).toLong else row.getLong(i)
             if (v < statMinL(i)) statMinL(i) = v
             if (v > statMaxL(i)) statMaxL(i) = v
+            GraftCsv.bloomBits(v).foreach { bit =>
+              statBloom(i)(bit >>> 3) =
+                (statBloom(i)(bit >>> 3) | (1 << (bit & 7))).toByte
+            }
         }
       }
     }
@@ -338,7 +393,9 @@ class GraftCsvWriter(schema: StructType, path: String, queryId: String,
     out.close()
     GraftCsvCommit(tmp.toString, rowCount,
       numericIdx.toSeq.map(i => GraftCsv.ColStat(schema(i).name,
-        renderStat(i, isMin = true), renderStat(i, isMin = false), statNulls(i))))
+        renderStat(i, isMin = true), renderStat(i, isMin = false), statNulls(i),
+        bloom = if (statBloom(i) != null && statSeen(i))
+          java.util.Base64.getEncoder.encodeToString(statBloom(i)) else "")))
   }
 
   override def abort(): Unit = {
@@ -394,7 +451,7 @@ class GraftCsvScan(fullSchema: StructType, required: StructType,
     // row-group pruning, decided at planning time from |files| manifest
     // rows instead of any data read. Files without stats always scan.
     val manifest =
-      if (pushed.isEmpty) Map.empty[String, Map[String, (String, String, Long, Long)]]
+      if (pushed.isEmpty) Map.empty[String, Map[String, (String, String, Long, Long, String)]]
       else GraftCsv.readManifest(path)
     val kept = all.filter { f =>
       manifest.get(f.getName)

@@ -528,6 +528,20 @@ class EventOpsSpec extends SparkSpec {
     assert(got.map(_._4) == got.map(_._4).sorted.reverse)
   }
 
+  test("theilSen: recovers a planted line exactly through a wild outlier") {
+    val day = 86400000000L
+    // y = 5.00·t dollars on days 0-9, except day 5 explodes to 1000.00:
+    // 36 of 45 pair slopes sit exactly at 500 cents/day -> the median
+    // ignores the outlier completely (OLS would not); residual median 0
+    val ev = (0 until 10).map { t2 =>
+      val v = if (t2 == 5) 1000.0 else 5.0 * t2
+      ("m", t2.toLong, t2.toLong * day * 1000L, v)
+    }.toDF("event_type", "event_id", "ts", "value")
+    val r = EventOps.theilSen(ev)
+      .as[(String, Long, Long, Long, Long)].head()
+    assert(r == (("m", 10L, 45L, 500000000L, 0L)))
+  }
+
   test("qiniCurve: planted uplift shows in the top decile, zero effect cancels") {
     // treated (even ids) convert at high score, control does not ->
     // positive qini; the score domain {10.0, 5.0} bins to deciles 0 and 5

@@ -173,4 +173,37 @@ class GraftCsvV2Spec extends SparkSpec {
     assert(rd.filter(col("b").isNotNull).count() == 2)
     assert(GraftCsv.lastSkipStats.get() == ((1, 2)))
   }
+
+  test("bloom skipping prunes equality probes that min/max cannot") {
+    import graft.sources.v2.GraftCsv
+    val out = java.nio.file.Files.createTempDirectory("graftcsv-bloom").toString
+    val sch = StructType(Seq(StructField("k", LongType), StructField("name", StringType)))
+    // interleaved layout: file f holds keys ≡ f (mod 4), so every file's
+    // [min, max] range covers every probe — range stats are useless here
+    // sparse keys (residues 0-3 mod 8) so absent-but-in-range probes exist
+    (0 until 4).foreach { f =>
+      (0 until 500).map(i => (i.toLong * 8 + f, s"v${i * 8 + f}"))
+        .toDF("k", "name")
+        .coalesce(1).write.format(fmt)
+        .mode(if (f == 0) "overwrite" else "append").save(out)
+    }
+    def rd = spark.read.schema(sch).format(fmt).load(out)
+    // the equality probe prunes through the blooms to (almost) one file;
+    // correctness first: exactly the right row comes back
+    assert(rd.filter(col("k") === 402L).as[(Long, String)].collect().toSeq ==
+      Seq((402L, "v402")))
+    val (kept, total) = GraftCsv.lastSkipStats.get()
+    assert(total == 4 && kept < 4, s"bloom should prune: kept=$kept of $total")
+    // a probe for an ABSENT key inside every range scans nothing (up to
+    // Bloom false positives, which only ever keep extra files) and
+    // returns empty — never a wrong row
+    assert(rd.filter(col("k") === 1005L).count() == 0)
+    // range predicates are unaffected by blooms
+    assert(rd.filter(col("k") >= 3992L).count() == 4)
+    // every value written IS found (no false negatives, the safety law)
+    val probes = Seq(0L, 1L, 994L, 3995L)
+    probes.foreach { v =>
+      assert(rd.filter(col("k") === v).count() == 1, s"lost key $v")
+    }
+  }
 }
