@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{BlocklistHits, DamerauLevenshtein, DotQ, HilbertIndex, JaroWinkler, NormalizeText, RewriteAggToSummary, RewriteDotProduct, RewriteJoinElimination, RewriteRangeJoin, TopK}
+import graft.expressions.{BlocklistHits, DamerauLevenshtein, DotQ, HilbertIndex, JaroWinkler, NormalizeText, RewriteAggToSummary, RewriteApproxDistinct, RewriteDotProduct, RewriteJoinElimination, RewriteRangeJoin, TopK}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the engine's native expressions with the session's function
@@ -79,5 +79,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => RewriteRangeJoin)
     ext.injectOptimizerRule(s => new RewriteAggToSummary(s))
     ext.injectOptimizerRule(_ => RewriteJoinElimination)
+    ext.injectOptimizerRule(_ => RewriteApproxDistinct)
   }
 }

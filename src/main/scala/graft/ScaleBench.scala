@@ -298,7 +298,9 @@ object ScaleBench {
     // ninth continuation batch: the Q20 three-level decorrelation shape,
     // bloom file skipping (write + 3 planned point reads), Theil-Sen
     // (calendar-pair domain joins + reduced-domain medians)
-    "q275_tpch_q20_shape", "q276_bloom_skip", "q277_theil_sen")
+    "q275_tpch_q20_shape", "q276_bloom_skip", "q277_theil_sen",
+    // the approx-distinct rewrite: sketch agg vs the exact Expand
+    "q278_approx_distinct_rule")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

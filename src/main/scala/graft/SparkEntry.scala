@@ -3924,7 +3924,39 @@ object SparkEntry {
     // slopes over the |T|²/2 calendar-pair domain, exact truncated
     // micro units — the 29%-breakdown complement to q172's OLS.
     "q277_theil_sen" -> ((s, dir) =>
-      EventOps.theilSen(t(s, dir, "events")).orderBy("event_type"))
+      EventOps.theilSen(t(s, dir, "events")).orderBy("event_type")),
+
+    // FIFTH injected optimizer rule, and the first semantics-RELAXING
+    // one: COUNT(DISTINCT x) → HLL++ behind an explicit session opt-in
+    // (spark.graft.approx.countdistinct). The gate runs the UNCHANGED
+    // count-distinct query in an opted-in session, requires in-plan that
+    // the rewrite fired, and emits the q87-style within-5% flag the
+    // oracle pins TRUE against the exact counts — so a broken sketch
+    // rewrite hash-fails even though the estimate itself is approximate.
+    "q278_approx_distinct_rule" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.approx.countdistinct", "true")
+      val est = t(s2, dir, "documents")
+        .select(col("lang"), explode(TextOps.words(col("text"))).as("tok"))
+        .groupBy("lang").agg(countDistinct(col("tok")).as("est"))
+      val plan = est.queryExecution.optimizedPlan.toString()
+      require(plan.contains("approx_count_distinct") &&
+        !plan.contains("count(distinct"),
+        s"approx rewrite did not fire:\n$plan")
+      // estimates are a |langs|-row steering table; compare in the
+      // DEFAULT session where the rule is off and counts stay exact
+      val estRows = est.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      import s.implicits._
+      val estDf = estRows.toDF("lang", "est")
+      t(s, dir, "documents")
+        .select(col("lang"), explode(TextOps.words(col("text"))).as("tok"))
+        .groupBy("lang").agg(countDistinct(col("tok")).as("n_distinct"))
+        .join(broadcast(estDf), Seq("lang"))
+        .select(col("lang"), col("n_distinct"),
+          (abs(col("est") - col("n_distinct")) * 100 <= col("n_distinct") * 5)
+            .as("approx_ok"))
+        .orderBy("lang")
+    })
   )
 
   /** q229's shared text (both engines run it verbatim): TPC-H Q21's
@@ -8687,6 +8719,14 @@ object SparkEntry {
         |       CAST(im.intercept_micro AS BIGINT) AS intercept_micro
         |FROM np JOIN sm USING (event_type) JOIN im USING (event_type)
         |ORDER BY np.event_type""".stripMargin,
+
+    // Exact counts + the pinned TRUE flag (the q87 sketch-gate pattern:
+    // the oracle cannot model Spark's HLL++, so it pins the CONTRACT).
+    "q278_approx_distinct_rule" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT lang, count(DISTINCT tok) AS n_distinct, TRUE AS approx_ok
+        |FROM toks GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Same exact lower-median time cut, same four truncated mean terms.
     "q272_did" ->
