@@ -3956,7 +3956,65 @@ object SparkEntry {
           (abs(col("est") - col("n_distinct")) * 100 <= col("n_distinct") * 5)
             .as("approx_ok"))
         .orderBy("lang")
-    })
+    }),
+
+    // Spearman rank correlation per language between document length and
+    // token count — the monotone-association twin of q267's Kendall tau,
+    // exact over the value-cell domain (average ranks in doubled lanes).
+    "q279_spearman" -> ((s, dir) =>
+      ProfileOps.spearman(
+        t(s, dir, "documents").select(col("lang"), col("n_chars"),
+          size(TextOps.words(col("text"))).cast("long").as("n_tokens")),
+        "lang", "n_chars", "n_tokens")
+        .orderBy("lang")),
+
+    // Clustering-validity check for the q60 configuration: per-cluster
+    // mean simplified silhouette in exact integer ppm (squared-distance
+    // law, mirrored verbatim in the Lloyd-unrolled oracle).
+    "q280_silhouette" -> ((s, dir) =>
+      SimilarityOps.silhouetteSimplified(
+        t(s, dir, "embeddings"), k = 4, iters = 2, dim = 64)
+        .orderBy("cid")),
+
+    // Holt double exponential smoothing (α = β = ½) over per-type daily
+    // revenue — level + trend + one-step forecast as an integer two-state
+    // fold, the q179 EWMA's trend-aware extension.
+    "q281_holt_trend" -> ((s, dir) =>
+      EventOps.holtHalf(t(s, dir, "events")).orderBy("event_type")),
+
+    // l-diversity audit over the q233 quasi-identifier classes with the
+    // market segment as the sensitive attribute — distinct-l plus the
+    // top-value concentration share per equivalence class.
+    "q282_l_diversity" -> ((s, dir) =>
+      ProfileOps.lDiversity(
+        t(s, dir, "customer").select(col("c_nationkey"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_band"),
+          col("c_mktsegment")),
+        Seq("c_nationkey", "bal_band"), "c_mktsegment", l = 3)
+        .orderBy("c_nationkey", "bal_band")),
+
+    // nDCG@10 of the q165 IVF retrieval against exact brute-force rank —
+    // graded relevance from the exact ranking, inlined integer log
+    // discounts (the Benford device), all-integer micro/ppm emission.
+    "q283_ndcg" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+      val exact = SimilarityOps.bruteTopK(e, queries, k = 10)
+      val approx = SimilarityOps.ivfTopK(e,
+        e.filter(col("vec_id") % 100 === 0), queries, k = 10, nprobe = 2)
+      SimilarityOps.ndcgAtK(exact, approx, k = 10).orderBy("qid")
+    }),
+
+    // Pairwise Pearson correlation matrix over the four lineitem measures
+    // in cents lanes — ONE scan for all 15 moments, n²-truncated
+    // scale-free emission pieces, signed rho²-ppm headline.
+    "q284_corr_matrix" -> ((s, dir) =>
+      ProfileOps.pearsonMatrix(t(s, dir, "lineitem"), Seq(
+        ("quantity_c", expr("CAST(round(l_quantity * 100) AS BIGINT)")),
+        ("price_c", expr("CAST(round(l_extendedprice * 100) AS BIGINT)")),
+        ("discount_c", expr("CAST(round(l_discount * 100) AS BIGINT)")),
+        ("tax_c", expr("CAST(round(l_tax * 100) AS BIGINT)"))))
+        .orderBy("col_a", "col_b"))
   )
 
   /** q229's shared text (both engines run it verbatim): TPC-H Q21's
@@ -8773,6 +8831,215 @@ object SparkEntry {
         |       CASE WHEN r * 1000 <= n_s * 800 THEN 'train'
         |            WHEN r * 1000 <= n_s * 900 THEN 'val'
         |            ELSE 'test' END AS split
-        |FROM r ORDER BY doc_id""".stripMargin
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Same doubled average ranks over the cell domain, same HUGEINT
+    // Pearson pieces, same n-divided truncation lanes for the headline.
+    "q279_spearman" ->
+      """WITH rows_ AS (SELECT lang, n_chars AS a,
+        |                      CAST(len(string_split(text, ' ')) AS BIGINT) AS b
+        |               FROM documents),
+        |cells AS (SELECT lang, a, b, count(*) AS cnt FROM rows_ GROUP BY 1, 2, 3),
+        |ma AS (SELECT lang, a,
+        |              2 * sum(m) OVER (PARTITION BY lang ORDER BY a
+        |                  ROWS UNBOUNDED PRECEDING) - m + 1 AS da
+        |       FROM (SELECT lang, a, sum(cnt) AS m FROM cells GROUP BY 1, 2)),
+        |mb AS (SELECT lang, b,
+        |              2 * sum(m) OVER (PARTITION BY lang ORDER BY b
+        |                  ROWS UNBOUNDED PRECEDING) - m + 1 AS db
+        |       FROM (SELECT lang, b, sum(cnt) AS m FROM cells GROUP BY 1, 2)),
+        |mom AS (SELECT c.lang, sum(cnt) AS n,
+        |               sum(cnt * da) AS sa, sum(cnt * db) AS sb,
+        |               sum(CAST(cnt AS HUGEINT) * da * db) AS sab,
+        |               sum(CAST(cnt AS HUGEINT) * da * da) AS sa2,
+        |               sum(CAST(cnt AS HUGEINT) * db * db) AS sb2
+        |        FROM cells c JOIN ma USING (lang, a) JOIN mb USING (lang, b)
+        |        GROUP BY 1),
+        |p AS (SELECT lang, n,
+        |             CAST(n AS HUGEINT) * sab - CAST(sa AS HUGEINT) * sb AS num,
+        |             CAST(n AS HUGEINT) * sa2 - CAST(sa AS HUGEINT) * sa AS den_a,
+        |             CAST(n AS HUGEINT) * sb2 - CAST(sb AS HUGEINT) * sb AS den_b
+        |      FROM mom)
+        |SELECT lang, CAST(n AS BIGINT) AS n,
+        |       CAST(CASE WHEN num >= 0 THEN num // 1000
+        |            ELSE -((-num) // 1000) END AS BIGINT) AS num_milli,
+        |       CAST(den_a // 1000 AS BIGINT) AS den_a_milli,
+        |       CAST(den_b // 1000 AS BIGINT) AS den_b_milli,
+        |       CAST(CASE WHEN den_a = 0 OR den_b = 0 THEN NULL
+        |            WHEN (den_a // n) * (den_b // n) = 0 THEN NULL
+        |            WHEN num >= 0 THEN
+        |              ((num // n) * (num // n) * 1000000)
+        |                // ((den_a // n) * (den_b // n))
+        |            ELSE
+        |              -((((-num) // n) * ((-num) // n) * 1000000)
+        |                // ((den_a // n) * (den_b // n)))
+        |            END AS BIGINT) AS rho2s_ppm
+        |FROM p ORDER BY lang""".stripMargin,
+
+    // Full Lloyd-chain replay (the q60 CTEs), then both distances per
+    // point ranked by (dist, cid) — rn=1/rn=2 are the fold's (a, b).
+    "q280_silhouette" ->
+      s"""WITH qv AS (SELECT vec_id, ${LlmSql.qvec("embedding")} AS qv FROM embeddings),
+         |${KmeansSql.twoRounds(k = 4, dim = 64)},
+         |d AS (SELECT v.vec_id, c.cid,
+         |             list_sum(list_transform(range(1, 65),
+         |               i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))) AS dist
+         |      FROM qv v CROSS JOIN c2 c),
+         |r AS (SELECT vec_id, cid, dist,
+         |             row_number() OVER (PARTITION BY vec_id
+         |                 ORDER BY dist, cid) AS rn
+         |      FROM d),
+         |ab AS (SELECT r1.cid, r1.dist AS a2, r2.dist AS b2
+         |       FROM r r1 JOIN r r2
+         |         ON r2.vec_id = r1.vec_id AND r2.rn = 2
+         |       WHERE r1.rn = 1),
+         |s AS (SELECT cid,
+         |             CASE WHEN b2 = 0 THEN 0
+         |                  ELSE (CAST(b2 - a2 AS HUGEINT) * 1000000) // b2
+         |             END AS s_ppm
+         |      FROM ab)
+         |SELECT CAST(cid AS INT) AS cid, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(s_ppm) // count(*) AS BIGINT) AS mean_s_ppm
+         |FROM s GROUP BY cid ORDER BY cid""".stripMargin,
+
+    // Same daily reduce, same sign-safe halving recurrence replayed as a
+    // recursive CTE carrying the (level, trend) pair.
+    "q281_holt_trend" -> {
+      def half(v: String): String =
+        s"CASE WHEN ($v) >= 0 THEN ($v) // 2 ELSE -((-($v)) // 2) END"
+      val lNew = half("f.l + f.b + e.x")
+      s"""WITH RECURSIVE d AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |         sum(CAST(round(value * 100) AS BIGINT)) AS x
+         |  FROM events GROUP BY 1, 2),
+         |r AS (SELECT event_type, day, x,
+         |             row_number() OVER (PARTITION BY event_type
+         |                 ORDER BY day) AS rn
+         |      FROM d),
+         |nn AS (SELECT event_type, max(rn) AS n FROM r GROUP BY 1),
+         |f AS (SELECT event_type, rn, x AS l, CAST(0 AS BIGINT) AS b
+         |      FROM r WHERE rn = 1
+         |      UNION ALL
+         |      SELECT e.event_type, e.rn,
+         |             $lNew AS l,
+         |             ${half(s"f.b + ($lNew) - f.l")} AS b
+         |      FROM f JOIN r e
+         |        ON e.event_type = f.event_type AND e.rn = f.rn + 1)
+         |SELECT f.event_type, CAST(nn.n AS BIGINT) AS n_days,
+         |       CAST(f.l AS BIGINT) AS level_c, CAST(f.b AS BIGINT) AS trend_c,
+         |       CAST(f.l + f.b AS BIGINT) AS forecast_c
+         |FROM f JOIN nn ON nn.event_type = f.event_type AND f.rn = nn.n
+         |ORDER BY f.event_type""".stripMargin
+    },
+
+    // Same (qi, sensitive) cell reduce, same class-level aggregate.
+    "q282_l_diversity" ->
+      """WITH cell AS (SELECT c_nationkey,
+        |                     CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |                     c_mktsegment, count(*) AS cnt
+        |              FROM customer GROUP BY 1, 2, 3)
+        |SELECT c_nationkey, bal_band, CAST(sum(cnt) AS BIGINT) AS n,
+        |       count(*) AS l_distinct,
+        |       CAST((max(cnt) * 1000000) // sum(cnt) AS BIGINT) AS top_share_ppm,
+        |       count(*) >= 3 AS diverse
+        |FROM cell GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q165's exact + IVF ranking CTEs, then the same inlined integer
+    // discount table and the same compile-time IDCG literal.
+    "q283_ndcg" -> {
+      val dRows = SimilarityOps.NdcgDiscountMicro.zipWithIndex
+        .map { case (dm, i) => s"(${i + 1}, $dm)" }.mkString(", ")
+      val idcg = SimilarityOps.NdcgDiscountMicro.zipWithIndex
+        .map { case (dm, i) => dm * (10 - i) }.sum
+      s"""WITH q AS (SELECT vec_id AS qid, ${LlmSql.qvec("embedding")} AS qq
+         |           FROM embeddings WHERE vec_id < 5),
+         |v AS (SELECT vec_id, ${LlmSql.qvec("embedding")} AS qv FROM embeddings),
+         |ex AS (SELECT qid, vec_id, rank FROM (
+         |         SELECT qid, vec_id,
+         |                row_number() OVER (PARTITION BY qid
+         |                  ORDER BY ${LlmSql.cos("qq", "qv")} DESC, vec_id) AS rank
+         |         FROM q CROSS JOIN v WHERE qid <> vec_id) WHERE rank <= 10),
+         |cents AS (SELECT vec_id AS cid, ${LlmSql.qvec("embedding")} AS cv
+         |          FROM embeddings WHERE vec_id % 100 = 0),
+         |assigned AS (
+         |  SELECT cid, vec_id, qv FROM (
+         |    SELECT c.cid, v.vec_id, v.qv,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${LlmSql.cos("v.qv", "c.cv")} DESC, c.cid) AS crn
+         |    FROM v CROSS JOIN cents c) WHERE crn = 1),
+         |probes AS (
+         |  SELECT qid, qq, cid FROM (
+         |    SELECT q.qid, q.qq, c.cid,
+         |           row_number() OVER (PARTITION BY q.qid
+         |             ORDER BY ${LlmSql.cos("q.qq", "c.cv")} DESC, c.cid) AS prn
+         |    FROM q CROSS JOIN cents c) WHERE prn <= 2),
+         |ap AS (SELECT qid, vec_id, rank FROM (
+         |         SELECT qid, vec_id,
+         |                row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |         FROM (SELECT p.qid, a.vec_id, ${LlmSql.cos("p.qq", "a.qv")} AS cos
+         |               FROM probes p JOIN assigned a ON a.cid = p.cid
+         |               WHERE p.qid <> a.vec_id)) WHERE rank <= 10),
+         |d(i, dm) AS (VALUES $dRows),
+         |g AS (SELECT ap.qid, sum(COALESCE(11 - ex.rank, 0) * d.dm) AS dcg
+         |      FROM ap JOIN d ON d.i = ap.rank
+         |      LEFT JOIN ex ON ex.qid = ap.qid AND ex.vec_id = ap.vec_id
+         |      GROUP BY ap.qid)
+         |SELECT q.qid AS qid,
+         |       CAST(COALESCE(g.dcg, 0) AS BIGINT) AS dcg_micro,
+         |       CAST((COALESCE(g.dcg, 0) * 1000000) // $idcg AS BIGINT) AS ndcg_ppm
+         |FROM q LEFT JOIN g ON g.qid = q.qid
+         |ORDER BY qid""".stripMargin
+    },
+
+    // Same single moment row (HUGEINT == DECIMAL(38,0) lanes), same
+    // n²-truncated pieces, same signed rho²-ppm law per pair.
+    "q284_corr_matrix" -> {
+      val cols = Seq("quantity_c" -> "l_quantity",
+        "price_c" -> "l_extendedprice", "discount_c" -> "l_discount",
+        "tax_c" -> "l_tax")
+      val lanes = cols.map { case (n, src) =>
+        s"CAST(round($src * 100) AS BIGINT) AS $n" }.mkString(",\n        |           ")
+      val sums = cols.map(_._1).map(n =>
+        s"sum(CAST($n AS HUGEINT)) AS s_$n, sum(CAST($n AS HUGEINT) * $n) AS s2_$n")
+        .mkString(",\n        |       ")
+      val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+        yield (cols(i)._1, cols(j)._1)
+      val sps = pairs.map { case (a, b) =>
+        s"sum(CAST($a AS HUGEINT) * $b) AS sp_${a}_$b" }
+        .mkString(",\n        |       ")
+      val rows = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+           |             CAST(n AS HUGEINT) * sp_${a}_$b - s_$a * s_$b AS num,
+           |             CAST(n AS HUGEINT) * s2_$a - s_$a * s_$a AS den_a,
+           |             CAST(n AS HUGEINT) * s2_$b - s_$b * s_$b AS den_b
+           |      FROM m""".stripMargin
+      }.mkString("\n      UNION ALL\n      ")
+      s"""WITH b AS (SELECT $lanes
+         |           FROM lineitem),
+         |m AS (SELECT count(*) AS n,
+         |       $sums,
+         |       $sps
+         |      FROM b),
+         |p AS ($rows),
+         |p2 AS (SELECT col_a, col_b, n,
+         |              CASE WHEN num >= 0 THEN num // (n * n)
+         |                   ELSE -((-num) // (n * n)) END AS num_nn,
+         |              den_a // (n * n) AS den_a_nn,
+         |              den_b // (n * n) AS den_b_nn
+         |       FROM p)
+         |SELECT col_a, col_b, CAST(n AS BIGINT) AS n,
+         |       CAST(num_nn AS BIGINT) AS num_nn,
+         |       CAST(den_a_nn AS BIGINT) AS den_a_nn,
+         |       CAST(den_b_nn AS BIGINT) AS den_b_nn,
+         |       CAST(CASE WHEN den_a_nn = 0 OR den_b_nn = 0 THEN NULL
+         |            WHEN num_nn >= 0 THEN
+         |              (CAST(num_nn AS HUGEINT) * num_nn * 1000000)
+         |                // (CAST(den_a_nn AS HUGEINT) * den_b_nn)
+         |            ELSE
+         |              -((CAST(num_nn AS HUGEINT) * num_nn * 1000000)
+         |                // (CAST(den_a_nn AS HUGEINT) * den_b_nn))
+         |            END AS BIGINT) AS rho2s_ppm
+         |FROM p2 ORDER BY col_a, col_b""".stripMargin
+    }
   )
 }

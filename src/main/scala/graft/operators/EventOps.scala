@@ -769,6 +769,50 @@ object EventOps {
         expr("aggregate(slice(seq, 2, size(seq) - 1), seq[0].x," +
           " (acc, e) -> (acc + e.x) div 2)").as("ewma_c"))
 
+  /** Holt linear-trend double exponential smoothing, α = β = 1/2 — the
+    * two-state extension of [[ewmaHalf]]: per event type, over the
+    * day-ordered daily revenue-cents series,
+    *
+    *   l₁ = x₁, b₁ = 0
+    *   lₜ = half(lₜ₋₁ + bₜ₋₁ + xₜ)          (level: forecast blended with obs)
+    *   bₜ = half(bₜ₋₁ + (lₜ − lₜ₋₁))        (trend: slope blended with drift)
+    *
+    * where half(v) is the SIGN-SAFE truncating halve —
+    * CASE WHEN v ≥ 0 THEN v div 2 ELSE −((−v) div 2) END — because the
+    * trend state goes negative on declining series and truncating division
+    * must agree across engines (Spark's `div` truncates toward zero;
+    * DuckDB's `//` floors), so negatives are routed through the positive
+    * lane in BOTH. The recurrence is a left fold with two-long bounded
+    * state, run as one codegen'd `aggregate` HOF over the per-key sorted
+    * day array (≤ calendar-span elements — the per-key-bounded contract
+    * every fold here shares): ONE shuffle to the (type, day) domain, one
+    * k-row fold. Output: (event_type, n_days, level_c, trend_c,
+    * forecast_c = l + b, the one-step-ahead forecast). */
+  def holtHalf(events: DataFrame, typeCol: String = "event_type",
+               tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    def half(v: String): String =
+      s"CASE WHEN ($v) >= 0 THEN ($v) div 2 ELSE -((-($v)) div 2) END"
+    val lNew = half("acc.l + acc.b + e.x")
+    events
+      .select(col(typeCol).as("event_type"),
+        expr(s"((($tsCol) div 1000)) div 86400000000").as("day"),
+        cents(col(valueCol)).as("xc"))
+      .groupBy("event_type", "day").agg(sum("xc").as("x"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sort_array(collect_list(struct(col("day"), col("x")))).as("seq"))
+      .select(col("event_type"), col("n_days"),
+        expr(s"""aggregate(slice(seq, 2, size(seq) - 1),
+                |  named_struct('l', seq[0].x, 'b', CAST(0 AS BIGINT)),
+                |  (acc, e) -> named_struct(
+                |    'l', $lNew,
+                |    'b', ${half(s"acc.b + ($lNew) - acc.l")}))""".stripMargin)
+          .as("st"))
+      .select(col("event_type"), col("n_days"),
+        col("st.l").as("level_c"), col("st.b").as("trend_c"),
+        (col("st.l") + col("st.b")).as("forecast_c"))
+  }
+
   /** Kaplan–Meier survival curve (Kaplan & Meier, JASA 1958) in exact
     * integer ppm — time-to-first-`eventType` per user, right-censored at
     * the user's last observed event.

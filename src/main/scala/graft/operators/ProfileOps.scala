@@ -445,6 +445,80 @@ object ProfileOps {
                 |       div (n * (n - 1))) END""".stripMargin).as("taua_ppm"))
   }
 
+  /** Spearman rank correlation per group, exact, over the CELL domain —
+    * the monotone-association complement to [[kendallTau]]: both variables
+    * are reduced to their per-group (a, b) value cells, ranks are AVERAGE
+    * ranks carried in DOUBLED integer lanes (2·r̄ = 2·cnt_smaller + m + 1
+    * for a tie block of mass m — always an integer), and rho is Pearson
+    * over those ranks. Every moment (Σw·2r_a·2r_b, Σw·(2r)², …) comes from
+    * the cells joined to the per-variable rank margins, so no row-level
+    * window or sort ever runs — the only windows are per-group cumulative
+    * sums over the VALUE domains.
+    *
+    * Emission keeps the no-float discipline: the exact Pearson pieces
+    * num = n·S_ab − S_a·S_b and den_x = n·S_x2 − S_x² live in DECIMAL(38)
+    * lanes and are reported as sign-safe milli-truncated BIGINTs, plus a
+    * single headline `rho2s_ppm` — SIGN(num)·(num′²·10⁶ div (den_a′·den_b′))
+    * with each piece first truncated by n (num′ = |num| div n) to keep the
+    * squared product inside DECIMAL(38) at any n up to ~10⁵ per group. The
+    * truncation is deterministic and mirrored verbatim in the oracle. A
+    * degenerate group (either variable constant → den = 0) reports NULL
+    * rather than tripping ANSI DIVIDE_BY_ZERO (the q177 guard discipline). */
+  def spearman(df: DataFrame, groupCol: String, aCol: String,
+               bCol: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val cells = df
+      .select(col(groupCol).as("g"), col(aCol).cast("long").as("a"),
+        col(bCol).cast("long").as("b"))
+      .groupBy("g", "a", "b").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // consumed by both margins and the moment join
+    // doubled average rank per value cell: 2·r̄ = 2·(cum − m) + m + 1
+    def marg(vc: String): DataFrame = {
+      val w = Window.partitionBy("g").orderBy(vc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.groupBy("g", vc).agg(sum("cnt").as("m"))
+        .select(col("g"), col(vc),
+          (lit(2) * sum("m").over(w) - col("m") + 1).as(s"d$vc"))
+    }
+    cells
+      .join(marg("a"), Seq("g", "a"))
+      .join(marg("b"), Seq("g", "b"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_cells"), sum("cnt").as("n"),
+        sum(col("cnt") * col("da")).as("sa"),
+        sum(col("cnt") * col("db")).as("sb"),
+        sum(dec(col("cnt")) * dec(col("da")) * dec(col("db"))).as("sab"),
+        sum(dec(col("cnt")) * dec(col("da")) * dec(col("da"))).as("sa2"),
+        sum(dec(col("cnt")) * dec(col("db")) * dec(col("db"))).as("sb2"))
+      .select(col("g").as(groupCol), col("n"),
+        (dec(col("n")) * col("sab") - dec(col("sa")) * dec(col("sb"))).as("num"),
+        (dec(col("n")) * col("sa2") - dec(col("sa")) * dec(col("sa"))).as("den_a"),
+        (dec(col("n")) * col("sb2") - dec(col("sb")) * dec(col("sb"))).as("den_b"))
+      .select(col(groupCol), col("n"),
+        expr("""CASE WHEN num >= 0 THEN num div 1000
+               |     ELSE -((-num) div 1000) END""".stripMargin)
+          .cast("long").as("num_milli"),
+        expr("den_a div 1000").cast("long").as("den_a_milli"),
+        expr("den_b div 1000").cast("long").as("den_b_milli"),
+        // the n-divided pieces re-enter DECIMAL(38) lanes before squaring:
+        // (num div n) is a BIGINT whose square would overflow 2⁶³ past
+        // n ≈ 2·10³ — the cast keeps the whole product exact to n ≈ 10⁵
+        expr("""CASE WHEN den_a = 0 OR den_b = 0 THEN NULL
+               |     WHEN CAST(den_a div n AS DECIMAL(38,0))
+               |          * CAST(den_b div n AS DECIMAL(38,0)) = 0 THEN NULL
+               |     WHEN num >= 0 THEN
+               |       (CAST(num div n AS DECIMAL(38,0))
+               |          * CAST(num div n AS DECIMAL(38,0)) * 1000000)
+               |         div (CAST(den_a div n AS DECIMAL(38,0))
+               |          * CAST(den_b div n AS DECIMAL(38,0)))
+               |     ELSE
+               |       -((CAST((-num) div n AS DECIMAL(38,0))
+               |          * CAST((-num) div n AS DECIMAL(38,0)) * 1000000)
+               |         div (CAST(den_a div n AS DECIMAL(38,0))
+               |          * CAST(den_b div n AS DECIMAL(38,0))))
+               |END""".stripMargin).cast("long").as("rho2s_ppm"))
+  }
+
   /** Exact ROC curve — one operating point per DISTINCT score value,
     * thresholded at "score ≥ v" (descending cumulative over the reduced
     * score domain, the q185/q202 device): cumulative TP/FP plus
@@ -556,5 +630,90 @@ object ProfileOps {
                 |  * (CAST(obs AS DECIMAL(38,0)) * 1000000 - CAST(exp_ppm AS DECIMAL(38,0)) * n))
                 |  div (CAST(exp_ppm AS DECIMAL(38,0)) * n)""".stripMargin)
           .as("chi2_micro"))
+  }
+
+  /** l-diversity audit (Machanavajjhala et al. 2007) — the sensitive-value
+    * complement to the k-anonymity class-size check: per quasi-identifier
+    * equivalence class, how many DISTINCT sensitive values appear
+    * (distinct l-diversity) and how concentrated the class is on its most
+    * frequent sensitive value (top_share_ppm — the piece an entropy- or
+    * recursive-(c,l) policy would threshold). A class where every member
+    * shares one sensitive value leaks the attribute even when the class
+    * is k-anonymous.
+    *
+    * Shape: ONE shuffle to the (qi…, sensitive) cell domain, then a
+    * strictly smaller reduce to the class domain — never a distinct over
+    * raw rows. Output: (qi…, n, l_distinct, top_share_ppm, diverse). */
+  def lDiversity(df: DataFrame, qiCols: Seq[String], sensCol: String,
+                 l: Int): DataFrame = {
+    require(qiCols.nonEmpty && l >= 1, s"bad l-diversity params $qiCols l=$l")
+    df.groupBy((qiCols :+ sensCol).map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(qiCols.map(col): _*)
+      .agg(sum("cnt").as("n"), count(lit(1)).as("l_distinct"),
+        max("cnt").as("top"))
+      .select(qiCols.map(col) ++ Seq(col("n"), col("l_distinct"),
+        expr("(top * 1000000) div n").as("top_share_ppm"),
+        (col("l_distinct") >= l).as("diverse")): _*)
+  }
+
+  /** Pairwise Pearson correlation matrix over integer-lane columns, exact
+    * — the one-scan "which measures move together" profile: ALL sums,
+    * squared sums, and cross products for every unordered column pair come
+    * from a SINGLE global aggregate (4 columns → 1 scan with 15 partial
+    * sums, not 6 queries), held as a 1-row localCheckpoint the per-pair
+    * projections then union over.
+    *
+    * Exactness discipline: moments accumulate in DECIMAL(38) lanes;
+    * num = n·S_ab − S_a·S_b and den_x = n·S_x2 − S_x² are emitted divided
+    * by n² (truncating — num div n² ≈ covariance, den div n² ≈ variance,
+    * both scale-FREE constants of the data distribution, so the BIGINT
+    * emission lanes cannot overflow at any corpus size; the raw pieces
+    * grow ∝ n² and would pass 2⁶³ around 10⁷ rows). The headline
+    * rho2s_ppm = SIGN(num) · (num_nn²·10⁶ div (den_a_nn·den_b_nn)) is
+    * computed from those SAME truncated pieces, mirrored verbatim in the
+    * oracle; a constant column (den = 0 after truncation) reports NULL.
+    * Output: (col_a, col_b, n, num_nn, den_a_nn, den_b_nn, rho2s_ppm). */
+  def pearsonMatrix(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.size >= 2, "pearsonMatrix needs at least two columns")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val names = cols.map(_._1)
+    val base = df.select(cols.map { case (n, c) => c.cast("long").as(n) }: _*)
+    val pairs = for {
+      i <- names.indices; j <- names.indices if i < j
+    } yield (names(i), names(j))
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      names.flatMap(n => Seq(sum(dec(col(n))).as(s"s_$n"),
+        sum(dec(col(n)) * dec(col(n))).as(s"s2_$n"))) ++
+      pairs.map { case (a, b) =>
+        sum(dec(col(a)) * dec(col(b))).as(s"sp_${a}_$b") }
+    // 1-row moment frame, checkpointed: six pair projections re-reading a
+    // live aggregate would re-run the scan per branch of the union
+    val m = base.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    pairs.map { case (a, b) =>
+      m.select(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
+        (dec(col("n")) * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b"))
+          .as("num"),
+        (dec(col("n")) * col(s"s2_$a") - col(s"s_$a") * col(s"s_$a"))
+          .as("den_a"),
+        (dec(col("n")) * col(s"s2_$b") - col(s"s_$b") * col(s"s_$b"))
+          .as("den_b"))
+        .select(col("col_a"), col("col_b"), col("n"),
+          expr("""CASE WHEN num >= 0 THEN num div (n * n)
+                 |     ELSE -((-num) div (n * n)) END""".stripMargin)
+            .cast("long").as("num_nn"),
+          expr("(den_a div (n * n))").cast("long").as("den_a_nn"),
+          expr("(den_b div (n * n))").cast("long").as("den_b_nn"))
+        .select(col("col_a"), col("col_b"), col("n"), col("num_nn"),
+          col("den_a_nn"), col("den_b_nn"),
+          expr("""CASE WHEN den_a_nn = 0 OR den_b_nn = 0 THEN NULL
+                 |     WHEN num_nn >= 0 THEN
+                 |       (CAST(num_nn AS DECIMAL(38,0)) * num_nn * 1000000)
+                 |         div (CAST(den_a_nn AS DECIMAL(38,0)) * den_b_nn)
+                 |     ELSE
+                 |       -((CAST(num_nn AS DECIMAL(38,0)) * num_nn * 1000000)
+                 |         div (CAST(den_a_nn AS DECIMAL(38,0)) * den_b_nn))
+                 |END""".stripMargin).cast("long").as("rho2s_ppm"))
+    }.reduce(_ unionByName _)
   }
 }

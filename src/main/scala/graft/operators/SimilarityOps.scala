@@ -160,6 +160,48 @@ object SimilarityOps {
           .as("rr_micro"))
   }
 
+  /** Round-half-up micro units of the nDCG position discounts
+    * 1/log₂(i+1), i = 1..10 — inlined as shared constants in engine and
+    * oracle (the Benford device: NEITHER engine ever evaluates a log, so
+    * there is no float-parity surface). */
+  val NdcgDiscountMicro: Seq[Long] = Seq(1000000L, 630930L, 500000L,
+    430677L, 386853L, 356207L, 333333L, 315465L, 301030L, 289065L)
+
+  /** nDCG@k of an approximate ranking against the exact one — the GRADED
+    * retrieval-quality complement to [[annRecall]]'s set-overlap recall:
+    * the exact top-k defines graded relevance rel = k+1−exact_rank (top
+    * exact hit is worth k, …, the k-th is worth 1, anything outside the
+    * exact top-k is worth 0), and the approximate ranking is scored by
+    * DCG = Σ rel(doc at rank i) · D_i with D_i = round(10⁶/log₂(i+1))
+    * from [[NdcgDiscountMicro]]. IDCG is the same sum over the ideal
+    * ordering (rel k…1) — a compile-time integer. All integer micro
+    * units; ndcg_ppm = dcg·10⁶ div idcg.
+    *
+    * Shape: identical to [[annRecall]] — one (qid, vec_id) equi-join over
+    * k-row-per-query frames plus a per-qid aggregate; cost independent of
+    * corpus size. Queries whose approx list misses every exact hit (or is
+    * empty) report 0, not NULL. */
+  def ndcgAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k > 0 && k <= NdcgDiscountMicro.size, s"bad k=$k")
+    val d = NdcgDiscountMicro.take(k)
+    val idcg = d.zipWithIndex.map { case (di, i) => di * (k - i) }.sum
+    val e = exact.select(col("qid"), col("rank").cast("long").as("e_rank"),
+      col("vec_id"))
+    val a = approx.select(col("qid"), col("rank").cast("long").as("a_rank"),
+      col("vec_id"))
+    val dcg = a.join(e, Seq("qid", "vec_id"), "left")
+      .select(col("qid"),
+        (coalesce(lit(k + 1L) - col("e_rank"), lit(0L)) *
+          element_at(array(d.map(lit): _*), col("a_rank").cast("int")))
+          .as("g"))
+      .groupBy("qid").agg(sum("g").as("dcg"))
+    e.select("qid").distinct()
+      .join(dcg, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("dcg"), lit(0L)).as("dcg_micro"),
+        expr(s"(coalesce(dcg, 0L) * 1000000) div ${idcg}L").as("ndcg_ppm"))
+  }
+
   /** IVF-style bucketed ANN: assign every vector to its nearest centroid
     * (broadcast centroids — one map-side pass), probe only the `nprobe`
     * nearest centroid buckets per query. At scale the cluster assignment is
@@ -332,6 +374,65 @@ object SimilarityOps {
       .crossJoin(centsArray(cents.select(col("cid"), col("cv"))))
       .select(nearestCid(col("qv"), col("na"), col("cs")).as("cid"),
         col("vec_id"), col("qv"))
+
+  /** [[nearestCid]]'s fold extended to carry the TWO smallest exact-L2
+    * distances: (d1, cid of d1, d2) with strict-`<` admission, so ties keep
+    * the earlier (smaller) cid for d1 and the duplicate distance lands in
+    * d2 — identical semantics to ranking all k distances by (dist, cid)
+    * and taking rn=1 and rn=2. One pass over the cid-sorted centroid
+    * array, zero shuffle. */
+  private def nearestTwo(qv: Column, na: Column, cs: Column): Column =
+    aggregate(cs,
+      struct(lit(Long.MaxValue).as("d1"), lit(Int.MaxValue).as("cid"),
+        lit(Long.MaxValue).as("d2")),
+      (acc, c) => {
+        val d = na - lit(2L) * dotQ(qv, c.getField("cv")) + c.getField("nc")
+        when(d < acc.getField("d1"),
+          struct(d.as("d1"), c.getField("cid").as("cid"),
+            acc.getField("d1").as("d2")))
+          .when(d < acc.getField("d2"),
+            struct(acc.getField("d1").as("d1"), acc.getField("cid").as("cid"),
+              d.as("d2")))
+          .otherwise(acc)
+      })
+
+  /** Simplified silhouette of a k-means clustering (the centroid-distance
+    * variant of Rousseeuw 1987's silhouette — the form every large-scale
+    * clustering validity check uses, because the full formulation needs
+    * per-point mean distances to every cluster, an O(n²) pairwise pass):
+    * per point, a = squared L2 to its own (nearest) centroid and b =
+    * squared L2 to the second-nearest, s = (b − a)·10⁶ div b ∈ [0, 10⁶]
+    * — entirely in exact integers over the ×1e7-quantized vectors, with
+    * SQUARED distances throughout (both engines mirror the same law, and
+    * staying off sqrt keeps the metric integer-exact; b ≥ a ≥ 0 by
+    * construction, so no sign handling is needed). s = 0 when b = 0 (the
+    * point coincides with two centroids). The (b−a)·10⁶ product can reach
+    * 64·(2·10⁷)²·10⁶ ≈ 2.6·10²², so it runs in a DECIMAL(38) lane.
+    *
+    * Shape at scale: training is [[kmeansCentroidsQ]] (broadcast-fold
+    * assignment, zero data-sized shuffle), scoring is ONE map pass over
+    * the vector table (the k·(dim+1)-long centroid array broadcasts), and
+    * the only shuffle is the k-row final aggregate. The tiny centroid
+    * table is localCheckpointed first — the q224 lesson: a nested-Lloyd
+    * lineage re-optimized per consumer costs seconds of pure planning.
+    * Output: (cid, n, mean_s_ppm) — per-cluster mean simplified
+    * silhouette in exact truncated ppm. */
+  def silhouetteSimplified(vectors: DataFrame, k: Int, iters: Int,
+                           dim: Int): DataFrame = {
+    val qv = vectors.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val cents = kmeansCentroidsQ(qv, k, iters, dim).localCheckpoint()
+    qv.withColumn("na", dotQ(col("qv"), col("qv")))
+      .crossJoin(centsArray(cents))
+      .select(nearestTwo(col("qv"), col("na"), col("cs")).as("m"))
+      .select(col("m.cid").as("cid"),
+        expr("""CASE WHEN m.d2 = 0 THEN 0
+               |     ELSE (CAST(m.d2 - m.d1 AS DECIMAL(38,0)) * 1000000)
+               |            div m.d2 END""".stripMargin).as("s_ppm"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"), sum("s_ppm").as("s_sum"))
+      .select(col("cid"), col("n"),
+        expr("s_sum div n").cast("long").as("mean_s_ppm"))
+  }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, SemDeDup:
     * cluster embeddings, then prune near-duplicates WITHIN each cluster —

@@ -32,8 +32,10 @@ class PlanContractSpec extends SparkSpec {
     "q39_accuracy",             // scalar accuracy denominator
     "q54_nodes_near",           // k-NN fallback branch
     "q60_kmeans", "q70_semdedup", "q116_pq_ann", // centroid-array 1-row frames
+    "q280_silhouette",          // the same centsArray 1-row frame (two-nearest fold)
     "q224_ivfpq_ann",           // nlist-row coarse-centroid broadcast + centsArray frames
     "q41_ann_ivf", "q165_ann_recall",            // centsArray 1-row frame
+    "q283_ndcg",                // the q165 shape (brute + IVF rankings joined)
     "q87_distinct_sketch",      // sketch-vs-exact scalar compare
     "q91_minhash_estimate",     // corpus-stats scalar
     "q98_heavy_hitters",        // N-relative threshold scalar

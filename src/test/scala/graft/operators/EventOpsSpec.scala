@@ -613,4 +613,33 @@ class EventOpsSpec extends SparkSpec {
     assert(got(("alt", 3)) == Some(-625000L))
     assert(Seq(1, 2, 3).forall(k => got(("const", k)).isEmpty))
   }
+
+  test("holtHalf matches a per-type Scala fold (negative trend + single day)") {
+    val dayUs = 86400000000L
+    def half(v: Long): Long = if (v >= 0) v / 2 else -((-v) / 2)
+    // "down" declines (trend state goes negative — the sign-safe lane),
+    // "up" rises, "one" has a single day (fold degenerates to l=x1, b=0);
+    // day 3 of "down" has TWO events that must sum before the fold
+    val rows = Seq(
+      ("down", 0L, 100.0), ("down", 1L, 90.0), ("down", 2L, 78.5),
+      ("down", 3L, 40.0), ("down", 3L, 25.37), ("down", 4L, 50.0),
+      ("up", 0L, 1.0), ("up", 2L, 5.0), ("up", 5L, 20.0), ("up", 6L, 43.21),
+      ("one", 7L, 12.34))
+    val df = rows.map { case (t, d, v) => (t, d * dayUs * 1000L + 7000L, v) }
+      .toDF("event_type", "ts", "value")
+    val got = EventOps.holtHalf(df)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val want = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, es) =>
+      val xs = es.groupBy(_._2).toSeq.sortBy(_._1)
+        .map(_._2.map(e => math.round(e._3 * 100)).sum)
+      val (l, b) = xs.tail.foldLeft((xs.head, 0L)) { case ((l0, b0), x) =>
+        val l1 = half(l0 + b0 + x)
+        (l1, half(b0 + l1 - l0))
+      }
+      (t, xs.size.toLong, l, b, l + b)
+    }
+    assert(got == want)
+    // the declining series must actually exercise the negative lane
+    assert(want.find(_._1 == "down").get._4 < 0)
+  }
 }

@@ -260,4 +260,120 @@ class ProfileOpsSpec extends SparkSpec {
       assert(BigInt(chi2) == dev * dev / (BigInt(exp) * 11))
     }
   }
+
+  test("spearman: monotone, anti-monotone, and constant-variable hand cases") {
+    def rho(pts: Seq[(Long, Long)]): (Long, Long, Long, Long, Option[Long]) =
+      ProfileOps.spearman(
+        pts.map(p => ("g", p._1, p._2)).toDF("g", "a", "b"), "g", "a", "b")
+        .select("n", "num_milli", "den_a_milli", "den_b_milli", "rho2s_ppm")
+        .as[(Long, Long, Long, Long, Option[Long])].head()
+    // strictly monotone → rho = +1; anti-monotone → −1 (signed ppm of rho²)
+    assert(rho(Seq((1L, 1L), (2L, 2L), (3L, 3L)))._5 == Some(1000000L))
+    assert(rho(Seq((1L, 3L), (2L, 2L), (3L, 1L)))._5 == Some(-1000000L))
+    // constant b → den_b = 0 → NULL, not DIVIDE_BY_ZERO
+    assert(rho(Seq((1L, 5L), (2L, 5L), (3L, 5L))) == ((3L, 0L, 0L, 0L, None)))
+  }
+
+  test("spearman matches a BigInt average-rank reference on tied data") {
+    val rnd = new scala.util.Random(7)
+    // tiny value domains guarantee heavy ties in both variables
+    val rows = (0 until 300).map { _ =>
+      (if (rnd.nextBoolean()) "x" else "y",
+        rnd.nextInt(5).toLong, rnd.nextInt(4).toLong)
+    }
+    val got = ProfileOps.spearman(rows.toDF("g", "a", "b"), "g", "a", "b")
+      .as[(String, Long, Long, Long, Long, Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    rows.groupBy(_._1).foreach { case (g, es) =>
+      val n = BigInt(es.size)
+      def dr(vs: Seq[Long]): Map[Long, BigInt] = {
+        val cnt = vs.groupBy(identity).view.mapValues(_.size).toMap
+        var cum = 0
+        cnt.keys.toSeq.sorted.map { v =>
+          val m = cnt(v); cum += m; v -> BigInt(2 * cum - m + 1)
+        }.toMap
+      }
+      val (da, db) = (dr(es.map(_._2)), dr(es.map(_._3)))
+      val ra = es.map(e => da(e._2))
+      val rb = es.map(e => db(e._3))
+      val (sa, sb) = (ra.sum, rb.sum)
+      val sab = ra.zip(rb).map { case (x, y) => x * y }.sum
+      val (sa2, sb2) = (ra.map(x => x * x).sum, rb.map(x => x * x).sum)
+      val num = n * sab - sa * sb
+      val denA = n * sa2 - sa * sa
+      val denB = n * sb2 - sb * sb
+      // BigInt / truncates toward zero — same as the operator's sign-safe lanes
+      val want = if (denA == 0 || denB == 0 || (denA / n) * (denB / n) == 0) None
+      else Some((num.sign * ((num.abs / n) * (num.abs / n) * 1000000 /
+        ((denA / n) * (denB / n)))).toLong)
+      val (_, gn, numM, daM, dbM, rho2s) = got(g)
+      assert(gn == es.size && BigInt(numM) == num / 1000)
+      assert(BigInt(daM) == denA / 1000 && BigInt(dbM) == denB / 1000)
+      assert(rho2s == want, s"group $g")
+    }
+  }
+
+  test("lDiversity: class sizes, distinct-l, top share, and the l gate") {
+    val df = Seq(
+      // class (1, 0): sensitive a,a,b -> l=2, top 2/3
+      (1L, 0L, "a"), (1L, 0L, "a"), (1L, 0L, "b"),
+      // class (1, 1): a,b,c -> l=3, diverse at l=3
+      (1L, 1L, "a"), (1L, 1L, "b"), (1L, 1L, "c"),
+      // class (2, 0): homogeneous -> l=1, top share 10^6
+      (2L, 0L, "a"), (2L, 0L, "a"))
+      .toDF("qi1", "qi2", "sens")
+    val got = ProfileOps.lDiversity(df, Seq("qi1", "qi2"), "sens", l = 3)
+      .as[(Long, Long, Long, Long, Long, Boolean)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (1L, 0L, 3L, 2L, 666666L, false),
+      (1L, 1L, 3L, 3L, 333333L, true),
+      (2L, 0L, 2L, 1L, 1000000L, false)))
+  }
+
+  test("pearsonMatrix: exact linear pair scores 10^6; constant column NULLs") {
+    // b = 2a + 5 exactly and n² divides every piece -> rho²s = +10^6;
+    // c anti-linear in a -> -10^6; k constant -> den 0 -> NULL
+    val df = Seq((0L, 5L, 9L, 7L), (2L, 9L, 5L, 7L))
+      .toDF("a", "b", "c", "k")
+    val got = ProfileOps.pearsonMatrix(df,
+      Seq(("a", col("a")), ("b", col("b")), ("c", col("c")), ("k", col("k"))))
+      .as[(String, String, Long, Long, Long, Long, Option[Long])]
+      .collect().map(r => (r._1, r._2) -> r._7).toMap
+    assert(got(("a", "b")) == Some(1000000L))
+    assert(got(("a", "c")) == Some(-1000000L))
+    assert(got(("b", "c")) == Some(-1000000L))
+    assert(Seq(("a", "k"), ("b", "k"), ("c", "k")).forall(got(_).isEmpty))
+  }
+
+  test("pearsonMatrix matches a BigInt moment reference on random data") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 500).map(_ =>
+      (rnd.nextInt(1000).toLong, rnd.nextInt(50).toLong,
+        (rnd.nextInt(2000) - 1000).toLong))
+    val got = ProfileOps.pearsonMatrix(rows.toDF("x", "y", "z"),
+      Seq(("x", col("x")), ("y", col("y")), ("z", col("z"))))
+      .as[(String, String, Long, Long, Long, Long, Option[Long])]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    val cols = Map("x" -> rows.map(_._1), "y" -> rows.map(_._2),
+      "z" -> rows.map(_._3))
+    val n = BigInt(rows.size)
+    for { (a, b) <- Seq(("x", "y"), ("x", "z"), ("y", "z")) } {
+      val (va, vb) = (cols(a).map(BigInt(_)), cols(b).map(BigInt(_)))
+      val num = n * va.zip(vb).map { case (p, q) => p * q }.sum - va.sum * vb.sum
+      val denA = n * va.map(v => v * v).sum - va.sum * va.sum
+      val denB = n * vb.map(v => v * v).sum - vb.sum * vb.sum
+      val numNn = if (num.signum >= 0) num / (n * n) else -((-num) / (n * n))
+      val (daNn, dbNn) = (denA / (n * n), denB / (n * n))
+      val want = if (daNn == 0 || dbNn == 0) None
+      else {
+        val mag = numNn * numNn * 1000000 / (daNn * dbNn)
+        Some((if (numNn.signum >= 0) mag else -mag).toLong)
+      }
+      val (_, _, gn, gNum, gDa, gDb, gRho) = got((a, b))
+      assert(gn == rows.size && BigInt(gNum) == numNn)
+      assert(BigInt(gDa) == daNn && BigInt(gDb) == dbNn)
+      assert(gRho == want, s"pair ($a, $b)")
+    }
+  }
 }

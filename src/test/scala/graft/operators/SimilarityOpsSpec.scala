@@ -377,4 +377,78 @@ class SimilarityOpsSpec extends SparkSpec {
     val radii = got.drop(1).map(_._3)
     assert(radii == radii.sorted.reverse)
   }
+
+  test("ndcgAtK: perfect, reversed, missing-doc, and empty rankings") {
+    val k = 3
+    val d = SimilarityOps.NdcgDiscountMicro.take(k)
+    val idcg = d.zipWithIndex.map { case (di, i) => di * (k - i) }.sum
+    // exact top-3 for qid 1 is docs 10, 20, 30; qid 2 has NO approx rows
+    val exact = Seq((1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L),
+      (2L, 1L, 10L), (2L, 2L, 20L), (2L, 3L, 30L))
+      .toDF("qid", "rank", "vec_id")
+    def score(approx: Seq[(Long, Long, Long)]): (Long, Long) = {
+      val got = SimilarityOps
+        .ndcgAtK(exact, approx.toDF("qid", "rank", "vec_id"), k)
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      assert(got.toSeq.map(_._1) == Seq(1L, 2L) && got(1) == ((2L, 0L, 0L)))
+      (got(0)._2, got(0)._3)
+    }
+    // perfect ordering reproduces IDCG -> ndcg exactly 10^6
+    assert(score(Seq((1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L))) ==
+      ((idcg, 1000000L)))
+    // reversed: rel (1, 2, 3) against discounts (d1, d2, d3)
+    val revDcg = 1 * d(0) + 2 * d(1) + 3 * d(2)
+    assert(score(Seq((1L, 1L, 30L), (1L, 2L, 20L), (1L, 3L, 10L))) ==
+      ((revDcg, revDcg * 1000000L / idcg)))
+    // only the top exact doc retrieved, at rank 1; strangers score 0
+    assert(score(Seq((1L, 1L, 10L), (1L, 2L, 98L), (1L, 3L, 99L))) ==
+      ((3 * d(0), 3 * d(0) * 1000000L / idcg)))
+  }
+
+  test("silhouetteSimplified: pure duplicate clusters score exactly 10^6") {
+    // 4 distinct prototypes, every point an exact copy; vec_ids 0-3 are
+    // one per cluster so Lloyd seeds one centroid in each. Centroids land
+    // ON the points -> a = 0, b > 0 -> s = 1e6 for every point.
+    val protos = Seq(
+      Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f),
+      Seq(0f, 0f, 1f, 0f), Seq(0f, 0f, 0f, 1f))
+    val vecs = (0 until 20).map(i => (i.toLong, protos(i % 4)))
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.silhouetteSimplified(vecs, k = 4, iters = 2, dim = 4)
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == (0 until 4).map(c => (c, 5L, 1000000L)))
+  }
+
+  test("silhouetteSimplified: coincident centroids give s = 0 (b = 0 lane)") {
+    // all points identical, k = 2: both centroids coincide, every point
+    // has d1 = d2 = 0 and the b = 0 guard must emit 0, not divide
+    val vecs = (0L until 8L).map((_, Seq(0.5f, -0.25f)))
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.silhouetteSimplified(vecs, k = 2, iters = 2, dim = 2)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(got == Seq((0, 8L, 0L))) // ties assign to the smaller cid
+  }
+
+  test("silhouetteSimplified matches a BigInt two-nearest reference") {
+    val vecs = randomVecs(21, 80, dim = 8).toDF("vec_id", "embedding")
+    val q = vecs.select(col("vec_id"), SimilarityOps.quantize(col("embedding")))
+      .as[(Long, Seq[Long])].collect()
+    // same params → same deterministic Lloyd → same centroids the
+    // operator trains internally
+    val cents = SimilarityOps.kmeansCentroids(vecs, k = 5, iters = 2, dim = 8)
+      .select("cid", "cv").as[(Int, Seq[Long])].collect().sortBy(_._1)
+    val want = q.map { case (_, v) =>
+      val ds = cents.map { case (cid, cv) =>
+        (v.zip(cv).map { case (a, b) => BigInt(a - b) * BigInt(a - b) }.sum, cid)
+      }.sortBy(identity).take(2)
+      val (a, cid) = ds(0); val b = ds(1)._1
+      (cid, if (b == 0) BigInt(0) else (b - a) * 1000000 / b)
+    }.groupBy(_._1).map { case (cid, ss) =>
+      (cid, ss.size.toLong, (ss.map(_._2).sum / ss.size).toLong)
+    }.toSeq.sortBy(_._1)
+    val got = SimilarityOps
+      .silhouetteSimplified(vecs, k = 5, iters = 2, dim = 8)
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == want)
+  }
 }
