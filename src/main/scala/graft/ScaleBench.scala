@@ -301,7 +301,8 @@ object ScaleBench {
     "q275_tpch_q20_shape", "q276_bloom_skip", "q277_theil_sen",
     // the approx-distinct rewrite: sketch agg vs the exact Expand
     "q278_approx_distinct_rule", "q279_spearman", "q280_silhouette",
-    "q281_holt_trend", "q282_l_diversity", "q283_ndcg", "q284_corr_matrix")
+    "q281_holt_trend", "q282_l_diversity", "q283_ndcg", "q284_corr_matrix",
+    "q285_holt_backtest", "q286_chi2_indep", "q287_textrank")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

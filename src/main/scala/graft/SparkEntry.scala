@@ -4014,7 +4014,28 @@ object SparkEntry {
         ("price_c", expr("CAST(round(l_extendedprice * 100) AS BIGINT)")),
         ("discount_c", expr("CAST(round(l_discount * 100) AS BIGINT)")),
         ("tax_c", expr("CAST(round(l_tax * 100) AS BIGINT)"))))
-        .orderBy("col_a", "col_b"))
+        .orderBy("col_a", "col_b")),
+
+    // One-step-ahead Holt forecast backtest — the q281 recurrence with
+    // error-mass accumulators folded in the SAME single pass: MAE, signed
+    // bias, and weighted MAPE per event type.
+    "q285_holt_backtest" -> ((s, dir) =>
+      EventOps.holtBacktest(t(s, dir, "events")).orderBy("event_type")),
+
+    // r×c chi-square independence test of order status × market segment
+    // over the DENSIFIED value lattice (absent cells still contribute
+    // their expectation) — exact integer micro units, cell-domain windows.
+    "q286_chi2_indep" -> ((s, dir) =>
+      ProfileOps.chi2Independence(
+        t(s, dir, "orders").join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey")),
+        "o_orderstatus", "c_mktsegment")
+        .orderBy("a", "b")),
+
+    // TextRank keywords: integer-micro PageRank over the symmetrized
+    // adjacent-token co-occurrence graph, global top-20.
+    "q287_textrank" -> ((s, dir) =>
+      TextOps.textrank(t(s, dir, "documents"), iters = 3, k = 20))
   )
 
   /** q229's shared text (both engines run it verbatim): TPC-H Q21's
@@ -9040,6 +9061,108 @@ object SparkEntry {
          |                // (CAST(den_a_nn AS HUGEINT) * den_b_nn))
          |            END AS BIGINT) AS rho2s_ppm
          |FROM p2 ORDER BY col_a, col_b""".stripMargin
+    },
+
+    // q281's recursive replay extended with the same three error masses.
+    "q285_holt_backtest" -> {
+      def half(v: String): String =
+        s"CASE WHEN ($v) >= 0 THEN ($v) // 2 ELSE -((-($v)) // 2) END"
+      val lNew = half("f.l + f.b + e.x")
+      s"""WITH RECURSIVE d AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |         sum(CAST(round(value * 100) AS BIGINT)) AS x
+         |  FROM events GROUP BY 1, 2),
+         |r AS (SELECT event_type, day, x,
+         |             row_number() OVER (PARTITION BY event_type
+         |                 ORDER BY day) AS rn
+         |      FROM d),
+         |nn AS (SELECT event_type, max(rn) AS n FROM r GROUP BY 1),
+         |f AS (SELECT event_type, rn, x AS l, CAST(0 AS BIGINT) AS b,
+         |             CAST(0 AS BIGINT) AS sae, CAST(0 AS BIGINT) AS se,
+         |             CAST(0 AS BIGINT) AS sax
+         |      FROM r WHERE rn = 1
+         |      UNION ALL
+         |      SELECT e.event_type, e.rn,
+         |             $lNew AS l,
+         |             ${half(s"f.b + ($lNew) - f.l")} AS b,
+         |             f.sae + abs(e.x - (f.l + f.b)),
+         |             f.se + (e.x - (f.l + f.b)),
+         |             f.sax + abs(e.x)
+         |      FROM f JOIN r e
+         |        ON e.event_type = f.event_type AND e.rn = f.rn + 1)
+         |SELECT f.event_type, CAST(nn.n AS BIGINT) AS n_days,
+         |       CAST(nn.n - 1 AS BIGINT) AS n_eval,
+         |       CAST(f.sae AS BIGINT) AS sae_c,
+         |       CAST(f.se AS BIGINT) AS se_c,
+         |       CAST(f.sax AS BIGINT) AS sax_c,
+         |       CAST(CASE WHEN nn.n = 1 THEN NULL
+         |            ELSE f.sae // (nn.n - 1) END AS BIGINT) AS mae_c,
+         |       CAST(CASE WHEN nn.n = 1 THEN NULL
+         |            WHEN f.se >= 0 THEN f.se // (nn.n - 1)
+         |            ELSE -((-f.se) // (nn.n - 1)) END AS BIGINT) AS bias_c,
+         |       CAST(CASE WHEN f.sax = 0 THEN NULL
+         |            ELSE (f.sae * 1000) // f.sax END AS BIGINT) AS wmape_milli
+         |FROM f JOIN nn ON nn.event_type = f.event_type AND f.rn = nn.n
+         |ORDER BY f.event_type""".stripMargin
+    },
+
+    // Same densified lattice, same cell-domain margins, same truncated
+    // micro contributions; dof from the two scalar distinct counts.
+    "q286_chi2_indep" ->
+      """WITH src AS (SELECT o_orderstatus AS a, c_mktsegment AS b
+        |             FROM orders JOIN customer ON o_custkey = c_custkey),
+        |obs0 AS (SELECT a, b, count(*) AS obs FROM src GROUP BY 1, 2),
+        |lat AS (SELECT da.a, db.b
+        |        FROM (SELECT DISTINCT a FROM obs0) da
+        |        CROSS JOIN (SELECT DISTINCT b FROM obs0) db),
+        |cells AS (SELECT l.a, l.b, COALESCE(o.obs, 0) AS obs
+        |          FROM lat l LEFT JOIN obs0 o ON o.a = l.a AND o.b = l.b),
+        |m AS (SELECT a, b, obs,
+        |             sum(obs) OVER (PARTITION BY a) AS row_n,
+        |             sum(obs) OVER (PARTITION BY b) AS col_n,
+        |             sum(obs) OVER () AS n
+        |      FROM cells),
+        |c2 AS (SELECT a, b, obs, row_n, col_n, n,
+        |              CAST(((CAST(obs AS HUGEINT) * n - CAST(row_n AS HUGEINT) * col_n)
+        |                * (CAST(obs AS HUGEINT) * n - CAST(row_n AS HUGEINT) * col_n)
+        |                * 1000000)
+        |                // (CAST(n AS HUGEINT) * row_n * col_n) AS BIGINT)
+        |                AS chi2_micro_cell
+        |       FROM m)
+        |SELECT a, b, CAST(obs AS BIGINT) AS obs,
+        |       CAST(row_n AS BIGINT) AS row_n, CAST(col_n AS BIGINT) AS col_n,
+        |       CAST(n AS BIGINT) AS n, chi2_micro_cell,
+        |       CAST(sum(chi2_micro_cell) OVER () AS BIGINT) AS chi2_micro,
+        |       CAST(((SELECT count(DISTINCT a) FROM obs0) - 1)
+        |            * ((SELECT count(DISTINCT b) FROM obs0) - 1) AS BIGINT) AS dof
+        |FROM c2 ORDER BY a, b""".stripMargin,
+
+    // Same successor-pair edges, same symmetrized distinct set, q74's
+    // integer damped rounds, same (rank desc, term) top-20 cut.
+    "q287_textrank" -> {
+      val rounds = (1 to 3).map { r =>
+        s"""c$r AS (SELECT s.v AS node, sum(p.rank // d.deg) AS m
+           |        FROM p${r - 1} p JOIN se s ON s.u = p.node
+           |        JOIN dg d ON d.node = p.node
+           |        GROUP BY s.v),
+           |p$r AS (SELECT n.node,
+           |               CAST(150000 + (850 * coalesce(c.m, 0)) // 1000 AS BIGINT) AS rank
+           |        FROM pn n LEFT JOIN c$r c ON c.node = n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+         |pp AS (SELECT w[i] AS a, w[i + 1] AS b
+         |       FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+         |             FROM w)
+         |       WHERE w[i] <> w[i + 1]),
+         |se AS (SELECT DISTINCT u, v FROM (
+         |         SELECT a AS u, b AS v FROM pp
+         |         UNION ALL SELECT b, a FROM pp)),
+         |pn AS (SELECT u AS node FROM se UNION SELECT v FROM se),
+         |dg AS (SELECT u AS node, count(*) AS deg FROM se GROUP BY u),
+         |p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM pn),
+         |$rounds
+         |SELECT node AS term, rank AS rank_micro FROM p3
+         |ORDER BY rank DESC, node LIMIT 20""".stripMargin
     }
   )
 }

@@ -788,6 +788,60 @@ object EventOps {
     * every fold here shares): ONE shuffle to the (type, day) domain, one
     * k-row fold. Output: (event_type, n_days, level_c, trend_c,
     * forecast_c = l + b, the one-step-ahead forecast). */
+  /** One-step-ahead BACKTEST of [[holtHalf]] — the "is the forecast any
+    * good" readout: the same (level, trend) recurrence additionally
+    * accumulates, per step t ≥ 2, the error of the forecast made BEFORE
+    * seeing xₜ (f = lₜ₋₁ + bₜ₋₁):
+    *
+    *   sae += |xₜ − f|   (absolute error mass)
+    *   se  += (xₜ − f)   (signed bias mass)
+    *   sax += |xₜ|       (actual mass, the WMAPE denominator)
+    *
+    * — still ONE five-long-state codegen'd fold per key, same shuffle
+    * shape as [[holtHalf]]. Metrics are single divisions of the folded
+    * masses (no per-term ratio, so no per-term zero guards): mae_c and
+    * sign-safe bias_c over n_eval = n_days − 1, wmape_milli =
+    * sae·1000 div sax. A single-day series (n_eval = 0) and an all-zero
+    * actual mass report NULL rather than tripping ANSI. */
+  def holtBacktest(events: DataFrame, typeCol: String = "event_type",
+                   tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    def half(v: String): String =
+      s"CASE WHEN ($v) >= 0 THEN ($v) div 2 ELSE -((-($v)) div 2) END"
+    val lNew = half("acc.l + acc.b + e.x")
+    events
+      .select(col(typeCol).as("event_type"),
+        expr(s"((($tsCol) div 1000)) div 86400000000").as("day"),
+        cents(col(valueCol)).as("xc"))
+      .groupBy("event_type", "day").agg(sum("xc").as("x"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sort_array(collect_list(struct(col("day"), col("x")))).as("seq"))
+      .select(col("event_type"), col("n_days"),
+        expr(s"""aggregate(slice(seq, 2, size(seq) - 1),
+                |  named_struct('l', seq[0].x, 'b', CAST(0 AS BIGINT),
+                |    'sae', CAST(0 AS BIGINT), 'se', CAST(0 AS BIGINT),
+                |    'sax', CAST(0 AS BIGINT)),
+                |  (acc, e) -> named_struct(
+                |    'l', $lNew,
+                |    'b', ${half(s"acc.b + ($lNew) - acc.l")},
+                |    'sae', acc.sae + abs(e.x - (acc.l + acc.b)),
+                |    'se', acc.se + (e.x - (acc.l + acc.b)),
+                |    'sax', acc.sax + abs(e.x)))""".stripMargin)
+          .as("st"))
+      .select(col("event_type"), col("n_days"),
+        (col("n_days") - 1).as("n_eval"),
+        col("st.sae").as("sae_c"), col("st.se").as("se_c"),
+        col("st.sax").as("sax_c"),
+        expr("CASE WHEN n_days = 1 THEN NULL ELSE st.sae div (n_days - 1) END")
+          .as("mae_c"),
+        expr("""CASE WHEN n_days = 1 THEN NULL
+               |     WHEN st.se >= 0 THEN st.se div (n_days - 1)
+               |     ELSE -((-st.se) div (n_days - 1)) END""".stripMargin)
+          .as("bias_c"),
+        expr("CASE WHEN st.sax = 0 THEN NULL ELSE (st.sae * 1000) div st.sax END")
+          .as("wmape_milli"))
+  }
+
   def holtHalf(events: DataFrame, typeCol: String = "event_type",
                tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
     def half(v: String): String =

@@ -632,6 +632,50 @@ object ProfileOps {
           .as("chi2_micro"))
   }
 
+  /** Pearson χ² test of independence over an r×c contingency table — the
+    * general-shape extension of the 2×2 A/B chi² (q177): per cell,
+    * E = row_margin·col_margin/n and the contribution
+    * (O − E)²/E = (O·n − R·C)² / (n·R·C), carried exactly in DECIMAL(38)
+    * lanes and emitted in truncated micro units; the table-wide statistic
+    * and the degrees of freedom (r−1)(c−1) ride every row via windows.
+    *
+    * Shape: ONE shuffle to the (a, b) cell domain; margins and totals are
+    * windows OVER THE CELL DOMAIN (r·c rows — bounded by the category
+    * cardinalities, not the data), the Benford device — no second scan,
+    * no scalar broadcast join. Output per cell: (a, b, obs, row_n, col_n,
+    * n, chi2_micro_cell, chi2_micro, dof). */
+  def chi2Independence(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs0 = df.select(col(aCol).as("a"), col(bCol).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("obs"))
+      .localCheckpoint() // r·c rows, consumed by the lattice and the join
+    // densify to the full r×c value lattice: an UNOBSERVED cell has O = 0
+    // but E = R·C/n > 0 and still contributes to the statistic — dropping
+    // it would understate chi² exactly when the dependence is strongest
+    val cells = obs0.select("a").distinct()
+      .crossJoin(broadcast(obs0.select("b").distinct()))
+      .join(obs0, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("obs"), lit(0L)).as("obs"))
+    val wa = Window.partitionBy("a")
+    val wb = Window.partitionBy("b")
+    val w = Window.partitionBy(lit(1)) // the r×c cell domain
+    cells
+      .withColumn("row_n", sum("obs").over(wa))
+      .withColumn("col_n", sum("obs").over(wb))
+      .withColumn("n", sum("obs").over(w))
+      .withColumn("chi2_micro_cell",
+        expr("""((CAST(obs AS DECIMAL(38,0)) * n - CAST(row_n AS DECIMAL(38,0)) * col_n)
+               |  * (CAST(obs AS DECIMAL(38,0)) * n - CAST(row_n AS DECIMAL(38,0)) * col_n)
+               |  * 1000000)
+               |  div (CAST(n AS DECIMAL(38,0)) * row_n * col_n)""".stripMargin)
+          .cast("long"))
+      .withColumn("chi2_micro", sum("chi2_micro_cell").over(w))
+      .withColumn("dof",
+        ((size(collect_set("a").over(w)) - 1) *
+          (size(collect_set("b").over(w)) - 1)).cast("long"))
+      .select("a", "b", "obs", "row_n", "col_n", "n",
+        "chi2_micro_cell", "chi2_micro", "dof")
+  }
+
   /** l-diversity audit (Machanavajjhala et al. 2007) — the sensitive-value
     * complement to the k-anonymity class-size check: per quasi-identifier
     * equivalence class, how many DISTINCT sensitive values appear

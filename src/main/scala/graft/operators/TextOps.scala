@@ -977,4 +977,34 @@ object TextOps {
         expr("(mass * 1000000) div total_mass").as("mass_ppm"),
         expr("((r + 1) * n_r1 * 1000000) div n_r").as("r_star_micro"))
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    * the word co-occurrence graph — an edge per ADJACENT token pair
+    * (window 1, the q178 successor machinery), symmetrized and
+    * deduplicated, then [[GraphOps.pageRank]]'s exact integer-micro
+    * damped iteration and a global top-k (TakeOrderedAndProject, rank
+    * desc / term asc ties).
+    *
+    * Scale shape: the corpus is scanned ONCE to generate successor pairs
+    * (the edge frame is localCheckpointed — PageRank's per-round
+    * nodes/deg/edges reuse must not replay the corpus explode), and every
+    * subsequent round runs on the VOCABULARY-sized graph, which Heaps'
+    * law grows far slower than the corpus. */
+  def textrank(docs: DataFrame, iters: Int = 3, k: Int = 20,
+               textCol: String = "text"): DataFrame = {
+    val pairs = docs.select(words(col(textCol)).as("w"))
+      .select(explode(expr(
+        "zip_with(w, concat(slice(w, 2, greatest(size(w) - 1, 0)), array(CAST(NULL AS STRING)))," +
+          " (a, b) -> struct(a AS t, b AS nxt))")).as("p"))
+      .filter(col("p.nxt").isNotNull && col("p.t") =!= col("p.nxt"))
+      .select(col("p.t").as("a"), col("p.nxt").as("b"))
+    val sym = pairs
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    GraphOps.pageRank(sym, iters, "a", "b")
+      .orderBy(col("rank").desc, col("node"))
+      .limit(k)
+      .select(col("node").as("term"), col("rank").as("rank_micro"))
+  }
 }

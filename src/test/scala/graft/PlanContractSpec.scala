@@ -69,6 +69,7 @@ class PlanContractSpec extends SparkSpec {
     "q246_cuped",                    // 1-row totals x 1-row arms cross join
     "q257_hits",                     // 6× 1-row max-abs renorm scalars (the q180 class)
     "q267_kendall_tau",              // cell-domain a<a' pair join (|A|·|B| cells) + 1-row margins
+    "q286_chi2_indep",               // r×c value-lattice densification (two tiny distinct frames)
     "q272_did")                      // 1-row median-cut scalar broadcast
 
   /** q38's brute-force fallback joins the (empty-whenever-the-grid-

@@ -642,4 +642,39 @@ class EventOpsSpec extends SparkSpec {
     // the declining series must actually exercise the negative lane
     assert(want.find(_._1 == "down").get._4 < 0)
   }
+
+  test("holtBacktest matches a Scala fold with error masses; single day NULLs") {
+    val dayUs = 86400000000L
+    def half(v: Long): Long = if (v >= 0) v / 2 else -((-v) / 2)
+    val rows = Seq(
+      ("down", 0L, 100.0), ("down", 1L, 90.0), ("down", 2L, 78.5),
+      ("down", 3L, 40.0), ("down", 4L, 50.0),
+      ("up", 0L, 1.0), ("up", 2L, 5.0), ("up", 5L, 20.0),
+      ("one", 7L, 12.34))
+    val df = rows.map { case (t, d, v) => (t, d * dayUs * 1000L, v) }
+      .toDF("event_type", "ts", "value")
+    val got = EventOps.holtBacktest(df)
+      .as[(String, Long, Long, Long, Long, Long, Option[Long], Option[Long],
+        Option[Long])].collect().sortBy(_._1).toSeq
+    val want = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, es) =>
+      val xs = es.sortBy(_._2).map(e => math.round(e._3 * 100))
+      var (l, b) = (xs.head, 0L)
+      var (sae, se, sax) = (0L, 0L, 0L)
+      xs.tail.foreach { x =>
+        val err = x - (l + b)
+        sae += math.abs(err); se += err; sax += math.abs(x)
+        val l1 = half(l + b + x); b = half(b + l1 - l); l = l1
+      }
+      val nEval = xs.size - 1L
+      (t, xs.size.toLong, nEval, sae, se, sax,
+        if (nEval == 0) None else Some(sae / nEval),
+        if (nEval == 0) None
+        else Some(if (se >= 0) se / nEval else -((-se) / nEval)),
+        if (sax == 0) None else Some(sae * 1000 / sax))
+    }
+    assert(got == want)
+    // single-day series: every per-eval metric is NULL, masses are zero
+    assert(got.find(_._1 == "one").get
+      == (("one", 1L, 0L, 0L, 0L, 0L, None, None, None)))
+  }
 }

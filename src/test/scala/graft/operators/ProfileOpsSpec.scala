@@ -376,4 +376,32 @@ class ProfileOpsSpec extends SparkSpec {
       assert(gRho == want, s"pair ($a, $b)")
     }
   }
+
+  test("chi2Independence: hand 2x2, absent-cell densification, margins, dof") {
+    // 2x2: obs (x,p)=30 (x,q)=10 / (y,p)=10 (y,q)=30 -> n=80, all margins 40
+    val rows = Seq.fill(30)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+      Seq.fill(10)(("y", "p")) ++ Seq.fill(30)(("y", "q"))
+    val got = ProfileOps.chi2Independence(rows.toDF("u", "v"), "u", "v")
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // per cell: (O*n - R*C)^2 * 1e6 / (n*R*C) = (30*80 - 1600)^2e6/(80*1600)
+    //         = 640000e6/128000 = 5000000 for every cell -> chi2 = 20e6
+    got.values.foreach { case (_, _, obs, rn, cn, n, cell, tot, dof) =>
+      assert(rn == 40L && cn == 40L && n == 80L)
+      assert(cell == 5000000L && tot == 20000000L && dof == 1L)
+      assert(obs == 30L || obs == 10L)
+    }
+    // absent cell: (y, q) never observed -> densified with obs = 0 and a
+    // NONZERO contribution (its expectation mass)
+    val sparse = Seq.fill(4)(("x", "p")) ++ Seq.fill(4)(("x", "q")) ++
+      Seq.fill(4)(("y", "p"))
+    val got2 = ProfileOps.chi2Independence(sparse.toDF("u", "v"), "u", "v")
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(got2.size == 4)
+    val (_, _, obs0, rn0, cn0, n0, cell0, _, _) = got2(("y", "q"))
+    assert(obs0 == 0L && rn0 == 4L && cn0 == 4L && n0 == 12L)
+    // (0*12 - 16)^2 * 1e6 / (12*16) = 256e6/192 = 1333333
+    assert(cell0 == 1333333L)
+  }
 }

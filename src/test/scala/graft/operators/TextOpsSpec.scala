@@ -501,4 +501,22 @@ class TextOpsSpec extends SparkSpec {
       (2L, 1L, 333333L, Some(3000000L)),
       (3L, 1L, 500000L, None)))
   }
+
+  test("textrank: edge plumbing equals pageRank on the hand-built graph") {
+    // "a b a b" -> edges a<->b (dups collapse); "b c" -> b<->c; "x x" is a
+    // self pair (dropped); "solo" has no successor at all
+    val docs = Seq((1L, "a b a b"), (2L, "b c"), (3L, "x x"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextOps.textrank(docs, iters = 3, k = 10)
+      .as[(String, Long)].collect().toSeq
+    val sym = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+      .toDF("u", "v")
+    val want = graft.operators.GraphOps.pageRank(sym, iters = 3)
+      .as[(String, Long)].collect()
+      .sortBy { case (n, r) => (-r, n) }.toSeq
+    assert(got == want)
+    assert(!got.exists(_._1 == "x") && !got.exists(_._1 == "solo"))
+    // b has degree 2 -> strictly highest rank
+    assert(got.head._1 == "b" && got.head._2 > got(1)._2)
+  }
 }
