@@ -4035,7 +4035,27 @@ object SparkEntry {
     // TextRank keywords: integer-micro PageRank over the symmetrized
     // adjacent-token co-occurrence graph, global top-20.
     "q287_textrank" -> ((s, dir) =>
-      TextOps.textrank(t(s, dir, "documents"), iters = 3, k = 20))
+      TextOps.textrank(t(s, dir, "documents"), iters = 3, k = 20)),
+
+    // Grid-density clustering of the node cloud: the cell lattice is
+    // integer-exact (lat·500 and lon·500 land on integers by the node
+    // layout), dense = strictly above mean occupancy, clusters =
+    // components of 8-neighbor-adjacent dense cells.
+    "q288_dbscan_grid" -> ((s, dir) =>
+      Grid.gridDensityClusters(Derive.nodes(s, dir), invCellDeg = 500.0)
+        .orderBy("cluster")),
+
+    // Inter-arrival burstiness per event type: per-(type, user) gap
+    // sequences, exact integer CV² in milli — Poisson scores ≈1000.
+    "q289_interarrival" -> ((s, dir) =>
+      EventOps.interarrival(t(s, dir, "events")).orderBy("event_type")),
+
+    // Multinomial naive Bayes on the id-parity split: micro-nat
+    // log-likelihood table, unseen fallback, train-share priors,
+    // argmax confusion matrix.
+    "q290_naive_bayes" -> ((s, dir) =>
+      TextOps.naiveBayes(t(s, dir, "documents"))
+        .orderBy("lang", "pred_lang"))
   )
 
   /** q229's shared text (both engines run it verbatim): TPC-H Q21's
@@ -9163,6 +9183,102 @@ object SparkEntry {
          |$rounds
          |SELECT node AS term, rank AS rank_micro FROM p3
          |ORDER BY rank DESC, node LIMIT 20""".stripMargin
-    }
+    },
+
+    // Same integer cell lattice, same strictly-above-mean density cut,
+    // same packed cell ids; the component closure is the q211 recursive
+    // min-reachability replay over the 8-neighbor edges + self-pairs.
+    "q288_dbscan_grid" -> {
+      val offs = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1),
+        (0, 1), (1, -1), (1, 0), (1, 1))
+        .map { case (dy, dx) =>
+          s"SELECT cell_id AS id1, (cy + $dy) * 1000000 + (cx + $dx) AS id2 FROM dense" }
+        .mkString("\n         UNION ALL ")
+      s"""WITH RECURSIVE ${Derive.Sql.nodes},
+         |cells AS (SELECT CAST(floor(lat * 500.0) AS BIGINT) AS cy,
+         |                 CAST(floor(lon * 500.0) AS BIGINT) AS cx,
+         |                 count(*) AS n_pts
+         |          FROM nodes GROUP BY 1, 2),
+         |dense AS (SELECT cy, cx, n_pts, cy * 1000000 + cx AS cell_id
+         |          FROM (SELECT cy, cx, n_pts,
+         |                       sum(n_pts) OVER () // count(n_pts) OVER () AS mean_occ
+         |                FROM cells)
+         |          WHERE n_pts > mean_occ),
+         |cand AS ($offs
+         |         UNION ALL SELECT cell_id, cell_id FROM dense),
+         |sym AS (SELECT c.id1 AS a, c.id2 AS b FROM cand c
+         |        JOIN dense d ON d.cell_id = c.id2),
+         |reach(a, b) AS (
+         |  SELECT a, a FROM sym GROUP BY a
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b),
+         |comp AS (SELECT a AS cell_id, min(b) AS cluster FROM reach GROUP BY a)
+         |SELECT c.cluster, count(*) AS n_cells,
+         |       CAST(sum(d.n_pts) AS BIGINT) AS n_points,
+         |       min(d.cy) AS min_cy, max(d.cy) AS max_cy,
+         |       min(d.cx) AS min_cx, max(d.cx) AS max_cx
+         |FROM comp c JOIN dense d ON d.cell_id = c.cell_id
+         |GROUP BY c.cluster ORDER BY c.cluster""".stripMargin
+    },
+
+    // Same (type, user, ts, id)-ordered gap walk, same truncated second
+    // lanes, same cleared CV² milli law.
+    "q289_interarrival" ->
+      """WITH e AS (SELECT event_type, user_id,
+        |                  epoch_us(ts) AS ts_us, event_id
+        |           FROM events),
+        |g AS (SELECT event_type,
+        |             (ts_us - lag(ts_us) OVER (PARTITION BY event_type, user_id
+        |                 ORDER BY ts_us, event_id)) // 1000000 AS g
+        |      FROM e),
+        |m AS (SELECT event_type, count(*) AS n_gaps, sum(g) AS sg,
+        |             sum(CAST(g AS HUGEINT) * g) AS sg2
+        |      FROM g WHERE g IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_gaps, CAST(sg AS BIGINT) AS sum_gap_s,
+        |       CAST(sg // n_gaps AS BIGINT) AS mean_gap_s,
+        |       CAST(CASE WHEN sg = 0 THEN NULL
+        |            ELSE ((CAST(n_gaps AS HUGEINT) * sg2
+        |                    - CAST(sg AS HUGEINT) * sg) * 1000)
+        |                 // (CAST(sg AS HUGEINT) * sg) END AS BIGINT) AS cv2_milli
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    // Same micro-nat per-cell floors (shared-libm ln, the q213 device),
+    // same Laplace table, same unseen fallback and priors, same argmax.
+    "q290_naive_bayes" ->
+      """WITH toks AS (SELECT doc_id, lang,
+        |                     unnest(string_split(text, ' ')) AS term
+        |              FROM documents),
+        |ct AS (SELECT lang, term, count(*) AS c FROM toks
+        |       WHERE doc_id % 10 < 8 GROUP BY 1, 2),
+        |tc AS (SELECT lang, sum(c) AS tc FROM ct GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT term) AS v FROM ct),
+        |lp AS (SELECT ct.lang AS cls, ct.term,
+        |              CAST(floor(ln(CAST(ct.c + 1 AS DOUBLE)
+        |                / CAST(tc.tc + vv.v AS DOUBLE)) * 1000000.0 + 0.5)
+        |                AS BIGINT) AS lp
+        |       FROM ct JOIN tc USING (lang) CROSS JOIN vv),
+        |nd AS (SELECT lang, count(*) AS nd FROM documents
+        |       WHERE doc_id % 10 < 8 GROUP BY 1),
+        |classes AS (SELECT tc.lang AS cls,
+        |                   CAST(floor(ln(1.0 / CAST(tc.tc + vv.v AS DOUBLE))
+        |                     * 1000000.0 + 0.5) AS BIGINT) AS lp0,
+        |                   CAST(floor(ln(CAST(nd.nd AS DOUBLE)
+        |                     / CAST((SELECT sum(nd) FROM nd) AS DOUBLE))
+        |                     * 1000000.0 + 0.5) AS BIGINT) AS prior
+        |            FROM tc CROSS JOIN vv JOIN nd ON nd.lang = tc.lang),
+        |vd AS (SELECT doc_id, lang AS true_lang, term, count(*) AS cnt
+        |       FROM toks WHERE doc_id % 10 >= 8 GROUP BY 1, 2, 3),
+        |sc AS (SELECT vd.doc_id, vd.true_lang, k.cls,
+        |              sum(vd.cnt * COALESCE(lp.lp, k.lp0)) + any_value(k.prior) AS score
+        |       FROM vd CROSS JOIN classes k
+        |       LEFT JOIN lp ON lp.cls = k.cls AND lp.term = vd.term
+        |       GROUP BY 1, 2, 3),
+        |pred AS (SELECT doc_id, true_lang, cls,
+        |                row_number() OVER (PARTITION BY doc_id
+        |                    ORDER BY score DESC, cls) AS rn
+        |         FROM sc)
+        |SELECT true_lang AS lang, cls AS pred_lang, count(*) AS n_docs
+        |FROM pred WHERE rn = 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -788,6 +788,45 @@ object EventOps {
     * every fold here shares): ONE shuffle to the (type, day) domain, one
     * k-row fold. Output: (event_type, n_days, level_c, trend_c,
     * forecast_c = l + b, the one-step-ahead forecast). */
+  /** Inter-arrival burstiness profile per event type: gaps are the
+    * second-truncated deltas between CONSECUTIVE events of the same
+    * (type, user) sequence (ties broken by event id — a total order, so
+    * both engines walk identical sequences), and the headline is the
+    * squared coefficient of variation in exact milli units,
+    *
+    *   cv2_milli = ((n·Σg² − (Σg)²) · 1000) div (Σg)²
+    *
+    * — the Poisson yardstick: an exponential (memoryless) arrival process
+    * scores ≈1000, bursty traffic scores above, a metronome scores 0. The
+    * num lives in a DECIMAL(38) lane (n·Σg² passes 2⁶³ near 10⁷ events);
+    * an all-zero gap mass reports NULL. One lag window per (type, user)
+    * partition + one reduce to the type domain — per-key depth is what it
+    * is in the data; 10× users means 10× partitions, not deeper ones. */
+  def interarrival(events: DataFrame, typeCol: String = "event_type",
+                   userCol: String = "user_id", tsCol: String = "ts",
+                   idCol: String = "event_id"): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val w = Window.partitionBy("event_type", "user")
+      .orderBy("ts_us", "event_id")
+    events
+      .select(col(typeCol).as("event_type"), col(userCol).as("user"),
+        tsUs(tsCol).as("ts_us"), col(idCol).as("event_id"))
+      .withColumn("prev", lag("ts_us", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"),
+        expr("(ts_us - prev) div 1000000").as("g"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"), sum("g").as("sum_gap_s"),
+        sum(dec(col("g")) * dec(col("g"))).as("sg2"))
+      .select(col("event_type"), col("n_gaps"), col("sum_gap_s"),
+        expr("sum_gap_s div n_gaps").as("mean_gap_s"),
+        expr("""CASE WHEN sum_gap_s = 0 THEN NULL
+               |     ELSE ((CAST(n_gaps AS DECIMAL(38,0)) * sg2
+               |             - CAST(sum_gap_s AS DECIMAL(38,0)) * sum_gap_s) * 1000)
+               |          div (CAST(sum_gap_s AS DECIMAL(38,0)) * sum_gap_s) END"""
+          .stripMargin).cast("long").as("cv2_milli"))
+  }
+
   /** One-step-ahead BACKTEST of [[holtHalf]] — the "is the forecast any
     * good" readout: the same (level, trend) recurrence additionally
     * accumulates, per step t ≥ 2, the error of the forecast made BEFORE

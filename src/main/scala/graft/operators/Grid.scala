@@ -129,4 +129,54 @@ object Grid {
     points.withColumn("row", ri).withColumn("col", ci)
       .withColumn("grid_id", gridId(col("row"), col("col")))
   }
+
+  /** Grid-density clustering (the cell-granular DBSCAN every large-scale
+    * spatial pipeline actually runs — GriDBSCAN / "grid DBSCAN" family):
+    * points are reduced to lattice cells (cy, cx) = (⌊lat·inv⌋, ⌊lon·inv⌋),
+    * a cell is DENSE when its point count strictly exceeds the mean cell
+    * occupancy (the q98 device: a data-relative threshold, exact integer
+    * `total div n_cells`, so the gate is meaningful at every scale), and
+    * clusters are the connected components of dense cells under
+    * 8-neighbor adjacency.
+    *
+    * Scale shape: ONE shuffle reduces N points to the bounded cell
+    * domain; everything after — the 8-offset explode, the neighbor
+    * equi-join (never a spatial range join), and the component rounds —
+    * runs on dense cells only. Self-pairs keep isolated dense cells as
+    * singleton clusters. Cell ids pack as cy·10⁶ + cx (valid for any
+    * |cx| < 10⁶ lattice, required positive); the cluster label is the
+    * component-min cell id. Output per cluster: (cluster, n_cells,
+    * n_points, min_cy, max_cy, min_cx, max_cx). */
+  def gridDensityClusters(points: DataFrame, invCellDeg: Double,
+                          lonCol: String = "lon",
+                          latCol: String = "lat"): DataFrame = {
+    val cells = points.select(
+        floor(col(latCol) * lit(invCellDeg)).cast("long").as("cy"),
+        floor(col(lonCol) * lit(invCellDeg)).cast("long").as("cx"))
+      .groupBy("cy", "cx").agg(count(lit(1)).as("n_pts"))
+    val dense = cells
+      .withColumn("mean_occ",
+        expr("sum(n_pts) OVER () div count(n_pts) OVER ()"))
+      .filter(col("n_pts") > col("mean_occ"))
+      .select(col("cy"), col("cx"), col("n_pts"),
+        (col("cy") * 1000000L + col("cx")).as("cell_id"))
+      .localCheckpoint() // feeds offsets, the join probe, AND the labeling
+    val offsets = Seq((-1L, -1L), (-1L, 0L), (-1L, 1L), (0L, -1L),
+      (0L, 1L), (1L, -1L), (1L, 0L), (1L, 1L))
+    val nbr = dense.select(col("cell_id").as("id1"),
+        explode(array(offsets.map { case (dy, dx) =>
+          ((col("cy") + dy) * 1000000L + (col("cx") + dx))
+        }: _*)).as("id2"))
+      .join(dense.select(col("cell_id").as("id2")), Seq("id2"))
+      .select("id1", "id2")
+    val selfPairs = dense.select(col("cell_id").as("id1"),
+      col("cell_id").as("id2"))
+    val labels = GraphOps.connectedComponents(nbr.union(selfPairs))
+      .select(col("id").as("cell_id"), col("component").as("cluster"))
+    dense.join(labels, Seq("cell_id"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_cells"), sum("n_pts").as("n_points"),
+        min("cy").as("min_cy"), max("cy").as("max_cy"),
+        min("cx").as("min_cx"), max("cx").as("max_cx"))
+  }
 }

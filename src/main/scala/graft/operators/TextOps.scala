@@ -978,6 +978,65 @@ object TextOps {
         expr("((r + 1) * n_r1 * 1000000) div n_r").as("r_star_micro"))
   }
 
+  /** Multinomial naive-Bayes language classifier, trained and evaluated
+    * in one job over the id-parity split (doc_id % 10 < 8 trains, the
+    * rest evaluates — q268's deterministic-split discipline): per-class
+    * Laplace-smoothed token log-likelihoods
+    *
+    *   lp(ℓ, t) = ln((c_ℓt + 1) / (tc_ℓ + V))
+    *
+    * are rounded to integer MICRO-NATS once per (class, term) — the q213
+    * device: after the per-cell floor(x·10⁶ + 0.5) both engines sum only
+    * integers, so float summation ORDER cannot move a single hash bit;
+    * ln parity per cell is the same shared-libm assumption q76/q213
+    * already gate. Unseen terms take the class's ln(1/(tc+V)) floor; the
+    * class prior is the train-doc share. Prediction is argmax over
+    * (score desc, class asc) — a total order. Output: the confusion
+    * matrix (lang, pred_lang, n_docs).
+    *
+    * Scale shape: training is ONE (class, term) reduce; scoring joins the
+    * val (doc, term) counts against the vocabulary-sized lp table per
+    * class (classes are a bounded broadcast), then one per-doc argmax
+    * window over |classes| rows per doc. */
+  def naiveBayes(docs: DataFrame, labelCol: String = "lang",
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def microNat(x: Column): Column =
+      floor(log(x) * lit(1e6) + lit(0.5)).cast("long")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      col(labelCol).as("lang"), explode(words(col(textCol))).as("term"))
+    val ct = toks.filter(col("doc_id") % 10 < 8)
+      .groupBy("lang", "term").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds class totals, vocab size, and lp rows
+    val tc = ct.groupBy("lang").agg(sum("c").as("tc"))
+    val v = broadcast(ct.agg(countDistinct("term").as("v")))
+    val lp = ct.join(tc, Seq("lang")).crossJoin(v)
+      .select(col("lang").as("cls"), col("term"),
+        microNat((col("c") + 1).cast("double") /
+          (col("tc") + col("v")).cast("double")).as("lp"))
+    val prior = docs.filter(col(idCol) % 10 < 8)
+      .groupBy(col(labelCol).as("lang")).agg(count(lit(1)).as("nd"))
+      .withColumn("nall", expr("sum(nd) OVER ()"))
+    val classes = broadcast(tc.crossJoin(v)
+      .select(col("lang").as("cls"),
+        microNat(lit(1.0) / (col("tc") + col("v")).cast("double")).as("lp0"))
+      .join(prior.select(col("lang").as("cls"),
+        microNat(col("nd").cast("double") / col("nall").cast("double"))
+          .as("prior")), Seq("cls")))
+    val vd = toks.filter(col("doc_id") % 10 >= 8)
+      .groupBy(col("doc_id"), col("lang").as("true_lang"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val scored = vd.crossJoin(classes)
+      .join(lp, Seq("cls", "term"), "left")
+      .groupBy("doc_id", "true_lang", "cls")
+      .agg((sum(col("cnt") * coalesce(col("lp"), col("lp0")))
+        + first(col("prior"))).as("score"))
+    val wDoc = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("cls"))
+    scored.withColumn("rn", row_number().over(wDoc)).filter(col("rn") === 1)
+      .groupBy(col("true_lang").as("lang"), col("cls").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
     * the word co-occurrence graph — an edge per ADJACENT token pair
     * (window 1, the q178 successor machinery), symmetrized and

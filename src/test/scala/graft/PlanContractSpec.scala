@@ -70,6 +70,8 @@ class PlanContractSpec extends SparkSpec {
     "q257_hits",                     // 6× 1-row max-abs renorm scalars (the q180 class)
     "q267_kendall_tau",              // cell-domain a<a' pair join (|A|·|B| cells) + 1-row margins
     "q286_chi2_indep",               // r×c value-lattice densification (two tiny distinct frames)
+    "q288_dbscan_grid",              // mean-occupancy scalar window + dense-cell domain
+    "q290_naive_bayes",              // 1-row vocab-size + |classes|-row broadcast crossJoins
     "q272_did")                      // 1-row median-cut scalar broadcast
 
   /** q38's brute-force fallback joins the (empty-whenever-the-grid-

@@ -677,4 +677,27 @@ class EventOpsSpec extends SparkSpec {
     assert(got.find(_._1 == "one").get
       == (("one", 1L, 0L, 0L, 0L, 0L, None, None, None)))
   }
+
+  test("interarrival: metronome 0, planted CV2, zero-mass NULL, ties by id") {
+    val s = 1000000000L // seconds -> nanos
+    val rows = Seq(
+      // metro/user 1: gaps 10,10,10 -> cv2 = 0
+      ("metro", 1L, 1L, 0L), ("metro", 2L, 1L, 10L),
+      ("metro", 3L, 1L, 20L), ("metro", 4L, 1L, 30L),
+      // burst/user 2: ts tie broken by event_id -> gaps 0, 100
+      ("burst", 5L, 2L, 0L), ("burst", 6L, 2L, 0L), ("burst", 7L, 2L, 100L),
+      // zero/user 3: one gap of 0 -> sum 0 -> NULL cv2
+      ("zero", 8L, 3L, 0L), ("zero", 9L, 3L, 0L),
+      // singleton user contributes NO gap to metro
+      ("metro", 10L, 4L, 500L))
+    val df = rows.map { case (t, id, u, sec) => (t, id, u, sec * s) }
+      .toDF("event_type", "event_id", "user_id", "ts")
+    val got = EventOps.interarrival(df)
+      .as[(String, Long, Long, Long, Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("metro") == (("metro", 3L, 30L, 10L, Some(0L))))
+    // burst: n=2, sg=100, sg2=10000 -> ((2*10000-10000)*1000) div 10000
+    assert(got("burst") == (("burst", 2L, 100L, 50L, Some(1000L))))
+    assert(got("zero") == (("zero", 1L, 0L, 0L, None)))
+  }
 }

@@ -78,4 +78,22 @@ class GridSpec extends SparkSpec {
       assert(buffered.contains((r.getAs[Long]("id"), r.getAs[String]("grid_id"))))
     }
   }
+
+  test("gridDensityClusters: diagonal adjacency, singleton, and the mean cut") {
+    import spark.implicits._
+    // unit cells; planted occupancy: an L of three 5-point cells (touching
+    // by side and DIAGONAL), one isolated 5-point cell, 8 background
+    // 1-point cells -> total 28 pts / 12 cells -> mean 2 -> dense = the 5s
+    def pts(cy: Int, cx: Int, n: Int): Seq[(Double, Double)] =
+      Seq.fill(n)((cy + 0.3, cx + 0.6))
+    val cloud = pts(0, 0, 5) ++ pts(0, 1, 5) ++ pts(1, 1, 5) ++ pts(5, 5, 5) ++
+      (10 to 17).map(i => (i + 0.5, 0.5))
+    val df = cloud.toDF("lat", "lon")
+    val got = Grid.gridDensityClusters(df, invCellDeg = 1.0)
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, 3L, 15L, 0L, 1L, 0L, 1L),          // the L merges via the diagonal
+      (5000005L, 1L, 5L, 5L, 5L, 5L, 5L)))    // isolated dense cell survives
+  }
 }

@@ -519,4 +519,21 @@ class TextOpsSpec extends SparkSpec {
     // b has degree 2 -> strictly highest rank
     assert(got.head._1 == "b" && got.head._2 > got(1)._2)
   }
+
+  test("naiveBayes: disjoint vocab separates; unseen tie breaks to asc class") {
+    // train (id % 10 < 8): four "aa" docs of {x, y}, four "bb" docs of
+    // {z, w} -> V = 4, tc = 12 for both classes, equal priors.
+    val train = (0 until 8).map(i =>
+      if (i % 2 == 0) (i.toLong, "aa", "x x y") else (i.toLong, "bb", "z z w"))
+    val vals = Seq(
+      (8L, "aa", "x y x"),   // seen aa vocab -> aa
+      (9L, "bb", "z w"),     // seen bb vocab -> bb
+      (18L, "aa", "z z z"),  // bb vocab under an aa label -> confusion cell
+      (19L, "bb", "q q"))    // fully unseen -> exact tie -> asc class "aa"
+    val got = TextOps.naiveBayes((train ++ vals).toDF("doc_id", "lang", "text"))
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      ("aa", "aa", 1L), ("aa", "bb", 1L),
+      ("bb", "aa", 1L), ("bb", "bb", 1L)))
+  }
 }
