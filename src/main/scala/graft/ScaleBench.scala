@@ -303,7 +303,8 @@ object ScaleBench {
     "q278_approx_distinct_rule", "q279_spearman", "q280_silhouette",
     "q281_holt_trend", "q282_l_diversity", "q283_ndcg", "q284_corr_matrix",
     "q285_holt_backtest", "q286_chi2_indep", "q287_textrank",
-    "q288_dbscan_grid", "q289_interarrival", "q290_naive_bayes")
+    "q288_dbscan_grid", "q289_interarrival", "q290_naive_bayes",
+    "q291_isotonic", "q292_conversion_latency")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

@@ -4055,7 +4055,25 @@ object SparkEntry {
     // argmax confusion matrix.
     "q290_naive_bayes" -> ((s, dir) =>
       TextOps.naiveBayes(t(s, dir, "documents"))
-        .orderBy("lang", "pred_lang"))
+        .orderBy("lang", "pred_lang")),
+
+    // Isotonic (PAV) recalibration of the q185 reliability curve — the
+    // monotone fit via the exact minimax identity over bin triples; the
+    // fitted rate must be non-decreasing in bin by construction.
+    "q291_isotonic" -> ((s, dir) =>
+      ProfileOps.isotonicFit(
+        ProfileOps.calibrationBins(
+          t(s, dir, "events").select(
+            round(col("value") * 100).cast("long").as("v_c"),
+            (col("event_type") === "purchase").as("conv")),
+          "v_c", "conv", nb = 10),
+        "bin", "n", "outcomes")
+        .orderBy("bin")),
+
+    // First-view → first-purchase-at-or-after conversion latency: exact
+    // order-statistic percentiles over the reduced latency domain.
+    "q292_conversion_latency" -> ((s, dir) =>
+      EventOps.conversionLatency(t(s, dir, "events")))
   )
 
   /** q229's shared text (both engines run it verbatim): TPC-H Q21's
@@ -9279,6 +9297,72 @@ object SparkEntry {
         |         FROM sc)
         |SELECT true_lang AS lang, cls AS pred_lang, count(*) AS n_docs
         |FROM pred WHERE rn = 1
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q185's bin CTEs, then the same minimax triples with the same
+    // 10^16-scaled HUGEINT fraction keys.
+    "q291_isotonic" ->
+      """WITH dom AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |                    count(*) AS cnt,
+        |                    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ys
+        |             FROM events GROUP BY 1),
+        |cum0 AS (SELECT v, cnt, ys,
+        |                sum(cnt) OVER (ORDER BY v
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end,
+        |                sum(cnt) OVER () AS n_total
+        |         FROM dom),
+        |bb AS (SELECT ((cum_end - cnt) * 10) // n_total AS bin, cnt, ys FROM cum0),
+        |b AS (SELECT CAST(bin AS BIGINT) AS bin, CAST(sum(cnt) AS BIGINT) AS n,
+        |             CAST(sum(ys) AS BIGINT) AS pos
+        |      FROM bb GROUP BY 1),
+        |c AS (SELECT bin, n, pos,
+        |             sum(n) OVER (ORDER BY bin
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+        |             sum(pos) OVER (ORDER BY bin
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+        |      FROM b),
+        |segs AS (SELECT j.bin AS j, k.bin AS k,
+        |                k.cp - (j.cp - j.pos) AS p,
+        |                k.cn - (j.cn - j.n) AS n
+        |         FROM c j JOIN c k ON j.bin <= k.bin),
+        |tri AS (SELECT (CAST(p AS HUGEINT) * 10000000000000000) // n AS key,
+        |               unnest(generate_series(j, k)) AS i, j
+        |        FROM segs),
+        |mk AS (SELECT i, j, min(key) AS mk FROM tri GROUP BY 1, 2),
+        |fit AS (SELECT i, max(mk) AS fit_key FROM mk GROUP BY i)
+        |SELECT b.bin, b.n, b.pos,
+        |       CAST(fit.fit_key AS BIGINT) AS fit_scaled,
+        |       CAST(fit.fit_key // 10000000000 AS BIGINT) AS fit_ppm
+        |FROM b JOIN fit ON fit.i = b.bin
+        |ORDER BY b.bin""".stripMargin,
+
+    // Same first-from / first-to-after joins, same truncated second
+    // lanes, same ceil-rank percentile rule over the reduced domain.
+    "q292_conversion_latency" ->
+      """WITH ev AS (SELECT event_type AS et, user_id AS u,
+        |                   epoch_us(ts) AS ts_us
+        |            FROM events),
+        |f AS (SELECT u, min(ts_us) AS t0 FROM ev WHERE et = 'view' GROUP BY u),
+        |lat AS (SELECT (min(p.ts_us) - min(f.t0)) // 1000000 AS lat_s
+        |        FROM ev p JOIN f ON f.u = p.u
+        |        WHERE p.et = 'purchase' AND p.ts_us >= f.t0
+        |        GROUP BY p.u),
+        |dom AS (SELECT lat_s, count(*) AS cnt FROM lat GROUP BY 1),
+        |cum AS (SELECT lat_s, cnt,
+        |               sum(cnt) OVER (ORDER BY lat_s
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |               sum(cnt) OVER () AS n_conv
+        |        FROM dom),
+        |nf AS (SELECT count(*) AS n_from FROM f)
+        |SELECT CAST(nf.n_from AS BIGINT) AS n_from,
+        |       CAST(any_value(n_conv) AS BIGINT) AS n_conv,
+        |       CAST((any_value(n_conv) * 1000000) // nf.n_from AS BIGINT) AS conv_ppm,
+        |       min(CASE WHEN cum * 100 >= n_conv * 25 THEN lat_s END) AS p25_s,
+        |       min(CASE WHEN cum * 100 >= n_conv * 50 THEN lat_s END) AS p50_s,
+        |       min(CASE WHEN cum * 100 >= n_conv * 75 THEN lat_s END) AS p75_s,
+        |       min(CASE WHEN cum * 100 >= n_conv * 90 THEN lat_s END) AS p90_s,
+        |       max(lat_s) AS max_s
+        |FROM cum CROSS JOIN nf
+        |GROUP BY nf.n_from""".stripMargin
   )
 }

@@ -788,6 +788,48 @@ object EventOps {
     * every fold here shares): ONE shuffle to the (type, day) domain, one
     * k-row fold. Output: (event_type, n_days, level_c, trend_c,
     * forecast_c = l + b, the one-step-ahead forecast). */
+  /** Conversion-latency report: per user, the seconds between the FIRST
+    * `fromType` event and the first `toType` event AT OR AFTER it, then
+    * the exact latency distribution — count, conversion share in ppm, and
+    * exact order-statistic percentiles (p25/p50/p75/p90, the ⌈q·n⌉ rank
+    * rule) computed over the REDUCED latency-value domain with one
+    * cumulative window, never a row-level global sort (the q83/q160
+    * discipline). One row out.
+    *
+    * Shape: two per-user reduces (first-from, first-to-after-from joined
+    * on the user key), one reduce to the distinct-latency domain. */
+  def conversionLatency(events: DataFrame, fromType: String = "view",
+                        toType: String = "purchase",
+                        typeCol: String = "event_type",
+                        userCol: String = "user_id",
+                        tsCol: String = "ts"): DataFrame = {
+    val ev = events.select(col(typeCol).as("et"), col(userCol).as("u"),
+      tsUs(tsCol).as("ts_us"))
+    val from = ev.filter(col("et") === fromType)
+      .groupBy("u").agg(min("ts_us").as("t0"))
+      .localCheckpoint() // feeds the join AND the denominator
+    val lat = ev.filter(col("et") === toType)
+      .join(from, Seq("u"))
+      .filter(col("ts_us") >= col("t0"))
+      .groupBy("u").agg(min("ts_us").as("t1"), min("t0").as("t0m"))
+      .select(expr("(t1 - t0m) div 1000000").as("lat_s"))
+    val dom = lat.groupBy("lat_s").agg(count(lit(1)).as("cnt"))
+    val wc = Window.orderBy("lat_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = dom.select(col("lat_s"), col("cnt"),
+      sum("cnt").over(wc).as("cum"))
+    def pct(q: Int): Column =
+      min(when(col("cum") * 100 >= col("n_conv") * q, col("lat_s")))
+        .as(s"p${q}_s")
+    cum.crossJoin(broadcast(dom.agg(sum("cnt").as("n_conv"))))
+      .crossJoin(broadcast(from.agg(count(lit(1)).as("n_from"))))
+      .groupBy("n_from", "n_conv")
+      .agg(pct(25), pct(50), pct(75), pct(90), max("lat_s").as("max_s"))
+      .select(col("n_from"), col("n_conv"),
+        expr("(n_conv * 1000000) div n_from").as("conv_ppm"),
+        col("p25_s"), col("p50_s"), col("p75_s"), col("p90_s"), col("max_s"))
+  }
+
   /** Inter-arrival burstiness profile per event type: gaps are the
     * second-truncated deltas between CONSECUTIVE events of the same
     * (type, user) sequence (ties broken by event id — a total order, so

@@ -632,6 +632,57 @@ object ProfileOps {
           .as("chi2_micro"))
   }
 
+  /** Isotonic regression (PAV) calibration fit over an ORDERED bin domain,
+    * exact — computed via the minimax identity (Robertson–Wright–Dykstra
+    * 1988, eq. 1.9–1.13): the pool-adjacent-violators solution satisfies
+    *
+    *   fit_i = max_{j ≤ i} min_{k ≥ i} mean(pos_{j..k} / n_{j..k})
+    *
+    * so instead of the inherently sequential stack-merge loop (hostile to
+    * both SQL engines), the fit is a closed-form double reduction over all
+    * (j ≤ i ≤ k) bin triples — O(d³) in the BIN domain, the reduced-domain
+    * license every percentile/cell operator here already uses (d ≤ ~100
+    * calibration bins → ≤ 10⁵ triple rows, nothing).
+    *
+    * Exactness: segment means p/n are compared via the scaled key
+    * ⌊p·10¹⁶ div n⌋ in a DECIMAL(38) lane — distinct fractions with
+    * denominators ≤ N differ by ≥ 1/N², i.e. ≥ 10¹⁶/N² ≥ 2 scaled units
+    * for N ≤ 7·10⁷ rows, so the truncated keys order EXACTLY (and equal
+    * fractions collide onto the same key, which min/max are insensitive
+    * to). Output per bin: (bin, n, pos, fit_scaled, fit_ppm) with fit_ppm
+    * the truncated ppm of the isotonic rate — non-decreasing in bin by
+    * construction of the identity. */
+  def isotonicFit(bins: DataFrame, binCol: String = "bin",
+                  nCol: String = "n", posCol: String = "pos"): DataFrame = {
+    val b = bins.select(col(binCol).cast("long").as("bin"),
+      col(nCol).cast("long").as("n"), col(posCol).cast("long").as("pos"))
+      .localCheckpoint() // d rows; feeds cumulative, triples, and emission
+    val wc = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = b.select(col("bin"), col("n"), col("pos"),
+      sum("n").over(wc).as("cn"), sum("pos").over(wc).as("cp"))
+    val segs = cum.select(col("bin").as("j"), col("cn").as("cnj"),
+        col("cp").as("cpj"), col("n").as("nj"), col("pos").as("pj"))
+      // explicit broadcast: the k side is the d-row bin domain, and the
+      // j<=k predicate would otherwise plan a CartesianProduct
+      .join(broadcast(cum.select(col("bin").as("k"), col("cn").as("cnk"),
+        col("cp").as("cpk"))), col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        (col("cpk") - (col("cpj") - col("pj"))).as("p"),
+        (col("cnk") - (col("cnj") - col("nj"))).as("n"))
+    val tri = segs
+      .select(col("j"), col("k"),
+        expr("(CAST(p AS DECIMAL(38,0)) * 10000000000000000) div n").as("key"))
+      .select(col("key"), explode(expr("sequence(j, k)")).as("i"),
+        col("j"))
+    val fit = tri.groupBy("i", "j").agg(min("key").as("mk"))
+      .groupBy("i").agg(max("mk").as("fit_key"))
+    b.join(fit, col("bin") === col("i"))
+      .select(col("bin"), col("n"), col("pos"),
+        col("fit_key").cast("long").as("fit_scaled"),
+        expr("CAST(fit_key div 10000000000 AS BIGINT)").as("fit_ppm"))
+  }
+
   /** Pearson χ² test of independence over an r×c contingency table — the
     * general-shape extension of the 2×2 A/B chi² (q177): per cell,
     * E = row_margin·col_margin/n and the contribution

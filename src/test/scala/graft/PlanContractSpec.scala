@@ -72,6 +72,8 @@ class PlanContractSpec extends SparkSpec {
     "q286_chi2_indep",               // r×c value-lattice densification (two tiny distinct frames)
     "q288_dbscan_grid",              // mean-occupancy scalar window + dense-cell domain
     "q290_naive_bayes",              // 1-row vocab-size + |classes|-row broadcast crossJoins
+    "q291_isotonic",                 // bin-domain j<=k triple join (d ~ 10 rows) + n_total scalar
+    "q292_conversion_latency",       // two 1-row totals broadcasts (n_conv, n_from)
     "q272_did")                      // 1-row median-cut scalar broadcast
 
   /** q38's brute-force fallback joins the (empty-whenever-the-grid-

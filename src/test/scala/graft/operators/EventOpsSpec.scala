@@ -700,4 +700,25 @@ class EventOpsSpec extends SparkSpec {
     assert(got("burst") == (("burst", 2L, 100L, 50L, Some(1000L))))
     assert(got("zero") == (("zero", 1L, 0L, 0L, None)))
   }
+
+  test("conversionLatency: at-or-after semantics, ceil-rank percentiles") {
+    val s = 1000000000L
+    val rows = Seq(
+      // user 1: view@10, purchase@70 -> 60 s
+      (1L, "view", 10L), (1L, "purchase", 70L),
+      // user 2: purchase@5 BEFORE first view@10 doesn't count; @250 does
+      (2L, "purchase", 5L), (2L, "view", 10L), (2L, "purchase", 250L),
+      // user 3: view only -> in denominator, not converted
+      (3L, "view", 40L),
+      // user 4: purchase only -> no view, excluded entirely
+      (4L, "purchase", 99L))
+    val df = rows.zipWithIndex.map { case ((u, t, sec), i) =>
+      (i.toLong, u, t, sec * s) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = EventOps.conversionLatency(df)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    // latencies {60, 240}; n_from=3, n_conv=2 -> conv 666666 ppm;
+    // ceil-ranks: p25/p50 -> 1st (60), p75/p90 -> 2nd (240)
+    assert(got == ((3L, 2L, 666666L, 60L, 60L, 240L, 240L, 240L)))
+  }
 }

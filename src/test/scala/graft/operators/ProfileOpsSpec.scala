@@ -404,4 +404,47 @@ class ProfileOpsSpec extends SparkSpec {
     // (0*12 - 16)^2 * 1e6 / (12*16) = 256e6/192 = 1333333
     assert(cell0 == 1333333L)
   }
+
+  /** Classic pool-adjacent-violators stack reference: returns per-bin
+    * (p_block, n_block) of the pooled block the bin landed in. */
+  private def pavRef(bins: Seq[(Long, Long)]): Seq[(BigInt, BigInt)] = {
+    case class Blk(p: BigInt, n: BigInt, w: Int)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Blk]
+    bins.foreach { case (n, p) =>
+      var b = Blk(BigInt(p), BigInt(n), 1)
+      // merge while the previous block's mean exceeds (or equals) none —
+      // pool on VIOLATION: prev.mean > new.mean (exact cross-multiply)
+      while (stack.nonEmpty &&
+        stack.last.p * b.n > b.p * stack.last.n) {
+        val t = stack.remove(stack.size - 1)
+        b = Blk(t.p + b.p, t.n + b.n, t.w + b.w)
+      }
+      stack += b
+    }
+    stack.flatMap(b => Seq.fill(b.w)((b.p, b.n))).toSeq
+  }
+
+  test("isotonicFit equals the PAV stack on hand and random bins; monotone") {
+    def run(bins: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+      val df = bins.zipWithIndex
+        .map { case ((n, p), i) => (i.toLong, n, p) }.toDF("bin", "n", "pos")
+      ProfileOps.isotonicFit(df).orderBy("bin")
+        .select("fit_scaled", "fit_ppm").as[(Long, Long)].collect().toSeq
+    }
+    def expect(bins: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      pavRef(bins).map { case (p, n) =>
+        val k = p * BigInt("10000000000000000") / n
+        (k.toLong, (k / BigInt(10000000000L)).toLong)
+      }
+    // violation (0.5 then 0.2) pools; already-monotone tail unchanged
+    val hand = Seq((10L, 5L), (10L, 2L), (10L, 7L), (10L, 7L), (5L, 5L))
+    assert(run(hand) == expect(hand))
+    // random bins with plateaus and zeros
+    val rnd = new scala.util.Random(13)
+    val bins = (0 until 12).map(_ => (rnd.nextInt(40) + 1L,
+      rnd.nextInt(20).toLong)).map { case (n, p) => (n, math.min(p, n)) }
+    val got = run(bins)
+    assert(got == expect(bins))
+    assert(got.map(_._1) == got.map(_._1).sorted) // non-decreasing fit
+  }
 }
