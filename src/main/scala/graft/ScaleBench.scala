@@ -304,7 +304,8 @@ object ScaleBench {
     "q281_holt_trend", "q282_l_diversity", "q283_ndcg", "q284_corr_matrix",
     "q285_holt_backtest", "q286_chi2_indep", "q287_textrank",
     "q288_dbscan_grid", "q289_interarrival", "q290_naive_bayes",
-    "q291_isotonic", "q292_conversion_latency")
+    "q291_isotonic", "q292_conversion_latency", "q293_jl_distortion",
+    "q294_pretokenize")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

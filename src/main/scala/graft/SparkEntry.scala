@@ -4073,8 +4073,29 @@ object SparkEntry {
     // First-view → first-purchase-at-or-after conversion latency: exact
     // order-statistic percentiles over the reduced latency domain.
     "q292_conversion_latency" -> ((s, dir) =>
-      EventOps.conversionLatency(t(s, dir, "events")))
+      EventOps.conversionLatency(t(s, dir, "events"))),
+
+    // Johnson–Lindenstrauss ±1 projection distortion histogram: 64 → 16
+    // dims through the md5-derived sign matrix (inlined literals on the
+    // engine side, re-derived in SQL by the oracle), consecutive-pair
+    // squared-distance ratios in exact ppm of the dOut·distIn expectation.
+    "q293_jl_distortion" -> ((s, dir) =>
+      SimilarityOps.jlDistortion(t(s, dir, "embeddings"),
+        dIn = 64, dOut = 16, stride = 20).orderBy("band")),
+
+    // GPT-2-style pretokenization audit: per language the pretoken
+    // totals plus an order-independent (token, count) multiset
+    // fingerprint — a tokenization drift tripwire between engines.
+    "q294_pretokenize" -> ((s, dir) =>
+      TextOps.pretokenizeReport(t(s, dir, "documents"), PretokenPattern)
+        .orderBy("lang"))
   )
+
+  /** The ASCII-explicit GPT-2-ish pretokenizer alternation shared by
+    * q294's engine and oracle sides (single-quote-free for SQL inlining
+    * aside from the contraction branch, which the oracle escapes). */
+  private val PretokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ']+| +"
 
   /** q229's shared text (both engines run it verbatim): TPC-H Q21's
     * double-correlated EXISTS / NOT EXISTS shape over the columns this
@@ -9363,6 +9384,59 @@ object SparkEntry {
         |       min(CASE WHEN cum * 100 >= n_conv * 90 THEN lat_s END) AS p90_s,
         |       max(lat_s) AS max_s
         |FROM cum CROSS JOIN nf
-        |GROUP BY nf.n_from""".stripMargin
+        |GROUP BY nf.n_from""".stripMargin,
+
+    // The sign matrix is RE-DERIVED from md5 in SQL (the engine inlines
+    // the same parities as literals), then the same HUGEINT distance
+    // lanes and the same ppm ratio law.
+    "q293_jl_distortion" ->
+      s"""WITH qv AS (SELECT vec_id, ${LlmSql.qvec("embedding")} AS qv
+         |            FROM embeddings),
+         |smat AS (SELECT o.o, i.i,
+         |                CASE WHEN CAST(concat('0x', substring(
+         |                       md5(concat('jl:', o.o, ':', i.i)), 1, 8)) AS BIGINT)
+         |                     % 2 = 0 THEN 1 ELSE -1 END AS s
+         |         FROM (SELECT unnest(generate_series(0, 15)) AS o) o
+         |         CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i),
+         |comp AS (SELECT vec_id, i, qv[i + 1] AS x
+         |         FROM (SELECT vec_id, qv,
+         |                      unnest(generate_series(0, 63)) AS i
+         |               FROM qv)),
+         |y AS (SELECT c.vec_id, m.o, sum(m.s * c.x) AS y
+         |      FROM comp c JOIN smat m ON m.i = c.i GROUP BY 1, 2),
+         |pairs AS (SELECT a.vec_id AS id, a.qv AS qa, b.qv AS qb
+         |          FROM qv a JOIN qv b ON b.vec_id = a.vec_id + 1
+         |          WHERE a.vec_id % 20 = 0),
+         |din AS (SELECT id, list_sum(list_transform(range(1, 65),
+         |               i -> CAST(qa[i] - qb[i] AS HUGEINT) * (qa[i] - qb[i])))
+         |               AS d_in
+         |        FROM pairs),
+         |dout AS (SELECT p.id,
+         |                sum(CAST(ya.y - yb.y AS HUGEINT) * (ya.y - yb.y)) AS d_out
+         |         FROM pairs p
+         |         JOIN y ya ON ya.vec_id = p.id
+         |         JOIN y yb ON yb.vec_id = p.id + 1 AND yb.o = ya.o
+         |         GROUP BY p.id),
+         |r AS (SELECT CAST((d_out * 1000000) // (16 * d_in) AS BIGINT) AS ratio_ppm
+         |      FROM din JOIN dout USING (id) WHERE d_in > 0)
+         |SELECT ratio_ppm // 100000 AS band, count(*) AS n_pairs,
+         |       min(ratio_ppm) AS min_ratio_ppm, max(ratio_ppm) AS max_ratio_ppm
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Identical pattern text (RE2 and java.util.regex walk the same
+    // ASCII-explicit alternation), same multiset-fingerprint fold.
+    "q294_pretokenize" -> {
+      val pat = PretokenPattern.replace("'", "''")
+      s"""WITH toks AS (SELECT lang,
+         |                     unnest(regexp_extract_all(text, '$pat')) AS tok
+         |              FROM documents),
+         |cnt AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY 1, 2)
+         |SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |       count(*) AS n_distinct,
+         |       CAST(bit_xor(CAST(concat('0x', substring(
+         |         md5(concat(tok, ':', CAST(c AS VARCHAR))), 1, 15)) AS BIGINT))
+         |         AS BIGINT) AS xor_fp
+         |FROM cnt GROUP BY lang ORDER BY lang""".stripMargin
+    }
   )
 }

@@ -160,6 +160,63 @@ object SimilarityOps {
           .as("rr_micro"))
   }
 
+  /** Deterministic ±1 Johnson–Lindenstrauss sign: parity of the first
+    * 8 md5 hex chars of "jl:o:i" — derivable identically in the JVM (plan
+    * time, inlined as literals) and in DuckDB SQL (computed per cell), so
+    * the oracle re-proves the matrix derivation, not just the algebra. */
+  def jlSign(o: Int, i: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"jl:$o:$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1 else -1
+  }
+
+  /** Johnson–Lindenstrauss distortion audit of a ±1 random projection
+    * (Achlioptas 2003: database-friendly random projections): quantized
+    * vectors are projected dIn → dOut through the [[jlSign]] matrix
+    * (inlined literal sums — pure codegen, no matrix join on the engine
+    * side), consecutive-id pairs sampled at `stride` are measured before
+    * and after, and the squared-distance ratio lands in exact ppm of its
+    * expectation E‖S(a−b)‖² = dOut·‖a−b‖²:
+    *
+    *   ratio_ppm = (distOut · 10⁶) div (dOut · distIn)
+    *
+    * in DECIMAL(38) lanes (a single output coordinate square can pass
+    * 2⁶³). Output: one row per 0.1-wide ratio band — (band, n_pairs,
+    * min/max ratio_ppm) — the distortion histogram JL promises
+    * concentrates at 10⁶. Identical vectors (distIn = 0) are excluded. */
+  def jlDistortion(vectors: DataFrame, dIn: Int, dOut: Int,
+                   stride: Int): DataFrame = {
+    require(dIn > 0 && dOut > 0 && stride > 0, "bad jl params")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val q = vectors.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val proj: Column = array((0 until dOut).map { o =>
+      val terms = (0 until dIn).map { i =>
+        val s = if (jlSign(o, i) > 0) "+" else "-"
+        s"$s element_at(qv, ${i + 1})"
+      }.mkString(" ")
+      expr(s"($terms)")
+    }: _*)
+    val y = q.select(col("vec_id"), col("qv"), proj.as("y"))
+    val a = y.select(col("vec_id").as("id"), col("qv").as("qa"),
+      col("y").as("ya")).filter(col("id") % stride === 0)
+    val b = y.select((col("vec_id") - 1).as("id"), col("qv").as("qb"),
+      col("y").as("yb"))
+    val dists = a.join(b, Seq("id"))
+      .select(
+        expr("aggregate(zip_with(qa, qb, (x, z) -> (x - z) * (x - z)), " +
+          "CAST(0 AS DECIMAL(38,0)), (acc, v) -> acc + v)").as("d_in"),
+        expr("aggregate(zip_with(ya, yb, (x, z) -> CAST(x - z AS DECIMAL(38,0)) * (x - z)), " +
+          "CAST(0 AS DECIMAL(38,0)), (acc, v) -> acc + v)").as("d_out"))
+      .filter(col("d_in") > 0)
+      .select(expr(s"(d_out * 1000000) div ($dOut * d_in)")
+        .cast("long").as("ratio_ppm"))
+    dists.groupBy(expr("ratio_ppm div 100000").as("band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min("ratio_ppm").as("min_ratio_ppm"),
+        max("ratio_ppm").as("max_ratio_ppm"))
+  }
+
   /** Round-half-up micro units of the nDCG position discounts
     * 1/log₂(i+1), i = 1..10 — inlined as shared constants in engine and
     * oracle (the Benford device: NEITHER engine ever evaluates a log, so

@@ -978,6 +978,31 @@ object TextOps {
         expr("((r + 1) * n_r1 * 1000000) div n_r").as("r_star_micro"))
   }
 
+  /** GPT-2-family PRETOKENIZATION audit: split text with the
+    * contraction / letter-run / digit-run / punctuation-run / space-run
+    * alternation every BPE-style tokenizer applies before merges, then
+    * report per language the total pretoken count, the distinct pretoken
+    * count, and an ORDER-INDEPENDENT multiset fingerprint — per distinct
+    * (token, count) cell a 60-bit md5-derived hash, XOR-folded (the q190
+    * device), so ANY tokenization difference between engines flips the
+    * gate even though no token string crosses the boundary.
+    *
+    * The pattern is deliberately ASCII-explicit (no \\s, no \\p classes)
+    * so the Java regex engine and RE2 walk identical automata; both are
+    * leftmost-first on alternations. One explode + one (lang, token)
+    * reduce + one language reduce. */
+  def pretokenizeReport(docs: DataFrame, pattern: String,
+                        langCol: String = "lang",
+                        textCol: String = "text"): DataFrame =
+    docs.select(col(langCol).as("lang"),
+        explode(call_function("regexp_extract_all",
+          col(textCol), lit(pattern), lit(0))).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("lang")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        expr("""bit_xor(CAST(conv(substring(md5(concat(tok, ':', CAST(c AS STRING))), 1, 15), 16, 10) AS BIGINT))""")
+          .as("xor_fp"))
+
   /** Multinomial naive-Bayes language classifier, trained and evaluated
     * in one job over the id-parity split (doc_id % 10 < 8 trains, the
     * rest evaluates — q268's deterministic-split discipline): per-class

@@ -378,6 +378,32 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(radii == radii.sorted.reverse)
   }
 
+  test("jlDistortion matches a BigInt reference incl. sign matrix and bands") {
+    val dIn = 8; val dOut = 4; val stride = 2
+    val data = randomVecs(31, 40, dim = dIn)
+    val got = SimilarityOps
+      .jlDistortion(data.toDF("vec_id", "embedding"), dIn, dOut, stride)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val q = data.toDF("vec_id", "embedding")
+      .select(col("vec_id"), SimilarityOps.quantize(col("embedding")))
+      .as[(Long, Seq[Long])].collect().toMap
+    val ratios = q.keys.filter(id => id % stride == 0 && q.contains(id + 1))
+      .toSeq.sorted.flatMap { id =>
+      val (a, b) = (q(id), q(id + 1))
+      val dInSq = a.zip(b).map { case (x, z) => BigInt(x - z) * BigInt(x - z) }.sum
+      val ya = (0 until dOut).map(o => (0 until dIn)
+        .map(i => BigInt(SimilarityOps.jlSign(o, i)) * a(i)).sum)
+      val yb = (0 until dOut).map(o => (0 until dIn)
+        .map(i => BigInt(SimilarityOps.jlSign(o, i)) * b(i)).sum)
+      val dOutSq = ya.zip(yb).map { case (x, z) => (x - z) * (x - z) }.sum
+      if (dInSq == 0) None
+      else Some((dOutSq * 1000000 / (dOut * dInSq)).toLong)
+    }
+    val want = ratios.groupBy(_ / 100000).toSeq.sortBy(_._1)
+      .map { case (band, rs) => (band, rs.size.toLong, rs.min, rs.max) }
+    assert(got == want)
+  }
+
   test("ndcgAtK: perfect, reversed, missing-doc, and empty rankings") {
     val k = 3
     val d = SimilarityOps.NdcgDiscountMicro.take(k)

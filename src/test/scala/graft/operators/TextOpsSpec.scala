@@ -520,6 +520,32 @@ class TextOpsSpec extends SparkSpec {
     assert(got.head._1 == "b" && got.head._2 > got(1)._2)
   }
 
+  test("pretokenizeReport: contraction/run/space semantics + multiset fp") {
+    val pat = "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ']+| +"
+    // hand-traced: it | 's | " 42" | " well" | - | known | !! | "  " | end
+    val docs = Seq((1L, "en", "it's 42 well-known!!  end"),
+      (2L, "en", "it it"), (3L, "fr", "42"))
+      .toDF("doc_id", "lang", "text")
+    val got = TextOps.pretokenizeReport(docs, pat)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // en doc 2 adds tokens "it", " it" -> totals 11, distinct 10
+    assert(got("en")._2 == 11L && got("en")._3 == 10L)
+    assert(got("fr")._2 == 1L && got("fr")._3 == 1L)
+    // replicate the fingerprint fold for fr: one cell ("42", 1)
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    assert(got("fr")._4 == h60("42:1"))
+    // en fingerprint: XOR over the ten (token, count) cells
+    val enCells = Seq("it" -> 2, "'s" -> 1, " 42" -> 1, " well" -> 1,
+      "-" -> 1, "known" -> 1, "!!" -> 1, "  " -> 1, "end" -> 1, " it" -> 1)
+    assert(got("en")._4 ==
+      enCells.map { case (t, c) => h60(s"$t:$c") }.reduce(_ ^ _))
+  }
+
   test("naiveBayes: disjoint vocab separates; unseen tie breaks to asc class") {
     // train (id % 10 < 8): four "aa" docs of {x, y}, four "bb" docs of
     // {z, w} -> V = 4, tc = 12 for both classes, equal priors.
