@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{BlocklistHits, DamerauLevenshtein, DotQ, HilbertIndex, JaroWinkler, NormalizeText, RewriteAggToSummary, RewriteApproxDistinct, RewriteDotProduct, RewriteJoinElimination, RewriteRangeJoin, TopK}
+import graft.expressions.{BlocklistHits, DamerauLevenshtein, DotQ, HaversineM, HilbertIndex, JaroWinkler, NormalizeText, RewriteAggToSummary, RewriteApproxDistinct, RewriteDotProduct, RewriteJoinElimination, RewriteRadiusPredicate, RewriteRangeJoin, TopK}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the engine's native expressions with the session's function
@@ -75,7 +75,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "graft_damerau takes exactly 2 arguments")
         DamerauLevenshtein(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_haversine_m"),
+      new ExpressionInfo(classOf[HaversineM].getCanonicalName, "graft_haversine_m"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 4,
+          "graft_haversine_m takes exactly 4 arguments (lon1, lat1, lon2, lat2)")
+        HaversineM(children.head, children(1), children(2), children(3))
+      }))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
+    ext.injectOptimizerRule(_ => RewriteRadiusPredicate)
     ext.injectOptimizerRule(_ => RewriteRangeJoin)
     ext.injectOptimizerRule(s => new RewriteAggToSummary(s))
     ext.injectOptimizerRule(_ => RewriteJoinElimination)

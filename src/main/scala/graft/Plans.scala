@@ -221,7 +221,14 @@ object Plans {
         "reduce, one aggregate to the score DOMAIN, then every cumulative " +
         "(descending deciles, cumulative arm masses) is a window over " +
         "that reduced domain — the row count entering any window is " +
-        "bounded by distinct scores, not users."))
+        "bounded by distinct scores, not users."),
+    "q295_radius_pushdown" ->
+      ("RewriteRadiusPredicate (sixth injected rule): the user writes only " +
+        "graft_haversine_m(lon, lat, c) <= 2500, yet the parquet scan's " +
+        "PushedFilters carry four lat/lon range comparisons — the rule's " +
+        "provably-containing bounding box — while the exact haversine " +
+        "remains as the residual Filter. Row-group stats pruning now " +
+        "applies to a trigonometric predicate."))
   // q116_pq_ann is absent for the q60 reason: its lazy plan nests four
   // 2-round Lloyd trainings, so the explain text is enormous while the
   // interesting query-time shape — codes ⨯ 3-row broadcast distance

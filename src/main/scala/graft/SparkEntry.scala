@@ -4088,7 +4088,27 @@ object SparkEntry {
     // fingerprint — a tokenization drift tripwire between engines.
     "q294_pretokenize" -> ((s, dir) =>
       TextOps.pretokenizeReport(t(s, dir, "documents"), PretokenPattern)
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // The SIXTH injected optimizer rule end-to-end: a radius predicate
+    // over the native graft_haversine_m gains a provably-containing
+    // lat/lon bounding box that Spark pushes into the parquet scan
+    // (PushedFilters — asserted in PlanContractSpec), with the exact
+    // haversine kept as residual; the oracle runs the PLAIN filter.
+    "q295_radius_pushdown" -> ((s, dir) => {
+      val path = rtPath("q295_nodes")
+      Derive.nodes(s, dir).write.mode("overwrite").parquet(path)
+      def dist = call_function("graft_haversine_m",
+        col("lon"), col("lat"), lit(18.45), lit(54.36))
+      s.read.parquet(path)
+        .filter(dist <= lit(2500.0))
+        // round(·,6): raw trig crosses the engine boundary nowhere (libm
+        // last-ulp differences) — the q43 device; the FILTER itself is
+        // ulp-safe because the node lattice's distance set is discrete
+        .select(col("node_idx"), col("lon"), col("lat"),
+          round(dist, 6).as("dist_m"))
+        .orderBy("node_idx")
+    })
   )
 
   /** The ASCII-explicit GPT-2-ish pretokenizer alternation shared by
@@ -9437,6 +9457,18 @@ object SparkEntry {
          |         md5(concat(tok, ':', CAST(c AS VARCHAR))), 1, 15)) AS BIGINT))
          |         AS BIGINT) AS xor_fp
          |FROM cnt GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    // The PLAIN haversine filter — no bbox anywhere: the oracle is the
+    // result-identity proof that the injected bounding box is residual-
+    // safe. Same operand order, same double literals, same 2R scale.
+    "q295_radius_pushdown" -> {
+      val d = Derive.Sql.havM("lon", "lat", "18.45", "54.36")
+      s"""WITH ${Derive.Sql.nodes}
+         |SELECT node_idx, lon, lat, round($d, 6) AS dist_m
+         |FROM nodes
+         |WHERE $d <= 2500.0
+         |ORDER BY node_idx""".stripMargin
     }
   )
 }
