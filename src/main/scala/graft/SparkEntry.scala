@@ -4090,6 +4090,71 @@ object SparkEntry {
       TextOps.pretokenizeReport(t(s, dir, "documents"), PretokenPattern)
         .orderBy("lang")),
 
+    // TPC-H Q22's shape — IN-list prefilter, TWO scalar subqueries
+    // forming an integer-exact above-average-balance predicate (the
+    // cleared-denominator form: bal_c·count > sum_c, so no
+    // order-dependent double average crosses an engine), and the
+    // NOT EXISTS anti-join — identical statement text in both engines.
+    "q296_tpch_q22_shape" -> ((s, dir) => {
+      for (tb <- Seq("customer", "orders")) t(s, dir, tb).createOrReplaceTempView(tb)
+      s.sql(tpchQ22Sql)
+    }),
+
+    // TPC-H Q15's shape — the revenue view consumed twice (per-supplier
+    // aggregate + its own max as a scalar subquery), integer centi-cent
+    // revenue lanes; identical statement text in both engines.
+    "q297_tpch_q15_shape" -> ((s, dir) => {
+      for (tb <- Seq("lineitem", "supplier")) t(s, dir, tb).createOrReplaceTempView(tb)
+      s.sql(tpchQ15Sql)
+    }),
+
+    // Sliding 7-day exact median of daily revenue per type: Spark builds
+    // it from a sorted bounded window frame (collect + element picks, the
+    // per-key-bounded contract), DuckDB runs its native windowed median —
+    // both interpolate even frames onto the same representable midpoint.
+    "q298_moving_median" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("xc"))
+        .groupBy("event_type", "day").agg(sum("xc").as("x"))
+        .withColumn("arr", sort_array(collect_list("x").over(w)))
+        .select(col("event_type"), col("day"), col("x"),
+          expr("""CASE WHEN size(arr) % 2 = 1
+                 |     THEN CAST(element_at(arr, CAST((size(arr) + 1) div 2 AS INT)) AS DOUBLE)
+                 |     ELSE (element_at(arr, CAST(size(arr) div 2 AS INT))
+                 |           + element_at(arr, CAST(size(arr) div 2 + 1 AS INT))) / 2.0
+                 |END""".stripMargin).as("med7"))
+        .orderBy("event_type", "day")
+    }),
+
+    // The hashing trick (Weinberger et al. 2009): tokens land in 64
+    // buckets by md5, fixed ±1 bucket weights derive from md5 parity
+    // (inlined literals engine-side, re-derived in SQL by the oracle —
+    // the q293 device), and per-language the linear scores aggregate
+    // exactly. The plumbing every shallow text classifier at scale uses.
+    "q299_feature_hashing" -> ((s, dir) => {
+      val wts = (0 until 64).map(b => SimilarityOps.jlSign(101, b).toLong)
+      t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          explode(TextOps.words(col("text"))).as("tok"))
+        .select(col("lang"), col("doc_id"),
+          element_at(array(wts.map(lit): _*),
+            (conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+              % 64 + 1).cast("int")).as("w"))
+        .groupBy("lang", "doc_id").agg(sum("w").as("logit"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("logit") > 0, 1L).otherwise(0L)).as("n_pos"),
+          sum("logit").as("sum_logit"))
+        .select(col("lang"), col("n_docs"), col("n_pos"),
+          expr("(n_pos * 1000000) div n_docs").as("pos_ppm"),
+          col("sum_logit"))
+        .orderBy("lang")
+    }),
+
     // The SIXTH injected optimizer rule end-to-end: a radius predicate
     // over the native graft_haversine_m gains a provably-containing
     // lat/lon bounding box that Spark pushes into the parquet scan
@@ -4116,6 +4181,43 @@ object SparkEntry {
     * aside from the contraction branch, which the oracle escapes). */
   private val PretokenPattern: String =
     "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ']+| +"
+
+  /** q296's shared text: TPC-H Q22's shape over the columns this corpus
+    * has — nation keys stand in for phone prefixes, and the
+    * above-average-balance predicate is the CLEARED-DENOMINATOR integer
+    * form (bal_c · count > sum_c) so no order-dependent double average
+    * ever crosses an engine boundary. */
+  private lazy val tpchQ22Sql: String =
+    """SELECT c_nationkey AS cntry, count(*) AS numcust,
+      |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_c
+      |FROM customer c
+      |WHERE c_nationkey IN (3, 7, 11, 17, 21)
+      |  AND CAST(round(c_acctbal * 100) AS BIGINT) *
+      |      (SELECT count(*) FROM customer
+      |       WHERE c_acctbal > 0.0 AND c_nationkey IN (3, 7, 11, 17, 21))
+      |      > (SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |         FROM customer
+      |         WHERE c_acctbal > 0.0 AND c_nationkey IN (3, 7, 11, 17, 21))
+      |  AND NOT EXISTS (SELECT * FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderstatus = 'F')
+      |GROUP BY c_nationkey
+      |ORDER BY cntry""".stripMargin
+
+  /** q297's shared text: TPC-H Q15's shape — the revenue view consumed
+    * twice (group-by + its own max), integer centi-cent lanes
+    * (price_c · (100 − disc_pct) is exact). */
+  private lazy val tpchQ15Sql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS total_revenue_cc
+      |  FROM lineitem GROUP BY l_suppkey)
+      |SELECT s.s_suppkey, s.s_name,
+      |       CAST(r.total_revenue_cc AS BIGINT) AS total_revenue_cc
+      |FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+      |WHERE r.total_revenue_cc = (SELECT max(total_revenue_cc) FROM revenue)
+      |ORDER BY s.s_suppkey""".stripMargin
 
   /** q229's shared text (both engines run it verbatim): TPC-H Q21's
     * double-correlated EXISTS / NOT EXISTS shape over the columns this
@@ -9458,6 +9560,43 @@ object SparkEntry {
          |         AS BIGINT) AS xor_fp
          |FROM cnt GROUP BY lang ORDER BY lang""".stripMargin
     },
+
+    "q296_tpch_q22_shape" -> tpchQ22Sql,
+    "q297_tpch_q15_shape" -> tpchQ15Sql,
+
+    // DuckDB's NATIVE windowed median over the same daily reduce — its
+    // even-frame interpolation lands on the same representable midpoint
+    // as the engine's (a + b) / 2.0 element picks.
+    "q298_moving_median" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |                  sum(CAST(round(value * 100) AS BIGINT)) AS x
+        |           FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, CAST(x AS BIGINT) AS x,
+        |       CAST(median(x) OVER (PARTITION BY event_type ORDER BY day
+        |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS med7
+        |FROM d ORDER BY event_type, day""".stripMargin,
+
+    // Same md5 bucket hash, the ±1 weights RE-DERIVED from md5 parity
+    // (the engine inlines the same values), same exact linear scores.
+    "q299_feature_hashing" ->
+      """WITH toks AS (SELECT lang, doc_id,
+        |                     unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |wt AS (SELECT b,
+        |              CASE WHEN CAST(concat('0x', substring(
+        |                     md5(concat('jl:101:', b)), 1, 8)) AS BIGINT)
+        |                   % 2 = 0 THEN 1 ELSE -1 END AS w
+        |       FROM (SELECT unnest(generate_series(0, 63)) AS b)),
+        |lg AS (SELECT lang, doc_id, sum(wt.w) AS logit
+        |       FROM toks JOIN wt
+        |         ON wt.b = CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) % 64
+        |       GROUP BY 1, 2)
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN logit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |       CAST((sum(CASE WHEN logit > 0 THEN 1 ELSE 0 END) * 1000000)
+        |            // count(*) AS BIGINT) AS pos_ppm,
+        |       CAST(sum(logit) AS BIGINT) AS sum_logit
+        |FROM lg GROUP BY lang ORDER BY lang""".stripMargin,
 
     // The PLAIN haversine filter — no bbox anywhere: the oracle is the
     // result-identity proof that the injected bounding box is residual-
