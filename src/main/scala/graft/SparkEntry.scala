@@ -4155,6 +4155,18 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Held-out bigram LM evaluation: Laplace costs in integer micro-nats
+    // (rounded once per cell), two-tier unseen fallback, per-language
+    // exact cost mass over the val split.
+    "q300_lm_perplexity" -> ((s, dir) =>
+      TextOps.bigramPerplexity(t(s, dir, "documents")).orderBy("lang")),
+
+    // Covariate-balance SMD for the A/B assignment — the continuous
+    // partner of q247's SRM tripwire; exact moment pieces, floor-double
+    // emission.
+    "q301_covariate_balance" -> ((s, dir) =>
+      EventOps.covariateBalance(t(s, dir, "events")).orderBy("metric")),
+
     // The SIXTH injected optimizer rule end-to-end: a radius predicate
     // over the native graft_haversine_m gains a provably-containing
     // lat/lon bounding box that Spark pushes into the parquet scan
@@ -9563,6 +9575,69 @@ object SparkEntry {
 
     "q296_tpch_q22_shape" -> tpchQ22Sql,
     "q297_tpch_q15_shape" -> tpchQ15Sql,
+
+    // Same train reduce, same per-cell micro-nat floors (shared-libm ln),
+    // same two-tier fallback coalesce, same integer val charge.
+    "q300_lm_perplexity" ->
+      """WITH pr AS (SELECT doc_id, lang, w[i] AS a, w[i + 1] AS b
+        |            FROM (SELECT doc_id, lang, string_split(text, ' ') AS w,
+        |                         unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i
+        |                  FROM documents)),
+        |cab AS (SELECT a, b, count(*) AS cab FROM pr
+        |        WHERE doc_id % 10 < 8 GROUP BY 1, 2),
+        |ca AS (SELECT a, sum(cab) AS ca FROM cab GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT b) AS v FROM cab),
+        |cost_ab AS (SELECT cab.a, cab.b,
+        |                   CAST(floor(-ln(CAST(cab.cab + 1 AS DOUBLE)
+        |                     / CAST(ca.ca + vv.v AS DOUBLE)) * 1000000.0 + 0.5)
+        |                     AS BIGINT) AS cost_ab
+        |            FROM cab JOIN ca USING (a) CROSS JOIN vv),
+        |cost_a AS (SELECT a, CAST(floor(-ln(1.0 / CAST(ca + vv.v AS DOUBLE))
+        |                     * 1000000.0 + 0.5) AS BIGINT) AS cost_a0
+        |           FROM ca CROSS JOIN vv),
+        |g AS (SELECT CAST(floor(-ln(1.0 / CAST(v AS DOUBLE))
+        |                * 1000000.0 + 0.5) AS BIGINT) AS cost_00 FROM vv),
+        |vp AS (SELECT lang, a, b, count(*) AS cnt FROM pr
+        |       WHERE doc_id % 10 >= 8 GROUP BY 1, 2, 3)
+        |SELECT vp.lang, CAST(sum(vp.cnt) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(vp.cnt * COALESCE(cost_ab.cost_ab, cost_a.cost_a0,
+        |            g.cost_00)) AS BIGINT) AS cost_sum_micro,
+        |       CAST(sum(vp.cnt * COALESCE(cost_ab.cost_ab, cost_a.cost_a0,
+        |            g.cost_00)) // sum(vp.cnt) AS BIGINT) AS per_bigram_cost_micro
+        |FROM vp
+        |LEFT JOIN cost_ab ON cost_ab.a = vp.a AND cost_ab.b = vp.b
+        |LEFT JOIN cost_a ON cost_a.a = vp.a
+        |CROSS JOIN g
+        |GROUP BY vp.lang ORDER BY vp.lang""".stripMargin,
+
+    // Same per-user reduce, same melted moments, same exact variance
+    // pieces, same floor-double SMD law.
+    "q301_covariate_balance" ->
+      """WITH per AS (SELECT user_id % 2 = 0 AS in_a, count(*) AS n_ev,
+        |                    sum(CAST(round(value * 100) AS BIGINT)) AS sum_c
+        |             FROM events GROUP BY user_id),
+        |melted AS (SELECT in_a, 'n_events' AS metric, CAST(n_ev AS BIGINT) AS x FROM per
+        |           UNION ALL
+        |           SELECT in_a, 'sum_cents', CAST(sum_c AS BIGINT) FROM per),
+        |m AS (SELECT metric, in_a, count(*) AS n, sum(x) AS sx,
+        |             CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * x)
+        |               - CAST(sum(x) AS HUGEINT) * sum(x) AS vnum,
+        |             CAST(count(*) AS HUGEINT) * (count(*) - 1) AS vden
+        |      FROM melted GROUP BY 1, 2)
+        |SELECT a.metric, a.n AS n_a, b.n AS n_b,
+        |       CAST(a.sx AS BIGINT) AS sum_a, CAST(b.sx AS BIGINT) AS sum_b,
+        |       CASE WHEN CAST(a.vnum AS DOUBLE) / CAST(a.vden AS DOUBLE)
+        |                 + CAST(b.vnum AS DOUBLE) / CAST(b.vden AS DOUBLE) = 0.0
+        |            THEN NULL
+        |            ELSE CAST(floor(1000.0 *
+        |              (CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |               - CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE))
+        |              / sqrt((CAST(a.vnum AS DOUBLE) / CAST(a.vden AS DOUBLE)
+        |                      + CAST(b.vnum AS DOUBLE) / CAST(b.vden AS DOUBLE))
+        |                     / 2.0)) AS BIGINT)
+        |       END AS smd_milli
+        |FROM m a JOIN m b ON b.metric = a.metric AND a.in_a AND NOT b.in_a
+        |ORDER BY a.metric""".stripMargin,
 
     // DuckDB's NATIVE windowed median over the same daily reduce — its
     // even-frame interpolation lands on the same representable midpoint

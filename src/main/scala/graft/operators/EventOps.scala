@@ -788,6 +788,60 @@ object EventOps {
     * every fold here shares): ONE shuffle to the (type, day) domain, one
     * k-row fold. Output: (event_type, n_days, level_c, trend_c,
     * forecast_c = l + b, the one-step-ahead forecast). */
+  /** Covariate-balance audit for the q177 experiment assignment
+    * (arm A = even user id): per user-level covariate (event count,
+    * revenue-cents mass) the per-arm moments are folded exactly, and the
+    * standardized mean difference
+    *
+    *   SMD = (mean_A − mean_B) / sqrt((var_A + var_B) / 2)
+    *
+    * is emitted as floor(1000·SMD) — doubles derived from the SAME exact
+    * integer pieces in both engines (the q170 floor-double device), with
+    * sample variances' num/den kept in DECIMAL lanes until the final
+    * division. |SMD| ≲ 0.1 is the conventional "balanced" bar; a skewed
+    * assignment shows up here before any readout is trusted (the q247
+    * SRM tripwire's continuous-covariate partner). Zero pooled variance
+    * reports NULL. Output per covariate: (metric, n_a, n_b, sum_a,
+    * sum_b, smd_milli). */
+  def covariateBalance(events: DataFrame, userCol: String = "user_id",
+                       valueCol: String = "value"): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val per = events.groupBy(col(userCol).as("u"))
+      .agg(count(lit(1)).as("n_ev"), sum(cents(col(valueCol))).as("sum_c"))
+      .select((col("u") % 2 === 0).as("in_a"), col("n_ev"), col("sum_c"))
+      .localCheckpoint() // one per-user reduce feeds both melted metrics
+    val melted = per.select(col("in_a"), lit("n_events").as("metric"),
+        col("n_ev").as("x"))
+      .union(per.select(col("in_a"), lit("sum_cents"), col("sum_c")))
+    val m = melted.groupBy("metric", "in_a")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(dec(col("x")) * dec(col("x"))).as("sx2"))
+      // exact variance pieces: num = n·Σx² − (Σx)², den = n·(n−1)
+      .select(col("metric"), col("in_a"), col("n"), col("sx"),
+        (dec(col("n")) * col("sx2") - dec(col("sx")) * dec(col("sx")))
+          .as("vnum"),
+        (dec(col("n")) * (dec(col("n")) - 1)).as("vden"))
+    val a = m.filter(col("in_a"))
+      .select(col("metric"), col("n").as("n_a"), col("sx").as("sum_a"),
+        col("vnum").as("vnum_a"), col("vden").as("vden_a"))
+    val b = m.filter(!col("in_a"))
+      .select(col("metric"), col("n").as("n_b"), col("sx").as("sum_b"),
+        col("vnum").as("vnum_b"), col("vden").as("vden_b"))
+    a.join(b, Seq("metric"))
+      .select(col("metric"), col("n_a"), col("n_b"), col("sum_a"),
+        col("sum_b"),
+        expr("""CASE WHEN CAST(vnum_a AS DOUBLE) / CAST(vden_a AS DOUBLE)
+               |          + CAST(vnum_b AS DOUBLE) / CAST(vden_b AS DOUBLE) = 0.0
+               |     THEN NULL
+               |     ELSE CAST(floor(1000.0 *
+               |       (CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+               |        - CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+               |       / sqrt((CAST(vnum_a AS DOUBLE) / CAST(vden_a AS DOUBLE)
+               |               + CAST(vnum_b AS DOUBLE) / CAST(vden_b AS DOUBLE))
+               |              / 2.0)) AS BIGINT)
+               |END""".stripMargin).as("smd_milli"))
+  }
+
   /** Conversion-latency report: per user, the seconds between the FIRST
     * `fromType` event and the first `toType` event AT OR AFTER it, then
     * the exact latency distribution — count, conversion share in ppm, and

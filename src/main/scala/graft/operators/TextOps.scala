@@ -978,6 +978,60 @@ object TextOps {
         expr("((r + 1) * n_r1 * 1000000) div n_r").as("r_star_micro"))
   }
 
+  /** Held-out bigram language-model evaluation — the bits-per-token-style
+    * quality readout every tokenizer/corpus change gets judged by: a
+    * Laplace-smoothed bigram LM is fit on the id-parity train split
+    * (cost(a,b) = −ln((c_ab + 1)/(c_a + V)), V = the successor
+    * vocabulary), every (class, bigram) cost is rounded ONCE to integer
+    * micro-nats (the q213/q290 shared-libm device — after that both
+    * engines sum only integers), and the val split is charged per bigram
+    * with two fallback tiers: unseen successor under a seen head pays
+    * −ln(1/(c_a + V)), a fully unseen head pays −ln(1/V). Output per
+    * language: (n_bigrams, cost_sum_micro, per_bigram_cost_micro) —
+    * exact integers, order-free.
+    *
+    * Shape: one successor explode, one (a, b) train reduce, the val side
+    * joins the vocabulary-sized cost table — never a per-row subquery. */
+  def bigramPerplexity(docs: DataFrame, textCol: String = "text",
+                       langCol: String = "lang",
+                       idCol: String = "doc_id"): DataFrame = {
+    def microNatNeg(x: Column): Column =
+      floor(-log(x) * lit(1e6) + lit(0.5)).cast("long")
+    val pairs = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+        words(col(textCol)).as("w"))
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "zip_with(w, concat(slice(w, 2, greatest(size(w) - 1, 0)), array(CAST(NULL AS STRING)))," +
+          " (a, b) -> struct(a AS a, b AS b))")).as("p"))
+      .filter(col("p.b").isNotNull)
+      .select(col("doc_id"), col("lang"), col("p.a").as("a"), col("p.b").as("b"))
+    val cab = pairs.filter(col("doc_id") % 10 < 8)
+      .groupBy("a", "b").agg(count(lit(1)).as("cab"))
+      .localCheckpoint() // feeds heads, vocab, and the cost table
+    val ca = cab.groupBy("a").agg(sum("cab").as("ca"))
+    val v = broadcast(cab.agg(countDistinct("b").as("v")))
+    val costAb = cab.join(ca, Seq("a")).crossJoin(v)
+      .select(col("a"), col("b"),
+        microNatNeg((col("cab") + 1).cast("double") /
+          (col("ca") + col("v")).cast("double")).as("cost_ab"))
+    val costA = ca.crossJoin(v)
+      .select(col("a"),
+        microNatNeg(lit(1.0) / (col("ca") + col("v")).cast("double"))
+          .as("cost_a0"))
+    val costGlobal = broadcast(v
+      .select(microNatNeg(lit(1.0) / col("v").cast("double")).as("cost_00")))
+    pairs.filter(col("doc_id") % 10 >= 8)
+      .groupBy("lang", "a", "b").agg(count(lit(1)).as("cnt"))
+      .join(costAb, Seq("a", "b"), "left")
+      .join(costA, Seq("a"), "left")
+      .crossJoin(costGlobal)
+      .groupBy("lang")
+      .agg(sum("cnt").as("n_bigrams"),
+        sum(col("cnt") * coalesce(col("cost_ab"), col("cost_a0"),
+          col("cost_00"))).as("cost_sum_micro"))
+      .select(col("lang"), col("n_bigrams"), col("cost_sum_micro"),
+        expr("cost_sum_micro div n_bigrams").as("per_bigram_cost_micro"))
+  }
+
   /** GPT-2-family PRETOKENIZATION audit: split text with the
     * contraction / letter-run / digit-run / punctuation-run / space-run
     * alternation every BPE-style tokenizer applies before merges, then

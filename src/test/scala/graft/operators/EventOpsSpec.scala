@@ -721,4 +721,21 @@ class EventOpsSpec extends SparkSpec {
     // ceil-ranks: p25/p50 -> 1st (60), p75/p90 -> 2nd (240)
     assert(got == ((3L, 2L, 666666L, 60L, 60L, 240L, 240L, 240L)))
   }
+
+  test("covariateBalance: hand SMD and the zero-pooled-variance NULL") {
+    // arms by user parity; every user has 2 events (n_events vars both 0
+    // -> NULL); cents masses A {300, 300}, B {400, 100} -> SMD = 50/150
+    val rows = Seq(
+      (0L, 1.00), (0L, 2.00), (2L, 1.50), (2L, 1.50),   // arm A
+      (1L, 2.00), (1L, 2.00), (3L, 0.50), (3L, 0.50))   // arm B
+    val df = rows.zipWithIndex.map { case ((u, v), i) =>
+      (i.toLong, u, i.toLong * 1000000000L, "purchase", v) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = EventOps.covariateBalance(df)
+      .as[(String, Long, Long, Long, Long, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("n_events", 2L, 2L, 4L, 4L, None),
+      ("sum_cents", 2L, 2L, 600L, 500L, Some(333L))))
+  }
 }

@@ -546,6 +546,18 @@ class TextOpsSpec extends SparkSpec {
       enCells.map { case (t, c) => h60(s"$t:$c") }.reduce(_ ^ _))
   }
 
+  test("bigramPerplexity: hand counts, two fallback tiers, JVM-exact costs") {
+    // train (id 0): bigrams (x,y)x2, (y,x)x1 -> ca: x=2, y=1; V = |{x,y}| = 2
+    // val (id 8, en): (x,y) seen; (y,z) unseen under seen head; (z,q) cold
+    val docs = Seq((0L, "en", "x y x y"), (8L, "en", "x y z q"))
+      .toDF("doc_id", "lang", "text")
+    def mn(x: Double): Long = math.floor(-math.log(x) * 1e6 + 0.5).toLong
+    val want = mn(3.0 / 4.0) + mn(1.0 / 3.0) + mn(1.0 / 2.0)
+    val got = TextOps.bigramPerplexity(docs)
+      .as[(String, Long, Long, Long)].head()
+    assert(got == (("en", 3L, want, want / 3)))
+  }
+
   test("naiveBayes: disjoint vocab separates; unseen tie breaks to asc class") {
     // train (id % 10 < 8): four "aa" docs of {x, y}, four "bb" docs of
     // {z, w} -> V = 4, tc = 12 for both classes, equal priors.
