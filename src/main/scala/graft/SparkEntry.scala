@@ -4167,6 +4167,31 @@ object SparkEntry {
     "q301_covariate_balance" -> ((s, dir) =>
       EventOps.covariateBalance(t(s, dir, "events")).orderBy("metric")),
 
+    // ABC / Pareto classification of parts by revenue: ONE reduce to the
+    // part domain, a cumulative window over that reduced domain under a
+    // total (revenue desc, partkey) order, START-based class boundaries
+    // in exact integers (the q185 cum−cnt device), 3-row class report.
+    "q302_abc_pareto" -> ((s, dir) => {
+      val w = Window.orderBy(col("rev_cc").desc, col("p_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("p_partkey"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)" +
+          " * (100 - CAST(round(l_discount * 100) AS BIGINT))")).as("rev_cc"))
+        .withColumn("cum", sum("rev_cc").over(w))
+        .withColumn("total", expr("sum(rev_cc) OVER ()"))
+        .withColumn("cls", expr(
+          """CASE WHEN (cum - rev_cc) * 100 < total * 70 THEN 'A'
+            |     WHEN (cum - rev_cc) * 100 < total * 90 THEN 'B'
+            |     ELSE 'C' END""".stripMargin))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_parts"), sum("rev_cc").as("revenue_cc"),
+          // DECIMAL lane: class revenue ×10⁶ passes 2⁶³ near 10⁷ rows
+          expr("(CAST(sum(rev_cc) AS DECIMAL(38,0)) * 1000000)" +
+            " div any_value(total)").cast("long").as("share_ppm"))
+        .orderBy("cls")
+    }),
+
     // The SIXTH injected optimizer rule end-to-end: a radius predicate
     // over the native graft_haversine_m gains a provably-containing
     // lat/lon bounding box that Spark pushes into the parquet scan
@@ -9672,6 +9697,28 @@ object SparkEntry {
         |            // count(*) AS BIGINT) AS pos_ppm,
         |       CAST(sum(logit) AS BIGINT) AS sum_logit
         |FROM lg GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Same part-domain reduce, same total (rev desc, partkey) order,
+    // same start-based integer class boundaries.
+    "q302_abc_pareto" ->
+      """WITH pr AS (SELECT l_partkey AS p_partkey,
+        |                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_cc
+        |            FROM lineitem GROUP BY 1),
+        |c AS (SELECT p_partkey, rev_cc,
+        |             sum(rev_cc) OVER (ORDER BY rev_cc DESC, p_partkey
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |             sum(rev_cc) OVER () AS total
+        |      FROM pr),
+        |k AS (SELECT CASE WHEN (cum - rev_cc) * 100 < total * 70 THEN 'A'
+        |                  WHEN (cum - rev_cc) * 100 < total * 90 THEN 'B'
+        |                  ELSE 'C' END AS cls,
+        |             rev_cc, total
+        |      FROM c)
+        |SELECT cls, count(*) AS n_parts,
+        |       CAST(sum(rev_cc) AS BIGINT) AS revenue_cc,
+        |       CAST((sum(rev_cc) * 1000000) // any_value(total) AS BIGINT) AS share_ppm
+        |FROM k GROUP BY cls ORDER BY cls""".stripMargin,
 
     // The PLAIN haversine filter — no bbox anywhere: the oracle is the
     // result-identity proof that the injected bounding box is residual-
