@@ -4167,6 +4167,23 @@ object SparkEntry {
     "q301_covariate_balance" -> ((s, dir) =>
       EventOps.covariateBalance(t(s, dir, "events")).orderBy("metric")),
 
+    // Simpson's-paradox audit: pooled vs per-weekday A/B contrast in
+    // exact integers, sign-flip flags per stratum.
+    "q303_simpson_audit" -> ((s, dir) =>
+      EventOps.simpsonAudit(t(s, dir, "events")).orderBy("dow")),
+
+    // Skip-gram (±2 window) PMI collocations — one corpus scan feeds
+    // unigrams and both pair offsets; exact integer exp(PMI) ranking.
+    "q304_skipgram_pmi" -> ((s, dir) =>
+      TextOps.skipgramPmi(t(s, dir, "documents"), minCount = 20, k = 50)),
+
+    // Named-WINDOW SQL surface: one WINDOW clause shared by two window
+    // functions, identical statement text in both engines.
+    "q305_named_window" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(namedWindowSql)
+    }),
+
     // ABC / Pareto classification of parts by revenue: ONE reduce to the
     // part domain, a cumulative window over that reduced domain under a
     // total (revenue desc, partkey) order, START-based class boundaries
@@ -4255,6 +4272,20 @@ object SparkEntry {
       |FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
       |WHERE r.total_revenue_cc = (SELECT max(total_revenue_cc) FROM revenue)
       |ORDER BY s.s_suppkey""".stripMargin
+
+  /** q305's shared text: the WINDOW clause — one named window feeding a
+    * running sum and a rank, pre-filter in a subquery so the window sees
+    * every row. Unique ordering keys make the default RANGE frame and
+    * rank deterministic in both engines. */
+  private lazy val namedWindowSql: String =
+    """SELECT * FROM (
+      |  SELECT o_orderstatus, o_orderkey,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS run_c,
+      |         CAST(rank() OVER w AS BIGINT) AS rnk
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)) t
+      |WHERE o_orderkey % 97 = 0
+      |ORDER BY o_orderstatus, o_orderkey""".stripMargin
 
   /** q229's shared text (both engines run it verbatim): TPC-H Q21's
     * double-correlated EXISTS / NOT EXISTS shape over the columns this
@@ -9697,6 +9728,72 @@ object SparkEntry {
         |            // count(*) AS BIGINT) AS pos_ppm,
         |       CAST(sum(logit) AS BIGINT) AS sum_logit
         |FROM lg GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Same integer weekday arithmetic, same (dow, arm) reduce, same
+    // sign-safe ppm lanes and flip law over the dow-domain windows.
+    "q303_simpson_audit" ->
+      """WITH s AS (SELECT ((epoch_us(ts) // 86400000000) + 3) % 7 + 1 AS dow,
+        |                  user_id % 2 = 0 AS in_a, value >= 50.0 AS succ
+        |           FROM events),
+        |m AS (SELECT dow,
+        |             sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS n_a,
+        |             sum(CASE WHEN in_a AND succ THEN 1 ELSE 0 END) AS s_a,
+        |             sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS n_b,
+        |             sum(CASE WHEN NOT in_a AND succ THEN 1 ELSE 0 END) AS s_b
+        |      FROM s GROUP BY dow),
+        |x AS (SELECT dow, n_a, s_a, n_b, s_b,
+        |             CAST(s_a AS HUGEINT) * n_b - CAST(s_b AS HUGEINT) * n_a AS diff_num,
+        |             sum(n_a) OVER () AS p_na, sum(s_a) OVER () AS p_sa,
+        |             sum(n_b) OVER () AS p_nb, sum(s_b) OVER () AS p_sb
+        |      FROM m),
+        |y AS (SELECT *,
+        |             CAST(p_sa AS HUGEINT) * p_nb - CAST(p_sb AS HUGEINT) * p_na AS pooled_num
+        |      FROM x)
+        |SELECT CAST(dow AS BIGINT) AS dow,
+        |       CAST(n_a AS BIGINT) AS n_a, CAST(s_a AS BIGINT) AS s_a,
+        |       CAST(n_b AS BIGINT) AS n_b, CAST(s_b AS BIGINT) AS s_b,
+        |       CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+        |            WHEN diff_num >= 0 THEN
+        |              (diff_num * 1000000) // (CAST(n_a AS HUGEINT) * n_b)
+        |            ELSE
+        |              -(((-diff_num) * 1000000) // (CAST(n_a AS HUGEINT) * n_b))
+        |            END AS BIGINT) AS diff_ppm,
+        |       CAST(CASE WHEN pooled_num >= 0 THEN
+        |              (pooled_num * 1000000) // (CAST(p_na AS HUGEINT) * p_nb)
+        |            ELSE
+        |              -(((-pooled_num) * 1000000) // (CAST(p_na AS HUGEINT) * p_nb))
+        |            END AS BIGINT) AS pooled_diff_ppm,
+        |       (diff_num > 0 AND pooled_num < 0)
+        |         OR (diff_num < 0 AND pooled_num > 0) AS flips
+        |FROM y ORDER BY dow""".stripMargin,
+
+    // Same one-scan (t, n1, n2) generate, same canonicalized unordered
+    // pairs, same exact exp(PMI) integer ratio and (ratio, w1, w2) cut.
+    "q304_skipgram_pmi" ->
+      """WITH tri AS (SELECT w[i] AS t,
+        |                    CASE WHEN i + 1 <= len(w) THEN w[i + 1] END AS n1,
+        |                    CASE WHEN i + 2 <= len(w) THEN w[i + 2] END AS n2
+        |             FROM (SELECT string_split(text, ' ') AS w FROM documents),
+        |                  unnest(generate_series(1, len(w))) AS u(i)),
+        |uni AS (SELECT t, count(*) AS c FROM tri GROUP BY t),
+        |nu AS (SELECT count(*) AS n_uni FROM tri),
+        |pr AS (SELECT least(t, n1) AS w1, greatest(t, n1) AS w2 FROM tri
+        |       WHERE n1 IS NOT NULL AND t <> n1
+        |       UNION ALL
+        |       SELECT least(t, n2), greatest(t, n2) FROM tri
+        |       WHERE n2 IS NOT NULL AND t <> n2),
+        |pc AS (SELECT w1, w2, count(*) AS cxy FROM pr GROUP BY 1, 2),
+        |np AS (SELECT sum(cxy) AS n_pairs FROM pc)
+        |SELECT w1, w2, cxy,
+        |       CAST((CAST(cxy AS HUGEINT) * n_uni * n_uni * 1000000)
+        |            // (CAST(n_pairs AS HUGEINT) * ux.c * uy.c) AS BIGINT)
+        |         AS pmi_ratio_ppm
+        |FROM pc CROSS JOIN nu CROSS JOIN np
+        |JOIN uni ux ON ux.t = w1 JOIN uni uy ON uy.t = w2
+        |WHERE cxy >= 20
+        |ORDER BY pmi_ratio_ppm DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    "q305_named_window" -> namedWindowSql,
 
     // Same part-domain reduce, same total (rev desc, partkey) order,
     // same start-based integer class boundaries.

@@ -788,6 +788,55 @@ object EventOps {
     * every fold here shares): ONE shuffle to the (type, day) domain, one
     * k-row fold. Output: (event_type, n_days, level_c, trend_c,
     * forecast_c = l + b, the one-step-ahead forecast). */
+  /** Simpson's-paradox audit of the A/B readout: the pooled success-rate
+    * contrast vs the same contrast WITHIN each ISO-weekday stratum, all
+    * in exact integers — diff_num = s_a·n_b − s_b·n_a carries the sign
+    * without any division, ppm rates come from a DECIMAL lane, and a
+    * stratum FLIPS when its contrast sign opposes the pooled sign (the
+    * aggregation-reversal every stratified readout must check before
+    * trusting the pooled number). Weekday is pure integer epoch-day
+    * arithmetic (((day + 3) mod 7) + 1 — ISO, Thursday epoch), identical
+    * in both engines. One reduce to the (dow, arm) domain; pooled masses
+    * are windows over the ≤7-row dow domain. */
+  def simpsonAudit(events: DataFrame, succThreshold: Double = 50.0,
+                   userCol: String = "user_id", tsCol: String = "ts",
+                   valueCol: String = "value"): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val w = Window.partitionBy(lit(1)) // the dow domain
+    events
+      .select(expr(s"((($tsCol div 1000) div 86400000000) + 3) % 7 + 1")
+          .as("dow"),
+        (col(userCol) % 2 === 0).as("in_a"),
+        (col(valueCol) >= succThreshold).as("succ"))
+      .groupBy("dow")
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("in_a") && col("succ"), 1L).otherwise(0L)).as("s_a"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("in_a") && col("succ"), 1L).otherwise(0L)).as("s_b"))
+      .withColumn("diff_num",
+        dec(col("s_a")) * dec(col("n_b")) - dec(col("s_b")) * dec(col("n_a")))
+      .withColumn("p_na", sum("n_a").over(w))
+      .withColumn("p_sa", sum("s_a").over(w))
+      .withColumn("p_nb", sum("n_b").over(w))
+      .withColumn("p_sb", sum("s_b").over(w))
+      .withColumn("pooled_num",
+        dec(col("p_sa")) * dec(col("p_nb")) - dec(col("p_sb")) * dec(col("p_na")))
+      .select(col("dow"), col("n_a"), col("s_a"), col("n_b"), col("s_b"),
+        expr("""CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+               |     WHEN diff_num >= 0 THEN
+               |       (diff_num * 1000000) div (CAST(n_a AS DECIMAL(38,0)) * n_b)
+               |     ELSE
+               |       -(((-diff_num) * 1000000) div (CAST(n_a AS DECIMAL(38,0)) * n_b))
+               |END""".stripMargin).cast("long").as("diff_ppm"),
+        expr("""CASE WHEN pooled_num >= 0 THEN
+               |       (pooled_num * 1000000) div (CAST(p_na AS DECIMAL(38,0)) * p_nb)
+               |     ELSE
+               |       -(((-pooled_num) * 1000000) div (CAST(p_na AS DECIMAL(38,0)) * p_nb))
+               |END""".stripMargin).cast("long").as("pooled_diff_ppm"),
+        ((col("diff_num") > 0 && col("pooled_num") < 0) ||
+          (col("diff_num") < 0 && col("pooled_num") > 0)).as("flips"))
+  }
+
   /** Covariate-balance audit for the q177 experiment assignment
     * (arm A = even user id): per user-level covariate (event count,
     * revenue-cents mass) the per-arm moments are folded exactly, and the

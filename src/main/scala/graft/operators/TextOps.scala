@@ -840,6 +840,52 @@ object TextOps {
       .limit(k)
   }
 
+  /** Skip-gram collocations — [[pmiCollocations]] widened to the ±2
+    * context window word2vec-style statistics use: pairs come from BOTH
+    * the adjacent and the distance-2 successor, canonicalized to the
+    * unordered (least, greatest) form so left/right context folds
+    * together. Everything derives from ONE corpus scan (the q178 lesson):
+    * a single explode produces (token, succ1, succ2) rows that feed the
+    * unigram table and both pair offsets; ranking is the same exact
+    * integer exp(PMI) ratio num div den with cleared denominators in
+    * DECIMAL(38) lanes. */
+  def skipgramPmi(docs: DataFrame, minCount: Long = 20, k: Int = 50,
+                  textCol: String = "text"): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val tri = docs.select(words(col(textCol)).as("w"))
+      .select(explode(expr(
+        """transform(sequence(1, size(w)), i -> struct(
+          |  element_at(w, i) AS t,
+          |  CASE WHEN i + 1 <= size(w) THEN element_at(w, i + 1) END AS n1,
+          |  CASE WHEN i + 2 <= size(w) THEN element_at(w, i + 2) END AS n2))"""
+          .stripMargin)).as("p"))
+      .select(col("p.t").as("t"), col("p.n1").as("n1"), col("p.n2").as("n2"))
+      .localCheckpoint() // ONE corpus scan feeds unigrams + both offsets
+    val uni = tri.groupBy("t").agg(count(lit(1)).as("c"))
+    val nUni = broadcast(tri.agg(count(lit(1)).as("n_uni")))
+    val pairsRaw = tri.filter(col("n1").isNotNull)
+      .select(least(col("t"), col("n1")).as("w1"),
+        greatest(col("t"), col("n1")).as("w2"))
+      .union(tri.filter(col("n2").isNotNull)
+        .select(least(col("t"), col("n2")).as("w1"),
+          greatest(col("t"), col("n2")).as("w2")))
+      .filter(col("w1") =!= col("w2"))
+    val pc = pairsRaw.groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+      .localCheckpoint()
+    val nPairs = broadcast(pc.agg(sum("cxy").as("n_pairs")))
+    pc.filter(col("cxy") >= minCount)
+      .crossJoin(nUni).crossJoin(nPairs)
+      .join(uni.withColumnRenamed("t", "w1").withColumnRenamed("c", "cx"), "w1")
+      .join(uni.withColumnRenamed("t", "w2").withColumnRenamed("c", "cy"), "w2")
+      .withColumn("num", dec(col("cxy")) * dec(col("n_uni")) * dec(col("n_uni")) *
+        dec(lit(1000000L)))
+      .withColumn("den", dec(col("n_pairs")) * dec(col("cx")) * dec(col("cy")))
+      .select(col("w1"), col("w2"), col("cxy"),
+        expr("num div den").as("pmi_ratio_ppm"))
+      .orderBy(col("pmi_ratio_ppm").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
     * SIGMOD'03, the MOSS scheme; cf. the reference's fingerprint sketches):
     * hash every positional word `n`-gram, slide a window of `w` consecutive

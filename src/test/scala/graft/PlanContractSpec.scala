@@ -75,6 +75,7 @@ class PlanContractSpec extends SparkSpec {
     "q291_isotonic",                 // bin-domain j<=k triple join (d ~ 10 rows) + n_total scalar
     "q292_conversion_latency",       // two 1-row totals broadcasts (n_conv, n_from)
     "q300_lm_perplexity",            // 1-row vocab-size + 1-row global-fallback broadcasts
+    "q304_skipgram_pmi",             // (n_uni, n_pairs) 1-row totals broadcasts (the q178 class)
     "q272_did")                      // 1-row median-cut scalar broadcast
 
   /** q38's brute-force fallback joins the (empty-whenever-the-grid-

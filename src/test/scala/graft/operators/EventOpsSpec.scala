@@ -738,4 +738,25 @@ class EventOpsSpec extends SparkSpec {
       ("n_events", 2L, 2L, 4L, 4L, None),
       ("sum_cents", 2L, 2L, 600L, 500L, Some(333L))))
   }
+
+  test("simpsonAudit: the classic reversal — A wins every stratum, loses pooled") {
+    val day = 86400000000L * 1000L // nanos
+    def ev(u: Long, d: Long, succ: Boolean, n: Int) =
+      Seq.fill(n)((u, d * day, if (succ) 60.0 else 10.0))
+    // Thu (dow 4): A 1/1 vs B 3/4; Fri (dow 5): A 2/8 vs B 1/6
+    val rows = ev(0L, 0L, succ = true, 1) ++
+      ev(1L, 0L, succ = true, 3) ++ ev(1L, 0L, succ = false, 1) ++
+      ev(0L, 1L, succ = true, 2) ++ ev(0L, 1L, succ = false, 6) ++
+      ev(1L, 1L, succ = true, 1) ++ ev(1L, 1L, succ = false, 5)
+    val df = rows.zipWithIndex.map { case ((u, ts, v), i) =>
+      (i.toLong, u, ts, "purchase", v) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = EventOps.simpsonAudit(df)
+      .as[(Long, Long, Long, Long, Long, Option[Long], Long, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    // pooled: A 3/9 vs B 4/10 -> pooled_num = -6, ppm = -(6e6 div 90)
+    assert(got == Seq(
+      (4L, 1L, 1L, 4L, 3L, Some(250000L), -66666L, true),
+      (5L, 8L, 2L, 6L, 1L, Some(83333L), -66666L, true)))
+  }
 }

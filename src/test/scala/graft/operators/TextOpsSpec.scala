@@ -546,6 +546,16 @@ class TextOpsSpec extends SparkSpec {
       enCells.map { case (t, c) => h60(s"$t:$c") }.reduce(_ ^ _))
   }
 
+  test("skipgramPmi: +-2 window pairs, canonicalized, self-pairs dropped") {
+    // "a b c": n1 pairs (a,b),(b,c); n2 pair (a,c); "x x" self-pair drops.
+    // uni: a=b=c=1 (+x=2), n_uni=5; each pair ratio = (1*25e6) div (3*1*1)
+    val docs = Seq((1L, "a b c"), (2L, "x x")).toDF("doc_id", "text")
+    val got = TextOps.skipgramPmi(docs, minCount = 1, k = 10)
+      .as[(String, String, Long, Long)].collect().toSeq
+    val r = 25000000L / 3L
+    assert(got == Seq(("a", "b", 1L, r), ("a", "c", 1L, r), ("b", "c", 1L, r)))
+  }
+
   test("bigramPerplexity: hand counts, two fallback tiers, JVM-exact costs") {
     // train (id 0): bigrams (x,y)x2, (y,x)x1 -> ca: x=2, y=1; V = |{x,y}| = 2
     // val (id 8, en): (x,y) seen; (y,z) unseen under seen head; (z,q) cold
