@@ -4167,6 +4167,21 @@ object SparkEntry {
     "q301_covariate_balance" -> ((s, dir) =>
       EventOps.covariateBalance(t(s, dir, "events")).orderBy("metric")),
 
+    // DECIMAL-typed aggregation surface: TPC-H Q1's reduce with the
+    // measures CAST to DECIMAL(12,2) — exact decimal sums and the
+    // decimal-product scale rules, identical statement text both engines.
+    "q306_decimal_q1" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(decimalQ1Sql)
+    }),
+
+    // NULL-semantics surface: null group keys, null-skipping vs row
+    // counts, DISTINCT under nulls, coalesce/nullif — shared text.
+    "q307_null_surface" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql(nullSurfaceSql)
+    }),
+
     // Simpson's-paradox audit: pooled vs per-weekday A/B contrast in
     // exact integers, sign-flip flags per stratum.
     "q303_simpson_audit" -> ((s, dir) =>
@@ -4286,6 +4301,39 @@ object SparkEntry {
       |  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)) t
       |WHERE o_orderkey % 97 = 0
       |ORDER BY o_orderstatus, o_orderkey""".stripMargin
+
+  /** q306's shared text: Q1's reduce in DECIMAL(12,2) lanes — decimal
+    * sums are exact, and both engines' double→decimal(2) casts agree on
+    * 2-dp-semantics data (the nearest double of a 2-dp value is never
+    * within rounding distance of a .005 boundary). */
+  private lazy val decimalQ1Sql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT) AS sum_qty_c,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS sum_price_c,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |                * CAST(l_discount AS DECIMAL(12,2))) * 10000 AS BIGINT) AS sum_disc_price_cc
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q307's shared text: the NULL-semantics battery — null group keys,
+    * count(*) vs null-skipping count(col) vs count(DISTINCT col),
+    * coalesce and nullif, explicit NULLS FIRST (the engines' DEFAULT null
+    * sort order differs, so the text pins it). */
+  private lazy val nullSurfaceSql: String =
+    """WITH t AS (SELECT c_custkey,
+      |                  CASE WHEN c_custkey % 5 = 0 THEN NULL
+      |                       ELSE c_nationkey END AS nk,
+      |                  CASE WHEN c_custkey % 7 = 0 THEN NULL
+      |                       ELSE c_mktsegment END AS seg
+      |           FROM customer)
+      |SELECT nk, count(*) AS n_rows, count(seg) AS n_seg,
+      |       count(DISTINCT seg) AS n_seg_d,
+      |       CAST(sum(CASE WHEN seg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_seg,
+      |       coalesce(min(seg), '<none>') AS min_seg,
+      |       CAST(max(nullif(c_custkey % 3, 0)) AS BIGINT) AS max_nn
+      |FROM t GROUP BY nk
+      |ORDER BY nk NULLS FIRST""".stripMargin
 
   /** q229's shared text (both engines run it verbatim): TPC-H Q21's
     * double-correlated EXISTS / NOT EXISTS shape over the columns this
@@ -9794,6 +9842,8 @@ object SparkEntry {
         |ORDER BY pmi_ratio_ppm DESC, w1, w2 LIMIT 50""".stripMargin,
 
     "q305_named_window" -> namedWindowSql,
+    "q306_decimal_q1" -> decimalQ1Sql,
+    "q307_null_surface" -> nullSurfaceSql,
 
     // Same part-domain reduce, same total (rev desc, partkey) order,
     // same start-based integer class boundaries.
