@@ -4212,9 +4212,13 @@ object SparkEntry {
           " * (100 - CAST(round(l_discount * 100) AS BIGINT))")).as("rev_cc"))
         .withColumn("cum", sum("rev_cc").over(w))
         .withColumn("total", expr("sum(rev_cc) OVER ()"))
+        // DECIMAL comparison lanes: total·90 in LONG passes 2⁶³ around
+        // 10⁸ lineitems — same truncation-free comparison, no ceiling
         .withColumn("cls", expr(
-          """CASE WHEN (cum - rev_cc) * 100 < total * 70 THEN 'A'
-            |     WHEN (cum - rev_cc) * 100 < total * 90 THEN 'B'
+          """CASE WHEN CAST(cum - rev_cc AS DECIMAL(38,0)) * 100
+            |          < CAST(total AS DECIMAL(38,0)) * 70 THEN 'A'
+            |     WHEN CAST(cum - rev_cc AS DECIMAL(38,0)) * 100
+            |          < CAST(total AS DECIMAL(38,0)) * 90 THEN 'B'
             |     ELSE 'C' END""".stripMargin))
         .groupBy("cls")
         .agg(count(lit(1)).as("n_parts"), sum("rev_cc").as("revenue_cc"),
@@ -9857,8 +9861,10 @@ object SparkEntry {
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
         |             sum(rev_cc) OVER () AS total
         |      FROM pr),
-        |k AS (SELECT CASE WHEN (cum - rev_cc) * 100 < total * 70 THEN 'A'
-        |                  WHEN (cum - rev_cc) * 100 < total * 90 THEN 'B'
+        |k AS (SELECT CASE WHEN CAST(cum - rev_cc AS HUGEINT) * 100
+        |                       < CAST(total AS HUGEINT) * 70 THEN 'A'
+        |                  WHEN CAST(cum - rev_cc AS HUGEINT) * 100
+        |                       < CAST(total AS HUGEINT) * 90 THEN 'B'
         |                  ELSE 'C' END AS cls,
         |             rev_cc, total
         |      FROM c)

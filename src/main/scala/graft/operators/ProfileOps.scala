@@ -793,12 +793,17 @@ object ProfileOps {
           .as("den_a"),
         (dec(col("n")) * col(s"s2_$b") - col(s"s_$b") * col(s"s_$b"))
           .as("den_b"))
+        // n² in a DECIMAL lane: a LONG n·n overflows past ~3·10⁹ rows —
+        // ANSI would throw loudly, but the operator shouldn't have a
+        // row-count ceiling at all
         .select(col("col_a"), col("col_b"), col("n"),
-          expr("""CASE WHEN num >= 0 THEN num div (n * n)
-                 |     ELSE -((-num) div (n * n)) END""".stripMargin)
-            .cast("long").as("num_nn"),
-          expr("(den_a div (n * n))").cast("long").as("den_a_nn"),
-          expr("(den_b div (n * n))").cast("long").as("den_b_nn"))
+          expr("""CASE WHEN num >= 0 THEN num div (CAST(n AS DECIMAL(38,0)) * n)
+                 |     ELSE -((-num) div (CAST(n AS DECIMAL(38,0)) * n)) END"""
+            .stripMargin).cast("long").as("num_nn"),
+          expr("(den_a div (CAST(n AS DECIMAL(38,0)) * n))")
+            .cast("long").as("den_a_nn"),
+          expr("(den_b div (CAST(n AS DECIMAL(38,0)) * n))")
+            .cast("long").as("den_b_nn"))
         .select(col("col_a"), col("col_b"), col("n"), col("num_nn"),
           col("den_a_nn"), col("den_b_nn"),
           expr("""CASE WHEN den_a_nn = 0 OR den_b_nn = 0 THEN NULL

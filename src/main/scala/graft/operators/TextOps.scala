@@ -1072,10 +1072,14 @@ object TextOps {
       .crossJoin(costGlobal)
       .groupBy("lang")
       .agg(sum("cnt").as("n_bigrams"),
-        sum(col("cnt") * coalesce(col("cost_ab"), col("cost_a0"),
-          col("cost_00"))).as("cost_sum_micro"))
-      .select(col("lang"), col("n_bigrams"), col("cost_sum_micro"),
-        expr("cost_sum_micro div n_bigrams").as("per_bigram_cost_micro"))
+        // DECIMAL lane: Σ cnt·cost (micro-nats) passes 2⁶³ near 10¹³
+        // val bigrams — the mass must have no corpus-size ceiling
+        sum(col("cnt").cast("decimal(38,0)") * coalesce(col("cost_ab"),
+          col("cost_a0"), col("cost_00"))).as("cost_sum_d"))
+      .select(col("lang"), col("n_bigrams"),
+        col("cost_sum_d").cast("long").as("cost_sum_micro"),
+        expr("cost_sum_d div n_bigrams").cast("long")
+          .as("per_bigram_cost_micro"))
   }
 
   /** GPT-2-family PRETOKENIZATION audit: split text with the
