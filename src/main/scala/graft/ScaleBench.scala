@@ -309,7 +309,7 @@ object ScaleBench {
     "q297_tpch_q15_shape", "q298_moving_median", "q299_feature_hashing",
     "q300_lm_perplexity", "q301_covariate_balance", "q302_abc_pareto",
     "q303_simpson_audit", "q304_skipgram_pmi", "q305_named_window",
-    "q306_decimal_q1", "q307_null_surface")
+    "q306_decimal_q1", "q307_null_surface", "q308_cohort_ltv")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

@@ -4167,6 +4167,33 @@ object SparkEntry {
     "q301_covariate_balance" -> ((s, dir) =>
       EventOps.covariateBalance(t(s, dir, "events")).orderBy("metric")),
 
+    // Cohort LTV curves: users cohorted by first-seen epoch week, their
+    // revenue mass laid out by weeks-since-signup, cumulated per cohort
+    // over the WEEK domain (the q117 retention matrix's revenue twin),
+    // exact integer per-user LTV. One per-user reduce, one (cohort, age)
+    // reduce, one window over the bounded week lattice.
+    "q308_cohort_ltv" -> ((s, dir) => {
+      val wk = 604800000000L // micros per epoch week
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr(s"(ts div 1000) div $wk").as("wk"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("xc"))
+      val signup = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+        .localCheckpoint() // feeds cohort sizes AND the age join
+      val sizes = signup.groupBy("cohort_wk")
+        .agg(count(lit(1)).as("n_users"))
+      val aged = ev.join(signup, Seq("user_id"))
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("age_wk"))
+        .agg(sum("xc").as("rev_c"))
+      val w = Window.partitionBy("cohort_wk").orderBy("age_wk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      aged.withColumn("cum_rev_c", sum("rev_c").over(w))
+        .join(sizes, Seq("cohort_wk"))
+        .select(col("cohort_wk"), col("age_wk"), col("n_users"),
+          col("rev_c"), col("cum_rev_c"),
+          expr("cum_rev_c div n_users").as("ltv_per_user_c"))
+        .orderBy("cohort_wk", "age_wk")
+    }),
+
     // DECIMAL-typed aggregation surface: TPC-H Q1's reduce with the
     // measures CAST to DECIMAL(12,2) — exact decimal sums and the
     // decimal-product scale rules, identical statement text both engines.
@@ -9848,6 +9875,30 @@ object SparkEntry {
     "q305_named_window" -> namedWindowSql,
     "q306_decimal_q1" -> decimalQ1Sql,
     "q307_null_surface" -> nullSurfaceSql,
+
+    // Same first-seen cohorting, same (cohort, age) reduce, same
+    // bounded-week cumulative, same truncated per-user division.
+    "q308_cohort_ltv" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk,
+        |                   CAST(round(value * 100) AS BIGINT) AS xc
+        |            FROM events),
+        |signup AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1),
+        |sizes AS (SELECT cohort_wk, count(*) AS n_users FROM signup GROUP BY 1),
+        |aged AS (SELECT s.cohort_wk, e.wk - s.cohort_wk AS age_wk,
+        |                sum(e.xc) AS rev_c
+        |         FROM ev e JOIN signup s ON s.user_id = e.user_id
+        |         GROUP BY 1, 2),
+        |c AS (SELECT cohort_wk, age_wk, rev_c,
+        |             sum(rev_c) OVER (PARTITION BY cohort_wk ORDER BY age_wk
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev_c
+        |      FROM aged)
+        |SELECT c.cohort_wk, CAST(c.age_wk AS BIGINT) AS age_wk,
+        |       CAST(z.n_users AS BIGINT) AS n_users,
+        |       CAST(c.rev_c AS BIGINT) AS rev_c,
+        |       CAST(c.cum_rev_c AS BIGINT) AS cum_rev_c,
+        |       CAST(c.cum_rev_c // z.n_users AS BIGINT) AS ltv_per_user_c
+        |FROM c JOIN sizes z ON z.cohort_wk = c.cohort_wk
+        |ORDER BY c.cohort_wk, c.age_wk""".stripMargin,
 
     // Same part-domain reduce, same total (rev desc, partkey) order,
     // same start-based integer class boundaries.
