@@ -81,10 +81,21 @@ object HaversineM {
   * Containment proof (haversine on a sphere of radius R):
   *   d ≥ R·|Δφ|                                  → |Δlat°| ≤ (r/R)·180/π
   *   d ≥ (2/π)·R·cos(φmax)·|Δλ|                  → |Δlon°| ≤ dLat°·(π/2)/cos(φmax)
-  * with φmax = min(|lat0| + dLat°, 89.99°); both bounds are inflated by
+  * with φmax = |lat0| + dLat°; both bounds are inflated by
   * 1e-6 relative + 1e-9 absolute slack so float evaluation can never
-  * exclude a boundary point the exact predicate accepts. If the lon bound
-  * reaches a hemisphere (≥ 180°) only the lat conjuncts are added. Rows
+  * exclude a boundary point the exact predicate accepts. The lon
+  * conjuncts are containing ONLY when the disk stays away from both the
+  * poles and the antimeridian, so they are emitted only when all three
+  * hold: (a) φmax < 89.99° — a disk that approaches or contains a pole
+  * spans every longitude near it, and the clamped cos(φmax) would
+  * under-size dLon (a point on the far side of the pole is close by
+  * haversine but ~180° away in raw lon); (b) the window is narrower
+  * than a hemisphere (dLon < 180°); (c) lon0 ± dLon stays inside
+  * [−180°, 180°] — the haversine is periodic in Δλ but `lon BETWEEN`
+  * is not, so a window crossing the antimeridian would silently drop
+  * matching rows on the wrapped side (a wrapped OR-of-two-ranges is
+  * possible but not worth the plan complexity; the lat conjuncts alone
+  * are still containing and still prune). Rows
   * with null lat/lon are dropped by BOTH forms (null comparison ≡ null
   * haversine ≤ r ≡ filtered), so the rewrite is result-identical.
   *
@@ -111,15 +122,21 @@ object RewriteRadiusPredicate extends Rule[LogicalPlan] with PredicateHelper {
     split(h) match {
       case Some((lonE, latE, lon0, lat0)) if r >= 0 =>
         val dLat = (r / 6371000.0) * (180.0 / Math.PI) * 1.000001 + 1e-9
-        val phiMax = math.min(math.abs(lat0) + dLat, 89.99)
-        val dLon = dLat * (Math.PI / 2) / Math.cos(Math.toRadians(phiMax)) *
-          1.000001 + 1e-9
         val latPreds = Seq(
           GreaterThanOrEqual(latE, Literal(lat0 - dLat, DoubleType)),
           LessThanOrEqual(latE, Literal(lat0 + dLat, DoubleType)))
-        val lonPreds = if (dLon >= 180.0) Nil else Seq(
-          GreaterThanOrEqual(lonE, Literal(lon0 - dLon, DoubleType)),
-          LessThanOrEqual(lonE, Literal(lon0 + dLon, DoubleType)))
+        val phiMax = math.abs(lat0) + dLat
+        // lon conjuncts only when provably containing: away from the poles
+        // (cos φmax valid), narrower than a hemisphere, and not crossing
+        // the antimeridian (BETWEEN is not periodic; haversine is).
+        val lonPreds = if (phiMax >= 89.99) Nil else {
+          val dLon = dLat * (Math.PI / 2) / Math.cos(Math.toRadians(phiMax)) *
+            1.000001 + 1e-9
+          if (dLon >= 180.0 || lon0 - dLon < -180.0 || lon0 + dLon > 180.0) Nil
+          else Seq(
+            GreaterThanOrEqual(lonE, Literal(lon0 - dLon, DoubleType)),
+            LessThanOrEqual(lonE, Literal(lon0 + dLon, DoubleType)))
+        }
         latPreds ++ lonPreds
       case _ => Nil
     }

@@ -29,7 +29,8 @@ import org.apache.spark.sql.types.DecimalType
   * Rewrite: the scan is replaced by the summary relation and each
   * aggregate by its re-aggregable form — `sum(v)` → `sum(mv_sum_v)`,
   * `min(v)` → `min(mv_min_v)`, `max(v)` → `max(mv_max_v)`,
-  * `count(*)` → `sum(mv_cnt)` — under the ORIGINAL aliases and exprIds,
+  * `count(*)` → `coalesce(sum(mv_cnt), 0)` — under the ORIGINAL aliases
+  * and exprIds,
   * so parent operators resolve unchanged and the output schema is
   * bit-identical to the base-table plan (the q228 gate hashes it against
   * the raw-table oracle). At warehouse scale this turns a fact-table
@@ -110,15 +111,21 @@ class RewriteAggToSummary(session: SparkSession) extends Rule[LogicalPlan] {
     // every needed partial must exist in the summary schema
     def get(n: String): Option[AttributeReference] = sumAttr.get(n)
 
-    def mapAggFn(fn: AggregateFunction): Option[AggregateFunction] = fn match {
+    def mapAggFn(fn: AggregateFunction): Option[Expression] = fn match {
       case Sum(a: AttributeReference, ansi) if spec.values.contains(a.name) &&
         !a.dataType.isInstanceOf[DecimalType] =>
-        get(s"mv_sum_${a.name}").map(Sum(_, ansi))
+        get(s"mv_sum_${a.name}").map(Sum(_, ansi).toAggregateExpression())
       case Min(a: AttributeReference) if spec.values.contains(a.name) =>
-        get(s"mv_min_${a.name}").map(Min(_))
+        get(s"mv_min_${a.name}").map(Min(_).toAggregateExpression())
       case Max(a: AttributeReference) if spec.values.contains(a.name) =>
-        get(s"mv_max_${a.name}").map(Max(_))
-      case Count(Seq(Literal(_, _))) => get("mv_cnt").map(Sum(_))
+        get(s"mv_max_${a.name}").map(Max(_).toAggregateExpression())
+      // count(*) is non-nullable and returns 0 on empty input (the global
+      // no-group case, or a filter matching no summary rows), while a bare
+      // sum(mv_cnt) is nullable and returns NULL there — coalesce restores
+      // both the value semantics and the bit-identical output nullability
+      case Count(Seq(Literal(_, _))) =>
+        get("mv_cnt").map(c =>
+          Coalesce(Seq(Sum(c).toAggregateExpression(), Literal(0L))))
       case _ => None
     }
 
@@ -131,8 +138,8 @@ class RewriteAggToSummary(session: SparkSession) extends Rule[LogicalPlan] {
         get(a.name).map(sa => Alias(sa, al.name)(exprId = al.exprId))
       case al @ Alias(ae: AggregateExpression, _)
         if !ae.isDistinct && ae.filter.isEmpty =>
-        mapAggFn(ae.aggregateFunction).map(f =>
-          Alias(f.toAggregateExpression(), al.name)(exprId = al.exprId))
+        mapAggFn(ae.aggregateFunction).map(e =>
+          Alias(e, al.name)(exprId = al.exprId))
       case _ => None
     }
     if (newAggExprs.exists(_.isEmpty)) return None

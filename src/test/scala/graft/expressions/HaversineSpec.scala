@@ -86,6 +86,38 @@ class HaversineSpec extends SparkSpec {
     assert(got.contains(900L)) // the pole-adjacent point is inside
   }
 
+  test("antimeridian-crossing window: lon conjuncts suppressed, rows kept") {
+    // center (179.9, 0) r=50km: the naive lon BETWEEN 179.9±0.45 would drop
+    // the wrapped-side point at lon=-179.9 (22.2 km away by haversine)
+    val wrap = Seq((1L, Some(-179.9), Some(0.0)), (2L, Some(179.95), Some(0.0)),
+      (3L, Some(178.0), Some(0.0))).toDF("id", "lon", "lat")
+    def q(df: DataFrame) = df.filter(call_function("graft_haversine_m",
+      col("lon"), col("lat"), lit(179.9), lit(0.0)) <= lit(50000.0))
+      .select("id").orderBy("id")
+    val got = q(wrap).as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L)) // the wrapped point survives
+    assert(got == withoutRule(q(wrap).as[Long].collect().toSeq))
+    // lat conjuncts are still injected (always containing) — visible on the
+    // pre-folding plan; the LocalRelation constant-folds the optimized one
+    val injected = RewriteRadiusPredicate(
+      q(wrap).queryExecution.analyzed).toString
+    assert(injected.contains(">= -0.4"), injected)
+  }
+
+  test("disk touching a pole: lon conjuncts suppressed, far-side row kept") {
+    // center (0, 89.998) r=600m: the point (180, 89.999) is 334 m away
+    // across the pole but 180° away in raw lon — any finite lon window
+    // derived from a clamped cos(phiMax) wrongly excludes it
+    val polar = Seq((1L, Some(180.0), Some(89.999)), (2L, Some(0.0), Some(89.9985)),
+      (3L, Some(0.0), Some(89.9))).toDF("id", "lon", "lat")
+    def q(df: DataFrame) = df.filter(call_function("graft_haversine_m",
+      col("lon"), col("lat"), lit(0.0), lit(89.998)) <= lit(600.0))
+      .select("id").orderBy("id")
+    val got = q(polar).as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L)) // the trans-polar point survives
+    assert(got == withoutRule(q(polar).as[Long].collect().toSeq))
+  }
+
   test("negative shapes: column center and > direction do not fire") {
     val colCenter = pts.filter(call_function("graft_haversine_m",
       col("lon"), col("lat"), col("lon"), lit(54.36)) <= lit(2500.0))

@@ -111,6 +111,25 @@ class RewriteAggToSummarySpec extends SparkSpec {
     assert(d._2 == 1L && d._3.isEmpty && d._4.isEmpty && d._5.isEmpty)
   }
 
+  test("global count(*) over an empty-matching filter returns 0, not NULL") {
+    inSession { s2 =>
+      // no grouping at all: a bare sum(mv_cnt) would return NULL here; the
+      // coalesce form must restore count(*)'s 0-on-empty and non-nullability
+      val q = s2.read.parquet(s"$dirs/fact")
+        .filter(col("ga") === "no_such_group")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"))
+      assert(q.queryExecution.executedPlan.toString.contains("/sum"),
+        "global aggregate should still be answered from the summary")
+      assert(!q.schema("n").nullable, "count(*) must stay non-nullable")
+      val got = q.collect().head
+      assert(got.getLong(0) == 0L && got.isNullAt(1))
+      val want = spark.read.parquet(s"$dirs/fact")
+        .filter(col("ga") === "no_such_group")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx")).collect().head
+      assert(got == want)
+    }
+  }
+
   test("unregistered sessions are untouched; unregister restores the base plan") {
     // the shared spec session has no registration at all
     val p = spark.read.parquet(s"$dirs/fact").groupBy("ga").agg(sum("x"))
