@@ -4194,6 +4194,18 @@ object SparkEntry {
         .orderBy("cohort_wk", "age_wk")
     }),
 
+    // Full-depth BPE training (the production path): the ENTIRE depth-2000
+    // merge schedule runs inside one partition-local heap kernel over the
+    // pooled vocabulary — ONE Spark job, not 2000 explode+agg+collect
+    // rounds (the iterative q97 path's shape). The gate emits the first 4
+    // learned merges and hashes them against q97's 4-round unrolled-CTE
+    // oracle: the kernel's schedule prefix must be bit-identical to the
+    // round-at-a-time reference. Depth equality at every round is
+    // spec-pinned (BpeSpec mergesDeep == merges, fixed + randomized).
+    "q309_bpe_deep" -> ((s, dir) =>
+      Bpe.mergesDeep(t(s, dir, "documents"), rounds = 2000)
+        .filter(col("round") <= 4).orderBy("round")),
+
     // DECIMAL-typed aggregation surface: TPC-H Q1's reduce with the
     // measures CAST to DECIMAL(12,2) — exact decimal sums and the
     // decimal-product scale rules, identical statement text both engines.
@@ -4287,6 +4299,41 @@ object SparkEntry {
     * above-average-balance predicate is the CLEARED-DENOMINATOR integer
     * form (bal_c · count > sum_c) so no order-dependent double average
     * ever crosses an engine boundary. */
+  /** q97/q309 shared oracle: 4 unrolled BPE merge rounds as CTEs —
+    * DuckDB replays the identical wrapped-symbol replace algorithm. */
+  private lazy val bpeMerges4Oracle: String = {
+    def roundCte(i: Int): String = {
+      val prev = s"r${i - 1}"
+      s"""p$i AS (
+         |  SELECT l, r, sum(freq) AS w FROM (
+         |    SELECT freq, s[i] AS l, s[i + 1] AS r FROM (
+         |      SELECT freq, s, unnest(range(1, len(s))) AS i
+         |      FROM (SELECT freq, string_split(trim(repr), '  ') AS s FROM $prev)
+         |      WHERE len(s) >= 2))
+         |  GROUP BY l, r),
+         |m$i AS (SELECT l, r, w FROM p$i ORDER BY w DESC, l, r LIMIT 1),
+         |r$i AS (SELECT freq, replace(repr,
+         |          ' ' || (SELECT l FROM m$i) || '  ' || (SELECT r FROM m$i) || ' ',
+         |          ' ' || (SELECT l FROM m$i) || (SELECT r FROM m$i) || ' ') AS repr
+         |        FROM $prev)""".stripMargin
+    }
+    val rounds = (1 to 4).map(roundCte).mkString(",\n")
+    val selects = (1 to 4).map(i =>
+      s"""SELECT $i AS round, l AS "left", r AS "right", CAST(w AS BIGINT) AS weight FROM m$i""")
+      .mkString("\nUNION ALL ")
+    s"""WITH words AS (
+       |  SELECT w AS word, count(*) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |r0 AS (SELECT freq,
+       |  ' ' || array_to_string(list_transform(range(1, len(word) + 1), i -> word[i]), '  ') || ' ' AS repr
+       |  FROM words),
+       |$rounds
+       |SELECT * FROM (
+       |$selects)
+       |ORDER BY round""".stripMargin
+  }
+
   private lazy val tpchQ22Sql: String =
     """SELECT c_nationkey AS cntry, count(*) AS numcust,
       |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_c
@@ -5956,38 +6003,11 @@ object SparkEntry {
     // Four unrolled BPE rounds over the corpus vocabulary. Same wrapped
     // symbol encoding (" a  b "), same greedy left-to-right non-regex
     // replace, same (w DESC, l, r) argmax tie-break as Bpe.merges.
-    "q97_bpe_merges" -> {
-      def roundCte(i: Int): String = {
-        val prev = s"r${i - 1}"
-        s"""p$i AS (
-           |  SELECT l, r, sum(freq) AS w FROM (
-           |    SELECT freq, s[i] AS l, s[i + 1] AS r FROM (
-           |      SELECT freq, s, unnest(range(1, len(s))) AS i
-           |      FROM (SELECT freq, string_split(trim(repr), '  ') AS s FROM $prev)
-           |      WHERE len(s) >= 2))
-           |  GROUP BY l, r),
-           |m$i AS (SELECT l, r, w FROM p$i ORDER BY w DESC, l, r LIMIT 1),
-           |r$i AS (SELECT freq, replace(repr,
-           |          ' ' || (SELECT l FROM m$i) || '  ' || (SELECT r FROM m$i) || ' ',
-           |          ' ' || (SELECT l FROM m$i) || (SELECT r FROM m$i) || ' ') AS repr
-           |        FROM $prev)""".stripMargin
-      }
-      val rounds = (1 to 4).map(roundCte).mkString(",\n")
-      val selects = (1 to 4).map(i =>
-        s"""SELECT $i AS round, l AS "left", r AS "right", CAST(w AS BIGINT) AS weight FROM m$i""")
-        .mkString("\nUNION ALL ")
-      s"""WITH words AS (
-         |  SELECT w AS word, count(*) AS freq
-         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-         |  WHERE len(w) > 0 GROUP BY w),
-         |r0 AS (SELECT freq,
-         |  ' ' || array_to_string(list_transform(range(1, len(word) + 1), i -> word[i]), '  ') || ' ' AS repr
-         |  FROM words),
-         |$rounds
-         |SELECT * FROM (
-         |$selects)
-         |ORDER BY round""".stripMargin
-    },
+    "q97_bpe_merges" -> bpeMerges4Oracle,
+
+    // The deep kernel's first 4 merges must equal the round-at-a-time
+    // reference schedule — the SAME unrolled-CTE oracle as q97.
+    "q309_bpe_deep" -> bpeMerges4Oracle,
 
     // The exact form the sketch must reproduce; the N-relative bar uses
     // the same ceil-division integer arithmetic as the engine

@@ -35,6 +35,64 @@ class BpeSpec extends SparkSpec {
     assert(got == Seq((1, "a", "b", 2L)))
   }
 
+  test("mergesDeep == merges row-for-row on fixed fixtures, at full depth") {
+    def table(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("round").as[(Int, String, String, Long)].collect().toSeq
+    val fixtures = Seq(
+      Seq((1L, "ab ab abc"), (2L, "ab abc")),
+      Seq((1L, "aaaa")),                       // overlap-count + greedy merge
+      Seq((1L, "ab ab ba ba")),                // lexicographic tie
+      Seq((1L, "the cat sat on the mat"), (2L, "the cat ate the rat")))
+    fixtures.foreach { rows =>
+      val docs = rows.toDF("doc_id", "text")
+      // rounds=50 over-asks on every fixture: both paths must exhaust at
+      // the same depth with identical (round, left, right, weight) rows
+      assert(table(Bpe.mergesDeep(docs, 50)) == table(Bpe.merges(docs, 50)))
+    }
+  }
+
+  test("mergesDeep == merges on a randomized corpus (cross-checks the heap/index)") {
+    val rnd = new scala.util.Random(41)
+    val words = Vector("aa", "ab", "ba", "abc", "cab", "aab", "bba", "ccc",
+      "abab", "baba", "aabb", "x", "y", "xy", "yx")
+    val docs = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(8))(words(rnd.nextInt(words.length)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    def table(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("round").as[(Int, String, String, Long)].collect().toSeq
+    val deep = table(Bpe.mergesDeep(docs, 30))
+    val iter = table(Bpe.merges(docs, 30))
+    assert(deep == iter && deep.nonEmpty)
+  }
+
+  test("mergesDeep runs production depth in one kernel pass") {
+    // a corpus whose vocabulary admits hundreds of merges: the kernel must
+    // learn them all in ONE job (no per-round Spark round-trips) and stop
+    // exactly when no adjacent pair remains
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 200).map { i =>
+      (i.toLong, (0 until 6).map(_ =>
+        (0 until (3 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(6)).toChar)
+          .mkString).mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Bpe.mergesDeep(docs, 2000)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+    // the depth cap is honored exactly (this corpus admits >2000 merges)
+    assert(got.length == 2000, s"expected 2000 rounds, got ${got.length}")
+    // rounds are dense 1..n and weights are positive
+    assert(got.map(_._1).toSeq == (1 to got.length))
+    assert(got.forall(_._4 > 0))
+    // exhaustion is real: two over-asks land on the same full schedule
+    val full = Bpe.mergesDeep(docs, 5000)
+      .as[(Int, String, String, Long)].collect()
+    val again = Bpe.mergesDeep(docs, 9000)
+      .as[(Int, String, String, Long)].collect()
+    assert(full.length > 2000 && again.length == full.length)
+    // and the capped run is the exact prefix of the full schedule
+    assert(full.sortBy(_._1).take(2000).toSeq == got.toSeq)
+  }
+
   test("encode replays the merge table in order") {
     val words = Seq("ab", "abc", "cab", "x").toDF("word")
     val got = Bpe.encode(words, Seq(("a", "b"), ("ab", "c")))
@@ -59,6 +117,17 @@ class BpeSpec extends SparkSpec {
       (2L, "agg row scan slow customer query")).toDF("doc_id", "text")
     val all = Bpe.wordpieceEncode(wide).as[(String, String, Long)].collect()
     assert(all.length == 12)
+    assert(all.forall { case (w, p, n) =>
+      p.split("\\|").mkString == w && p.split("\\|").length.toLong == n })
+  }
+
+  test("wordpieceEncode: vocab strings with quotes/backslashes are escaped") {
+    // "don't" puts ' into the character vocab and "n't"/"on'" style
+    // substrings into the piece candidates — unescaped SQL literals would
+    // fail the expr() parse before any row is processed
+    val docs = Seq((1L, "don't can't it\\s don't")).toDF("doc_id", "text")
+    val all = Bpe.wordpieceEncode(docs).as[(String, String, Long)].collect()
+    assert(all.length == 3)
     assert(all.forall { case (w, p, n) =>
       p.split("\\|").mkString == w && p.split("\\|").length.toLong == n })
   }
