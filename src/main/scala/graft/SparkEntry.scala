@@ -4194,6 +4194,35 @@ object SparkEntry {
         .orderBy("cohort_wk", "age_wk")
     }),
 
+    // STREAMING KILL-AND-RESUME (round-8 verdict #3): the windowed-agg
+    // gate run as phase-1-half → stop → drop the last checkpoint commit
+    // (the deterministic at-least-once redelivery) → restart from the
+    // SAME checkpoint with the MERGE fold seeded from the durable sink.
+    // State-store restore (windows straddling the kill) AND idempotent
+    // absorption of the replayed batch are both required to hash-match
+    // q194's batch oracle; a require() asserts the replay happened.
+    "q310_stream_recovery" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"),
+        expr("timestamp_micros(ts div 1000)").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      streaming.StreamGate.windowedRecoveryGate(s, ev, rtPath("q310_stream"))
+        .orderBy("window_us", "event_type")
+    }),
+
+    // The NON-idempotent leg under the same kill: refreshIncremental
+    // double-counts on redelivery, so the per-batchId marker files are
+    // the whole exactly-once story — this gate replays a committed batch
+    // after restart and the summary must still hash-match the one-shot
+    // aggregate (q239's oracle). A skipped marker = double count = hash
+    // mismatch.
+    "q311_stream_mv_recovery" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"),
+        expr("timestamp_micros(ts div 1000)").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      streaming.StreamGate.mvRecoveryGate(s, ev, rtPath("q311_stream"))
+        .orderBy("event_type")
+    }),
+
     // Full-depth BPE training (the production path): the ENTIRE depth-2000
     // merge schedule runs inside one partition-local heap kernel over the
     // pooled vocabulary — ONE Spark job, not 2000 explode+agg+collect
@@ -4299,6 +4328,25 @@ object SparkEntry {
     * above-average-balance predicate is the CLEARED-DENOMINATOR integer
     * form (bal_c · count > sum_c) so no order-dependent double average
     * ever crosses an engine boundary. */
+  /** q194/q310 shared oracle: the 10-minute tumbling batch aggregate the
+    * streaming (and killed-and-resumed) windowed gates must converge to. */
+  private lazy val streamWindowsOracle: String =
+    """WITH ev AS (SELECT epoch_us(ts) AS ts_us, event_type,
+      |                   CAST(round(value * 100) AS BIGINT) AS cents
+      |            FROM events)
+      |SELECT ts_us - ts_us % 600000000 AS window_us, event_type,
+      |       count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q239/q311 shared oracle: the one-shot aggregate the incrementally
+    * maintained (and killed-and-resumed) summary must converge to. */
+  private lazy val streamMvOracle: String =
+    """SELECT event_type, count(*) AS mv_cnt,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mv_sum_cents,
+      |       CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mv_min_cents,
+      |       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mv_max_cents
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** q97/q309 shared oracle: 4 unrolled BPE merge rounds as CTEs —
     * DuckDB replays the identical wrapped-symbol replace algorithm. */
   private lazy val bpeMerges4Oracle: String = {
@@ -7631,13 +7679,11 @@ object SparkEntry {
 
     // The streaming windowed aggregate converges to the plain 10-minute
     // tumbling batch aggregate (epoch-aligned floor, integer cents).
-    "q194_stream_windows" ->
-      """WITH ev AS (SELECT epoch_us(ts) AS ts_us, event_type,
-        |                   CAST(round(value * 100) AS BIGINT) AS cents
-        |            FROM events)
-        |SELECT ts_us - ts_us % 600000000 AS window_us, event_type,
-        |       count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
-        |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q194_stream_windows" -> streamWindowsOracle,
+
+    // Kill-and-resume must converge to the SAME batch aggregate: a lost
+    // state store or a double-applied redelivered batch cannot match.
+    "q310_stream_recovery" -> streamWindowsOracle,
 
     // Gap sessions with session_window's STRICT-< merge rule: a new
     // session starts when the gap to the previous event is >= 30 min.
@@ -8355,12 +8401,11 @@ object SparkEntry {
     // The one-shot aggregate the per-batch folds must converge to —
     // exact integer cents, so a double-applied or lost batch cannot
     // hash-match.
-    "q239_stream_mv" ->
-      """SELECT event_type, count(*) AS mv_cnt,
-        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mv_sum_cents,
-        |       CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mv_min_cents,
-        |       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mv_max_cents
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q239_stream_mv" -> streamMvOracle,
+
+    // The marker-gated refresh under kill-and-replay converges to the
+    // same one-shot aggregate; a double-counted replayed batch cannot.
+    "q311_stream_mv_recovery" -> streamMvOracle,
 
     // The brute quadratic form IS the oracle: result identity proves the
     // prefix filter complete (the q80/q113 contrast-pair pattern).

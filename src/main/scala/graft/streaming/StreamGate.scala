@@ -5,6 +5,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Drives the streaming operators end-to-end for the CORRECTNESS GATE:
   * a real file-source stream, the production `foreachBatch` idempotent
@@ -33,7 +34,8 @@ object StreamGate {
     * every real window/session so append-mode state flushes. */
   private def stageChunks(events: DataFrame, nChunks: Int, in: String,
                           sentinel: Boolean,
-                          orderCols: Seq[String] = Seq("ts", "event_id")): Unit = {
+                          orderCols: Seq[String] = Seq("ts", "event_id"),
+                          from: Int = 0, until: Int = Int.MaxValue): Unit = {
     val total = events.count()
     val ranked = events
       .withColumn("rk",
@@ -41,11 +43,14 @@ object StreamGate {
       .withColumn("chunk", (col("rk") * nChunks / total).cast("int"))
       .drop("rk")
       .cache()
-    (0 until nChunks).foreach { i =>
+    // [from, until) lets the recovery gates stage a PREFIX now and the
+    // remainder after the kill — the chunk split is a deterministic
+    // function of (events, nChunks), so two calls agree on boundaries
+    (from until math.min(nChunks, until)).foreach { i =>
       ranked.filter(col("chunk") === i).drop("chunk")
         .coalesce(1).write.mode("append").parquet(in)
     }
-    if (sentinel)
+    if (sentinel && until >= nChunks)
       ranked.agg(max("ts").as("maxts"))
         .select(lit(-1L).as("event_id"),
           (col("maxts") + expr("INTERVAL 24 HOURS")).as("ts"),
@@ -254,6 +259,144 @@ object StreamGate {
       .start()
     q.processAllAvailable()
     q.stop()
+    spark.read.parquet(sumPath)
+  }
+
+  /** Simulate a crash after a committed batch: delete the LAST entry in
+    * the checkpoint's commits log, so the restarted query replays that
+    * batch (same batchId, same input files, state restored from the
+    * prior version) — the deterministic form of the at-least-once
+    * redelivery every foreachBatch sink must survive. Returns the
+    * replayed batchId. */
+  private def dropLastCommit(spark: SparkSession, ckpt: String): Long = {
+    val fs = new Path(ckpt).getFileSystem(new Configuration())
+    val ids = fs.listStatus(new Path(s"$ckpt/commits"))
+      .map(_.getPath.getName).filter(_.forall(_.isDigit)).map(_.toLong)
+    require(ids.nonEmpty, s"no commits under $ckpt")
+    val last = ids.max
+    require(fs.delete(new Path(s"$ckpt/commits/$last"), false),
+      s"could not delete commit $last")
+    last
+  }
+
+  /** RECOVERY GATE (round-8 verdict #3): [[StreamOps.windowedCounts]]
+    * killed mid-stream and resumed from the same checkpoint. Phase 1
+    * consumes HALF the staged files and stops; the driver-side MERGE
+    * state is made durable (the sink parquet — a restarted driver owns
+    * no memory); the last checkpoint commit is then DELETED so the
+    * restart must both (a) restore the aggregation state store for
+    * windows straddling the kill point and (b) REDELIVER the final
+    * pre-kill batch to the sink, which the keyed MERGE must absorb
+    * idempotently. Phase 2 stages the remaining files, restarts from the
+    * same checkpoint with the fold seeded from the durable sink, and
+    * converges. The gate requires the redelivery actually happened
+    * (first phase-2 batchId == the dropped commit) and hashes the
+    * converged sink against the SAME batch oracle as q194 — a lost
+    * state store or a double-applied batch cannot hash-match. */
+  def windowedRecoveryGate(spark: SparkSession, events: DataFrame,
+                           work: String): DataFrame = {
+    val in = s"$work/in"
+    val ckpt = s"$work/ckpt"
+    val sink = s"$work/sink"
+    val nChunks = 6
+    stageChunks(events, nChunks, in, sentinel = false, until = nChunks / 2)
+    val schema = spark.read.parquet(in).schema
+    val keys = Seq("window_start", "event_type")
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partsKey)
+    spark.conf.set(partsKey, "4")
+    try {
+      def runPhase(seed: DataFrame): (DataFrame, Seq[Long]) = {
+        var state = seed.localCheckpoint()
+        val delivered = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        val q = StreamOps.windowedCounts(stream).writeStream
+          .option("checkpointLocation", ckpt)
+          .outputMode("update")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            delivered.add(batchId)
+            state = batch.unionByName(state.join(batch, keys, "left_anti"))
+              .localCheckpoint()
+            ()
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        (state, delivered.asScala.toSeq)
+      }
+      // phase 1: half the stream, stop, persist the sink
+      val (s1, _) = runPhase(StreamOps.windowedCounts(
+        spark.read.parquet(in).limit(0)))
+      s1.write.mode("overwrite").parquet(sink)
+      // the crash: the engine forgets the last batch ever committed
+      val dropped = dropLastCommit(spark, ckpt)
+      // phase 2: remaining files appear, restart from the SAME checkpoint,
+      // fold seeded from the durable sink only
+      stageChunks(events, nChunks, in, sentinel = false, from = nChunks / 2)
+      val (s2, delivered2) = runPhase(spark.read.parquet(sink))
+      require(delivered2.headOption.contains(dropped),
+        s"expected redelivery of batch $dropped, got ${delivered2.take(3)}")
+      s2.write.mode("overwrite").parquet(sink)
+      spark.read.parquet(sink)
+        .select(expr("unix_micros(window_start)").as("window_us"),
+          col("event_type"), col("n"),
+          round(col("sum_value") * 100).cast("long").as("sum_cents"))
+    } finally spark.conf.set(partsKey, prevParts)
+  }
+
+  /** RECOVERY GATE: the marker-gated streaming MV ([[mvGate]]) killed and
+    * resumed. refreshIncremental is NOT idempotent — a redelivered batch
+    * would double-count — so the per-batchId marker under `_applied/` is
+    * the whole exactly-once story, and this gate finally exercises it
+    * under a real redelivery instead of a clean run: phase 1 folds half
+    * the stream into the summary, the last checkpoint commit is deleted,
+    * phase 2 restarts from the same checkpoint — the replayed batch MUST
+    * be skipped by its marker (double-count = hash mismatch vs the
+    * one-shot oracle) while the new batches refresh through. */
+  def mvRecoveryGate(spark: SparkSession, events: DataFrame,
+                     work: String): DataFrame = {
+    import graft.operators.Mv
+    val in = s"$work/in"
+    val ckpt = s"$work/ckpt"
+    val sumPath = s"$work/mv"
+    val nChunks = 6
+    stageChunks(events, nChunks, in, sentinel = false, until = nChunks / 2)
+    val schema = spark.read.parquet(in).schema
+    def project(df: DataFrame): DataFrame =
+      df.select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    Mv.createSummaryFrom(project(spark.read.parquet(in).limit(0)), sumPath,
+      Seq("event_type"), Seq("cents"))
+    val fs = new Path(work).getFileSystem(new Configuration())
+    def runPhase(): Seq[Long] = {
+      val delivered = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val q = project(stream).writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          delivered.add(batchId)
+          val marker = new Path(s"$work/_applied/$batchId")
+          if (!fs.exists(marker)) {
+            Mv.refreshIncremental(spark, batch, sumPath,
+              Seq("event_type"), Seq("cents"))
+            fs.create(marker, true).close()
+          }
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      delivered.asScala.toSeq
+    }
+    runPhase()
+    val dropped = dropLastCommit(spark, ckpt)
+    stageChunks(events, nChunks, in, sentinel = false, from = nChunks / 2)
+    val delivered2 = runPhase()
+    require(delivered2.headOption.contains(dropped),
+      s"expected redelivery of batch $dropped, got ${delivered2.take(3)}")
     spark.read.parquet(sumPath)
   }
 
