@@ -4194,6 +4194,47 @@ object SparkEntry {
         .orderBy("cohort_wk", "age_wk")
     }),
 
+    // TPC-H Q2's shape (round-8 verdict #7): the correlated MIN-COST
+    // subquery — the supplier(s) achieving the per-part minimum cost
+    // inside a region, the min computed by a correlated scalar subquery
+    // that repeats the 4-table join. partsupp is derived from lineitem
+    // as a shared CTE (the testdata has no partsupp table); integer
+    // centi-cost lane. Identical statement text in both engines.
+    "q312_tpch_q2_shape" -> ((s, dir) => {
+      for (tb <- Seq("lineitem", "part", "supplier", "nation", "region"))
+        t(s, dir, tb).createOrReplaceTempView(tb)
+      s.sql(tpchQ2Sql)
+    }),
+
+    // TPC-H Q4's shape: EXISTS with a correlated equi conjunct plus a
+    // correlated NON-equi comparison (l_shipdate > o_orderdate stands in
+    // for commit<receipt, absent from the schema) — the semi-join
+    // decorrelation stress. Identical statement text.
+    "q313_tpch_q4_shape" -> ((s, dir) => {
+      for (tb <- Seq("orders", "lineitem"))
+        t(s, dir, tb).createOrReplaceTempView(tb)
+      s.sql(tpchQ4Sql)
+    }),
+
+    // TPC-H Q11's shape: per-group value vs a GLOBAL scalar fraction —
+    // HAVING sum(group) * 1000 > (SELECT sum(all)) in DECIMAL(38,0)
+    // lanes (cleared-denominator: no double fraction crosses an engine,
+    // and the *1000 cannot ceiling at any corpus size). Identical text.
+    "q314_tpch_q11_shape" -> ((s, dir) => {
+      for (tb <- Seq("lineitem", "supplier", "nation"))
+        t(s, dir, tb).createOrReplaceTempView(tb)
+      s.sql(tpchQ11Sql)
+    }),
+
+    // TPC-H Q18's shape: IN over a grouped-HAVING subquery (large-volume
+    // orders), then the 3-table join re-aggregates per (customer, order).
+    // Identical statement text.
+    "q315_tpch_q18_shape" -> ((s, dir) => {
+      for (tb <- Seq("customer", "orders", "lineitem"))
+        t(s, dir, tb).createOrReplaceTempView(tb)
+      s.sql(tpchQ18Sql)
+    }),
+
     // STREAMING KILL-AND-RESUME (round-8 verdict #3): the windowed-agg
     // gate run as phase-1-half → stop → drop the last checkpoint commit
     // (the deterministic at-least-once redelivery) → restart from the
@@ -4328,6 +4369,76 @@ object SparkEntry {
     * above-average-balance predicate is the CLEARED-DENOMINATOR integer
     * form (bal_c · count > sum_c) so no order-dependent double average
     * ever crosses an engine boundary. */
+  /** TPC-H Q2's shape — correlated min-cost scalar subquery repeating
+    * the region join; partsupp derived from lineitem (shared CTE). */
+  private lazy val tpchQ2Sql: String =
+    """WITH partsupp AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS ps_supplycost_c
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT p.p_partkey, ps.ps_suppkey, s.s_name, n.n_name, ps.ps_supplycost_c
+      |FROM part p, partsupp ps, supplier s, nation n, region r
+      |WHERE p.p_partkey = ps.ps_partkey
+      |  AND s.s_suppkey = ps.ps_suppkey
+      |  AND s.s_nationkey = n.n_nationkey
+      |  AND n.n_regionkey = r.r_regionkey
+      |  AND r.r_name = 'EUROPE'
+      |  AND p.p_size BETWEEN 10 AND 20
+      |  AND ps.ps_supplycost_c = (
+      |    SELECT min(ps2.ps_supplycost_c)
+      |    FROM partsupp ps2, supplier s2, nation n2, region r2
+      |    WHERE ps2.ps_partkey = p.p_partkey
+      |      AND s2.s_suppkey = ps2.ps_suppkey
+      |      AND s2.s_nationkey = n2.n_nationkey
+      |      AND n2.n_regionkey = r2.r_regionkey
+      |      AND r2.r_name = 'EUROPE')
+      |ORDER BY p.p_partkey, ps.ps_suppkey""".stripMargin
+
+  /** TPC-H Q4's shape — EXISTS with correlated equi + non-equi conjuncts. */
+  private lazy val tpchQ4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE EXISTS (SELECT * FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q11's shape — group value vs global scalar fraction, cleared
+    * denominators in DECIMAL(38,0) lanes. */
+  private lazy val tpchQ11Sql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |             * CAST(round(l_quantity) AS BIGINT)) AS val_c
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT ps.ps_partkey, CAST(sum(ps.val_c) AS BIGINT) AS value_c
+      |FROM ps, supplier s, nation n
+      |WHERE ps.ps_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+      |  AND n.n_name IN ('NATION_3', 'NATION_8', 'NATION_13')
+      |GROUP BY ps.ps_partkey
+      |HAVING CAST(sum(ps.val_c) AS DECIMAL(38,0)) * 1000 >
+      |       CAST((SELECT sum(ps2.val_c)
+      |             FROM ps ps2, supplier s2, nation n2
+      |             WHERE ps2.ps_suppkey = s2.s_suppkey
+      |               AND s2.s_nationkey = n2.n_nationkey
+      |               AND n2.n_name IN ('NATION_3', 'NATION_8', 'NATION_13'))
+      |            AS DECIMAL(38,0))
+      |ORDER BY value_c DESC, ps_partkey""".stripMargin
+
+  /** TPC-H Q18's shape — IN over a grouped-HAVING subquery. */
+  private lazy val tpchQ18Sql: String =
+    """SELECT c.c_custkey, o.o_orderkey,
+      |       CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+      |FROM customer c, orders o, lineitem l
+      |WHERE o.o_orderkey IN (
+      |        SELECT l_orderkey FROM lineitem
+      |        GROUP BY l_orderkey
+      |        HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 250)
+      |  AND c.c_custkey = o.o_custkey
+      |  AND o.o_orderkey = l.l_orderkey
+      |GROUP BY c.c_custkey, o.o_orderkey
+      |ORDER BY total_qty DESC, o.o_orderkey""".stripMargin
+
   /** q194/q310 shared oracle: the 10-minute tumbling batch aggregate the
     * streaming (and killed-and-resumed) windowed gates must converge to. */
   private lazy val streamWindowsOracle: String =
@@ -9775,6 +9886,10 @@ object SparkEntry {
 
     "q296_tpch_q22_shape" -> tpchQ22Sql,
     "q297_tpch_q15_shape" -> tpchQ15Sql,
+    "q312_tpch_q2_shape" -> tpchQ2Sql,
+    "q313_tpch_q4_shape" -> tpchQ4Sql,
+    "q314_tpch_q11_shape" -> tpchQ11Sql,
+    "q315_tpch_q18_shape" -> tpchQ18Sql,
 
     // Same train reduce, same per-cell micro-nat floors (shared-libm ln),
     // same two-tier fallback coalesce, same integer val charge.
