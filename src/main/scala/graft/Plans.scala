@@ -228,7 +228,74 @@ object Plans {
         "PushedFilters carry four lat/lon range comparisons — the rule's " +
         "provably-containing bounding box — while the exact haversine " +
         "remains as the residual Filter. Row-group stats pruning now " +
-        "applies to a trigonometric predicate."))
+        "applies to a trigonometric predicate."),
+    // --- round-9 additions: the bench top-10 (round-8 verdict #6) ---
+    "q187_split_overlap" ->
+      ("Split-overlap decontamination: the held-out grams reach the train " +
+        "set through an equi-join ON THE GRAM STRING against the distinct " +
+        "train grams (semi-join shape with a left join for the hit flag) — " +
+        "never doc×doc; both sides are partial-aggregated distincts, and " +
+        "the final reduce is a 2-row split aggregate."),
+    "q201_winnow" ->
+      ("Winnowing fingerprints are pure per-row HOF projection work " +
+        "(transform/aggregate lambdas over the token array) — NO exchange " +
+        "at all before the presentation sort; selection density ~2/(w+1) " +
+        "happens inside the same projection, so the operator scales " +
+        "exactly with the scan."),
+    "q248_lsh_recall" ->
+      ("The recall eval feeds ONE cached shingle table " +
+        "(InMemoryRelation) to all four consumers — exact ground truth " +
+        "(posting-index self-join keyed on the shingle) and the banded " +
+        "MinHash detector (band-bucket self-join) — every join is keyed " +
+        "on content (shingle / band bucket / (id1,id2)), never all-pairs; " +
+        "the verdict is a 1-row aggregate."),
+    "q116_pq_ann" ->
+      ("PQ ANN at query time: the four per-subspace Lloyd trainings ran " +
+        "EAGERLY behind localCheckpoints (train time), so the query plan " +
+        "is only the ADC shape — scalar code rows joined against " +
+        "BROADCAST per-subspace distance tables, a sum aggregate to " +
+        "(qid, vec_id), and the per-query top-k window. No vector-typed " +
+        "column crosses a shuffle."),
+    "q224_ivfpq_ann" ->
+      ("IVFADC (coarse lists + residual codebooks): coarse centroids, " +
+        "codebooks, and the qid×nprobe×m×ksub ADC table all travel by " +
+        "BROADCAST; the probed-list pruning and code join produce scalar " +
+        "(qid, vec_id, d) rows before the only exchanges — the adist sum " +
+        "aggregate and the top-k window. PlanContractSpec pins 'no " +
+        "ArrayType column crosses a ShuffleExchange' as a regression " +
+        "test."))
+
+  /** Streaming gates: the interesting plan is the per-micro-batch
+    * physical plan (state-store operators exist only at runtime), which
+    * StreamGate captures from the running query before stop(). Building
+    * the query frame RUNS the gate at sf0.001. */
+  val StreamingInvariants: Seq[(String, String)] = Seq(
+    "q195_stream_sessions" ->
+      ("Gap sessionization in the micro-batch plan: updating " +
+        "session-window aggregation — the state-store restore/save pair " +
+        "around the session merge, partitioned on user_id (4 state " +
+        "partitions, sized to gate volume); the watermark bound appears " +
+        "on the EventTimeWatermark node. Dominant cost: the per-batch " +
+        "state-store open/commit cycle, not data volume."),
+    "q205_stream_cdc" ->
+      ("CDC compaction: FlatMapGroupsWithState over user_id with the " +
+        "state store keyed per group — latest-wins fold as explicit " +
+        "streaming state; one exchange on the grouping key feeds it."),
+    "q209_stream_heavy" ->
+      ("transformWithState (Spark 4 arbitrary state API) on the RocksDB " +
+        "provider: TransformWithStateExec with its state-store save/" +
+        "restore around the running-count processor; update-mode " +
+        "re-emission per batch."),
+    "q216_stream_join" ->
+      ("The stream-stream interval join: StreamingSymmetricHashJoin with " +
+        "BOTH sides stateful (four state stores per partition), the " +
+        "interval condition as the join residual, and watermarks bounding " +
+        "both buffers — the plan that makes unbounded-stream joins " +
+        "finite-state."),
+    "q218_stream_dedup" ->
+      ("dropDuplicatesWithinWatermark: StreamingDeduplicateWithinWatermark " +
+        "with per-key state the watermark can EVICT (the bounded-state " +
+        "contrast to plain dropDuplicates), one exchange on event_id."))
   // q116_pq_ann is absent for the q60 reason: its lazy plan nests four
   // 2-round Lloyd trainings, so the explain text is enormous while the
   // interesting query-time shape — codes ⨯ 3-row broadcast distance
@@ -259,13 +326,21 @@ object Plans {
       "`SparkEntry.queries` via `queryExecution.explainString`; scan\n" +
       "locations elided for width. The judge-facing invariant is noted " +
       "above each plan.\n")
+    def elide(plan: String): String = plan
+      .replaceAll("Location: [^,\\]]+", "Location: <sf-dir>")
+      .replaceAll("file:[^,\\]\\s]+", "<path>")
     Invariants.foreach { case (name, invariant) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
-      val plan = df.queryExecution.explainString(
-          org.apache.spark.sql.execution.SimpleMode)
-        .replaceAll("Location: [^,\\]]+", "Location: <sf-dir>")
-        .replaceAll("file:[^,\\]\\s]+", "<path>")
+      val plan = elide(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode))
       sb.append(s"\n## $name\n\n$invariant\n\n```\n${plan.trim}\n```\n")
+    }
+    StreamingInvariants.foreach { case (name, invariant) =>
+      streaming.StreamGate.lastStreamPlan = ""
+      SparkEntry.queries(name)(spark, sfDir) // runs the gate end to end
+      val plan = elide(streaming.StreamGate.lastStreamPlan)
+      sb.append(s"\n## $name (streaming micro-batch plan)\n\n$invariant\n\n" +
+        s"```\n${plan.trim}\n```\n")
     }
     Files.writeString(Paths.get(out), sb.toString)
     println(s"[plans] wrote $out (${Invariants.size} sections)")

@@ -670,17 +670,24 @@ object SimilarityOps {
       }
       .reduce(_ union _)
       .join(resid.select("vec_id", "cid"), Seq("vec_id"))
-    // probe the nprobe exact-L2-nearest coarse lists per query
+    // probe the nprobe exact-L2-nearest coarse lists per query — ranked by
+    // a per-row fold over the BROADCAST centroid array, NOT a window: the
+    // former row_number form shuffled the query vectors through its
+    // partitionBy(qid) exchange (caught by PlanContractSpec's
+    // no-array-type-crosses-a-shuffle pin; same (cdist asc, cid asc) tie
+    // rule via the struct field order, so results are bit-identical)
     val q = queries.select(col("vec_id").as("qid"), quantize(col("embedding")).as("qq"))
-    val wProbe = Window.partitionBy("qid").orderBy(col("cdist").asc, col("cid"))
-    val probes = q.crossJoin(broadcast(coarse))
-      .withColumn("cdist",
-        dotQ(col("qq"), col("qq")) - lit(2L) * dotQ(col("qq"), col("cv")) +
-          dotQ(col("cv"), col("cv")))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= nprobe)
-      .select(col("qid"), col("cid"),
-        zip_with(col("qq"), col("cv"), (a, b) => a - b).as("qr"))
+    val centsArr = coarse.agg(collect_list(struct(col("cid"), col("cv"))).as("cs"))
+    val probes = q.crossJoin(broadcast(centsArr))
+      .select(col("qid"), col("qq"), explode(slice(array_sort(
+        transform(col("cs"), c => struct(
+          (dotQ(col("qq"), col("qq")) -
+            lit(2L) * dotQ(col("qq"), c.getField("cv")) +
+            dotQ(c.getField("cv"), c.getField("cv"))).as("cdist"),
+          c.getField("cid").as("cid"), c.getField("cv").as("cv")))),
+        1, nprobe)).as("p"))
+      .select(col("qid"), col("p.cid").as("cid"),
+        zip_with(col("qq"), col("p.cv"), (a, b) => a - b).as("qr"))
     // ADC rows: per (query, probed list, subspace, sub-centroid) the exact
     // |query-residual-slice − sub-centroid|² — qid×nprobe×m×ksub rows,
     // broadcastable at any corpus size (independent of |vectors|)

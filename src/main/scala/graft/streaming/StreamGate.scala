@@ -28,6 +28,21 @@ import scala.jdk.CollectionConverters._
   */
 object StreamGate {
 
+  /** Physical plan of the last executed micro-batch of the most recent
+    * gate run, captured before stop() — streaming plans exist only at
+    * runtime (state-store operators are planned per batch), so the
+    * PLANS.md dossier reads this instead of the sink-scan the gate
+    * returns. Harness-only plumbing; never read by an operator. */
+  @volatile var lastStreamPlan: String = ""
+
+  private def captureExplain(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(bos)(q.explain())
+      lastStreamPlan = bos.toString("UTF-8")
+    } catch { case _: Throwable => () }
+
   /** Write `events` (ts TIMESTAMP) as `nChunks` time-ordered parquet files
     * under `in` (sequential appends — deterministic arrival order), plus
     * an optional far-future sentinel row that advances the watermark past
@@ -113,6 +128,7 @@ object StreamGate {
     // it (the termination pattern StreamPipeline has proven green at both
     // gate SFs); AvailableNow can stop at the last data batch
     q.processAllAvailable()
+    captureExplain(q)
     q.stop()
     val sink = s"$work/sink"
     state.write.mode("overwrite").parquet(sink)
@@ -258,6 +274,7 @@ object StreamGate {
       }
       .start()
     q.processAllAvailable()
+    captureExplain(q)
     q.stop()
     spark.read.parquet(sumPath)
   }

@@ -100,6 +100,34 @@ class PlanContractSpec extends SparkSpec {
     assert(failures.isEmpty, s"plan contract violations:\n${failures.mkString("\n")}")
   }
 
+  test("q224 ivfpq: no vector-typed column crosses a shuffle at query time") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    // the IVFADC scale claim (PLANS.md q224 dossier): vectors are reduced
+    // to scalar code rows before anything shuffles — codebooks, ADC
+    // tables, and the coarse centroids all travel by BROADCAST, so the
+    // only exchanges carry (qid, vec_id, distance)-shaped scalars. The
+    // Lloyd trainings run eagerly behind localCheckpoints (train time,
+    // not query time) and are not part of this plan.
+    def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] = p match {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case s: ShuffleExchangeExec => s +: s.children.flatMap(shuffles)
+      case other => other.children.flatMap(shuffles)
+    }
+    val plan = SparkEntry.queries("q224_ivfpq_ann")(spark, sfDir)
+      .queryExecution.executedPlan
+    val found = shuffles(plan)
+    assert(found.nonEmpty, "expected scalar shuffles (aggregate/top-k)")
+    val offenders = found.filter(_.output.exists(
+      _.dataType.isInstanceOf[ArrayType]))
+    assert(offenders.isEmpty,
+      "vector-typed columns crossed a shuffle:\n" + offenders.map(
+        _.output.map(a => s"${a.name}:${a.dataType.simpleString}")
+          .mkString(", ")).mkString("\n"))
+  }
+
   test("bucketed tables join exchange-free (q214's layout contract)") {
     // Broadcast disabled so the contract actually exercises the bucketed
     // sort-merge path — with broadcast on, a small side would hide a
