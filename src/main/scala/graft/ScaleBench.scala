@@ -309,7 +309,15 @@ object ScaleBench {
     "q297_tpch_q15_shape", "q298_moving_median", "q299_feature_hashing",
     "q300_lm_perplexity", "q301_covariate_balance", "q302_abc_pareto",
     "q303_simpson_audit", "q304_skipgram_pmi", "q305_named_window",
-    "q306_decimal_q1", "q307_null_surface", "q308_cohort_ltv")
+    "q306_decimal_q1", "q307_null_surface", "q308_cohort_ltv",
+    // round 9: the deep-BPE kernel, the two kill-and-resume streaming
+    // gates, and the TPC-H Q2/Q4/Q11/Q18 decorrelation shapes.
+    // (ObservationSpec pins ScaleQueries == SparkEntry.queries.keySet, so
+    // a new gate query cannot skip the comparable 10× session again —
+    // the round-8 q308 lesson, institutionalized.)
+    "q309_bpe_deep", "q310_stream_recovery", "q311_stream_mv_recovery",
+    "q312_tpch_q2_shape", "q313_tpch_q4_shape", "q314_tpch_q11_shape",
+    "q315_tpch_q18_shape")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

@@ -88,6 +88,20 @@ class PlanContractSpec extends SparkSpec {
     // chars); the shape exists in the plan, the data never does.
     "q240_edit_join")
 
+  test("every gate query has a ScaleBench row (the q308 lesson, institutionalized)") {
+    // round-8 verdict #5: a gate query is not "done" until it is measured
+    // in the same comparable 10x session as the rest — so the scale list
+    // must BE the gate list, enforced here rather than remembered.
+    val gate = SparkEntry.queries.keySet
+    val scale = ScaleBench.ScaleQueries.toSet
+    val missing = gate -- scale
+    val stale = scale -- gate
+    assert(missing.isEmpty && stale.isEmpty,
+      s"missing from ScaleQueries: ${missing.toSeq.sorted.mkString(", ")}; " +
+        s"stale in ScaleQueries: ${stale.toSeq.sorted.mkString(", ")}")
+    assert(ScaleBench.ScaleQueries.distinct.size == ScaleBench.ScaleQueries.size)
+  }
+
   test("headline query plans: no CartesianProduct; BNLJ only where allowlisted") {
     val failures = ScaleBench.ScaleQueries.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
