@@ -4194,6 +4194,29 @@ object SparkEntry {
         .orderBy("cohort_wk", "age_wk")
     }),
 
+    // Production-depth BPE ROUNDTRIP: train to depth 2000 in the heap
+    // kernel (q309's schedule), then encode the ENTIRE distinct-word
+    // vocabulary with the full table via the priority-loop kernel
+    // (encodeDeep — spec-pinned identical to the in-order replay) and
+    // require losslessness word by word. The oracle lists every distinct
+    // word with ok=true, so ANY word whose tokens fail to reassemble —
+    // or that goes missing — flips the hash. This is q217's 4-merge
+    // roundtrip at tokenizer-production depth.
+    "q316_bpe_deep_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val table = Bpe.mergesDeep(docs, 2000)
+        .orderBy("round")
+        .select("left", "right").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      val words = docs.select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0).distinct()
+      Bpe.encodeDeep(words, table)
+        .select(col("word"),
+          (concat_ws("", col("tokens")) === col("word") &&
+            size(col("tokens")) >= 1).as("ok"))
+        .orderBy("word")
+    }),
+
     // TPC-H Q2's shape (round-8 verdict #7): the correlated MIN-COST
     // subquery — the supplier(s) achieving the per-part minimum cost
     // inside a region, the min computed by a correlated scalar subquery
@@ -6167,6 +6190,15 @@ object SparkEntry {
     // The deep kernel's first 4 merges must equal the round-at-a-time
     // reference schedule — the SAME unrolled-CTE oracle as q97.
     "q309_bpe_deep" -> bpeMerges4Oracle,
+
+    // Every distinct word must survive the full-depth encode→reassemble
+    // roundtrip: the oracle is the word list itself with ok=true.
+    "q316_bpe_deep_roundtrip" ->
+      """SELECT w AS word, true AS ok
+        |FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+        |      FROM documents)
+        |WHERE len(w) > 0
+        |ORDER BY word""".stripMargin,
 
     // The exact form the sketch must reproduce; the N-relative bar uses
     // the same ceil-division integer arithmetic as the engine

@@ -235,6 +235,58 @@ object Bpe {
     words.select(col(wordCol), syms(reprN).as("tokens"))
   }
 
+  /** Production-depth BPE ENCODE — the inference twin of [[mergesDeep]].
+    *
+    * [[encode]] replays the merge table as a foldLeft of `replace`
+    * column expressions: exact, but a ~32k-merge production table would
+    * mean ~32k nested string functions in one codegen unit. This variant
+    * runs the classic priority loop as a partition-local kernel: per
+    * word, repeatedly merge the LOWEST-RANK adjacent pair present
+    * (greedy left-to-right within a rank, like the replace). That loop
+    * is provably row-identical to the in-order replay: a pair learned at
+    * rank i can only involve symbols that existed before i, so merging a
+    * later pair can never create an earlier pair — by induction the
+    * in-order replay and the min-rank-first loop produce the same
+    * segmentation (BpeSpec pins equality against [[encode]] on the
+    * trained table). The merge table rides the closure (a production
+    * tokenizer is ~32k rows — broadcast-sized by construction).
+    * Returns (word, tokens array). */
+  def encodeDeep(words: DataFrame, mergeTable: Seq[(String, String)],
+                 wordCol: String = "word"): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val rank: Map[(String, String), Int] =
+      mergeTable.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    words.select(col(wordCol).cast("string")).as[String].mapPartitions { it =>
+      it.map { w =>
+        var s: Vector[String] = w.map(_.toString).toVector
+        var done = false
+        while (!done && s.length >= 2) {
+          // lowest-rank pair present
+          var best = Int.MaxValue
+          var i = 0
+          while (i < s.length - 1) {
+            rank.get((s(i), s(i + 1))).foreach(r => if (r < best) best = r)
+            i += 1
+          }
+          if (best == Int.MaxValue) done = true
+          else {
+            val (l, r) = mergeTable(best)
+            val out = Vector.newBuilder[String]
+            var j = 0
+            while (j < s.length) {
+              if (j < s.length - 1 && s(j) == l && s(j + 1) == r) {
+                out += (l + r); j += 2
+              } else { out += s(j); j += 1 }
+            }
+            s = out.result()
+          }
+        }
+        (w, s)
+      }
+    }.toDF(wordCol, "tokens")
+  }
+
   /** WordPiece-style GREEDY maximal-munch encoding (Wu et al. 2016;
     * the inference-side algorithm of the BERT tokenizer family) — the
     * ordering-free counterpart to BPE's merge replay: at each position

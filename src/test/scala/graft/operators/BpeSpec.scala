@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class BpeSpec extends SparkSpec {
   import spark.implicits._
@@ -91,6 +92,28 @@ class BpeSpec extends SparkSpec {
     assert(full.length > 2000 && again.length == full.length)
     // and the capped run is the exact prefix of the full schedule
     assert(full.sortBy(_._1).take(2000).toSeq == got.toSeq)
+  }
+
+  test("encodeDeep == encode on a trained table (priority loop == replay)") {
+    val rnd = new scala.util.Random(13)
+    val docs = (0 until 60).map { i =>
+      (i.toLong, (0 until 4).map(_ =>
+        (0 until (2 + rnd.nextInt(7))).map(_ => ('a' + rnd.nextInt(4)).toChar)
+          .mkString).mkString(" "))
+    }.toDF("doc_id", "text")
+    val table = Bpe.mergesDeep(docs, 500)
+      .orderBy("round").as[(Int, String, String, Long)].collect()
+      .map(r => (r._2, r._3)).toSeq
+    assert(table.length > 20)
+    val words = docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0).distinct()
+    val replay = Bpe.encode(words, table)
+      .as[(String, Seq[String])].collect().toMap
+    val deep = Bpe.encodeDeep(words, table)
+      .as[(String, Seq[String])].collect().toMap
+    assert(deep == replay)
+    // and the segmentation is lossless
+    assert(deep.forall { case (w, ts) => ts.mkString == w })
   }
 
   test("encode replays the merge table in order") {
