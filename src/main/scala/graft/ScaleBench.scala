@@ -317,7 +317,8 @@ object ScaleBench {
     // the round-8 q308 lesson, institutionalized.)
     "q309_bpe_deep", "q310_stream_recovery", "q311_stream_mv_recovery",
     "q312_tpch_q2_shape", "q313_tpch_q4_shape", "q314_tpch_q11_shape",
-    "q315_tpch_q18_shape", "q316_bpe_deep_roundtrip")
+    "q315_tpch_q18_shape", "q316_bpe_deep_roundtrip",
+    "q317_tpch_q16_shape", "q318_tpch_q19_shape")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

@@ -4258,6 +4258,26 @@ object SparkEntry {
       s.sql(tpchQ18Sql)
     }),
 
+    // TPC-H Q16's shape: NOT IN subquery (null-aware anti-join — the
+    // suppliers under a complaint-style predicate) feeding a
+    // count(DISTINCT) over a grouped cross of part attributes; partsupp
+    // derived as the distinct (part, supp) pairs. Identical text.
+    "q317_tpch_q16_shape" -> ((s, dir) => {
+      for (tb <- Seq("lineitem", "part", "supplier"))
+        t(s, dir, tb).createOrReplaceTempView(tb)
+      s.sql(tpchQ16Sql)
+    }),
+
+    // TPC-H Q19's shape: the disjunctive OR-of-ANDs join predicate —
+    // the CNF-extraction / common-conjunct-pushdown stress (each branch
+    // pairs part attributes with lineitem ranges). Identical text;
+    // integer centi-cent revenue lane.
+    "q318_tpch_q19_shape" -> ((s, dir) => {
+      for (tb <- Seq("lineitem", "part"))
+        t(s, dir, tb).createOrReplaceTempView(tb)
+      s.sql(tpchQ19Sql)
+    }),
+
     // STREAMING KILL-AND-RESUME (round-8 verdict #3): the windowed-agg
     // gate run as phase-1-half → stop → drop the last checkpoint commit
     // (the deterministic at-least-once redelivery) → restart from the
@@ -4461,6 +4481,36 @@ object SparkEntry {
       |  AND o.o_orderkey = l.l_orderkey
       |GROUP BY c.c_custkey, o.o_orderkey
       |ORDER BY total_qty DESC, o.o_orderkey""".stripMargin
+
+  /** TPC-H Q16's shape — NOT IN (null-aware anti-join) + count(DISTINCT). */
+  private lazy val tpchQ16Sql: String =
+    """WITH partsupp AS (
+      |  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+      |  FROM lineitem)
+      |SELECT p.p_brand, p.p_type, p.p_size,
+      |       count(DISTINCT ps.ps_suppkey) AS supplier_cnt
+      |FROM partsupp ps, part p
+      |WHERE p.p_partkey = ps.ps_partkey
+      |  AND p.p_brand <> 'Brand#13'
+      |  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      |  AND ps.ps_suppkey NOT IN (
+      |        SELECT s_suppkey FROM supplier WHERE s_acctbal < 500.0)
+      |GROUP BY p.p_brand, p.p_type, p.p_size
+      |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""".stripMargin
+
+  /** TPC-H Q19's shape — disjunctive OR-of-ANDs join predicate. */
+  private lazy val tpchQ19Sql: String =
+    """SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |             * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_cc,
+      |       count(*) AS n
+      |FROM lineitem l, part p
+      |WHERE p.p_partkey = l.l_partkey
+      |  AND ((p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+      |        AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+      |    OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 30
+      |        AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+      |    OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 50
+      |        AND l.l_quantity >= 20 AND l.l_quantity <= 40))""".stripMargin
 
   /** q194/q310 shared oracle: the 10-minute tumbling batch aggregate the
     * streaming (and killed-and-resumed) windowed gates must converge to. */
@@ -9922,6 +9972,8 @@ object SparkEntry {
     "q313_tpch_q4_shape" -> tpchQ4Sql,
     "q314_tpch_q11_shape" -> tpchQ11Sql,
     "q315_tpch_q18_shape" -> tpchQ18Sql,
+    "q317_tpch_q16_shape" -> tpchQ16Sql,
+    "q318_tpch_q19_shape" -> tpchQ19Sql,
 
     // Same train reduce, same per-cell micro-nat floors (shared-libm ln),
     // same two-tier fallback coalesce, same integer val charge.
