@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{BlocklistHits, DamerauLevenshtein, DotQ, HaversineM, HilbertIndex, JaroWinkler, NormalizeText, RewriteAggToSummary, RewriteApproxDistinct, RewriteDotProduct, RewriteJoinElimination, RewriteRadiusPredicate, RewriteRangeJoin, TopK}
+import graft.expressions.{BlocklistHits, DamerauLevenshtein, DotQ, HaversineM, HilbertIndex, JaroWinkler, NormalizeText, RewriteAggToSummary, RewriteApproxDistinct, RewriteDotProduct, RewriteJoinElimination, RewriteRadiusPredicate, RewriteRangeJoin, SanitizeKey, TopK}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the engine's native expressions with the session's function
@@ -21,6 +21,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 2, "graft_dot_q takes exactly 2 arguments")
         DotQ(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sanitize_key"),
+      new ExpressionInfo(classOf[SanitizeKey].getCanonicalName, "graft_sanitize_key"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "graft_sanitize_key takes exactly 1 argument")
+        SanitizeKey(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_top_k"),

@@ -116,7 +116,13 @@ object GeoFunctions {
     * exactly `trim(_)`. Equivalence argued case-by-case in the q16 gate
     * (same oracle mirrors the three-pass spec form); measured ~2× less
     * regex CPU on the sanitize-heavy scan. */
-  def sanitizeKey(c: Column): Column = {
+  def sanitizeKey(c: Column): Column =
+    call_function("graft_sanitize_key", c.cast("string"))
+
+  /** The pre-round-9 column composition — kept as the parity reference
+    * the native expression is fuzzed against (SanitizeKeySpec); the q16
+    * oracle still replays the spec's regex form in DuckDB. */
+  private[graft] def sanitizeKeyComposed(c: Column): Column = {
     val s = trim(regexp_replace(lower(c.cast("string")), "[^a-z0-9.-]+", "_"), "_")
     substring(when(s === "", "cat").otherwise(s), 1, 60)
   }
