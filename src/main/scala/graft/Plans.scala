@@ -256,6 +256,12 @@ object Plans {
         "BROADCAST per-subspace distance tables, a sum aggregate to " +
         "(qid, vec_id), and the per-query top-k window. No vector-typed " +
         "column crosses a shuffle."),
+    "q16_sanitize" ->
+      ("The ninth native expression in its hot seat: graft_sanitize_key " +
+        "appears as ONE codegen'd node in the projection (no regex " +
+        "expression anywhere in the plan) — the rebuild that took round " +
+        "8's worst scaler from 7.4x to 1.17x at 10x data; the " +
+        "repartition spreads the per-row walk across cores."),
     "q224_ivfpq_ann" ->
       ("IVFADC (coarse lists + residual codebooks): coarse centroids, " +
         "codebooks, and the qid×nprobe×m×ksub ADC table all travel by " +
@@ -296,11 +302,8 @@ object Plans {
       ("dropDuplicatesWithinWatermark: StreamingDeduplicateWithinWatermark " +
         "with per-key state the watermark can EVICT (the bounded-state " +
         "contrast to plain dropDuplicates), one exchange on event_id."))
-  // q116_pq_ann is absent for the q60 reason: its lazy plan nests four
-  // 2-round Lloyd trainings, so the explain text is enormous while the
-  // interesting query-time shape — codes ⨯ 3-row broadcast distance
-  // tables, adist = m array lookups, per-query window top-k — adds no
-  // plan geometry beyond q40/q41's sections.
+  // (q116_pq_ann joined the dossier in round 9: its Lloyd trainings now
+  // run eagerly behind localCheckpoints, so the query-time plan is small.)
   // q71_components is absent for the same reason as q60 below: the
   // returned labels frame is a localCheckpoint product, so its explain
   // shows a scan of checkpointed data, not the per-round join+min shape

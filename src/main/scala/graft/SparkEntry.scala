@@ -212,11 +212,14 @@ object SparkEntry {
     "q16_sanitize" -> ((s, dir) => {
       import graft.functions.GeoFunctions._
       // The part table is one small parquet file = one input partition,
-      // but the projection is CPU-bound (9 regex passes per row over a
-      // repeat()-widened string): repartition spreads the codegen'd regex
-      // across cores (measured 2.9 s -> 1.2 s warm at sf0.1 on local[32]).
-      // At real scale the input arrives multi-partition and the exchange
-      // is noise next to the compute it parallelizes.
+      // but the projection is CPU-bound (per-row byte walks over
+      // repeat()-widened strings): repartition spreads the codegen'd
+      // walk across cores. History: the regex composition measured
+      // 2.9 s -> 1.2 s warm from this repartition alone; the round-9
+      // native graft_sanitize_key byte walk then took the query to
+      // 0.42 s warm and its 10x ratio from 7.4 to 1.17 - at real scale
+      // the input arrives multi-partition and the exchange is noise
+      // next to the compute it parallelizes.
       t(s, dir, "part")
         .repartition(s.sparkContext.defaultParallelism)
         .select(
