@@ -130,7 +130,7 @@ object Bench {
     def healthJson(h: (Double, Long, Long)): String =
       s"""{"loadavg_1m":${fmt(h._1)},"gc_ms_cum":${h._2},"proc_cpu_s_cum":${fmt(h._3 / 1000.0)}}"""
     val full =
-      s"""{"harness":"graft.Bench","reps":$reps,"timed_rep":"last","state_reset":"clearCache+dropTempViews+System.gc per query","n_queries":${results.size},""" +
+      s"""{"harness":"graft.Bench","reps":$reps,"timed_rep":"last","state_reset":"clearCache+dropTempViews per rep; System.gc per query","n_queries":${results.size},""" +
         s""""session_health":{"start":${healthJson(health0)},"end":${healthJson(health1)},"session_wall_s":${fmt(sessionWall)}},""" +
         s""""queries_detail":$detail,""" +
         line.drop(1)

@@ -346,7 +346,7 @@ object Plans {
         s"```\n${plan.trim}\n```\n")
     }
     Files.writeString(Paths.get(out), sb.toString)
-    println(s"[plans] wrote $out (${Invariants.size} sections)")
+    println(s"[plans] wrote $out (${Invariants.size + StreamingInvariants.size} sections)")
     spark.stop()
   }
 }

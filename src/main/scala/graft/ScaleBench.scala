@@ -312,7 +312,7 @@ object ScaleBench {
     "q306_decimal_q1", "q307_null_surface", "q308_cohort_ltv",
     // round 9: the deep-BPE kernel, the two kill-and-resume streaming
     // gates, and the TPC-H Q2/Q4/Q11/Q18 decorrelation shapes.
-    // (ObservationSpec pins ScaleQueries == SparkEntry.queries.keySet, so
+    // (PlanContractSpec pins ScaleQueries == SparkEntry.queries.keySet, so
     // a new gate query cannot skip the comparable 10× session again —
     // the round-8 q308 lesson, institutionalized.)
     "q309_bpe_deep", "q310_stream_recovery", "q311_stream_mv_recovery",

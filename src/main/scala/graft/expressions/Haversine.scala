@@ -132,7 +132,10 @@ object RewriteRadiusPredicate extends Rule[LogicalPlan] with PredicateHelper {
         val lonPreds = if (phiMax >= 89.99) Nil else {
           val dLon = dLat * (Math.PI / 2) / Math.cos(Math.toRadians(phiMax)) *
             1.000001 + 1e-9
-          if (dLon >= 180.0 || lon0 - dLon < -180.0 || lon0 + dLon > 180.0) Nil
+          // inclusive at ±180: a row stored as lon = -180.0 is the dual
+          // representation of +180, so a window TOUCHING the seam already
+          // needs the periodic form BETWEEN cannot express
+          if (dLon >= 180.0 || lon0 - dLon <= -180.0 || lon0 + dLon >= 180.0) Nil
           else Seq(
             GreaterThanOrEqual(lonE, Literal(lon0 - dLon, DoubleType)),
             LessThanOrEqual(lonE, Literal(lon0 + dLon, DoubleType)))

@@ -127,6 +127,38 @@ object Bpe {
       .toDF("round", "left", "right", "weight")
   }
 
+  /** Initial 1-symbol-per-CHARACTER split, by CODE POINT — `substr`/
+    * `length` in [[chars]] (and the DuckDB oracle) count code points, so
+    * a supplementary-plane char (emoji, rare CJK) is ONE symbol; the
+    * naive `w.map(_.toString)` would split it into two lone surrogates
+    * and the kernels would learn a different table than the replay. */
+  private def codePointSymbols(w: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
+  /** Code-point order == UTF-8 binary order — the collation Spark's
+    * string sort (and DuckDB's) applies; java.lang.String.compareTo is
+    * UTF-16 order, which disagrees above U+FFFF. */
+  private def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
   /** The in-memory trainer: (word, freq) → (round, left, right, weight).
     * Package-private for the spec. */
   private[graft] def trainKernel(words: Iterator[(String, Long)],
@@ -134,7 +166,7 @@ object Bpe {
     import scala.collection.mutable
     val ws = words.toArray
     val symsArr: Array[mutable.ArrayBuffer[String]] =
-      ws.map(w => mutable.ArrayBuffer.from(w._1.map(_.toString)))
+      ws.map(w => mutable.ArrayBuffer.from(codePointSymbols(w._1)))
     val freq: Array[Long] = ws.map(_._2)
     val counts = mutable.HashMap.empty[(String, String), Long]
     val where = mutable.HashMap.empty[(String, String), mutable.BitSet]
@@ -145,8 +177,8 @@ object Bpe {
         val c = java.lang.Long.compare(a._1, b._1)
         if (c != 0) c
         else {
-          val cl = b._2.compareTo(a._2)
-          if (cl != 0) cl else b._3.compareTo(a._3)
+          val cl = cpCompare(b._2, a._2)
+          if (cl != 0) cl else cpCompare(b._3, a._3)
         }
       }
     }
@@ -259,7 +291,7 @@ object Bpe {
       mergeTable.zipWithIndex.map { case (p, i) => p -> i }.toMap
     words.select(col(wordCol).cast("string")).as[String].mapPartitions { it =>
       it.map { w =>
-        var s: Vector[String] = w.map(_.toString).toVector
+        var s: Vector[String] = codePointSymbols(w).toVector
         var done = false
         while (!done && s.length >= 2) {
           // lowest-rank pair present

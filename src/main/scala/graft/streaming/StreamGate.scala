@@ -41,7 +41,11 @@ object StreamGate {
       val bos = new java.io.ByteArrayOutputStream()
       Console.withOut(bos)(q.explain())
       lastStreamPlan = bos.toString("UTF-8")
-    } catch { case _: Throwable => () }
+    } catch { case e: Throwable =>
+      // never fail the gate over diagnostics, but never go SILENT either
+      // (the round-1 swallowed-failure lesson): the dossier shows the cause
+      lastStreamPlan = s"<plan capture failed: $e>"
+    }
 
   /** Write `events` (ts TIMESTAMP) as `nChunks` time-ordered parquet files
     * under `in` (sequential appends — deterministic arrival order), plus

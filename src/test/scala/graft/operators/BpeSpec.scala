@@ -52,6 +52,25 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("mergesDeep/encodeDeep treat supplementary-plane chars as one symbol") {
+    // "😀" is U+1F600 (two UTF-16 code units): substr/length split by
+    // CODE POINT, so the kernels must too — a surrogate-pair split would
+    // learn a different table and fail the replay equivalence
+    val docs = Seq((1L, "a😀b a😀b 😀😀 a😀b"), (2L, "😀😀 b😀")).toDF("doc_id", "text")
+    def table(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("round").as[(Int, String, String, Long)].collect().toSeq
+    val deep = table(Bpe.mergesDeep(docs, 20))
+    assert(deep == table(Bpe.merges(docs, 20)) && deep.nonEmpty)
+    val mergeTable = deep.map(r => (r._2, r._3))
+    val words = docs.select(explode(split(col("text"), " ")).as("word")).distinct()
+    val replay = Bpe.encode(words, mergeTable)
+      .as[(String, Seq[String])].collect().toMap
+    val viaKernel = Bpe.encodeDeep(words, mergeTable)
+      .as[(String, Seq[String])].collect().toMap
+    assert(viaKernel == replay)
+    assert(viaKernel.forall { case (w, ts) => ts.mkString == w })
+  }
+
   test("mergesDeep == merges on a randomized corpus (cross-checks the heap/index)") {
     val rnd = new scala.util.Random(41)
     val words = Vector("aa", "ab", "ba", "abc", "cab", "aab", "bba", "ccc",

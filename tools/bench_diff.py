@@ -23,9 +23,24 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    opts = {a.split("=")[0].lstrip("-"): float(a.split("=")[1])
-            for a in sys.argv[1:] if a.startswith("--") and "=" in a}
+    argv = sys.argv[1:]
+    args, opts = [], {}
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--"):
+            if "=" in a:  # --band=1.3
+                k, v = a.lstrip("-").split("=", 1)
+                opts[k] = float(v)
+            else:         # --band 1.3
+                if i + 1 >= len(argv):
+                    print(__doc__)
+                    return 2
+                opts[a.lstrip("-")] = float(argv[i + 1])
+                i += 1
+        else:
+            args.append(a)
+        i += 1
     band = opts.get("band", 1.3)
     absfloor = opts.get("abs", 0.5)
     if len(args) != 2:
@@ -68,8 +83,11 @@ def main():
         r = mn / mo
         if (r > band or r < 1 / band) and abs(mn - mo) > absfloor:
             movers.append((q, mo, mn, r))
-    print(f"common min-of-reps totals: {tot_o:.1f}s -> {tot_n:.1f}s "
-          f"({(tot_n / tot_o - 1) * 100:+.1f}%)")
+    if tot_o > 0:
+        print(f"common min-of-reps totals: {tot_o:.1f}s -> {tot_n:.1f}s "
+              f"({(tot_n / tot_o - 1) * 100:+.1f}%)")
+    else:
+        print("no common queries with positive min in both artifacts")
     if movers:
         print(f"outside envelope (>{band}x AND >{absfloor}s, or errored):")
         for q, mo, mn, r in sorted(movers, key=lambda m: -m[3]):
