@@ -28,6 +28,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    inner runs yield one `_` (= the collapsed replace);
   *  - survivors are all ASCII, so the 60-CHAR truncate is the 60-byte
   *    truncate.
+  * NULL input: the reference's Python returns "cat" for None, but this
+  * expression NULL-propagates (nullSafeEval) — an INTENTIONAL divergence
+  * shared by the composed column form and the DuckDB oracle mirror, so
+  * both engines agree; callers wanting spec fidelity on NULL should
+  * coalesce to 'cat' themselves.
   * Registered as `graft_sanitize_key`. */
 case class SanitizeKey(child: Expression)
   extends UnaryExpression with ExpectsInputTypes {

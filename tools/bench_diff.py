@@ -47,6 +47,12 @@ def main():
         print(__doc__)
         return 2
     old, new = load(args[0]), load(args[1])
+    for path, d in ((args[0], old), (args[1], new)):
+        if "queries_detail" not in d or "value" not in d:
+            print(f"{path}: artifact predates the self-diagnosing format "
+                  "(no queries_detail/value — produced before round 9); "
+                  "re-run graft.Bench to generate a comparable artifact")
+            return 2
 
     def health(d, tag):
         h = d.get("session_health", {})
@@ -55,7 +61,7 @@ def main():
               f"min={float(d.get('value_min', -1)):.1f}s "
               f"load {s.get('loadavg_1m')}->{e.get('loadavg_1m')} "
               f"gc {e.get('gc_ms_cum', 0) - s.get('gc_ms_cum', 0)}ms "
-              f"cpu {float(e.get('proc_cpu_s_cum', 0)) - float(s.get('proc_cpu_s_cum', 0)):.0f}s "
+              f"cpu {float(e.get('proc_cpu_s_cum') or 0) - float(s.get('proc_cpu_s_cum') or 0):.0f}s "
               f"wall {h.get('session_wall_s')}s")
 
     print("session health:")
