@@ -318,7 +318,13 @@ object ScaleBench {
     "q309_bpe_deep", "q310_stream_recovery", "q311_stream_mv_recovery",
     "q312_tpch_q2_shape", "q313_tpch_q4_shape", "q314_tpch_q11_shape",
     "q315_tpch_q18_shape", "q316_bpe_deep_roundtrip",
-    "q317_tpch_q16_shape", "q318_tpch_q19_shape")
+    "q317_tpch_q16_shape", "q318_tpch_q19_shape",
+    // round 10: the TPC-H shape suite completed — Q3/Q5/Q10 star joins,
+    // Q6 scan-reduce, Q7/Q8 double-nation joins, Q9 derived-partsupp
+    // profit, Q12/Q14 CASE-pivot aggregations
+    "q319_tpch_q3_shape", "q320_tpch_q5_shape", "q321_tpch_q6_shape",
+    "q322_tpch_q7_shape", "q323_tpch_q8_shape", "q324_tpch_q9_shape",
+    "q325_tpch_q10_shape", "q326_tpch_q12_shape", "q327_tpch_q14_shape")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

@@ -4281,6 +4281,58 @@ object SparkEntry {
       s.sql(tpchQ19Sql)
     }),
 
+    // Round 10 completes the TPC-H shape suite — all 22 queries now run
+    // as identical-statement-text gates (Q1 lives as q01's typed twin +
+    // q306's DECIMAL form). Q3/Q5/Q10: the classic multi-way star joins
+    // with date windows and top-k under total orders; Q6: the no-join
+    // scan-reduce pushdown baseline; Q7/Q8: nation-pair and market-share
+    // shapes scanning nation twice; Q9: profit over the derived partsupp;
+    // Q12/Q14: join + CASE-pivot conditional aggregation.
+    "q319_tpch_q3_shape" -> ((s, dir) => {
+      for (tb <- Seq("customer", "orders", "lineitem"))
+        t(s, dir, tb).createOrReplaceTempView(tb)
+      s.sql(tpchQ3Sql)
+    }),
+    "q320_tpch_q5_shape" -> ((s, dir) => {
+      for (tb <- Seq("customer", "orders", "lineitem", "supplier", "nation", "region"))
+        t(s, dir, tb).createOrReplaceTempView(tb)
+      s.sql(tpchQ5Sql)
+    }),
+    "q321_tpch_q6_shape" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(tpchQ6Sql)
+    }),
+    "q322_tpch_q7_shape" -> ((s, dir) => {
+      for (tb <- Seq("supplier", "lineitem", "orders", "customer", "nation"))
+        t(s, dir, tb).createOrReplaceTempView(tb)
+      s.sql(tpchQ7Sql)
+    }),
+    "q323_tpch_q8_shape" -> ((s, dir) => {
+      for (tb <- Seq("part", "supplier", "lineitem", "orders", "customer", "nation", "region"))
+        t(s, dir, tb).createOrReplaceTempView(tb)
+      s.sql(tpchQ8Sql)
+    }),
+    "q324_tpch_q9_shape" -> ((s, dir) => {
+      for (tb <- Seq("part", "supplier", "lineitem", "orders", "nation"))
+        t(s, dir, tb).createOrReplaceTempView(tb)
+      s.sql(tpchQ9Sql)
+    }),
+    "q325_tpch_q10_shape" -> ((s, dir) => {
+      for (tb <- Seq("customer", "orders", "lineitem", "nation"))
+        t(s, dir, tb).createOrReplaceTempView(tb)
+      s.sql(tpchQ10Sql)
+    }),
+    "q326_tpch_q12_shape" -> ((s, dir) => {
+      for (tb <- Seq("orders", "lineitem"))
+        t(s, dir, tb).createOrReplaceTempView(tb)
+      s.sql(tpchQ12Sql)
+    }),
+    "q327_tpch_q14_shape" -> ((s, dir) => {
+      for (tb <- Seq("lineitem", "part"))
+        t(s, dir, tb).createOrReplaceTempView(tb)
+      s.sql(tpchQ14Sql)
+    }),
+
     // STREAMING KILL-AND-RESUME (round-8 verdict #3): the windowed-agg
     // gate run as phase-1-half → stop → drop the last checkpoint commit
     // (the deterministic at-least-once redelivery) → restart from the
@@ -4514,6 +4566,191 @@ object SparkEntry {
       |        AND l.l_quantity >= 10 AND l.l_quantity <= 30)
       |    OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 50
       |        AND l.l_quantity >= 20 AND l.l_quantity <= 40))""".stripMargin
+
+  /** TPC-H Q3's shape — the 3-table shipping-priority join with opposed
+    * date predicates on two tables, grouped per order, top-10 by revenue
+    * under a total order (o_orderkey tiebreak). Centi-cent lanes. */
+  private lazy val tpchQ3Sql: String =
+    """SELECT o.o_orderkey,
+      |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_cc,
+      |       o.o_orderpriority
+      |FROM customer c, orders o, lineitem l
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |  AND c.c_custkey = o.o_custkey
+      |  AND l.l_orderkey = o.o_orderkey
+      |  AND CAST(o.o_orderdate AS DATE) < DATE '1998-03-15'
+      |  AND CAST(l.l_shipdate AS DATE) > DATE '1998-03-15'
+      |GROUP BY o.o_orderkey, o.o_orderpriority
+      |ORDER BY revenue_cc DESC, o.o_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5's shape — the 6-table local-supplier-volume join whose
+    * distinguishing constraint is the NON-hierarchical c_nationkey =
+    * s_nationkey cycle edge. Centi-cent lanes. */
+  private lazy val tpchQ5Sql: String =
+    """SELECT n.n_name,
+      |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_cc
+      |FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+      |WHERE c.c_custkey = o.o_custkey
+      |  AND l.l_orderkey = o.o_orderkey
+      |  AND l.l_suppkey = s.s_suppkey
+      |  AND c.c_nationkey = s.s_nationkey
+      |  AND s.s_nationkey = n.n_nationkey
+      |  AND n.n_regionkey = r.r_regionkey
+      |  AND r.r_name = 'ASIA'
+      |  AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      |  AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+      |GROUP BY n.n_name
+      |ORDER BY revenue_cc DESC, n.n_name""".stripMargin
+
+  /** TPC-H Q6's shape — the pure scan-and-reduce forecast query (no join
+    * at all: the predicate-pushdown baseline). The discount band runs in
+    * exact integer percent so no double equality crosses an engine. */
+  private lazy val tpchQ6Sql: String =
+    """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |                * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cp,
+      |       count(*) AS n
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q7's shape — the two-nation volume-shipping join: nation
+    * scanned TWICE under different predicates, the symmetric OR pair
+    * filter, and a year extraction in the group key. */
+  private lazy val tpchQ7Sql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |       CAST(sum(volume_cc) AS BIGINT) AS revenue_cc
+      |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |             CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+      |             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |             * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS volume_cc
+      |      FROM supplier s, lineitem l, orders o, customer c,
+      |           nation n1, nation n2
+      |      WHERE s.s_suppkey = l.l_suppkey
+      |        AND o.o_orderkey = l.l_orderkey
+      |        AND c.c_custkey = o.o_custkey
+      |        AND s.s_nationkey = n1.n_nationkey
+      |        AND c.c_nationkey = n2.n_nationkey
+      |        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |        AND CAST(l.l_shipdate AS DATE) BETWEEN DATE '1996-01-01'
+      |                                           AND DATE '1997-12-31') shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q8's shape — market share: the 8-table join (nation twice,
+    * region gating the CUSTOMER side while the measured nation is the
+    * SUPPLIER side). The share ratio is emitted as its two exact
+    * centi-cent masses (num, den) — no double fraction crosses. */
+  private lazy val tpchQ8Sql: String =
+    """SELECT o_year,
+      |       CAST(sum(CASE WHEN nation = 'NATION_5' THEN volume_cc
+      |                     ELSE 0 END) AS BIGINT) AS nation_volume_cc,
+      |       CAST(sum(volume_cc) AS BIGINT) AS total_volume_cc
+      |FROM (SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+      |             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |             * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS volume_cc,
+      |             n2.n_name AS nation
+      |      FROM part p, supplier s, lineitem l, orders o, customer c,
+      |           nation n1, nation n2, region r
+      |      WHERE p.p_partkey = l.l_partkey
+      |        AND s.s_suppkey = l.l_suppkey
+      |        AND l.l_orderkey = o.o_orderkey
+      |        AND o.o_custkey = c.c_custkey
+      |        AND c.c_nationkey = n1.n_nationkey
+      |        AND n1.n_regionkey = r.r_regionkey
+      |        AND r.r_name = 'AMERICA'
+      |        AND s.s_nationkey = n2.n_nationkey
+      |        AND CAST(o.o_orderdate AS DATE) BETWEEN DATE '1996-01-01'
+      |                                            AND DATE '1997-12-31'
+      |        AND p.p_type = 'ECONOMY') all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  /** TPC-H Q9's shape — product-type profit: partsupp derived as the
+    * min-cost (part, supp) reduction (the schema carries no partsupp),
+    * profit = revenue − supplycost·qty in one centi-cent lane, LIKE on
+    * p_name, nation × year grouping with the spec's DESC year order. */
+  private lazy val tpchQ9Sql: String =
+    """WITH partsupp AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS ps_supplycost_c
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT nation, o_year, CAST(sum(amount_cc) AS BIGINT) AS sum_profit_cc
+      |FROM (SELECT n.n_name AS nation,
+      |             CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+      |             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |             * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+      |             - ps.ps_supplycost_c * CAST(round(l.l_quantity) AS BIGINT) * 100
+      |               AS amount_cc
+      |      FROM part p, supplier s, lineitem l, partsupp ps, orders o, nation n
+      |      WHERE s.s_suppkey = l.l_suppkey
+      |        AND ps.ps_suppkey = l.l_suppkey
+      |        AND ps.ps_partkey = l.l_partkey
+      |        AND p.p_partkey = l.l_partkey
+      |        AND o.o_orderkey = l.l_orderkey
+      |        AND s.s_nationkey = n.n_nationkey
+      |        AND p.p_name LIKE '%gear%') profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** TPC-H Q10's shape — returned-item report: 4-table join, a quarter
+    * date window, the returnflag filter, top-20 customers by lost
+    * revenue under a total order. */
+  private lazy val tpchQ10Sql: String =
+    """SELECT c.c_custkey, c.c_name,
+      |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_cc,
+      |       n.n_name
+      |FROM customer c, orders o, lineitem l, nation n
+      |WHERE c.c_custkey = o.o_custkey
+      |  AND l.l_orderkey = o.o_orderkey
+      |  AND CAST(o.o_orderdate AS DATE) >= DATE '1996-10-01'
+      |  AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+      |  AND l.l_returnflag = 'R'
+      |  AND c.c_nationkey = n.n_nationkey
+      |GROUP BY c.c_custkey, c.c_name, n.n_name
+      |ORDER BY revenue_cc DESC, c.c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q12's shape — conditional two-way counting per ship class
+    * (l_linestatus stands in for l_shipmode, l_shipdate > o_orderdate
+    * for the commit<receipt lateness test the schema lacks): the
+    * join + CASE-pivot aggregation. */
+  private lazy val tpchQ12Sql: String =
+    """SELECT l.l_linestatus AS ship_class,
+      |       CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+      |                       OR o.o_orderpriority = '2-HIGH'
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(sum(CASE WHEN o.o_orderpriority <> '1-URGENT'
+      |                      AND o.o_orderpriority <> '2-HIGH'
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders o, lineitem l
+      |WHERE o.o_orderkey = l.l_orderkey
+      |  AND l.l_shipdate > o.o_orderdate
+      |  AND CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+      |  AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+      |GROUP BY l.l_linestatus
+      |ORDER BY l.l_linestatus""".stripMargin
+
+  /** TPC-H Q14's shape — promotion effect: the CASE-filtered share of a
+    * one-month join window, emitted as its two exact centi-cent masses
+    * (promo, total) instead of the spec's 100·promo/total double. */
+  private lazy val tpchQ14Sql: String =
+    """SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
+      |                     THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |                          * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+      |                     ELSE 0 END) AS BIGINT) AS promo_revenue_cc,
+      |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS total_revenue_cc
+      |FROM lineitem l, part p
+      |WHERE l.l_partkey = p.p_partkey
+      |  AND CAST(l.l_shipdate AS DATE) >= DATE '1996-09-01'
+      |  AND CAST(l.l_shipdate AS DATE) < DATE '1996-10-01'""".stripMargin
 
   /** q194/q310 shared oracle: the 10-minute tumbling batch aggregate the
     * streaming (and killed-and-resumed) windowed gates must converge to. */
@@ -9977,6 +10214,15 @@ object SparkEntry {
     "q315_tpch_q18_shape" -> tpchQ18Sql,
     "q317_tpch_q16_shape" -> tpchQ16Sql,
     "q318_tpch_q19_shape" -> tpchQ19Sql,
+    "q319_tpch_q3_shape" -> tpchQ3Sql,
+    "q320_tpch_q5_shape" -> tpchQ5Sql,
+    "q321_tpch_q6_shape" -> tpchQ6Sql,
+    "q322_tpch_q7_shape" -> tpchQ7Sql,
+    "q323_tpch_q8_shape" -> tpchQ8Sql,
+    "q324_tpch_q9_shape" -> tpchQ9Sql,
+    "q325_tpch_q10_shape" -> tpchQ10Sql,
+    "q326_tpch_q12_shape" -> tpchQ12Sql,
+    "q327_tpch_q14_shape" -> tpchQ14Sql,
 
     // Same train reduce, same per-cell micro-nat floors (shared-libm ln),
     // same two-tier fallback coalesce, same integer val charge.
