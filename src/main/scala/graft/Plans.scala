@@ -269,7 +269,22 @@ object Plans {
         "(qid, vec_id, d) rows before the only exchanges — the adist sum " +
         "aggregate and the top-k window. PlanContractSpec pins 'no " +
         "ArrayType column crosses a ShuffleExchange' as a regression " +
-        "test."))
+        "test."),
+    "q319_tpch_q3_shape" ->
+      ("TPC-H Q3: Catalyst rewrites CAST(ts AS DATE) < DATE'd' into a " +
+        "pushable timestamp range (PushedFilters carries LessThan/" +
+        "GreaterThanOrEqual on the raw column on BOTH orders and " +
+        "lineitem), the filtered customer side broadcasts, and the " +
+        "top-10 is TakeOrderedAndProject — no global sort ever " +
+        "materializes the full grouped result."),
+    "q324_tpch_q9_shape" ->
+      ("TPC-H Q9 over the derived partsupp: the selective p_name LIKE " +
+        "scan is the FIRST broadcast (BuildLeft into the lineitem " +
+        "probe), partsupp reduces lineitem with map-side partial min " +
+        "before ITS broadcast, and the only exchanges are that " +
+        "reduction and the final (nation, year) aggregate. At real " +
+        "scale AQE demotes the orders broadcast to SMJ; every scan " +
+        "reads only its referenced columns."))
 
   /** Streaming gates: the interesting plan is the per-micro-batch
     * physical plan (state-store operators exist only at runtime), which
