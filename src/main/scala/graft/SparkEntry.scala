@@ -4333,6 +4333,20 @@ object SparkEntry {
       s.sql(tpchQ14Sql)
     }),
 
+    // Interpolated Kneser-Ney bigram evaluation (D = 1/2, doubled
+    // integer lanes): continuation counts, three cost tiers, micro-nat
+    // per-cell rounding — the production n-gram smoothing next to
+    // q300's Laplace baseline.
+    "q328_kneser_ney" -> ((s, dir) =>
+      TextOps.kneserNey(t(s, dir, "documents")).orderBy("lang")),
+
+    // DSIR-style importance-weighted data selection: hashed-unigram
+    // bucket LMs for target (lang = 'en') vs the raw pool, integer
+    // micro-nat log-ratio weights, exact integer doc scores, top-20
+    // under a total order.
+    "q329_dsir_select" -> ((s, dir) =>
+      CorpusOps.dsirSelect(t(s, dir, "documents"), col("lang") === "en")),
+
     // STREAMING KILL-AND-RESUME (round-8 verdict #3): the windowed-agg
     // gate run as phase-1-half → stop → drop the last checkpoint commit
     // (the deterministic at-least-once redelivery) → restart from the
@@ -10223,6 +10237,72 @@ object SparkEntry {
     "q325_tpch_q10_shape" -> tpchQ10Sql,
     "q326_tpch_q12_shape" -> tpchQ12Sql,
     "q327_tpch_q14_shape" -> tpchQ14Sql,
+
+    // Same train reduce, same continuation/head/type tables, same three
+    // cleared-rational tiers, same micro-nat per-cell floors (shared-libm
+    // ln), same DECIMAL cost mass.
+    "q328_kneser_ney" ->
+      """WITH pr AS (SELECT doc_id, lang, w[i] AS a, w[i + 1] AS b
+        |            FROM (SELECT doc_id, lang, string_split(text, ' ') AS w,
+        |                         unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i
+        |                  FROM documents)),
+        |cab AS (SELECT a, b, count(*) AS cab FROM pr
+        |        WHERE doc_id % 10 < 8 GROUP BY 1, 2),
+        |heads AS (SELECT a, sum(cab) AS ca, count(*) AS n1a FROM cab GROUP BY a),
+        |conts AS (SELECT b, count(*) AS n1b FROM cab GROUP BY b),
+        |bt AS (SELECT count(*) AS btot FROM cab),
+        |vp AS (SELECT lang, a, b, count(*) AS cnt FROM pr
+        |       WHERE doc_id % 10 >= 8 GROUP BY 1, 2, 3),
+        |j AS (SELECT vp.lang, vp.cnt,
+        |             CASE WHEN cab.cab IS NOT NULL THEN 'seen'
+        |                  WHEN heads.ca IS NOT NULL AND conts.n1b IS NOT NULL THEN 'cont'
+        |                  ELSE 'backoff' END AS tier,
+        |             CASE WHEN cab.cab IS NOT NULL THEN
+        |                    CAST(floor(-ln(
+        |                      CAST((2 * cab.cab - 1) * bt.btot + heads.n1a * conts.n1b AS DOUBLE)
+        |                      / CAST(2 * heads.ca * bt.btot AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+        |                  WHEN heads.ca IS NOT NULL AND conts.n1b IS NOT NULL THEN
+        |                    CAST(floor(-ln(
+        |                      CAST(heads.n1a * conts.n1b AS DOUBLE)
+        |                      / CAST(2 * heads.ca * bt.btot AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+        |                  ELSE CAST(floor(-ln(1.0 / CAST(bt.btot AS DOUBLE))
+        |                    * 1000000.0 + 0.5) AS BIGINT) END AS cost
+        |      FROM vp
+        |      LEFT JOIN cab ON cab.a = vp.a AND cab.b = vp.b
+        |      LEFT JOIN heads ON heads.a = vp.a
+        |      LEFT JOIN conts ON conts.b = vp.b
+        |      CROSS JOIN bt)
+        |SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(CASE WHEN tier = 'seen' THEN cnt ELSE 0 END) AS BIGINT) AS n_seen,
+        |       CAST(sum(CASE WHEN tier = 'cont' THEN cnt ELSE 0 END) AS BIGINT) AS n_cont,
+        |       CAST(sum(CASE WHEN tier = 'backoff' THEN cnt ELSE 0 END) AS BIGINT) AS n_backoff,
+        |       CAST(sum(CAST(cnt AS HUGEINT) * cost) AS BIGINT) AS cost_sum_micro,
+        |       CAST(sum(CAST(cnt AS HUGEINT) * cost) // sum(cnt) AS BIGINT) AS per_bigram_cost_micro
+        |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Same md5 bucket hash, same Laplace micro-nat costs rounded before
+    // the subtraction, same integer doc scores and total-order top-20.
+    "q329_dsir_select" ->
+      """WITH tb AS (SELECT doc_id, lang, lang = 'en' AS is_target,
+        |                   CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) % 128 AS f
+        |            FROM (SELECT doc_id, lang,
+        |                         unnest(string_split(text, ' ')) AS tok
+        |                  FROM documents)),
+        |pb AS (SELECT f, count(*) AS c_raw,
+        |              sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_tgt
+        |       FROM tb GROUP BY f),
+        |tt AS (SELECT sum(c_raw) AS t_raw, sum(c_tgt) AS t_tgt FROM pb),
+        |lam AS (SELECT f,
+        |               CAST(floor(-ln(CAST(c_raw + 1 AS DOUBLE)
+        |                 / CAST(t_raw + 128 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+        |             - CAST(floor(-ln(CAST(c_tgt + 1 AS DOUBLE)
+        |                 / CAST(t_tgt + 128 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lambda
+        |        FROM pb CROSS JOIN tt),
+        |ds AS (SELECT doc_id, lang, f, count(*) AS cnt FROM tb GROUP BY 1, 2, 3)
+        |SELECT ds.doc_id, ds.lang,
+        |       CAST(sum(ds.cnt * lam.lambda) AS BIGINT) AS score_micro
+        |FROM ds JOIN lam USING (f)
+        |GROUP BY 1, 2 ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
 
     // Same train reduce, same per-cell micro-nat floors (shared-libm ln),
     // same two-tier fallback coalesce, same integer val charge.

@@ -592,6 +592,61 @@ object CorpusOps {
           .otherwise("test").as("split"))
   }
 
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by how much more likely its hashed-unigram features are under a
+    * TARGET distribution than under the RAW pool, then keep the top-k —
+    * the importance-weighting selector behind quality-targeted pretrain
+    * mixes. All integer-exact:
+    *
+    *   bucket(w)  = md5(w) mod `buckets`      (the q299 hashing trick)
+    *   λ(f)       = cost_raw(f) − cost_target(f), each cost the
+    *                Laplace −ln((c_f+1)/(T+buckets)) rounded ONCE to
+    *                integer micro-nats (the q213/q300 shared-libm
+    *                device) — so λ > 0 means "target-like"
+    *   score(doc) = Σ_f cnt_doc(f)·λ(f)       (pure integer sum)
+    *
+    * Target = the `targetPred` slice of the corpus itself (e.g. one
+    * trusted language/source); raw = the whole pool. Output: the top-k
+    * docs by (score DESC, doc_id) with their integer scores — a total
+    * order, so the selection is deterministic in both engines.
+    *
+    * Shape: one token explode feeds the bucket reduce (≤ `buckets` rows,
+    * broadcast back) and the per-doc score join; the only corpus-sized
+    * shuffle is the per-doc aggregate, and top-k plans as
+    * TakeOrderedAndProject — no global sort. */
+  def dsirSelect(docs: DataFrame, targetPred: Column, k: Int = 20,
+                 buckets: Int = 128, idCol: String = "doc_id",
+                 langCol: String = "lang",
+                 textCol: String = "text"): DataFrame = {
+    require(k >= 1 && buckets >= 2, s"bad k=$k buckets=$buckets")
+    def microNatNeg(x: Column): Column =
+      floor(-log(x) * lit(1e6) + lit(0.5)).cast("long")
+    val toks = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+        targetPred.as("is_target"),
+        explode(TextOps.words(col(textCol))).as("tok"))
+      .withColumn("f",
+        (conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+          % buckets).cast("int"))
+    val perBucket = toks.groupBy("f")
+      .agg(count(lit(1)).as("c_raw"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("c_tgt"))
+    val totals = broadcast(perBucket
+      .agg(sum("c_raw").as("t_raw"), sum("c_tgt").as("t_tgt")))
+    val lambda = broadcast(perBucket.crossJoin(totals)
+      .select(col("f"),
+        (microNatNeg((col("c_raw") + 1).cast("double") /
+            (col("t_raw") + buckets).cast("double"))
+          - microNatNeg((col("c_tgt") + 1).cast("double") /
+            (col("t_tgt") + buckets).cast("double"))).as("lambda")))
+    toks.groupBy("doc_id", "lang", "f").agg(count(lit(1)).as("cnt"))
+      .join(lambda, Seq("f"))
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("cnt") * col("lambda")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Largest-remainder (Hamilton) apportionment: split exactly `seats`
     * sample slots across the key cells proportionally to their row
     * counts, with the conservation GUARANTEE Σalloc = seats — the exact

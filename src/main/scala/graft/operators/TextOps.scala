@@ -1082,6 +1082,83 @@ object TextOps {
           .as("per_bigram_cost_micro"))
   }
 
+  /** Interpolated KNESER-NEY bigram evaluation — the production n-gram
+    * smoothing (Kneser & Ney 1995; the KenLM default) next to q300's
+    * Laplace baseline, with absolute discount D = 1/2 so every
+    * probability is an EXACT integer rational (doubled lanes clear the
+    * half):
+    *
+    *   seen (a,b):  p = ((2·c_ab − 1)·B + N1a·N1b) / (2·c_a·B)
+    *   cont-only:   p = (N1a·N1b) / (2·c_a·B)       (λ(a)·p_cont(b))
+    *   backoff:     p = 1/B                         (uniform over types)
+    *
+    * where c_a = Σ_b c_ab, N1a = |{b : c_ab>0}| (distinct successors),
+    * N1b = |{a : c_ab>0}| (distinct predecessors — the continuation
+    * count that makes KN KN), B = |{(a,b) : c_ab>0}| (bigram types).
+    * Each val cell's cost is −ln(p) rounded ONCE to integer micro-nats
+    * from the same BIGINT num/den pieces in both engines (the q213/q300
+    * shared-libm device), so float order cannot move the hash. Trained
+    * on the id-parity split, charged on the val split; per language:
+    * bigram count, the three tier counts, exact cost mass, per-bigram
+    * cost. Integer lanes: N1a·N1b ≤ B² — at ~10⁹ bigram types the
+    * product nears the long ceiling and would fail LOUDLY under ANSI;
+    * widen to DECIMAL before running corpora past ~10⁸ types.
+    *
+    * Shape: one successor explode, one (a,b) train reduce feeding three
+    * reduced tables (heads, continuations, the B scalar), the val side
+    * joins those — never a per-row subquery, nothing corpus-sized after
+    * the reduce. */
+  def kneserNey(docs: DataFrame, textCol: String = "text",
+                langCol: String = "lang",
+                idCol: String = "doc_id"): DataFrame = {
+    def microNatNeg(x: Column): Column =
+      floor(-log(x) * lit(1e6) + lit(0.5)).cast("long")
+    val pairs = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+        words(col(textCol)).as("w"))
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "zip_with(w, concat(slice(w, 2, greatest(size(w) - 1, 0)), array(CAST(NULL AS STRING)))," +
+          " (a, b) -> struct(a AS a, b AS b))")).as("p"))
+      .filter(col("p.b").isNotNull)
+      .select(col("doc_id"), col("lang"), col("p.a").as("a"), col("p.b").as("b"))
+    val cab = pairs.filter(col("doc_id") % 10 < 8)
+      .groupBy("a", "b").agg(count(lit(1)).as("cab"))
+      .localCheckpoint() // feeds heads, continuations, B, and the val join
+    val heads = cab.groupBy("a")
+      .agg(sum("cab").as("ca"), count(lit(1)).as("n1a"))
+    val conts = cab.groupBy("b").agg(count(lit(1)).as("n1b"))
+    val btot = broadcast(cab.agg(count(lit(1)).as("btot")))
+    val denom = (lit(2L) * col("ca") * col("btot")).cast("double")
+    pairs.filter(col("doc_id") % 10 >= 8)
+      .groupBy("lang", "a", "b").agg(count(lit(1)).as("cnt"))
+      .join(cab, Seq("a", "b"), "left")
+      .join(heads, Seq("a"), "left")
+      .join(conts, Seq("b"), "left")
+      .crossJoin(btot)
+      .withColumn("cost",
+        when(col("cab").isNotNull, microNatNeg(
+          ((lit(2L) * col("cab") - 1L) * col("btot")
+            + col("n1a") * col("n1b")).cast("double") / denom))
+        .when(col("ca").isNotNull && col("n1b").isNotNull, microNatNeg(
+          (col("n1a") * col("n1b")).cast("double") / denom))
+        .otherwise(microNatNeg(lit(1.0) / col("btot").cast("double"))))
+      .withColumn("tier",
+        when(col("cab").isNotNull, lit("seen"))
+          .when(col("ca").isNotNull && col("n1b").isNotNull, lit("cont"))
+          .otherwise(lit("backoff")))
+      .groupBy("lang")
+      .agg(sum("cnt").as("n_bigrams"),
+        sum(when(col("tier") === "seen", col("cnt")).otherwise(0L)).as("n_seen"),
+        sum(when(col("tier") === "cont", col("cnt")).otherwise(0L)).as("n_cont"),
+        sum(when(col("tier") === "backoff", col("cnt")).otherwise(0L)).as("n_backoff"),
+        // DECIMAL lane: the cost mass has no corpus-size ceiling (q300's law)
+        sum(col("cnt").cast("decimal(38,0)") * col("cost")).as("cost_sum_d"))
+      .select(col("lang"), col("n_bigrams"), col("n_seen"), col("n_cont"),
+        col("n_backoff"),
+        col("cost_sum_d").cast("long").as("cost_sum_micro"),
+        expr("cost_sum_d div n_bigrams").cast("long")
+          .as("per_bigram_cost_micro"))
+  }
+
   /** GPT-2-family PRETOKENIZATION audit: split text with the
     * contraction / letter-run / digit-run / punctuation-run / space-run
     * alternation every BPE-style tokenizer applies before merges, then

@@ -417,4 +417,39 @@ class CorpusOpsSpec extends SparkSpec {
       })
     }
   }
+
+  test("dsirSelect equals an independent JVM replay of the scoring law") {
+    // Four docs, target = en; replay md5 buckets, Laplace micro-nat
+    // costs (rounded BEFORE the subtraction), integer scores, and the
+    // (score DESC, doc_id) total order entirely in plain Scala.
+    val docs = Seq(
+      (1L, "en", "good good signal"), (2L, "fr", "noise noise noise"),
+      (3L, "fr", "good signal"), (4L, "en", "noise"))
+    val buckets = 16
+    def bucket(w: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % buckets
+    }
+    def mn(x: Double): Long = math.floor(-math.log(x) * 1e6 + 0.5).toLong
+    val toks = docs.flatMap { case (id, lang, text) =>
+      text.split(" ").map(w => (id, lang, lang == "en", bucket(w))) }
+    val cRaw = toks.groupBy(_._4).view.mapValues(_.size.toLong).toMap
+    val cTgt = toks.filter(_._3).groupBy(_._4).view.mapValues(_.size.toLong).toMap
+    val (tRaw, tTgt) = (toks.size.toLong, toks.count(_._3).toLong)
+    val lambda = cRaw.keys.map { f =>
+      f -> (mn((cRaw(f) + 1).toDouble / (tRaw + buckets)) -
+        mn((cTgt.getOrElse(f, 0L) + 1).toDouble / (tTgt + buckets))) }.toMap
+    val want = toks.groupBy(t => (t._1, t._2)).view
+      .mapValues(_.map(t => lambda(t._4)).sum).toSeq
+      .map { case ((id, lang), s) => (id, lang, s) }
+      .sortBy(r => (-r._3, r._1)).take(3)
+    val got = CorpusOps.dsirSelect(docs.toDF("doc_id", "lang", "text"),
+        col("lang") === "en", k = 3, buckets = buckets)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == want)
+    // the pure-noise doc (its every token dominated by the raw pool)
+    // must be the one cut by the top-3 selection
+    assert(!got.exists(_._1 == 2L))
+  }
 }

@@ -568,6 +568,21 @@ class TextOpsSpec extends SparkSpec {
     assert(got == (("en", 3L, want, want / 3)))
   }
 
+  test("kneserNey: hand counts hit all three tiers with exact rational costs") {
+    // train (id 0): "x y x y x" -> cab (x,y)=2, (y,x)=2; B=2;
+    //   heads: ca(x)=ca(y)=2, n1a=1 each; conts: n1b(x)=n1b(y)=1
+    // val (id 8): (x,y) SEEN  p = ((2*2-1)*2 + 1*1)/(2*2*2) = 7/8
+    //             (y,y) CONT  p = (1*1)/(2*2*2)             = 1/8
+    // val (id 9): (z,q) BACKOFF p = 1/B                     = 1/2
+    val docs = Seq((0L, "en", "x y x y x"), (8L, "en", "x y y"),
+      (9L, "en", "z q")).toDF("doc_id", "lang", "text")
+    def mn(x: Double): Long = math.floor(-math.log(x) * 1e6 + 0.5).toLong
+    val want = mn(7.0 / 8.0) + mn(1.0 / 8.0) + mn(1.0 / 2.0)
+    val got = TextOps.kneserNey(docs)
+      .as[(String, Long, Long, Long, Long, Long, Long)].head()
+    assert(got == (("en", 3L, 1L, 1L, 1L, want, want / 3)))
+  }
+
   test("naiveBayes: disjoint vocab separates; unseen tie breaks to asc class") {
     // train (id % 10 < 8): four "aa" docs of {x, y}, four "bb" docs of
     // {z, w} -> V = 4, tc = 12 for both classes, equal priors.
