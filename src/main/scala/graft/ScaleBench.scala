@@ -325,9 +325,10 @@ object ScaleBench {
     "q319_tpch_q3_shape", "q320_tpch_q5_shape", "q321_tpch_q6_shape",
     "q322_tpch_q7_shape", "q323_tpch_q8_shape", "q324_tpch_q9_shape",
     "q325_tpch_q10_shape", "q326_tpch_q12_shape", "q327_tpch_q14_shape",
-    // Kneser-Ney eval (reduced-vocabulary joins) and DSIR selection
-    // (bucket-broadcast score join + TakeOrdered top-k)
-    "q328_kneser_ney", "q329_dsir_select")
+    // Kneser-Ney eval (reduced-vocabulary joins), DSIR selection
+    // (bucket-broadcast score join + TakeOrdered top-k), corpus BLEU
+    // (counted-gram equi-joins, the q212 class)
+    "q328_kneser_ney", "q329_dsir_select", "q330_bleu_corpus")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

@@ -4347,6 +4347,13 @@ object SparkEntry {
     "q329_dsir_select" -> ((s, dir) =>
       CorpusOps.dsirSelect(t(s, dir, "documents"), col("lang") === "en")),
 
+    // Corpus-level BLEU-2 over the q212 adjacent pairing: clipped
+    // unigram/bigram precision in exact integer pieces, brevity penalty
+    // and the headline score derived from those same integers with ONE
+    // final rounding (shared-libm exp/sqrt).
+    "q330_bleu_corpus" -> ((s, dir) =>
+      TextOps.bleuCorpus(t(s, dir, "documents"))),
+
     // STREAMING KILL-AND-RESUME (round-8 verdict #3): the windowed-agg
     // gate run as phase-1-half → stop → drop the last checkpoint commit
     // (the deterministic at-least-once redelivery) → restart from the
@@ -10279,6 +10286,46 @@ object SparkEntry {
         |       CAST(sum(CAST(cnt AS HUGEINT) * cost) AS BIGINT) AS cost_sum_micro,
         |       CAST(sum(CAST(cnt AS HUGEINT) * cost) // sum(cnt) AS BIGINT) AS per_bigram_cost_micro
         |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Same counted-gram equi-joins, same clip-by-reference min, same
+    // integer pieces feeding one shared-libm exp/sqrt rounding.
+    "q330_bleu_corpus" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c1 AS (SELECT doc_id, g, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(w) AS g FROM w) GROUP BY 1, 2),
+        |c2 AS (SELECT doc_id, g, count(*) AS c
+        |       FROM (SELECT doc_id, w[i] || ' ' || w[i + 1] AS g
+        |             FROM (SELECT doc_id, w,
+        |                          unnest(generate_series(1, len(w) - 1)) AS i
+        |                   FROM w)) GROUP BY 1, 2),
+        |cl1 AS (SELECT coalesce(sum(least(ca.c, cr.c)), 0) AS clip1
+        |        FROM c1 ca JOIN c1 cr
+        |          ON cr.doc_id = ca.doc_id - 1 AND cr.g = ca.g
+        |        WHERE ca.doc_id % 2 = 1),
+        |t1 AS (SELECT coalesce(sum(c), 0) AS tot1 FROM c1 WHERE doc_id % 2 = 1),
+        |cl2 AS (SELECT coalesce(sum(least(ca.c, cr.c)), 0) AS clip2
+        |        FROM c2 ca JOIN c2 cr
+        |          ON cr.doc_id = ca.doc_id - 1 AND cr.g = ca.g
+        |        WHERE ca.doc_id % 2 = 1),
+        |t2 AS (SELECT coalesce(sum(c), 0) AS tot2 FROM c2 WHERE doc_id % 2 = 1),
+        |lens AS (SELECT sum(CASE WHEN doc_id % 2 = 0 THEN len(w) ELSE 0 END) AS ref_tokens,
+        |                sum(CASE WHEN doc_id % 2 = 1 THEN len(w) ELSE 0 END) AS cand_tokens
+        |         FROM w)
+        |SELECT CAST(ref_tokens AS BIGINT) AS ref_tokens,
+        |       CAST(cand_tokens AS BIGINT) AS cand_tokens,
+        |       CAST(clip1 AS BIGINT) AS clip1, CAST(tot1 AS BIGINT) AS tot1,
+        |       CAST(clip2 AS BIGINT) AS clip2, CAST(tot2 AS BIGINT) AS tot2,
+        |       CAST((clip1 * 1000000) // tot1 AS BIGINT) AS p1_ppm,
+        |       CAST(CASE WHEN tot2 > 0 THEN (clip2 * 1000000) // tot2 END AS BIGINT) AS p2_ppm,
+        |       CAST(CASE WHEN tot2 > 0 AND clip1 > 0 AND clip2 > 0 THEN
+        |              floor(1000000.0
+        |                * (CASE WHEN cand_tokens >= ref_tokens THEN 1.0
+        |                        ELSE exp(1.0 - CAST(ref_tokens AS DOUBLE)
+        |                                 / CAST(cand_tokens AS DOUBLE)) END)
+        |                * sqrt((CAST(clip1 AS DOUBLE) / CAST(tot1 AS DOUBLE))
+        |                       * (CAST(clip2 AS DOUBLE) / CAST(tot2 AS DOUBLE)))
+        |                + 0.5) END AS BIGINT) AS bleu2_micro
+        |FROM cl1, t1, cl2, t2, lens""".stripMargin,
 
     // Same md5 bucket hash, same Laplace micro-nat costs rounded before
     // the subtraction, same integer doc scores and total-order top-20.

@@ -1082,6 +1082,66 @@ object TextOps {
           .as("per_bigram_cost_micro"))
   }
 
+  /** Corpus-level BLEU-2 (Papineni et al. 2002) over the q212 adjacent
+    * pairing (even doc = reference, odd doc = candidate): the MT/genai
+    * eval twin of ROUGE — candidate-side clipped n-gram precision for
+    * n = 1, 2 plus the brevity penalty. Every piece is an exact integer
+    * (clipped counts via Σ min(c_cand, c_ref) counted-gram equi-joins,
+    * token totals from one scan); the headline score is derived from
+    * those SAME integers in one double expression with a single final
+    * rounding — bleu2_micro = ⌊10⁶·BP·√(p1·p2) + ½⌋ with
+    * BP = min(1, e^(1 − ref/cand)) — so both engines share libm
+    * exp/sqrt on identical inputs (the q301 discipline). Zero-mass
+    * guards: a corpus with no bigram candidates reports NULL.
+    *
+    * Shape: one gram pass per order feeds a counted equi-join bounded by
+    * shared-gram volume (never per-pair arrays), one row out. */
+  def bleuCorpus(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val w = docs.select(col(idCol).as("doc_id"),
+      words(col(textCol)).as("w"))
+    def counted(n: Int) = w.filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $n), i -> " +
+          (1 to n).map(j => s"element_at(w, i + $j)")
+            .mkString("concat_ws(' ', ", ", ", ")") + ")")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    def clipTot(n: Int) = {
+      val cnt = counted(n)
+      val ref = cnt.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("pair_id"), col("g"), col("c").as("cr"))
+      val cand = cnt.filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") - 1).as("pair_id"), col("g"), col("c").as("cc"))
+      val clip = cand.join(ref, Seq("pair_id", "g"))
+        .agg(coalesce(sum(least(col("cc"), col("cr"))), lit(0L))
+          .as(s"clip$n"))
+      val tot = cand.agg(coalesce(sum("cc"), lit(0L)).as(s"tot$n"))
+      broadcast(clip).crossJoin(broadcast(tot))
+    }
+    val lens = w.select((col("doc_id") % 2 === 0).as("is_ref"),
+        size(col("w")).cast("long").as("len"))
+      .groupBy().pivot("is_ref", Seq(true, false)).sum("len")
+      .select(col("true").as("ref_tokens"), col("false").as("cand_tokens"))
+    // hint every operand at THIS level too: the inner hints live on the
+    // children of each 1-row join, so the outer crossJoins would
+    // otherwise plan a CartesianProduct (unknown-size join outputs)
+    broadcast(lens).crossJoin(broadcast(clipTot(1)))
+      .crossJoin(broadcast(clipTot(2)))
+      .select(col("ref_tokens"), col("cand_tokens"),
+        col("clip1"), col("tot1"), col("clip2"), col("tot2"),
+        expr("(clip1 * 1000000) div tot1").as("p1_ppm"),
+        when(col("tot2") > 0, expr("(clip2 * 1000000) div tot2"))
+          .as("p2_ppm"),
+        when(col("tot2") > 0 && col("clip1") > 0 && col("clip2") > 0,
+          floor(lit(1e6)
+            * when(col("cand_tokens") >= col("ref_tokens"), lit(1.0))
+                .otherwise(exp(lit(1.0) - col("ref_tokens").cast("double")
+                  / col("cand_tokens").cast("double")))
+            * sqrt((col("clip1").cast("double") / col("tot1").cast("double"))
+              * (col("clip2").cast("double") / col("tot2").cast("double")))
+            + lit(0.5)).cast("long")).as("bleu2_micro"))
+  }
+
   /** Interpolated KNESER-NEY bigram evaluation — the production n-gram
     * smoothing (Kneser & Ney 1995; the KenLM default) next to q300's
     * Laplace baseline, with absolute discount D = 1/2 so every

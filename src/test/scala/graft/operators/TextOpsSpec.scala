@@ -568,6 +568,20 @@ class TextOpsSpec extends SparkSpec {
     assert(got == (("en", 3L, want, want / 3)))
   }
 
+  test("bleuCorpus: hand-counted clipping and brevity penalty") {
+    // pair (0,1): cand "the the cat" vs ref "the cat sat" ->
+    //   clip1 = min(2,1)+min(1,1) = 2 of 3; clip2 = 1 ("the cat") of 2
+    // pair (2,3): cand "a b" vs ref "a b c d" -> clip1 += 2 of 2,
+    //   clip2 += 1 of 1; corpus lens ref 7, cand 5 -> BP = e^(1-7/5)
+    val docs = Seq((0L, "the cat sat"), (1L, "the the cat"),
+      (2L, "a b c d"), (3L, "a b")).toDF("doc_id", "text")
+    val got = TextOps.bleuCorpus(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    val want = math.floor(1e6 * math.exp(1.0 - 7.0 / 5.0)
+      * math.sqrt((4.0 / 5.0) * (2.0 / 3.0)) + 0.5).toLong
+    assert(got == ((7L, 5L, 4L, 5L, 2L, 3L, 800000L, 666666L, want)))
+  }
+
   test("kneserNey: hand counts hit all three tiers with exact rational costs") {
     // train (id 0): "x y x y x" -> cab (x,y)=2, (y,x)=2; B=2;
     //   heads: ca(x)=ca(y)=2, n1a=1 each; conts: n1b(x)=n1b(y)=1
