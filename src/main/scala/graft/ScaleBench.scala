@@ -328,7 +328,9 @@ object ScaleBench {
     // Kneser-Ney eval (reduced-vocabulary joins), DSIR selection
     // (bucket-broadcast score join + TakeOrdered top-k), corpus BLEU
     // (counted-gram equi-joins, the q212 class)
-    "q328_kneser_ney", "q329_dsir_select", "q330_bleu_corpus")
+    "q328_kneser_ney", "q329_dsir_select", "q330_bleu_corpus",
+    // landmark BFS sketch (4 frontier join+agg rounds)
+    "q331_landmark_sketch")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

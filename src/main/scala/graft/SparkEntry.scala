@@ -4354,6 +4354,16 @@ object SparkEntry {
     "q330_bleu_corpus" -> ((s, dir) =>
       TextOps.bleuCorpus(t(s, dir, "documents"))),
 
+    // Landmark distance sketch: hop-bounded multi-source BFS from the
+    // deterministic landmark set over the symmetrized lattice — the
+    // precomputed table that answers d(u,v) <= d(u,l) + d(l,v) at query
+    // time. Oracle = bounded WITH RECURSIVE replay.
+    "q331_landmark_sketch" -> ((s, dir) => {
+      val n = Derive.nodes(s, dir)
+      GraphOps.landmarkSketch(n, Derive.edges(n))
+        .orderBy("node", "landmark")
+    }),
+
     // STREAMING KILL-AND-RESUME (round-8 verdict #3): the windowed-agg
     // gate run as phase-1-half → stop → drop the last checkpoint commit
     // (the deterministic at-least-once redelivery) → restart from the
@@ -10286,6 +10296,24 @@ object SparkEntry {
         |       CAST(sum(CAST(cnt AS HUGEINT) * cost) AS BIGINT) AS cost_sum_micro,
         |       CAST(sum(CAST(cnt AS HUGEINT) * cost) // sum(cnt) AS BIGINT) AS per_bigram_cost_micro
         |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Same landmark rule, same symmetrized lattice, same hop bound; the
+    // recursive UNION replays the frontier expansion, min(dist) dedups.
+    "q331_landmark_sketch" -> {
+      s"""WITH RECURSIVE ${Derive.Sql.nodes},
+         |${Derive.Sql.edges},
+         |${Derive.Sql.symEdges},
+         |lm AS (SELECT node_idx AS landmark FROM nodes
+         |       WHERE node_idx % 37 = 0 ORDER BY node_idx LIMIT 3),
+         |reach(landmark, node, dist) AS (
+         |  SELECT landmark, landmark, 0 FROM lm
+         |  UNION
+         |  SELECT r.landmark, s.v, r.dist + 1
+         |  FROM reach r JOIN sym s ON s.u = r.node
+         |  WHERE r.dist < 4)
+         |SELECT landmark, node, CAST(min(dist) AS INT) AS dist
+         |FROM reach GROUP BY 1, 2 ORDER BY node, landmark""".stripMargin
+    },
 
     // Same counted-gram equi-joins, same clip-by-reference min, same
     // integer pieces feeding one shared-libm exp/sqrt rounding.

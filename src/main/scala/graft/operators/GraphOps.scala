@@ -512,6 +512,42 @@ object GraphOps {
     }
   }
 
+  /** LANDMARK DISTANCE SKETCH (Das Sarma et al. 2010's building block;
+    * the classic oracle for approximate shortest-path distance at web
+    * scale): hop-bounded multi-source BFS from a deterministic landmark
+    * set, emitting the (node, landmark, dist) table that answers
+    * d(u, v) ≤ min_l d(u, l) + d(l, v) queries with two hash lookups —
+    * the structure you precompute when per-query Dijkstra over 10¹⁰
+    * edges is off the table.
+    *
+    * Landmarks: the `nLandmarks` smallest node ids ≡ 0 (mod `lmMod`) —
+    * a pure function of the node set. BFS: `hops` synchronous frontier
+    * rounds over the symmetrized edge list; each round is ONE join +
+    * one min-aggregate, frontier rows bounded by |V|·|landmarks|, and
+    * only nodes FIRST reached in the previous round expand (nodes seen
+    * earlier already expanded — textbook BFS work bound). Unweighted on
+    * purpose: hop distance keeps every lane integer-exact and the
+    * oracle a bounded WITH RECURSIVE replay. */
+  def landmarkSketch(nodes: DataFrame, edges: DataFrame, lmMod: Int = 37,
+                     nLandmarks: Int = 3, hops: Int = 4): DataFrame = {
+    require(lmMod >= 1 && nLandmarks >= 1 && hops >= 0,
+      s"bad lmMod=$lmMod nLandmarks=$nLandmarks hops=$hops")
+    val sym = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    val lm = nodes.filter(col("node_idx") % lmMod === 0)
+      .orderBy("node_idx").limit(nLandmarks)
+      .select(col("node_idx").as("landmark"))
+    val r0 = lm.select(col("landmark"), col("landmark").as("node"),
+      lit(0).as("dist"))
+    (1 to hops).foldLeft(r0) { case (reach, h) =>
+      val next = reach.filter(col("dist") === h - 1)
+        .join(sym, col("node") === col("u"))
+        .select(col("landmark"), col("v").as("node"), lit(h).as("dist"))
+      reach.union(next)
+        .groupBy("landmark", "node").agg(min("dist").as("dist"))
+    }
+  }
+
   /** Newman MODULARITY of a node labeling, exact — the quality score
     * that closes the community loop (labelPropagation DETECTS, this
     * SCORES): in the directed-double-counted convention over the same

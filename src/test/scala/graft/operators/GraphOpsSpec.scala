@@ -296,4 +296,17 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == Set((1, 1000L, 0L), (2, 250L, 1000L),
       (3, 1000L, 0L), (4, 0L, 125L)))
   }
+
+  test("landmarkSketch: path-graph BFS distances, hop bound excludes the rest") {
+    // path 0-1-2-3-4-5, landmarks = {0, 5} (mod 5), 2 hops: node 3 is
+    // 3 hops from 0 -> present only via landmark 5; symmetric for 2.
+    val nodes = Seq(0, 1, 2, 3, 4, 5).toDF("node_idx")
+    val edges = Seq((0, 1), (1, 2), (2, 3), (3, 4), (4, 5)).toDF("u", "v")
+    val got = GraphOps.landmarkSketch(nodes, edges, lmMod = 5,
+        nLandmarks = 2, hops = 2)
+      .as[(Int, Int, Int)].collect().toSet
+    assert(got == Set(
+      (0, 0, 0), (0, 1, 1), (0, 2, 2),
+      (5, 5, 0), (5, 4, 1), (5, 3, 2)))
+  }
 }
