@@ -4364,6 +4364,41 @@ object SparkEntry {
         .orderBy("node", "landmark")
     }),
 
+    // Rendezvous (HRW) sharding audit: owners under 5 and 6 shards from
+    // per-(doc, shard) md5 argmax — growing the fleet moves only the
+    // docs the NEW shard wins (the minimal-movement law; moved_in = 0
+    // on every pre-existing shard).
+    "q332_rendezvous_shards" -> ((s, dir) =>
+      CorpusOps.rendezvousShards(t(s, dir, "documents"))),
+
+    // Spark's RUNTIME BLOOM-FILTER join pruning (the fact-fact
+    // semi-join reduction a 100 TB star join lives on): an opted-in
+    // session lowers the application-side threshold, the optimizer
+    // injects might_contain(bloom_filter_agg(..)) on the lineitem scan
+    // side of the shuffle join — required IN-PLAN — and the result must
+    // still hash-match the plain-join oracle (result identity under the
+    // injected filter).
+    "q333_runtime_bloom" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = t(s2, dir, "lineitem")
+      val ord = t(s2, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderstatus") === "F")
+      val df = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+            .as("rev_c"))
+        .orderBy("l_returnflag")
+      val plan = df.queryExecution.optimizedPlan.toString()
+      require(plan.contains("might_contain"),
+        s"runtime bloom filter did not inject:\n$plan")
+      df
+    }),
+
     // STREAMING KILL-AND-RESUME (round-8 verdict #3): the windowed-agg
     // gate run as phase-1-half → stop → drop the last checkpoint commit
     // (the deterministic at-least-once redelivery) → restart from the
@@ -10296,6 +10331,39 @@ object SparkEntry {
         |       CAST(sum(CAST(cnt AS HUGEINT) * cost) AS BIGINT) AS cost_sum_micro,
         |       CAST(sum(CAST(cnt AS HUGEINT) * cost) // sum(cnt) AS BIGINT) AS per_bigram_cost_micro
         |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Same per-(doc, shard) md5 keys, same argmax owners (arg_max skips
+    // the NULL-keyed rows that restrict the old fleet), same reduces.
+    "q332_rendezvous_shards" ->
+      """WITH k AS (SELECT doc_id, s,
+        |                  CAST(concat('0x', substring(md5(concat(
+        |                    CAST(doc_id AS VARCHAR), ':', CAST(s AS VARCHAR))),
+        |                    1, 15)) AS BIGINT) AS k
+        |           FROM documents, (SELECT unnest(generate_series(0, 5)) AS s)),
+        |o AS (SELECT doc_id,
+        |             CAST(arg_max(CASE WHEN s < 5 THEN s END,
+        |                          CASE WHEN s < 5 THEN k END) AS INT) AS o_old,
+        |             CAST(arg_max(s, k) AS INT) AS o_new
+        |      FROM k GROUP BY doc_id),
+        |na AS (SELECT o_new AS shard, count(*) AS n_new,
+        |              sum(CASE WHEN o_old = o_new THEN 0 ELSE 1 END) AS moved_in
+        |       FROM o GROUP BY 1),
+        |oa AS (SELECT o_old AS shard, count(*) AS n_old FROM o GROUP BY 1)
+        |SELECT coalesce(oa.shard, na.shard) AS shard,
+        |       CAST(coalesce(oa.n_old, 0) AS BIGINT) AS n_old,
+        |       CAST(coalesce(na.n_new, 0) AS BIGINT) AS n_new,
+        |       CAST(coalesce(na.moved_in, 0) AS BIGINT) AS moved_in
+        |FROM oa FULL OUTER JOIN na ON na.shard = oa.shard
+        |ORDER BY shard""".stripMargin,
+
+    // The PLAIN join aggregate — result identity proves the injected
+    // bloom filter is a pure pruning (never drops a matching row).
+    "q333_runtime_bloom" ->
+      """SELECT l.l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'F'
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
 
     // Same landmark rule, same symmetrized lattice, same hop bound; the
     // recursive UNION replays the frontier expansion, min(dist) dedups.

@@ -647,6 +647,43 @@ object CorpusOps {
       .limit(k)
   }
 
+  /** RENDEZVOUS (highest-random-weight) SHARDING audit — the
+    * consistent-placement law (Thaler & Ravishankar 1996) behind
+    * minimal-movement data distribution: each doc's owner under n
+    * shards is argmax_s md5(doc:s), so growing n to n+1 moves EXACTLY
+    * the docs whose new-shard key wins (expected 1/(n+1)) and nothing
+    * else — the property that makes resharding a 100 TB corpus touch
+    * ~1/(n+1) of it instead of (n-1)/n under mod-hashing. Emits per
+    * NEW shard: the old and new populations and how many docs moved in;
+    * every moved-in doc on a pre-existing shard would violate the HRW
+    * invariant (the spec pins moved_in = 0 for s < nOld).
+    *
+    * Shape: one projection computes both owners per doc (an 11-element
+    * in-row argmax, no explode), two shard-domain reduces, one tiny
+    * full-outer join. */
+  def rendezvousShards(docs: DataFrame, nOld: Int = 5, nNew: Int = 6,
+                       idCol: String = "doc_id"): DataFrame = {
+    require(2 <= nOld && nOld < nNew, s"bad nOld=$nOld nNew=$nNew")
+    def owner(n: Int) = expr(
+      s"""array_max(transform(sequence(0, ${n - 1}), s -> struct(
+         |  CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':',
+         |    CAST(s AS STRING))), 1, 15), 16, 10) AS BIGINT) AS k,
+         |  s AS s))).s""".stripMargin)
+    val o = docs.select(col(idCol).as("doc_id"))
+      .select(col("doc_id"), owner(nOld).as("o_old"), owner(nNew).as("o_new"))
+    val newAgg = o.groupBy(col("o_new").as("shard"))
+      .agg(count(lit(1)).as("n_new"),
+        sum(when(col("o_old") === col("o_new"), 0L).otherwise(1L))
+          .as("moved_in"))
+    val oldAgg = o.groupBy(col("o_old").as("shard"))
+      .agg(count(lit(1)).as("n_old"))
+    oldAgg.join(newAgg, Seq("shard"), "full")
+      .select(col("shard"), coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("moved_in"), lit(0L)).as("moved_in"))
+      .orderBy("shard")
+  }
+
   /** Largest-remainder (Hamilton) apportionment: split exactly `seats`
     * sample slots across the key cells proportionally to their row
     * counts, with the conservation GUARANTEE Σalloc = seats — the exact

@@ -418,6 +418,20 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("rendezvousShards: HRW minimal movement — only the new shard gains") {
+    val docs = (0L until 400L).toDF("doc_id")
+    val got = CorpusOps.rendezvousShards(docs, nOld = 5, nNew = 6)
+      .as[(Int, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._1) == (0 to 5))
+    // conservation: both fleets own every doc exactly once
+    assert(got.map(_._2).sum == 400L && got.map(_._3).sum == 400L)
+    // the HRW law: a pre-existing shard NEVER gains a doc on grow —
+    // docs move only to the new shard, and everything it owns moved in
+    assert(got.filter(_._1 < 5).forall(_._4 == 0L))
+    val s5 = got.find(_._1 == 5).get
+    assert(s5._2 == 0L && s5._4 == s5._3 && s5._3 > 0L)
+  }
+
   test("dsirSelect equals an independent JVM replay of the scoring law") {
     // Four docs, target = en; replay md5 buckets, Laplace micro-nat
     // costs (rounded BEFORE the subtraction), integer scores, and the
