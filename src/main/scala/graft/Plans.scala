@@ -313,6 +313,13 @@ object Plans {
         "interval condition as the join residual, and watermarks bounding " +
         "both buffers — the plan that makes unbounded-stream joins " +
         "finite-state."),
+    "q334_stream_enrich" ->
+      ("Stream-static enrichment: the dimension joins each micro-batch " +
+        "as a plain BroadcastHashJoin — NO state store for the join " +
+        "itself (contrast q216's four per-partition stores); only the " +
+        "downstream running aggregate carries StateStoreRestore/Save. " +
+        "The shape that keeps dimension lookups stateless at any stream " +
+        "length."),
     "q218_stream_dedup" ->
       ("dropDuplicatesWithinWatermark: StreamingDeduplicateWithinWatermark " +
         "with per-key state the watermark can EVICT (the bounded-state " +

@@ -331,7 +331,9 @@ object ScaleBench {
     "q328_kneser_ney", "q329_dsir_select", "q330_bleu_corpus",
     // landmark BFS sketch (4 frontier join+agg rounds), HRW resharding
     // audit (in-row argmax + shard-domain reduces), runtime bloom join
-    "q331_landmark_sketch", "q332_rendezvous_shards", "q333_runtime_bloom")
+    "q331_landmark_sketch", "q332_rendezvous_shards", "q333_runtime_bloom",
+    // stream-static enrichment (per-batch broadcast join + running agg)
+    "q334_stream_enrich")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

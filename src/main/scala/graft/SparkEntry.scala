@@ -4364,6 +4364,19 @@ object SparkEntry {
         .orderBy("node", "landmark")
     }),
 
+    // STREAM-STATIC enrichment join (the tenth streaming gate): each
+    // micro-batch joins the pinned user->segment dimension (stateless
+    // per-batch broadcast), the running (segment, type) aggregate folds
+    // through the update-mode MERGE sink, converging to the batch
+    // group-by the oracle replays.
+    "q334_stream_enrich" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"),
+        expr("timestamp_micros(ts div 1000)").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      streaming.StreamGate.enrichGate(s, ev, rtPath("q334_stream"))
+        .orderBy("segment", "event_type")
+    }),
+
     // Rendezvous (HRW) sharding audit: owners under 5 and 6 shards from
     // per-(doc, shard) md5 argmax — growing the fleet moves only the
     // docs the NEW shard wins (the minimal-movement law; moved_in = 0
@@ -10331,6 +10344,14 @@ object SparkEntry {
         |       CAST(sum(CAST(cnt AS HUGEINT) * cost) AS BIGINT) AS cost_sum_micro,
         |       CAST(sum(CAST(cnt AS HUGEINT) * cost) // sum(cnt) AS BIGINT) AS per_bigram_cost_micro
         |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // The batch group-by the converged stream-static enrichment must
+    // equal (segment derived the same way, exact cent lanes).
+    "q334_stream_enrich" ->
+      """SELECT CAST(user_id % 4 AS INT) AS segment, event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Same per-(doc, shard) md5 keys, same argmax owners (arg_max skips
     // the NULL-keyed rows that restrict the old fleet), same reduces.

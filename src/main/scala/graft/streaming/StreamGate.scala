@@ -443,4 +443,25 @@ object StreamGate {
       // pass the projected empty frame directly (heavyGate's pattern)
       seed = Some(project(events.limit(0))))
   }
+
+  /** GATE: STREAM-STATIC enrichment join — the dimension-lookup shape
+    * every streaming pipeline starts with (enrich each event against a
+    * slow dimension, then aggregate). The static side is computed once
+    * before the stream starts (localCheckpoint pins it); Spark re-joins
+    * it per micro-batch with NO state for the join itself — only the
+    * downstream running aggregate is stateful (update mode, no
+    * watermark: segment x type is a bounded key domain). Converges to
+    * the batch group-by the oracle replays. */
+  def enrichGate(spark: SparkSession, events: DataFrame, work: String): DataFrame = {
+    val dim = events.select(col("user_id")).distinct()
+      .withColumn("segment", (col("user_id") % 4).cast("int"))
+      .localCheckpoint()
+    runMerged(spark, events, work,
+      st => st.join(broadcast(dim), Seq("user_id"))
+        .groupBy("segment", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("sum_cents")),
+      keys = Seq("segment", "event_type"), outputMode = "update",
+      sentinel = false)
+  }
 }
