@@ -4395,6 +4395,11 @@ object SparkEntry {
       val s2 = s.newSession()
       s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // the default 10MB creation-side cap made the injection (correctly)
+      // decline at 100x data — caught by the k=100 scale session's require;
+      // the opted-in gate raises the knob so the injection contract holds
+      // at every measured scale (production tunes this to creation cost)
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "512MB")
       s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val li = t(s2, dir, "lineitem")
       val ord = t(s2, dir, "orders")
