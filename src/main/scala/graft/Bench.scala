@@ -131,7 +131,14 @@ object Bench {
     // complete per-query map is in bench_full.json.
     val slowFirst = ok.sortBy(-_.last)
     val budget = 1400
-    val head = s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"unit":"sec","n_queries":${results.size},"errors":$errors,"sf":"$sfDir","artifact":"$outPath","queries":{"""
+    // cap the error list too: a mass-failure run (the scenario this line
+    // exists for) must not blow the line past the capture tail — carry
+    // the first few names plus the full count; the complete list is in
+    // the first stdout line and the artifact
+    val nErr = results.count(_.err.isDefined)
+    val errCompact = results.collect { case q if q.err.isDefined => s""""${q.name}"""" }
+      .take(8).mkString("[", ",", "]")
+    val head = s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"unit":"sec","n_queries":${results.size},"n_errors":$nErr,"errors":$errCompact,"sf":"$sfDir","artifact":"$outPath","queries":{"""
     val tailStr = "}}"
     val picked = new StringBuilder
     var used = head.length + tailStr.length

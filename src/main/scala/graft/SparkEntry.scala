@@ -10437,7 +10437,7 @@ object SparkEntry {
         |       CAST(cand_tokens AS BIGINT) AS cand_tokens,
         |       CAST(clip1 AS BIGINT) AS clip1, CAST(tot1 AS BIGINT) AS tot1,
         |       CAST(clip2 AS BIGINT) AS clip2, CAST(tot2 AS BIGINT) AS tot2,
-        |       CAST((clip1 * 1000000) // tot1 AS BIGINT) AS p1_ppm,
+        |       CAST(CASE WHEN tot1 > 0 THEN (clip1 * 1000000) // tot1 END AS BIGINT) AS p1_ppm,
         |       CAST(CASE WHEN tot2 > 0 THEN (clip2 * 1000000) // tot2 END AS BIGINT) AS p2_ppm,
         |       CAST(CASE WHEN tot2 > 0 AND clip1 > 0 AND clip2 > 0 THEN
         |              floor(1000000.0

@@ -620,8 +620,7 @@ object CorpusOps {
                  langCol: String = "lang",
                  textCol: String = "text"): DataFrame = {
     require(k >= 1 && buckets >= 2, s"bad k=$k buckets=$buckets")
-    def microNatNeg(x: Column): Column =
-      floor(-log(x) * lit(1e6) + lit(0.5)).cast("long")
+    import TextOps.microNatNeg
     val toks = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
         targetPred.as("is_target"),
         explode(TextOps.words(col(textCol))).as("tok"))

@@ -24,6 +24,14 @@ object TextOps {
   /** Whitespace tokens. */
   def words(text: Column): Column = split(text, " ")
 
+  /** The shared micro-nat rounding device (q213/q300 discipline): −ln(x)
+    * floored ONCE per cell to integer micro-nats, so both engines sum
+    * only integers and float order cannot move a hash bit. ONE
+    * definition on purpose — the rounding law is a cross-engine parity
+    * contract, and per-operator copies could silently diverge. */
+  private[operators] def microNatNeg(x: Column): Column =
+    floor(-log(x) * lit(1e6) + lit(0.5)).cast("long")
+
   /** Word n-gram shingles (distinct) from a BOUND words-array column, the
     * MinHash/Jaccard unit. Documents shorter than n words yield an empty set
     * (guarded: Spark's `sequence` would count DOWN for negative spans).
@@ -1041,8 +1049,6 @@ object TextOps {
   def bigramPerplexity(docs: DataFrame, textCol: String = "text",
                        langCol: String = "lang",
                        idCol: String = "doc_id"): DataFrame = {
-    def microNatNeg(x: Column): Column =
-      floor(-log(x) * lit(1e6) + lit(0.5)).cast("long")
     val pairs = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
         words(col(textCol)).as("w"))
       .select(col("doc_id"), col("lang"), explode(expr(
@@ -1129,7 +1135,8 @@ object TextOps {
       .crossJoin(broadcast(clipTot(2)))
       .select(col("ref_tokens"), col("cand_tokens"),
         col("clip1"), col("tot1"), col("clip2"), col("tot2"),
-        expr("(clip1 * 1000000) div tot1").as("p1_ppm"),
+        when(col("tot1") > 0, expr("(clip1 * 1000000) div tot1"))
+          .as("p1_ppm"),
         when(col("tot2") > 0, expr("(clip2 * 1000000) div tot2"))
           .as("p2_ppm"),
         when(col("tot2") > 0 && col("clip1") > 0 && col("clip2") > 0,
@@ -1171,8 +1178,6 @@ object TextOps {
   def kneserNey(docs: DataFrame, textCol: String = "text",
                 langCol: String = "lang",
                 idCol: String = "doc_id"): DataFrame = {
-    def microNatNeg(x: Column): Column =
-      floor(-log(x) * lit(1e6) + lit(0.5)).cast("long")
     val pairs = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
         words(col(textCol)).as("w"))
       .select(col("doc_id"), col("lang"), explode(expr(
