@@ -418,6 +418,15 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("dsirSelect: k past the corpus returns every doc, order intact") {
+    val docs = Seq((1L, "en", "alpha"), (2L, "fr", "beta"))
+      .toDF("doc_id", "lang", "text")
+    val got = CorpusOps.dsirSelect(docs, col("lang") === "en", k = 50)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got.size == 2)
+    assert(got == got.sortBy(r => (-r._3, r._1)))
+  }
+
   test("rendezvousShards: HRW minimal movement — only the new shard gains") {
     val docs = (0L until 400L).toDF("doc_id")
     val got = CorpusOps.rendezvousShards(docs, nOld = 5, nNew = 6)

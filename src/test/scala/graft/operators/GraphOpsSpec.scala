@@ -297,6 +297,17 @@ class GraphOpsSpec extends SparkSpec {
       (3, 1000L, 0L), (4, 0L, 125L)))
   }
 
+  test("landmarkSketch: an isolated landmark reaches only itself") {
+    // node 10 (the only %5==0 candidate besides 0... use mod 10: {0, 10});
+    // 10 has no edges -> its sketch row set is exactly {(10, 10, 0)}
+    val nodes = Seq(0, 1, 10).toDF("node_idx")
+    val edges = Seq((0, 1)).toDF("u", "v")
+    val got = GraphOps.landmarkSketch(nodes, edges, lmMod = 10,
+        nLandmarks = 2, hops = 3)
+      .as[(Int, Int, Int)].collect().toSet
+    assert(got == Set((0, 0, 0), (0, 1, 1), (10, 10, 0)))
+  }
+
   test("landmarkSketch: path-graph BFS distances, hop bound excludes the rest") {
     // path 0-1-2-3-4-5, landmarks = {0, 5} (mod 5), 2 hops: node 3 is
     // 3 hops from 0 -> present only via landmark 5; symmetric for 2.

@@ -582,6 +582,24 @@ class TextOpsSpec extends SparkSpec {
     assert(got == ((7L, 5L, 4L, 5L, 2L, 3L, 800000L, 666666L, want)))
   }
 
+  test("bleuCorpus: zero candidate mass reports NULL, never divides") {
+    // only even (reference) doc ids -> tot1 = tot2 = 0: the documented
+    // zero-mass path must emit NULLs, not an ANSI DIVIDE_BY_ZERO
+    val docs = Seq((0L, "a b c"), (2L, "d e")).toDF("doc_id", "text")
+    val r = TextOps.bleuCorpus(docs).collect().head
+    assert(r.getLong(0) == 5L)            // ref_tokens
+    assert(r.isNullAt(1))                 // cand_tokens (no candidate rows)
+    assert(r.getLong(2) == 0L && r.getLong(3) == 0L) // clip1, tot1
+    assert(r.isNullAt(6) && r.isNullAt(7) && r.isNullAt(8)) // p1, p2, bleu
+  }
+
+  test("kneserNey: empty val split yields an empty frame, not a crash") {
+    // every doc id trains (id % 10 < 8) -> no val bigrams anywhere
+    val docs = Seq((0L, "en", "x y"), (1L, "en", "y x"))
+      .toDF("doc_id", "lang", "text")
+    assert(TextOps.kneserNey(docs).count() == 0L)
+  }
+
   test("kneserNey: hand counts hit all three tiers with exact rational costs") {
     // train (id 0): "x y x y x" -> cab (x,y)=2, (y,x)=2; B=2;
     //   heads: ca(x)=ca(y)=2, n1a=1 each; conts: n1b(x)=n1b(y)=1
