@@ -284,7 +284,24 @@ object Plans {
         "before ITS broadcast, and the only exchanges are that " +
         "reduction and the final (nation, year) aggregate. At real " +
         "scale AQE demotes the orders broadcast to SMJ; every scan " +
-        "reads only its referenced columns."))
+        "reads only its referenced columns."),
+    "q328_kneser_ney" ->
+      ("Kneser-Ney eval: ONE corpus explode feeds the (a,b) train " +
+        "reduce (localCheckpoint severs it), after which every join is " +
+        "on the REDUCED vocabulary domain — heads, continuations, the " +
+        "1-row B scalar by broadcast; the val side joins those, never a " +
+        "per-row subquery, and nothing corpus-sized shuffles after the " +
+        "reduce."),
+    "q329_dsir_select" ->
+      ("DSIR selection: the bucket table (<=128 rows) and its totals " +
+        "travel by broadcast; the only corpus-sized exchange is the " +
+        "per-doc score aggregate, and the top-k plans as " +
+        "TakeOrderedAndProject — no global sort of the scored corpus."),
+    "q331_landmark_sketch" ->
+      ("Landmark BFS sketch: each hop round is one equi-join of the " +
+        "previous frontier against the symmetrized edges plus one " +
+        "min-aggregate — frontier rows bounded by |V|x|landmarks|; no " +
+        "cartesian, no per-node driver loop."))
 
   /** Streaming gates: the interesting plan is the per-micro-batch
     * physical plan (state-store operators exist only at runtime), which
