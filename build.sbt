@@ -11,6 +11,23 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// BENCH CAPTURE CONTRACT (round-10 verdict #1, four rounds of
+// BENCH_r* `parsed: null`): the driver keeps only the last 2000 bytes
+// of `sbt "runMain graft.Bench"` stdout and parses the LAST line as
+// JSON. Two sbt behaviors broke that for four straight rounds:
+//  (a) the default LoggedOutput strategy prefixes every forked-process
+//      line with `[info] `, so the compact JSON line is never
+//      prefix-free;
+//  (b) sbt appends `[success] Total time: ...` AFTER the process
+//      output, so the JSON is never the last line.
+// StdoutOutput pipes the forked JVM's stdout through verbatim (no
+// logger framing) and showSuccess drops the trailing banner, making
+// Bench's compact summary the literally-last, prefix-free line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, not by a task, so the
+// unused-key lint flags it; excluding keeps the load output clean.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

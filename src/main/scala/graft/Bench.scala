@@ -123,7 +123,9 @@ object Bench {
     val ok = results.filter(_.err.isEmpty)
     val total = ok.map(_.last).sum
     val totalMin = ok.map(_.min).sum
-    val line = s"""{"metric":"total","value":$total,"value_min":${fmt(totalMin)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    // fmt(total) here too: the raw Double once rendered 280.70000000000005
+    // on this line while the compact line said 280.700 (round-10 advice)
+    val line = s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
     println(line)
     // Compact line LAST so it lands whole inside the driver's 2000-byte
     // stdout tail (minus sbt's ~80-byte success footer): totals + errors

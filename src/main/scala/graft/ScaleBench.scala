@@ -333,7 +333,15 @@ object ScaleBench {
     // audit (in-row argmax + shard-domain reduces), runtime bloom join
     "q331_landmark_sketch", "q332_rendezvous_shards", "q333_runtime_bloom",
     // stream-static enrichment (per-batch broadcast join + running agg)
-    "q334_stream_enrich")
+    "q334_stream_enrich",
+    // round 11: weighted landmark sketch (4 broadcast-frontier rounds —
+    // ball-bounded work, cost should track the edge scans), the AQE
+    // skew-join gate (input-relative thresholds keep detection AND
+    // split arity scale-invariant), and the two measured write paths
+    // (parquet full-table sink; on-disk Derby INSERT stream — expect
+    // ~linear, the sink is the bound)
+    "q335_landmark_weighted", "q336_skew_join_aqe",
+    "q337_sink_parquet", "q338_sink_jdbc")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

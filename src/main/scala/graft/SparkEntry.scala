@@ -4537,6 +4537,125 @@ object SparkEntry {
         .select(col("node_idx"), col("lon"), col("lat"),
           round(dist, 6).as("dist_m"))
         .orderBy("node_idx")
+    }),
+
+    // WEIGHTED landmark distance sketch (round-10 verdict #3): q331's
+    // structure under the reference's actual routing semantics — meters,
+    // not hops. Bounded frontier Bellman-Ford from the deterministic
+    // landmark set: per round one broadcast(frontier) map-side join over
+    // the edge scan + one ball-bounded min-aggregate; only improved
+    // nodes expand. Oracle = bounded WITH RECURSIVE path replay (min
+    // over ≤4-hop paths within the 1200 m budget, exact integer meters).
+    "q335_landmark_weighted" -> ((s, dir) => {
+      val n = Derive.nodes(s, dir)
+      GraphOps.landmarkSketchWeighted(n, Derive.edges(n))
+        .orderBy("node", "landmark")
+    }),
+
+    // AQE SKEW-JOIN evidence (round-10 verdict #4): the q333 in-plan-
+    // require device applied to OptimizeSkewedJoin. A deliberately
+    // skewed fact side (75% of lineitem rows collapse onto skey 0) sort-
+    // merge-joins the 97-row key dimension under an opted-in session
+    // whose skew thresholds are RELATIVE to the input (production tunes
+    // them to map-output stats; a fixed byte knob would stop firing at
+    // 1x or split one partition into thousands at 100x). Spark's own
+    // skew split — not the manual q88 salting — must appear in the final
+    // adaptive plan (skew=true on the SMJ node), and the result must
+    // still hash-match the plain-join oracle.
+    "q336_skew_join_aqe" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.adaptive.enabled", "true")
+      s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // no broadcast anywhere (compile-time or AQE runtime): the gate is
+      // about the SMJ skew path, and a 97-row dim would otherwise BHJ
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // splitting the skewed partition breaks the join's output
+      // partitioning and the downstream agg re-shuffles anyway; force
+      // tells AQE that trade is intended
+      s2.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      val li = t(s2, dir, "lineitem")
+      // 1-row steering scalar (the neighborEdges/hi class): thresholds
+      // sized to the input keep both the detection (skewed partition >
+      // threshold) and the split arity (~skew-mass/advisory ≈ constant)
+      // scale-invariant from sf0.01 through the 100x session
+      val nRows = li.count()
+      val adv = math.max(4L << 10, nRows * 24 / 400)
+      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        adv.toString)
+      s2.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        (2 * adv).toString)
+      // repartition(32): AQE splits a skewed partition at MAP-OUTPUT
+      // granularity, so the join shuffle needs several mappers — a toy
+      // parquet file is one row group = ONE mapper = unsplittable (the
+      // probe measured exactly that). Production fact scans have
+      // thousands of mappers; this guarantees the precondition at every
+      // measured scale for one bounded extra pass.
+      val left = li.select(
+        when(col("l_orderkey") % 4 =!= 0, lit(0L))
+          .otherwise(col("l_orderkey") % 97).as("skey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"))
+        .repartition(32)
+      // localCheckpoint: OptimizeSkewedJoin's pattern is SMJ over
+      // Sort(stage) DIRECTLY — a dim built by an aggregation would sit
+      // as Sort(HashAggregate(stage)) under the join and silently never
+      // match (measured). Materializing the 97-row dim gives the join
+      // the scan→shuffle→SMJ geometry a real pre-built dimension has.
+      val right = t(s2, dir, "part")
+        .groupBy((col("p_partkey") % 97).as("skey"))
+        .agg(count(lit(1)).as("pw"))
+        .localCheckpoint()
+      val df = left.join(right, "skey")
+        .groupBy("skey")
+        .agg(count(lit(1)).as("n"), sum("price_c").as("rev_c"),
+          min("pw").as("pw"))
+        .orderBy("skey")
+      // materialize THIS df's QueryExecution (≤97-row key domain — a
+      // bounded steering read) so the adaptive plan is final and the
+      // skew requirement is checkable, exactly like q333's require
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("skew=true"),
+        s"AQE OptimizeSkewedJoin did not fire:\n$plan")
+      df
+    }),
+
+    // MEASURED parquet write path (round-10 verdict #6): the persistence
+    // stage gets a throughput row, not just round-trip correctness — the
+    // body writes the FULL lineitem table to a fresh parquet sink, then
+    // re-reads and reduces it; the bench/scale rows therefore time a
+    // sized write + full scan-back, and the oracle proves the round trip
+    // lossless (count + exact centi-cent revenue + key checksum).
+    "q337_sink_parquet" -> ((s, dir) => {
+      val path = rtPath("q337_lineitem")
+      t(s, dir, "lineitem").write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+            .as("rev_c"),
+          sum(col("l_orderkey")).as("key_sum"))
+        .orderBy("l_returnflag")
+    }),
+
+    // MEASURED JDBC write path (same verdict item, S16's sized twin):
+    // the full orders table into an on-disk Derby database (disk-backed,
+    // unlike q51's 1k-row in-memory round trip, so the measured cost is
+    // a real sustained INSERT stream bounded by the sink, not by heap),
+    // read back through the JDBC source and reduced; oracle on orders.
+    "q338_sink_jdbc" -> ((s, dir) => {
+      val url = s"jdbc:derby:${rtPath("q338_derby")};create=true"
+      val src = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"))
+      Sinks.writeJdbc(src, url, "orders_sink")
+      Sinks.readJdbc(s, url, "orders_sink")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("price_c")).as("price_c_sum"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .orderBy("o_orderstatus")
     })
   )
 
@@ -10696,6 +10815,59 @@ object SparkEntry {
          |FROM nodes
          |WHERE $d <= 2500.0
          |ORDER BY node_idx""".stripMargin
-    }
+    },
+
+    // Same landmark rule, same symmetrized weighted lattice; the
+    // recursive UNION replays every ≤4-hop path inside the 1200 m
+    // budget (weights positive, so pruning prefixes over the budget
+    // equals the total-only bound the operator applies), min(dist_m)
+    // picks the optimum — exactly the frontier Bellman-Ford table.
+    "q335_landmark_weighted" ->
+      s"""WITH RECURSIVE ${Derive.Sql.nodes},
+         |${Derive.Sql.edges},
+         |${Derive.Sql.symEdges},
+         |lm AS (SELECT node_idx AS landmark FROM nodes
+         |       WHERE node_idx % 37 = 0 ORDER BY node_idx LIMIT 3),
+         |reach(landmark, node, dist_m, hops) AS (
+         |  SELECT landmark, landmark, CAST(0 AS BIGINT), 0 FROM lm
+         |  UNION
+         |  SELECT r.landmark, s.v, r.dist_m + CAST(s.w AS BIGINT), r.hops + 1
+         |  FROM reach r JOIN sym s ON s.u = r.node
+         |  WHERE r.hops < 4 AND r.dist_m + CAST(s.w AS BIGINT) <= 1200)
+         |SELECT landmark, node, min(dist_m) AS dist_m
+         |FROM reach GROUP BY 1, 2 ORDER BY node, landmark""".stripMargin,
+
+    // The PLAIN join — no skew machinery anywhere: result identity under
+    // AQE's skew split is the whole contract (the q333 device).
+    "q336_skew_join_aqe" ->
+      """WITH l AS (SELECT CAST(CASE WHEN l_orderkey % 4 <> 0 THEN 0
+        |                            ELSE l_orderkey % 97 END AS BIGINT) AS skey,
+        |                  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+        |           FROM lineitem),
+        |     r AS (SELECT CAST(p_partkey % 97 AS BIGINT) AS skey,
+        |                  count(*) AS pw
+        |           FROM part GROUP BY 1)
+        |SELECT l.skey, count(*) AS n,
+        |       CAST(sum(l.price_c) AS BIGINT) AS rev_c,
+        |       min(r.pw) AS pw
+        |FROM l JOIN r ON r.skey = l.skey
+        |GROUP BY l.skey ORDER BY l.skey""".stripMargin,
+
+    // Round-trip identity: the reduce over the re-read sink must equal
+    // the same reduce over the source table — count, exact centi-cent
+    // revenue, key checksum.
+    "q337_sink_parquet" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |            AS BIGINT) AS rev_c,
+        |       CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q338_sink_jdbc" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS price_c_sum,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }

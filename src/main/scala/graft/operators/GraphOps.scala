@@ -548,6 +548,59 @@ object GraphOps {
     }
   }
 
+  /** WEIGHTED landmark distance sketch — [[landmarkSketch]] with the
+    * reference's actual routing semantics (weighted meters, reference
+    * precompute_poi_reach.py:86-125) instead of hop counts: bounded
+    * frontier Bellman-Ford from the same deterministic landmark set,
+    * `rounds` synchronous relaxation rounds under a meter budget
+    * `limitM`. Per round ONE join + one min-aggregate, and only nodes
+    * whose distance IMPROVED in the previous round expand — the
+    * textbook frontier bound, so total work is Σ|improved_r|·deg, never
+    * rounds·|V|·deg. (Frontier-bounded relaxation provably equals full
+    * Bellman-Ford's round-k table: a node reaching its ≤k-hop optimum
+    * did so through a predecessor that improved at an earlier round and
+    * therefore expanded.) Distances ride an exact integer-meter lane
+    * (edge weights are integer-valued doubles, Derive.edges), so the
+    * oracle is a bounded WITH RECURSIVE path replay: min over all
+    * ≤`rounds`-hop paths with every prefix inside `limitM` — identical
+    * by weight positivity to the total-only bound both sides apply.
+    *
+    * At 10¹⁰ edges this is the delta-stepping-shaped precompute you run
+    * ONCE per landmark set; `limitM` bounds the frontier ball exactly
+    * like the reference's 1000 m reach cutoff bounds its Dijkstra. */
+  def landmarkSketchWeighted(nodes: DataFrame, edges: DataFrame,
+                             lmMod: Int = 37, nLandmarks: Int = 3,
+                             rounds: Int = 4, limitM: Long = 1200L): DataFrame = {
+    require(lmMod >= 1 && nLandmarks >= 1 && rounds >= 0 && limitM >= 0,
+      s"bad lmMod=$lmMod nLandmarks=$nLandmarks rounds=$rounds limitM=$limitM")
+    val sym = edges.select(col("u"), col("v"), col("w"))
+      .union(edges.select(col("v").as("u"), col("u").as("v"), col("w")))
+    val lm = nodes.filter(col("node_idx") % lmMod === 0)
+      .orderBy("node_idx").limit(nLandmarks)
+      .select(col("node_idx").as("landmark"))
+    var reach = lm.select(col("landmark"), col("landmark").as("node"),
+      lit(0L).as("dist_m")).localCheckpoint()
+    var frontier = reach
+    (1 to rounds).foreach { _ =>
+      val cand = frontier.join(sym, col("node") === col("u"))
+        .select(col("landmark"), col("v").as("node"),
+          (col("dist_m") + col("w").cast("long")).as("dist_m"))
+        .filter(col("dist_m") <= limitM)
+        .groupBy("landmark", "node").agg(min("dist_m").as("dist_m"))
+      val improved = cand
+        .join(reach.select(col("landmark"), col("node"),
+          col("dist_m").as("old_m")), Seq("landmark", "node"), "left")
+        .filter(col("old_m").isNull || col("dist_m") < col("old_m"))
+        .select("landmark", "node", "dist_m")
+        .localCheckpoint() // cut lineage: each round's plan must not nest the last
+      reach = reach.union(improved)
+        .groupBy("landmark", "node").agg(min("dist_m").as("dist_m"))
+        .localCheckpoint()
+      frontier = improved
+    }
+    reach
+  }
+
   /** Newman MODULARITY of a node labeling, exact — the quality score
     * that closes the community loop (labelPropagation DETECTS, this
     * SCORES): in the directed-double-counted convention over the same

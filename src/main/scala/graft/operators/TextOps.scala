@@ -1127,7 +1127,12 @@ object TextOps {
     val lens = w.select((col("doc_id") % 2 === 0).as("is_ref"),
         size(col("w")).cast("long").as("len"))
       .groupBy().pivot("is_ref", Seq(true, false)).sum("len")
-      .select(col("true").as("ref_tokens"), col("false").as("cand_tokens"))
+      // coalesce the pivot lanes: a corpus with only one doc-id parity
+      // pivots the missing side to NULL, but the oracle's
+      // sum(CASE ... ELSE 0 END) reads 0 on any non-empty corpus — the
+      // two engines must agree on that degenerate edge (round-10 advice)
+      .select(coalesce(col("true"), lit(0L)).as("ref_tokens"),
+        coalesce(col("false"), lit(0L)).as("cand_tokens"))
     // hint every operand at THIS level too: the inner hints live on the
     // children of each 1-row join, so the outer crossJoins would
     // otherwise plan a CartesianProduct (unknown-size join outputs)
@@ -1163,13 +1168,18 @@ object TextOps {
     * N1b = |{a : c_ab>0}| (distinct predecessors — the continuation
     * count that makes KN KN), B = |{(a,b) : c_ab>0}| (bigram types).
     * Each val cell's cost is −ln(p) rounded ONCE to integer micro-nats
-    * from the same BIGINT num/den pieces in both engines (the q213/q300
+    * from the same exact num/den pieces in both engines (the q213/q300
     * shared-libm device), so float order cannot move the hash. Trained
     * on the id-parity split, charged on the val split; per language:
     * bigram count, the three tier counts, exact cost mass, per-bigram
-    * cost. Integer lanes: N1a·N1b ≤ B² — at ~10⁹ bigram types the
-    * product nears the long ceiling and would fail LOUDLY under ANSI;
-    * widen to DECIMAL before running corpora past ~10⁸ types.
+    * cost. Integer lanes ride DECIMAL(38,0): the N1a·N1b and
+    * (2·c_ab−1)·B products are bounded by B², which passes the BIGINT
+    * ceiling near ~10⁹ bigram types — the decimal lane keeps the
+    * arithmetic exact (and the final ÷ is the one double) to ~10¹⁹
+    * types, far past any corpus (round-8 width-audit precedent: widen
+    * BEFORE the cliff). DECIMAL→double and BIGINT→double round to the
+    * same nearest double, so the widening is bit-inert at every scale
+    * both engines can reach.
     *
     * Shape: one successor explode, one (a,b) train reduce feeding three
     * reduced tables (heads, continuations, the B scalar), the val side
@@ -1192,7 +1202,8 @@ object TextOps {
       .agg(sum("cab").as("ca"), count(lit(1)).as("n1a"))
     val conts = cab.groupBy("b").agg(count(lit(1)).as("n1b"))
     val btot = broadcast(cab.agg(count(lit(1)).as("btot")))
-    val denom = (lit(2L) * col("ca") * col("btot")).cast("double")
+    val d38 = "decimal(38,0)"
+    val denom = (lit(2L) * col("ca").cast(d38) * col("btot")).cast("double")
     pairs.filter(col("doc_id") % 10 >= 8)
       .groupBy("lang", "a", "b").agg(count(lit(1)).as("cnt"))
       .join(cab, Seq("a", "b"), "left")
@@ -1201,10 +1212,10 @@ object TextOps {
       .crossJoin(btot)
       .withColumn("cost",
         when(col("cab").isNotNull, microNatNeg(
-          ((lit(2L) * col("cab") - 1L) * col("btot")
-            + col("n1a") * col("n1b")).cast("double") / denom))
+          ((lit(2L) * col("cab").cast(d38) - 1L) * col("btot")
+            + col("n1a").cast(d38) * col("n1b")).cast("double") / denom))
         .when(col("ca").isNotNull && col("n1b").isNotNull, microNatNeg(
-          (col("n1a") * col("n1b")).cast("double") / denom))
+          (col("n1a").cast(d38) * col("n1b")).cast("double") / denom))
         .otherwise(microNatNeg(lit(1.0) / col("btot").cast("double"))))
       .withColumn("tier",
         when(col("cab").isNotNull, lit("seen"))

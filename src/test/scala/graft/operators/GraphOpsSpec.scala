@@ -320,4 +320,48 @@ class GraphOpsSpec extends SparkSpec {
       (0, 0, 0), (0, 1, 1), (0, 2, 2),
       (5, 5, 0), (5, 4, 1), (5, 3, 2)))
   }
+
+  test("landmarkSketchWeighted: picks the cheaper 2-hop detour over the direct edge") {
+    // triangle 0-1-2 plus a heavy direct edge 0->2: d(0,2) must come from
+    // the 2-hop detour 0-1-2 (100+100=200) not the direct 900; the meter
+    // budget (250) excludes node 3 (200+100=300 > 250)
+    val nodes = Seq(0, 1, 2, 3).toDF("node_idx")
+    val edges = Seq((0, 1, 100.0), (1, 2, 100.0), (0, 2, 900.0),
+      (2, 3, 100.0)).toDF("u", "v", "w")
+    val got = GraphOps.landmarkSketchWeighted(nodes, edges, lmMod = 97,
+        nLandmarks = 1, rounds = 3, limitM = 250L)
+      .as[(Int, Int, Long)].collect().toSet
+    assert(got == Set((0, 0, 0L), (0, 1, 100L), (0, 2, 200L)))
+  }
+
+  test("landmarkSketchWeighted: frontier rounds equal full Bellman-Ford's hop-bounded table") {
+    // pseudo-random 30-node graph; law: the frontier-pruned operator must
+    // equal min over ALL <=rounds-hop paths within the budget, replayed
+    // here by brute-force path expansion over the collected edge list —
+    // the exact contract the WITH RECURSIVE oracle pins at gate scale.
+    val n = 30
+    val nodes = (0 until n).toDF("node_idx")
+    val es = for (i <- 0 until n; j <- 1 to 3; v = (i * 7 + j * 11) % n; if v != i)
+      yield (i, v, (250 + (i * 37 + v * 61) % 101).toDouble)
+    val edges = es.toDF("u", "v", "w")
+    val rounds = 4
+    val limit = 1200L
+    val got = GraphOps.landmarkSketchWeighted(nodes, edges, lmMod = 7,
+        nLandmarks = 3, rounds = rounds, limitM = limit)
+      .as[(Int, Int, Long)].collect().toSet
+    // brute replay: synchronous Bellman-Ford over the symmetrized list,
+    // NO frontier pruning — expand everything every round
+    val sym = es.flatMap { case (u, v, w) => Seq((u, v, w.toLong), (v, u, w.toLong)) }
+    val lms = (0 until n).filter(_ % 7 == 0).sorted.take(3)
+    var dist: Map[(Int, Int), Long] = lms.map(l => (l, l) -> 0L).toMap
+    (1 to rounds).foreach { _ =>
+      val cand = for (((l, u), d) <- dist.toSeq; (eu, ev, w) <- sym; if eu == u;
+                      nd = d + w; if nd <= limit) yield ((l, ev), nd)
+      val best = cand.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+      dist = (dist.toSeq ++ best.toSeq).groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).min }
+    }
+    val want = dist.map { case ((l, v), d) => (l, v, d) }.toSet
+    assert(got == want)
+  }
 }

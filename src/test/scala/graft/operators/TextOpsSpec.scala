@@ -588,7 +588,8 @@ class TextOpsSpec extends SparkSpec {
     val docs = Seq((0L, "a b c"), (2L, "d e")).toDF("doc_id", "text")
     val r = TextOps.bleuCorpus(docs).collect().head
     assert(r.getLong(0) == 5L)            // ref_tokens
-    assert(r.isNullAt(1))                 // cand_tokens (no candidate rows)
+    assert(r.getLong(1) == 0L)            // cand_tokens: 0 like the oracle's
+                                          // sum(CASE..ELSE 0), not NULL
     assert(r.getLong(2) == 0L && r.getLong(3) == 0L) // clip1, tot1
     assert(r.isNullAt(6) && r.isNullAt(7) && r.isNullAt(8)) // p1, p2, bleu
   }

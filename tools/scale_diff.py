@@ -12,6 +12,13 @@ would flood on them). Also reports base-time drift separately so a
 plan regression visible at 1x is not masked by a stable ratio. Exit
 code 1 if any query escapes — a CI tripwire for scale-shape
 regressions between rounds.
+
+Works for ANY decade as long as both artifacts share k (it refuses a
+k mismatch): compare two k=10 full sessions (scale_full.json) or two
+k=100 sessions (scale100_full.json) round-over-round identically. A
+query that errors in the NEW artifact is a hard failure; one that
+errored only in the OLD artifact is reported informationally (a stale
+historical error must not trip the wire forever).
 """
 import json
 import sys
@@ -66,15 +73,28 @@ def main():
         print(f"only in new: {', '.join(only_new)}")
 
     movers = []
+    fixed = []
     for q in common:
         ro, rn = do[q].get("ratio", -1), dn[q].get("ratio", -1)
         so, sn = do[q].get("scaled", -1), dn[q].get("scaled", -1)
-        if ro <= 0 or rn <= 0:
+        if rn <= 0:
+            # an error in the NEW artifact is always a hard failure
             movers.append((q, ro, rn, so, sn, float("inf")))
+            continue
+        if ro <= 0:
+            # errored only in the OLD artifact (or in both, historically):
+            # the new side is healthy, so a stale historical error must not
+            # permanently trip the tripwire (round-10 advice) — report
+            # informationally and move on
+            fixed.append((q, so, sn))
             continue
         drift = rn / ro
         if (drift > band or drift < 1 / band) and abs(sn - so) > absfloor:
             movers.append((q, ro, rn, so, sn, drift))
+    if fixed:
+        print("errored in old, ok in new (informational):")
+        for q, so, sn in fixed:
+            print(f"  {q}: scaled {so:.2f}s -> {sn:.2f}s")
     if movers:
         print(f"scale-shape drift (ratio x>{band} AND scaled-time >{absfloor}s, or errored):")
         for q, ro, rn, so, sn, drift in sorted(movers, key=lambda m: -m[5]):
