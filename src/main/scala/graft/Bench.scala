@@ -1,7 +1,8 @@
 package graft
 
 /** Benchmark main: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
+  * SPARK_GRAFT_SF_DIR and prints two JSON lines: the full per-query map,
+  * then a compact summary LAST (the driver-capture contract — see below).
   *
   * A failing query is recorded as `-1` in `queries`, listed in `errors`,
   * and makes the process exit nonzero — a regression can't masquerade as
