@@ -341,7 +341,20 @@ object ScaleBench {
     // (parquet full-table sink; on-disk Derby INSERT stream — expect
     // ~linear, the sink is the bound)
     "q335_landmark_weighted", "q336_skew_join_aqe",
-    "q337_sink_parquet", "q338_sink_jdbc")
+    "q337_sink_parquet", "q338_sink_jdbc",
+    // round 11 continued: dynamic partition pruning (write partitioned
+    // fact + DPP-pruned join — the scan should read 5/25 partitions at
+    // every scale), and the SQL pipe-syntax surface (plain grouped
+    // reduce under the new parser form)
+    "q339_dpp", "q340_pipe_syntax",
+    // DSv2 aggregate pushdown — metadata-only answer; the measured cost
+    // is the sink write + a |files|-row fold, so the aggregate itself
+    // should be scale-flat
+    "q341_dsv2_agg",
+    // temperature mixture (|sources|-domain reduce — should be scan-
+    // bound flat) and the unigram Viterbi (vocab-domain DP; Heaps-law
+    // sublinear in corpus size)
+    "q342_temperature_mixture", "q343_unigram_segment")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

@@ -4656,7 +4656,121 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("price_c")).as("price_c_sum"),
           sum(col("o_orderkey")).as("key_sum"))
         .orderBy("o_orderstatus")
-    })
+    }),
+
+    // DYNAMIC partition pruning in-plan gate (the q333/q336 require
+    // device applied to DPP — the third runtime-pruning mechanism after
+    // the runtime Bloom join and the AQE skew split). The fact side is
+    // written hive-partitioned on the join key; the dimension filter
+    // (region 0 keeps 5 of 25 nations) is NOT on the join key, so no
+    // static rule can prune the fact — only Spark's PartitionPruning
+    // rule, which plants a dynamicpruning subquery into the scan's
+    // PartitionFilters and reuses the join's broadcast to evaluate it.
+    // At 100 TB this is the difference between scanning 5 and 25
+    // partitions of a date/tenant-partitioned fact. require() proves the
+    // mechanism fired; the plain-join oracle proves it dropped nothing.
+    "q339_dpp" -> ((s, dir) => {
+      val path = rtPath("q339_fact")
+      t(s, dir, "lineitem").select(
+          (col("l_suppkey") % 25).cast("int").as("nkey"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"))
+        .write.mode("overwrite").partitionBy("nkey").parquet(path)
+      val fact = s.read.parquet(path)
+      val dim = t(s, dir, "nation").filter(col("n_regionkey") === 0)
+        .select(col("n_nationkey").cast("int").as("nkey"), col("n_name"))
+      val df = fact.join(dim, "nkey")
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"), sum("price_c").as("rev_c"))
+        .orderBy("n_name")
+      // materialize (≤5-row result — bounded steering read, the q336
+      // discipline) so the adaptive plan is final and checkable
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.toLowerCase.contains("dynamicpruning"),
+        s"dynamic partition pruning did not fire:\n$plan")
+      df
+    }),
+
+    // SQL PIPE syntax (Spark 4's |> operator chain): the linear
+    // FROM → WHERE → EXTEND → AGGREGATE → WHERE → ORDER BY form of the
+    // ordinary grouped reduce — same logical plan, new parser surface.
+    // The oracle is the standard-SQL spelling of the identical query, so
+    // the gate pins that the pipe chain lowers to exactly the relational
+    // semantics the classic form has.
+    "q340_pipe_syntax" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """FROM orders
+          ||> WHERE o_orderstatus IS NOT NULL
+          ||> EXTEND CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+          ||> AGGREGATE count(*) AS n, sum(price_c) AS price_c_sum
+          |   GROUP BY o_orderstatus
+          ||> WHERE n > 5
+          ||> ORDER BY o_orderstatus""".stripMargin)
+    }),
+
+    // DSv2 AGGREGATE pushdown (metadata-only query): a global
+    // count/count(col)/min/max over the custom source is answered from
+    // the write-time manifest — one stats row per file, zero data bytes
+    // read — the parquet-footer trick implemented in our own source.
+    // Nulls are planted on every 10th o_custkey so the count(col) lane
+    // (rows − nulls) is exercised, not just count(*). require() pins
+    // that the pushdown was ACCEPTED (the spec proves the stronger
+    // claim: data files truncated to their header still answer); the
+    // oracle proves the manifest-derived answer equals the data's.
+    "q341_dsv2_agg" -> ((s, dir) => {
+      val path = rtPath("dsv2agg")
+      t(s, dir, "orders").select(col("o_orderkey"),
+          when(col("o_orderkey") % 10 === 0, lit(null).cast("long"))
+            .otherwise(col("o_custkey")).as("o_custkey"),
+          col("o_totalprice"))
+        .repartition(8)
+        .write.format("graft.sources.v2.GraftCsv").mode("overwrite").save(path)
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_custkey", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_totalprice", org.apache.spark.sql.types.DoubleType)))
+      val df = s.read.schema(sch).format("graft.sources.v2.GraftCsv").load(path)
+        .agg(count(lit(1)).as("n"), count(col("o_custkey")).as("n_cust"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+      graft.sources.v2.GraftCsv.lastAggPushdown.set("")
+      df.collect() // 1-row steering read: finalize the plan for the require
+      val pushedAgg = graft.sources.v2.GraftCsv.lastAggPushdown.get()
+      require(pushedAgg.nonEmpty,
+        "aggregate pushdown was not accepted — the scan read data files")
+      df
+    }),
+
+    // TEMPERATURE-scaled mixture (mT5/XLM-R α-sampling, α = 1/2): a
+    // deliberately imbalanced 8:4:2:1:1 source split (doc_id-derived, so
+    // the imbalance is visible at every SF) is reweighted by sqrt mass
+    // and a 100k-doc budget apportioned under exact largest-remainder
+    // conservation. sqrt is IEEE-correctly-rounded in both engines —
+    // every downstream division is integer-exact DECIMAL arithmetic.
+    "q342_temperature_mixture" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 16 < 8, "webA")
+          .when(col("doc_id") % 16 < 12, "webB")
+          .when(col("doc_id") % 16 < 14, "books")
+          .when(col("doc_id") % 16 === 14, "code")
+          .otherwise("wiki").as("source"))
+      CorpusOps.temperatureMixture(docs, budget = 100000L)
+        .orderBy("source")
+    }),
+
+    // UNIGRAM-LM (SentencePiece) segmentation — the tokenizer trio
+    // completed (BPE q97/q309 merge rules, WordPiece q269 greedy
+    // longest-match, and now Kudo-2018 min-cost Viterbi over piece
+    // log-probs). Vocabulary, piece costs, and the per-word DP are ALL
+    // re-derived independently by the oracle (vocab selection included),
+    // and the recursive CTE replays EVERY segmentation path — the gate
+    // is therefore an optimality proof, not just a value match.
+    "q343_unigram_segment" -> ((s, dir) =>
+      TextOps.unigramSegment(t(s, dir, "documents"))
+        .orderBy("w"))
   )
 
   /** The ASCII-explicit GPT-2-ish pretokenizer alternation shared by
@@ -10868,6 +10982,105 @@ object SparkEntry {
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
         |            AS BIGINT) AS price_c_sum,
         |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // The PLAIN join — no partitioned layout, no pruning: result identity
+    // under the dynamicpruning-pruned scan is the whole contract.
+    "q339_dpp" ->
+      """SELECT n.n_name, count(*) AS n,
+        |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+        |            AS BIGINT) AS rev_c
+        |FROM lineitem l JOIN nation n ON n.n_nationkey = l.l_suppkey % 25
+        |WHERE n.n_regionkey = 0
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+
+    // The standard-SQL spelling of q340's pipe chain.
+    "q340_pipe_syntax" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS price_c_sum
+        |FROM orders WHERE o_orderstatus IS NOT NULL
+        |GROUP BY o_orderstatus HAVING count(*) > 5
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // The same aggregates over the DATA (DuckDB never sees the manifest):
+    // manifest-derived answers must equal data-derived answers exactly.
+    "q341_dsv2_agg" ->
+      """SELECT count(*) AS n,
+        |       count(CASE WHEN o_orderkey % 10 = 0 THEN NULL
+        |                  ELSE o_custkey END) AS n_cust,
+        |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |       min(o_totalprice) AS min_price,
+        |       max(o_totalprice) AS max_price
+        |FROM orders""".stripMargin,
+
+    // Same α = 1/2 law in HUGEINT lanes: sqrt is correctly rounded in
+    // both engines, every later step is exact integer arithmetic.
+    "q342_temperature_mixture" ->
+      """WITH d AS (SELECT CASE WHEN doc_id % 16 < 8 THEN 'webA'
+        |                       WHEN doc_id % 16 < 12 THEN 'webB'
+        |                       WHEN doc_id % 16 < 14 THEN 'books'
+        |                       WHEN doc_id % 16 = 14 THEN 'code'
+        |                       ELSE 'wiki' END AS source
+        |           FROM documents),
+        |c AS (SELECT source, count(*) AS n_docs FROM d GROUP BY 1),
+        |w AS (SELECT source, n_docs,
+        |             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0)
+        |               AS BIGINT) AS w_micro FROM c),
+        |tw AS (SELECT source, n_docs, w_micro,
+        |              sum(CAST(w_micro AS HUGEINT)) OVER () AS w_total
+        |       FROM w),
+        |b AS (SELECT source, n_docs, w_micro,
+        |             CAST((CAST(w_micro AS HUGEINT) * 1000000) // w_total
+        |               AS BIGINT) AS share_ppm,
+        |             CAST((CAST(w_micro AS HUGEINT) * 100000) // w_total
+        |               AS BIGINT) AS base,
+        |             (CAST(w_micro AS HUGEINT) * 100000) % w_total AS rem
+        |      FROM tw),
+        |r AS (SELECT *, sum(base) OVER () AS allocated,
+        |             row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |      FROM b)
+        |SELECT source, n_docs, w_micro, share_ppm,
+        |       CAST(base + CASE WHEN rk <= 100000 - allocated
+        |                        THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r ORDER BY source""".stripMargin,
+
+    // The oracle re-derives EVERYTHING — word counts, the overlap-counted
+    // substring inventory, the top-150 selection, the micro-nat costs —
+    // then replays every segmentation path of every selected word with a
+    // recursive CTE and takes the min: the engine's Viterbi dp must land
+    // on exactly that optimum for every word.
+    "q343_unigram_segment" ->
+      """WITH RECURSIVE
+        |tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |words AS (SELECT w, count(*) AS cnt FROM tok
+        |          WHERE len(w) BETWEEN 2 AND 12 GROUP BY w),
+        |pos AS (SELECT w, cnt, unnest(range(1, len(w) + 1)) AS s FROM words),
+        |multi AS (SELECT piece, c FROM (
+        |            SELECT substr(w, s, l) AS piece,
+        |                   CAST(sum(cnt) AS BIGINT) AS c
+        |            FROM pos CROSS JOIN (VALUES (2), (3), (4)) lv(l)
+        |            WHERE s + l - 1 <= len(w) GROUP BY 1)
+        |          ORDER BY c DESC, piece LIMIT 150),
+        |chars AS (SELECT substr(w, s, 1) AS piece,
+        |                 CAST(sum(cnt) AS BIGINT) AS c
+        |          FROM pos GROUP BY 1),
+        |vocab AS (SELECT * FROM chars UNION ALL SELECT * FROM multi),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM vocab),
+        |vc AS (SELECT piece, CAST(len(piece) AS INTEGER) AS l,
+        |              CAST(floor(-ln(CAST(c AS DOUBLE) / total) * 1000000.0
+        |                + 0.5) AS BIGINT) AS cost
+        |       FROM vocab CROSS JOIN tot),
+        |sel AS (SELECT w, cnt FROM words ORDER BY cnt DESC, w LIMIT 2000),
+        |dp(w, i, cost) AS (
+        |  SELECT w, 0, CAST(0 AS BIGINT) FROM sel
+        |  UNION
+        |  SELECT d.w, d.i + v.l, d.cost + v.cost
+        |  FROM dp d JOIN vc v
+        |    ON d.i + v.l <= len(d.w) AND substr(d.w, d.i + 1, v.l) = v.piece)
+        |SELECT s.w, CAST(s.cnt AS BIGINT) AS cnt,
+        |       min(d.cost) AS cost_micro
+        |FROM sel s JOIN dp d ON d.w = s.w AND d.i = len(s.w)
+        |GROUP BY s.w, s.cnt ORDER BY s.w""".stripMargin
   )
 }

@@ -732,6 +732,41 @@ object CorpusOps {
         (col("cnt") * col("w")).as("mass_micro"))
   }
 
+  /** Temperature-scaled mixture weighting (the mT5 §3.1 / XLM-R α-sampling
+    * law, α = 1/2): a source's sampling mass is n_docs^α — the tail is
+    * upsampled, the head damped — and a document budget is apportioned
+    * across sources by those weights under largest-remainder conservation
+    * (Σ alloc == budget EXACTLY, the q254 discipline). sqrt is the one
+    * shared-libm call (IEEE-754 requires it correctly rounded, so JVM and
+    * DuckDB agree bit-for-bit — stronger than the ln gates' shared-libm
+    * assumption), floored ONCE to integer micro-weights; every division
+    * after that is exact integer arithmetic in DECIMAL(38) lanes (the
+    * round-8 width-audit precedent: the w·budget product would pass 2⁶³
+    * near n_docs ≈ 10¹² × budget ≈ 10⁹). One reduce to the |sources|
+    * domain; the windows run over that reduced domain. */
+  def temperatureMixture(docs: DataFrame, budget: Long,
+                         sourceCol: String = "source"): DataFrame = {
+    require(budget > 0, s"bad budget=$budget")
+    val wAll = Window.partitionBy(lit(1)) // |sources| domain, not rows
+    val wRank = Window.orderBy(col("rem").desc, col(sourceCol))
+    docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_micro",
+        floor(sqrt(col("n_docs").cast("double")) * lit(1e6)).cast("long"))
+      .withColumn("w_total",
+        sum(col("w_micro").cast("decimal(38,0)")).over(wAll))
+      .withColumn("share_ppm", expr(
+        "CAST((CAST(w_micro AS DECIMAL(38,0)) * 1000000) div w_total AS BIGINT)"))
+      .withColumn("base", expr(
+        s"CAST((CAST(w_micro AS DECIMAL(38,0)) * ${budget}L) div w_total AS BIGINT)"))
+      .withColumn("rem", expr(
+        s"(CAST(w_micro AS DECIMAL(38,0)) * ${budget}L) % w_total"))
+      .withColumn("shortfall", lit(budget) - sum("base").over(wAll))
+      .withColumn("rk", row_number().over(wRank))
+      .select(col(sourceCol), col("n_docs"), col("w_micro"), col("share_ppm"),
+        (col("base") + when(col("rk") <= col("shortfall"), 1L).otherwise(0L))
+          .cast("long").as("alloc"))
+  }
+
   def apportion(rows: DataFrame, keyCols: Seq[String], seats: Long): DataFrame = {
     require(keyCols.nonEmpty && seats > 0, s"need keys and seats > 0")
     val cells = rows.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("cnt"))

@@ -1348,4 +1348,83 @@ object TextOps {
       .limit(k)
       .select(col("node").as("term"), col("rank").as("rank_micro"))
   }
+
+  /** SentencePiece-style UNIGRAM-LM segmentation (Kudo 2018) — the third
+    * tokenizer family next to BPE (q97/q309, merge-rule driven) and
+    * WordPiece (q269, greedy longest-match): each piece carries an
+    * independent log-probability and a word's tokenization is its
+    * MIN-COST (max-likelihood) segmentation, found by Viterbi DP over
+    * character positions.
+    *
+    * Deterministic instantiation, every lane oracle-mirrorable:
+    *  - the piece inventory is DATA-DERIVED — every single character of
+    *    the word corpus (so every word provably segments; the byte-
+    *    fallback guarantee) plus the `topPieces` most frequent substrings
+    *    of length 2..`maxPieceLen`, overlap-counted and weighted by word
+    *    frequency, ties broken by piece text;
+    *  - piece costs are −ln(c_piece / c_total) floored ONCE to integer
+    *    micro-nats through the SAME microNatNeg column device the LM
+    *    gates prove (q300/q328), so the DP sums and compares only
+    *    integers and no float-order effect can cross an engine boundary;
+    *  - the DP is ONE codegen'd higher-order aggregate per word — the
+    *    accumulator is the dp array of per-prefix min costs; step i
+    *    appends min over the ≤ maxPieceLen pieces ending at i (a
+    *    vocabulary miss pays an unreachable sentinel). No join, no
+    *    shuffle: the whole Viterbi is a projection over the word table.
+    *
+    * The vocabulary (≤ topPieces + |alphabet| rows) is a bounded steering
+    * read inlined as a literal MAP — the BPE-merge-table license; a
+    * production 32-64k vocabulary ships the same plan as a broadcast
+    * array fold. Gate scope bounds words to length 2..`maxWordLen` and
+    * the `topWords` most frequent (so the oracle's exhaustive recursive
+    * path replay stays polynomial); the operator itself has no such
+    * bound — dp cost is O(len · maxPieceLen) per word. */
+  def unigramSegment(docs: DataFrame, textCol: String = "text",
+                     topPieces: Int = 150, topWords: Int = 2000,
+                     maxPieceLen: Int = 4, maxWordLen: Int = 12): DataFrame = {
+    val words = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")).between(2, maxWordLen))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // reduced word domain, consumed three times below
+    val pos = words.select(col("w"), col("cnt"),
+      explode(sequence(lit(1), length(col("w")))).as("s"))
+    val multi = pos
+      .select(col("w"), col("cnt"), col("s"),
+        explode(lit((2 to maxPieceLen).toArray)).as("l"))
+      .filter(col("s") + col("l") - 1 <= length(col("w")))
+      .select(col("w").substr(col("s"), col("l")).as("piece"), col("cnt"))
+      .groupBy("piece").agg(sum("cnt").as("c"))
+      .orderBy(col("c").desc, col("piece")).limit(topPieces)
+    val chars = pos
+      .select(col("w").substr(col("s"), lit(1)).as("piece"), col("cnt"))
+      .groupBy("piece").agg(sum("cnt").as("c"))
+    val vocab = chars.unionByName(multi)
+    // bounded steering reads (≤ topPieces + |alphabet| rows — the BPE
+    // merge-table license): total piece mass, then per-piece costs
+    // through the gate-proven micro-nat device.
+    val total = vocab.agg(sum("c")).collect()(0).getLong(0)
+    val costMap: Map[String, Long] = vocab
+      .select(col("piece"),
+        microNatNeg(col("c").cast("double") / lit(total.toDouble)).as("cost"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vm = typedlit(costMap)
+    val Big = 1000000000000L // unreachable: > maxWordLen · any real cost
+    val dp = aggregate(
+      sequence(lit(1), length(col("w"))),
+      array(lit(0L)),
+      (acc, i) => {
+        val cands = (1 to maxPieceLen).map { l =>
+          when(i >= l,
+            get(acc, i - lit(l)) + coalesce(
+              element_at(vm, col("w").substr(i - lit(l) + lit(1), lit(l))),
+              lit(Big)))
+            .otherwise(lit(Big))
+        }
+        concat(acc, array(least(cands: _*)))
+      },
+      acc => element_at(acc, -1))
+    words.orderBy(col("cnt").desc, col("w")).limit(topWords)
+      .select(col("w"), col("cnt"), dp.as("cost_micro"))
+  }
 }

@@ -8,7 +8,8 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
@@ -131,6 +132,11 @@ object GraftCsv {
     * instrumentation for the skip decision (same spirit as
     * `description()`'s PushedFilters: observable, not load-bearing). */
   val lastSkipStats = new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
+
+  /** Rendered function list of the last ACCEPTED aggregate pushdown
+    * ("" = the last build answered from data, not the manifest) — the
+    * in-plan-require hook for the metadata-only-aggregate gate. */
+  val lastAggPushdown = new java.util.concurrent.atomic.AtomicReference[String]("")
 
   /** Manifest: file → col → (min, max, nulls, rows, bloom). Absent or
     * unparseable → empty (files without stats are never skipped). Rows
@@ -407,10 +413,12 @@ class GraftCsvWriter(schema: StructType, path: String, queryId: String,
 }
 
 class GraftCsvScanBuilder(fullSchema: StructType, path: String)
-  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var aggScan: Option[GraftCsvAggScan] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -432,8 +440,128 @@ class GraftCsvScanBuilder(fullSchema: StructType, path: String)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new GraftCsvScan(fullSchema, required, pushed, path)
+  /** AGGREGATE pushdown — the metadata-only-query contract: a global
+    * MIN/MAX/COUNT over the table is answered from the write-time
+    * manifest (one row per file: min of file, max of file, rows,
+    * rows − nulls) without opening a single data file — the custom-source
+    * analogue of parquet answering count(*)/min/max from footers. At
+    * 100 TB this turns a full scan into |files| manifest lines.
+    *
+    * Accepted only when the answer is PROVABLY exact from stats:
+    * no pushed filters (stats describe whole files), no grouping, every
+    * function one of CountStar / Count(numeric col, non-distinct) /
+    * Min(numeric col) / Max(numeric col), and EVERY current data file
+    * carries manifest stats for every referenced column (a file written
+    * outside the committing sink has none → decline, scan data).
+    * Partial pushdown (`supportCompletePushDown` stays false): the scan
+    * emits one stats row per file and Spark's final aggregate folds them
+    * (min of mins, sum of counts) — the same shape a real multi-executor
+    * listing would stream. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (pushed.nonEmpty || aggregation.groupByExpressions.nonEmpty) return false
+    val files = GraftCsv.listDataFiles(path)
+    if (files.isEmpty) return false
+    val manifest = GraftCsv.readManifest(path)
+    val perFile = files.map(f => manifest.getOrElse(f.getName, Map.empty))
+    // rows-per-file comes off any stat row; a file with no stats at all
+    // cannot even answer count(*) — decline everything
+    if (perFile.exists(_.isEmpty)) return false
+
+    def numericField(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+      e match {
+        case r: NamedReference if r.fieldNames.length == 1 =>
+          fullSchema.fields.find(_.name == r.fieldNames.head).filter(f =>
+            f.dataType == IntegerType || f.dataType == LongType ||
+              f.dataType == DoubleType)
+        case _ => None
+      }
+    def parseBound(raw: String, dt: DataType): Any =
+      if (raw.isEmpty) null // all-null file: MIN/MAX over it is NULL
+      else dt match {
+        case IntegerType => raw.toInt
+        case LongType => raw.toLong
+        case DoubleType => raw.toDouble
+        case _ => null
+      }
+    type FileStats = Map[String, (String, String, Long, Long, String)]
+    def rowsOf(s: FileStats): Long = s.values.head._4
+
+    // each answerable function → (output field, per-file stats extractor)
+    val planned: Array[Option[(StructField, FileStats => Any)]] =
+      aggregation.aggregateExpressions.map {
+        case _: CountStar =>
+          Some((StructField("count_star", LongType, nullable = false),
+            (s: FileStats) => rowsOf(s)))
+        case c: Count if !c.isDistinct =>
+          numericField(c.column).flatMap { f =>
+            Some((StructField(s"count_${f.name}", LongType, nullable = false),
+              (s: FileStats) => s.get(f.name).map(t => t._4 - t._3).orNull))
+          }
+        case m: Min =>
+          numericField(m.column).map { f =>
+            (StructField(s"min_${f.name}", f.dataType, nullable = true),
+              (s: FileStats) => s.get(f.name).map(t => parseBound(t._1, f.dataType)).orNull)
+          }
+        case m: Max =>
+          numericField(m.column).map { f =>
+            (StructField(s"max_${f.name}", f.dataType, nullable = true),
+              (s: FileStats) => s.get(f.name).map(t => parseBound(t._2, f.dataType)).orNull)
+          }
+        case _ => None // SUM/AVG/distinct/...: stats cannot answer exactly
+      }
+    if (planned.exists(_.isEmpty)) return false
+    val (fields, extract) = planned.flatten.unzip
+    // referenced columns must have stats in EVERY file (a 6-field legacy
+    // row or a missing column row yields null and a wrong exact answer)
+    val refCols = fields.map(_.name).zip(extract).collect {
+      case (n, _) if n != "count_star" => n.drop(n.indexOf('_') + 1)
+    }
+    if (refCols.exists(c => perFile.exists(s => !s.contains(c)))) return false
+
+    val rows = perFile.map(s => extract.map(e => e(s)).toArray)
+    val desc = aggregation.aggregateExpressions.map(_.toString).mkString(", ")
+    aggScan = Some(new GraftCsvAggScan(StructType(fields), rows, path, desc))
+    true
+  }
+
+  override def build(): Scan = aggScan match {
+    case Some(a) =>
+      GraftCsv.lastAggPushdown.set(a.pushedDesc)
+      a
+    case None =>
+      GraftCsv.lastAggPushdown.set("")
+      new GraftCsvScan(fullSchema, required, pushed, path)
+  }
+}
+
+/** Scan produced by an accepted aggregate pushdown: one partition per
+  * data file, each emitting a single pre-extracted stats row. No data
+  * file is ever opened — only the manifest was read, on the driver, at
+  * planning time. */
+class GraftCsvAggScan(aggSchema: StructType, rows: Seq[Array[Any]],
+                      path: String, val pushedDesc: String)
+  extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftCsvAggScan path=$path, PushedAggregation: [$pushedDesc]"
+  override def planInputPartitions(): Array[InputPartition] =
+    rows.map(r => GraftCsvAggPartition(r)).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftCsvAggReaderFactory
+}
+
+case class GraftCsvAggPartition(values: Array[Any]) extends InputPartition
+
+class GraftCsvAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val vals = partition.asInstanceOf[GraftCsvAggPartition].values
+      private var done = false
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow = InternalRow.fromSeq(vals.toSeq)
+      override def close(): Unit = ()
+    }
 }
 
 class GraftCsvScan(fullSchema: StructType, required: StructType,

@@ -441,6 +441,37 @@ class CorpusOpsSpec extends SparkSpec {
     assert(s5._2 == 0L && s5._4 == s5._3 && s5._3 > 0L)
   }
 
+  test("temperatureMixture: α=1/2 law replayed in BigInt; exact conservation") {
+    // perfect squares → sqrt exact; budget chosen so remainders matter
+    val docs = (Seq.fill(64)("big") ++ Seq.fill(16)("mid") ++
+      Seq.fill(4)("small") ++ Seq.fill(1)("tiny")).toDF("source")
+    val budget = 10L
+    val got = CorpusOps.temperatureMixture(docs, budget).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    // independent replay: w = floor(sqrt(n)·1e6), largest remainder
+    val n = Map("big" -> 64L, "mid" -> 16L, "small" -> 4L, "tiny" -> 1L)
+    val w = n.map { case (s, c) =>
+      s -> BigInt(math.floor(math.sqrt(c.toDouble) * 1e6).toLong) }
+    val wTot = w.values.sum
+    val base = w.map { case (s, v) => s -> (v * budget / wTot) }
+    val rem = w.map { case (s, v) => s -> (v * budget % wTot) }
+    val short = budget - base.values.sum.toLong
+    val topUp = rem.toSeq.sortBy { case (s, r) => (-r, s) }
+      .take(short.toInt).map(_._1).toSet
+    val exp = n.keys.toSeq.sorted.map { s =>
+      (s, n(s), w(s).toLong, (w(s) * 1000000 / wTot).toLong,
+        base(s).toLong + (if (topUp(s)) 1L else 0L))
+    }
+    assert(got.toSeq == exp, s"got ${got.toSeq}\nexp $exp")
+    // conservation: the budget is apportioned exactly
+    assert(got.map(_._5).sum == budget)
+    // the α < 1 point: the tail's allocation share strictly exceeds its
+    // document share (8M/15M of 10 ≥ 5 for big → tiny gets ≥ its 1/85th)
+    val tiny = got.find(_._1 == "tiny").get
+    assert(tiny._5 * 85 > budget * tiny._2, s"tail not upsampled: $tiny")
+  }
+
   test("dsirSelect equals an independent JVM replay of the scoring law") {
     // Four docs, target = en; replay md5 buckets, Laplace micro-nat
     // costs (rounded BEFORE the subtraction), integer scores, and the

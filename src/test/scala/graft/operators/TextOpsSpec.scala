@@ -632,4 +632,72 @@ class TextOpsSpec extends SparkSpec {
       ("aa", "aa", 1L), ("aa", "bb", 1L),
       ("bb", "aa", 1L), ("bb", "bb", 1L)))
   }
+
+  /** Plain-Scala replay of the WHOLE unigramSegment law (the dsirSelect
+    * spec discipline): tokenize, count words, derive the char + top-K
+    * substring vocabulary, micro-nat costs, then exact Viterbi. */
+  private def unigramReference(texts: Seq[String], topPieces: Int,
+                               topWords: Int, maxPieceLen: Int,
+                               maxWordLen: Int): Seq[(String, Long, Long)] = {
+    val words = texts.flatMap(_.split(" "))
+      .filter(w => w.length >= 2 && w.length <= maxWordLen)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def subCounts(lo: Int, hi: Int): Map[String, Long] =
+      words.toSeq.flatMap { case (w, c) =>
+        for {
+          l <- lo to hi
+          s <- 0 to w.length - l
+        } yield (w.substring(s, s + l), c)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val chars = subCounts(1, 1)
+    val multi = subCounts(2, maxPieceLen).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(topPieces)
+    val vocab = chars.toSeq ++ multi
+    val total = vocab.map(_._2).sum.toDouble
+    val cost = vocab.map { case (p, c) =>
+      p -> math.floor(-math.log(c / total) * 1e6 + 0.5).toLong }.toMap
+    val Big = 1000000000000L
+    def viterbi(w: String): Long = {
+      val dp = Array.fill(w.length + 1)(Big); dp(0) = 0L
+      for (i <- 1 to w.length; l <- 1 to math.min(maxPieceLen, i)) {
+        val c = cost.getOrElse(w.substring(i - l, i), Big)
+        if (dp(i - l) + c < dp(i)) dp(i) = dp(i - l) + c
+      }
+      dp(w.length)
+    }
+    words.toSeq.sortBy { case (w, c) => (-c, w) }.take(topWords)
+      .map { case (w, c) => (w, c, viterbi(w)) }.sortBy(_._1)
+  }
+
+  test("unigramSegment equals the plain-Scala whole-law replay") {
+    val texts = Seq(
+      "abab abab cdcd ababcd xyz",
+      "abab zq zq ababab cdcd cd cd",
+      "wxyz abcdab cdab zq abab")
+    val got = TextOps.unigramSegment(texts.toDF("text"), topPieces = 4,
+        topWords = 10, maxPieceLen = 3, maxWordLen = 8)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val exp = unigramReference(texts, 4, 10, 3, 8)
+    assert(got == exp, s"got $got\nexp $exp")
+  }
+
+  test("unigramSegment: Viterbi beats greedy longest-match where they differ") {
+    // corpus tuned so 'bc' is frequent but 'ab' never makes the top-K:
+    // for the word "abc", greedy longest-match from the left would try
+    // ab|c; the min-cost segmentation is a|bc. The DP must land on a+bc.
+    val texts = Seq("abc bcbc bcbc bcbc aa aa aa")
+    val got = TextOps.unigramSegment(texts.toDF("text"), topPieces = 2,
+        topWords = 10, maxPieceLen = 3, maxWordLen = 8)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    // reference costs: chars a/b/c and top-2 multis {bc, aa}
+    val exp = unigramReference(texts, 2, 10, 3, 8).map(r => r._1 -> r._3).toMap
+    assert(got == exp)
+    // the a|bc path is strictly cheaper than a|b|c (the all-chars path):
+    // optimality is visible, not vacuous
+    val counts = Map("a" -> 7L, "b" -> 7L, "c" -> 7L, "bc" -> 7L, "aa" -> 3L)
+    val tot = counts.values.sum.toDouble
+    def c(p: String) = math.floor(-math.log(counts(p) / tot) * 1e6 + 0.5).toLong
+    assert(got("abc") == c("a") + c("bc"))
+    assert(got("abc") < c("a") + c("b") + c("c"))
+  }
 }

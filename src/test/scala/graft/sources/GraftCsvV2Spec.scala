@@ -206,4 +206,72 @@ class GraftCsvV2Spec extends SparkSpec {
       assert(rd.filter(col("k") === v).count() == 1, s"lost key $v")
     }
   }
+
+  test("aggregate pushdown: count/min/max answered from the manifest ALONE") {
+    import graft.sources.v2.GraftCsv
+    val out = java.nio.file.Files.createTempDirectory("graftcsv-agg").toString
+    val df = (0 until 200).map(i =>
+      (i, s"n$i", if (i % 10 == 0) None else Some(i * 1.5), i.toLong * 3))
+      .toDF("id", "name", "score", "big")
+    df.repartition(3).write.format(fmt).mode("overwrite").save(out)
+    def rd = spark.read.schema(schema).format(fmt).load(out)
+    def aggRow = rd.agg(
+      count(lit(1)).as("n"), count($"score").as("n_score"),
+      min($"id").as("min_id"), max($"id").as("max_id"),
+      min($"score").as("min_s"), max($"big").as("max_b")).collect().head
+    val r1 = aggRow
+    assert(GraftCsv.lastAggPushdown.get().nonEmpty, "pushdown not accepted")
+    assert(r1.getLong(0) == 200 && r1.getLong(1) == 180) // 20 planted nulls
+    assert(r1.getInt(2) == 0 && r1.getInt(3) == 199)
+    assert(r1.getDouble(4) == 1.5 && r1.getLong(5) == 597L)
+    // THE metadata-only proof: truncate every data file to its header.
+    // A data-reading plan now sees zero rows; the aggregate still answers
+    // the original values, because only the manifest was consulted.
+    GraftCsv.listDataFiles(out).foreach { p =>
+      val f = new java.io.File(p.toUri.getPath)
+      val header = scala.io.Source.fromFile(f).getLines().next()
+      val w = new java.io.PrintWriter(f); w.println(header); w.close()
+      // drop Hadoop LocalFS checksum siblings — the truncated file would
+      // otherwise fail CRC before our reader even saw it
+      new java.io.File(f.getParent, s".${f.getName}.crc").delete()
+    }
+    assert(rd.select("id").collect().isEmpty, "files were not truncated")
+    val r2 = aggRow
+    assert(r2 == r1, s"manifest-only answer drifted: $r2 vs $r1")
+  }
+
+  test("aggregate pushdown declines every shape stats cannot answer exactly") {
+    import graft.sources.v2.GraftCsv
+    val out = java.nio.file.Files.createTempDirectory("graftcsv-aggn").toString
+    val df = (0 until 100).map(i =>
+      (i, s"n$i", if (i % 10 == 0) None else Some(i * 1.5), i.toLong * 3))
+      .toDF("id", "name", "score", "big")
+    df.repartition(2).write.format(fmt).mode("overwrite").save(out)
+    def rd = spark.read.schema(schema).format(fmt).load(out)
+    def declined[T](body: => T): T = {
+      GraftCsv.lastAggPushdown.set("sentinel")
+      val r = body
+      assert(GraftCsv.lastAggPushdown.get().isEmpty,
+        "pushdown should have been declined (scan must read data)")
+      r
+    }
+    // a pushed filter invalidates whole-file stats
+    assert(declined(rd.filter($"id" >= 50).agg(min($"id")).collect())
+      .head.getInt(0) == 50)
+    // SUM has no manifest lane
+    assert(declined(rd.agg(sum($"big")).collect()).head.getLong(0) == 14850L)
+    // grouping has no manifest lane
+    assert(declined(rd.groupBy($"id" % 2).agg(max($"id")).collect()).length == 2)
+    // DISTINCT count cannot come from min/max/nulls
+    assert(declined(rd.agg(countDistinct($"id")).collect()).head.getLong(0) == 100)
+    // string columns carry no stats
+    assert(declined(rd.agg(min($"name")).collect()).head.getString(0) == "n0")
+    // one unanswerable function poisons the whole pushdown (all-or-nothing)
+    val mixed = declined(rd.agg(min($"id"), sum($"id")).collect()).head
+    assert(mixed.getInt(0) == 0 && mixed.getLong(1) == 4950L)
+    // a table whose manifest is gone answers from data — never wrongly skips
+    new java.io.File(s"$out/_stats.csv").delete()
+    val noStats = declined(rd.agg(count(lit(1)), min($"id")).collect()).head
+    assert(noStats.getLong(0) == 100 && noStats.getInt(1) == 0)
+  }
 }
