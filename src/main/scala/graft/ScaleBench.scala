@@ -354,7 +354,15 @@ object ScaleBench {
     // temperature mixture (|sources|-domain reduce — should be scan-
     // bound flat) and the unigram Viterbi (vocab-domain DP; Heaps-law
     // sublinear in corpus size)
-    "q342_temperature_mixture", "q343_unigram_segment")
+    "q342_temperature_mixture", "q343_unigram_segment",
+    // storage-partitioned join: both keyed writes + the zero-exchange
+    // join — the measured cost is the two writes; the join itself never
+    // shuffles at any scale
+    "q344_spj",
+    // parameterized SQL (plain grouped reduce under the binding surface)
+    // and HyperBall (exact closure lane is lattice-O(1)-ball linear; the
+    // sketch lane is the constant-memory-per-node scale path)
+    "q345_param_sql", "q346_neighborhood")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

@@ -4771,6 +4771,88 @@ object SparkEntry {
     "q343_unigram_segment" -> ((s, dir) =>
       TextOps.unigramSegment(t(s, dir, "documents"))
         .orderBy("w"))
+,
+    // STORAGE-PARTITIONED JOIN (the Iceberg SPJ shape, implemented in the
+    // custom DSv2 source): both sides are written KEY-GROUPED
+    // (partition_col routes every row to a key-pure file; `_keys.csv`
+    // records file → key), the scans report KeyGroupedPartitioning over
+    // identity(k) with HasPartitionKey splits, and under
+    // spark.sql.sources.v2.bucketing.enabled Spark lines the key groups
+    // up and plans the join with ZERO shuffle — the q214 bucketed-join
+    // contract moved from Spark's Hive-bucket layout into a source we
+    // own end to end. require() pins the no-exchange plan; the plain
+    // oracle pins the values.
+    "q344_spj" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val fmt = "graft.sources.v2.GraftCsv"
+      val pa = rtPath("spj_li"); val pb = rtPath("spj_ord")
+      t(s2, dir, "lineitem").select(
+          (col("l_orderkey") % 32).cast("long").as("k"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"))
+        .repartition(32, col("k"))
+        .write.format(fmt).option("partition_col", "k")
+        .mode("overwrite").save(pa)
+      t(s2, dir, "orders").select(
+          (col("o_orderkey") % 32).cast("long").as("k"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("oprice_c"))
+        .groupBy("k").agg(count(lit(1)).as("n_ord"),
+          sum("oprice_c").as("osum_c"))
+        .repartition(32, col("k"))
+        .write.format(fmt).option("partition_col", "k")
+        .mode("overwrite").save(pb)
+      val sa = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("price_c", org.apache.spark.sql.types.LongType)))
+      val sb = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_ord", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("osum_c", org.apache.spark.sql.types.LongType)))
+      val a = s2.read.schema(sa).format(fmt).load(pa)
+      val b = s2.read.schema(sb).format(fmt).load(pb)
+      val df = a.join(b, "k").groupBy("k")
+        .agg(count(lit(1)).as("n_li"), sum("price_c").as("rev_c"),
+          min("n_ord").as("n_ord"), min("osum_c").as("osum_c"))
+        .orderBy("k")
+      df.collect() // ≤32-row steering read: finalize the adaptive plan
+      val plan = df.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange hashpartitioning"),
+        s"storage-partitioned join still shuffles:\n$plan")
+      df
+    }),
+
+    // PARAMETERIZED SQL (named parameter markers, the injection-safe
+    // production query surface): the statement text carries :cap/:excl
+    // markers and the values arrive as a typed args map — the oracle is
+    // the same query with the literals inlined, so the gate pins that
+    // binding is positionally and type-faithful.
+    "q345_param_sql" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderstatus, count(*) AS n,
+          |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |            AS BIGINT) AS price_c_sum
+          |FROM orders
+          |WHERE o_totalprice < :cap AND o_orderstatus <> :excl
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+        Map("cap" -> 150000.0, "excl" -> "Z"))
+    }),
+
+    // HYPERBALL / ANF neighborhood function (Boldi-Vigna): per node the
+    // ≤2-hop ball size over the node lattice — exact counts from the
+    // bounded reach-pair closure (the gate lane), and the mergeable-HLL
+    // sketch rounds next to them (the 100 TB lane: one join + one
+    // hll_union_agg per hop, constant memory per node). The q87 device:
+    // the oracle pins the exact counts and the bound flag; at these ball
+    // sizes the sparse-mode sketch is exact, so sketch_ok = TRUE is a
+    // hard cross-engine agreement, not a hope.
+    "q346_neighborhood" -> ((s, dir) => {
+      val n = Derive.nodes(s, dir)
+      GraphOps.neighborhoodFunction(n, Derive.edges(n))
+        .orderBy("node")
+    })
   )
 
   /** The ASCII-explicit GPT-2-ish pretokenizer alternation shared by
@@ -11081,6 +11163,50 @@ object SparkEntry {
         |SELECT s.w, CAST(s.cnt AS BIGINT) AS cnt,
         |       min(d.cost) AS cost_micro
         |FROM sel s JOIN dp d ON d.w = s.w AND d.i = len(s.w)
-        |GROUP BY s.w, s.cnt ORDER BY s.w""".stripMargin
+        |GROUP BY s.w, s.cnt ORDER BY s.w""".stripMargin,
+
+    // The PLAIN join — no keyed layout, no SPJ: result identity under
+    // the zero-exchange plan is the whole contract (the q214/q336
+    // device).
+    "q344_spj" ->
+      """WITH a AS (SELECT l_orderkey % 32 AS k,
+        |                  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+        |           FROM lineitem),
+        |     b AS (SELECT o_orderkey % 32 AS k, count(*) AS n_ord,
+        |                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |                    AS BIGINT) AS osum_c
+        |           FROM orders GROUP BY 1)
+        |SELECT a.k, count(*) AS n_li,
+        |       CAST(sum(a.price_c) AS BIGINT) AS rev_c,
+        |       min(b.n_ord) AS n_ord, min(b.osum_c) AS osum_c
+        |FROM a JOIN b ON b.k = a.k
+        |GROUP BY a.k ORDER BY a.k""".stripMargin,
+
+    // q345's statement with the parameter values inlined as literals.
+    "q345_param_sql" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS price_c_sum
+        |FROM orders
+        |WHERE o_totalprice < 150000.0 AND o_orderstatus <> 'Z'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // Exact ≤2-hop ball sizes via bounded recursive closure; the sketch
+    // bound flag is pinned TRUE (sparse-mode HLL is exact at these ball
+    // sizes — a wrong estimate fails the hash).
+    "q346_neighborhood" ->
+      """WITH RECURSIVE %NODES%,
+        |%EDGES%,
+        |%SYM%,
+        |r(v, m, d) AS (
+        |  SELECT node_idx, node_idx, 0 FROM nodes
+        |  UNION
+        |  SELECT r.v, s.v, r.d + 1 FROM r JOIN sym s ON s.u = r.m
+        |  WHERE r.d < 2)
+        |SELECT v AS node, count(DISTINCT m) AS exact_ball, TRUE AS sketch_ok
+        |FROM r GROUP BY 1 ORDER BY node""".stripMargin
+          .replace("%NODES%", Derive.Sql.nodes)
+          .replace("%EDGES%", Derive.Sql.edges)
+          .replace("%SYM%", Derive.Sql.symEdges)
   )
 }

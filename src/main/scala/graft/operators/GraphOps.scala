@@ -601,6 +601,56 @@ object GraphOps {
     reach
   }
 
+  /** NEIGHBORHOOD FUNCTION via mergeable HLL sketches (the HyperBall /
+    * ANF algorithm, Boldi-Vigna 2011): |B(v, h)| — how many nodes lie
+    * within ≤h hops of v — for EVERY node simultaneously, the primitive
+    * behind effective-diameter, closeness-centrality, and reachability
+    * profiling at web scale. Per round every node's ball sketch is the
+    * HLL union of its own and its neighbors' previous-round sketches —
+    * one join + one `hll_union_agg` per hop, constant memory per node
+    * (the 2^lgK register array), NEVER materializing the quadratic
+    * reach-pair set. That sketch lane is the 100 TB path.
+    *
+    * The gate lane runs the EXACT ball sizes next to it (bounded-hop
+    * reach-pair closure — linear here because lattice balls are O(1),
+    * quadratic in general, which is exactly why HyperBall exists) and
+    * emits the q87/q199 device: the exact count, engine-agreed, plus a
+    * bound flag the oracle can also state (estimate within 5% — at ball
+    * sizes ≪ 2^lgK the DataSketches HLL is in exact sparse mode, so the
+    * flag is a hard equality in practice). */
+  def neighborhoodFunction(nodes: DataFrame, edges: DataFrame, hops: Int = 2,
+                           lgK: Int = 12): DataFrame = {
+    require(hops >= 1 && lgK >= 4, s"bad hops=$hops lgK=$lgK")
+    val sym = edges.select(col("u").as("uu"), col("v").as("vv"))
+      .union(edges.select(col("v").as("uu"), col("u").as("vv")))
+      .localCheckpoint()
+    // exact lane: bounded reach-pair closure (v, member)
+    var pairs = nodes.select(col("node_idx").as("v"), col("node_idx").as("m"))
+    (1 to hops).foreach { _ =>
+      val step = pairs.join(sym, pairs("m") === col("uu"))
+        .select(col("v"), col("vv").as("m"))
+      pairs = pairs.union(step).distinct().localCheckpoint()
+    }
+    val exact = pairs.groupBy("v").agg(count(lit(1)).as("exact_ball"))
+    // sketch lane: HyperBall rounds over binary HLL sketch columns
+    var sk = nodes.groupBy(col("node_idx").as("v"))
+      .agg(expr(s"hll_sketch_agg(node_idx, $lgK)").as("sk"))
+      .localCheckpoint()
+    (1 to hops).foreach { _ =>
+      val fromNbr = sk.join(sym, sk("v") === col("uu"))
+        .select(col("vv").as("v"), col("sk"))
+      sk = sk.select(col("v"), col("sk")).union(fromNbr)
+        .groupBy("v").agg(expr("hll_union_agg(sk, true)").as("sk"))
+        .localCheckpoint()
+    }
+    val est = sk.select(col("v"),
+      expr("hll_sketch_estimate(sk)").cast("long").as("est_ball"))
+    exact.join(est, Seq("v"))
+      .select(col("v").as("node"), col("exact_ball"),
+        (abs(col("est_ball") - col("exact_ball")) * 100
+          <= col("exact_ball") * 5).as("sketch_ok"))
+  }
+
   /** Newman MODULARITY of a node labeling, exact — the quality score
     * that closes the community loop (labelPropagation DETECTS, this
     * SCORES): in the directed-double-counted convention over the same

@@ -43,7 +43,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - partition planning → one InputPartition per data file (a real
   *    multi-executor source; a production variant would further split by
   *    byte range with line-boundary fixup, which header-bearing CSV makes
-  *    offset-dependent — out of scope for the contract demo).
+  *    offset-dependent — out of scope for the contract demo);
+  *  - `pushAggregation(agg)` → a global COUNT/COUNT(col)/MIN/MAX over the
+  *    table is answered from the write-time stats manifest with ZERO data
+  *    bytes read (the parquet-footer metadata-only query, implemented) —
+  *    see the method scaladoc for the exactness preconditions;
+  *  - `partition_col` write option + `outputPartitioning()` → KEY-GROUPED
+  *    layout: every landed file is key-pure, the scan reports
+  *    KeyGroupedPartitioning(identity(k)) with HasPartitionKey splits,
+  *    and two tables keyed on the join column join with ZERO shuffle
+  *    under spark.sql.sources.v2.bucketing.enabled (the Iceberg
+  *    storage-partitioned-join shape).
   *
   * Pushed-filter evaluation happens on the TYPED parsed value of only the
   * referenced columns, so a filtered scan parses `referenced ∪ required`
@@ -98,6 +108,35 @@ object GraftCsv {
                      bloom: String = "")
 
   private[v2] val ManifestName = "_stats.csv"
+
+  /** Key-grouped layout metadata (`file,col,value` lines): each keyed
+    * file's single partition-key value — what lets the scan report
+    * KeyGroupedPartitioning for storage-partitioned joins. */
+  private[v2] val KeysName = "_keys.csv"
+
+  private[sources] def readKeys(path: String): Map[String, (String, Long)] = {
+    val m = new Path(path, KeysName)
+    val fs = m.getFileSystem(new Configuration())
+    if (!fs.exists(m)) return Map.empty
+    val in = fs.open(m)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().flatMap { l =>
+      l.split(",", -1) match {
+        case Array(f, c, v) => Some(f -> ((c, v.toLong)))
+        case _ => None
+      }
+    }.toMap finally in.close()
+  }
+
+  private[v2] def writeKeys(path: String,
+                            entries: Map[String, (String, Long)]): Unit = {
+    val m = new Path(path, KeysName)
+    val fs = m.getFileSystem(new Configuration())
+    val out = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(fs.create(m, true), "UTF-8"))
+    try entries.toSeq.sortBy(_._1).foreach { case (f, (c, v)) =>
+      out.write(s"$f,$c,$v"); out.newLine()
+    } finally out.close()
+  }
 
   /** Bloom geometry: m = 2¹⁶ bits, k = 4 double-hashed probes. At the
     * gate's ~7.5k keys/file that is m/n ≈ 8.7 → ~2% false-positive rate;
@@ -229,7 +268,8 @@ class GraftCsvTable(tblSchema: StructType, path: String)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftCsvScanBuilder(tblSchema, path)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftCsvWriteBuilder(info.schema(), path, info.queryId())
+    new GraftCsvWriteBuilder(info.schema(), path, info.queryId(),
+      Option(info.options().get("partition_col")))
 }
 
 /** WRITE path of the V2 contract — the "own a sink end to end"
@@ -248,29 +288,35 @@ class GraftCsvTable(tblSchema: StructType, path: String)
   * cell, quote-free — a cell containing the separator or a newline is
   * rejected LOUDLY at write time (the validated-source philosophy: fail
   * the job, don't corrupt the table). */
-class GraftCsvWriteBuilder(schema: StructType, path: String, queryId: String)
+class GraftCsvWriteBuilder(schema: StructType, path: String, queryId: String,
+                           partitionCol: Option[String])
   extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new GraftCsvBatchWrite(schema, path, queryId, doTruncate)
+      new GraftCsvBatchWrite(schema, path, queryId, doTruncate, partitionCol)
   }
 }
 
 class GraftCsvBatchWrite(schema: StructType, path: String, queryId: String,
-                         truncate: Boolean) extends BatchWrite {
+                         truncate: Boolean, partitionCol: Option[String])
+  extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftCsvWriterFactory(schema, path, queryId)
+    new GraftCsvWriterFactory(schema, path, queryId, partitionCol)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val base = new Path(path)
     val fs = base.getFileSystem(new Configuration())
-    if (truncate) GraftCsv.listDataFiles(path).foreach(f => fs.delete(f, false))
-    messages.foreach { case GraftCsvCommit(tmp, _, _) =>
-      val t = new Path(tmp)
+    if (truncate) {
+      GraftCsv.listDataFiles(path).foreach(f => fs.delete(f, false))
+      fs.delete(new Path(base, GraftCsv.KeysName), false)
+    }
+    val files = messages.flatMap { case GraftCsvCommit(fcs) => fcs }
+    files.foreach { fc =>
+      val t = new Path(fc.tmpFile)
       require(fs.rename(t, new Path(base, t.getName)),
-        s"commit rename failed for $tmp")
+        s"commit rename failed for ${fc.tmpFile}")
     }
     fs.delete(new Path(base, s"_tmp-$queryId"), true)
     // file-skipping manifest: per-file numeric min/max/null stats, written
@@ -285,10 +331,20 @@ class GraftCsvBatchWrite(schema: StructType, path: String, queryId: String,
           GraftCsv.ColStat(c, mn, mx, n, bloom)
         }))
       }
-    val added = messages.collect { case GraftCsvCommit(tmp, rows, stats) =>
-      new Path(tmp).getName -> (rows, stats)
-    }.toMap
+    val added = files.map(fc =>
+      new Path(fc.tmpFile).getName -> ((fc.rows, fc.stats))).toMap
     GraftCsv.writeManifest(path, prior ++ added)
+    // key-grouped layout metadata (the storage-partitioned-join contract):
+    // every keyed file records its single key value; the scan groups
+    // files by value and reports KeyGroupedPartitioning. Append keeps the
+    // prior generation's rows for files that still exist.
+    partitionCol.foreach { kc =>
+      val priorKeys = if (truncate) Map.empty[String, (String, Long)]
+        else GraftCsv.readKeys(path)
+      val addedKeys = files.flatMap(fc => fc.key.map(v =>
+        new Path(fc.tmpFile).getName -> ((kc, v)))).toMap
+      GraftCsv.writeKeys(path, priorKeys ++ addedKeys)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -298,81 +354,134 @@ class GraftCsvBatchWrite(schema: StructType, path: String, queryId: String,
   }
 }
 
-case class GraftCsvCommit(tmpFile: String, rows: Long,
-                          stats: Seq[GraftCsv.ColStat]) extends WriterCommitMessage
+/** One landed file: temp path, row count, skipping stats, and (keyed
+  * layouts only) the single partition-key value every row carries. */
+case class GraftCsvFileCommit(tmpFile: String, rows: Long,
+                              stats: Seq[GraftCsv.ColStat],
+                              key: Option[Long])
 
-class GraftCsvWriterFactory(schema: StructType, path: String, queryId: String)
+case class GraftCsvCommit(files: Seq[GraftCsvFileCommit]) extends WriterCommitMessage
+
+class GraftCsvWriterFactory(schema: StructType, path: String, queryId: String,
+                            partitionCol: Option[String])
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftCsvWriter(schema, path, queryId, partitionId, taskId)
+    new GraftCsvWriter(schema, path, queryId, partitionId, taskId, partitionCol)
 }
 
 class GraftCsvWriter(schema: StructType, path: String, queryId: String,
-                     partitionId: Int, taskId: Long)
+                     partitionId: Int, taskId: Long,
+                     partitionCol: Option[String])
   extends DataWriter[InternalRow] {
 
-  private val tmp = new Path(
-    new Path(path, s"_tmp-$queryId"),
-    f"part-$partitionId%05d-$taskId.csv")
-  private val fs = tmp.getFileSystem(new Configuration())
-  private val out = new java.io.BufferedWriter(
-    new java.io.OutputStreamWriter(fs.create(tmp, true), "UTF-8"))
-  out.write(schema.fieldNames.mkString(","))
-  out.newLine()
+  private val fs =
+    new Path(path).getFileSystem(new Configuration())
+  private val keyIdx: Option[Int] = partitionCol.map { kc =>
+    val i = schema.fieldNames.indexOf(kc)
+    require(i >= 0, s"partition_col '$kc' not in schema ${schema.simpleString}")
+    require(schema(i).dataType == IntegerType || schema(i).dataType == LongType,
+      s"partition_col '$kc' must be int/long (keyed layout contract)")
+    i
+  }
 
-  // per-column running stats for the skipping manifest (numeric columns
-  // only — string ranges don't skip well and would need cell escaping).
-  // Integer columns track min/max in EXACT Long lanes: a double lane
-  // would round past 2^53 and a rounded-tighter bound wrongly skips a
-  // matching file (stats must always be conservative).
+  /** One open output file + its running skipping stats. The plain write
+    * has exactly one; a keyed write (`partition_col`) holds one per key
+    * value seen by this task, so every landed file is KEY-PURE — the
+    * property KeyGroupedPartitioning reports to the planner. */
+  private class FileSink(val tmp: Path, val key: Option[Long]) {
+    val out = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(fs.create(tmp, true), "UTF-8"))
+    out.write(schema.fieldNames.mkString(","))
+    out.newLine()
+
+    // per-column running stats for the skipping manifest (numeric columns
+    // only — string ranges don't skip well and would need cell escaping).
+    // Integer columns track min/max in EXACT Long lanes: a double lane
+    // would round past 2^53 and a rounded-tighter bound wrongly skips a
+    // matching file (stats must always be conservative).
+    val statMinL = Array.fill[Long](schema.length)(Long.MaxValue)
+    val statMaxL = Array.fill[Long](schema.length)(Long.MinValue)
+    val statMinD = Array.fill[Double](schema.length)(Double.PositiveInfinity)
+    val statMaxD = Array.fill[Double](schema.length)(Double.NegativeInfinity)
+    val statSeen = new Array[Boolean](schema.length)
+    val statNulls = new Array[Long](schema.length)
+    // per-integer-column Bloom bitsets for equality skipping (8 KiB each)
+    val statBloom: Array[Array[Byte]] = schema.fields.map { f =>
+      if (f.dataType == IntegerType || f.dataType == LongType)
+        new Array[Byte](GraftCsv.BloomBits / 8)
+      else null
+    }
+    var rowCount = 0L
+
+    def trackStats(row: InternalRow): Unit = {
+      rowCount += 1
+      numericIdx.foreach { i =>
+        if (row.isNullAt(i)) statNulls(i) += 1
+        else {
+          statSeen(i) = true
+          schema(i).dataType match {
+            case DoubleType =>
+              val v = row.getDouble(i)
+              if (v < statMinD(i)) statMinD(i) = v
+              if (v > statMaxD(i)) statMaxD(i) = v
+            case dt =>
+              val v = if (dt == IntegerType) row.getInt(i).toLong else row.getLong(i)
+              if (v < statMinL(i)) statMinL(i) = v
+              if (v > statMaxL(i)) statMaxL(i) = v
+              GraftCsv.bloomBits(v).foreach { bit =>
+                statBloom(i)(bit >>> 3) =
+                  (statBloom(i)(bit >>> 3) | (1 << (bit & 7))).toByte
+              }
+          }
+        }
+      }
+    }
+
+    def renderStat(i: Int, isMin: Boolean): String =
+      if (!statSeen(i)) "" // all-null column
+      else schema(i).dataType match {
+        case DoubleType => (if (isMin) statMinD(i) else statMaxD(i)).toString
+        case _ => (if (isMin) statMinL(i) else statMaxL(i)).toString
+      }
+
+    def toCommit: GraftCsvFileCommit = {
+      out.close()
+      GraftCsvFileCommit(tmp.toString, rowCount,
+        numericIdx.toSeq.map(i => GraftCsv.ColStat(schema(i).name,
+          renderStat(i, isMin = true), renderStat(i, isMin = false), statNulls(i),
+          bloom = if (statBloom(i) != null && statSeen(i))
+            java.util.Base64.getEncoder.encodeToString(statBloom(i)) else "")),
+        key)
+    }
+  }
+
   private val numericIdx: Array[Int] = schema.fields.zipWithIndex.collect {
     case (f, i) if f.dataType == IntegerType || f.dataType == LongType ||
       f.dataType == DoubleType => i
   }
-  private val statMinL = Array.fill[Long](schema.length)(Long.MaxValue)
-  private val statMaxL = Array.fill[Long](schema.length)(Long.MinValue)
-  private val statMinD = Array.fill[Double](schema.length)(Double.PositiveInfinity)
-  private val statMaxD = Array.fill[Double](schema.length)(Double.NegativeInfinity)
-  private val statSeen = new Array[Boolean](schema.length)
-  private val statNulls = new Array[Long](schema.length)
-  // per-integer-column Bloom bitsets for equality skipping (8 KiB each)
-  private val statBloom: Array[Array[Byte]] = schema.fields.map { f =>
-    if (f.dataType == IntegerType || f.dataType == LongType)
-      new Array[Byte](GraftCsv.BloomBits / 8)
-    else null
-  }
-  private var rowCount = 0L
 
-  private def trackStats(row: InternalRow): Unit = {
-    rowCount += 1
-    numericIdx.foreach { i =>
-      if (row.isNullAt(i)) statNulls(i) += 1
-      else {
-        statSeen(i) = true
-        schema(i).dataType match {
-          case DoubleType =>
-            val v = row.getDouble(i)
-            if (v < statMinD(i)) statMinD(i) = v
-            if (v > statMaxD(i)) statMaxD(i) = v
-          case dt =>
-            val v = if (dt == IntegerType) row.getInt(i).toLong else row.getLong(i)
-            if (v < statMinL(i)) statMinL(i) = v
-            if (v > statMaxL(i)) statMaxL(i) = v
-            GraftCsv.bloomBits(v).foreach { bit =>
-              statBloom(i)(bit >>> 3) =
-                (statBloom(i)(bit >>> 3) | (1 << (bit & 7))).toByte
-            }
-        }
+  private def tmpPath(suffix: String): Path = new Path(
+    new Path(path, s"_tmp-$queryId"),
+    f"part-$partitionId%05d-$taskId$suffix.csv")
+
+  // plain write: one sink; keyed write: lazily one sink per key value
+  private val sinks = new java.util.LinkedHashMap[Long, FileSink]()
+  private lazy val plainSink = new FileSink(tmpPath(""), None)
+
+  private def sinkFor(row: InternalRow): FileSink = keyIdx match {
+    case None => plainSink
+    case Some(ki) =>
+      require(!row.isNullAt(ki),
+        s"NULL in partition_col '${schema(ki).name}' (keyed layout contract)")
+      val k = if (schema(ki).dataType == IntegerType) row.getInt(ki).toLong
+        else row.getLong(ki)
+      var s = sinks.get(k)
+      if (s == null) {
+        s = new FileSink(tmpPath(s"-k$k"), Some(k))
+        sinks.put(k, s)
       }
-    }
+      s
   }
-
-  private def renderStat(i: Int, isMin: Boolean): String =
-    if (!statSeen(i)) "" // all-null column
-    else schema(i).dataType match {
-      case DoubleType => (if (isMin) statMinD(i) else statMaxD(i)).toString
-      case _ => (if (isMin) statMinL(i) else statMaxL(i)).toString
-    }
 
   private def cell(row: InternalRow, i: Int): String =
     if (row.isNullAt(i)) ""
@@ -390,23 +499,23 @@ class GraftCsvWriter(schema: StructType, path: String, queryId: String,
     }
 
   override def write(row: InternalRow): Unit = {
-    out.write((0 until schema.length).map(cell(row, _)).mkString(","))
-    out.newLine()
-    trackStats(row)
+    val sink = sinkFor(row)
+    sink.out.write((0 until schema.length).map(cell(row, _)).mkString(","))
+    sink.out.newLine()
+    sink.trackStats(row)
   }
 
-  override def commit(): WriterCommitMessage = {
-    out.close()
-    GraftCsvCommit(tmp.toString, rowCount,
-      numericIdx.toSeq.map(i => GraftCsv.ColStat(schema(i).name,
-        renderStat(i, isMin = true), renderStat(i, isMin = false), statNulls(i),
-        bloom = if (statBloom(i) != null && statSeen(i))
-          java.util.Base64.getEncoder.encodeToString(statBloom(i)) else "")))
+  private def allSinks: Seq[FileSink] = keyIdx match {
+    case None => Seq(plainSink)
+    case Some(_) => sinks.values.asScala.toSeq
   }
 
-  override def abort(): Unit = {
-    out.close()
-    fs.delete(tmp, false)
+  override def commit(): WriterCommitMessage =
+    GraftCsvCommit(allSinks.map(_.toCommit))
+
+  override def abort(): Unit = allSinks.foreach { s =>
+    s.out.close()
+    fs.delete(s.tmp, false)
   }
 
   override def close(): Unit = ()
@@ -565,14 +674,16 @@ class GraftCsvAggReaderFactory extends PartitionReaderFactory {
 }
 
 class GraftCsvScan(fullSchema: StructType, required: StructType,
-                   pushed: Array[Filter], path: String) extends Scan with Batch {
+                   pushed: Array[Filter], path: String)
+  extends Scan with Batch with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftCsvScan path=$path, ReadSchema: ${required.simpleString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** Files surviving manifest skipping, in listing order. */
+  private def keptFiles: Seq[Path] = {
     val all = GraftCsv.listDataFiles(path)
     // file skipping: drop files whose manifest min/max PROVE no line can
     // pass the pushed filters — the custom-source analogue of parquet
@@ -586,7 +697,60 @@ class GraftCsvScan(fullSchema: StructType, required: StructType,
         .forall(stats => GraftCsv.mayMatch(stats, fullSchema, pushed))
     }
     GraftCsv.lastSkipStats.set((kept.length, all.length))
-    kept.map(f => GraftCsvPartition(f.toString)).toArray
+    kept
+  }
+
+  /** Key-grouped layout, when this table proves one: every kept file is
+    * listed in `_keys.csv` under one shared key column. Returns
+    * (key column field, value → files). A file the keys metadata does
+    * not cover (e.g. written without `partition_col` into the same dir)
+    * voids the claim — correctness first, the layout is then unordered. */
+  private def keyedLayout(kept: Seq[Path]): Option[(StructField, Seq[(Long, Seq[Path])])] = {
+    val keys = GraftCsv.readKeys(path)
+    if (keys.isEmpty) return None
+    val entries = kept.map(f => keys.get(f.getName).map(kv => (f, kv)))
+    if (entries.exists(_.isEmpty)) return None
+    val flat = entries.flatten
+    val cols = flat.map(_._2._1).distinct
+    if (cols.length != 1) return None
+    fullSchema.fields.find(_.name == cols.head).map { field =>
+      (field, flat.groupBy(_._2._2).toSeq.sortBy(_._1)
+        .map { case (v, fs) => (v, fs.map(_._1)) })
+    }
+  }
+
+  /** Storage-partitioned-join contract: a keyed layout reports
+    * KeyGroupedPartitioning over identity(keyCol) — Spark then plans
+    * joins between two tables keyed on the same column with ZERO
+    * shuffle (spark.sql.sources.v2.bucketing.enabled): each key group
+    * on the left lines up with the same key's group on the right, the
+    * exchange that dominates repeated fact-to-fact joins at 100 TB
+    * happens once, at write time. identity (not bucket) on purpose: a
+    * path-based provider has no FunctionCatalog for Spark to resolve a
+    * bucket transform against. */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val kept = keptFiles
+    keyedLayout(kept) match {
+      case Some((field, groups)) if required.fieldNames.contains(field.name) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.identity(field.name)),
+          groups.length)
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(kept.length)
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val kept = keptFiles
+    keyedLayout(kept) match {
+      case Some((field, groups)) if required.fieldNames.contains(field.name) =>
+        groups.map { case (v, fs) =>
+          GraftCsvKeyedPartition(fs.map(_.toString), v,
+            field.dataType == IntegerType): InputPartition
+        }.toArray
+      case _ => kept.map(f =>
+        GraftCsvPartition(f.toString): InputPartition).toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -595,11 +759,37 @@ class GraftCsvScan(fullSchema: StructType, required: StructType,
 
 case class GraftCsvPartition(file: String) extends InputPartition
 
+/** All files of one partition-key group; `partitionKey` is what Spark's
+  * key-grouped planning lines up across join sides. */
+case class GraftCsvKeyedPartition(files: Seq[String], key: Long, keyIsInt: Boolean)
+  extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    if (keyIsInt) InternalRow(key.toInt) else InternalRow(key)
+}
+
 class GraftCsvReaderFactory(fullSchema: StructType, required: StructType,
                             pushed: Array[Filter]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftCsvReader(fullSchema, required, pushed,
-      partition.asInstanceOf[GraftCsvPartition].file)
+    partition match {
+      case GraftCsvPartition(f) =>
+        new GraftCsvReader(fullSchema, required, pushed, f)
+      case GraftCsvKeyedPartition(files, _, _) =>
+        new PartitionReader[InternalRow] {
+          private val readers = files.iterator
+          private var cur: GraftCsvReader = _
+          override def next(): Boolean = {
+            while (true) {
+              if (cur != null && cur.next()) return true
+              if (cur != null) cur.close()
+              if (!readers.hasNext) { cur = null; return false }
+              cur = new GraftCsvReader(fullSchema, required, pushed, readers.next())
+            }
+            false
+          }
+          override def get(): InternalRow = cur.get()
+          override def close(): Unit = if (cur != null) cur.close()
+        }
+    }
 }
 
 /** Per-partition reader: streams one file line by line, parses only the

@@ -364,4 +364,27 @@ class GraphOpsSpec extends SparkSpec {
     val want = dist.map { case ((l, v), d) => (l, v, d) }.toSet
     assert(got == want)
   }
+
+  test("neighborhoodFunction: exact 2-hop balls on a path; sketch agrees") {
+    // path 0-1-2-3-4: balls(h=2) = {0:3, 1:4, 2:5, 3:4, 4:3}
+    val nodes = Seq(0, 1, 2, 3, 4).toDF("node_idx")
+    val edges = Seq((0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0))
+      .toDF("u", "v", "w")
+    val got = GraphOps.neighborhoodFunction(nodes, edges, hops = 2)
+      .as[(Int, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got.map(r => r._1 -> r._2) ==
+      Seq(0 -> 3L, 1 -> 4L, 2 -> 5L, 3 -> 4L, 4 -> 3L))
+    // sparse-mode HLL is exact at these sizes: every flag must hold
+    assert(got.forall(_._3), s"sketch bound failed: $got")
+  }
+
+  test("neighborhoodFunction: hops=1 is closed degree; isolated node = self") {
+    val nodes = Seq(0, 1, 2, 9).toDF("node_idx") // 9 isolated
+    val edges = Seq((0, 1, 1.0), (1, 2, 1.0)).toDF("u", "v", "w")
+    val got = GraphOps.neighborhoodFunction(nodes, edges, hops = 1)
+      .as[(Int, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got.map(r => r._1 -> r._2) ==
+      Seq(0 -> 2L, 1 -> 3L, 2 -> 2L, 9 -> 1L))
+    assert(got.forall(_._3))
+  }
 }
