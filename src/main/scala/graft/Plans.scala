@@ -301,7 +301,28 @@ object Plans {
       ("Landmark BFS sketch: each hop round is one equi-join of the " +
         "previous frontier against the symmetrized edges plus one " +
         "min-aggregate — frontier rows bounded by |V|x|landmarks|; no " +
-        "cartesian, no per-node driver loop."))
+        "cartesian, no per-node driver loop."),
+    "q339_dpp" ->
+      ("Dynamic partition pruning: the fact scan's PartitionFilters " +
+        "carry a dynamicpruning expression fed by the dimension's " +
+        "broadcast — the scan reads 5 of 25 hive partitions at every " +
+        "scale even though the selective filter is on a NON-join " +
+        "column. The gate require()s the dynamicpruning marker " +
+        "in-plan; result identity vs the plain join proves it drops " +
+        "nothing."),
+    "q341_dsv2_agg" ->
+      ("DSv2 aggregate pushdown (metadata-only query): the BatchScan is " +
+        "a GraftCsvAggScan — one stats row per FILE from the write-time " +
+        "manifest, zero data bytes read — and Spark's final aggregate " +
+        "folds the per-file rows (min of mins, sum of counts). The spec " +
+        "proves the no-data-read claim by truncating every data file to " +
+        "its header and re-running."),
+    "q344_spj" ->
+      ("Storage-partitioned join: both GraftCsv scans report " +
+        "KeyGroupedPartitioning(identity(k)) from the key-pure file " +
+        "layout, so the join and the post-join aggregate plan with NO " +
+        "hashpartitioning exchange anywhere — the only Exchange is the " +
+        "presentation sort. The shuffle happened once, at write time."))
 
   /** Streaming gates: the interesting plan is the per-micro-batch
     * physical plan (state-store operators exist only at runtime), which
