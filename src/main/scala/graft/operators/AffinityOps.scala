@@ -39,9 +39,21 @@ object AffinityOps {
     // item supports, both self-join sides) — uncut, the distinct's
     // shuffle and the upstream scan re-run per consumer (the q178
     // triple-scan family; ReusedExchange only covers the join sides).
+    // persist(MEMORY_AND_DISK), NOT localCheckpoint: this frame is
+    // CORPUS-sized (one row per basket-item presence), and
+    // localCheckpoint PINS its blocks (truncated lineage makes them
+    // unevictable), so at 100× storage starved execution memory and
+    // OOM'd the JVM — caught by the refreshed second-decade session the
+    // moment q162 entered the mechanical set. A disk-backed persist
+    // keeps the reuse (four consumers, one computation) while letting
+    // the memory manager evict under pressure; lineage here is one
+    // scan + one distinct, so the eviction re-read is cheap and the
+    // re-planning cost localCheckpoint existed to cut does not apply
+    // (that cost is the ITERATIVE-lineage class: PQ trainings, frontier
+    // rounds).
     val present = items.select(col(basketCol).as("basket"), col(itemCol).as("item"))
       .distinct()
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBaskets = present.select(countDistinct("basket").as("n_baskets"))
     val support = present.groupBy("item").agg(count(lit(1)).as("n_i"))
     val pairs = present.as("a")
