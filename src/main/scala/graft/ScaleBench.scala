@@ -461,9 +461,21 @@ object ScaleBench {
     // Local iteration aid (unset in full runs): restrict to a comma-
     // separated query subset, same contract as Bench/Verify.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    // clearCache + GC per boundary: the GC makes ContextCleaner reclaim
-    // localCheckpoint blocks deterministically (see Bench.resetSession).
-    def reset(): Unit = { spark.catalog.clearCache(); System.gc() }
+    // Per-boundary reset, three layers: the SQL cache (clearCache), then
+    // EVERY RDD-level persisted block — localCheckpoint/persist blocks are
+    // NOT in the SQL cache, and waiting for ContextCleaner (async, GC-
+    // driven) let 48 queries' worth of 100×-sized pinned blocks pile up
+    // until the scaled phase opened with zero free execution memory
+    // (q23's UNABLE_TO_ACQUIRE_MEMORY → JVM heap OOM, 2026-08-16 session).
+    // Blocking unpersist frees them deterministically; between queries no
+    // cross-query RDD state exists, so this is always safe. GC last, for
+    // whatever the cleaner still holds.
+    def reset(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
     val selected = ScaleQueries.filter(q => only.forall(_.contains(q)))
     // Two timing layouts. Interleaved (default, k=10 full runs): per query
     // warm→base→scaled, so each ratio is measured back-to-back. Bases-first
