@@ -97,15 +97,26 @@ object GraftCsv {
   }
 
   /** Per-(file, numeric column) write-time statistics: the manifest rows
-    * behind file skipping. min/max rendered as text ("" = all-null);
-    * `bloom` is a base64 64-Kibit 4-hash Bloom filter over the column's
-    * values (integer columns only, "" = none) — the equality-predicate
-    * complement to min/max range pruning: interleaved key layouts leave
-    * every file's range covering every probe, but a point lookup still
-    * prunes through the blooms (the Delta/Iceberg bloom-skipping shape,
-    * re-implemented in the custom source). */
+    * behind file skipping. min/max rendered as text ("" = no non-NaN
+    * non-null value in the file); `bloom` is a base64 64-Kibit 4-hash
+    * Bloom filter over the column's values (integer columns only,
+    * "" = none) — the equality-predicate complement to min/max range
+    * pruning: interleaved key layouts leave every file's range covering
+    * every probe, but a point lookup still prunes through the blooms
+    * (the Delta/Iceberg bloom-skipping shape, re-implemented in the
+    * custom source). `nan` marks a double column that contains at least
+    * one NaN — min/max then cover only the finite values and can prove
+    * NOTHING about comparisons (Spark orders NaN above every double and
+    * NaN = NaN is true), so skipping and min/max pushdown both stand
+    * down for that column (parquet drops stats for NaN-bearing columns;
+    * same posture, made explicit). */
   case class ColStat(col: String, min: String, max: String, nulls: Long,
-                     bloom: String = "")
+                     bloom: String = "", nan: Boolean = false)
+
+  /** One manifest row as read back: min/max text, null count, file row
+    * count, bloom, NaN marker. */
+  case class FileColStats(min: String, max: String, nulls: Long, rows: Long,
+                          bloom: String, nan: Boolean)
 
   private[v2] val ManifestName = "_stats.csv"
 
@@ -119,9 +130,14 @@ object GraftCsv {
     val fs = m.getFileSystem(new Configuration())
     if (!fs.exists(m)) return Map.empty
     val in = fs.open(m)
+    // tolerant like readManifest: a malformed value cell drops the LINE,
+    // so a corrupt keys file degrades to the unordered-layout fallback
+    // (keyedLayout voids the claim when any file lacks a key) instead of
+    // failing every scan of the table with a NumberFormatException
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().flatMap { l =>
       l.split(",", -1) match {
-        case Array(f, c, v) => Some(f -> ((c, v.toLong)))
+        case Array(f, c, v) =>
+          scala.util.Try(v.toLong).toOption.map(n => f -> ((c, n)))
         case _ => None
       }
     }.toMap finally in.close()
@@ -177,10 +193,14 @@ object GraftCsv {
     * in-plan-require hook for the metadata-only-aggregate gate. */
   val lastAggPushdown = new java.util.concurrent.atomic.AtomicReference[String]("")
 
-  /** Manifest: file → col → (min, max, nulls, rows, bloom). Absent or
-    * unparseable → empty (files without stats are never skipped). Rows
-    * may be 6-field (pre-bloom, bloom = "") or 7-field. */
-  private[sources] def readManifest(path: String): Map[String, Map[String, (String, String, Long, Long, String)]] = {
+  /** Manifest: file → col → [[FileColStats]]. Absent or unparseable →
+    * empty (files without stats are never skipped). Rows may be 6-field
+    * (pre-bloom), 7-field (pre-NaN-marker) or 8-field; a missing NaN
+    * marker reads as `nan = true` for doubles ONLY when min/max are
+    * blank-but-rows-nonzero is impossible to distinguish here, so legacy
+    * 7-field rows read `nan = false` — legacy manifests written before
+    * NaN tracking are regenerated on the next write of the table. */
+  private[sources] def readManifest(path: String): Map[String, Map[String, FileColStats]] = {
     val m = new Path(path, ManifestName)
     val fs = m.getFileSystem(new Configuration())
     if (!fs.exists(m)) return Map.empty
@@ -190,9 +210,11 @@ object GraftCsv {
       lines.flatMap { l =>
         l.split(",", -1) match {
           case Array(f, c, mn, mx, nulls, rows) =>
-            Some((f, c, (mn, mx, nulls.toLong, rows.toLong, "")))
+            Some((f, c, FileColStats(mn, mx, nulls.toLong, rows.toLong, "", nan = false)))
           case Array(f, c, mn, mx, nulls, rows, bloom) =>
-            Some((f, c, (mn, mx, nulls.toLong, rows.toLong, bloom)))
+            Some((f, c, FileColStats(mn, mx, nulls.toLong, rows.toLong, bloom, nan = false)))
+          case Array(f, c, mn, mx, nulls, rows, bloom, nan) =>
+            Some((f, c, FileColStats(mn, mx, nulls.toLong, rows.toLong, bloom, nan == "1")))
           case _ => None
         }
       }.groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
@@ -207,7 +229,7 @@ object GraftCsv {
       new java.io.OutputStreamWriter(fs.create(m, true), "UTF-8"))
     try entries.toSeq.sortBy(_._1).foreach { case (file, (rows, stats)) =>
       stats.foreach { s =>
-        out.write(s"$file,${s.col},${s.min},${s.max},${s.nulls},$rows,${s.bloom}")
+        out.write(s"$file,${s.col},${s.min},${s.max},${s.nulls},$rows,${s.bloom},${if (s.nan) "1" else "0"}")
         out.newLine()
       }
     } finally out.close()
@@ -216,15 +238,19 @@ object GraftCsv {
   /** Can `file` (with these stats) possibly satisfy every pushed filter?
     * Missing stats for a referenced column → cannot rule the file out.
     * Integer columns compare in EXACT Long arithmetic (the manifest
-    * stores exact bounds); doubles in Double. */
-  private[v2] def mayMatch(stats: Map[String, (String, String, Long, Long, String)],
+    * stores exact bounds); doubles in Double. A NaN-bearing double
+    * column never skips on value comparisons: its min/max cover only
+    * the finite values, while under Spark semantics NaN orders above
+    * every double (so `x > v` can match via a NaN the bounds don't see)
+    * and NaN = NaN is true. */
+  private[v2] def mayMatch(stats: Map[String, FileColStats],
                            schema: StructType, filters: Array[Filter]): Boolean =
     filters.forall { f =>
       val colOpt = f.references.headOption.flatMap(stats.get)
       val dtOpt = f.references.headOption
         .flatMap(c => schema.fields.find(_.name == c)).map(_.dataType)
       (colOpt, dtOpt) match {
-        case (Some((mn, mx, nulls, rows, bloom)), Some(dt)) =>
+        case (Some(FileColStats(mn, mx, nulls, rows, bloom, nan)), Some(dt)) =>
           // cmp(bound, v): sign of (bound − filter value), exact per type
           def cmpMin(v: Any): Int = cmpB(mn, v, dt)
           def cmpMax(v: Any): Int = cmpB(mx, v, dt)
@@ -238,6 +264,8 @@ object GraftCsv {
             case _ if rows == 0 => false
             case IsNull(_) => nulls > 0
             case IsNotNull(_) => nulls < rows
+            // NaN present: range bounds prove nothing about comparisons
+            case _ if nan => true
             // value comparisons never match an all-null column
             case _ if mn.isEmpty => false
             case EqualTo(_, v) => cmpMin(v) <= 0 && cmpMax(v) >= 0 && bloomOk(v)
@@ -326,9 +354,9 @@ class GraftCsvBatchWrite(schema: StructType, path: String, queryId: String,
     // harmless — planning keys on the current listing).
     val prior = if (truncate) Map.empty[String, (Long, Seq[GraftCsv.ColStat])]
       else GraftCsv.readManifest(path).map { case (f, cols) =>
-        val rows = cols.values.headOption.map(_._4).getOrElse(0L)
-        f -> ((rows, cols.toSeq.map { case (c, (mn, mx, n, _, bloom)) =>
-          GraftCsv.ColStat(c, mn, mx, n, bloom)
+        val rows = cols.values.headOption.map(_.rows).getOrElse(0L)
+        f -> ((rows, cols.toSeq.map { case (c, s) =>
+          GraftCsv.ColStat(c, s.min, s.max, s.nulls, s.bloom, s.nan)
         }))
       }
     val added = files.map(fc =>
@@ -369,6 +397,14 @@ class GraftCsvWriterFactory(schema: StructType, path: String, queryId: String,
     new GraftCsvWriter(schema, path, queryId, partitionId, taskId, partitionCol)
 }
 
+object GraftCsvWriter {
+  /** Concurrent per-task FileSink cap for keyed writes (each is an open
+    * buffered stream + one 8 KiB bloom per int/long column). 256 keys/task
+    * × 32 tasks covers any sane pre-repartitioned layout while bounding a
+    * task's sink memory under ~16 MB even on wide integer schemas. */
+  val MaxOpenSinksPerTask = 256
+}
+
 class GraftCsvWriter(schema: StructType, path: String, queryId: String,
                      partitionId: Int, taskId: Long,
                      partitionCol: Option[String])
@@ -403,7 +439,11 @@ class GraftCsvWriter(schema: StructType, path: String, queryId: String,
     val statMaxL = Array.fill[Long](schema.length)(Long.MinValue)
     val statMinD = Array.fill[Double](schema.length)(Double.PositiveInfinity)
     val statMaxD = Array.fill[Double](schema.length)(Double.NegativeInfinity)
+    // statSeen = "a rangeable value was seen": any non-null for int/long,
+    // a non-NaN non-null for double (NaN never updates min/max — the
+    // bounds must stay conservative, see ColStat.nan)
     val statSeen = new Array[Boolean](schema.length)
+    val statNaN = new Array[Boolean](schema.length)
     val statNulls = new Array[Long](schema.length)
     // per-integer-column Bloom bitsets for equality skipping (8 KiB each)
     val statBloom: Array[Array[Byte]] = schema.fields.map { f =>
@@ -417,28 +457,30 @@ class GraftCsvWriter(schema: StructType, path: String, queryId: String,
       rowCount += 1
       numericIdx.foreach { i =>
         if (row.isNullAt(i)) statNulls(i) += 1
-        else {
-          statSeen(i) = true
-          schema(i).dataType match {
-            case DoubleType =>
-              val v = row.getDouble(i)
+        else schema(i).dataType match {
+          case DoubleType =>
+            val v = row.getDouble(i)
+            if (java.lang.Double.isNaN(v)) statNaN(i) = true
+            else {
+              statSeen(i) = true
               if (v < statMinD(i)) statMinD(i) = v
               if (v > statMaxD(i)) statMaxD(i) = v
-            case dt =>
-              val v = if (dt == IntegerType) row.getInt(i).toLong else row.getLong(i)
-              if (v < statMinL(i)) statMinL(i) = v
-              if (v > statMaxL(i)) statMaxL(i) = v
-              GraftCsv.bloomBits(v).foreach { bit =>
-                statBloom(i)(bit >>> 3) =
-                  (statBloom(i)(bit >>> 3) | (1 << (bit & 7))).toByte
-              }
-          }
+            }
+          case dt =>
+            statSeen(i) = true
+            val v = if (dt == IntegerType) row.getInt(i).toLong else row.getLong(i)
+            if (v < statMinL(i)) statMinL(i) = v
+            if (v > statMaxL(i)) statMaxL(i) = v
+            GraftCsv.bloomBits(v).foreach { bit =>
+              statBloom(i)(bit >>> 3) =
+                (statBloom(i)(bit >>> 3) | (1 << (bit & 7))).toByte
+            }
         }
       }
     }
 
     def renderStat(i: Int, isMin: Boolean): String =
-      if (!statSeen(i)) "" // all-null column
+      if (!statSeen(i)) "" // no rangeable value (all null, or all NaN)
       else schema(i).dataType match {
         case DoubleType => (if (isMin) statMinD(i) else statMaxD(i)).toString
         case _ => (if (isMin) statMinL(i) else statMaxL(i)).toString
@@ -450,7 +492,8 @@ class GraftCsvWriter(schema: StructType, path: String, queryId: String,
         numericIdx.toSeq.map(i => GraftCsv.ColStat(schema(i).name,
           renderStat(i, isMin = true), renderStat(i, isMin = false), statNulls(i),
           bloom = if (statBloom(i) != null && statSeen(i))
-            java.util.Base64.getEncoder.encodeToString(statBloom(i)) else "")),
+            java.util.Base64.getEncoder.encodeToString(statBloom(i)) else "",
+          nan = statNaN(i))),
         key)
     }
   }
@@ -477,6 +520,16 @@ class GraftCsvWriter(schema: StructType, path: String, queryId: String,
         else row.getLong(ki)
       var s = sinks.get(k)
       if (s == null) {
+        // each sink holds an open stream plus an 8 KiB bloom array per
+        // int/long column: an unbounded key domain in one task would
+        // silently exhaust handles/heap. Fail LOUDLY (the validated-source
+        // philosophy) and name the fix: route rows so each task sees a
+        // bounded key set — `df.repartition(n, col(k))` before the write.
+        require(sinks.size() < GraftCsvWriter.MaxOpenSinksPerTask,
+          s"keyed write: task $taskId opened ${sinks.size()} file sinks " +
+            s"(one per distinct '${schema(ki).name}' value) — repartition " +
+            "by the partition column before writing so each task holds at " +
+            s"most ${GraftCsvWriter.MaxOpenSinksPerTask} keys")
         s = new FileSink(tmpPath(s"-k$k"), Some(k))
         sinks.put(k, s)
       }
@@ -557,17 +610,29 @@ class GraftCsvScanBuilder(fullSchema: StructType, path: String)
     * 100 TB this turns a full scan into |files| manifest lines.
     *
     * Accepted only when the answer is PROVABLY exact from stats:
-    * no pushed filters (stats describe whole files), no grouping, every
-    * function one of CountStar / Count(numeric col, non-distinct) /
-    * Min(numeric col) / Max(numeric col), and EVERY current data file
-    * carries manifest stats for every referenced column (a file written
-    * outside the committing sink has none → decline, scan data).
+    * no pushed filters (stats describe whole files), every function one
+    * of CountStar / Count(numeric col, non-distinct) / Min(numeric col) /
+    * Max(numeric col), no Min/Max over a double column any file marks
+    * NaN-bearing (its stats cover only finite values while Spark's max
+    * must return NaN — parquet's drop-stats-on-NaN posture), and EVERY
+    * current data file carries manifest stats for every referenced
+    * column (a file written outside the committing sink has none →
+    * decline, scan data).
+    *
+    * GROUPING is accepted in exactly one shape: GROUP BY the key column
+    * of a proven key-pure layout (`partition_col` writes + `_keys.csv`
+    * covering every current file). Each file then holds rows of a single
+    * key value, so its whole-file stats ARE that group's partials — the
+    * scan emits one (key, partials…) row per file and Spark's final
+    * aggregate folds per key, the "count per tenant/partition" query
+    * answered with zero data bytes read. Any other grouping declines.
+    *
     * Partial pushdown (`supportCompletePushDown` stays false): the scan
     * emits one stats row per file and Spark's final aggregate folds them
     * (min of mins, sum of counts) — the same shape a real multi-executor
     * listing would stream. */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    if (pushed.nonEmpty || aggregation.groupByExpressions.nonEmpty) return false
+    if (pushed.nonEmpty) return false
     val files = GraftCsv.listDataFiles(path)
     if (files.isEmpty) return false
     val manifest = GraftCsv.readManifest(path)
@@ -576,14 +641,16 @@ class GraftCsvScanBuilder(fullSchema: StructType, path: String)
     // cannot even answer count(*) — decline everything
     if (perFile.exists(_.isEmpty)) return false
 
-    def numericField(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+    def namedCol(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
       e match {
         case r: NamedReference if r.fieldNames.length == 1 =>
-          fullSchema.fields.find(_.name == r.fieldNames.head).filter(f =>
-            f.dataType == IntegerType || f.dataType == LongType ||
-              f.dataType == DoubleType)
+          fullSchema.fields.find(_.name == r.fieldNames.head)
         case _ => None
       }
+    def numericField(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+      namedCol(e).filter(f =>
+        f.dataType == IntegerType || f.dataType == LongType ||
+          f.dataType == DoubleType)
     def parseBound(raw: String, dt: DataType): Any =
       if (raw.isEmpty) null // all-null file: MIN/MAX over it is NULL
       else dt match {
@@ -592,43 +659,81 @@ class GraftCsvScanBuilder(fullSchema: StructType, path: String)
         case DoubleType => raw.toDouble
         case _ => null
       }
-    type FileStats = Map[String, (String, String, Long, Long, String)]
-    def rowsOf(s: FileStats): Long = s.values.head._4
+    type FileStats = Map[String, GraftCsv.FileColStats]
+    def rowsOf(s: FileStats): Long = s.values.head.rows
 
-    // each answerable function → (output field, per-file stats extractor)
-    val planned: Array[Option[(StructField, FileStats => Any)]] =
+    // grouping: only GROUP BY the key column of a key-pure layout
+    val groupField: Option[StructField] = aggregation.groupByExpressions match {
+      case Array() => None
+      case Array(g) =>
+        val keys = GraftCsv.readKeys(path)
+        val field = namedCol(g).filter(f =>
+          f.dataType == IntegerType || f.dataType == LongType)
+        val pure = field.exists(f => files.forall(df =>
+          keys.get(df.getName).exists(_._1 == f.name)))
+        if (!pure) return false
+        field
+      case _ => return false // multi-column grouping: no manifest lane
+    }
+
+    // each answerable function → (output field, referenced column if any,
+    // per-file stats extractor). Carrying the column NAME in the tuple —
+    // not re-parsed from the display name — keeps the every-file-stats
+    // check exact even for columns like "star" (count → "count_star").
+    case class Planned(field: StructField, ref: Option[String],
+                       minMaxRef: Option[StructField], extract: FileStats => Any)
+    val planned: Array[Option[Planned]] =
       aggregation.aggregateExpressions.map {
         case _: CountStar =>
-          Some((StructField("count_star", LongType, nullable = false),
-            (s: FileStats) => rowsOf(s)))
+          Some(Planned(StructField("count_star", LongType, nullable = false),
+            None, None, rowsOf))
         case c: Count if !c.isDistinct =>
-          numericField(c.column).flatMap { f =>
-            Some((StructField(s"count_${f.name}", LongType, nullable = false),
-              (s: FileStats) => s.get(f.name).map(t => t._4 - t._3).orNull))
+          numericField(c.column).map { f =>
+            Planned(StructField(s"count_${f.name}", LongType, nullable = false),
+              Some(f.name), None,
+              s => s.get(f.name).map(t => t.rows - t.nulls).orNull)
           }
         case m: Min =>
           numericField(m.column).map { f =>
-            (StructField(s"min_${f.name}", f.dataType, nullable = true),
-              (s: FileStats) => s.get(f.name).map(t => parseBound(t._1, f.dataType)).orNull)
+            Planned(StructField(s"min_${f.name}", f.dataType, nullable = true),
+              Some(f.name), Some(f),
+              s => s.get(f.name).map(t => parseBound(t.min, f.dataType)).orNull)
           }
         case m: Max =>
           numericField(m.column).map { f =>
-            (StructField(s"max_${f.name}", f.dataType, nullable = true),
-              (s: FileStats) => s.get(f.name).map(t => parseBound(t._2, f.dataType)).orNull)
+            Planned(StructField(s"max_${f.name}", f.dataType, nullable = true),
+              Some(f.name), Some(f),
+              s => s.get(f.name).map(t => parseBound(t.max, f.dataType)).orNull)
           }
         case _ => None // SUM/AVG/distinct/...: stats cannot answer exactly
       }
     if (planned.exists(_.isEmpty)) return false
-    val (fields, extract) = planned.flatten.unzip
+    val plans = planned.flatten
     // referenced columns must have stats in EVERY file (a 6-field legacy
     // row or a missing column row yields null and a wrong exact answer)
-    val refCols = fields.map(_.name).zip(extract).collect {
-      case (n, _) if n != "count_star" => n.drop(n.indexOf('_') + 1)
-    }
+    val refCols = plans.flatMap(_.ref).distinct
     if (refCols.exists(c => perFile.exists(s => !s.contains(c)))) return false
+    // Min/Max over a NaN-bearing double: stats bounds exclude NaN while
+    // Spark's answer must include it (NaN sorts above all) — decline
+    val minMaxDoubles = plans.flatMap(_.minMaxRef)
+      .filter(_.dataType == DoubleType).map(_.name).distinct
+    if (minMaxDoubles.exists(c => perFile.exists(s => s.get(c).exists(_.nan))))
+      return false
 
-    val rows = perFile.map(s => extract.map(e => e(s)).toArray)
-    val desc = aggregation.aggregateExpressions.map(_.toString).mkString(", ")
+    val aggFields = plans.map(_.field)
+    val fields = groupField.toArray ++ aggFields
+    val keysByFile = groupField.map(_ => GraftCsv.readKeys(path))
+    val rows = files.zip(perFile).map { case (df, s) =>
+      val keyCell: Array[Any] = (groupField, keysByFile) match {
+        case (Some(gf), Some(keys)) =>
+          val v = keys(df.getName)._2
+          Array[Any](if (gf.dataType == IntegerType) v.toInt else v)
+        case _ => Array.empty[Any]
+      }
+      keyCell ++ plans.map(p => p.extract(s))
+    }
+    val desc = (groupField.map(f => s"group_by=${f.name}").toSeq ++
+      aggregation.aggregateExpressions.map(_.toString)).mkString(", ")
     aggScan = Some(new GraftCsvAggScan(StructType(fields), rows, path, desc))
     true
   }
@@ -675,7 +780,8 @@ class GraftCsvAggReaderFactory extends PartitionReaderFactory {
 
 class GraftCsvScan(fullSchema: StructType, required: StructType,
                    pushed: Array[Filter], path: String)
-  extends Scan with Batch with SupportsReportPartitioning {
+  extends Scan with Batch with SupportsReportPartitioning
+    with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -690,7 +796,7 @@ class GraftCsvScan(fullSchema: StructType, required: StructType,
     // row-group pruning, decided at planning time from |files| manifest
     // rows instead of any data read. Files without stats always scan.
     val manifest =
-      if (pushed.isEmpty) Map.empty[String, Map[String, (String, String, Long, Long, String)]]
+      if (pushed.isEmpty) Map.empty[String, Map[String, GraftCsv.FileColStats]]
       else GraftCsv.readManifest(path)
     val kept = all.filter { f =>
       manifest.get(f.getName)
@@ -698,6 +804,33 @@ class GraftCsvScan(fullSchema: StructType, required: StructType,
     }
     GraftCsv.lastSkipStats.set((kept.length, all.length))
     kept
+  }
+
+  /** Statistics the planner's JOIN-STRATEGY decision runs on: exact row
+    * counts from the manifest, on-disk bytes from the file listing — both
+    * over the files that SURVIVE manifest skipping, so a selective pushed
+    * filter shrinks the reported size and a post-filter small side
+    * becomes broadcastable. Without this a DSv2 relation reports
+    * `spark.sql.defaultSizeInBytes` (Long.MaxValue) and a 25-row dim
+    * table plans a sort-merge join; at 100× data that is the difference
+    * between a planned BHJ and an accidental SMJ on every dim join over
+    * the source. Files without manifest rows fall back to byte length
+    * only (row count absent → OptionalLong.empty, the honest unknown). */
+  override def estimateStatistics(): Statistics = {
+    val kept = keptFiles
+    val manifest = GraftCsv.readManifest(path)
+    val fs = new Path(path).getFileSystem(new Configuration())
+    val bytes = kept.map(f => fs.getFileStatus(f).getLen).sum
+    val rowsPerFile = kept.map(f =>
+      manifest.get(f.getName).flatMap(_.values.headOption).map(_.rows))
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        if (rowsPerFile.forall(_.isDefined))
+          java.util.OptionalLong.of(rowsPerFile.flatten.sum)
+        else java.util.OptionalLong.empty()
+    }
   }
 
   /** Key-grouped layout, when this table proves one: every kept file is
