@@ -362,7 +362,13 @@ object ScaleBench {
     // parameterized SQL (plain grouped reduce under the binding surface)
     // and HyperBall (exact closure lane is lattice-O(1)-ball linear; the
     // sketch lane is the constant-memory-per-node scale path)
-    "q345_param_sql", "q346_neighborhood")
+    "q345_param_sql", "q346_neighborhood",
+    // round 12: grouped manifest aggregate (zero-data-bytes per-key
+    // partials — the measured cost is the keyed write), the stats-driven
+    // join-strategy gate (cost = two sink writes + the broadcast join),
+    // and the SHARDED JDBC sink (q338's scale-safe twin: 8 Derby targets,
+    // expect the only super-linear row to flatten toward linear)
+    "q347_dsv2_group_agg", "q348_dsv2_stats_join", "q349_sink_jdbc_sharded")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

@@ -107,4 +107,98 @@ object Sinks {
   def readJdbc(spark: SparkSession, url: String, table: String,
                props: Properties = new Properties()): DataFrame =
     spark.read.jdbc(url, table, props)
+
+  // ------------------------------------------------- sharded JDBC (S16 @ scale)
+
+  /** SHARDED JDBC sink — the scale-safe form of [[writeJdbc]]. A single
+    * database endpoint is the one stage of the persistence story Spark
+    * cannot parallelize away: every INSERT lands in one lock space and
+    * one B-tree, so the sink's cost grows super-linearly with data
+    * (measured: 186× for 100× data into one embedded Derby — round-11
+    * SCALECHECK). Sharding hash-routes each Spark partition to one of N
+    * independent target databases: N lock spaces, N B-trees each ~1/N
+    * deep, N log streams — the aggregate-insert path stays linear while
+    * any single row remains findable by re-computing its shard.
+    *
+    * One pass over the data (`foreachPartition`, no repartition): shard
+    * of partition p = p mod N, so all of a partition's rows stream into
+    * one connection with batched inserts inside ONE transaction —
+    * the same per-partition transactional semantics Spark's native JDBC
+    * writer uses (and the same caveat: a task retry after its commit can
+    * duplicate that partition's rows; a production variant stages into
+    * per-attempt tables and promotes on the driver, the GraftCsv
+    * two-phase shape). DDL runs once per shard on the driver before any
+    * task starts. Supported cell types: int/long/double/string — the
+    * validated-source contract.
+    *
+    * Read-back is [[readJdbcSharded]]: the UNION of all shards — order
+    * is not meaningful, exactly as for a multi-partition table. */
+  def writeJdbcSharded(df: DataFrame, urls: Seq[String], table: String): Unit = {
+    require(urls.nonEmpty, "writeJdbcSharded needs at least one target URL")
+    val schema = df.schema
+    val ddlCols = schema.fields.map { f =>
+      val t = f.dataType match {
+        case org.apache.spark.sql.types.LongType => "BIGINT"
+        case org.apache.spark.sql.types.IntegerType => "INTEGER"
+        case org.apache.spark.sql.types.DoubleType => "DOUBLE"
+        case org.apache.spark.sql.types.StringType => "VARCHAR(4000)"
+        case other => throw new IllegalArgumentException(
+          s"writeJdbcSharded: unsupported type $other for column ${f.name}")
+      }
+      s"${f.name} $t"
+    }.mkString(", ")
+    urls.foreach { url =>
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        try st.executeUpdate(s"DROP TABLE $table")
+        catch { case _: java.sql.SQLException => () } // first generation
+        st.executeUpdate(s"CREATE TABLE $table ($ddlCols)")
+        st.close()
+      } finally conn.close()
+    }
+    val n = urls.length
+    val urlsArr = urls.toArray
+    val insertSql =
+      s"INSERT INTO $table VALUES (${Seq.fill(schema.length)("?").mkString(",")})"
+    val types = schema.fields.map(_.dataType)
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val conn = java.sql.DriverManager.getConnection(urlsArr(pid % n))
+        try {
+          conn.setAutoCommit(false)
+          val ps = conn.prepareStatement(insertSql)
+          var inBatch = 0
+          rows.foreach { row =>
+            var i = 0
+            while (i < types.length) {
+              if (row.isNullAt(i)) ps.setObject(i + 1, null)
+              else types(i) match {
+                case org.apache.spark.sql.types.LongType => ps.setLong(i + 1, row.getLong(i))
+                case org.apache.spark.sql.types.IntegerType => ps.setInt(i + 1, row.getInt(i))
+                case org.apache.spark.sql.types.DoubleType => ps.setDouble(i + 1, row.getDouble(i))
+                case _ => ps.setString(i + 1, row.getString(i))
+              }
+              i += 1
+            }
+            ps.addBatch()
+            inBatch += 1
+            if (inBatch == 1000) { ps.executeBatch(); inBatch = 0 }
+          }
+          if (inBatch > 0) ps.executeBatch()
+          ps.close()
+          conn.commit()
+        } finally conn.close()
+      }
+    }
+  }
+
+  /** Union read over every shard of a [[writeJdbcSharded]] table. Each
+    * shard contributes its own JDBC scan (partition-parallel on a real
+    * cluster); no merge key is needed because shard routing carries no
+    * ordering contract — same as any multi-partition table. */
+  def readJdbcSharded(spark: SparkSession, urls: Seq[String], table: String,
+                      props: Properties = new Properties()): DataFrame =
+    urls.map(u => spark.read.jdbc(u, table, props)).reduce(_.unionByName(_))
 }
