@@ -368,7 +368,11 @@ object ScaleBench {
     // join-strategy gate (cost = two sink writes + the broadcast join),
     // and the SHARDED JDBC sink (q338's scale-safe twin: 8 Derby targets,
     // expect the only super-linear row to flatten toward linear)
-    "q347_dsv2_group_agg", "q348_dsv2_stats_join", "q349_sink_jdbc_sharded")
+    "q347_dsv2_group_agg", "q348_dsv2_stats_join", "q349_sink_jdbc_sharded",
+    // SPJ under skew: the dominant key's splits stay parallel tasks with
+    // the dim group replicated across them — cost is the salted keyed
+    // write; the join never shuffles and never serializes on the hot key
+    "q350_spj_skew")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

@@ -4957,6 +4957,81 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("price_c")).as("price_c_sum"),
           sum(col("o_orderkey")).as("key_sum"))
         .orderBy("o_orderstatus")
+    }),
+
+    // STORAGE-PARTITIONED JOIN UNDER SKEW (q344's contract meeting q336's
+    // problem — round-11 verdict #6): 75% of the fact's rows carry one
+    // key. Plain key-grouped planning merges ALL of that key's files into
+    // one task — the zero-shuffle join would serialize on the skewed key
+    // at 100 TB. The fact is written with a per-key salt (the dominant
+    // key's rows spread over 16 writer tasks → 16 key-pure files; tail
+    // keys 1 file each) and the join runs under partially-clustered
+    // distribution: Spark keeps the dominant key's splits as SEPARATE
+    // tasks and replicates the dim's matching group across them. Two
+    // in-plan requires: still zero hashpartitioning exchanges, AND more
+    // join tasks than key values (proof the splits were not merged — a
+    // plain SPJ plans exactly |keys|). Oracle is the plain join.
+    "q350_spj_skew" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s2.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      s2.conf.set("spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", "true")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val fmt = "graft.sources.v2.GraftCsv"
+      val pa = rtPath("spjskew_li"); val pb = rtPath("spjskew_ord")
+      val skewKey = when(col("l_orderkey") % 4 < 3, lit(0L))
+        .otherwise(col("l_orderkey") % 29 + 1).cast("long")
+      t(s2, dir, "lineitem").select(skewKey.as("k"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"))
+        // salt ONLY the dominant key across 16 writer tasks: its file
+        // count (= split count) is what partially-clustered parallelism
+        // feeds on; tail keys stay one file each
+        .withColumn("salt", when(col("k") === 0L,
+          pmod(hash(col("price_c")), lit(16))).otherwise(lit(0)))
+        .repartition(32, col("k"), col("salt")).drop("salt")
+        .write.format(fmt).option("partition_col", "k")
+        .mode("overwrite").save(pa)
+      t(s2, dir, "orders").select(
+          (when(col("o_orderkey") % 4 < 3, lit(0L))
+            .otherwise(col("o_orderkey") % 29 + 1)).cast("long").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_ord"))
+        .repartition(30, col("k"))
+        .write.format(fmt).option("partition_col", "k")
+        .mode("overwrite").save(pb)
+      val sa = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("price_c", org.apache.spark.sql.types.LongType)))
+      val sb = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_ord", org.apache.spark.sql.types.LongType)))
+      val a = s2.read.schema(sa).format(fmt).load(pa)
+      val b = s2.read.schema(sb).format(fmt).load(pb)
+      val j = a.join(b, "k")
+      // split-group proof: a plain SPJ plans exactly one task per key
+      // value (30 here); partially-clustered must keep the dominant
+      // key's ~16 splits as separate tasks (planning-only read)
+      val nParts = j.rdd.getNumPartitions
+      require(nParts > 30,
+        s"partially-clustered SPJ merged the skewed key's splits: $nParts tasks")
+      val df = j.groupBy("k")
+        .agg(count(lit(1)).as("n_li"), sum("price_c").as("rev_c"),
+          min("n_ord").as("n_ord"))
+        .orderBy("k")
+      df.collect() // ≤30-row steering read: finalize the plan for the require
+      val plan = df.queryExecution.executedPlan.toString
+      // the JOIN subtree must be exchange-free (that is the SPJ win: the
+      // fact never shuffles). The re-aggregate ABOVE the join shuffles by
+      // design — partially-clustered output has the same key in several
+      // tasks, so the final agg exchanges ≤|keys| partial rows per task,
+      // exactly what a map-side combine emits; scope the require below
+      // the join node.
+      val finalSection = plan.split("== Initial Plan ==").head
+      val smjAt = finalSection.indexOf("SortMergeJoin")
+      require(smjAt >= 0, s"expected a sort-merge SPJ:\n$plan")
+      require(!finalSection.substring(smjAt).contains("Exchange hashpartitioning"),
+        s"skewed storage-partitioned join shuffled its inputs:\n$plan")
+      df
     })
   )
 
@@ -11341,6 +11416,23 @@ object SparkEntry {
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
         |            AS BIGINT) AS price_c_sum,
         |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // The plain skewed join — the partially-clustered zero-shuffle plan
+    // must change nothing about the values.
+    "q350_spj_skew" ->
+      """WITH a AS (SELECT CASE WHEN l_orderkey % 4 < 3 THEN 0
+        |                       ELSE l_orderkey % 29 + 1 END AS k,
+        |                  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+        |           FROM lineitem),
+        |     b AS (SELECT CASE WHEN o_orderkey % 4 < 3 THEN 0
+        |                       ELSE o_orderkey % 29 + 1 END AS k,
+        |                  count(*) AS n_ord
+        |           FROM orders GROUP BY 1)
+        |SELECT a.k, count(*) AS n_li,
+        |       CAST(sum(a.price_c) AS BIGINT) AS rev_c,
+        |       min(b.n_ord) AS n_ord
+        |FROM a JOIN b ON b.k = a.k
+        |GROUP BY a.k ORDER BY a.k""".stripMargin
   )
 }

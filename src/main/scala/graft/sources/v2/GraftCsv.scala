@@ -873,13 +873,22 @@ class GraftCsvScan(fullSchema: StructType, required: StructType,
     }
   }
 
+  /** Keyed layouts emit ONE SPLIT PER FILE, each carrying its partition
+    * key — Spark's own `groupPartitions` merges same-key splits when
+    * storage-partitioned planning is on, and crucially may KEEP them
+    * separate under partially-clustered distribution (the SPJ skew path:
+    * a dominant key's many files stay parallel splits and the other
+    * side's group is replicated across them, instead of one task
+    * swallowing the whole key). Pre-grouping here would delete that
+    * choice; per-file splits also give a plain non-SPJ read file-level
+    * parallelism instead of key-level. */
   override def planInputPartitions(): Array[InputPartition] = {
     val kept = keptFiles
     keyedLayout(kept) match {
       case Some((field, groups)) if required.fieldNames.contains(field.name) =>
-        groups.map { case (v, fs) =>
-          GraftCsvKeyedPartition(fs.map(_.toString), v,
-            field.dataType == IntegerType): InputPartition
+        groups.flatMap { case (v, fs) =>
+          fs.map(f => GraftCsvKeyedPartition(Seq(f.toString), v,
+            field.dataType == IntegerType): InputPartition)
         }.toArray
       case _ => kept.map(f =>
         GraftCsvPartition(f.toString): InputPartition).toArray
