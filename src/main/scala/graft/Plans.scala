@@ -322,7 +322,30 @@ object Plans {
         "KeyGroupedPartitioning(identity(k)) from the key-pure file " +
         "layout, so the join and the post-join aggregate plan with NO " +
         "hashpartitioning exchange anywhere — the only Exchange is the " +
-        "presentation sort. The shuffle happened once, at write time."))
+        "presentation sort. The shuffle happened once, at write time."),
+    "q347_dsv2_group_agg" ->
+      ("GROUPED aggregate pushdown (q341's proof, grouped): the BatchScan " +
+        "is a GraftCsvAggScan whose PushedAggregation carries group_by=k — " +
+        "one (key, partials…) row per KEY-PURE file off the manifest, zero " +
+        "data bytes read — and Spark's final aggregate folds per key. The " +
+        "spec proves the no-data-read claim by truncating every data file " +
+        "to its header."),
+    "q348_dsv2_stats_join" ->
+      ("Statistics-driven join strategy: GraftCsvScan reports exact " +
+        "manifest row counts + on-disk bytes (SupportsReportStatistics), " +
+        "so the 25-row dim plans a BroadcastHashJoin under the default " +
+        "threshold — without reported stats a DSv2 relation sizes at " +
+        "Long.MaxValue and this same join sort-merges. The gate also " +
+        "forces the threshold below the reported size and require()s the " +
+        "SMJ flip: a finite, specific size is being read off the scan."),
+    "q350_spj_skew" ->
+      ("Storage-partitioned join under SKEW: partially-clustered " +
+        "distribution keeps the 75%-mass key's 16 key-pure files as " +
+        "SEPARATE join tasks and replicates the dim's matching group " +
+        "across them — the join subtree stays exchange-free while the " +
+        "hot key runs 16-wide instead of serializing in one task. The " +
+        "re-aggregate above the join exchanges only map-side partial " +
+        "rows (≤|keys| per task)."))
 
   /** Streaming gates: the interesting plan is the per-micro-batch
     * physical plan (state-store operators exist only at runtime), which
