@@ -2,12 +2,16 @@
 """Derive the comparable 100x session's query set (round-10 verdict #2).
 
 Usage: python3 tools/scale100_set.py bench_full.json scale_full.json \
-           [--top 20] [--ratio 2.5] [--waive q70_semdedup,q80_containment]
+           [--top 20] [--ratio 2.5] [--waive q70_semdedup,q80_containment] \
+           [--pin q162_copurchase,...]
 
 Set = (bench top-N by min-of-reps) UNION (every query whose 10x ratio
-exceeds the cutoff), minus explicit waivers (each waiver must be justified
-in SCALECHECK.md). Prints the comma-separated list for SPARK_GRAFT_ONLY
-plus a human-readable derivation so the set is auditable, not curated.
+exceeds the cutoff) UNION explicit pins, minus explicit waivers (each
+waiver AND pin must be justified in SCALECHECK.md — pins are for
+post-fix re-measurements and write-path twins whose 10x behavior is
+deliberately tame but whose second-decade row is the evidence that
+matters). Prints the comma-separated list for SPARK_GRAFT_ONLY plus a
+human-readable derivation so the set is auditable, not curated.
 """
 import json
 import sys
@@ -29,6 +33,7 @@ def main():
     top_n = int(opts.get("top", 20))
     cutoff = float(opts.get("ratio", 2.5))
     waived = set(filter(None, opts.get("waive", "").split(",")))
+    pinned = set(filter(None, opts.get("pin", "").split(",")))
 
     with open(bench_path) as f:
         bench = json.load(f)
@@ -42,7 +47,7 @@ def main():
     ratios = {q: r.get("ratio", -1) for q, r in scale["queries"].items()}
     hot = sorted(q for q, r in ratios.items() if r > cutoff)
 
-    chosen = sorted(set(top) | set(hot))
+    chosen = sorted(set(top) | set(hot) | pinned)
     kept = [q for q in chosen if q not in waived]
     dropped = [q for q in chosen if q in waived]
 
@@ -52,6 +57,11 @@ def main():
     print(f"# 10x ratio > {cutoff}:", file=sys.stderr)
     for q in hot:
         print(f"#   {q}: {ratios[q]:.2f}x", file=sys.stderr)
+    mech = set(top) | set(hot)
+    extra = sorted(pinned - mech)
+    if extra:
+        print(f"# pinned (justify in SCALECHECK.md): {', '.join(extra)}",
+              file=sys.stderr)
     if dropped:
         print(f"# waived (justify in SCALECHECK.md): {', '.join(dropped)}",
               file=sys.stderr)
