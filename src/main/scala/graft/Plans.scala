@@ -345,7 +345,36 @@ object Plans {
         "across them — the join subtree stays exchange-free while the " +
         "hot key runs 16-wide instead of serializing in one task. The " +
         "re-aggregate above the join exchanges only map-side partial " +
-        "rows (≤|keys| per task)."))
+        "rows (≤|keys| per task)."),
+    "q351_dsv2_runtime_filter" ->
+      ("RUNTIME file filtering inside the custom source (the fourth " +
+        "runtime-pruning mechanism, this one implemented rather than " +
+        "consumed): the BatchScan over GraftCsv carries RuntimeFilters: " +
+        "[dynamicpruningexpression(k IN subquery…)] — Spark's own " +
+        "PartitionPruning rule planted it because the scan names k in " +
+        "filterAttributes — and at execution the IN-set re-prunes the " +
+        "file list through the manifest (min/max + bloom) before any " +
+        "reader opens; the gate require()s strictly fewer files read " +
+        "than exist."),
+    "q353_window_group_limit" ->
+      ("The rank-filter pushdown: row_number() ≤ 3 over the window plans " +
+        "WindowGroupLimit (Partial before the exchange, Final after), so " +
+        "each map task discards all but 3 rows per group BEFORE the " +
+        "window sort materializes — 'top 3 per group' without sorting " +
+        "everything, the shape that stays flat at 100 TB."),
+    "q355_recursive_cte" ->
+      ("WITH RECURSIVE executed by Spark itself: the UnionLoop plan — " +
+        "anchor scan + iterated step with a UnionLoopRef back-edge — " +
+        "terminating when a step produces no rows (6-hop bound in the " +
+        "predicate). Every prior closure in the suite recursed only in " +
+        "the DuckDB oracle; this is the engine-side surface."),
+    "q356_dsv2_topn" ->
+      ("TOP-N pushdown into the custom source: the scan description " +
+        "carries PushedTopN: k ASC LIMIT 100 and the file list shrinks " +
+        "to the non-dominated prefix (every file with ≥100 rows provably " +
+        "sorting before it drops); Spark's TakeOrderedAndProject above " +
+        "re-sorts the survivors, which is why PARTIAL pushdown prunes " +
+        "aggressively yet can never change a value."))
 
   /** Streaming gates: the interesting plan is the per-micro-batch
     * physical plan (state-store operators exist only at runtime), which
@@ -384,7 +413,14 @@ object Plans {
     "q218_stream_dedup" ->
       ("dropDuplicatesWithinWatermark: StreamingDeduplicateWithinWatermark " +
         "with per-key state the watermark can EVICT (the bounded-state " +
-        "contrast to plain dropDuplicates), one exchange on event_id."))
+        "contrast to plain dropDuplicates), one exchange on event_id."),
+    "q358_stream_outer_join" ->
+      ("LEFT OUTER stream-stream join: the same StreamingSymmetricHashJoin " +
+        "geometry as q216 (four state stores per partition, watermark-" +
+        "bounded buffers) with LeftOuter join type — unmatched purchases " +
+        "emit their null-padded row on state EVICTION, not data arrival, " +
+        "which is why the staged stream ends with a both-branch sentinel " +
+        "advancing both watermarks past every real row's lookback."))
   // (q116_pq_ann joined the dossier in round 9: its Lloyd trainings now
   // run eagerly behind localCheckpoints, so the query-time plan is small.)
   // q71_components is absent for the same reason as q60 below: the

@@ -372,7 +372,26 @@ object ScaleBench {
     // SPJ under skew: the dominant key's splits stay parallel tasks with
     // the dim group replicated across them — cost is the salted keyed
     // write; the join never shuffles and never serializes on the hot key
-    "q350_spj_skew")
+    "q350_spj_skew",
+    // runtime file filtering in the custom source: cost is the range-
+    // partitioned write + the pruned join; the scan's file list shrinks
+    // with the dim's selectivity at every scale (5 of 25 key groups read)
+    "q351_dsv2_runtime_filter",
+    // quantile sketch: the GK summary is one mergeable pass (the scale
+    // path); the exact lane reduces to the distinct-value domain first
+    "q352_quantile_sketch",
+    // window group limit: per-partition top-k discard BEFORE the window
+    // sort — the mechanism that keeps "top 3 per group" flat at scale
+    "q353_window_group_limit",
+    // observed metrics: accumulators riding the profile action, zero
+    // extra passes; recursive CTE: 25-node lattice, rounds not data-bound
+    "q354_observed_metrics", "q355_recursive_cte",
+    // bounded scans: cost is the write; the top-n/limit READ touches a
+    // near-constant file prefix at every scale (that is the point)
+    "q356_dsv2_topn", "q357_dsv2_limit",
+    // outer stream join: same state geometry as q216 plus the eviction-
+    // driven outer emission; state bounded by watermark exactly as inner
+    "q358_stream_outer_join")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

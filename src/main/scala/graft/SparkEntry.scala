@@ -5032,8 +5032,251 @@ object SparkEntry {
       require(!finalSection.substring(smjAt).contains("Exchange hashpartitioning"),
         s"skewed storage-partitioned join shuffled its inputs:\n$plan")
       df
+    }),
+
+    // RUNTIME file filtering inside the custom source (the FOURTH runtime
+    // pruning mechanism, after q333's Bloom join, q336's AQE skew split,
+    // and q339's hive-partition DPP — this one we implement, not just
+    // consume): GraftCsvScan names its numeric columns runtime-filterable
+    // (SupportsRuntimeFiltering), so the q339 query shape — dim filter on
+    // n_regionkey, NOT on the join key — makes Spark's PartitionPruning
+    // rule plant a dynamicpruning IN-subquery on OUR scan, evaluate it
+    // off the join's reused broadcast, and hand the surviving keys to
+    // scan.filter(); the file list re-prunes through the write-time
+    // manifest (min/max ranges + blooms) before a single reader opens.
+    // The fact is range-partitioned on the key so file ranges are
+    // disjoint and the IN-set provably skips files. Two requires: the
+    // dynamicpruning filter is ON the scan in the executed plan, and the
+    // re-planning kept strictly fewer files than exist. Oracle is the
+    // plain join — runtime pruning must drop nothing.
+    "q351_dsv2_runtime_filter" -> ((s, dir) => {
+      val fmt = "graft.sources.v2.GraftCsv"
+      val path = rtPath("dsv2rt")
+      t(s, dir, "lineitem").select(
+          (col("l_suppkey") % 25).cast("long").as("k"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"))
+        .repartitionByRange(8, col("k"))
+        .write.format(fmt).mode("overwrite").save(path)
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("price_c", org.apache.spark.sql.types.LongType)))
+      val fact = s.read.schema(sch).format(fmt).load(path)
+      val dim = t(s, dir, "nation").filter(col("n_regionkey") === 0)
+        .select(col("n_nationkey").cast("long").as("k"), col("n_name"))
+      // broadcast the DIM explicitly: DPP's reuseBroadcastOnly contract
+      // evaluates the IN-set off the join's own broadcast, so the
+      // FILTERING side must be the build side — at gate SF the fact is
+      // small enough that the planner would otherwise build on IT and
+      // the pruning filter would degrade to a true literal (measured
+      // during the build; at 100 TB the hint matches what size stats
+      // would pick anyway)
+      val df = fact.join(broadcast(dim), "k")
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_li"), sum("price_c").as("rev_c"))
+        .orderBy("n_name")
+      graft.sources.v2.GraftCsv.lastRuntimeSkip.set((0, 0))
+      df.collect() // ≤5-row steering read: finalize the plan for the require
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.toLowerCase.contains("dynamicpruning"),
+        s"no dynamicpruning runtime filter reached the custom scan:\n$plan")
+      val (kept, total) = graft.sources.v2.GraftCsv.lastRuntimeSkip.get()
+      require(kept > 0 && kept < total,
+        s"runtime re-planning did not skip files: kept $kept of $total")
+      df
+    }),
+
+    // QUANTILE SKETCH with a proven rank bound (the q87 exact+bound
+    // device applied to order statistics): percentile_approx — the
+    // mergeable GK summary a 100 TB percentile runs on (map-side partials
+    // merge; no global sort) — probed at p50/p90/p99 of the price lane,
+    // its published rank guarantee (|rank − q·n| ≤ n/accuracy) VERIFIED
+    // in exact cleared-integer lanes and emitted as a flag the oracle
+    // pins TRUE; the exact ⌈q·n⌉-rank values ride alongside off the
+    // reduced distinct-value domain. A sketch outside its bound flips
+    // the hash.
+    "q352_quantile_sketch" -> ((s, dir) =>
+      ProfileOps.quantileSketch(
+        t(s, dir, "lineitem").select(
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c")), "c")
+        .orderBy("q_ppm")),
+
+    // WINDOW GROUP LIMIT (Spark 3.5+'s rank-filter pushdown): a
+    // row_number() ≤ k predicate over a window lets the planner insert
+    // WindowGroupLimit — each shuffle partition keeps only its per-group
+    // top-k rows BEFORE the full window sort materializes. At 100 TB
+    // "top 3 per group" without this is a full per-group sort of
+    // everything; with it the map side already discards all but k rows
+    // per group per partition. require() pins the operator in-plan; the
+    // oracle replays the same ranked filter. Total tie-break
+    // (price desc, orderkey, linenumber) makes the row set deterministic.
+    "q353_window_group_limit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_returnflag"), col("l_linestatus"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"),
+        col("l_orderkey"), col("l_linenumber"))
+      val w = Window.partitionBy("l_returnflag", "l_linestatus")
+        .orderBy(col("price_c").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+      val df = li.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .withColumn("rn", col("rn").cast("long"))
+        .orderBy("l_returnflag", "l_linestatus", "rn")
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("WindowGroupLimit"),
+        s"rank filter did not plan a WindowGroupLimit:\n$plan")
+      df
+    }),
+
+    // OBSERVED METRICS (Dataset.observe): the data-quality counters a
+    // production ingest keeps — row count, byte mass, null-language
+    // count, max id — collected as accumulators RIDING the pipeline's
+    // own action, zero extra passes over the data (at 100 TB a separate
+    // metrics query is a second full scan). The gate result is the
+    // metrics row itself; the oracle recomputes the same aggregates from
+    // the table, so any drift between the piggy-backed counters and the
+    // ground truth flips the hash.
+    "q354_observed_metrics" -> ((s, dir) => {
+      val obs = org.apache.spark.sql.Observation()
+      val staged = t(s, dir, "documents").observe(obs,
+        count(lit(1)).as("n_docs"),
+        sum(octet_length(col("text")).cast("long")).as("bytes"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("null_lang"),
+        max(col("doc_id")).as("max_id"))
+      // the action the metrics ride: the corpus language profile (a real
+      // pipeline output — the observe node adds no pass and no shuffle)
+      staged.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      s.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(m("n_docs"), m("bytes"), m("null_lang"),
+          m("max_id"))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_docs",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("bytes",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("null_lang",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("max_id",
+            org.apache.spark.sql.types.LongType))))
+    }),
+
+    // RECURSIVE CTE (Spark 4's WITH RECURSIVE — the UnionLoop execution
+    // surface): hop-bounded BFS from node 0 over a deterministic 25-node
+    // functional graph derived from nation, as IDENTICAL statement text
+    // in both engines. Every prior closure oracle in the suite ran WITH
+    // RECURSIVE on the DuckDB side only; this gate runs the recursion in
+    // Spark itself and pins min-hop distances — the iterative-plan
+    // surface (frontier expansion, loop termination on empty step)
+    // exercised end to end.
+    "q355_recursive_cte" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("nation")
+      s.sql(SharedSql.recursiveBfs)
+    }),
+
+    // TOP-N pushdown into the custom source (the pagination query at
+    // 100 TB): ORDER BY key LIMIT 100 over a range-partitioned layout —
+    // the scan drops every file whose whole [min, max] range provably
+    // sorts after ≥ 100 other rows, so the answer comes from the first
+    // file or two; Spark's own TakeOrdered re-sorts the survivors, which
+    // is why PARTIAL pushdown can prune aggressively yet never change a
+    // value. Unique keys make the row set deterministic. Two requires:
+    // the pushdown was accepted, and strictly fewer files than exist
+    // were read. Oracle is the same ORDER BY ... LIMIT.
+    "q356_dsv2_topn" -> ((s, dir) => {
+      val fmt = "graft.sources.v2.GraftCsv"
+      val path = rtPath("dsv2topn")
+      t(s, dir, "orders").select(col("o_orderkey").as("k"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"))
+        .repartitionByRange(8, col("k"))
+        .write.format(fmt).mode("overwrite").save(path)
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("price_c", org.apache.spark.sql.types.LongType)))
+      graft.sources.v2.GraftCsv.lastBoundPushdown.set("")
+      val df = s.read.schema(sch).format(fmt).load(path)
+        .orderBy("k").limit(100)
+      df.collect() // ≤100-row steering read: finalize the plan for the require
+      require(graft.sources.v2.GraftCsv.lastBoundPushdown.get().startsWith("topn=k"),
+        s"top-n pushdown was not accepted: " +
+          s"'${graft.sources.v2.GraftCsv.lastBoundPushdown.get()}'")
+      val (kept, total) = graft.sources.v2.GraftCsv.lastSkipStats.get()
+      require(kept > 0 && kept < total,
+        s"top-n pruning read every file: $kept/$total")
+      df
+    }),
+
+    // LIMIT pushdown (the "first page of an unordered table" probe): a
+    // bare LIMIT over the custom source reads only a file prefix whose
+    // manifest row counts already cover the limit — at 100 TB that is
+    // one file opened instead of all of them. An unordered LIMIT's rows
+    // are nondeterministic, so the gate pins what IS deterministic: the
+    // row COUNT after Spark's own re-applied limit, plus the two
+    // requires (pushdown accepted; fewer files than exist read).
+    "q357_dsv2_limit" -> ((s, dir) => {
+      val fmt = "graft.sources.v2.GraftCsv"
+      val path = rtPath("dsv2limit")
+      t(s, dir, "orders").select(col("o_orderkey").as("k"))
+        .repartition(8)
+        .write.format(fmt).mode("overwrite").save(path)
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType)))
+      graft.sources.v2.GraftCsv.lastBoundPushdown.set("")
+      val limited = s.read.schema(sch).format(fmt).load(path).limit(500)
+      val df = limited.agg(count(lit(1)).as("n"))
+      df.collect() // 1-row steering read: finalize the plan for the require
+      require(graft.sources.v2.GraftCsv.lastBoundPushdown.get() == "limit=500",
+        s"limit pushdown was not accepted: " +
+          s"'${graft.sources.v2.GraftCsv.lastBoundPushdown.get()}'")
+      val (kept, total) = graft.sources.v2.GraftCsv.lastSkipStats.get()
+      require(kept > 0 && kept < total,
+        s"limit pruning read every file: $kept/$total")
+      df
+    }),
+
+    // ELEVENTH streaming gate: the LEFT OUTER stream-stream join — the
+    // one supported join shape the suite lacked. Outer (null-padded)
+    // rows emit on state EVICTION, not on data arrival: a purchase with
+    // no view in its lookback can only surface once the view-side
+    // watermark has passed its whole window, which is why the staged
+    // stream ends with a sentinel row BOTH branches admit (it advances
+    // both watermarks past every real row; q216's inner gate needs no
+    // sentinel because inner matches emit on arrival). The batch oracle
+    // is the plain LEFT JOIN with the -1 null lane.
+    "q358_stream_outer_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"),
+        expr("timestamp_micros(ts div 1000)").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      streaming.StreamGate.attrOuterGate(s, ev, rtPath("q358_stream"))
+        .orderBy("purchase_id", "view_id")
     })
   )
+
+  /** q355's WITH RECURSIVE text — ONE string, both engines (the
+    * identical-statement-text device): a 25-node functional graph (two
+    * out-edges per node, affine maps mod 25), 6-hop bounded BFS from
+    * node 0, min hop per reached node. The UNION ALL recursion is
+    * path-enumeration bounded by branching^depth = 2^6 per seed — the
+    * gate-sized shape; the production frontier pattern (only improved
+    * nodes expand) is q331/q335's lane. */
+  object SharedSql {
+    val recursiveBfs: String =
+      """WITH RECURSIVE e AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS u,
+        |         CAST((n_nationkey * 7 + 3) % 25 AS BIGINT) AS v FROM nation
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey AS BIGINT) AS u,
+        |         CAST((n_nationkey * 11 + 5) % 25 AS BIGINT) AS v FROM nation
+        |),
+        |r(v, d) AS (
+        |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  UNION ALL
+        |  SELECT e.v, CAST(r.d + 1 AS BIGINT) FROM r JOIN e ON e.u = r.v
+        |  WHERE r.d < 6
+        |)
+        |SELECT r.v AS v, min(r.d) AS hops
+        |FROM r GROUP BY r.v ORDER BY 1""".stripMargin
+  }
 
   /** The ASCII-explicit GPT-2-ish pretokenizer alternation shared by
     * q294's engine and oracle sides (single-quote-free for SQL inlining
@@ -11433,6 +11676,92 @@ object SparkEntry {
         |       CAST(sum(a.price_c) AS BIGINT) AS rev_c,
         |       min(b.n_ord) AS n_ord
         |FROM a JOIN b ON b.k = a.k
-        |GROUP BY a.k ORDER BY a.k""".stripMargin
+        |GROUP BY a.k ORDER BY a.k""".stripMargin,
+
+    // The plain join — the runtime IN-set prunes FILES, never rows the
+    // join would keep, so the region-filtered join must be value-identical.
+    "q351_dsv2_runtime_filter" ->
+      """SELECT n.n_name, count(*) AS n_li,
+        |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+        |            AS BIGINT) AS rev_c
+        |FROM lineitem l JOIN nation n ON n.n_nationkey = l.l_suppkey % 25
+        |WHERE n.n_regionkey = 0
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+
+    // Exact ⌈q·n⌉-rank order statistics; the bound flag is pinned TRUE —
+    // the engine computed it from the sketch's actual rank bracket, so a
+    // sketch outside its published n/accuracy guarantee flips the hash.
+    "q352_quantile_sketch" ->
+      """WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        |           FROM lineitem),
+        |n AS (SELECT count(*) AS n FROM v),
+        |d AS (SELECT c, count(*) AS cnt FROM v GROUP BY c),
+        |cum AS (SELECT c, sum(cnt) OVER (ORDER BY c) AS cum FROM d),
+        |q(q_ppm) AS (VALUES (500000), (900000), (990000))
+        |SELECT q.q_ppm,
+        |       (SELECT min(cum.c) FROM cum, n
+        |        WHERE CAST(cum.cum AS HUGEINT) * 1000000
+        |              >= CAST(q.q_ppm AS HUGEINT) * n.n) AS exact_c,
+        |       TRUE AS sketch_ok
+        |FROM q ORDER BY q.q_ppm""".stripMargin,
+
+    // The same ranked filter replayed: per (returnflag, linestatus) the
+    // top-3 rows under the total (price desc, orderkey, linenumber) order.
+    "q353_window_group_limit" ->
+      """SELECT * FROM (
+        |  SELECT l_returnflag, l_linestatus,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+        |         l_orderkey, l_linenumber,
+        |         row_number() OVER (
+        |           PARTITION BY l_returnflag, l_linestatus
+        |           ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT) DESC,
+        |                    l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 3
+        |ORDER BY l_returnflag, l_linestatus, rn""".stripMargin,
+
+    // Ground truth for the piggy-backed counters: the same aggregates
+    // computed from the table — any accumulator drift flips the hash.
+    "q354_observed_metrics" ->
+      """SELECT count(*) AS n_docs,
+        |       CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS bytes,
+        |       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS null_lang,
+        |       max(doc_id) AS max_id
+        |FROM documents""".stripMargin,
+
+    // IDENTICAL statement text — the recursion itself is the surface
+    // under test; both engines run the same WITH RECURSIVE.
+    "q355_recursive_cte" -> SharedSql.recursiveBfs,
+
+    // Unique keys → the top-100 row set is deterministic; the pruned
+    // scan must deliver exactly these rows.
+    "q356_dsv2_topn" ->
+      """SELECT o_orderkey AS k,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
+
+    // Only the COUNT of an unordered LIMIT is deterministic — the gate's
+    // value contract; the file-prefix prune is pinned by the requires.
+    "q357_dsv2_limit" ->
+      """SELECT count(*) AS n
+        |FROM (SELECT * FROM orders LIMIT 500) t""".stripMargin,
+
+    // q216's oracle with LEFT JOIN and the -1 null lane: every purchase
+    // appears — matched ones per view, unmatched ones once, null-padded.
+    "q358_stream_outer_join" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id,
+        |                  epoch_us(ts) AS p_us,
+        |                  CAST(round(value * 100) AS BIGINT) AS purchase_cents
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS view_id, user_id AS v_user, epoch_us(ts) AS v_us
+        |      FROM events WHERE event_type = 'view')
+        |SELECT p.purchase_id, p.user_id, p.p_us,
+        |       COALESCE(v.view_id, -1) AS view_id,
+        |       COALESCE(v.v_us, -1) AS v_us,
+        |       p.purchase_cents
+        |FROM p LEFT JOIN v ON v.v_user = p.user_id
+        | AND v.v_us <= p.p_us AND v.v_us >= p.p_us - 14400000000
+        |ORDER BY p.purchase_id, view_id""".stripMargin
   )
 }

@@ -816,4 +816,68 @@ object ProfileOps {
                  |END""".stripMargin).cast("long").as("rho2s_ppm"))
     }.reduce(_ unionByName _)
   }
+
+  /** Mergeable quantile sketch with a PROVEN rank-error bound (the q87
+    * exact+bound device applied to order statistics): Spark's
+    * `percentile_approx` — a Greenwald-Khanna-style summary, the
+    * mergeable bounded-memory structure a 100 TB percentile actually
+    * runs on (map-side partials merge associatively; no global sort) —
+    * probed at each requested quantile, next to the EXACT ⌈q·n⌉-rank
+    * values computed over the reduced distinct-value domain (one
+    * shuffle to the value lattice + one cumulative window — the gate
+    * lane; the sketch is the production lane).
+    *
+    * The cross-engine contract: the sketch's returned value never
+    * crosses the boundary raw (two engines' sketches differ). Instead
+    * the engine verifies GK's guarantee — the returned value holds SOME
+    * rank r ∈ (r_lo, r_hi] with |r − q·n| ≤ n/accuracy — in exact
+    * cleared-integer lanes ((r_lo+1)·10⁶ ≤ q_ppm·n + ε_ppm·n and
+    * r_hi·10⁶ ≥ q_ppm·n − ε_ppm·n, DECIMAL(38,0) so no row-count
+    * ceiling), and emits the verdict as `sketch_ok`; the oracle pins
+    * TRUE. A sketch drifting outside its published bound flips the
+    * hash. r_lo/r_hi come from ONE broadcast pass (|q| probe values
+    * against the data), not a sort.
+    *
+    * Output: (q_ppm, exact_c, sketch_ok), one row per quantile. */
+  def quantileSketch(df: DataFrame, valueCol: String,
+                     qPpms: Seq[Int] = Seq(500000, 900000, 990000),
+                     accuracy: Int = 10000): DataFrame = {
+    require(accuracy > 0 && 1000000 % accuracy == 0,
+      s"accuracy must divide 1e6 for exact ppm lanes: $accuracy")
+    val epsPpm = 1000000L / accuracy
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val v = df.select(col(valueCol).cast("long").as("c"))
+    // one aggregate: the sketch (all quantiles) + the row count
+    val approx = v.agg(
+      percentile_approx(col("c"),
+        array(qPpms.map(q => lit(q / 1e6)): _*), lit(accuracy)).as("vas"),
+      count(lit(1)).as("n"))
+    val probes = approx
+      .select(col("n"), posexplode(col("vas")).as(Seq("pos", "va")))
+      .select(element_at(array(qPpms.map(lit(_)): _*),
+        col("pos").cast("int") + 1).as("q_ppm"), col("va"), col("n"))
+    // rank bracket of each probe value: one broadcast pass, |q| counters
+    val ranks = v.crossJoin(broadcast(probes))
+      .groupBy(col("q_ppm"), col("va"), col("n"))
+      .agg(sum(when(col("c") <= col("va"), 1L).otherwise(0L)).as("r_hi"),
+        sum(when(col("c") < col("va"), 1L).otherwise(0L)).as("r_lo"))
+    // exact ⌈q·n⌉-rank values over the reduced distinct-value domain
+    // (cum ≥ q·n for integer cum ⟺ cum ≥ ⌈q·n⌉; cleared to ppm lanes)
+    val domain = v.groupBy(col("c")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("c"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+    val exact = domain
+      .crossJoin(broadcast(probes.select(col("q_ppm"), col("n"))))
+      .filter(dec(col("cum")) * lit(1000000L) >= dec(col("q_ppm")) * dec(col("n")))
+      .groupBy(col("q_ppm")).agg(min(col("c")).as("exact_c"))
+    ranks.join(exact, Seq("q_ppm"))
+      .select(col("q_ppm"), col("exact_c"),
+        ((dec(col("r_lo")) + lit(1)) * lit(1000000L) <=
+          dec(col("q_ppm")) * dec(col("n")) + lit(epsPpm) * dec(col("n")) &&
+          dec(col("r_hi")) * lit(1000000L) >=
+            dec(col("q_ppm")) * dec(col("n")) - lit(epsPpm) * dec(col("n")))
+          .as("sketch_ok"))
+  }
 }

@@ -8,7 +8,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
@@ -35,11 +35,24 @@ import org.apache.spark.unsafe.types.UTF8String
   *    fields of each line (a row is never fully materialized; at scale
   *    this is the CSV analogue of Parquet column pruning — token-skipping
   *    instead of byte-skipping, the best a row format can do);
-  *  - `pushFilters(filters)` → Eq/Gt/Ge/Lt/Le/IsNull/IsNotNull on any
+  *  - `pushFilters(filters)` → Eq/Gt/Ge/Lt/Le/In/IsNull/IsNotNull on any
   *    column are accepted and evaluated PER LINE inside the partition
   *    reader, before the row is emitted; unsupported shapes (And/Or/
   *    StringContains/...) are returned as postScanFilters and Spark keeps
   *    its own Filter node for them — the standard split contract;
+  *  - `SupportsRuntimeFiltering` → the scan names its numeric columns as
+  *    runtime-filterable; a join over the source with a selective build
+  *    side gets a dynamicpruning IN-set planted by Spark's own
+  *    PartitionPruning rule, delivered at execution time, and the file
+  *    list RE-prunes through the manifest (min/max + bloom) before any
+  *    reader opens — runtime file skipping driven by the join, the DPP
+  *    mechanism implemented inside the source;
+  *  - `pushLimit` / `pushTopN` (both PARTIAL) → a bare LIMIT reads only
+  *    a row-count-sufficient file prefix; `ORDER BY col LIMIT n` drops
+  *    every file that provably holds no top-n row (≥ n rows sort
+  *    strictly before its whole [min, max] range) — the pagination
+  *    query's answer comes from a handful of files, and Spark's own
+  *    final limit/TakeOrdered guarantees pruning never changes it;
   *  - partition planning → one InputPartition per data file (a real
   *    multi-executor source; a production variant would further split by
   *    byte range with line-boundary fixup, which header-bearing CSV makes
@@ -193,6 +206,18 @@ object GraftCsv {
     * in-plan-require hook for the metadata-only-aggregate gate. */
   val lastAggPushdown = new java.util.concurrent.atomic.AtomicReference[String]("")
 
+  /** (kept, total) of the last RUNTIME re-planning — set only when Spark
+    * hands a scan runtime filters (DPP over the join's build side) and the
+    * scan re-prunes its file list against them. (0, 0) = no runtime filter
+    * arrived since the last reset. The in-plan-require hook for the
+    * runtime-filtering gate. */
+  val lastRuntimeSkip = new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
+
+  /** Rendered form of the last ACCEPTED limit/top-n pushdown ("" = the
+    * last build carried neither) — the require hook for the bound-scan
+    * gates. */
+  val lastBoundPushdown = new java.util.concurrent.atomic.AtomicReference[String]("")
+
   /** Manifest: file → col → [[FileColStats]]. Absent or unparseable →
     * empty (files without stats are never skipped). Rows may be 6-field
     * (pre-bloom), 7-field (pre-NaN-marker) or 8-field; a missing NaN
@@ -269,6 +294,12 @@ object GraftCsv {
             // value comparisons never match an all-null column
             case _ if mn.isEmpty => false
             case EqualTo(_, v) => cmpMin(v) <= 0 && cmpMax(v) >= 0 && bloomOk(v)
+            // IN = disjunction of equalities: the file survives if ANY
+            // probe value is inside its range and its bloom — the shape
+            // runtime (DPP) filters arrive in, and the reason point-probe
+            // pruning works on interleaved layouts at all
+            case In(_, vs) => vs.exists(v =>
+              v != null && cmpMin(v) <= 0 && cmpMax(v) >= 0 && bloomOk(v))
             case GreaterThan(_, v) => cmpMax(v) > 0
             case GreaterThanOrEqual(_, v) => cmpMax(v) >= 0
             case LessThan(_, v) => cmpMin(v) < 0
@@ -576,11 +607,60 @@ class GraftCsvWriter(schema: StructType, path: String, queryId: String,
 
 class GraftCsvScanBuilder(fullSchema: StructType, path: String)
   extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownAggregates {
+    with SupportsPushDownFilters with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var aggScan: Option[GraftCsvAggScan] = None
+  private var limitPush: Option[Int] = None
+  private var topNPush: Option[(StructField, Boolean, Int)] = None
+
+  /** LIMIT pushdown, PARTIAL (`isPartiallyPushed` = true, Spark keeps
+    * its own limit on top): with no pushed filters, any prefix of files
+    * whose manifest row counts already sum to ≥ limit provably holds
+    * enough rows, so the scan reads that prefix and nothing else — the
+    * "first page of an unordered table" query stops after one or two
+    * files instead of scanning 100 TB. Declines under pushed filters
+    * (manifest rows bound RAW rows, not matching rows — a pruned prefix
+    * could under-deliver). */
+  override def pushLimit(limit: Int): Boolean = {
+    if (pushed.nonEmpty || limit <= 0) return false
+    limitPush = Some(limit)
+    true
+  }
+
+  /** TOP-N pushdown, PARTIAL: `ORDER BY col LIMIT n` over one int/long
+    * column prunes every file that PROVABLY holds no top-n row — file f
+    * drops when other files' stats place ≥ n rows strictly before all
+    * of f (g.max < f.min ascending; g.min > f.max descending), in exact
+    * Long lanes off the manifest. Sound under overlapping ranges (the
+    * bound only ever keeps extra files); Spark's final TakeOrdered
+    * re-sorts whatever survives, so pruning can never change the
+    * answer. Declines when any file lacks stats or has NULLs in the
+    * sort column (null ordering would poison the bound), when filters
+    * are pushed, or on multi-key orderings. */
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    if (pushed.nonEmpty || orders.length != 1 || limit <= 0) return false
+    val o = orders.head
+    val field = (o.expression match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        fullSchema.fields.find(_.name == r.fieldNames.head)
+      case _ => None
+    }).filter(f => f.dataType == IntegerType || f.dataType == LongType)
+      .getOrElse(return false)
+    val files = GraftCsv.listDataFiles(path)
+    if (files.isEmpty) return false
+    val manifest = GraftCsv.readManifest(path)
+    val st = files.map(f =>
+      manifest.getOrElse(f.getName, Map.empty).get(field.name))
+    if (st.exists(s => s.isEmpty || s.get.nulls > 0 || s.get.min.isEmpty))
+      return false
+    topNPush = Some((field, o.direction == SortDirection.ASCENDING, limit))
+    true
+  }
+
+  override def isPartiallyPushed: Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -589,7 +669,8 @@ class GraftCsvScanBuilder(fullSchema: StructType, path: String)
     * line-evaluable comparison; everything else stays with Spark. */
   private def pushable(f: Filter): Boolean = f match {
     case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
-         _: LessThan | _: LessThanOrEqual | _: IsNull | _: IsNotNull =>
+         _: LessThan | _: LessThanOrEqual | _: IsNull | _: IsNotNull |
+         _: In =>
       f.references.length == 1 && fullSchema.fieldNames.contains(f.references.head)
     case _ => false
   }
@@ -744,7 +825,13 @@ class GraftCsvScanBuilder(fullSchema: StructType, path: String)
       a
     case None =>
       GraftCsv.lastAggPushdown.set("")
-      new GraftCsvScan(fullSchema, required, pushed, path)
+      GraftCsv.lastBoundPushdown.set((limitPush, topNPush) match {
+        case (_, Some((f, asc, n))) =>
+          s"topn=${f.name} ${if (asc) "asc" else "desc"} $n"
+        case (Some(n), _) => s"limit=$n"
+        case _ => ""
+      })
+      new GraftCsvScan(fullSchema, required, pushed, path, limitPush, topNPush)
   }
 }
 
@@ -779,31 +866,113 @@ class GraftCsvAggReaderFactory extends PartitionReaderFactory {
 }
 
 class GraftCsvScan(fullSchema: StructType, required: StructType,
-                   pushed: Array[Filter], path: String)
+                   pushed: Array[Filter], path: String,
+                   limitPush: Option[Int] = None,
+                   topNPush: Option[(StructField, Boolean, Int)] = None)
   extends Scan with Batch with SupportsReportPartitioning
-    with SupportsReportStatistics {
+    with SupportsReportStatistics with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftCsvScan path=$path, ReadSchema: ${required.simpleString}, " +
-      s"PushedFilters: [${pushed.mkString(", ")}]"
+      s"PushedFilters: [${pushed.mkString(", ")}]" +
+      limitPush.map(n => s", PushedLimit: $n").getOrElse("") +
+      topNPush.map { case (f, asc, n) =>
+        s", PushedTopN: ${f.name} ${if (asc) "ASC" else "DESC"} LIMIT $n"
+      }.getOrElse("")
+
+  /** RUNTIME (dynamic-partition-pruning) filters — the fourth runtime
+    * pruning mechanism in the suite, this one inside the source we own:
+    * Spark's PartitionPruning rule sees `filterAttributes` cover the join
+    * key, plants a dynamicpruning subquery on the scan, evaluates it off
+    * the join's (reused) broadcast at execution time, and hands the
+    * resulting IN-set here via `filter()`. BatchScanExec then RE-plans
+    * input partitions, so the file list shrinks through the same
+    * manifest min/max + bloom proof static skipping uses — the Iceberg
+    * runtime-file-filtering shape. File-level only, by contract: rows
+    * the IN-set would drop still flow, and the join above (which implies
+    * the filter) keeps semantics — pruning is a license to read less,
+    * never a license to change the answer. */
+  private var runtime: Array[Filter] = Array.empty
+
+  /** Any column with manifest stats can prune files; numeric columns are
+    * exactly the ones the writers track (int/long carry blooms too). */
+  override def filterAttributes(): Array[NamedReference] =
+    fullSchema.fields.collect {
+      case f if f.dataType == IntegerType || f.dataType == LongType ||
+        f.dataType == DoubleType =>
+        org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
+    }
+
+  override def filter(filters: Array[Filter]): Unit = {
+    runtime = filters
+    val all = GraftCsv.listDataFiles(path)
+    val kept = keptFiles
+    GraftCsv.lastRuntimeSkip.set((kept.length, all.length))
+  }
 
   /** Files surviving manifest skipping, in listing order. */
   private def keptFiles: Seq[Path] = {
     val all = GraftCsv.listDataFiles(path)
     // file skipping: drop files whose manifest min/max PROVE no line can
-    // pass the pushed filters — the custom-source analogue of parquet
-    // row-group pruning, decided at planning time from |files| manifest
-    // rows instead of any data read. Files without stats always scan.
+    // pass the pushed (or runtime-supplied) filters — the custom-source
+    // analogue of parquet row-group pruning, decided at planning time
+    // from |files| manifest rows instead of any data read. Files without
+    // stats always scan.
+    val effective = pushed ++ runtime
     val manifest =
-      if (pushed.isEmpty) Map.empty[String, Map[String, GraftCsv.FileColStats]]
+      if (effective.isEmpty && limitPush.isEmpty && topNPush.isEmpty)
+        Map.empty[String, Map[String, GraftCsv.FileColStats]]
       else GraftCsv.readManifest(path)
-    val kept = all.filter { f =>
+    val filtered = all.filter { f =>
       manifest.get(f.getName)
-        .forall(stats => GraftCsv.mayMatch(stats, fullSchema, pushed))
+        .forall(stats => GraftCsv.mayMatch(stats, fullSchema, effective))
     }
+    val kept = boundPrune(filtered, manifest)
     GraftCsv.lastSkipStats.set((kept.length, all.length))
     kept
+  }
+
+  /** Limit/top-n file pruning. Both bounds were accepted only with zero
+    * pushed filters; they additionally stand down if a runtime filter
+    * arrived (a runtime-pruned sibling file's rows can no longer witness
+    * the "≥ n rows provably before f" argument, so the only sound prune
+    * is the runtime one). Missing stats anywhere → keep everything. */
+  private def boundPrune(all: Seq[Path],
+                         manifest: Map[String, Map[String, GraftCsv.FileColStats]]): Seq[Path] = {
+    if (runtime.nonEmpty) return all
+    (topNPush, limitPush) match {
+      case (Some((field, asc, n)), _) =>
+        val st = all.map(f => manifest.getOrElse(f.getName, Map.empty).get(field.name))
+        if (st.exists(s => s.isEmpty || s.get.nulls > 0 || s.get.min.isEmpty))
+          return all
+        val bounds = all.zip(st.map(_.get)).map { case (f, s) =>
+          (f, s.min.toLong, s.max.toLong, s.rows)
+        }
+        // f survives unless ≥ n rows sort strictly before its whole range
+        bounds.filter { case (f, mn, mx, _) =>
+          val before = bounds.iterator.collect {
+            case (g, gmn, gmx, rows)
+              if (g ne f) && (if (asc) gmx < mn else gmn > mx) => rows
+          }.sum
+          before < n
+        }.map(_._1)
+      case (None, Some(n)) =>
+        // minimal listing-order prefix with ≥ n manifest rows
+        var acc = 0L
+        val kept = Seq.newBuilder[Path]
+        for (f <- all) {
+          if (acc < n) {
+            kept += f
+            manifest.get(f.getName).flatMap(_.values.headOption) match {
+              case Some(s) => acc += s.rows
+              case None => return all // a stats-less file voids the bound
+            }
+          }
+        }
+        if (acc >= n) kept.result() else all
+      case _ => all
+    }
   }
 
   /** Statistics the planner's JOIN-STRATEGY decision runs on: exact row
@@ -987,6 +1156,8 @@ class GraftCsvReader(fullSchema: StructType, required: StructType,
     case LessThanOrEqual(c, v) => vals(fieldIdx(c)) != null && cmp(vals(fieldIdx(c)), v) <= 0
     case IsNull(c) => vals(fieldIdx(c)) == null
     case IsNotNull(c) => vals(fieldIdx(c)) != null
+    case In(c, vs) => vals(fieldIdx(c)) != null &&
+      vs.exists(v => v != null && cmp(vals(fieldIdx(c)), v) == 0)
     case other => throw new IllegalStateException(s"unpushable filter $other")
   }
 

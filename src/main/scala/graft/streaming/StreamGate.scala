@@ -238,6 +238,37 @@ object StreamGate {
         col("view_id"), expr("unix_micros(v_ts)").as("v_us"),
         col("purchase_cents"))
 
+  /** GATE: the LEFT OUTER stream-stream join ([[StreamOps
+    * .attributionJoinOuter]]) through the MERGE sink. Outer rows emit on
+    * state EVICTION, so the stream must end with a watermark advance
+    * past every real purchase's lookback: sentinel = true stages the
+    * far-future marker row, and BOTH filtered branches admit event_type
+    * "sentinel" alongside their own type so the marker reaches both
+    * watermark nodes (the GLOBAL watermark is the min over the two).
+    * The sentinel's own join output (it matches only itself, at
+    * user −1) is dropped AFTER the streaming merge, never inside the
+    * streamed plan: a `purchase_id != -1` filter there gets pushed
+    * below the purchase-side EventTimeWatermark node (it references no
+    * event-time column), the sentinel then never advances maxSeen(p_ts),
+    * and every purchase inside the last watermark-delay of the real
+    * stream silently keeps its outer row buffered forever — measured on
+    * the gate corpus as exactly the final two unmatched purchases
+    * missing. */
+  def attrOuterGate(spark: SparkSession, events: DataFrame, work: String): DataFrame =
+    runMerged(spark, events, work,
+      df => StreamOps.attributionJoinOuter(
+        df.filter(col("event_type").isin("purchase", "sentinel")),
+        df.filter(col("event_type").isin("view", "sentinel")),
+        lookback = "4 hours"),
+      keys = Seq("purchase_id", "view_id"), outputMode = "append",
+      sentinel = true)
+      .filter(col("purchase_id") =!= -1L)
+      .select(col("purchase_id"), col("user_id"),
+        expr("unix_micros(p_ts)").as("p_us"),
+        col("view_id"),
+        coalesce(expr("unix_micros(v_ts)"), lit(-1L)).as("v_us"),
+        col("purchase_cents"))
+
   /** GATE: STREAMING incremental view maintenance — the MV lifecycle's
     * streaming leg: every micro-batch folds into the summary parquet via
     * [[graft.operators.Mv.refreshIncremental]] (delta partials merged by

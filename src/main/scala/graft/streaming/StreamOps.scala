@@ -217,6 +217,39 @@ object StreamOps {
         round(col("purchase_value") * 100).cast("long").as("purchase_cents"))
   }
 
+  /** LEFT OUTER stream-stream interval join — [[attributionJoin]]'s
+    * unmatched-purchase lane: a purchase with NO view in its lookback
+    * emits ONE null-padded row, and in streaming that row can only
+    * materialize once the view-side watermark has passed the purchase's
+    * whole lookback window (until then a matching view could still
+    * arrive) — emission driven by state EVICTION, the subtlest supported
+    * stream-join semantics and the reason outer results need a final
+    * watermark advance to flush. The null view id is coalesced to the
+    * −1 sentinel lane so the downstream MERGE key stays non-null; v_ts
+    * stays NULL (the honest value). Identical semantics on bounded
+    * frames (StreamOpsSpec pins equality with the plain batch left
+    * join). */
+  def attributionJoinOuter(purchases: DataFrame, views: DataFrame,
+                           lookback: String = "15 minutes",
+                           watermark: String = "30 minutes"): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+      .withWatermark("p_ts", watermark)
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    p.join(v,
+      col("user_id") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $lookback"),
+      "left_outer")
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        coalesce(col("view_id"), lit(-1L)).as("view_id"), col("v_ts"),
+        round(col("purchase_value") * 100).cast("long").as("purchase_cents"))
+  }
+
   /** The batch twin of [[windowedCounts]] for A/B semantics tests: same
     * plan over a bounded DataFrame. */
   def windowedCountsBatch(events: DataFrame): DataFrame =

@@ -79,7 +79,8 @@ class PlanContractSpec extends SparkSpec {
     "q272_did",                      // 1-row median-cut scalar broadcast
     "q328_kneser_ney",               // 1-row bigram-type-count (B) broadcast (the q300 class)
     "q329_dsir_select",              // 1-row (t_raw, t_tgt) totals broadcast (the q178 class)
-    "q330_bleu_corpus")              // five 1-row piece frames crossJoined (clip/tot/lens scalars)
+    "q330_bleu_corpus",              // five 1-row piece frames crossJoined (clip/tot/lens scalars)
+    "q352_quantile_sketch")          // |q|-row (3) sketch-probe broadcast crossJoined twice (rank bracket + exact lane)
 
   /** q38's brute-force fallback joins the (empty-whenever-the-grid-
     * decides) unresolved-points frame against nodes — the initial plan

@@ -229,4 +229,134 @@ class GraftCsvStatsSpec extends SparkSpec {
     val stats = fact.queryExecution.optimizedPlan.stats
     assert(stats.rowCount.contains(BigInt(2000)), s"rowCount: ${stats.rowCount}")
   }
+
+  test("IN pushdown: evaluated per line, pruned per file through range + bloom stats") {
+    import graft.sources.v2.GraftCsv
+    val out = java.nio.file.Files.createTempDirectory("graftcsv-in").toString
+    val sch = StructType(Seq(StructField("k", LongType), StructField("v", LongType)))
+    (0 until 100).map(i => (i.toLong, i.toLong * 2)).toDF("k", "v")
+      .repartitionByRange(4, $"k") // 4 files with disjoint k ranges
+      .write.format(fmt).mode("overwrite").save(out)
+    def rd = spark.read.schema(sch).format(fmt).load(out)
+    val q = rd.filter($"k".isin(3L, 97L)).select("v")
+    // the IN reached the scan (not a residual Spark filter)…
+    val scanDesc = q.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("In(k"), s"IN not pushed:\n$scanDesc")
+    // …answers exactly…
+    assert(q.as[Long].collect().toSet == Set(6L, 194L))
+    // …and only the two files whose range covers a probe value were read
+    val (kept, total) = GraftCsv.lastSkipStats.get()
+    assert(total == 4 && kept == 2, s"IN should prune to 2 of 4 files: $kept/$total")
+    // a probe set entirely outside every range reads nothing
+    assert(rd.filter($"k".isin(1000L, -5L)).collect().isEmpty)
+    assert(GraftCsv.lastSkipStats.get() == ((0, 4)))
+  }
+
+  test("runtime (DPP) filtering: the join's IN-set re-prunes the file list at execution") {
+    import graft.sources.v2.GraftCsv
+    val factPath = java.nio.file.Files.createTempDirectory("graftcsv-rtf").toString
+    val dimPath = java.nio.file.Files.createTempDirectory("graftcsv-rtd").toString
+    // fact: 1000 rows over 20 keys, range-partitioned into 5 key-disjoint
+    // files; dim: 20 keys tagged 0..4, the filter (tag = 0) keeps keys
+    // {0, 5, 10, 15} — NOT a key predicate, so only runtime pruning can
+    // shrink the fact's file list
+    (0 until 1000).map(i => (i.toLong % 20, i.toLong)).toDF("k", "v")
+      .repartitionByRange(5, $"k")
+      .write.format(fmt).mode("overwrite").save(factPath)
+    (0 until 20).map(i => (i.toLong, i % 5)).toDF("k", "tag")
+      .write.mode("overwrite").parquet(dimPath)
+    val factSch = StructType(Seq(StructField("k", LongType), StructField("v", LongType)))
+    val fact = spark.read.schema(factSch).format(fmt).load(factPath)
+    val dim = spark.read.parquet(dimPath).filter($"tag" === 0)
+    // broadcast the dim so IT is the build side: DPP (reuseBroadcastOnly)
+    // evaluates the IN-set off the build side's broadcast — if the tiny
+    // fact broadcasts instead, the planted filter degrades to true
+    val j = fact.join(broadcast(dim), "k")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+    GraftCsv.lastRuntimeSkip.set((0, 0))
+    val r = j.collect().head
+    val expect = (0 until 1000).filter(i => i % 20 % 5 == 0)
+    assert(r.getLong(0) == expect.size && r.getLong(1) == expect.map(_.toLong).sum,
+      "runtime pruning changed the answer")
+    // the dynamicpruning filter was planted on OUR scan…
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"), s"no DPP filter:\n$plan")
+    // …and the execution-time re-planning skipped at least one file: the
+    // 4 probe keys can hit at most 4 of the 5 disjoint range files
+    val (kept, total) = GraftCsv.lastRuntimeSkip.get()
+    assert(total == 5 && kept > 0 && kept < total,
+      s"runtime filter did not re-prune: $kept/$total")
+  }
+
+  test("top-n pushdown: dominated files drop, both directions, overlap-safe, null-decline") {
+    import graft.sources.v2.GraftCsv
+    val out = java.nio.file.Files.createTempDirectory("graftcsv-topn").toString
+    val sch = StructType(Seq(StructField("k", LongType), StructField("v", LongType)))
+    (0 until 100).map(i => (i.toLong, i.toLong * 3)).toDF("k", "v")
+      .repartitionByRange(4, $"k") // 4 files, disjoint k ranges
+      .write.format(fmt).mode("overwrite").save(out)
+    def rd = spark.read.schema(sch).format(fmt).load(out)
+    // ascending: only the lowest-range file can hold the top 5
+    GraftCsv.lastBoundPushdown.set("")
+    val asc = rd.orderBy($"k").limit(5).as[(Long, Long)].collect().toSeq
+    assert(asc == (0L to 4L).map(i => (i, i * 3)))
+    assert(GraftCsv.lastBoundPushdown.get().startsWith("topn=k asc"),
+      GraftCsv.lastBoundPushdown.get())
+    assert(GraftCsv.lastSkipStats.get() == ((1, 4)), GraftCsv.lastSkipStats.get().toString)
+    // descending mirrors
+    GraftCsv.lastBoundPushdown.set("")
+    val desc = rd.orderBy($"k".desc).limit(5).as[(Long, Long)].collect().toSeq
+    assert(desc == (99L to 95L by -1).map(i => (i, i * 3)))
+    assert(GraftCsv.lastBoundPushdown.get().startsWith("topn=k desc"))
+    assert(GraftCsv.lastSkipStats.get() == ((1, 4)))
+    // overlapping ranges: two files both span small keys — neither is
+    // provably dominated, both must survive, answer exact
+    val out2 = java.nio.file.Files.createTempDirectory("graftcsv-topn2").toString
+    Seq(1L, 3L, 50L).toDF("k").coalesce(1)
+      .write.format(fmt).mode("overwrite").save(out2)
+    Seq(2L, 4L, 60L).toDF("k").coalesce(1)
+      .write.format(fmt).mode("append").save(out2)
+    Seq(100L, 101L, 102L).toDF("k").coalesce(1)
+      .write.format(fmt).mode("append").save(out2)
+    val sch1 = StructType(Seq(StructField("k", LongType)))
+    val got = spark.read.schema(sch1).format(fmt).load(out2)
+      .orderBy($"k").limit(4).as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 3L, 4L))
+    // 6 rows provably precede the [100,102] file → it drops; 2 kept of 3
+    assert(GraftCsv.lastSkipStats.get() == ((2, 3)))
+    // a NULL in the sort column declines the pushdown, answer unchanged
+    val out3 = java.nio.file.Files.createTempDirectory("graftcsv-topn3").toString
+    (0 until 40).map(i => if (i == 7) None else Some(i.toLong)).toDF("k")
+      .repartitionByRange(2, $"k")
+      .write.format(fmt).mode("overwrite").save(out3)
+    GraftCsv.lastBoundPushdown.set("sentinel")
+    val withNull = spark.read.schema(sch1).format(fmt).load(out3)
+      .orderBy($"k".desc).limit(3).as[Option[Long]].collect().toSeq
+    assert(withNull == Seq(Some(39L), Some(38L), Some(37L)))
+    assert(GraftCsv.lastBoundPushdown.get().isEmpty,
+      "null-bearing sort column must decline top-n pushdown")
+  }
+
+  test("limit pushdown: a row-sufficient file prefix is read, count exact") {
+    import graft.sources.v2.GraftCsv
+    val out = java.nio.file.Files.createTempDirectory("graftcsv-lim").toString
+    val sch = StructType(Seq(StructField("k", LongType)))
+    (0 until 400).map(_.toLong).toDF("k").repartition(8)
+      .write.format(fmt).mode("overwrite").save(out)
+    def rd = spark.read.schema(sch).format(fmt).load(out)
+    GraftCsv.lastBoundPushdown.set("")
+    assert(rd.limit(60).count() == 60)
+    assert(GraftCsv.lastBoundPushdown.get() == "limit=60")
+    val (kept, total) = GraftCsv.lastSkipStats.get()
+    assert(total == 8 && kept < total && kept >= 2, s"$kept/$total")
+    // limit past the table reads everything and returns everything
+    GraftCsv.lastBoundPushdown.set("")
+    assert(rd.limit(100000).count() == 400)
+    assert(GraftCsv.lastSkipStats.get() == ((8, 8)))
+    // a pushed filter declines the limit bound (raw rows ≠ matching rows)
+    GraftCsv.lastBoundPushdown.set("sentinel")
+    assert(rd.filter($"k" >= 200L).limit(60).count() == 60)
+    assert(GraftCsv.lastBoundPushdown.get().isEmpty,
+      "limit pushdown must decline under pushed filters")
+  }
 }

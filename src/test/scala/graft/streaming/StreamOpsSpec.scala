@@ -290,6 +290,59 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamedShape == want)
   }
 
+  test("attributionJoinOuter: unmatched purchase emits its null-padded row on eviction") {
+    implicit val ctx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = StreamOps.attributionJoinOuter(purchases.toDF(), views.toDF(),
+        lookback = "15 minutes")
+      .writeStream.format("memory").queryName("attr_outer")
+      .outputMode("append").start()
+    try {
+      views.addData(Event(1, ts(1), 10, "view", 0.0))
+      purchases.addData(
+        Event(50, ts(12), 10, "purchase", 9.99), // matches view 1
+        Event(51, ts(12), 99, "purchase", 5.0))  // no view for user 99
+      q.processAllAvailable()
+      val matched = spark.table("attr_outer")
+        .select("purchase_id", "view_id").as[(Long, Long)].collect().toSet
+      // inner rows flow immediately; the outer row CANNOT have emitted yet
+      // (a matching view could still arrive inside the watermark)
+      assert(matched == Set((50L, 1L)), s"premature outer emission: $matched")
+      // far-future rows push both watermarks past purchase 51's window →
+      // its join state evicts and the null-padded row emits in the
+      // watermark-advance batch
+      views.addData(Event(2, ts(600), 10, "view", 0.0))
+      purchases.addData(Event(52, ts(600), 10, "purchase", 1.0))
+      q.processAllAvailable()
+      val after = spark.table("attr_outer")
+        .select("purchase_id", "view_id").as[(Long, Long)].collect().toSet
+      assert(after == Set((50L, 1L), (51L, -1L), (52L, 2L)), after.toString)
+    } finally q.stop()
+  }
+
+  test("attributionJoinOuter on bounded frames equals the batch left join") {
+    val rnd = new scala.util.Random(12)
+    val evs = (1 to 200).map { i =>
+      Event(i.toLong, new Timestamp(1700000000000L + rnd.nextInt(3600) * 1000L),
+        (rnd.nextInt(5) + 1).toLong,
+        if (rnd.nextBoolean()) "view" else "purchase", rnd.nextInt(50) / 10.0)
+    }
+    val df = evs.toDF()
+    val got = StreamOps.attributionJoinOuter(
+        df.filter(col("event_type") === "purchase"),
+        df.filter(col("event_type") === "view"), lookback = "10 minutes")
+      .select("purchase_id", "view_id").as[(Long, Long)].collect().toSet
+    val vs = evs.filter(_.event_type == "view")
+    val want = evs.filter(_.event_type == "purchase").flatMap { p =>
+      val ms = vs.filter(v => v.user_id == p.user_id &&
+        v.ts.getTime <= p.ts.getTime && v.ts.getTime >= p.ts.getTime - 600000L)
+      if (ms.isEmpty) Seq((p.event_id, -1L))
+      else ms.map(v => (p.event_id, v.event_id))
+    }.toSet
+    assert(got == want)
+  }
+
   test("sessionizeStream on a bounded frame equals EventOps.sessionize(gap − 1µs)") {
     // random events over a handful of users; the strict-< vs <= boundary
     // is bridged by the documented gap − 1 µs equivalence
