@@ -391,7 +391,13 @@ object ScaleBench {
     "q356_dsv2_topn", "q357_dsv2_limit",
     // outer stream join: same state geometry as q216 plus the eviction-
     // driven outer emission; state bounded by watermark exactly as inner
-    "q358_stream_outer_join")
+    "q358_stream_outer_join",
+    // write-side clustering: the cost is the planner-inserted shuffle +
+    // the keyed write — exactly the once-per-ingest cost q344 measures
+    "q359_dsv2_write_distribution",
+    // catalog lifecycle: cost is the keyed INSERT; the DELETE is
+    // metadata-only (drops whole files) and the SELECT reads 12/16 keys
+    "q360_catalog_sql")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

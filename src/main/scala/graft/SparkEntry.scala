@@ -4990,7 +4990,11 @@ object SparkEntry {
         .withColumn("salt", when(col("k") === 0L,
           pmod(hash(col("price_c")), lit(16))).otherwise(lit(0)))
         .repartition(32, col("k"), col("salt")).drop("salt")
+        // no_cluster: this layout OWNS its routing — the salt spreads the
+        // dominant key across tasks on purpose; the write's default
+        // required clustering would collapse those splits back into one
         .write.format(fmt).option("partition_col", "k")
+        .option("no_cluster", "true")
         .mode("overwrite").save(pa)
       t(s2, dir, "orders").select(
           (when(col("o_orderkey") % 4 < 3, lit(0L))
@@ -5249,6 +5253,66 @@ object SparkEntry {
         col("user_id"), col("event_type"), col("value"))
       streaming.StreamGate.attrOuterGate(s, ev, rtPath("q358_stream"))
         .orderBy("purchase_id", "view_id")
+    }),
+
+    // WRITE-SIDE distribution requirement (RequiresDistributionAndOrdering):
+    // the keyed write itself asks Spark to cluster rows by the partition
+    // column, so the key-pure layout no longer depends on the caller
+    // remembering a repartition — the input here is deliberately
+    // SCATTERED (round-robin 16 ways; without the requested shuffle each
+    // task would see every key and land ~24×16 files). require() pins
+    // exactly one key-pure file per key — the planner inserted the
+    // clustering exchange. The read-back then answers through the
+    // grouped manifest pushdown over that layout; plain-SQL oracle.
+    "q359_dsv2_write_distribution" -> ((s, dir) => {
+      val fmt = "graft.sources.v2.GraftCsv"
+      val path = rtPath("dsv2wdist")
+      t(s, dir, "orders").select((col("o_custkey") % 24).cast("long").as("k"),
+          col("o_orderkey"))
+        .repartition(16)
+        .write.format(fmt).option("partition_col", "k")
+        .mode("overwrite").save(path)
+      val files = graft.sources.v2.GraftCsv.listDataFiles(path)
+      require(files.size == 24,
+        s"write-side clustering must land one key-pure file per key, got ${files.size}")
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_orderkey", org.apache.spark.sql.types.LongType)))
+      s.read.schema(sch).format(fmt).load(path)
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+        .orderBy("k")
+    }),
+
+    // CATALOG SQL surface (TableCatalog over the custom source): the full
+    // DDL/DML lifecycle a database user expects — CREATE NAMESPACE,
+    // CREATE TABLE … PARTITIONED BY (k), INSERT INTO, METADATA-ONLY
+    // DELETE, SELECT — resolving through `spark.sql.catalog.graft`. The
+    // PARTITIONED BY declaration flows into the INSERT as the keyed
+    // layout (one key-pure file per key via the write's own required
+    // clustering), which is exactly what licenses the DELETE to drop
+    // whole files from manifest stats alone: require() pins 16 → 12
+    // files with zero rows rewritten. Oracle is the plain filtered
+    // aggregate over the source table.
+    "q360_catalog_sql" -> ((s, dir) => {
+      val s2 = s.newSession()
+      val wh = rtPath("graft_wh")
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      t(s2, dir, "orders").createOrReplaceTempView("orders_src")
+      s2.sql("CREATE NAMESPACE IF NOT EXISTS graft.gate")
+      s2.sql("""CREATE TABLE graft.gate.orders_t (k BIGINT, price_c BIGINT)
+               |PARTITIONED BY (k)""".stripMargin)
+      s2.sql("""INSERT INTO graft.gate.orders_t
+               |SELECT o_orderkey % 16 AS k,
+               |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+               |FROM orders_src""".stripMargin)
+      s2.sql("DELETE FROM graft.gate.orders_t WHERE k >= 12")
+      val files = graft.sources.v2.GraftCsv.listDataFiles(s"$wh/gate/orders_t")
+      require(files.size == 12,
+        s"metadata-only delete must leave 12 of 16 key-pure files, got ${files.size}")
+      s2.sql("""SELECT k, count(*) AS n, CAST(sum(price_c) AS BIGINT) AS price_sum
+               |FROM graft.gate.orders_t GROUP BY k ORDER BY k""".stripMargin)
     })
   )
 
@@ -11762,6 +11826,23 @@ object SparkEntry {
         |       p.purchase_cents
         |FROM p LEFT JOIN v ON v.v_user = p.user_id
         | AND v.v_us <= p.p_us AND v.v_us >= p.p_us - 14400000000
-        |ORDER BY p.purchase_id, view_id""".stripMargin
+        |ORDER BY p.purchase_id, view_id""".stripMargin,
+
+    // The write-side clustering must change the LAYOUT (the require),
+    // never the data: plain grouped reduce over the source table.
+    "q359_dsv2_write_distribution" ->
+      """SELECT o_custkey % 24 AS k, count(*) AS n,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders GROUP BY 1 ORDER BY k""".stripMargin,
+
+    // The whole CREATE/INSERT/DELETE/SELECT lifecycle must equal the
+    // plain filtered aggregate — the metadata-only delete dropped
+    // exactly the k >= 12 files and nothing else.
+    "q360_catalog_sql" ->
+      """SELECT o_orderkey % 16 AS k, count(*) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS price_sum
+        |FROM orders WHERE o_orderkey % 16 < 12
+        |GROUP BY 1 ORDER BY k""".stripMargin
   )
 }

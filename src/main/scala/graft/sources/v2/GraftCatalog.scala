@@ -1,0 +1,243 @@
+package graft.sources.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** TableCatalog over the GraftCsv source — the SQL DDL/DML surface that
+  * makes the custom source a first-class database: `CREATE TABLE
+  * graft.ns.t (…) PARTITIONED BY (k)`, `INSERT INTO/OVERWRITE`,
+  * `SELECT`, `DELETE FROM … WHERE` and `DROP TABLE` all resolve through
+  * this plugin (registered as `spark.sql.catalog.graft` with a
+  * `warehouse` option naming the root directory).
+  *
+  * Layout: one directory per table under `warehouse/<ns…>/<name>`;
+  * the schema (and the identity partition column, if declared) persists
+  * in `_cat_schema.csv` so a fresh session resolves the table without
+  * inference. A `PARTITIONED BY (k)` declaration flows into every
+  * INSERT as the keyed-layout contract (key-pure files + `_keys.csv`),
+  * which in turn powers storage-partitioned joins, grouped manifest
+  * aggregates, AND metadata-only DELETE over the catalog table.
+  *
+  * DELETE is [[GraftCatalogTable.deleteWhere]]: accepted ONLY when every
+  * current file is provably all-match (drop the file) or no-match (keep
+  * it untouched) from its manifest stats — the Iceberg metadata-delete
+  * shape; anything that would need a row-level rewrite declines loudly
+  * at analysis (`canDeleteWhere` = false). Supported column types match
+  * the source: int/long/double/string. */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+  private def fs: FileSystem = warehouse.getFileSystem(new Configuration())
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = new Path(Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog '$name' requires the 'warehouse' option " +
+          s"(spark.sql.catalog.$name.warehouse=<dir>)")))
+  }
+
+  override def name(): String = catalogName
+
+  private def tablePath(ident: Identifier): Path =
+    (ident.namespace() :+ ident.name()).foldLeft(warehouse)((p, s) => new Path(p, s))
+
+  private def nsPath(namespace: Array[String]): Path =
+    namespace.foldLeft(warehouse)((p, s) => new Path(p, s))
+
+  private val SchemaFile = "_cat_schema.csv"
+
+  private def renderType(dt: DataType): String = dt match {
+    case IntegerType => "int"
+    case LongType => "long"
+    case DoubleType => "double"
+    case StringType => "string"
+    case other => throw new UnsupportedOperationException(
+      s"graft catalog tables support int/long/double/string columns, got $other")
+  }
+
+  private def parseType(s: String): DataType = s match {
+    case "int" => IntegerType
+    case "long" => LongType
+    case "double" => DoubleType
+    case "string" => StringType
+    case other => throw new IllegalStateException(s"corrupt $SchemaFile type '$other'")
+  }
+
+  private def writeSchema(dir: Path, schema: StructType,
+                          partCol: Option[String]): Unit = {
+    val out = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(fs.create(new Path(dir, SchemaFile), true), "UTF-8"))
+    try schema.fields.foreach { f =>
+      val key = if (partCol.contains(f.name)) "key" else ""
+      out.write(s"${f.name},${renderType(f.dataType)},$key"); out.newLine()
+    } finally out.close()
+  }
+
+  private def readSchema(dir: Path): (StructType, Option[String]) = {
+    val in = fs.open(new Path(dir, SchemaFile))
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    val parsed = lines.map(_.split(",", -1)).collect {
+      case Array(n, t, k) => (StructField(n, parseType(t)), k == "key")
+    }
+    (StructType(parsed.map(_._1)), parsed.find(_._2).map(_._1.name))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    fs.exists(new Path(tablePath(ident), SchemaFile))
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = tablePath(ident)
+    val (schema, partCol) = readSchema(dir)
+    new GraftCatalogTable(schema, dir.toString, partCol,
+      (catalogName +: ident.namespace() :+ ident.name()).mkString("."))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val partCol = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name == "identity" && t.references.length == 1 &&
+        t.references.head.fieldNames.length == 1 =>
+        val c = t.references.head.fieldNames.head
+        val f = schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(s"PARTITIONED BY column '$c' not in schema"))
+        require(f.dataType == IntegerType || f.dataType == LongType,
+          s"PARTITIONED BY column '$c' must be int/long (keyed-layout contract)")
+        Some(c)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog supports at most one identity partition column, got " +
+          other.mkString(", "))
+    }
+    schema.fields.foreach(f => renderType(f.dataType)) // validate types loudly
+    fs.mkdirs(tablePath(ident))
+    writeSchema(tablePath(ident), schema, partCol)
+    new GraftCatalogTable(schema, tablePath(ident).toString, partCol,
+      (catalogName +: ident.namespace() :+ ident.name()).mkString("."))
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("ALTER TABLE is not supported")
+
+  override def dropTable(ident: Identifier): Boolean =
+    tableExists(ident) && fs.delete(tablePath(ident), true)
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (!tableExists(from)) throw new NoSuchTableException(from)
+    if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    fs.mkdirs(tablePath(to).getParent)
+    require(fs.rename(tablePath(from), tablePath(to)),
+      s"rename $from -> $to failed")
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val p = nsPath(namespace)
+    if (!fs.exists(p)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(p).filter(_.isDirectory)
+      .filter(d => fs.exists(new Path(d.getPath, SchemaFile)))
+      .map(d => Identifier.of(namespace, d.getPath.getName))
+  }
+
+  // namespaces are directories; metadata is empty — the minimal surface
+  // CREATE/DROP NAMESPACE and identifier resolution need
+  override def listNamespaces(): Array[Array[String]] =
+    if (!fs.exists(warehouse)) Array.empty
+    else fs.listStatus(warehouse).filter(_.isDirectory)
+      .filter(d => !fs.exists(new Path(d.getPath, SchemaFile)))
+      .map(d => Array(d.getPath.getName))
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(nsPath(namespace)).filter(_.isDirectory)
+      .filter(d => !fs.exists(new Path(d.getPath, SchemaFile)))
+      .map(d => namespace :+ d.getPath.getName)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || fs.exists(nsPath(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit =
+    fs.mkdirs(nsPath(namespace))
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    if (!cascade && fs.listStatus(nsPath(namespace)).nonEmpty)
+      throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+    fs.delete(nsPath(namespace), true)
+  }
+}
+
+/** A catalog-resolved GraftCsv table: the plain table surface plus the
+  * declared partition column (flowing into every INSERT as the keyed
+  * layout, without a per-write option) and METADATA-ONLY DELETE. */
+class GraftCatalogTable(tblSchema: StructType, path: String,
+                        partCol: Option[String], fullName: String)
+  extends GraftCsvTable(tblSchema, path) with SupportsDelete {
+
+  override def name(): String = fullName
+
+  override def partitioning(): Array[Transform] =
+    partCol.map(c => Expressions.identity(c)).toArray
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftCsvWriteBuilder(info.schema(), path, info.queryId(),
+      Option(info.options().get("partition_col")).orElse(partCol),
+      Option(info.options().get("no_cluster")).exists(_.toBoolean))
+
+  /** Metadata-only delete precondition: every current file is provably
+    * all-match (its whole [min,max]/null profile satisfies the
+    * predicate — drop the file) or no-match (the existing skipping
+    * proof — keep it untouched). A file that MIGHT be mixed, or lacks
+    * stats, declines the whole DELETE at analysis time: this table
+    * never rewrites rows. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean = {
+    val files = GraftCsv.listDataFiles(path)
+    val manifest = GraftCsv.readManifest(path)
+    files.forall { f =>
+      manifest.get(f.getName).exists { stats =>
+        GraftCsv.mustMatchAll(stats, tblSchema, filters) ||
+          !GraftCsv.mayMatch(stats, tblSchema, filters)
+      }
+    }
+  }
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(canDeleteWhere(filters),
+      s"metadata-only delete precondition lost between analysis and execution")
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val manifest = GraftCsv.readManifest(path)
+    // drop exactly the all-match files; stale manifest/keys rows for
+    // deleted files are harmless by the established contract (planning
+    // keys on the current listing)
+    GraftCsv.listDataFiles(path)
+      .filter(f => GraftCsv.mustMatchAll(manifest(f.getName), tblSchema, filters))
+      .foreach(f => require(fs.delete(f, false), s"delete of $f failed"))
+  }
+}

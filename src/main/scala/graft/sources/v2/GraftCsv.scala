@@ -66,7 +66,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    KeyGroupedPartitioning(identity(k)) with HasPartitionKey splits,
   *    and two tables keyed on the join column join with ZERO shuffle
   *    under spark.sql.sources.v2.bucketing.enabled (the Iceberg
-  *    storage-partitioned-join shape).
+  *    storage-partitioned-join shape). The WRITE requests clustering by
+  *    the key itself (RequiresDistributionAndOrdering), so the key-pure
+  *    layout holds without a caller-side repartition; `no_cluster` opts
+  *    out for salted layouts that own their routing.
   *
   * Pushed-filter evaluation happens on the TYPED parsed value of only the
   * referenced columns, so a filtered scan parses `referenced ∪ required`
@@ -315,6 +318,50 @@ object GraftCsv {
     case (_, n: Number) => java.lang.Long.compare(bound.toLong, n.longValue())
     case _ => 0 // non-numeric filter value against numeric stats: no skip
   }
+
+  /** Does EVERY row of a file (with these stats) provably satisfy every
+    * filter? The dual of [[mayMatch]], and deliberately one-sided: a
+    * `true` licenses deleting the whole file (metadata-only DELETE), so
+    * every unprovable shape answers `false` — NaN-bearing doubles (the
+    * bounds exclude NaN), all-null columns under value predicates,
+    * missing stats, unknown filter shapes. And/Or recurse (all-match-l
+    * AND all-match-r / all-match-either is sound, if incomplete). */
+  private[v2] def mustMatchAll(stats: Map[String, FileColStats],
+                               schema: StructType, filters: Array[Filter]): Boolean =
+    filters.forall(mustMatch(stats, schema, _))
+
+  private def mustMatch(stats: Map[String, FileColStats],
+                        schema: StructType, f: Filter): Boolean = f match {
+    case And(l, r) => mustMatch(stats, schema, l) && mustMatch(stats, schema, r)
+    case Or(l, r) => mustMatch(stats, schema, l) || mustMatch(stats, schema, r)
+    case _: AlwaysTrue => true
+    case _ =>
+      val colOpt = f.references.headOption.flatMap(stats.get)
+      val dtOpt = f.references.headOption
+        .flatMap(c => schema.fields.find(_.name == c)).map(_.dataType)
+      (colOpt, dtOpt) match {
+        case (Some(FileColStats(mn, mx, nulls, rows, _, nan)), Some(dt)) =>
+          def cmpMin(v: Any): Int = cmpB(mn, v, dt)
+          def cmpMax(v: Any): Int = cmpB(mx, v, dt)
+          f match {
+            case _ if rows == 0 => true // empty file: vacuously all-match
+            case IsNull(_) => nulls == rows
+            case IsNotNull(_) => nulls == 0
+            case _ if nan => false // NaN outside the bounds: unprovable
+            case _ if mn.isEmpty => false // all-null: value predicates fail
+            case EqualTo(_, v) =>
+              nulls == 0 && cmpMin(v) == 0 && cmpMax(v) == 0
+            case In(_, vs) => nulls == 0 && mn == mx &&
+              vs.exists(v => v != null && cmpMin(v) == 0)
+            case GreaterThan(_, v) => nulls == 0 && cmpMin(v) > 0
+            case GreaterThanOrEqual(_, v) => nulls == 0 && cmpMin(v) >= 0
+            case LessThan(_, v) => nulls == 0 && cmpMax(v) < 0
+            case LessThanOrEqual(_, v) => nulls == 0 && cmpMax(v) <= 0
+            case _ => false // shapes stats cannot prove for every row
+          }
+        case _ => false // no stats: never provable
+      }
+  }
 }
 
 class GraftCsvTable(tblSchema: StructType, path: String)
@@ -328,7 +375,8 @@ class GraftCsvTable(tblSchema: StructType, path: String)
     new GraftCsvScanBuilder(tblSchema, path)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftCsvWriteBuilder(info.schema(), path, info.queryId(),
-      Option(info.options().get("partition_col")))
+      Option(info.options().get("partition_col")),
+      Option(info.options().get("no_cluster")).exists(_.toBoolean))
 }
 
 /** WRITE path of the V2 contract — the "own a sink end to end"
@@ -348,13 +396,37 @@ class GraftCsvTable(tblSchema: StructType, path: String)
   * rejected LOUDLY at write time (the validated-source philosophy: fail
   * the job, don't corrupt the table). */
 class GraftCsvWriteBuilder(schema: StructType, path: String, queryId: String,
-                           partitionCol: Option[String])
+                           partitionCol: Option[String], noCluster: Boolean = false)
   extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
-  override def build(): Write = new Write {
+
+  /** Keyed writes REQUEST clustering by the partition column
+    * (RequiresDistributionAndOrdering): Spark plans the shuffle that
+    * routes each key's rows to exactly one task, so every key lands in
+    * exactly ONE key-pure file — the manual repartition-by-key contract
+    * becomes something the engine asks for instead of something the
+    * caller must remember. What clustering does NOT bound is keys PER
+    * task (AQE may coalesce the inserted shuffle, concentrating many
+    * keys in few tasks on small volumes), so the per-task open-sink cap
+    * stays as the loud guard and its documented remedy — repartition by
+    * the key with enough partitions — stays valid for extreme key
+    * cardinality. `no_cluster` opts out entirely for layouts that own
+    * their routing (the q350/SpjSkewSpec salted writes spread the
+    * dominant key across tasks ON PURPOSE — a required clustering would
+    * collapse the very splits partially-clustered SPJ feeds on). */
+  override def build(): Write = new Write with RequiresDistributionAndOrdering {
     override def toBatch: BatchWrite =
       new GraftCsvBatchWrite(schema, path, queryId, doTruncate, partitionCol)
+    override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+      partitionCol match {
+        case Some(kc) if !noCluster =>
+          org.apache.spark.sql.connector.distributions.Distributions.clustered(
+            Array(org.apache.spark.sql.connector.expressions.Expressions.identity(kc)))
+        case _ =>
+          org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+      }
+    override def requiredOrdering(): Array[SortOrder] = Array.empty
   }
 }
 

@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The TableCatalog surface over GraftCsv: DDL lifecycle, the declared
+  * partition column flowing into INSERTs as the keyed layout, and
+  * metadata-only DELETE with its decline shapes. */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val s2 = {
+    val s = spark.newSession()
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    s.conf.set("spark.sql.catalog.gcat", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+    s.conf.set("graft.test.wh", wh)
+    s
+  }
+  private def wh = s2.conf.get("graft.test.wh")
+
+  test("DDL lifecycle: create namespace/table, insert, select, rename, drop") {
+    s2.sql("CREATE NAMESPACE IF NOT EXISTS gcat.lab")
+    s2.sql("CREATE TABLE gcat.lab.t1 (id BIGINT, name STRING, score DOUBLE)")
+    assert(s2.sql("SHOW TABLES IN gcat.lab").collect().map(_.getString(1)).contains("t1"))
+    s2.sql("INSERT INTO gcat.lab.t1 VALUES (1, 'a', 1.5), (2, 'b', NULL), (3, NULL, 3.5)")
+    assert(s2.sql("SELECT * FROM gcat.lab.t1").count() == 3)
+    // overwrite truncates the previous generation
+    s2.sql("INSERT OVERWRITE gcat.lab.t1 VALUES (9, 'z', 9.0)")
+    assert(s2.sql("SELECT id FROM gcat.lab.t1").collect().map(_.getLong(0)).toSeq == Seq(9L))
+    // RENAME TO takes a catalog-relative name (same-catalog contract)
+    s2.sql("ALTER TABLE gcat.lab.t1 RENAME TO lab.t2")
+    assert(s2.sql("SELECT id FROM gcat.lab.t2").count() == 1)
+    assert(!s2.catalog.tableExists("gcat.lab.t1"))
+    s2.sql("DROP TABLE gcat.lab.t2")
+    assert(!s2.catalog.tableExists("gcat.lab.t2"))
+  }
+
+  test("PARTITIONED BY flows into inserts: key-pure files without caller repartition") {
+    import graft.sources.v2.GraftCsv
+    s2.sql("CREATE NAMESPACE IF NOT EXISTS gcat.lab")
+    s2.sql("CREATE TABLE gcat.lab.keyed (k BIGINT, v BIGINT) PARTITIONED BY (k)")
+    s2.createDataFrame((0 until 200).map(i => (i.toLong % 5, i.toLong)))
+      .toDF("k", "v").createOrReplaceTempView("keyed_src")
+    s2.sql("INSERT INTO gcat.lab.keyed SELECT * FROM keyed_src")
+    // declared key + write-side required clustering → one file per key
+    assert(GraftCsv.listDataFiles(s"$wh/lab/keyed").size == 5)
+    assert(GraftCsv.readKeys(s"$wh/lab/keyed").size == 5)
+    assert(s2.sql("SELECT sum(v) FROM gcat.lab.keyed").collect().head.getLong(0)
+      == (0 until 200).sum)
+  }
+
+  test("metadata-only DELETE: whole key files drop; mixed predicates decline") {
+    import graft.sources.v2.GraftCsv
+    s2.sql("CREATE NAMESPACE IF NOT EXISTS gcat.lab")
+    s2.sql("CREATE TABLE gcat.lab.del (k BIGINT, v BIGINT) PARTITIONED BY (k)")
+    s2.createDataFrame((0 until 100).map(i => (i.toLong % 4, i.toLong)))
+      .toDF("k", "v").createOrReplaceTempView("del_src")
+    s2.sql("INSERT INTO gcat.lab.del SELECT * FROM del_src")
+    assert(GraftCsv.listDataFiles(s"$wh/lab/del").size == 4)
+    // key predicate: key-pure files are provably all-match or no-match
+    s2.sql("DELETE FROM gcat.lab.del WHERE k >= 2")
+    assert(GraftCsv.listDataFiles(s"$wh/lab/del").size == 2)
+    assert(s2.sql("SELECT k, count(*) FROM gcat.lab.del GROUP BY k ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 25L), (1L, 25L)))
+    // AND of key predicates still proves per-file
+    s2.sql("DELETE FROM gcat.lab.del WHERE k >= 0 AND k <= 0")
+    assert(GraftCsv.listDataFiles(s"$wh/lab/del").size == 1)
+    // a predicate on v cuts INSIDE the remaining file → decline loudly,
+    // data untouched (this table never rewrites rows)
+    val e = intercept[AnalysisException] {
+      s2.sql("DELETE FROM gcat.lab.del WHERE v < 50")
+    }
+    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+    assert(s2.sql("SELECT count(*) FROM gcat.lab.del").collect().head.getLong(0) == 25)
+    // DELETE with a predicate every remaining row satisfies drops the file
+    s2.sql("DELETE FROM gcat.lab.del WHERE v >= 0")
+    assert(s2.sql("SELECT count(*) FROM gcat.lab.del").collect().head.getLong(0) == 0)
+  }
+
+  test("create declines unsupported column types and multi-column partitioning") {
+    s2.sql("CREATE NAMESPACE IF NOT EXISTS gcat.lab")
+    intercept[Exception] {
+      s2.sql("CREATE TABLE gcat.lab.badtype (id BIGINT, ts TIMESTAMP)")
+    }
+    intercept[Exception] {
+      s2.sql("CREATE TABLE gcat.lab.badpart (a BIGINT, b BIGINT) PARTITIONED BY (a, b)")
+    }
+    intercept[Exception] { // string partition key: keyed-layout contract
+      s2.sql("CREATE TABLE gcat.lab.badkey (a STRING, b BIGINT) PARTITIONED BY (a)")
+    }
+    assert(!s2.catalog.tableExists("gcat.lab.badtype"))
+  }
+}

@@ -97,19 +97,36 @@ class GraftCsvStatsSpec extends SparkSpec {
 
   test("keyed write fails loudly past the per-task open-sink bound") {
     val out = java.nio.file.Files.createTempDirectory("graftcsv-sinks").toString
-    // 1 task × 500 distinct keys > the 256-sink cap → loud contract error
+    // 1 task × 500 distinct keys > the 256-sink cap → loud contract
+    // error. no_cluster opts out of the write's own required clustering,
+    // which would otherwise re-route the keys and make the bound
+    // unreachable (that protection is the point of the next assertion).
     val wide = (0 until 500).map(i => (i.toLong, i.toLong)).toDF("k", "v").coalesce(1)
     val e = intercept[Exception] {
-      wide.write.format(fmt).option("partition_col", "k").mode("overwrite").save(out)
+      wide.write.format(fmt).option("partition_col", "k")
+        .option("no_cluster", "true").mode("overwrite").save(out)
     }
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("repartition by the partition column")), e.toString)
-    // the documented fix — repartition by the key — succeeds
+    // the DEFAULT keyed write requests clustering from the planner
+    // (RequiresDistributionAndOrdering): keys SCATTERED over 16
+    // round-robin partitions still land one key-pure file per key —
+    // without the requested shuffle each task would see most keys and
+    // land ~16 files per key. (AQE may coalesce the inserted shuffle,
+    // so clustering bounds files-per-key, not keys-per-task — the sink
+    // cap above stays the guard for extreme cardinality.)
+    import graft.sources.v2.GraftCsv
+    (0 until 4000).map(i => (i.toLong % 200, i.toLong)).toDF("k", "v")
+      .repartition(16)
+      .write.format(fmt).option("partition_col", "k").mode("overwrite").save(out)
+    assert(GraftCsv.listDataFiles(out).size == 200, "one key-pure file per key")
+    val sch = StructType(Seq(StructField("k", LongType), StructField("v", LongType)))
+    assert(spark.read.schema(sch).format(fmt).load(out).count() == 4000)
+    // the manual repartition-by-key route still works too
     (0 until 500).map(i => (i.toLong % 8, i.toLong)).toDF("k", "v")
       .repartition(8, $"k")
       .write.format(fmt).option("partition_col", "k").mode("overwrite").save(out)
-    val sch = StructType(Seq(StructField("k", LongType), StructField("v", LongType)))
     assert(spark.read.schema(sch).format(fmt).load(out).count() == 500)
   }
 

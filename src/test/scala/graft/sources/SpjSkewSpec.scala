@@ -26,7 +26,9 @@ class SpjSkewSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val a = (0 until 40000).map(i =>
       (if (i % 4 < 3) 0L else (i % 16).toLong, i.toLong)).toDF("k", "va")
     a.repartition(8).write.format(fmt)
-      .option("partition_col", "k").mode("overwrite").save(pa)
+      .option("partition_col", "k")
+      .option("no_cluster", "true") // the 8-way spread of key 0 IS the fixture
+      .mode("overwrite").save(pa)
     val b = (0 until 160).map(i => (i.toLong % 16, i.toLong * 7)).toDF("k", "vb")
     b.repartition(8, col("k")).write.format(fmt)
       .option("partition_col", "k").mode("overwrite").save(pb)
