@@ -397,7 +397,10 @@ object ScaleBench {
     "q359_dsv2_write_distribution",
     // catalog lifecycle: cost is the keyed INSERT; the DELETE is
     // metadata-only (drops whole files) and the SELECT reads 12/16 keys
-    "q360_catalog_sql")
+    "q360_catalog_sql",
+    // streaming read of the custom source: cost is the two staged writes
+    // + per-batch state-store cycles; each batch reads only new files
+    "q361_dsv2_stream")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

@@ -5313,6 +5313,56 @@ object SparkEntry {
         s"metadata-only delete must leave 12 of 16 key-pure files, got ${files.size}")
       s2.sql("""SELECT k, count(*) AS n, CAST(sum(price_c) AS BIGINT) AS price_sum
                |FROM graft.gate.orders_t GROUP BY k ORDER BY k""".stripMargin)
+    }),
+
+    // STREAMING read of the custom source (MicroBatchStream): the source
+    // story completed — batch read, batch write, catalog DDL, and now
+    // incremental ingest through the SAME pruning/pushdown reader. An
+    // offset is the file SET visible at capture (the two-phase write
+    // commit makes files atomic units), so each micro-batch reads
+    // exactly the newly-landed files. Half the data is staged before the
+    // stream starts, half is APPENDED while it runs — require() pins ≥2
+    // micro-batches (incremental offsets, not one catch-all batch); the
+    // update-mode aggregate converges through the keyed MERGE and must
+    // equal the plain batch aggregate over everything.
+    "q361_dsv2_stream" -> ((s, dir) => {
+      val fmt = "graft.sources.v2.GraftCsv"
+      val in = rtPath("dsv2stream_in")
+      val ck = rtPath("dsv2stream_ck")
+      val src = t(s, dir, "orders").select(
+        (col("o_orderkey") % 8).cast("long").as("k"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"))
+      // stage the even-cent half before the stream starts
+      src.filter(col("price_c") % 2 === 0)
+        .repartition(2).write.format(fmt).mode("append").save(in)
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("price_c", org.apache.spark.sql.types.LongType)))
+      val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+      var state: DataFrame = null
+      val q = s.readStream.schema(sch).format(fmt).load(in)
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), sum("price_c").as("sum_c"))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ck)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) nBatches.incrementAndGet()
+          val snap = b.localCheckpoint()
+          state = if (state == null) snap
+            else snap.unionByName(state.join(snap, Seq("k"), "left_anti"))
+              .localCheckpoint()
+          ()
+        }.start()
+      q.processAllAvailable()
+      // append the odd half WHILE the stream runs: the next offset must
+      // pick up exactly the new files
+      src.filter(col("price_c") % 2 =!= 0)
+        .repartition(2).write.format(fmt).mode("append").save(in)
+      q.processAllAvailable()
+      q.stop()
+      require(nBatches.get() >= 2,
+        s"incremental offsets should yield >= 2 data micro-batches, got ${nBatches.get()}")
+      state.orderBy("k")
     })
   )
 
@@ -11843,6 +11893,15 @@ object SparkEntry {
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
         |            AS BIGINT) AS price_sum
         |FROM orders WHERE o_orderkey % 16 < 12
-        |GROUP BY 1 ORDER BY k""".stripMargin
+        |GROUP BY 1 ORDER BY k""".stripMargin,
+
+    // The converged streaming aggregate over both halves must equal the
+    // one-shot batch aggregate — incremental file-set offsets lose and
+    // duplicate nothing.
+    "q361_dsv2_stream" ->
+      """SELECT o_orderkey % 8 AS k, count(*) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS sum_c
+        |FROM orders GROUP BY 1 ORDER BY k""".stripMargin
   )
 }

@@ -370,7 +370,7 @@ class GraftCsvTable(tblSchema: StructType, path: String)
   override def schema(): StructType = tblSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftCsvScanBuilder(tblSchema, path)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -1138,6 +1138,67 @@ class GraftCsvScan(fullSchema: StructType, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftCsvReaderFactory(fullSchema, required, pushed)
+
+  /** STREAMING read of the same table (`readStream.format(...)`): the
+    * source is an append-only directory, so an offset is simply the SET
+    * of files visible at that point — each micro-batch reads exactly the
+    * files that appeared since the last committed offset, through the
+    * same pruning/pushdown reader the batch scan uses (column pruning
+    * and pushed filters apply per micro-batch too). The two-phase write
+    * commit (temp + rename) means a file is either fully visible or
+    * absent, never half-written — what makes file-set offsets
+    * exactly-once under concurrent appends. Offsets serialize the
+    * sorted name list as JSON into the checkpoint (restart-safe); a
+    * production variant over millions of files would swap the inline
+    * list for a manifest-log generation number, same contract. */
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftCsvMicroBatchStream(fullSchema, required, pushed, path)
+}
+
+/** File-set offset: the sorted data-file names visible at capture time. */
+case class GraftCsvOffset(files: Seq[String])
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    files.map(f => "\"" + f + "\"").mkString("[", ",", "]")
+}
+
+object GraftCsvOffset {
+  def fromJson(json: String): GraftCsvOffset = {
+    val inner = json.trim.stripPrefix("[").stripSuffix("]").trim
+    if (inner.isEmpty) GraftCsvOffset(Seq.empty)
+    else GraftCsvOffset(inner.split(",").toSeq
+      .map(_.trim.stripPrefix("\"").stripSuffix("\"")))
+  }
+}
+
+class GraftCsvMicroBatchStream(fullSchema: StructType, required: StructType,
+                               pushed: Array[Filter], path: String)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = GraftCsvOffset(Seq.empty)
+
+  override def latestOffset(): Offset =
+    GraftCsvOffset(GraftCsv.listDataFiles(path).map(_.getName))
+
+  override def deserializeOffset(json: String): Offset =
+    GraftCsvOffset.fromJson(json)
+
+  /** The batch = files in `end` not yet in `start` (set difference, so
+    * arbitrary part-file naming can never replay or skip a file). */
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[GraftCsvOffset].files.toSet
+    val fresh = end.asInstanceOf[GraftCsvOffset].files.filterNot(seen)
+    val byName = GraftCsv.listDataFiles(path).map(p => p.getName -> p).toMap
+    fresh.flatMap(byName.get)
+      .map(p => GraftCsvPartition(p.toString): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftCsvReaderFactory(fullSchema, required, pushed)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class GraftCsvPartition(file: String) extends InputPartition
