@@ -59,6 +59,39 @@ class GraftCsvStreamSpec extends SparkSpec {
     assert(sink.sorted == (0L until 45L), s"restart lost or replayed rows: ${sink.size}")
   }
 
+  test("offset JSON round-trips exactly (checkpoint serialization contract)") {
+    import graft.sources.v2.GraftCsvOffset
+    val cases = Seq(
+      Seq.empty[String],
+      Seq("part-00000-1.csv"),
+      Seq("part-00000-1.csv", "part-00003-17-k42.csv", "z last.csv"))
+    cases.foreach { files =>
+      val off = GraftCsvOffset(files)
+      assert(GraftCsvOffset.fromJson(off.json()) == off, off.json())
+    }
+    // deserialization of a hand-written checkpoint line
+    assert(GraftCsvOffset.fromJson("""["a.csv","b.csv"]""") ==
+      GraftCsvOffset(Seq("a.csv", "b.csv")))
+    assert(GraftCsvOffset.fromJson("[]") == GraftCsvOffset(Seq.empty))
+  }
+
+  test("a stream over an empty table stays silent until the first file lands") {
+    val in = java.nio.file.Files.createTempDirectory("gempty-in").toString
+    val ck = java.nio.file.Files.createTempDirectory("gempty-ck").toString
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.schema(sch).format(fmt).load(in)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.select("v").as[Long].collect(); ()
+      }.start()
+    q.processAllAvailable()
+    assert(got.isEmpty, "no files, no rows")
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+      .coalesce(1).write.format(fmt).mode("append").save(in)
+    q.processAllAvailable(); q.stop()
+    assert(got.sorted == Seq(10L, 20L))
+  }
+
   test("pruning and pushdown apply per micro-batch") {
     val in = java.nio.file.Files.createTempDirectory("gprune-in").toString
     val ck = java.nio.file.Files.createTempDirectory("gprune-ck").toString
