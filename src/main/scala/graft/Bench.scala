@@ -104,6 +104,15 @@ object Bench {
       def recorded: Double =
         if (isStream(name)) reps.drop(1).map(_.wall).min else reps.last.wall
       def min: Double = reps.map(_.wall).min
+      // rep spread (max/min wall): the machine-readable contention flag.
+      // A recorded value whose own reps disagree by >2x is a NOISY row —
+      // session interference, not a plan property (round-12 verdict #2:
+      // q240 read 13.6 s in a loadavg-20 session vs 1.4 s idle; the
+      // artifact must distinguish that from a regression without a
+      // human cross-session diff).
+      def spread: Double =
+        if (reps.isEmpty || min <= 0) 1.0 else reps.map(_.wall).max / min
+      def noisy: Boolean = err.isEmpty && spread > 2.0 && recorded >= 0.5
     }
     val health0 = (loadAvg, gcMs, cpuMs)
     val wall0 = System.nanoTime()
@@ -150,7 +159,12 @@ object Bench {
     val nErr = results.count(_.err.isDefined)
     val errCompact = results.collect { case q if q.err.isDefined => s""""${q.name}"""" }
       .take(8).mkString("[", ",", "]")
-    val head = s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"unit":"sec","n_queries":${results.size},"n_errors":$nErr,"errors":$errCompact,"sf":"$sfDir","artifact":"$outPath","queries":{"""
+    // noisy rows (rep spread > 2x), worst first, size-capped: the reader
+    // of the compact line sees WHICH slow-query entries are contention
+    // artifacts before comparing them across rounds
+    val noisyCompact = ok.filter(_.noisy).sortBy(-_.spread).take(12)
+      .map(q => s""""${q.name}":${fmt(q.spread)}""").mkString("{", ",", "}")
+    val head = s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"unit":"sec","n_queries":${results.size},"n_errors":$nErr,"errors":$errCompact,"noisy":$noisyCompact,"sf":"$sfDir","artifact":"$outPath","queries":{"""
     val tailStr = "}}"
     val picked = new StringBuilder
     var used = head.length + tailStr.length
@@ -170,7 +184,7 @@ object Bench {
       val gs = q.reps.map(_.gcDeltaMs).mkString("[", ",", "]")
       // unavailable CPU data is an explicit JSON null, never a sentinel
       val cs = q.reps.map(_.cpuDeltaMs.map(_.toString).getOrElse("null")).mkString("[", ",", "]")
-      s""""${q.name}":{"min":${if (q.err.isDefined) "-1" else fmt(q.min)},"reps":$rs,"gc_ms":$gs,"cpu_ms":$cs}"""
+      s""""${q.name}":{"min":${if (q.err.isDefined) "-1" else fmt(q.min)},"spread":${fmt(q.spread)},"noisy":${q.noisy},"reps":$rs,"gc_ms":$gs,"cpu_ms":$cs}"""
     }.mkString("{", ",", "}")
     def healthJson(h: (Double, Long, Option[Long])): String =
       s"""{"loadavg_1m":${fmt(h._1)},"gc_ms_cum":${h._2},"proc_cpu_s_cum":${h._3.map(c => fmt(c / 1000.0)).getOrElse("null")}}"""

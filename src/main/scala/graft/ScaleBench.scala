@@ -400,7 +400,14 @@ object ScaleBench {
     "q360_catalog_sql",
     // streaming read of the custom source: cost is the two staged writes
     // + per-batch state-store cycles; each batch reads only new files
-    "q361_dsv2_stream")
+    "q361_dsv2_stream",
+    // round 13: admission-controlled catch-up (12-file backlog drains in
+    // ≥4 bounded micro-batches; data volume scales, file/batch counts
+    // stay fixed BY CONSTRUCTION), copy-on-write catalog DELETE (cost =
+    // keyed INSERT + 14 one-task file rewrites), and key-hash-routed
+    // sharded JDBC under a coalesced input (balance data-determined)
+    "q362_stream_admission", "q363_catalog_cow_delete",
+    "q364_sink_jdbc_balance")
 
   def materialize(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

@@ -120,20 +120,31 @@ object Sinks {
     * deep, N log streams — the aggregate-insert path stays linear while
     * any single row remains findable by re-computing its shard.
     *
-    * One pass over the data (`foreachPartition`, no repartition): shard
-    * of partition p = p mod N, so all of a partition's rows stream into
-    * one connection with batched inserts inside ONE transaction —
-    * the same per-partition transactional semantics Spark's native JDBC
-    * writer uses (and the same caveat: a task retry after its commit can
-    * duplicate that partition's rows; a production variant stages into
-    * per-attempt tables and promotes on the driver, the GraftCsv
+    * Routing (round-12 verdict #5 — pid-mod-N inherited whatever the
+    * upstream partitioning was, so a coalesced or skewed input could
+    * flood one shard): with `shardKey` set, each ROW routes by a mixed
+    * hash of its key value — shard balance is DATA-determined (uniform
+    * for any reasonably-spread key domain, independent of how the input
+    * happens to be partitioned), and any single row remains findable by
+    * re-computing its shard from the key alone. Without a key the legacy
+    * partition-id routing remains (the caller owns balance). NULL keys
+    * route to shard 0.
+    *
+    * Still one pass over the data (`foreachPartition`, no repartition):
+    * a task lazily opens at most one connection PER SHARD it actually
+    * feeds, batches inserts per connection, and commits each as ONE
+    * transaction — the same per-partition transactional semantics
+    * Spark's native JDBC writer uses (and the same caveat: a task retry
+    * after its commit can duplicate rows; a production variant stages
+    * into per-attempt tables and promotes on the driver, the GraftCsv
     * two-phase shape). DDL runs once per shard on the driver before any
     * task starts. Supported cell types: int/long/double/string — the
     * validated-source contract.
     *
     * Read-back is [[readJdbcSharded]]: the UNION of all shards — order
     * is not meaningful, exactly as for a multi-partition table. */
-  def writeJdbcSharded(df: DataFrame, urls: Seq[String], table: String): Unit = {
+  def writeJdbcSharded(df: DataFrame, urls: Seq[String], table: String,
+                       shardKey: Option[String] = None): Unit = {
     require(urls.nonEmpty, "writeJdbcSharded needs at least one target URL")
     val schema = df.schema
     val ddlCols = schema.fields.map { f =>
@@ -162,15 +173,50 @@ object Sinks {
     val insertSql =
       s"INSERT INTO $table VALUES (${Seq.fill(schema.length)("?").mkString(",")})"
     val types = schema.fields.map(_.dataType)
+    val keyIdx = shardKey.map { k =>
+      val i = schema.fieldNames.indexOf(k)
+      require(i >= 0, s"writeJdbcSharded: shard key '$k' not in ${schema.simpleString}")
+      i
+    }
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val conn = java.sql.DriverManager.getConnection(urlsArr(pid % n))
+        // per-shard lazy connection + statement + open-batch counter
+        val open = new java.util.HashMap[Int, (java.sql.Connection, java.sql.PreparedStatement)]()
+        val inBatch = new java.util.HashMap[Int, Integer]()
+        def shardOf(row: org.apache.spark.sql.Row): Int = keyIdx match {
+          case None => pid % n
+          case Some(ki) =>
+            if (row.isNullAt(ki)) 0
+            else {
+              // splitmix64 finalizer over the key's canonical long/hash —
+              // sequential or clustered key domains still spread evenly
+              val raw: Long = types(ki) match {
+                case org.apache.spark.sql.types.LongType => row.getLong(ki)
+                case org.apache.spark.sql.types.IntegerType => row.getInt(ki).toLong
+                case org.apache.spark.sql.types.DoubleType =>
+                  java.lang.Double.doubleToLongBits(row.getDouble(ki))
+                case _ => row.getString(ki).hashCode.toLong
+              }
+              var z = raw + 0x9E3779B97F4A7C15L
+              z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+              z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+              z = z ^ (z >>> 31)
+              java.lang.Math.floorMod(z, n.toLong).toInt
+            }
+        }
         try {
-          conn.setAutoCommit(false)
-          val ps = conn.prepareStatement(insertSql)
-          var inBatch = 0
           rows.foreach { row =>
+            val s = shardOf(row)
+            var entry = open.get(s)
+            if (entry == null) {
+              val c = java.sql.DriverManager.getConnection(urlsArr(s))
+              c.setAutoCommit(false)
+              entry = (c, c.prepareStatement(insertSql))
+              open.put(s, entry)
+              inBatch.put(s, 0)
+            }
+            val ps = entry._2
             var i = 0
             while (i < types.length) {
               if (row.isNullAt(i)) ps.setObject(i + 1, null)
@@ -183,13 +229,16 @@ object Sinks {
               i += 1
             }
             ps.addBatch()
-            inBatch += 1
-            if (inBatch == 1000) { ps.executeBatch(); inBatch = 0 }
+            val b = inBatch.get(s) + 1
+            if (b == 1000) { ps.executeBatch(); inBatch.put(s, 0) }
+            else inBatch.put(s, b)
           }
-          if (inBatch > 0) ps.executeBatch()
-          ps.close()
-          conn.commit()
-        } finally conn.close()
+          open.forEach { (s, entry) =>
+            if (inBatch.get(s) > 0) entry._2.executeBatch()
+            entry._2.close()
+            entry._1.commit()
+          }
+        } finally open.forEach((_, entry) => entry._1.close())
       }
     }
   }

@@ -52,7 +52,7 @@ class GraftCatalogSpec extends SparkSpec {
       == (0 until 200).sum)
   }
 
-  test("metadata-only DELETE: whole key files drop; mixed predicates decline") {
+  test("DELETE: metadata-only drops for provable files, copy-on-write for mixed") {
     import graft.sources.v2.GraftCsv
     s2.sql("CREATE NAMESPACE IF NOT EXISTS gcat.lab")
     s2.sql("CREATE TABLE gcat.lab.del (k BIGINT, v BIGINT) PARTITIONED BY (k)")
@@ -60,24 +60,69 @@ class GraftCatalogSpec extends SparkSpec {
       .toDF("k", "v").createOrReplaceTempView("del_src")
     s2.sql("INSERT INTO gcat.lab.del SELECT * FROM del_src")
     assert(GraftCsv.listDataFiles(s"$wh/lab/del").size == 4)
-    // key predicate: key-pure files are provably all-match or no-match
+    // key predicate: key-pure files are provably all-match or no-match —
+    // pure metadata path, zero rewrites
     s2.sql("DELETE FROM gcat.lab.del WHERE k >= 2")
+    assert(GraftCsv.lastDeleteStats.get() == ((2, 0, 2)))
     assert(GraftCsv.listDataFiles(s"$wh/lab/del").size == 2)
     assert(s2.sql("SELECT k, count(*) FROM gcat.lab.del GROUP BY k ORDER BY k")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 25L), (1L, 25L)))
     // AND of key predicates still proves per-file
     s2.sql("DELETE FROM gcat.lab.del WHERE k >= 0 AND k <= 0")
     assert(GraftCsv.listDataFiles(s"$wh/lab/del").size == 1)
-    // a predicate on v cuts INSIDE the remaining file → decline loudly,
-    // data untouched (this table never rewrites rows)
-    val e = intercept[AnalysisException] {
-      s2.sql("DELETE FROM gcat.lab.del WHERE v < 50")
-    }
-    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
-    assert(s2.sql("SELECT count(*) FROM gcat.lab.del").collect().head.getLong(0) == 25)
-    // DELETE with a predicate every remaining row satisfies drops the file
-    s2.sql("DELETE FROM gcat.lab.del WHERE v >= 0")
+    // a predicate cutting INSIDE the remaining file (k=1: v in 1,5,...,97)
+    // is COPY-ON-WRITE (round-12 verdict #3): that one file is rewritten
+    // without the matching rows; nothing else is touched
+    s2.sql("DELETE FROM gcat.lab.del WHERE v < 50")
+    assert(GraftCsv.lastDeleteStats.get() == ((0, 1, 0)))
+    val survivors = s2.sql("SELECT v FROM gcat.lab.del ORDER BY v")
+      .collect().map(_.getLong(0)).toSeq
+    assert(survivors == (53L to 97L by 4L), s"got $survivors")
+    // keyed + skipping metadata regenerated for the replacement file: the
+    // keyed layout still reports exactly one key, and a follow-up range
+    // DELETE proves all-match from the NEW stats (min is now 53) —
+    // metadata-only again, zero rewrites
+    val keys = GraftCsv.readKeys(s"$wh/lab/del")
+    assert(keys.size == 1 && keys.values.head._2 == 1L, s"keys after rewrite: $keys")
+    s2.sql("DELETE FROM gcat.lab.del WHERE v >= 50")
+    assert(GraftCsv.lastDeleteStats.get() == ((1, 0, 0)))
     assert(s2.sql("SELECT count(*) FROM gcat.lab.del").collect().head.getLong(0) == 0)
+  }
+
+  test("DELETE three-valued logic: NOT(v = x) never deletes NULL rows") {
+    s2.sql("CREATE NAMESPACE IF NOT EXISTS gcat.lab")
+    s2.sql("CREATE TABLE gcat.lab.del3 (k BIGINT, v BIGINT) PARTITIONED BY (k)")
+    s2.sql("INSERT INTO gcat.lab.del3 VALUES (1, 5), (1, 7), (1, NULL)")
+    // SQL: NOT(NULL = 5) is UNKNOWN → the NULL row survives; a
+    // two-valued evaluator would mis-delete it
+    s2.sql("DELETE FROM gcat.lab.del3 WHERE NOT (v = 5)")
+    val left = s2.sql("SELECT v FROM gcat.lab.del3").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+    assert(left == Set(Some(5L), None), s"got $left")
+  }
+
+  test("DELETE declines: stats-less foreign file, unevaluable filter shape") {
+    import graft.sources.v2.GraftCsv
+    s2.sql("CREATE NAMESPACE IF NOT EXISTS gcat.lab")
+    s2.sql("CREATE TABLE gcat.lab.delx (k BIGINT, name STRING) PARTITIONED BY (k)")
+    s2.sql("INSERT INTO gcat.lab.delx VALUES (1, 'alpha'), (2, 'beta')")
+    // an unevaluable shape (LIKE → StringStartsWith) declines at analysis
+    val e1 = intercept[AnalysisException] {
+      s2.sql("DELETE FROM gcat.lab.delx WHERE name LIKE 'a%'")
+    }
+    assert(e1.getMessage.toLowerCase.contains("delete"), e1.getMessage)
+    // a file dropped in from OUTSIDE the two-phase writer has no manifest
+    // stats → unknown provenance, the whole DELETE declines loudly
+    val foreign = new java.io.PrintWriter(s"$wh/lab/delx/foreign.csv")
+    foreign.println("k,name"); foreign.println("3,gamma"); foreign.close()
+    val e2 = intercept[AnalysisException] {
+      s2.sql("DELETE FROM gcat.lab.delx WHERE k = 1")
+    }
+    assert(e2.getMessage.toLowerCase.contains("delete"), e2.getMessage)
+    assert(new java.io.File(s"$wh/lab/delx/foreign.csv").delete())
+    // with provenance restored the same DELETE completes
+    s2.sql("DELETE FROM gcat.lab.delx WHERE k = 1")
+    assert(s2.sql("SELECT count(*) FROM gcat.lab.delx").collect().head.getLong(0) == 1)
   }
 
   test("create declines unsupported column types and multi-column partitioning") {

@@ -59,20 +59,73 @@ class GraftCsvStreamSpec extends SparkSpec {
     assert(sink.sorted == (0L until 45L), s"restart lost or replayed rows: ${sink.size}")
   }
 
-  test("offset JSON round-trips exactly (checkpoint serialization contract)") {
+  test("offset JSON round-trips exactly and is CONSTANT-SIZE (checkpoint contract)") {
     import graft.sources.v2.GraftCsvOffset
-    val cases = Seq(
-      Seq.empty[String],
-      Seq("part-00000-1.csv"),
-      Seq("part-00000-1.csv", "part-00003-17-k42.csv", "z last.csv"))
-    cases.foreach { files =>
-      val off = GraftCsvOffset(files)
+    Seq(0L, 1L, 42L, 123456789L, Long.MaxValue).foreach { g =>
+      val off = GraftCsvOffset(g)
       assert(GraftCsvOffset.fromJson(off.json()) == off, off.json())
     }
-    // deserialization of a hand-written checkpoint line
-    assert(GraftCsvOffset.fromJson("""["a.csv","b.csv"]""") ==
-      GraftCsvOffset(Seq("a.csv", "b.csv")))
-    assert(GraftCsvOffset.fromJson("[]") == GraftCsvOffset(Seq.empty))
+    // hand-written checkpoint lines (whitespace-tolerant)
+    assert(GraftCsvOffset.fromJson("""{ "gen" : 7 }""") == GraftCsvOffset(7L))
+    // the offset never grows with the table: a generation that admitted a
+    // million files serializes in the same handful of bytes as gen 1
+    assert(GraftCsvOffset(1L).json().length <= 12)
+    assert(GraftCsvOffset(1000000000L).json().length <= 20)
+    // a legacy (round-12) file-list offset fails LOUDLY with guidance,
+    // never silently misreads
+    val e = intercept[IllegalStateException] {
+      GraftCsvOffset.fromJson("""["a.csv","b.csv"]""")
+    }
+    assert(e.getMessage.contains("fresh checkpoint"), e.getMessage)
+  }
+
+  test("admission control: a staged backlog drains in bounded micro-batches") {
+    import graft.sources.v2.GraftCsv
+    val in = java.nio.file.Files.createTempDirectory("gadm-in").toString
+    val ck = java.nio.file.Files.createTempDirectory("gadm-ck").toString
+    // 10-file backlog staged BEFORE the stream starts — the catch-up shape
+    (0 until 100).map(i => (i.toLong % 4, i.toLong)).toDF("k", "v")
+      .repartition(10).write.format(fmt).mode("append").save(in)
+    GraftCsv.lastStreamBatches.set(Nil)
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.schema(sch).format(fmt)
+      .option("maxFilesPerTrigger", "3").load(in)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.select("v").as[Long].collect(); ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    val batches = GraftCsv.lastStreamBatches.get().filter(_ > 0)
+    assert(batches.length >= 4, s"10 files / 3 per trigger → ≥4 batches, got $batches")
+    assert(batches.forall(_ <= 3), s"a batch exceeded maxFilesPerTrigger: $batches")
+    assert(got.sorted == (0L until 100L), "rate limiting must not lose/replay rows")
+  }
+
+  test("admission control survives restart: no skip, no replay, still bounded") {
+    import graft.sources.v2.GraftCsv
+    val in = java.nio.file.Files.createTempDirectory("gadmr-in").toString
+    val ck = java.nio.file.Files.createTempDirectory("gadmr-ck").toString
+    (0 until 60).map(i => (i.toLong % 3, i.toLong)).toDF("k", "v")
+      .repartition(6).write.format(fmt).mode("append").save(in)
+    val sink = scala.collection.mutable.ArrayBuffer[Long]()
+    def run(): Unit = {
+      val q = spark.readStream.schema(sch).format(fmt)
+        .option("maxFilesPerTrigger", "2").load(in)
+        .writeStream.option("checkpointLocation", ck)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          sink ++= b.select("v").as[Long].collect(); ()
+        }.start()
+      q.processAllAvailable(); q.stop()
+    }
+    GraftCsv.lastStreamBatches.set(Nil)
+    run() // drains the 6-file backlog in 3 bounded batches
+    assert(GraftCsv.lastStreamBatches.get().filter(_ > 0).forall(_ <= 2))
+    (60 until 80).map(i => (i.toLong % 3, i.toLong)).toDF("k", "v")
+      .repartition(4).write.format(fmt).mode("append").save(in)
+    GraftCsv.lastStreamBatches.set(Nil)
+    run() // a fresh query on the same checkpoint reads ONLY the append
+    assert(GraftCsv.lastStreamBatches.get().filter(_ > 0).forall(_ <= 2))
+    assert(sink.sorted == (0L until 80L), s"restart lost or replayed rows: ${sink.size}")
   }
 
   test("a stream over an empty table stays silent until the first file lands") {
