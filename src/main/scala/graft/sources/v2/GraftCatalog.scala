@@ -242,9 +242,22 @@ class GraftCatalogTable(tblSchema: StructType, path: String,
     * ([[GraftCsv.rewriteWithoutMatches]]). Work scales with AFFECTED
     * files, never table size: the common "delete one user" predicate
     * touches the handful of files whose ranges/blooms admit that user.
-    * The manifest and keys metadata are regenerated atomically from the
-    * surviving file set, so skipping and storage-partitioned planning
-    * stay exact after the DML. */
+    *
+    * Crash contract (a listing-defined table has no atomic multi-file
+    * commit — being explicit beats pretending): every replacement lands
+    * fully under `_tmp-<delId>` BEFORE any visible change; the flip then
+    * deletes each mixed original IMMEDIATELY BEFORE renaming its
+    * replacements in, so no crash point ever serves a survivor row
+    * twice. A crash inside the flip can leave one file's survivors
+    * sitting in `_tmp-<delId>` (recoverable by completing the renames;
+    * `_tmp`-prefixed files are invisible to scans), and a crash before
+    * the final metadata regeneration leaves replacement files without
+    * manifest rows — scans stay value-correct (stats-less files are
+    * never skipped) and the next DELETE declines loudly until the
+    * manifest is regenerated. The production-variant fix is a snapshot
+    * pointer (the Iceberg metadata-commit shape) rather than a listing.
+    * Metadata is regenerated from the surviving file set at the end, so
+    * skipping and storage-partitioned planning stay exact after DML. */
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(canDeleteWhere(filters),
       s"delete precondition lost between analysis and execution")
@@ -256,10 +269,10 @@ class GraftCatalogTable(tblSchema: StructType, path: String,
       GraftCsv.mustMatchAll(manifest(f.getName), tblSchema, filters))
     val (mixed, kept) = rest.partition(f =>
       GraftCsv.mayMatch(manifest(f.getName), tblSchema, filters))
-    // 1. rewrite the mixed files FIRST (new files land under a temp dir;
-    //    originals stay readable until the metadata flip below)
+    // 1. rewrite the mixed files (replacements land under _tmp-<delId>;
+    //    originals stay the readable truth until the flip)
     val delId = s"del-${java.util.UUID.randomUUID().toString.take(8)}"
-    val rewrites: Seq[(String, Option[GraftCsvFileCommit])] =
+    val rewrites: Seq[(String, Seq[GraftCsvFileCommit])] =
       if (mixed.isEmpty) Seq.empty
       else {
         val spark = org.apache.spark.sql.SparkSession.active
@@ -270,18 +283,22 @@ class GraftCatalogTable(tblSchema: StructType, path: String,
             name -> GraftCsv.rewriteWithoutMatches(dir, name, sch, flt, pc, delId, i)
           }.collect().toSeq
       }
-    // 2. flip: rename replacements in (unique rw- names — never colliding
-    //    with a kept part- file), drop originals of mixed + all-match
-    val replacements = rewrites.zipWithIndex.collect {
-      case ((_, Some(fc)), i) =>
+    // 2. flip, never-duplicate order: each original disappears before its
+    //    replacements appear (unique rw- names can't collide with kept
+    //    part- files); a mixed-key input may yield several replacements —
+    //    ALL of its sinks land
+    val replacements = rewrites.zipWithIndex.flatMap { case ((orig, fcs), i) =>
+      require(fs.delete(new Path(p, orig), false), s"delete of $orig failed")
+      fcs.zipWithIndex.map { case (fc, j) =>
         val keySuffix = fc.key.map(k => s"-k$k").getOrElse("")
-        val dest = new Path(p, s"rw-$delId-$i$keySuffix.csv")
+        val dest = new Path(p, s"rw-$delId-$i-$j$keySuffix.csv")
         require(fs.rename(new Path(fc.tmpFile), dest),
           s"rewrite rename failed for ${fc.tmpFile}")
         dest.getName -> fc
+      }
     }
     fs.delete(new Path(p, s"_tmp-$delId"), true)
-    (dropped ++ mixed).foreach(f => require(fs.delete(f, false), s"delete of $f failed"))
+    dropped.foreach(f => require(fs.delete(f, false), s"delete of $f failed"))
     // 3. regenerate skipping + keyed-layout metadata from the survivors
     val gone = (dropped ++ mixed).map(_.getName).toSet
     val priorStats = manifest.collect { case (f, cols) if !gone(f) =>
@@ -299,6 +316,6 @@ class GraftCatalogTable(tblSchema: StructType, path: String,
       }
       GraftCsv.writeKeys(path, priorKeys ++ addedKeys)
     }
-    GraftCsv.lastDeleteStats.set((dropped.size, replacements.size, kept.size))
+    GraftCsv.lastDeleteStats.set((dropped.size, rewrites.count(_._2.nonEmpty), kept.size))
   }
 }

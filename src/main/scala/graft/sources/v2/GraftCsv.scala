@@ -293,7 +293,12 @@ object GraftCsv {
     case (x: Long, y: Number) => java.lang.Long.compare(x, y.longValue())
     case (x: Double, y: Number) =>
       java.lang.Double.compare(normD(x), normD(y.doubleValue()))
-    case (x: String, y) => x.compareTo(y.toString)
+    // UTF8String BINARY (code-point) order, not java String.compareTo
+    // (UTF-16 code-unit order) — the two diverge on supplementary
+    // characters, and a DELETE verdict must rank strings exactly as
+    // Spark SQL does
+    case (x: String, y) =>
+      UTF8String.fromString(x).compareTo(UTF8String.fromString(y.toString))
     case _ => throw new IllegalArgumentException(s"incomparable $c vs $v")
   }
 
@@ -303,27 +308,29 @@ object GraftCsv {
     * keeps the row, matching `DELETE ... WHERE` semantics (a bare
     * two-valued evaluator would mis-delete under Not(): NOT(k = 5) on a
     * NULL k is UNKNOWN in SQL, not TRUE). Callers must have vetted the
-    * shape with [[evaluable]]. */
-  private[v2] def evalRow3(f: Filter, row: InternalRow,
-                           schema: StructType): Option[Boolean] = {
-    def idx(c: String): Int = schema.fieldNames.indexOf(c)
-    def v(c: String): Any = { val i = idx(c); rowVal(row, i, schema(i).dataType) }
+    * shape with [[evaluable]] and pass a prebuilt name→ordinal map (this
+    * runs once per row in the rewrite hot loop). */
+  private[v2] def evalRow3(f: Filter, row: InternalRow, schema: StructType,
+                           fieldIdx: Map[String, Int]): Option[Boolean] = {
+    def v(c: String): Any = { val i = fieldIdx(c); rowVal(row, i, schema(i).dataType) }
     def leaf(c: String, fv: Any)(p: Int => Boolean): Option[Boolean] = {
       val cv = v(c)
       if (cv == null || fv == null) None else Some(p(cmpVals(cv, fv)))
     }
     f match {
-      case And(l, r) => (evalRow3(l, row, schema), evalRow3(r, row, schema)) match {
-        case (Some(false), _) | (_, Some(false)) => Some(false)
-        case (Some(true), Some(true)) => Some(true)
-        case _ => None
-      }
-      case Or(l, r) => (evalRow3(l, row, schema), evalRow3(r, row, schema)) match {
-        case (Some(true), _) | (_, Some(true)) => Some(true)
-        case (Some(false), Some(false)) => Some(false)
-        case _ => None
-      }
-      case Not(c) => evalRow3(c, row, schema).map(!_)
+      case And(l, r) =>
+        (evalRow3(l, row, schema, fieldIdx), evalRow3(r, row, schema, fieldIdx)) match {
+          case (Some(false), _) | (_, Some(false)) => Some(false)
+          case (Some(true), Some(true)) => Some(true)
+          case _ => None
+        }
+      case Or(l, r) =>
+        (evalRow3(l, row, schema, fieldIdx), evalRow3(r, row, schema, fieldIdx)) match {
+          case (Some(true), _) | (_, Some(true)) => Some(true)
+          case (Some(false), Some(false)) => Some(false)
+          case _ => None
+        }
+      case Not(c) => evalRow3(c, row, schema, fieldIdx).map(!_)
       case _: AlwaysTrue => Some(true)
       case _: AlwaysFalse => Some(false)
       case IsNull(c) => Some(v(c) == null)
@@ -349,28 +356,43 @@ object GraftCsv {
 
   /** EXECUTOR-side copy-on-write of one mixed file: stream its rows,
     * drop those the DELETE predicate proves Some(true), land the
-    * survivors as ONE new file via the writer's own temp + stats + bloom
-    * machinery (key-pure input stays key-pure: one sink). Returns None
-    * when nothing survives (the file simply disappears). Runs as one
-    * Spark task per mixed file — the rewrite cost scales with AFFECTED
-    * bytes and cluster width, never with table size or driver memory. */
+    * survivors via the writer's own temp + stats + bloom machinery. A
+    * key-pure input yields one sink; a file that mixes key values (a
+    * programmatic write overriding partition_col can land one) splits
+    * into one key-pure replacement PER VALUE — every sink's commit is
+    * returned, none dropped. Empty Seq = nothing survives (the file
+    * simply disappears). Runs as one Spark task per mixed file — the
+    * rewrite cost scales with AFFECTED bytes and cluster width, never
+    * with table size or driver memory.
+    *
+    * Attempt safety: the temp name carries the Spark task ATTEMPT id, so
+    * a speculative/retried duplicate attempt can never interleave writes
+    * into a sibling attempt's temp file; losers' strays die with the
+    * `_tmp-<delId>` directory. On any mid-file failure the writer aborts
+    * (closes + deletes its temps) before rethrowing. */
   private[v2] def rewriteWithoutMatches(tableDir: String, fileName: String,
                                         schema: StructType, filters: Array[Filter],
                                         partCol: Option[String], delId: String,
-                                        idx: Int): Option[GraftCsvFileCommit] = {
+                                        idx: Int): Seq[GraftCsvFileCommit] = {
     val src = new Path(new Path(tableDir), fileName)
+    val fieldIdx = schema.fieldNames.zipWithIndex.toMap
+    val attemptId = Option(org.apache.spark.TaskContext.get())
+      .map(_.taskAttemptId()).getOrElse(idx.toLong)
     val reader = new GraftCsvReader(schema, schema, Array.empty, src.toString)
-    val writer = new GraftCsvWriter(schema, tableDir, delId, idx, idx.toLong, partCol)
+    val writer = new GraftCsvWriter(schema, tableDir, delId, idx, attemptId, partCol)
     var wrote = false
     try {
-      while (reader.next()) {
-        val row = reader.get()
-        val doomed = filters.forall(f => evalRow3(f, row, schema).contains(true))
-        if (!doomed) { writer.write(row); wrote = true }
-      }
+      try {
+        while (reader.next()) {
+          val row = reader.get()
+          val doomed =
+            filters.forall(f => evalRow3(f, row, schema, fieldIdx).contains(true))
+          if (!doomed) { writer.write(row); wrote = true }
+        }
+      } catch { case e: Throwable => writer.abort(); throw e }
     } finally reader.close()
-    if (wrote) writer.commit().asInstanceOf[GraftCsvCommit].files.headOption
-    else { writer.abort(); None }
+    if (wrote) writer.commit().asInstanceOf[GraftCsvCommit].files
+    else { writer.abort(); Seq.empty }
   }
 
   /** Manifest: file → col → [[FileColStats]]. Absent or unparseable →
@@ -1549,12 +1571,15 @@ class GraftCsvReader(fullSchema: StructType, required: StructType,
     }
 
   /** Engine-side comparison on parsed values (types align with the
-    * schema, so the cast in `compare` is total). */
+    * schema, so the cast in `compare` is total). Strings compare in
+    * UTF8String BINARY order — java String.compareTo's UTF-16 code-unit
+    * order diverges on supplementary characters, and a pushed filter
+    * must keep exactly the rows Spark's own Filter node would. */
   private def cmp(a: Any, b: Any): Int = (a, b) match {
     case (x: Int, y: Number) => java.lang.Long.compare(x.toLong, y.longValue())
     case (x: Long, y: Number) => java.lang.Long.compare(x, y.longValue())
     case (x: Double, y: Number) => java.lang.Double.compare(x, y.doubleValue())
-    case (x: UTF8String, y) => x.toString.compareTo(y.toString)
+    case (x: UTF8String, y) => x.compareTo(UTF8String.fromString(y.toString))
     case _ => throw new IllegalArgumentException(s"incomparable $a vs $b")
   }
 

@@ -89,6 +89,32 @@ class GraftCatalogSpec extends SparkSpec {
     assert(s2.sql("SELECT count(*) FROM gcat.lab.del").collect().head.getLong(0) == 0)
   }
 
+  test("copy-on-write splits a non-key-pure file into key-pure replacements, losing nothing") {
+    import graft.sources.v2.GraftCsv
+    s2.sql("CREATE NAMESPACE IF NOT EXISTS gcat.lab")
+    s2.sql("CREATE TABLE gcat.lab.mixcow (k BIGINT, v BIGINT) PARTITIONED BY (k)")
+    s2.sql("INSERT INTO gcat.lab.mixcow VALUES (0, 10), (0, 12), (1, 14), (1, 16)")
+    // a PROGRAMMATIC append without the key option lands ONE file mixing
+    // both k values (legal: the writer only keys when asked) — the shape
+    // where a rewrite must fan out into multiple key-pure sinks
+    s2.createDataFrame(Seq((0L, 5L), (0L, 11L), (1L, 7L), (1L, 13L))).toDF("k", "v")
+      .coalesce(1).write.format("graft.sources.v2.GraftCsv").mode("append")
+      .save(s"$wh/lab/mixcow")
+    s2.sql("DELETE FROM gcat.lab.mixcow WHERE v < 10")
+    // the two SQL-inserted key files are provably no-match (v >= 10);
+    // only the mixed file rewrites — into one replacement PER KEY VALUE,
+    // every sink landed (a head-only take would silently destroy k=1's
+    // survivors)
+    assert(GraftCsv.lastDeleteStats.get() == ((0, 1, 2)))
+    val left = s2.sql("SELECT k, v FROM gcat.lab.mixcow ORDER BY k, v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(left == Seq((0L, 10L), (0L, 11L), (0L, 12L), (1L, 13L), (1L, 14L), (1L, 16L)),
+      s"got $left")
+    // the replacements carry keys metadata: the keyed layout is RESTORED
+    // (4 key-pure files where the foreign append had voided the claim)
+    assert(GraftCsv.readKeys(s"$wh/lab/mixcow").size == 4)
+  }
+
   test("DELETE three-valued logic: NOT(v = x) never deletes NULL rows") {
     s2.sql("CREATE NAMESPACE IF NOT EXISTS gcat.lab")
     s2.sql("CREATE TABLE gcat.lab.del3 (k BIGINT, v BIGINT) PARTITIONED BY (k)")
