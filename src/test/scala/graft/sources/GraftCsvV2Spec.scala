@@ -105,6 +105,27 @@ class GraftCsvV2Spec extends SparkSpec {
     assert(ids == (Set(3, 9, 90, 91, 92, 93, 94, 95, 96, 97, 98, 99)))
   }
 
+  test("pushed string comparisons rank in UTF8 binary order (supplementary chars)") {
+    // U+1F600 (a UTF-16 surrogate pair) vs U+FFFF: java String.compareTo
+    // says surrogate(0xD83D) < 0xFFFF; Spark's UTF8String binary order
+    // says the code point U+1F600 > U+FFFF. A pushed filter must keep
+    // exactly the rows Spark's own Filter node would — regression pin
+    // for the round-13 comparator fix (in-reader eval + DELETE verdict).
+    val d = java.nio.file.Files.createTempDirectory("graftcsv-utf8").toString
+    val rows = Seq((1, "😀"), (2, "￾"), (3, "plain")).toDF("id", "name")
+    rows.coalesce(1).write.format(fmt).mode("overwrite").save(d)
+    val sch = StructType(Seq(StructField("id", IntegerType), StructField("name", StringType)))
+    val probe = "￿"
+    val pushedQ = spark.read.schema(sch).format(fmt).load(d)
+      .filter(col("name") < probe).select("id")
+    assert(pushedQ.queryExecution.executedPlan.toString.contains("LessThan(name,"),
+      "comparison did not push")
+    val expected = rows.filter(col("name") < probe).select("id")
+      .as[Int].collect().toSet // Spark's own evaluation = the contract
+    assert(pushedQ.as[Int].collect().toSet == expected)
+    assert(expected == Set(2, 3), s"Spark semantics changed? $expected")
+  }
+
   test("pushed filter on a column OUTSIDE the projection still works") {
     // score is filter-referenced but not in the output: the reader parses
     // it for the predicate yet emits only (id)
