@@ -74,4 +74,31 @@ class SinksSpec extends SparkSpec {
     assert(back.as[(Long, Option[String], Double)].collect().toSet ==
       df.as[(Long, Option[String], Double)].collect().toSet)
   }
+
+  test("sharded JDBC key routing: deterministic, null-safe, partitioning-independent") {
+    val urls = (0 until 4).map(i => s"jdbc:derby:memory:gshard$i;create=true")
+    val rows = (0 until 400).map(i =>
+      (if (i == 7) None else Some(i.toLong), s"v$i"))
+    val src = rows.toDF("k", "v")
+    // ONE input partition — pid routing would put everything in shard 0;
+    // key routing must still spread by hash(k)
+    Sinks.writeJdbcSharded(src.coalesce(1), urls, "t_keyed", shardKey = Some("k"))
+    val perShard = urls.map(u => Sinks.readJdbc(spark, u, "t_keyed")
+      .as[(Option[Long], String)].collect().toSet)
+    assert(perShard.count(_.nonEmpty) == 4, "every shard must be fed from one partition")
+    val mean = rows.size.toDouble / urls.size
+    assert(perShard.map(_.size).max <= 1.6 * mean, s"imbalance: ${perShard.map(_.size)}")
+    // nothing lost or duplicated, the union equals the source, and the
+    // NULL key routed to shard 0 (the documented contract)
+    assert(perShard.map(_.size).sum == rows.size)
+    assert(perShard.reduce(_ ++ _) == rows.toSet)
+    assert(perShard(0).exists(_._1.isEmpty), "NULL key must route to shard 0")
+    // DETERMINISTIC routing: the same key lands in the same shard on a
+    // re-write with a DIFFERENT upstream partitioning — any single row
+    // stays findable by recomputing its shard from the key alone
+    Sinks.writeJdbcSharded(src.repartition(8), urls, "t_keyed2", shardKey = Some("k"))
+    val perShard2 = urls.map(u => Sinks.readJdbc(spark, u, "t_keyed2")
+      .as[(Option[Long], String)].collect().toSet)
+    assert(perShard2 == perShard, "routing must depend on the key, not the partitioning")
+  }
 }
