@@ -1414,23 +1414,51 @@ class GraftCsvMicroBatchStream(fullSchema: StructType, required: StructType,
   private val fs = logDir.getFileSystem(new Configuration())
 
   private def genPath(g: Long): Path = new Path(logDir, f"$g%020d")
+  private def compactPath(g: Long): Path = new Path(logDir, f"$g%020d.compact")
 
-  private def readGen(g: Long): Seq[String] = {
-    val in = fs.open(genPath(g))
+  private def readLog(p: Path): Seq[String] = {
+    val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
     finally in.close()
   }
+
+  private def readGen(g: Long): Seq[String] = readLog(genPath(g))
+
+  private def writeLogAtomic(dest: Path, names: Iterable[String]): Unit = {
+    val tmp = new Path(logDir, s".tmp-${dest.getName}")
+    fs.mkdirs(logDir)
+    val out = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(fs.create(tmp, true), "UTF-8"))
+    try names.foreach { n => out.write(n); out.newLine() }
+    finally out.close()
+    require(fs.rename(tmp, dest), s"discovery-log write failed for ${dest.getName}")
+  }
+
+  /** Every K generations a `.compact` SNAPSHOT of the full admitted set
+    * is written next to the deltas (the FileStreamSourceLog shape):
+    * startup replay seeds from the newest snapshot and applies only the
+    * deltas after it — O(files + K·batch) instead of O(generations ×
+    * avg-batch) over the stream's whole life. Deltas are retained (batch
+    * REPLANNING after a restart reads exact (start, end] deltas, and
+    * only the engine knows its committed offset); a production retention
+    * lever deletes deltas older than both the newest snapshot and the
+    * engine's committed watermark. */
+  private val CompactEvery = 10L
 
   // Replay the discovery log once at construction: the admitted-file set
   // and the current generation. A fresh checkpoint starts at gen 0/empty.
   private val seen = scala.collection.mutable.HashSet[String]()
   private var curGen: Long = 0L
   if (fs.exists(logDir)) {
-    val entries = fs.listStatus(logDir).filter(_.isFile).map(_.getPath)
+    val all = fs.listStatus(logDir).filter(_.isFile).map(_.getPath)
       .filter(p => !p.getName.startsWith(".") && !p.getName.startsWith("_"))
-      .sortBy(_.getName)
-    entries.foreach(p => seen ++= readGen(p.getName.toLong))
-    curGen = entries.lastOption.map(_.getName.toLong).getOrElse(0L)
+    val (compacts, deltas) = all.partition(_.getName.endsWith(".compact"))
+    val compactGen = compacts.map(_.getName.stripSuffix(".compact").toLong)
+      .sorted.lastOption.getOrElse(0L)
+    if (compactGen > 0) seen ++= readLog(compactPath(compactGen))
+    deltas.map(_.getName.toLong).filter(_ > compactGen).sorted
+      .foreach(g => seen ++= readGen(g))
+    curGen = (compactGen +: deltas.map(_.getName.toLong).toSeq).max
   }
 
   override def initialOffset(): Offset = GraftCsvOffset(0L)
@@ -1462,15 +1490,12 @@ class GraftCsvMicroBatchStream(fullSchema: StructType, required: StructType,
     else {
       val next = curGen + 1
       // two-phase log append: the entry appears complete or not at all
-      val tmp = new Path(logDir, f".tmp-$next%020d")
-      fs.mkdirs(logDir)
-      val out = new java.io.BufferedWriter(
-        new java.io.OutputStreamWriter(fs.create(tmp, true), "UTF-8"))
-      try admitted.foreach { n => out.write(n); out.newLine() }
-      finally out.close()
-      require(fs.rename(tmp, genPath(next)), s"discovery-log append failed at gen $next")
+      writeLogAtomic(genPath(next), admitted)
       seen ++= admitted
       curGen = next
+      // periodic snapshot for O(1)-ish startup replay; written AFTER the
+      // delta so a crash between the two just re-snapshots next time
+      if (next % CompactEvery == 0) writeLogAtomic(compactPath(next), seen)
       GraftCsvOffset(curGen)
     }
   }

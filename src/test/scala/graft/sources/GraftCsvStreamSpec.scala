@@ -101,6 +101,42 @@ class GraftCsvStreamSpec extends SparkSpec {
     assert(got.sorted == (0L until 100L), "rate limiting must not lose/replay rows")
   }
 
+  test("discovery-log compaction: snapshot written, replay from it stays exact") {
+    val in = java.nio.file.Files.createTempDirectory("gcomp-in").toString
+    val ck = java.nio.file.Files.createTempDirectory("gcomp-ck").toString
+    // 12 files at maxFilesPerTrigger=1 → 12 generations → a .compact
+    // snapshot at gen 10
+    (0 until 48).map(i => (i.toLong % 4, i.toLong)).toDF("k", "v")
+      .repartition(12).write.format(fmt).mode("append").save(in)
+    val sink = scala.collection.mutable.ArrayBuffer[Long]()
+    def run(): Unit = {
+      val q = spark.readStream.schema(sch).format(fmt)
+        .option("maxFilesPerTrigger", "1").load(in)
+        .writeStream.option("checkpointLocation", ck)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          sink ++= b.select("v").as[Long].collect(); ()
+        }.start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    // the engine hands the source a per-source checkpoint subdir
+    // (ck/sources/<i>), so locate the log by walking the checkpoint
+    import scala.jdk.CollectionConverters._
+    val names = java.nio.file.Files.walk(java.nio.file.Paths.get(ck))
+      .iterator().asScala
+      .filter(_.getParent.getFileName.toString == "graft_discovery_log")
+      .map(_.getFileName.toString).toSeq
+    assert(names.nonEmpty, "discovery log not found under the checkpoint")
+    assert(names.exists(_.endsWith(".compact")),
+      s"12 generations must leave a compaction snapshot: $names")
+    // a FRESH query on the same checkpoint replays through the snapshot +
+    // post-snapshot deltas; the append must be the only new data read
+    (48 until 60).map(i => (i.toLong % 4, i.toLong)).toDF("k", "v")
+      .repartition(3).write.format(fmt).mode("append").save(in)
+    run()
+    assert(sink.sorted == (0L until 60L), s"snapshot replay lost/replayed rows: ${sink.size}")
+  }
+
   test("admission control survives restart: no skip, no replay, still bounded") {
     import graft.sources.v2.GraftCsv
     val in = java.nio.file.Files.createTempDirectory("gadmr-in").toString
