@@ -131,7 +131,13 @@ object Bench {
         Rep((System.nanoTime() - t0) / 1e9, gcMs - g0,
           for (c1 <- cpuMs; c <- c0) yield c1 - c)
       }
-      QRes(name, repRows, err)
+      val res = QRes(name, repRows, err)
+      // stderr progress (stdout carries ONLY the two JSON lines — the
+      // driver-capture contract): lets a live session be correlated with
+      // thread dumps / host samples without waiting for the artifact
+      System.err.println(s"[bench] ${java.time.Instant.now()} $name " +
+        s"recorded=${fmt(res.recorded)} reps=${repRows.map(r => fmt(r.wall)).mkString(",")}")
+      res
     }
     val health1 = (loadAvg, gcMs, cpuMs)
     val sessionWall = (System.nanoTime() - wall0) / 1e9

@@ -4816,7 +4816,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_li"), sum("price_c").as("rev_c"),
           min("n_ord").as("n_ord"), min("osum_c").as("osum_c"))
         .orderBy("k")
-      df.collect() // ≤32-row steering read: finalize the adaptive plan
+      // The SPJ decision is STATIC planning (v2 bucketing reports the
+      // key-grouped partitioning; no AQE rule can introduce a join-input
+      // exchange later, and broadcast demotion is disabled above), so the
+      // require reads the initial physical plan — the former ≤32-row
+      // steering collect() executed the whole join a second time purely
+      // to finalize AQE (guide §1.2: don't compute things you throw away).
       val plan = df.queryExecution.executedPlan.toString
       require(!plan.contains("Exchange hashpartitioning"),
         s"storage-partitioned join still shuffles:\n$plan")
@@ -5027,7 +5032,10 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_li"), sum("price_c").as("rev_c"),
           min("n_ord").as("n_ord"))
         .orderBy("k")
-      df.collect() // ≤30-row steering read: finalize the plan for the require
+      // Static-planning require (the q344 rationale): partially-clustered
+      // SPJ split-grouping and the exchange-free join subtree are both
+      // decided before execution — the former ≤30-row steering collect()
+      // re-executed the whole skewed join only to finalize AQE.
       val plan = df.queryExecution.executedPlan.toString
       // the JOIN subtree must be exchange-free (that is the SPJ win: the
       // fact never shuffles). The re-aggregate ABOVE the join shuffles by

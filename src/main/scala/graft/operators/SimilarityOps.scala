@@ -415,6 +415,79 @@ object SimilarityOps {
     }
   }
 
+  /** [[kmeansCentroidsQ]] run independently per GROUP in one DataFrame
+    * chain — the PQ / IVF-PQ sub-codebook trainer. Input (grp, vec_id,
+    * qv); output (grp, cid, n, cv). The per-group math is exactly the
+    * single-group trainer's (init = the group's k smallest vec_ids in
+    * vec_id order; assignment = the strict-`<` fold over the cid-sorted
+    * per-group centroid array; update = re-quantized mean, empty cluster
+    * keeps its previous centroid), so each group's codebook is
+    * bit-identical to a separate [[kmeansCentroidsQ]] call on that
+    * group's rows. What changes is the JOB SHAPE (guide §2.4 — share one
+    * exchange instead of m): the m independent Lloyd chains previously
+    * ran as m localCheckpoint'ed query chains of `iters` rounds each
+    * (q116: 46 Spark jobs, q224: 67 — dominated by per-job scheduling
+    * and AQE stage overhead at gate scale, and m separate scans of the
+    * vector table per round at any scale); grouped, every round is ONE
+    * assignment pass + ONE (grp, cid) aggregate whatever m is.
+    *
+    * Shuffle discipline: the seed step collects only (grp, vec_id) pairs
+    * narrow and broadcast-joins the k·m winners back to their vectors,
+    * and the assignment side joins the broadcast m-row centroid-array
+    * frame — so no vector array crosses a real exchange during training
+    * either (the q224 query-time contract, extended to train time); the
+    * round update shuffles per-(grp, cid) dimension SUMS, not arrays. */
+  def kmeansCentroidsGroupedQ(grouped: DataFrame, k: Int, iters: Int,
+                              dim: Int): DataFrame = {
+    require(k > 0 && iters > 0 && dim > 0,
+      s"bad grouped-kmeans params k=$k iters=$iters dim=$dim")
+    val qv = grouped.select(col("grp"), col("vec_id"), col("qv"))
+      .withColumn("na", dotQ(col("qv"), col("qv")))
+    // init ids per group: k smallest vec_ids, shuffled as bare longs
+    val seedIds = broadcast(grouped.select(col("grp"), col("vec_id"))
+      .groupBy("grp")
+      .agg(slice(array_sort(collect_list(col("vec_id"))), 1, k).as("ids"))
+      .select(col("grp"), posexplode(col("ids")).as(Seq("cid", "vec_id"))))
+    val c0 = qv.join(seedIds, Seq("grp", "vec_id"))
+      .select(col("grp"), col("cid"), col("qv").as("cv"))
+    def assign(cents: DataFrame): DataFrame =
+      qv.join(centsArrayGrouped(cents), Seq("grp"))
+        .select(col("grp"), nearestCid(col("qv"), col("na"), col("cs")).as("cid"),
+          col("qv"))
+    def update(cents: DataFrame, assigned: DataFrame): DataFrame = {
+      val upd = assigned.groupBy("grp", "cid")
+        .agg(count(lit(1)).as("n"), array((1 to dim).map(i =>
+          round(sum(element_at(col("qv"), i)) / count(lit(1))).cast("long")): _*).as("ucv"))
+      cents.select("grp", "cid", "cv").join(upd, Seq("grp", "cid"), "left")
+        .select(col("grp"), col("cid"), coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("ucv"), col("cv")).as("cv")) // empty keeps previous
+    }
+    (1 to iters).foldLeft(
+      c0.withColumn("n", lit(0L)).select("grp", "cid", "n", "cv")) {
+      case (c, _) => update(c, assign(c))
+    }
+  }
+
+  /** [[assignToCentroidsQ]] per group in one pass: input (grp, vec_id,
+    * qv) and (grp, cid, cv); output (grp, cid, vec_id, qv). Same
+    * broadcast-array fold, keyed by grp instead of crossJoin'd. */
+  def assignToCentroidsGroupedQ(grouped: DataFrame, cents: DataFrame): DataFrame =
+    grouped.select(col("grp"), col("vec_id"), col("qv"))
+      .withColumn("na", dotQ(col("qv"), col("qv")))
+      .join(centsArrayGrouped(cents.select(col("grp"), col("cid"), col("cv"))),
+        Seq("grp"))
+      .select(col("grp"), nearestCid(col("qv"), col("na"), col("cs")).as("cid"),
+        col("vec_id"), col("qv"))
+
+  /** [[centsArray]] per group: one row per grp holding that group's
+    * cid-sorted (cid, cv, nc) struct array, broadcast (m·k·(dim+1) longs —
+    * tiny at any corpus size). */
+  private def centsArrayGrouped(cents: DataFrame): DataFrame =
+    broadcast(cents
+      .select(col("grp"), struct(col("cid"), col("cv"),
+        dotQ(col("cv"), col("cv")).as("nc")).as("c"))
+      .groupBy("grp").agg(sort_array(collect_list(col("c"))).as("cs")))
+
   /** Assign every vector to its exact-integer-L2 nearest centroid (the
     * k-means assignment rule: argmin |a|² − 2a·c + |c|², ties to the
     * smaller cluster id). Broadcast centroid array + per-row fold — one
@@ -556,39 +629,38 @@ object SimilarityOps {
              dim: Int = 64): DataFrame = {
     require(m > 0 && dim % m == 0, s"bad pq m=$m dim=$dim")
     val sub = dim / m
-    val subVecs = (0 until m).map { s =>
-      vectors.select(col("vec_id"),
-        slice(col("embedding"), s * sub + 1, sub).as("embedding"))
-    }
-    // Each codebook (ksub×sub longs — tiny) has TWO consumers, the
-    // encoder and the ADC tables; without materialization both re-run
-    // the whole Lloyd training chain (the semDedup lineage-severing
-    // rule). localCheckpoint (eager) rather than cache: it also CUTS the
-    // nested training lineage out of every downstream plan — with lazy
-    // caches Catalyst re-optimizes the stacked Lloyd chains per
-    // consumer (the q224 lesson: 22 s → 7 s on 2000 vectors) — and
+    // ONE frame of every subspace slice (grp = subspace id): quantize once,
+    // slice per subspace — quantize is elementwise, so slice(quantize(v))
+    // equals the former quantize(slice(v)) exactly. All m codebooks then
+    // train as ONE grouped Lloyd chain and all m encoders run as ONE
+    // assignment pass (guide §2.4: operations keyed the same way share
+    // exchanges) — formerly m separate localCheckpoint'ed chains whose
+    // per-job overhead dominated the gate (q116: 46 jobs → ~1/m of that)
+    // and whose m scans per round dominate at corpus scale.
+    def sliced(df: DataFrame, idOut: String): DataFrame =
+      df.select(col("vec_id").as(idOut), quantize(col("embedding")).as("qv0"))
+        .select(col(idOut), posexplode(array((0 until m).map(s =>
+          slice(col("qv0"), s * sub + 1, sub)): _*)).as(Seq("grp", "qv")))
+    val subQ = sliced(vectors, "vec_id")
+    // The codebook frame (m×ksub×sub longs — tiny) has TWO consumers, the
+    // encoder and the ADC tables; localCheckpoint (eager) materializes the
+    // training ONCE and cuts the Lloyd lineage out of every downstream
+    // plan (the q224 lesson: 22 s → 7 s on 2000 vectors with lazy caches);
     // ContextCleaner reclaims the partitions on GC, no release needed.
-    val books = subVecs.zipWithIndex.map { case (sv, s) =>
-      kmeansCentroids(sv, ksub, iters, sub)
-        .select(lit(s).as("s"), col("cid"), col("cv"))
-        .localCheckpoint()
-    }
+    val books = kmeansCentroidsGroupedQ(subQ, ksub, iters, sub)
+      .select(col("grp").as("s"), col("cid"), col("cv"))
+      .localCheckpoint()
     // codes: one row per vector, array of m sub-centroid ids (s-ordered)
-    val codes = subVecs.zipWithIndex.map { case (sv, s) =>
-        assignToCentroids(sv, books(s).select("cid", "cv"))
-          .select(col("vec_id"), lit(s).as("s"), col("cid"))
-      }
-      .reduce(_ union _)
+    val codes = assignToCentroidsGroupedQ(subQ,
+        books.select(col("s").as("grp"), col("cid"), col("cv")))
+      .select(col("vec_id"), col("grp").as("s"), col("cid"))
       .groupBy("vec_id")
       .agg(transform(sort_array(collect_list(struct(col("s"), col("cid")))),
         p => p.getField("cid")).as("codes"))
     // per-query ADC tables: dt[s+1][j+1] = |q_s − c_{s,j}|², exact ints
-    val qsub = (0 until m).map { s =>
-      queries.select(col("vec_id").as("qid"), lit(s).as("s"),
-        quantize(slice(col("embedding"), s * sub + 1, sub)).as("qq"))
-    }
-    val dte = qsub.reduce(_ union _)
-      .join(books.reduce(_ union _), Seq("s"))
+    val dte = sliced(queries, "qid")
+      .select(col("qid"), col("grp").as("s"), col("qv").as("qq"))
+      .join(books, Seq("s"))
       .withColumn("d",
         dotQ(col("qq"), col("qq")) - lit(2L) * dotQ(col("qq"), col("cv")) +
           dotQ(col("cv"), col("cv")))
@@ -657,18 +729,22 @@ object SimilarityOps {
       .select(col("cid"), col("vec_id"),
         zip_with(col("qv"), col("ccv"), (a, b) => a - b).as("rv"))
       .localCheckpoint()
-    def rslice(s: Int): DataFrame =
-      resid.select(col("vec_id"), slice(col("rv"), s * sub + 1, sub).as("qv"))
-    val books = (0 until m).map { s =>
-      kmeansCentroidsQ(rslice(s), ksub, iters, sub)
-        .select(lit(s).as("s"), col("cid").as("scid"), col("cv")).localCheckpoint()
-    }
+    // ONE frame of every residual slice (grp = subspace id): all m
+    // residual codebooks train as ONE grouped Lloyd chain and all m
+    // encoders run as ONE assignment pass — the pqTopK restructure
+    // (guide §2.4), applied to the residual stage: formerly m separate
+    // localCheckpoint'ed chains (q224: 67 Spark jobs) and m scans of the
+    // residual table per Lloyd round.
+    val rsliced = resid.select(col("vec_id"),
+        posexplode(array((0 until m).map(s =>
+          slice(col("rv"), s * sub + 1, sub)): _*)).as(Seq("grp", "qv")))
+    val books = kmeansCentroidsGroupedQ(rsliced, ksub, iters, sub)
+      .select(col("grp").as("s"), col("cid").as("scid"), col("cv"))
+      .localCheckpoint()
     // flat code rows (coarse list, subspace, sub-centroid id) per vector
-    val codes = (0 until m).map { s =>
-        assignToCentroidsQ(rslice(s), books(s).select(col("scid").as("cid"), col("cv")))
-          .select(col("vec_id"), lit(s).as("s"), col("cid").as("scid"))
-      }
-      .reduce(_ union _)
+    val codes = assignToCentroidsGroupedQ(rsliced,
+        books.select(col("s").as("grp"), col("scid").as("cid"), col("cv")))
+      .select(col("vec_id"), col("grp").as("s"), col("cid").as("scid"))
       .join(resid.select("vec_id", "cid"), Seq("vec_id"))
     // probe the nprobe exact-L2-nearest coarse lists per query — ranked by
     // a per-row fold over the BROADCAST centroid array, NOT a window: the
@@ -696,7 +772,7 @@ object SimilarityOps {
           slice(col("qr"), s * sub + 1, sub).as("qrs"))
       }
       .reduce(_ union _)
-      .join(broadcast(books.reduce(_ union _)), Seq("s"))
+      .join(broadcast(books), Seq("s"))
       .withColumn("d",
         dotQ(col("qrs"), col("qrs")) - lit(2L) * dotQ(col("qrs"), col("cv")) +
           dotQ(col("cv"), col("cv")))

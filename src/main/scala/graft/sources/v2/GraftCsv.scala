@@ -750,27 +750,39 @@ class GraftCsvWriter(schema: StructType, path: String, queryId: String,
 
     def trackStats(row: InternalRow): Unit = {
       rowCount += 1
-      numericIdx.foreach { i =>
+      // tight per-row loop (runs once per written row per numeric column):
+      // type dispatch via the precomputed dtTag array and the bloom bits
+      // set inline — the former per-value Array[Int] from bloomBits was
+      // measurable allocation churn at file-write rates (same math)
+      var n = 0
+      while (n < numericIdx.length) {
+        val i = numericIdx(n)
         if (row.isNullAt(i)) statNulls(i) += 1
-        else schema(i).dataType match {
-          case DoubleType =>
-            val v = row.getDouble(i)
-            if (java.lang.Double.isNaN(v)) statNaN(i) = true
-            else {
-              statSeen(i) = true
-              if (v < statMinD(i)) statMinD(i) = v
-              if (v > statMaxD(i)) statMaxD(i) = v
-            }
-          case dt =>
+        else if (dtTag(i) == 2) {
+          val v = row.getDouble(i)
+          if (java.lang.Double.isNaN(v)) statNaN(i) = true
+          else {
             statSeen(i) = true
-            val v = if (dt == IntegerType) row.getInt(i).toLong else row.getLong(i)
-            if (v < statMinL(i)) statMinL(i) = v
-            if (v > statMaxL(i)) statMaxL(i) = v
-            GraftCsv.bloomBits(v).foreach { bit =>
-              statBloom(i)(bit >>> 3) =
-                (statBloom(i)(bit >>> 3) | (1 << (bit & 7))).toByte
-            }
+            if (v < statMinD(i)) statMinD(i) = v
+            if (v > statMaxD(i)) statMaxD(i) = v
+          }
+        } else {
+          statSeen(i) = true
+          val v = if (dtTag(i) == 0) row.getInt(i).toLong else row.getLong(i)
+          if (v < statMinL(i)) statMinL(i) = v
+          if (v > statMaxL(i)) statMaxL(i) = v
+          val h1 = GraftCsv.mix64(v)
+          val h2 = GraftCsv.mix64(v ^ 0x5DEECE66DL) | 1L
+          val bloom = statBloom(i)
+          var j = 0
+          while (j < GraftCsv.BloomK) {
+            val bit = (((h1 + j * h2) % GraftCsv.BloomBits + GraftCsv.BloomBits)
+              % GraftCsv.BloomBits).toInt
+            bloom(bit >>> 3) = (bloom(bit >>> 3) | (1 << (bit & 7))).toByte
+            j += 1
+          }
         }
+        n += 1
       }
     }
 
@@ -797,6 +809,15 @@ class GraftCsvWriter(schema: StructType, path: String, queryId: String,
     case (f, i) if f.dataType == IntegerType || f.dataType == LongType ||
       f.dataType == DoubleType => i
   }
+  // 0=int, 1=long, 2=double, 3=string — one array lookup per cell instead
+  // of a DataType pattern match in the per-row hot loops
+  private val dtTag: Array[Int] = schema.fields.map(_.dataType match {
+    case IntegerType => 0
+    case LongType => 1
+    case DoubleType => 2
+    case StringType => 3
+    case other => throw new IllegalArgumentException(s"unsupported type $other")
+  })
 
   private def tmpPath(suffix: String): Path = new Path(
     new Path(path, s"_tmp-$queryId"),
@@ -833,22 +854,33 @@ class GraftCsvWriter(schema: StructType, path: String, queryId: String,
 
   private def cell(row: InternalRow, i: Int): String =
     if (row.isNullAt(i)) ""
-    else {
-      val s = schema(i).dataType match {
-        case IntegerType => row.getInt(i).toString
-        case LongType => row.getLong(i).toString
-        case DoubleType => row.getDouble(i).toString
-        case StringType => row.getUTF8String(i).toString
-        case other => throw new IllegalArgumentException(s"unsupported type $other")
-      }
-      require(!s.contains(',') && !s.contains('\n') && !s.contains('\r'),
-        s"cell value contains the separator/newline (quote-free contract): '$s'")
-      s
+    else dtTag(i) match {
+      case 0 => row.getInt(i).toString
+      case 1 => row.getLong(i).toString
+      case 2 => row.getDouble(i).toString
+      case _ =>
+        val s = row.getUTF8String(i).toString
+        // numeric toString can never contain the separator/newline; only
+        // string cells need the quote-free contract check
+        require(!s.contains(',') && !s.contains('\n') && !s.contains('\r'),
+          s"cell value contains the separator/newline (quote-free contract): '$s'")
+        s
     }
+
+  // reused per-row line buffer: the former per-row Range + String seq +
+  // mkString allocated several objects per cell at file-write rates
+  private val lineBuf = new java.lang.StringBuilder(128)
 
   override def write(row: InternalRow): Unit = {
     val sink = sinkFor(row)
-    sink.out.write((0 until schema.length).map(cell(row, _)).mkString(","))
+    lineBuf.setLength(0)
+    var i = 0
+    while (i < schema.length) {
+      if (i > 0) lineBuf.append(',')
+      if (!row.isNullAt(i)) lineBuf.append(cell(row, i))
+      i += 1
+    }
+    sink.out.write(lineBuf.toString)
     sink.out.newLine()
     sink.trackStats(row)
   }
@@ -1569,9 +1601,14 @@ class GraftCsvReader(fullSchema: StructType, required: StructType,
 
   private val fieldIdx: Map[String, Int] =
     fullSchema.fieldNames.zipWithIndex.toMap
-  // field positions (in file order) that must be parsed at all
+  // field positions (in file order) that must be parsed at all —
+  // precomputed as a positional Boolean array: the former per-cell
+  // Set[String] lookup hashed a field-name string once per cell per row
   private val neededNames: Set[String] =
     required.fieldNames.toSet ++ pushed.flatMap(_.references)
+  private val needed: Array[Boolean] =
+    fullSchema.fieldNames.map(neededNames.contains)
+  private val dts: Array[DataType] = fullSchema.fields.map(_.dataType)
   private val outIdx: Array[Int] = required.fieldNames.map(fieldIdx)
 
   private val in = {
@@ -1608,33 +1645,50 @@ class GraftCsvReader(fullSchema: StructType, required: StructType,
     case _ => throw new IllegalArgumentException(s"incomparable $a vs $b")
   }
 
-  private def eval(f: Filter, vals: Array[Any]): Boolean = f match {
-    case EqualTo(c, v) => vals(fieldIdx(c)) != null && cmp(vals(fieldIdx(c)), v) == 0
-    case GreaterThan(c, v) => vals(fieldIdx(c)) != null && cmp(vals(fieldIdx(c)), v) > 0
-    case GreaterThanOrEqual(c, v) => vals(fieldIdx(c)) != null && cmp(vals(fieldIdx(c)), v) >= 0
-    case LessThan(c, v) => vals(fieldIdx(c)) != null && cmp(vals(fieldIdx(c)), v) < 0
-    case LessThanOrEqual(c, v) => vals(fieldIdx(c)) != null && cmp(vals(fieldIdx(c)), v) <= 0
-    case IsNull(c) => vals(fieldIdx(c)) == null
-    case IsNotNull(c) => vals(fieldIdx(c)) != null
-    case In(c, vs) => vals(fieldIdx(c)) != null &&
-      vs.exists(v => v != null && cmp(vals(fieldIdx(c)), v) == 0)
+  /** Filters pre-bound to field POSITIONS at construction — the former
+    * per-row `eval` resolved `fieldIdx(c)` (a string-keyed map lookup)
+    * once per filter reference per row. Same semantics per shape. */
+  private def bind(f: Filter): Array[Any] => Boolean = f match {
+    case EqualTo(c, v) => val i = fieldIdx(c)
+      vals => vals(i) != null && cmp(vals(i), v) == 0
+    case GreaterThan(c, v) => val i = fieldIdx(c)
+      vals => vals(i) != null && cmp(vals(i), v) > 0
+    case GreaterThanOrEqual(c, v) => val i = fieldIdx(c)
+      vals => vals(i) != null && cmp(vals(i), v) >= 0
+    case LessThan(c, v) => val i = fieldIdx(c)
+      vals => vals(i) != null && cmp(vals(i), v) < 0
+    case LessThanOrEqual(c, v) => val i = fieldIdx(c)
+      vals => vals(i) != null && cmp(vals(i), v) <= 0
+    case IsNull(c) => val i = fieldIdx(c); vals => vals(i) == null
+    case IsNotNull(c) => val i = fieldIdx(c); vals => vals(i) != null
+    case In(c, vs) => val i = fieldIdx(c)
+      vals => vals(i) != null && vs.exists(v => v != null && cmp(vals(i), v) == 0)
     case other => throw new IllegalStateException(s"unpushable filter $other")
   }
+  private val boundFilters: Array[Array[Any] => Boolean] = pushed.map(bind)
 
   override def next(): Boolean = {
     var line = reader.readLine()
     while (line != null) {
       val cells = line.split(",", -1)
-      val vals = new Array[Any](fullSchema.length)
+      val vals = new Array[Any](dts.length)
       var i = 0
-      while (i < fullSchema.length) {
-        val f = fullSchema(i)
-        if (neededNames.contains(f.name) && i < cells.length)
-          vals(i) = parse(cells(i), f.dataType)
+      val lim = if (cells.length < dts.length) cells.length else dts.length
+      while (i < lim) {
+        if (needed(i)) vals(i) = parse(cells(i), dts(i))
         i += 1
       }
-      if (pushed.forall(eval(_, vals))) {
-        current = InternalRow.fromSeq(outIdx.toSeq.map(vals))
+      var ok = true
+      var p = 0
+      while (ok && p < boundFilters.length) { ok = boundFilters(p)(vals); p += 1 }
+      if (ok) {
+        // fresh backing array per row (downstream operators may buffer the
+        // row), built directly — InternalRow.fromSeq(outIdx.toSeq.map(...))
+        // allocated two intermediate collections per row
+        val out = new Array[Any](outIdx.length)
+        var o = 0
+        while (o < outIdx.length) { out(o) = vals(outIdx(o)); o += 1 }
+        current = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
         return true
       }
       line = reader.readLine()
