@@ -117,6 +117,59 @@ object Bench {
       def spread: Double = if (min <= 0) 1.0 else recorded / min
       def noisy: Boolean = err.isEmpty && spread > 2.0 && recorded >= 0.5
     }
+    // SPARK_GRAFT_SAMPLER=1: in-process stack sampler (attach/jstack are
+    // unavailable in the sandbox) — every 15 ms, tally the top frame of
+    // every RUNNABLE thread; per-query histograms print to stderr. Pure
+    // diagnostics, off by default, never touches stdout.
+    val samplerOn = sys.env.contains("SPARK_GRAFT_SAMPLER")
+    val sampleCounts = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
+    if (samplerOn) {
+      val t = new Thread(() => {
+        while (true) {
+          val stacks = Thread.getAllStackTraces
+          stacks.forEach { (th, frames) =>
+            if (th.getState == Thread.State.RUNNABLE && frames.nonEmpty &&
+                th.getName != "graft-sampler") {
+              val top = frames.iterator.find { f =>
+                val c = f.getClassName
+                !c.startsWith("java.") && !c.startsWith("jdk.") &&
+                  !c.startsWith("sun.") && !c.startsWith("scala.collection")
+              }.getOrElse(frames(0))
+              // a Shell frame alone says "exec'd a process", not WHY —
+              // append the first spark/graft caller below it
+              val key = if (top.getClassName.contains("hadoop.util.Shell")) {
+                val caller = frames.iterator.find { f =>
+                  val c = f.getClassName
+                  c.startsWith("org.apache.spark") || c.startsWith("graft")
+                }.map(f => s"<-${f.getClassName.split('.').last}.${f.getMethodName}")
+                  .getOrElse {
+                    frames.iterator.find { f =>
+                      val c = f.getClassName
+                      c.startsWith("org.apache.hadoop") &&
+                        !c.contains("util.Shell") && !c.contains("util.StringUtils")
+                    }.map(f => s"<-${f.getClassName.split('.').last}.${f.getMethodName}")
+                      .getOrElse("")
+                  }
+                s"${top.getClassName}.${top.getMethodName}$caller"
+              } else s"${top.getClassName}.${top.getMethodName}"
+              sampleCounts.computeIfAbsent(key,
+                _ => new java.util.concurrent.atomic.LongAdder).increment()
+            }
+          }
+          Thread.sleep(15)
+        }
+      }, "graft-sampler")
+      t.setDaemon(true)
+      t.start()
+    }
+    def drainSamples(name: String): Unit = if (samplerOn) {
+      import scala.jdk.CollectionConverters._
+      val top = sampleCounts.asScala.toSeq.map { case (k, v) => (k, v.sum) }
+        .sortBy(-_._2).take(14)
+      sampleCounts.clear()
+      System.err.println(s"[sampler] $name " +
+        top.map { case (k, v) => s"$k=$v" }.mkString(" "))
+    }
     val health0 = (loadAvg, gcMs, cpuMs)
     val wall0 = System.nanoTime()
     val results = selected.map { case (name, fn) =>
@@ -137,6 +190,7 @@ object Bench {
       // thread dumps / host samples without waiting for the artifact
       System.err.println(s"[bench] ${java.time.Instant.now()} $name " +
         s"recorded=${fmt(res.recorded)} reps=${repRows.map(r => fmt(r.wall)).mkString(",")}")
+      drainSamples(name)
       res
     }
     val health1 = (loadAvg, gcMs, cpuMs)

@@ -28,6 +28,19 @@ object GraftSession {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Streaming checkpoint I/O: the default FileContext-based manager
+      // shells out (fork+exec of chmod/ls) on EVERY temp-file create and
+      // rename when libhadoop's NativeIO is absent — measured as the
+      // dominant cost of late-session streaming gates (stack sampler:
+      // Shell.runCommand under renameTempFile/createTempFile, ~7k of the
+      // hot samples in q361/q362; exec latency also grows with process
+      // size, so long sessions pay 2-4x). The FileSystem-based manager
+      // does plain JVM renames — atomic on local/POSIX filesystems, which
+      // is where this engine's checkpoints live. On HDFS/object stores a
+      // deployment would leave the default in place (this is the builder
+      // default, overridable like any conf).
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
       // the harness events table stores TIMESTAMP(NANOS) parquet; surface as long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
