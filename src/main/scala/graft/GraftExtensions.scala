@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{BlocklistHits, DamerauLevenshtein, DotQ, HaversineM, HilbertIndex, JaroWinkler, NormalizeText, RewriteAggToSummary, RewriteApproxDistinct, RewriteDotProduct, RewriteJoinElimination, RewriteRadiusPredicate, RewriteRangeJoin, SanitizeKey, TopK}
+import graft.expressions.{BlocklistHits, DamerauLevenshtein, DotQ, GramHashes, HaversineM, HilbertIndex, JaroWinkler, LshBands, MinhashSig, NormalizeText, RewriteAggToSummary, RewriteApproxDistinct, RewriteDotProduct, RewriteJoinElimination, RewriteRadiusPredicate, RewriteRangeJoin, SanitizeKey, ShingleHashes, Shingles, TopK}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the engine's native expressions with the session's function
@@ -89,6 +89,54 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 4,
           "graft_haversine_m takes exactly 4 arguments (lon1, lat1, lon2, lat2)")
         HaversineM(children.head, children(1), children(2), children(3))
+      }))
+    // The shingle -> minhash -> LSH native chain (TextOps hot path): each
+    // takes its size parameter as a foldable int literal.
+    def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+               what: String): Int = e match {
+      case l if l.foldable && l.dataType == org.apache.spark.sql.types.IntegerType =>
+        val v = l.eval()
+        require(v != null, s"$what must be a non-null int literal")
+        v.asInstanceOf[Int]
+      case other =>
+        throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+    }
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[Shingles].getCanonicalName, "graft_shingles"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "graft_shingles takes exactly 2 arguments (words, n)")
+        Shingles(children.head, intLit(children(1), "graft_shingles n"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getCanonicalName, "graft_shingle_hashes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "graft_shingle_hashes takes exactly 1 argument")
+        ShingleHashes(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSig].getCanonicalName, "graft_minhash_sig"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "graft_minhash_sig takes exactly 2 arguments (hs, k)")
+        MinhashSig(children.head, intLit(children(1), "graft_minhash_sig k"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_lsh_bands"),
+      new ExpressionInfo(classOf[LshBands].getCanonicalName, "graft_lsh_bands"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 3,
+          "graft_lsh_bands takes exactly 3 arguments (sig, bands, rows)")
+        LshBands(children.head, intLit(children(1), "graft_lsh_bands bands"),
+          intLit(children(2), "graft_lsh_bands rows"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gram_hashes"),
+      new ExpressionInfo(classOf[GramHashes].getCanonicalName, "graft_gram_hashes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "graft_gram_hashes takes exactly 2 arguments (words, n)")
+        GramHashes(children.head, intLit(children(1), "graft_gram_hashes n"))
       }))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectOptimizerRule(_ => RewriteRadiusPredicate)

@@ -32,22 +32,22 @@ object TextOps {
   private[operators] def microNatNeg(x: Column): Column =
     floor(-log(x) * lit(1e6) + lit(0.5)).cast("long")
 
-  /** Word n-gram shingles (distinct) from a BOUND words-array column, the
-    * MinHash/Jaccard unit. Documents shorter than n words yield an empty set
-    * (guarded: Spark's `sequence` would count DOWN for negative spans).
-    *
-    * `w` MUST be a materialized attribute (project `words(text).as("w")` in
-    * a separate select first): a higher-order lambda body captures the
-    * EXPRESSION SUBTREE of its free columns, so passing `split(text)` here
-    * re-executes the split once per shingle index — O(tokens²) per document
-    * (measured 13.0 s → the fix target ~1 s for q37 at sf0.1; same trap as
-    * the minhashCandidates 76 s → 3 s staging below). */
+  /** Word n-gram shingles (distinct) from a words-array column, the
+    * MinHash/Jaccard unit. Documents shorter than n words yield an empty
+    * set. Since round 14 this is the NATIVE codegen'd kernel
+    * [[graft.expressions.ShingleOps.shingles]] — one compiled loop per row
+    * instead of a CodegenFallback `transform` lambda whose expression tree
+    * Catalyst re-interprets per array element (guide §4; ShingleOpsSpec
+    * pins equivalence to the original composition: same concat_ws
+    * null-skipping, same first-occurrence distinct order, empty array on
+    * the old `when(size(w) >= n)` guard's otherwise branch). The historic
+    * subtree-capture trap (passing `split(text)` directly re-executed the
+    * split per shingle index, O(tokens²) per document — measured 13.0 s →
+    * ~1 s for q37 at sf0.1) no longer applies to the native form, but hot
+    * paths still stage `words(text).as("w")` first so the split shows up
+    * once in the plan. */
   def shinglesFromWords(w: Column, n: Int = 3): Column =
-    array_distinct(
-      when(size(w) >= n,
-        transform(sequence(lit(0), size(w) - n),
-          i => concat_ws(" ", slice(w, i + lit(1), lit(n)))))
-        .otherwise(array().cast("array<string>")))
+    call_function("graft_shingles", w, lit(n))
 
   /** Convenience single-expression form for tests/small frames ONLY — it
     * inlines `split(text)` into the transform lambda (the O(tokens²) trap
@@ -58,40 +58,39 @@ object TextOps {
 
   /** Mersenne prime 2³¹−1: the MinHash permutation modulus. Hash values and
     * multipliers stay below 2³¹, so a·h + b < 2⁶² — no 64-bit overflow in
-    * any engine. */
-  val MinhashP: Long = 2147483647L
+    * any engine. ONE definition, owned by the native kernel object. */
+  val MinhashP: Long = graft.expressions.ShingleOps.P
 
   /** Fixed permutation coefficients (seeded once; embedded as literals in
-    * the SQL oracle mirrors too). */
-  val (hashA, hashB): (IndexedSeq[Long], IndexedSeq[Long]) = {
-    val rnd = new scala.util.Random(7)
-    (IndexedSeq.fill(32)(1L + rnd.nextLong(MinhashP - 1)),
-      IndexedSeq.fill(32)(rnd.nextLong(MinhashP)))
-  }
+    * the SQL oracle mirrors too). Owned by [[graft.expressions.ShingleOps]]
+    * since round 14 (the native kernel needs them); values unchanged. */
+  val hashA: IndexedSeq[Long] = graft.expressions.ShingleOps.hashA
+  val hashB: IndexedSeq[Long] = graft.expressions.ShingleOps.hashB
 
   /** One md5 pass per shingle → 31-bit base hash. The k permutations are
     * then pure arithmetic ((a·h+b) mod P) — hashing each shingle k times
-    * was the dominant cost of the signature (k× md5 work for no recall). */
+    * was the dominant cost of the signature (k× md5 work for no recall).
+    * Native kernel since round 14 (mirrors
+    * `transform(sh, s -> conv(substring(md5(s),1,8),16,10) % P)` exactly —
+    * ShingleOpsSpec). */
   def shingleHashes(shingleCol: Column): Column =
-    transform(shingleCol,
-      s => conv(substring(md5(s), 1, 8), 16, 10).cast("long") % MinhashP)
+    call_function("graft_shingle_hashes", shingleCol)
 
   /** MinHash signature over pre-hashed shingles: sig[i] = min (a_i·h + b_i)
-    * mod P. Returns array<long> of length k. */
+    * mod P. Returns array<long> of length k. Native kernel since round 14:
+    * the k=12..32 permutations fold in ONE pass over the hash array
+    * instead of k interpreted `transform`+`array_min` lambda passes. */
   def minhashSignature(hashesCol: Column, k: Int = 12): Column =
-    array((0 until k).map { i =>
-      array_min(transform(hashesCol, h => (h * hashA(i) + hashB(i)) % MinhashP))
-    }: _*)
+    call_function("graft_minhash_sig", hashesCol, lit(k))
 
   /** LSH banding: fold the signature into `bands` bands of `rows` values and
     * hash each band. Output: array<struct<band:int, bkey:string>> to explode;
     * docs sharing any (band, bkey) are candidate near-duplicates. With
-    * k=12, bands=6, rows=2: P(candidate) = 1-(1-s²)⁶ — ≈0.92 at s=0.5. */
+    * k=12, bands=6, rows=2: P(candidate) = 1-(1-s²)⁶ — ≈0.92 at s=0.5.
+    * Native kernel since round 14 (same decimal-rendered, comma-joined,
+    * md5-hashed band key). */
   def lshBands(sig: Column, bands: Int = 6, rows: Int = 2): Column =
-    array((0 until bands).map { b =>
-      val parts = (0 until rows).map(r => element_at(sig, b * rows + r + 1))
-      struct(lit(b).as("band"), md5(concat_ws(",", parts: _*)).as("bkey"))
-    }: _*)
+    call_function("graft_lsh_bands", sig, lit(bands), lit(rows))
 
   /** The (id, shingle-set) table feeding both candidate generation and
     * verification. Compute it ONCE per pipeline and `.cache()` it when both
@@ -187,10 +186,12 @@ object TextOps {
     // coverage join) — uncached, the generate pass (split + per-position
     // md5, the dominant corpus scan) runs twice (round-6 verdict #2);
     // released via Materialize.thenRelease below.
+    // positional gram hashing is the native per-row kernel since round 14
+    // (one compiled loop; was an interpreted transform+slice+md5 lambda
+    // per position — guide §4), posexplode'd so array order = position
     val grams = w.filter(size(col("w")) >= n)
       .select(col(idCol), posexplode(
-        transform(sequence(lit(0), size(col("w")) - n),
-          i => md5(concat_ws(" ", slice(col("w"), i + lit(1), lit(n)))))))
+        call_function("graft_gram_hashes", col("w"), lit(n))))
       .select(col(idCol), col("pos"), col("col").as("g"))
       .cache()
     val dup = grams.groupBy("g")
