@@ -2,35 +2,37 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-/** Dumps `explain("formatted")` for named queries to files — the
-  * plans/r14 before/after evidence harness (the judge reads these instead
-  * of running Spark). Streaming-gate queries execute at build time, so
-  * their dumped plan is the BATCH sink-read plan plus, when present, the
-  * captured last micro-batch plan from StreamGate.
+/** Dumps `.explain("formatted")` output for named gate queries to files —
+  * the per-round plan evidence (`plans/r<N>/<query>_{before,after}.txt`).
+  * Not part of the engine; measurement/deliverable tooling only.
   *
-  * Usage: `sbt "runMain graft.PlanDump <outDir> <suffix> q1,q2,..."`
-  * writes <outDir>/<query>_<suffix>.txt for each query.
+  * Usage: `sbt "runMain graft.PlanDump <sfDir> <outDir> <suffix> q1,q2,..."`
+  * writes `<outDir>/<query>_<suffix>.txt` per query. Run it once from a
+  * worktree at the pre-change commit (`before`) and once from the current
+  * tree (`after`).
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: PlanDump <outDir> <suffix> q1,q2,...")
-    val Array(outDir, suffix, names) = args
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = args(0)
+    val outDir = args(1)
+    val suffix = args(2)
+    val names = args(3).split(",").map(_.trim).filter(_.nonEmpty)
+    Files.createDirectories(Paths.get(outDir))
     val spark = GraftSession.get("graft-plandump")
     spark.range(1).count()
-    Files.createDirectories(Paths.get(outDir))
-    names.split(",").foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      val txt = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      val stream = graft.streaming.StreamGate.lastStreamPlan
-      val extra =
-        if (name.contains("stream") && stream.nonEmpty)
-          "\n\n== Last micro-batch plan (StreamGate capture) ==\n" + stream
-        else ""
-      Files.write(Paths.get(outDir, s"${name}_$suffix.txt"),
-        (txt + extra).getBytes("UTF-8"))
-      println(s"[plandump] wrote ${name}_$suffix.txt")
+    names.foreach { name =>
+      val out = Paths.get(outDir, s"${name}_$suffix.txt")
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        Files.write(out, txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        System.err.println(s"[plandump] wrote $out (${txt.length} chars)")
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[plandump] $name FAILED: $e")
+          sys.exit(1)
+      }
     }
     spark.stop()
   }
