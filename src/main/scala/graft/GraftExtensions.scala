@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{BlocklistHits, DamerauLevenshtein, DotQ, GramHashes, HaversineM, HilbertIndex, JaroWinkler, LshBands, MinhashSig, NormalizeText, RewriteAggToSummary, RewriteApproxDistinct, RewriteDotProduct, RewriteJoinElimination, RewriteRadiusPredicate, RewriteRangeJoin, SanitizeKey, ShingleHashes, Shingles, TopK}
+import graft.expressions.{BlocklistHits, CharStats, DamerauLevenshtein, DotQ, GramHashes, HaversineM, HilbertIndex, JaroWinkler, LshBands, MinhashSig, NormalizeText, Quantize, RewriteAggToSummary, RewriteApproxDistinct, RewriteDotProduct, RewriteJoinElimination, RewriteRadiusPredicate, RewriteRangeJoin, SanitizeKey, ShingleHashes, Shingles, TopK, WinnowHashes, WinnowMins}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the engine's native expressions with the session's function
@@ -130,6 +130,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_lsh_bands takes exactly 3 arguments (sig, bands, rows)")
         LshBands(children.head, intLit(children(1), "graft_lsh_bands bands"),
           intLit(children(2), "graft_lsh_bands rows"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_char_stats"),
+      new ExpressionInfo(classOf[CharStats].getCanonicalName, "graft_char_stats"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "graft_char_stats takes exactly 1 argument")
+        CharStats(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow_hashes"),
+      new ExpressionInfo(classOf[WinnowHashes].getCanonicalName, "graft_winnow_hashes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "graft_winnow_hashes takes exactly 2 arguments (words, n)")
+        WinnowHashes(children.head, intLit(children(1), "graft_winnow_hashes n"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow_mins"),
+      new ExpressionInfo(classOf[WinnowMins].getCanonicalName, "graft_winnow_mins"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "graft_winnow_mins takes exactly 2 arguments (hs, win)")
+        WinnowMins(children.head, intLit(children(1), "graft_winnow_mins win"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_quantize"),
+      new ExpressionInfo(classOf[Quantize].getCanonicalName, "graft_quantize"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "graft_quantize takes exactly 1 argument")
+        Quantize(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_gram_hashes"),

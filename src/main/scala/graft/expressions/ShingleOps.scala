@@ -186,6 +186,131 @@ object ShingleOps {
     new GenericArrayData(out)
   }
 
+  /** Mirror of `transform(emb, x -> round(cast(x as double) * 1e7) cast
+    * long)` under the session's ANSI default: widen, scale, HALF_UP round
+    * (NaN/Infinity pass through the round, as Spark's RoundBase does),
+    * then the ANSI double→long cast — which THROWS on NaN/Infinity/
+    * overflow exactly like the composition it replaces (same
+    * floor/ceiling range check as Spark's Cast). Null elements stay
+    * null. */
+  def quantize(emb: ArrayData, fromFloat: Boolean): ArrayData = {
+    val len = emb.numElements()
+    val out = new Array[Any](len)
+    var i = 0
+    while (i < len) {
+      if (!emb.isNullAt(i)) {
+        val d = (if (fromFloat) emb.getFloat(i).toDouble else emb.getDouble(i)) * 1e7
+        val r =
+          if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+          else java.math.BigDecimal.valueOf(d)
+            .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+        if (!(math.floor(r) <= Long.MaxValue && math.ceil(r) >= Long.MinValue))
+          throw new ArithmeticException(
+            s"graft_quantize: value $r out of long range (ANSI cast overflow)")
+        out(i) = java.lang.Long.valueOf(r.toLong)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-document character statistics in ONE row pass: struct(n_chars,
+    * n_distinct_chars, clogc = Σ c·ln c over per-character counts c).
+    * Replaces charEntropy's explode-every-character + two-level
+    * aggregation — the per-char rows existed only to be counted back
+    * down, and their exchange shuffled |text| rows per document (guide
+    * §2.4: remove the shuffle outright). Characters are CODE POINTS,
+    * exactly like `substr(i, 1)`/`length` on UTF8String; the Σ c·ln c
+    * float sum is order-arbitrary in the aggregation it replaces (shuffle
+    * order) and consumers round to 5 dp, which absorbs summation-order
+    * noise in either form. */
+  def charStats(t: UTF8String): InternalRow = {
+    val bytes = t.getBytes
+    val counts = new java.util.HashMap[Long, Long]()
+    var i = 0
+    var nChars = 0L
+    while (i < bytes.length) {
+      val b = bytes(i)
+      val w =
+        if ((b & 0x80) == 0) 1
+        else if ((b & 0xe0) == 0xc0) 2
+        else if ((b & 0xf0) == 0xe0) 3
+        else if ((b & 0xf8) == 0xf0) 4
+        else 1 // invalid lead byte: count it alone, like substring would slice
+      var key = 0L
+      var j = 0
+      while (j < w && i + j < bytes.length) {
+        key = (key << 8) | (bytes(i + j) & 0xffL)
+        j += 1
+      }
+      counts.merge(key, 1L, java.lang.Long.sum(_, _))
+      nChars += 1
+      i += w
+    }
+    var clogc = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toDouble
+      clogc += c * math.log(c)
+    }
+    InternalRow(nChars, counts.size.toLong, clogc)
+  }
+
+  /** Mirror of winnowGramHashes: `when(size(w) >= n, transform(sequence(0,
+    * size(w)-n), i -> conv(substring(md5(concat_ws(" ", slice(w, i+1,
+    * n))),1,8),16,10) cast long)).otherwise(array())` — positional gram
+    * hashes WITHOUT the MinHash modulus (raw 32-bit value). */
+  def winnowHashes(w: ArrayData, n: Int): ArrayData = {
+    val len = w.numElements()
+    if (len < n) return EMPTY
+    val out = new Array[Any](len - n + 1)
+    val parts = new Array[UTF8String](n)
+    val md = mdLocal.get()
+    var i = 0
+    while (i <= len - n) {
+      var j = 0
+      while (j < n) {
+        parts(j) = if (w.isNullAt(i + j)) null else w.getUTF8String(i + j)
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(UTF8String.concatWs(SPACE, parts: _*).getBytes)
+      val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      out(i) = java.lang.Long.valueOf(v)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Mirror of winnowMins: `when(size(hs) >= win,
+    * array_distinct(transform(sequence(0, size(hs)-win), i ->
+    * array_min(slice(hs, i+1, win))))).otherwise(array())` — distinct
+    * window minima in first-occurrence order (inputs are the non-null
+    * winnowHashes values; a null element would make its windows' minima
+    * null-skipped by array_min, preserved here for safety). */
+  def winnowMins(hs: ArrayData, win: Int): ArrayData = {
+    val len = hs.numElements()
+    if (len < win) return EMPTY
+    val seen = new java.util.LinkedHashSet[Any]()
+    var i = 0
+    while (i <= len - win) {
+      var min = Long.MaxValue
+      var any = false
+      var j = 0
+      while (j < win) {
+        if (!hs.isNullAt(i + j)) {
+          val v = hs.getLong(i + j)
+          if (!any || v < min) { min = v; any = true }
+        }
+        j += 1
+      }
+      seen.add(if (any) java.lang.Long.valueOf(min) else null)
+      i += 1
+    }
+    new GenericArrayData(seen.toArray(Array.empty[AnyRef]).asInstanceOf[Array[Any]])
+  }
+
   /** Mirror of dupSpanMask's positional gram pass: `transform(sequence(0,
     * size(w)-n), i -> md5(concat_ws(" ", slice(w, i+1, n))))` — one
     * NON-distinct md5 hex string per position, in position order (the
@@ -210,6 +335,129 @@ object ShingleOps {
     }
     new GenericArrayData(out)
   }
+}
+
+/** `graft_char_stats(t)`: per-document code-point statistics —
+  * struct(n_chars, n_distinct_chars, clogc). */
+case class CharStats(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_distinct_chars", LongType, nullable = false),
+    StructField("clogc", DoubleType, nullable = false)))
+  override def prettyName: String = "graft_char_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleOps.charStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.ShingleOps.charStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharStats =
+    copy(child = newChild)
+}
+
+/** `graft_winnow_hashes(w, n)`: positional 32-bit gram hashes (winnowing
+  * form, no modulus) — never null (empty array below n words). */
+case class WinnowHashes(child: Expression, n: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"graft_winnow_hashes: n must be >= 1, got $n")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_winnow_hashes"
+
+  override def eval(input: InternalRow): Any = {
+    val w = child.eval(input)
+    if (w == null) ShingleOps.EMPTY
+    else ShingleOps.winnowHashes(w.asInstanceOf[ArrayData], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val nStr = n.toString
+    val code =
+      code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = ${c.isNull} ?
+          graft.expressions.ShingleOps.EMPTY() :
+          graft.expressions.ShingleOps.winnowHashes(${c.value}, $nStr);
+      """
+    ev.copy(code = code, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowHashes =
+    copy(child = newChild)
+}
+
+/** `graft_winnow_mins(hs, win)`: distinct sliding-window minima — never
+  * null (empty array below win hashes). */
+case class WinnowMins(child: Expression, win: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+  require(win >= 1, s"graft_winnow_mins: win must be >= 1, got $win")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_winnow_mins"
+
+  override def eval(input: InternalRow): Any = {
+    val hs = child.eval(input)
+    if (hs == null) ShingleOps.EMPTY
+    else ShingleOps.winnowMins(hs.asInstanceOf[ArrayData], win)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val wStr = win.toString
+    val code =
+      code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = ${c.isNull} ?
+          graft.expressions.ShingleOps.EMPTY() :
+          graft.expressions.ShingleOps.winnowMins(${c.value}, $wStr);
+      """
+    ev.copy(code = code, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowMins =
+    copy(child = newChild)
+}
+
+/** `graft_quantize(emb)`: round(x·1e7) per float/double component, as
+  * longs — the embedding quantizer every ANN/k-means operator scans
+  * through. Mirrors `transform(emb, x -> round(cast(x as double) * 1e7)
+  * cast long)` exactly: Spark's `round` on DoubleType is
+  * BigDecimal.valueOf(v).setScale(0, HALF_UP) with NaN/Infinity passed
+  * through, and the long cast is the plain toLong truncation (NaN -> 0,
+  * Infinity saturates). QuantizeSpec fuzzes the equivalence. */
+case class Quantize(child: Expression)
+  extends UnaryExpression {
+  // lazy: children are unresolved at builder time, dataType would throw
+  private lazy val fromFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_quantize needs array<float> or array<double>, got $other")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_quantize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleOps.quantize(input.asInstanceOf[ArrayData], fromFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.ShingleOps.quantize($c, $fromFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): Quantize =
+    copy(child = newChild)
 }
 
 /** `graft_shingles(w, n)`: distinct word n-grams of a words array — never

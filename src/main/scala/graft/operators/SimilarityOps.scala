@@ -90,8 +90,16 @@ object SimilarityOps {
         .cast("long").as("cos_micro"))
   }
 
-  /** Quantize float components to round(x·1e7) longs. */
+  /** Quantize float components to round(x·1e7) longs — the native
+    * codegen'd [[graft.expressions.Quantize]] kernel since round 14 (one
+    * compiled loop per row; the HOF form below re-interprets the
+    * round/cast tree per component). */
   def quantize(emb: Column): Column =
+    call_function("graft_quantize", emb)
+
+  /** Reference implementation of [[quantize]] in pure built-ins; kept for
+    * equivalence testing and for sessions without GraftExtensions. */
+  def quantizeHof(emb: Column): Column =
     transform(emb, x => round(x.cast("double") * 1e7).cast("long"))
 
   /** Exact integer dot product of two quantized vectors, via the native

@@ -662,17 +662,20 @@ object TextOps {
     * orders of magnitude inside the rounding grid. */
   def charEntropy(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
-    val ch = docs.select(col(idCol), col(textCol).as("t"))
+    // Per-doc char statistics are ONE native row pass since round 14
+    // (graft_char_stats): the previous form exploded every code point and
+    // aggregated the per-char rows back down — |text| rows per document
+    // through a hashpartitioning exchange, only to be counted (guide
+    // §2.4: the shuffle is removed outright, and the per-char interpreted
+    // substr lambda with it). Σ c·ln c was an order-arbitrary shuffle sum
+    // before and a fixed-order sum now; consumers round to 5 dp, which
+    // absorbs summation-order noise in both forms (gate-verified).
+    docs.select(col(idCol), col(textCol).as("t"))
       .filter(length(col("t")) > 0)
-      .select(col(idCol), explode(transform(sequence(lit(1), length(col("t"))),
-        i => col("t").substr(i, lit(1)))).as("ch"))
-    ch.groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol))
-      .agg(sum("c").as("n_chars"),
-        count(lit(1)).as("n_distinct_chars"),
-        sum(col("c") * log(col("c"))).as("clogc"))
-      .select(col(idCol), col("n_chars"), col("n_distinct_chars"),
-        round(log(col("n_chars")) - col("clogc") / col("n_chars"), 5)
+      .select(col(idCol), call_function("graft_char_stats", col("t")).as("s"))
+      .select(col(idCol), col("s.n_chars").as("n_chars"),
+        col("s.n_distinct_chars").as("n_distinct_chars"),
+        round(log(col("s.n_chars")) - col("s.clogc") / col("s.n_chars"), 5)
           .as("entropy_nat"))
   }
 
@@ -919,21 +922,14 @@ object TextOps {
     * steps BACKWARDS in Spark (the pmi slice lesson). `w` must be a
     * materialized attribute (the [[shinglesFromWords]] capture trap). */
   def winnowGramHashes(w: Column, n: Int = 3): Column =
-    when(size(w) >= n,
-      transform(sequence(lit(0), size(w) - n),
-        i => conv(substring(md5(concat_ws(" ", slice(w, i + lit(1), lit(n)))), 1, 8), 16, 10)
-          .cast("long")))
-      .otherwise(array().cast("array<long>"))
+    call_function("graft_winnow_hashes", w, lit(n)) // native since round 14
 
   /** Distinct window-of-`win` minima over a MATERIALIZED hash-array
     * attribute — passing the [[winnowGramHashes]] expression here directly
     * would recompute the whole gram-hash array once per window index
     * (O(grams²) md5 work; the same capture trap, one level up). */
   def winnowMins(hs: Column, win: Int = 4): Column =
-    when(size(hs) >= win,
-      array_distinct(transform(sequence(lit(0), size(hs) - win),
-        i => array_min(slice(hs, i + lit(1), lit(win))))))
-      .otherwise(array().cast("array<long>"))
+    call_function("graft_winnow_mins", hs, lit(win)) // native since round 14
 
   /** Convenience single-expression winnowing selection for tests/small
     * frames ONLY (inlines the gram array into the window lambda — the
